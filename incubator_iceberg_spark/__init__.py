@@ -1,0 +1,67 @@
+"""incubator_iceberg_spark — a PySpark-native analytics engine with the
+capabilities of Apache Iceberg (reference: apache/incubator-iceberg).
+
+Design stance (see SURVEY.md §7): metadata layer in pure Python (JSON +
+Parquet manifests), data plane 100% Spark DataFrame API, zero JVM code,
+zero custom Catalyst rules.  The expression algebra exists once in Python
+and compiles two ways: to filters over metadata DataFrames (file pruning)
+and to ``pyspark.sql.Column`` (row filters that Catalyst pushes to Parquet).
+"""
+
+from incubator_iceberg_spark.schema import (
+    Schema,
+    NestedField,
+    BooleanType,
+    IntegerType,
+    LongType,
+    FloatType,
+    DoubleType,
+    DateType,
+    TimeType,
+    TimestampType,
+    StringType,
+    UUIDType,
+    FixedType,
+    BinaryType,
+    DecimalType,
+    StructType,
+    ListType,
+    MapType,
+)
+from incubator_iceberg_spark import expressions as expr
+from incubator_iceberg_spark.partitioning import PartitionSpec, PartitionField
+
+
+def __getattr__(name):  # lazy: table pulls in pyspark-heavy modules
+    if name in ("Catalog", "Table"):
+        from incubator_iceberg_spark import table as _t
+        return getattr(_t, name)
+    raise AttributeError(name)
+
+__all__ = [
+    "Schema",
+    "NestedField",
+    "Catalog",
+    "Table",
+    "PartitionSpec",
+    "PartitionField",
+    "expr",
+    "BooleanType",
+    "IntegerType",
+    "LongType",
+    "FloatType",
+    "DoubleType",
+    "DateType",
+    "TimeType",
+    "TimestampType",
+    "StringType",
+    "UUIDType",
+    "FixedType",
+    "BinaryType",
+    "DecimalType",
+    "StructType",
+    "ListType",
+    "MapType",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,299 @@
+"""Manifests as Parquet, metadata-as-DataFrames.
+
+The reference stores manifest lists + manifests as Avro with binary-encoded
+bounds (core/.../ManifestReader.java:53, ManifestWriter.java,
+api/.../ManifestFile.java:32-230).  We store both as **Parquet with natively
+typed stats columns** so pruning is plain DataFrame filters (SURVEY.md §1.1):
+
+manifest entry row (one per data file; DataFile.java:40-79 analog):
+  status int (0 existing / 1 added / 2 deleted), snapshot_id long,
+  sequence_number long, content int (0 data / 1 pos-del / 2 eq-del),
+  file_path string, file_format string, spec_id int, schema_id int,
+  partition struct<...>, record_count long, file_size_bytes long,
+  value_counts/null_counts/nan_counts map<string,long>,
+  lower_bounds/upper_bounds struct<col: source-type>  (strings truncated to
+  16 chars, upper bounds incremented — MetricsModes truncate(16) parity)
+
+manifest-list row (one per manifest; ManifestFile.java analog):
+  manifest_path, manifest_length, partition_spec_id, added_snapshot_id,
+  sequence_number, min_sequence_number,
+  added_files_count/existing_files_count/deleted_files_count,
+  added_rows_count/existing_rows_count/deleted_rows_count,
+  partitions struct<pfield: struct<contains_null bool, lower T, upper T>>
+  (GenericPartitionFieldSummary.java analog — powers the manifest evaluator)
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from incubator_iceberg_spark import schema as S
+from incubator_iceberg_spark.partitioning import PartitionSpec
+
+# entry status (ManifestEntry.Status)
+EXISTING, ADDED, DELETED = 0, 1, 2
+# file content (api/.../FileContent.java)
+DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
+
+TRUNCATE_LENGTH = 16  # MetricsModes.java:34-84 default truncate(16)
+
+
+def arrow_type(t: S.Type) -> pa.DataType:
+    if isinstance(t, S.BooleanType):
+        return pa.bool_()
+    if isinstance(t, S.IntegerType):
+        return pa.int32()
+    if isinstance(t, (S.LongType, S.TimeType)):
+        return pa.int64()
+    if isinstance(t, S.FloatType):
+        return pa.float32()
+    if isinstance(t, S.DoubleType):
+        return pa.float64()
+    if isinstance(t, S.DateType):
+        return pa.date32()
+    if isinstance(t, S.TimestampType):
+        return pa.timestamp("us", tz="UTC") if t.with_zone else pa.timestamp("us")
+    if isinstance(t, (S.StringType, S.UUIDType)):
+        return pa.string()
+    if isinstance(t, (S.BinaryType, S.FixedType)):
+        return pa.binary()
+    if isinstance(t, S.DecimalType):
+        return pa.decimal128(t.precision, t.scale)
+    raise TypeError(f"no arrow type for {t}")
+
+
+def _stats_columns(table_schema: S.Schema):
+    """Top-level primitive columns eligible for bounds stats."""
+    return [f for f in table_schema.fields if f.type.is_primitive]
+
+
+def truncate_lower(v, length: int = TRUNCATE_LENGTH):
+    if isinstance(v, str) and len(v) > length:
+        return v[:length]
+    if isinstance(v, bytes) and len(v) > length:
+        return v[:length]
+    return v
+
+
+def truncate_upper(v, length: int = TRUNCATE_LENGTH):
+    """Truncate an upper bound, incrementing the last unit so the result is
+    still >= every value with that prefix (UnicodeUtil.truncateStringMax
+    analog).  Returns None when increment is impossible (keep no bound)."""
+    if isinstance(v, str):
+        if len(v) <= length:
+            return v
+        trunc = v[:length]
+        chars = list(trunc)
+        for i in range(len(chars) - 1, -1, -1):
+            cp = ord(chars[i])
+            if cp < 0x10FFFF:
+                chars[i] = chr(cp + 1)
+                return "".join(chars[: i + 1])
+        return None
+    if isinstance(v, bytes):
+        if len(v) <= length:
+            return v
+        b = bytearray(v[:length])
+        for i in range(len(b) - 1, -1, -1):
+            if b[i] < 0xFF:
+                b[i] += 1
+                return bytes(b[: i + 1])
+        return None
+    return v
+
+
+def _norm_ts(v, t: S.Type):
+    """Normalize values for arrow arrays (tz-aware for timestamptz)."""
+    if v is None:
+        return None
+    if isinstance(t, S.TimestampType):
+        if isinstance(v, datetime):
+            if t.with_zone and v.tzinfo is None:
+                return v.replace(tzinfo=timezone.utc)
+            if not t.with_zone and v.tzinfo is not None:
+                return v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v
+    if isinstance(t, S.DateType) and isinstance(v, datetime):
+        return v.date()
+    return v
+
+
+def entry_arrow_schema(table_schema: S.Schema, spec: PartitionSpec) -> pa.schema:
+    fields = [
+        pa.field("status", pa.int32()),
+        pa.field("snapshot_id", pa.int64()),
+        pa.field("sequence_number", pa.int64()),
+        pa.field("content", pa.int32()),
+        pa.field("file_path", pa.string()),
+        pa.field("file_format", pa.string()),
+        pa.field("spec_id", pa.int32()),
+        pa.field("schema_id", pa.int32()),
+        pa.field("record_count", pa.int64()),
+        pa.field("file_size_bytes", pa.int64()),
+        pa.field("value_counts", pa.map_(pa.string(), pa.int64())),
+        pa.field("null_counts", pa.map_(pa.string(), pa.int64())),
+        pa.field("nan_counts", pa.map_(pa.string(), pa.int64())),
+    ]
+    stats_cols = _stats_columns(table_schema)
+    if stats_cols:
+        bounds_struct = pa.struct([pa.field(f.name, arrow_type(f.type)) for f in stats_cols])
+        fields.append(pa.field("lower_bounds", bounds_struct))
+        fields.append(pa.field("upper_bounds", bounds_struct))
+    if spec.is_partitioned:
+        pt = spec.partition_type()
+        fields.append(pa.field("partition", pa.struct(
+            [pa.field(f.name, arrow_type(f.type)) for f in pt.fields])))
+    return pa.schema(fields)
+
+
+def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
+                   spec: PartitionSpec, snapshot_id: int, sequence_number: int) -> dict:
+    """Write one manifest Parquet; returns its manifest-list row (with
+    per-manifest partition summaries, A5 in SURVEY.md §2.5)."""
+    path = os.path.join(metadata_dir, f"manifest-{uuid.uuid4().hex}.parquet")
+    schema = entry_arrow_schema(table_schema, spec)
+    stats_cols = _stats_columns(table_schema)
+
+    def col(name, getter):
+        return [getter(e) for e in entries]
+
+    arrays, names = [], []
+    for fname in ["status", "snapshot_id", "sequence_number", "content",
+                  "file_path", "file_format", "spec_id", "schema_id",
+                  "record_count", "file_size_bytes"]:
+        names.append(fname)
+        arrays.append(pa.array(col(fname, lambda e, k=fname: e.get(k)),
+                               type=schema.field(fname).type))
+    for fname in ["value_counts", "null_counts", "nan_counts"]:
+        names.append(fname)
+        vals = [list((e.get(fname) or {}).items()) or None for e in entries]
+        arrays.append(pa.array(vals, type=pa.map_(pa.string(), pa.int64())))
+    if stats_cols:
+        for bname, trunc in (("lower_bounds", truncate_lower), ("upper_bounds", truncate_upper)):
+            names.append(bname)
+            structs = []
+            for e in entries:
+                b = e.get(bname) or {}
+                structs.append({f.name: _norm_ts(trunc(b.get(f.name)), f.type)
+                                for f in stats_cols})
+            arrays.append(pa.array(structs, type=schema.field(bname).type))
+    if spec.is_partitioned:
+        names.append("partition")
+        pt = spec.partition_type()
+        structs = []
+        for e in entries:
+            p = e.get("partition") or {}
+            structs.append({f.name: _norm_ts(p.get(f.name), f.type) for f in pt.fields})
+        arrays.append(pa.array(structs, type=schema.field("partition").type))
+
+    tbl = pa.Table.from_arrays(arrays, names=names)
+    pq.write_table(tbl, path, compression="zstd")
+
+    # ---- manifest-list row with partition summaries ----------------------
+    live = [e for e in entries if e.get("status") != DELETED]
+    added = [e for e in entries if e.get("status") == ADDED]
+    existing = [e for e in entries if e.get("status") == EXISTING]
+    deleted = [e for e in entries if e.get("status") == DELETED]
+    summaries = {}
+    if spec.is_partitioned:
+        pt = spec.partition_type()
+        for f in pt.fields:
+            vals = [(e.get("partition") or {}).get(f.name) for e in live]
+            non_null = [v for v in vals if v is not None]
+            summaries[f.name] = {
+                "contains_null": any(v is None for v in vals),
+                "lower": _norm_ts(min(non_null), f.type) if non_null else None,
+                "upper": _norm_ts(max(non_null), f.type) if non_null else None,
+            }
+    seqs = [e.get("sequence_number") or 0 for e in entries] or [sequence_number]
+    return {
+        "manifest_path": path,
+        "manifest_length": os.path.getsize(path),
+        "partition_spec_id": spec.spec_id,
+        "added_snapshot_id": snapshot_id,
+        "sequence_number": sequence_number,
+        "min_sequence_number": min(seqs),
+        "added_files_count": len(added),
+        "existing_files_count": len(existing),
+        "deleted_files_count": len(deleted),
+        "added_rows_count": sum(e.get("record_count") or 0 for e in added),
+        "existing_rows_count": sum(e.get("record_count") or 0 for e in existing),
+        "deleted_rows_count": sum(e.get("record_count") or 0 for e in deleted),
+        "partitions": summaries,
+    }
+
+
+def manifest_list_arrow_schema(specs_by_id: dict) -> pa.schema:
+    fields = [
+        pa.field("manifest_path", pa.string()),
+        pa.field("manifest_length", pa.int64()),
+        pa.field("partition_spec_id", pa.int32()),
+        pa.field("added_snapshot_id", pa.int64()),
+        pa.field("sequence_number", pa.int64()),
+        pa.field("min_sequence_number", pa.int64()),
+        pa.field("added_files_count", pa.int32()),
+        pa.field("existing_files_count", pa.int32()),
+        pa.field("deleted_files_count", pa.int32()),
+        pa.field("added_rows_count", pa.int64()),
+        pa.field("existing_rows_count", pa.int64()),
+        pa.field("deleted_rows_count", pa.int64()),
+    ]
+    # union of partition-field summaries across specs (fields keyed by name)
+    summary_fields: dict[str, pa.DataType] = {}
+    for spec in specs_by_id.values():
+        for f in spec.partition_type().fields:
+            summary_fields.setdefault(f.name, pa.struct([
+                pa.field("contains_null", pa.bool_()),
+                pa.field("lower", arrow_type(f.type)),
+                pa.field("upper", arrow_type(f.type)),
+            ]))
+    if summary_fields:
+        fields.append(pa.field("partitions", pa.struct(
+            [pa.field(n, t) for n, t in summary_fields.items()])))
+    return pa.schema(fields)
+
+
+def write_manifest_list(metadata_dir: str, snapshot_id: int, manifest_rows: list,
+                        specs_by_id: dict) -> str:
+    path = os.path.join(metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.parquet")
+    schema = manifest_list_arrow_schema(specs_by_id)
+    arrays, names = [], []
+    for f in schema:
+        names.append(f.name)
+        if f.name == "partitions":
+            vals = []
+            for m in manifest_rows:
+                s = m.get("partitions") or {}
+                vals.append({sub.name: s.get(sub.name) for sub in f.type})
+            arrays.append(pa.array(vals, type=f.type))
+        else:
+            arrays.append(pa.array([m.get(f.name) for m in manifest_rows], type=f.type))
+    pq.write_table(pa.Table.from_arrays(arrays, names=names), path, compression="zstd")
+    return path
+
+
+def read_manifest_list_arrow(path: str) -> pa.Table:
+    return pq.read_table(path)
+
+
+def read_manifest_arrow(path: str) -> pa.Table:
+    return pq.read_table(path)
+
+
+def read_entries_df(spark, manifest_paths: list):
+    """Manifest entries as a Spark DataFrame (schema-merged across schema
+    versions — struct bounds may gain fields over time)."""
+    if not manifest_paths:
+        return None
+    return spark.read.option("mergeSchema", "true").parquet(*manifest_paths)
+
+
+def read_manifest_list_df(spark, path: str):
+    return spark.read.parquet(path)

@@ -1,0 +1,357 @@
+"""Table scans: snapshot-isolated batch reads with metadata pruning
+(S1/S2/S3 in SURVEY.md §2.1; lifecycle in §3.1).
+
+Planning is a metadata DataFrame computation (never a driver loop over
+entries — 100 TB constraint, SURVEY.md §7):
+
+1. resolve snapshot (current / by id / as-of timestamp);
+2. manifest-list DF → manifest evaluator (P8) prunes whole manifests via
+   partition summaries; collect the (small) surviving manifest path list;
+3. manifest-entry DF → partition pruning through transforms (P10) +
+   inclusive metrics filter on column bounds (P6); only file paths +
+   schema ids are collected (chunked via toLocalIterator when huge);
+4. data job: files grouped by write-schema, each group read with its own
+   Parquet schema and re-projected to the current schema by FIELD ID
+   (renames/type promotions resolve here), then unionByName;
+5. the full row filter is re-applied — Spark pushes it into the Parquet
+   scan (row-group + page pruning for free, SURVEY.md §4).
+
+Control crosses driver→executor exactly twice: metadata job, data job.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from incubator_iceberg_spark import evaluators as EV
+from incubator_iceberg_spark import expressions as X
+from incubator_iceberg_spark import manifests as MF
+from incubator_iceberg_spark import schema as S
+
+
+class TableScan:
+    def __init__(self, table, spark, snapshot_id: Optional[int] = None,
+                 row_filter: Optional[X.Expression] = None,
+                 selected: Optional[list] = None, case_sensitive: bool = True,
+                 from_snapshot_exclusive: Optional[int] = None,
+                 to_snapshot_inclusive: Optional[int] = None):
+        self.table = table
+        self.spark = spark
+        self.snapshot_id = snapshot_id
+        self.row_filter = row_filter or X.always_true()
+        self.selected = selected
+        self.case_sensitive = case_sensitive
+        self.from_snapshot_exclusive = from_snapshot_exclusive
+        self.to_snapshot_inclusive = to_snapshot_inclusive
+
+    # -- builders (api/.../TableScan.java:33-207) --------------------------
+    def _copy(self, **kw) -> "TableScan":
+        args = dict(snapshot_id=self.snapshot_id, row_filter=self.row_filter,
+                    selected=self.selected, case_sensitive=self.case_sensitive,
+                    from_snapshot_exclusive=self.from_snapshot_exclusive,
+                    to_snapshot_inclusive=self.to_snapshot_inclusive)
+        args.update(kw)
+        return TableScan(self.table, self.spark, **args)
+
+    def use_snapshot(self, snapshot_id: int) -> "TableScan":
+        return self._copy(snapshot_id=snapshot_id)
+
+    def as_of_time(self, timestamp_ms: int) -> "TableScan":
+        snap = self.table.metadata.snapshot_as_of(timestamp_ms)
+        if snap is None:
+            raise ValueError(f"no snapshot as of {timestamp_ms}")
+        return self._copy(snapshot_id=snap.snapshot_id)
+
+    def filter(self, expr) -> "TableScan":
+        if isinstance(expr, str):
+            expr = parse_predicate(expr)
+        return self._copy(row_filter=X.and_(self.row_filter, expr))
+
+    def select(self, *cols: str) -> "TableScan":
+        return self._copy(selected=list(cols))
+
+    def appends_between(self, from_exclusive: int, to_inclusive: int) -> "TableScan":
+        """S3 incremental append scan (DataTableScan.java:49-62)."""
+        return self._copy(from_snapshot_exclusive=from_exclusive,
+                          to_snapshot_inclusive=to_inclusive,
+                          snapshot_id=to_inclusive)
+
+    def appends_after(self, from_exclusive: int) -> "TableScan":
+        cur = self.table.metadata.current_snapshot_id
+        return self.appends_between(from_exclusive, cur)
+
+    # -- planning ----------------------------------------------------------
+    def _snapshot(self):
+        md = self.table.metadata
+        if self.snapshot_id is not None:
+            snap = md.snapshot_by_id(self.snapshot_id)
+            if snap is None:
+                raise ValueError(f"unknown snapshot {self.snapshot_id}")
+            return snap
+        return md.current_snapshot()
+
+    def _bound_filter(self, schema: S.Schema) -> X.Expression:
+        return X.bind(schema, self.row_filter, self.case_sensitive)
+
+    def _incremental_snapshot_ids(self) -> Optional[set]:
+        if self.from_snapshot_exclusive is None:
+            return None
+        md = self.table.metadata
+        ids, cur = [], self.to_snapshot_inclusive
+        while cur is not None and cur != self.from_snapshot_exclusive:
+            snap = md.snapshot_by_id(cur)
+            if snap is None:
+                break
+            if snap.operation == "append":
+                ids.append(snap.snapshot_id)
+            cur = snap.parent_id
+        return set(ids)
+
+    def plan_entries_df(self):
+        """Pruned manifest-entry DataFrame (the [files] of this scan)."""
+        from pyspark.sql import functions as F
+
+        snap = self._snapshot()
+        if snap is None:
+            return None
+        md = self.table.metadata
+        schema = md.schema_by_id(snap.schema_id) if any(
+            s.schema_id == snap.schema_id for s in md.schemas) else md.schema()
+        bound = self._bound_filter(schema)
+
+        mlist_df = MF.read_manifest_list_df(self.spark, snap.manifest_list)
+        spec_ids = [r["partition_spec_id"]
+                    for r in mlist_df.select("partition_spec_id").distinct().collect()]
+
+        inc_ids = self._incremental_snapshot_ids()
+        parts = []
+        for spec_id in spec_ids:
+            spec = md.spec_by_id(spec_id)
+            sub = mlist_df.filter(F.col("partition_spec_id") == spec_id)
+            if not isinstance(bound, X.AlwaysTrue):
+                sub = sub.filter(EV.manifest_summary_filter(spec, bound, mlist_df.schema))
+            manifest_paths = [r["manifest_path"] for r in sub.select("manifest_path").collect()]
+            if not manifest_paths:
+                continue
+            entries = MF.read_entries_df(self.spark, manifest_paths)
+            entries = entries.filter(F.col("status") != MF.DELETED)
+            if inc_ids is not None:
+                entries = entries.filter((F.col("status") == MF.ADDED)
+                                         & F.col("snapshot_id").isin(list(inc_ids)))
+            if not isinstance(bound, X.AlwaysTrue):
+                entries = entries.filter(
+                    EV.partition_pruning_filter(spec, bound, entries.schema))
+                entries = entries.filter(
+                    EV.inclusive_metrics_filter(bound, entries.schema))
+            parts.append(entries)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def plan_files(self) -> list:
+        """[(file_path, schema_id)] after pruning."""
+        entries = self.plan_entries_df()
+        if entries is None:
+            return []
+        rows = entries.select("file_path", "schema_id").collect()
+        return [(r["file_path"], r["schema_id"]) for r in rows]
+
+    # -- execution ---------------------------------------------------------
+    def to_df(self):
+        from pyspark.sql import functions as F
+
+        snap = self._snapshot()
+        md = self.table.metadata
+        current_schema = md.schema()
+        if snap is None:
+            df = self.spark.createDataFrame([], current_schema.to_spark())
+            return self._finish(df, current_schema)
+
+        files = self.plan_files()
+        if not files:
+            df = self.spark.createDataFrame([], current_schema.to_spark())
+            return self._finish(df, current_schema)
+
+        by_schema: dict[int, list] = {}
+        for path, schema_id in files:
+            by_schema.setdefault(schema_id if schema_id is not None else current_schema.schema_id,
+                                 []).append(path)
+
+        parts = []
+        for schema_id, paths in by_schema.items():
+            file_schema = md.schema_by_id(schema_id) if any(
+                s.schema_id == schema_id for s in md.schemas) else current_schema
+            df = self.spark.read.schema(file_schema.to_spark()).parquet(*paths)
+            df = _project_to_current(df, file_schema, current_schema)
+            parts.append(df)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return self._finish(df, current_schema)
+
+    def _finish(self, df, schema: S.Schema):
+        bound = self._bound_filter(schema)
+        if not isinstance(bound, X.AlwaysTrue):
+            df = df.filter(X.to_column(bound))
+        if self.selected:
+            df = df.select(*self.selected)
+        return df
+
+
+def _project_to_current(df, file_schema: S.Schema, current: S.Schema):
+    """Field-ID projection (C11 read side): map the file's columns to the
+    current schema by field id — renames resolve to the file's old name,
+    added columns become NULL, type promotions cast (int→long etc.)."""
+    from pyspark.sql import functions as F
+
+    if file_schema.schema_id == current.schema_id:
+        return df
+    cols = []
+    for f in current.fields:
+        old = file_schema.find_field(f.field_id)
+        spark_t = S._to_spark_type(f.type)
+        if old is None:
+            cols.append(F.lit(None).cast(spark_t).alias(f.name))
+        else:
+            old_path = file_schema.field_path(f.field_id)
+            cols.append(F.col(old_path).cast(spark_t).alias(f.name))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# tiny SQL predicate front-end (P16 inverse) — handy for tests/harness
+# ---------------------------------------------------------------------------
+
+def parse_predicate(sql: str) -> X.Expression:
+    """Parse a small SQL predicate subset into the expression algebra.
+    Supports: AND/OR/NOT, comparisons, IN, IS [NOT] NULL, LIKE 'prefix%'.
+    Anything unparseable raises (callers can fall back to F.expr for the
+    row path, losing metadata pruning)."""
+    import re
+
+    tokens = re.findall(
+        r"""\(|\)|>=|<=|<>|!=|=|<|>|,|'(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_.]*|-?\d+\.?\d*""",
+        sql)
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def kw(t):
+        return t is not None and t.upper() in (
+            "AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "BETWEEN", "TRUE", "FALSE",
+            "DATE", "TIMESTAMP")
+
+    def parse_or():
+        left = parse_and()
+        while peek() and peek().upper() == "OR":
+            take()
+            left = X.or_(left, parse_and())
+        return left
+
+    def parse_and():
+        left = parse_not()
+        while peek() and peek().upper() == "AND":
+            take()
+            left = X.and_(left, parse_not())
+        return left
+
+    def parse_not():
+        if peek() and peek().upper() == "NOT":
+            take()
+            return X.not_(parse_not())
+        return parse_atom()
+
+    def literal(tok):
+        if tok.startswith("'"):
+            return tok[1:-1].replace("''", "'")
+        if tok.upper() == "TRUE":
+            return True
+        if tok.upper() == "FALSE":
+            return False
+        if "." in tok:
+            return float(tok)
+        return int(tok)
+
+    def parse_value():
+        t = take()
+        if t.upper() in ("DATE", "TIMESTAMP"):
+            s = take()
+            return literal(s)  # ISO string; coerced at bind time
+        return literal(t)
+
+    def parse_atom():
+        t = take()
+        if t == "(":
+            e = parse_or()
+            assert take() == ")", "unbalanced parens"
+            return e
+        col = t
+        op = take()
+        if op is None:
+            raise ValueError(f"dangling column {col}")
+        if op.upper() == "IS":
+            nxt = take()
+            if nxt.upper() == "NOT":
+                assert take().upper() == "NULL"
+                return X.not_null(col)
+            assert nxt.upper() == "NULL"
+            return X.is_null(col)
+        if op.upper() == "IN":
+            assert take() == "("
+            vals = []
+            while True:
+                vals.append(parse_value())
+                nxt = take()
+                if nxt == ")":
+                    break
+                assert nxt == ","
+            return X.in_(col, vals)
+        if op.upper() == "NOT":
+            nxt = take()
+            if nxt.upper() == "IN":
+                assert take() == "("
+                vals = []
+                while True:
+                    vals.append(parse_value())
+                    n2 = take()
+                    if n2 == ")":
+                        break
+                    assert n2 == ","
+                return X.not_in(col, vals)
+            if nxt.upper() == "LIKE":
+                pat = parse_value()
+                if isinstance(pat, str) and pat.endswith("%") and "%" not in pat[:-1]:
+                    return X.not_starts_with(col, pat[:-1])
+                raise ValueError(f"unsupported LIKE pattern {pat}")
+            raise ValueError(f"unsupported NOT {nxt}")
+        if op.upper() == "LIKE":
+            pat = parse_value()
+            if isinstance(pat, str) and pat.endswith("%") and "%" not in pat[:-1]:
+                return X.starts_with(col, pat[:-1])
+            raise ValueError(f"unsupported LIKE pattern {pat}")
+        if op.upper() == "BETWEEN":
+            lo = parse_value()
+            assert take().upper() == "AND"
+            hi = parse_value()
+            return X.and_(X.gt_eq(col, lo), X.lt_eq(col, hi))
+        v = parse_value() if op in (">=", "<=", "<", ">", "=", "!=", "<>") else None
+        return {
+            ">=": lambda: X.gt_eq(col, v), "<=": lambda: X.lt_eq(col, v),
+            ">": lambda: X.gt(col, v), "<": lambda: X.lt(col, v),
+            "=": lambda: X.eq(col, v), "!=": lambda: X.not_eq(col, v),
+            "<>": lambda: X.not_eq(col, v),
+        }[op]()
+
+    out = parse_or()
+    if pos[0] != len(tokens):
+        raise ValueError(f"trailing tokens in predicate: {tokens[pos[0]:]}")
+    return out

@@ -1,0 +1,32 @@
+"""SparkSession factory with the engine's required configuration."""
+
+from __future__ import annotations
+
+import os
+
+
+def get_spark(app_name: str = "incubator_iceberg_spark", master: str | None = None,
+              shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # UTC everywhere: partition transforms and Python-side literal
+        # projection must agree on date/hour ordinals
+        .config("spark.sql.session.timeZone", "UTC")
+        # micros (not INT96) so Parquet footers carry usable timestamp stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,301 @@
+"""Snapshot producers: the ACID commit operators (SURVEY.md §2.6).
+
+C1 AppendFiles (core/.../FastAppend.java), C2 DeleteFiles, C3 OverwriteFiles
+(core/.../BaseOverwriteFiles.java:50-131), C4 ReplacePartitions, C5
+RewriteFiles — all funneling through the optimistic-retry commit loop in
+metadata.run_with_retries (SnapshotProducer.java:270-300 analog).
+
+Manifest handling:
+- fast append: new manifest for added entries; prior manifests carried
+  forward untouched (their entries keep original snapshot_id/status, which
+  preserves incremental append scans, S3).
+- overwrite/delete/replace: prior manifests are rewritten without the
+  removed entries (surviving rows downgraded to EXISTING); removal is
+  physical, driver-side pyarrow (manifests are small; a Spark-job rewrite
+  path exists for huge manifests via maintenance.rewrite_manifests).
+- manifest merge: when live manifest count ≥ commit.manifest.min-count-to-merge
+  (default 100, TableProperties.java:51-55), merge per-spec into one.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from incubator_iceberg_spark import manifests as M
+from incubator_iceberg_spark import metadata as MD
+from incubator_iceberg_spark.metadata import (
+    Snapshot,
+    TableMetadata,
+    TableOperations,
+    ValidationException,
+    new_snapshot_id,
+    now_ms,
+)
+
+
+def _manifest_rows(md: TableMetadata) -> list:
+    snap = md.current_snapshot()
+    if snap is None:
+        return []
+    tbl = M.read_manifest_list_arrow(snap.manifest_list)
+    return tbl.to_pylist()
+
+
+def _summary(base: TableMetadata, added_entries, deleted_entries) -> dict:
+    prev = base.current_snapshot()
+    prev_total_records = int((prev.summary.get("total-records") if prev else 0) or 0)
+    prev_total_files = int((prev.summary.get("total-data-files") if prev else 0) or 0)
+    added_records = sum(e.get("record_count") or 0 for e in added_entries)
+    deleted_records = sum(e.get("record_count") or 0 for e in deleted_entries)
+    return {
+        "added-data-files": str(len(added_entries)),
+        "added-records": str(added_records),
+        "deleted-data-files": str(len(deleted_entries)),
+        "deleted-records": str(deleted_records),
+        "total-data-files": str(prev_total_files + len(added_entries) - len(deleted_entries)),
+        "total-records": str(prev_total_records + added_records - deleted_records),
+    }
+
+
+def _write_added_manifest(md_dir: str, base: TableMetadata, entries: list,
+                          snapshot_id: int, seq: int, spec_id: Optional[int] = None):
+    spec = base.spec_by_id(spec_id) if spec_id is not None else base.spec()
+    schema = base.schema()
+    for e in entries:
+        e.setdefault("status", M.ADDED)
+        e.setdefault("snapshot_id", snapshot_id)
+        e.setdefault("sequence_number", seq)
+        e.setdefault("content", M.DATA)
+        e.setdefault("file_format", "parquet")
+        e.setdefault("spec_id", spec.spec_id)
+        e.setdefault("schema_id", schema.schema_id)
+    return M.write_manifest(md_dir, entries, schema, spec, snapshot_id, seq)
+
+
+def _rewrite_manifest_without(md_dir: str, base: TableMetadata, manifest_row: dict,
+                              drop_paths: set, snapshot_id: int, seq: int):
+    """Rewrite one manifest dropping ``drop_paths``.  Returns (new_row|None,
+    dropped_entries).  new_row is None when all entries dropped; returns the
+    original row when nothing dropped."""
+    tbl = M.read_manifest_arrow(manifest_row["manifest_path"])
+    entries = tbl.to_pylist()
+    for e in entries:
+        if isinstance(e.get("value_counts"), list):  # arrow map → list of tuples
+            for k in ("value_counts", "null_counts", "nan_counts"):
+                v = e.get(k)
+                e[k] = dict(v) if v else None
+    keep, dropped = [], []
+    for e in entries:
+        (dropped if e["file_path"] in drop_paths else keep).append(e)
+    if not dropped:
+        return manifest_row, []
+    if not keep:
+        return None, dropped
+    spec = base.spec_by_id(manifest_row["partition_spec_id"])
+    schema_id = keep[0].get("schema_id", base.current_schema_id)
+    schema = base.schema_by_id(schema_id) if any(
+        s.schema_id == schema_id for s in base.schemas) else base.schema()
+    for e in keep:
+        if e.get("status") == M.ADDED:
+            e["status"] = M.EXISTING
+    new_row = M.write_manifest(os.path.join(base.location, "metadata"), keep,
+                               schema, spec, snapshot_id, seq)
+    return new_row, dropped
+
+
+def _merge_small_manifests(base: TableMetadata, manifest_rows: list,
+                           snapshot_id: int, seq: int) -> list:
+    """C7-lite: merge per-spec when the list is long (fast-append pressure)."""
+    min_count = base.property(MD.MANIFEST_MIN_MERGE_COUNT, MD.MANIFEST_MIN_MERGE_COUNT_DEFAULT)
+    if len(manifest_rows) < min_count:
+        return manifest_rows
+    md_dir = os.path.join(base.location, "metadata")
+    by_spec: dict[int, list] = {}
+    for row in manifest_rows:
+        by_spec.setdefault(row["partition_spec_id"], []).append(row)
+    out = []
+    for spec_id, rows in by_spec.items():
+        if len(rows) == 1:
+            out.extend(rows)
+            continue
+        entries = []
+        for row in rows:
+            for e in M.read_manifest_arrow(row["manifest_path"]).to_pylist():
+                for k in ("value_counts", "null_counts", "nan_counts"):
+                    v = e.get(k)
+                    if isinstance(v, list):
+                        e[k] = dict(v) if v else None
+                if e.get("status") == M.ADDED:
+                    e["status"] = M.EXISTING
+                entries.append(e)
+        spec = base.spec_by_id(spec_id)
+        schema = base.schema()
+        out.append(M.write_manifest(md_dir, entries, schema, spec, snapshot_id, seq))
+    return out
+
+
+def _install_snapshot(base: Optional[TableMetadata], make_manifest_rows: Callable,
+                      operation: str, extra_summary: Optional[dict],
+                      added_entries: list, deleted_entries: list,
+                      schema_id: Optional[int] = None) -> TableMetadata:
+    if base is None:
+        raise ValidationException("table does not exist")
+    snapshot_id = new_snapshot_id()
+    seq = base.last_sequence_number + 1
+    manifest_rows = make_manifest_rows(base, snapshot_id, seq)
+    manifest_rows = _merge_small_manifests(base, manifest_rows, snapshot_id, seq)
+    md_dir = os.path.join(base.location, "metadata")
+    specs_by_id = {s.spec_id: s for s in base.specs}
+    mlist = M.write_manifest_list(md_dir, snapshot_id, manifest_rows, specs_by_id)
+    summary = _summary(base, added_entries, deleted_entries)
+    if extra_summary:
+        summary.update({k: str(v) for k, v in extra_summary.items()})
+    snap = Snapshot(
+        snapshot_id=snapshot_id,
+        parent_id=base.current_snapshot_id,
+        sequence_number=seq,
+        timestamp_ms=now_ms(),
+        operation=operation,
+        summary=summary,
+        manifest_list=mlist,
+        schema_id=schema_id if schema_id is not None else base.current_schema_id,
+    )
+    stage_only = (extra_summary or {}).get("wap.id") is not None and \
+        base.properties.get("write.wap.enabled", "false") == "true"
+    return base.with_snapshot(snap, set_current=not stage_only)
+
+
+def append_files(ops: TableOperations, new_entries: list,
+                 extra_summary: Optional[dict] = None,
+                 spec_id: Optional[int] = None) -> TableMetadata:
+    """C1 fast append (FastAppend.java)."""
+
+    def apply(base):
+        def make(base, snapshot_id, seq):
+            rows = _manifest_rows(base)
+            if new_entries:
+                md_dir = os.path.join(base.location, "metadata")
+                rows = rows + [_write_added_manifest(md_dir, base, list(new_entries),
+                                                     snapshot_id, seq, spec_id)]
+            return rows
+
+        return _install_snapshot(base, make, "append", extra_summary,
+                                 new_entries, [])
+
+    return MD.run_with_retries(ops, apply)
+
+
+def overwrite_files(ops: TableOperations, added_entries: list, deleted_paths: set,
+                    operation: str = "overwrite",
+                    extra_summary: Optional[dict] = None,
+                    base_snapshot_id: Optional[int] = None,
+                    conflict_detection_filter=None,
+                    spec_id: Optional[int] = None) -> TableMetadata:
+    """C3 OverwriteFiles / C5 RewriteFiles / C2 DeleteFiles.
+
+    ``base_snapshot_id`` + ``conflict_detection_filter`` implement
+    validateNoConflictingAppends (MergingSnapshotProducer.java:246-249): if
+    snapshots committed after the read point added files matching the
+    filter, fail instead of silently dropping concurrent data.
+    """
+    deleted_paths = set(deleted_paths)
+    dropped_acc: list = []
+
+    def apply(base):
+        dropped_acc.clear()
+        if base_snapshot_id is not None and base is not None:
+            _validate_no_conflicting_appends(base, base_snapshot_id,
+                                             conflict_detection_filter)
+
+        def make(base, snapshot_id, seq):
+            md_dir = os.path.join(base.location, "metadata")
+            rows = []
+            remaining = set(deleted_paths)
+            for row in _manifest_rows(base):
+                new_row, dropped = _rewrite_manifest_without(
+                    md_dir, base, row, remaining, snapshot_id, seq)
+                dropped_acc.extend(dropped)
+                for e in dropped:
+                    remaining.discard(e["file_path"])
+                if new_row is not None:
+                    rows.append(new_row)
+            if remaining:
+                raise ValidationException(
+                    f"files to delete not found in table: {sorted(remaining)[:5]}")
+            if added_entries:
+                rows.append(_write_added_manifest(md_dir, base, list(added_entries),
+                                                  snapshot_id, seq, spec_id))
+            return rows
+
+        return _install_snapshot(base, make, operation, extra_summary,
+                                 added_entries, dropped_acc)
+
+    return MD.run_with_retries(ops, apply)
+
+
+def replace_partitions(ops: TableOperations, added_entries: list,
+                       partition_tuples: Iterable[tuple],
+                       extra_summary: Optional[dict] = None) -> TableMetadata:
+    """C4 dynamic partition overwrite (BaseReplacePartitions.java): drop
+    every live file whose partition tuple ∈ written set, then append."""
+    written = {tuple(t) for t in partition_tuples}
+    dropped_acc: list = []
+
+    def apply(base):
+        dropped_acc.clear()
+
+        def make(base, snapshot_id, seq):
+            md_dir = os.path.join(base.location, "metadata")
+            spec = base.spec()
+            part_names = [f.name for f in spec.partition_type().fields]
+            rows = []
+            for row in _manifest_rows(base):
+                tbl = M.read_manifest_arrow(row["manifest_path"])
+                drop = set()
+                for e in tbl.to_pylist():
+                    p = e.get("partition") or {}
+                    if tuple(p.get(n) for n in part_names) in written:
+                        drop.add(e["file_path"])
+                new_row, dropped = _rewrite_manifest_without(
+                    md_dir, base, row, drop, snapshot_id, seq)
+                dropped_acc.extend(dropped)
+                if new_row is not None:
+                    rows.append(new_row)
+            if added_entries:
+                rows.append(_write_added_manifest(md_dir, base, list(added_entries),
+                                                  snapshot_id, seq))
+            return rows
+
+        return _install_snapshot(base, make, "overwrite", extra_summary,
+                                 added_entries, dropped_acc)
+
+    return MD.run_with_retries(ops, apply)
+
+
+def _validate_no_conflicting_appends(current: TableMetadata, base_snapshot_id: int,
+                                     conflict_filter) -> None:
+    """Scan snapshots committed after ``base_snapshot_id``; if any appended
+    files that might match ``conflict_filter`` (a callable entry→bool or
+    None meaning any append conflicts), raise ValidationException."""
+    newer = [s for s in current.snapshots if s.snapshot_id != base_snapshot_id
+             and s.sequence_number > (current.snapshot_by_id(base_snapshot_id).sequence_number
+                                      if current.snapshot_by_id(base_snapshot_id) else -1)]
+    for snap in newer:
+        if snap.operation not in ("append", "overwrite", "replace"):
+            continue
+        tbl = M.read_manifest_list_arrow(snap.manifest_list)
+        for row in tbl.to_pylist():
+            if row.get("added_snapshot_id") != snap.snapshot_id:
+                continue
+            entries = M.read_manifest_arrow(row["manifest_path"]).to_pylist()
+            for e in entries:
+                if e.get("status") != M.ADDED or e.get("snapshot_id") != snap.snapshot_id:
+                    continue
+                if conflict_filter is None or conflict_filter(e):
+                    raise ValidationException(
+                        f"concurrent commit {snap.snapshot_id} added conflicting "
+                        f"file {e['file_path']}")

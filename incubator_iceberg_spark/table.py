@@ -1,0 +1,375 @@
+"""Catalog + Table: the user-facing API surface.
+
+Catalog is the HadoopCatalog analog (S15; core/.../hadoop/HadoopCatalog.java):
+a warehouse directory of ``namespace/table`` directories, each with
+``metadata/`` (versioned JSON + Parquet manifests) and ``data/``.
+
+Table mirrors the reference's Table interface factories
+(api/.../Table.java:54-273): scans, appends/overwrites, row-level ops,
+snapshot management, schema/spec evolution, maintenance actions, metadata
+tables.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Iterable, Optional, Union
+
+from incubator_iceberg_spark import expressions as X
+from incubator_iceberg_spark import metadata as MD
+from incubator_iceberg_spark import snapshots as SN
+from incubator_iceberg_spark import write as W
+from incubator_iceberg_spark.metadata import TableMetadata, TableOperations
+from incubator_iceberg_spark.partitioning import PartitionSpec
+from incubator_iceberg_spark.scan import TableScan, parse_predicate
+from incubator_iceberg_spark.schema import Schema
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+class TableAlreadyExistsError(Exception):
+    pass
+
+
+class Catalog:
+    """Filesystem catalog: ``warehouse/namespace/table``."""
+
+    def __init__(self, warehouse: str, spark=None):
+        self.warehouse = os.path.abspath(warehouse)
+        self.spark = spark
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    def _table_location(self, name: str) -> str:
+        parts = name.split(".")
+        return os.path.join(self.warehouse, *parts)
+
+    def create_table(self, name: str, schema, partition_by=None,
+                     properties: Optional[dict] = None,
+                     sort_by=None, spark=None) -> "Table":
+        location = self._table_location(name)
+        ops = TableOperations(location)
+        if ops.refresh() is not None:
+            raise TableAlreadyExistsError(name)
+        schema = _as_schema(schema)
+        spec = (PartitionSpec.build(schema, partition_by)
+                if partition_by else PartitionSpec.unpartitioned(schema))
+        md = TableMetadata.new(location, schema, spec, properties)
+        if sort_by:
+            md.sort_orders = [_as_sort_order(schema, sort_by, order_id=1)]
+            md.default_sort_order_id = 1
+
+        def apply(base):
+            if base is not None:
+                raise TableAlreadyExistsError(name)
+            return md
+
+        MD.run_with_retries(ops, apply, retries=0)
+        return Table(name, ops, spark or self.spark)
+
+    def load_table(self, name: str, spark=None) -> "Table":
+        ops = TableOperations(self._table_location(name))
+        if ops.refresh() is None:
+            raise NoSuchTableError(name)
+        return Table(name, ops, spark or self.spark)
+
+    def table_exists(self, name: str) -> bool:
+        return TableOperations(self._table_location(name)).refresh() is not None
+
+    def drop_table(self, name: str, purge: bool = True) -> bool:
+        loc = self._table_location(name)
+        if not os.path.exists(os.path.join(loc, "metadata")):
+            return False
+        if purge:
+            shutil.rmtree(loc, ignore_errors=True)
+        else:
+            shutil.rmtree(os.path.join(loc, "metadata"), ignore_errors=True)
+        return True
+
+    def list_tables(self, namespace: str = "") -> list:
+        root = os.path.join(self.warehouse, *namespace.split(".")) if namespace else self.warehouse
+        out = []
+        for dirpath, dirs, _files in os.walk(root):
+            if os.path.isdir(os.path.join(dirpath, "metadata")):
+                rel = os.path.relpath(dirpath, self.warehouse)
+                out.append(rel.replace(os.sep, "."))
+                dirs.clear()
+        return sorted(out)
+
+    def create_table_as_select(self, name: str, df, partition_by=None,
+                               properties: Optional[dict] = None, spark=None) -> "Table":
+        """CTAS (C10 staged create: data written before the table commit
+        becomes visible — single atomic metadata swap)."""
+        schema = Schema.from_spark(df.schema)
+        t = self.create_table(name, schema, partition_by=partition_by,
+                              properties=properties, spark=spark)
+        t.append(df)
+        return t
+
+
+def _as_schema(schema) -> Schema:
+    if isinstance(schema, Schema):
+        return schema
+    try:
+        import pyspark.sql.types as T
+        if isinstance(schema, T.StructType):
+            return Schema.from_spark(schema)
+    except ImportError:
+        pass
+    if isinstance(schema, str):
+        import pyspark.sql.types as T
+        return Schema.from_spark(T.StructType.fromDDL(schema))
+    raise TypeError(f"cannot build schema from {schema!r}")
+
+
+def _as_sort_order(schema: Schema, sort_by, order_id: int = 1) -> MD.SortOrder:
+    fields = []
+    for item in ([sort_by] if isinstance(sort_by, str) else list(sort_by)):
+        direction = "asc"
+        name = item
+        if isinstance(item, str) and item.lower().endswith(" desc"):
+            name, direction = item[:-5].strip(), "desc"
+        f = schema.find_field(name)
+        if f is None:
+            raise ValueError(f"sort column not found: {name}")
+        fields.append(MD.SortField(f.field_id, direction))
+    return MD.SortOrder(order_id, tuple(fields))
+
+
+class Table:
+    def __init__(self, name: str, ops: TableOperations, spark=None):
+        self.name = name
+        self.ops = ops
+        self.spark = spark
+        self.metadata: TableMetadata = ops.refresh()
+
+    # -- basics ------------------------------------------------------------
+    def refresh(self) -> "Table":
+        self.metadata = self.ops.refresh()
+        return self
+
+    @property
+    def location(self) -> str:
+        return self.metadata.location
+
+    def schema(self) -> Schema:
+        return self.metadata.schema()
+
+    def spec(self) -> PartitionSpec:
+        return self.metadata.spec()
+
+    def properties(self) -> dict:
+        return dict(self.metadata.properties)
+
+    def snapshots(self) -> list:
+        return list(self.metadata.snapshots)
+
+    def current_snapshot(self):
+        return self.metadata.current_snapshot()
+
+    def history(self) -> list:
+        return self.metadata.history()
+
+    def update_properties(self, updates: dict) -> "Table":
+        def apply(base):
+            import dataclasses
+            md = dataclasses.replace(base)
+            props = dict(base.properties)
+            for k, v in updates.items():
+                if v is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = str(v)
+            md.properties = props
+            md.last_updated_ms = MD.now_ms()
+            return md
+
+        self.metadata = MD.run_with_retries(self.ops, apply)
+        return self
+
+    # -- reads -------------------------------------------------------------
+    def new_scan(self, spark=None) -> TableScan:
+        return TableScan(self, spark or self.spark)
+
+    def to_df(self, spark=None, filter=None, select=None, snapshot_id=None,
+              as_of_timestamp_ms=None):
+        scan = self.new_scan(spark)
+        if snapshot_id is not None:
+            scan = scan.use_snapshot(snapshot_id)
+        if as_of_timestamp_ms is not None:
+            scan = scan.as_of_time(as_of_timestamp_ms)
+        if filter is not None:
+            scan = scan.filter(filter)
+        if select:
+            scan = scan.select(*select)
+        return scan.to_df()
+
+    # -- writes (S9/S10/S11) -------------------------------------------------
+    def _stage(self, df, spark=None):
+        spark = spark or self.spark or df.sparkSession
+        md = self.metadata
+        mode = md.properties.get(MD.WRITE_DISTRIBUTION_MODE)
+        target = md.property(MD.WRITE_TARGET_FILE_SIZE, MD.WRITE_TARGET_FILE_SIZE_DEFAULT)
+        return W.stage_write(spark, md.location, df, md.schema(), md.spec(),
+                             sort_order=md.sort_order(), distribution_mode=mode,
+                             target_file_size=target)
+
+    def append(self, df, spark=None, extra_summary: Optional[dict] = None) -> "Table":
+        entries = self._stage(df, spark)
+        self.metadata = SN.append_files(self.ops, entries, extra_summary=extra_summary)
+        return self
+
+    def overwrite(self, df, overwrite_filter, spark=None) -> "Table":
+        """S11 overwrite-by-filter: atomically delete rows matching the
+        filter and append the new data (BaseOverwriteFiles.java:50-131)."""
+        from incubator_iceberg_spark import row_ops
+        expr = parse_predicate(overwrite_filter) if isinstance(overwrite_filter, str) \
+            else overwrite_filter
+        entries = self._stage(df, spark)
+        row_ops.delete_where(self, expr, spark=spark or self.spark,
+                             extra_added_entries=entries, operation="overwrite")
+        return self
+
+    def dynamic_overwrite(self, df, spark=None) -> "Table":
+        """S10 INSERT OVERWRITE dynamic partitions (SparkWrite.java:264-273)."""
+        entries = self._stage(df, spark)
+        pt = self.metadata.spec().partition_type()
+        names = [f.name for f in pt.fields]
+        tuples = {tuple((e.get("partition") or {}).get(n) for n in names)
+                  for e in entries}
+        self.metadata = SN.replace_partitions(self.ops, entries, tuples)
+        return self
+
+    # -- row-level ops (§2.8) ----------------------------------------------
+    def delete_where(self, condition, spark=None) -> dict:
+        from incubator_iceberg_spark import row_ops
+        expr = parse_predicate(condition) if isinstance(condition, str) else condition
+        return row_ops.delete_where(self, expr, spark=spark or self.spark)
+
+    def update(self, assignments: dict, condition=None, spark=None) -> dict:
+        from incubator_iceberg_spark import row_ops
+        expr = (parse_predicate(condition) if isinstance(condition, str)
+                else condition) if condition is not None else X.always_true()
+        return row_ops.update(self, assignments, expr, spark=spark or self.spark)
+
+    def merge(self, source_df, on, when_matched=None, when_not_matched=None,
+              spark=None) -> dict:
+        from incubator_iceberg_spark import row_ops
+        return row_ops.merge_into(self, source_df, on,
+                                  when_matched=when_matched,
+                                  when_not_matched=when_not_matched,
+                                  spark=spark or self.spark)
+
+    # -- snapshot management (C9; core/.../SnapshotManager.java:32-233) ----
+    def rollback_to_snapshot(self, snapshot_id: int) -> "Table":
+        def apply(base):
+            return base.with_current(snapshot_id)
+
+        self.metadata = MD.run_with_retries(self.ops, apply)
+        return self
+
+    def rollback_to_timestamp(self, timestamp_ms: int) -> "Table":
+        snap = self.metadata.snapshot_as_of(timestamp_ms)
+        if snap is None:
+            raise ValueError(f"no snapshot as of {timestamp_ms}")
+        return self.rollback_to_snapshot(snap.snapshot_id)
+
+    def set_current_snapshot(self, snapshot_id: int) -> "Table":
+        return self.rollback_to_snapshot(snapshot_id)
+
+    def cherry_pick(self, snapshot_id: int) -> "Table":
+        """Re-apply a (possibly staged/WAP) append snapshot's added files on
+        top of the current snapshot (SnapshotManager cherrypick)."""
+        from incubator_iceberg_spark import manifests as MF
+        md = self.metadata
+        snap = md.snapshot_by_id(snapshot_id)
+        if snap is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        if snap.operation != "append":
+            raise MD.ValidationException(
+                f"cherry-pick supports append snapshots only, got {snap.operation}")
+        entries = []
+        for row in MF.read_manifest_list_arrow(snap.manifest_list).to_pylist():
+            if row.get("added_snapshot_id") != snapshot_id:
+                continue
+            for e in MF.read_manifest_arrow(row["manifest_path"]).to_pylist():
+                if e.get("status") == MF.ADDED and e.get("snapshot_id") == snapshot_id:
+                    for k in ("value_counts", "null_counts", "nan_counts"):
+                        if isinstance(e.get(k), list):
+                            e[k] = dict(e[k]) if e[k] else None
+                    e["status"] = MF.ADDED
+                    entries.append(e)
+        published = {"published-wap-id": snap.summary.get("wap.id")} \
+            if snap.summary.get("wap.id") else None
+        self.metadata = SN.append_files(self.ops, entries, extra_summary=published)
+        return self
+
+    # -- WAP (write-audit-publish) -----------------------------------------
+    def wap_append(self, df, wap_id: str, spark=None) -> int:
+        """Stage an append without advancing current (TableProperties
+        write.wap.enabled); returns the staged snapshot id for audit +
+        cherry_pick publish."""
+        entries = self._stage(df, spark)
+        before = {s.snapshot_id for s in self.metadata.snapshots}
+        self.metadata = SN.append_files(self.ops, entries,
+                                        extra_summary={"wap.id": wap_id})
+        after = [s for s in self.metadata.snapshots if s.snapshot_id not in before]
+        return after[0].snapshot_id
+
+    # -- evolution ----------------------------------------------------------
+    def update_schema(self):
+        from incubator_iceberg_spark.evolution import UpdateSchema
+        return UpdateSchema(self)
+
+    def update_spec(self, partition_by) -> "Table":
+        from incubator_iceberg_spark.evolution import update_partition_spec
+        update_partition_spec(self, partition_by)
+        return self
+
+    def replace_sort_order(self, sort_by) -> "Table":
+        def apply(base):
+            import dataclasses
+            md = dataclasses.replace(base)
+            order = _as_sort_order(base.schema(), sort_by,
+                                   order_id=max((o.order_id for o in base.sort_orders),
+                                                default=0) + 1)
+            md.sort_orders = list(base.sort_orders) + [order]
+            md.default_sort_order_id = order.order_id
+            md.last_updated_ms = MD.now_ms()
+            return md
+
+        self.metadata = MD.run_with_retries(self.ops, apply)
+        return self
+
+    # -- metadata tables (S13) ---------------------------------------------
+    def metadata_table(self, kind: str, spark=None):
+        from incubator_iceberg_spark import metadata_tables
+        return metadata_tables.metadata_table(self, kind, spark or self.spark)
+
+    # -- maintenance (§2.7) --------------------------------------------------
+    def expire_snapshots(self, older_than_ms: Optional[int] = None,
+                         retain_last: int = 1, delete_files: bool = True) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.expire_snapshots(self, older_than_ms=older_than_ms,
+                                            retain_last=retain_last,
+                                            delete_files=delete_files)
+
+    def remove_orphan_files(self, older_than_ms: Optional[int] = None,
+                            dry_run: bool = False) -> list:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.remove_orphan_files(self, older_than_ms=older_than_ms,
+                                               dry_run=dry_run)
+
+    def rewrite_data_files(self, target_file_size: Optional[int] = None,
+                           min_input_files: int = 5, filter=None, spark=None) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.rewrite_data_files(self, spark=spark or self.spark,
+                                              target_file_size=target_file_size,
+                                              min_input_files=min_input_files,
+                                              filter=filter)
+
+    def rewrite_manifests(self, spark=None) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.rewrite_manifests(self, spark=spark or self.spark)

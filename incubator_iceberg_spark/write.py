@@ -1,0 +1,296 @@
+"""Batch write path (S9/S10/S11 in SURVEY.md §2.1).
+
+Flow (SparkWrite.java:92-249 + BaseTaskWriter.java:43-302 re-expressed
+Spark-first, SURVEY.md §3.2):
+
+1. align input DataFrame to the table schema (names + casts, JVM-side);
+2. compute partition columns via transforms (T1-T4) as Column expressions
+   (never Python UDFs);
+3. apply the table's write distribution mode: hash → ``repartition(cols)``,
+   range → ``repartitionByRange``, + ``sortWithinPartitions`` for the
+   table sort order (DistributionAndOrderingUtils.scala:63-111 analog);
+4. ``df.write.partitionBy(partition_cols).parquet(staging_dir)`` — files
+   are written ONCE, directly inside the table's data dir (no second copy;
+   commit = metadata swap, like the reference's object-store layout);
+5. per-file stats from Parquet footers (A1): driver-side for few files,
+   distributed ``mapInPandas`` job for many (100 TB path);
+6. build manifest entries → snapshots.append_files / overwrite / replace.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import uuid
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from typing import Optional
+from urllib.parse import unquote
+
+from incubator_iceberg_spark import expressions as X
+from incubator_iceberg_spark import manifests as MF
+from incubator_iceberg_spark import metadata as MD
+from incubator_iceberg_spark import schema as S
+from incubator_iceberg_spark.partitioning import PartitionSpec
+
+PARTITION_COL_PREFIX = "_p_"
+DRIVER_STATS_MAX_FILES = 64  # above this, stats collection becomes a Spark job
+
+
+def align_to_schema(df, schema: S.Schema):
+    """Project + cast the input DataFrame to the table schema by name.
+    Missing optional columns become NULL; extra columns are rejected."""
+    from pyspark.sql import functions as F
+
+    have = {c.lower(): c for c in df.columns}
+    cols = []
+    for f in schema.fields:
+        src = have.get(f.name.lower())
+        spark_t = S._to_spark_type(f.type)
+        if src is None:
+            if f.required:
+                raise ValueError(f"required column {f.name} missing from input")
+            cols.append(F.lit(None).cast(spark_t).alias(f.name))
+        else:
+            cols.append(F.col(src).cast(spark_t).alias(f.name))
+    return df.select(*cols)
+
+
+def _distribute(df, spec: PartitionSpec, sort_order, mode: str, part_cols):
+    """Write distribution + local sort (O1)."""
+    from pyspark.sql import functions as F
+
+    names = [n for n, _ in part_cols]
+    if mode == "hash" and names:
+        df = df.repartition(*[F.col(n) for n in names])
+    elif mode == "range" and names:
+        df = df.repartitionByRange(*[F.col(n) for n in names])
+    sort_cols = []
+    if sort_order and sort_order.fields:
+        for sf in sort_order.fields:
+            path = spec.schema.field_path(sf.source_id)
+            if path:
+                c = F.col(path)
+                c = c.desc() if sf.direction == "desc" else c.asc()
+                sort_cols.append(c)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    return df
+
+
+def stage_write(spark, table_location: str, df, schema: S.Schema, spec: PartitionSpec,
+                sort_order=None, distribution_mode: Optional[str] = None,
+                target_file_size: int = MD.WRITE_TARGET_FILE_SIZE_DEFAULT,
+                fanout: bool = False) -> list:
+    """Write the DataFrame into the table's data dir; return manifest
+    entries (dicts with stats + partition tuples)."""
+    from pyspark.sql import functions as F
+
+    df = align_to_schema(df, schema)
+    part_cols = [(PARTITION_COL_PREFIX + name, expr)
+                 for name, expr in spec.spark_partition_columns(schema)]
+    for name, expr in part_cols:
+        df = df.withColumn(name, expr)
+    mode = distribution_mode or ("hash" if spec.is_partitioned else "none")
+    df = _distribute(df, spec, sort_order, mode, part_cols)
+
+    staging = os.path.join(table_location, "data", uuid.uuid4().hex)
+    writer = df.write.mode("errorifexists")
+    if part_cols:
+        writer = writer.partitionBy(*[n for n, _ in part_cols])
+    # Rolling at target size (BaseTaskWriter.java:276 analog): Spark splits
+    # output per task; cap rows per file so a skewed task still rolls.
+    writer = writer.option("maxRecordsPerFile", _max_records_estimate(df, target_file_size))
+    writer.parquet(staging)
+
+    files = _list_parquet_files(staging)
+    stats = collect_file_stats(spark, files, schema)
+    entries = []
+    for st in stats:
+        partition = _partition_from_path(st["file_path"], staging, spec)
+        e = {
+            "file_path": st["file_path"],
+            "file_format": "parquet",
+            "record_count": st["record_count"],
+            "file_size_bytes": st["file_size_bytes"],
+            "value_counts": st["value_counts"],
+            "null_counts": st["null_counts"],
+            "nan_counts": st.get("nan_counts"),
+            "lower_bounds": st["lower_bounds"],
+            "upper_bounds": st["upper_bounds"],
+        }
+        if spec.is_partitioned:
+            e["partition"] = partition
+        entries.append(e)
+    return entries
+
+
+def _max_records_estimate(df, target_file_size: int) -> int:
+    # cheap static estimate: assume ≥24 bytes/row encoded; the exact roll
+    # size matters at 100 TB (512 MB target), not at test scale
+    return max(1_000_000, target_file_size // 24)
+
+
+def _list_parquet_files(root: str) -> list:
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith("."):
+                out.append(os.path.join(dirpath, n))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# per-file stats (A1): Parquet footer read, driver-side or distributed
+# ---------------------------------------------------------------------------
+
+def collect_file_stats(spark, files: list, schema: S.Schema) -> list:
+    if not files:
+        return []
+    if len(files) <= DRIVER_STATS_MAX_FILES or spark is None:
+        return [footer_stats(p, schema) for p in files]
+    # distributed path: ship paths, read footers on executors, return JSON
+    import pandas as pd
+
+    schema_json = json.dumps(schema.to_json())
+
+    def read_footers(batches):
+        from incubator_iceberg_spark import write as W
+        from incubator_iceberg_spark.schema import Schema as Sch
+        sch = Sch.from_json(json.loads(schema_json))
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                st = W.footer_stats(p, sch)
+                rows.append(json.dumps(st, default=W._stats_json_default))
+            yield pd.DataFrame({"stats": rows})
+
+    paths_df = spark.createDataFrame([(p,) for p in files], "path string") \
+        .repartition(max(1, min(len(files) // 16, 256)))
+    raw = paths_df.mapInPandas(read_footers, "stats string").collect()
+    return [_stats_from_json(r["stats"], schema) for r in raw]
+
+
+def footer_stats(path: str, schema: S.Schema) -> dict:
+    """Stats for one file from its Parquet footer (no data read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    ncols = md.num_columns
+    names = [md.schema.column(i).path for i in range(ncols)]
+    top = {f.name: f for f in schema.fields if f.type.is_primitive}
+    lower: dict = {}
+    upper: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(ncols):
+            name = names[i]
+            if name not in top:
+                continue  # nested leaves: bounds kept top-level-primitive only
+            col = g.column(i)
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if _is_nan(mn) or _is_nan(mx):
+                    continue  # NaN-polluted bounds are unusable
+                if name not in lower or _lt(mn, lower[name]):
+                    lower[name] = mn
+                if name not in upper or _lt(upper[name], mx):
+                    upper[name] = mx
+    value_counts = {n: md.num_rows for n in top}
+    return {
+        "file_path": path,
+        "record_count": md.num_rows,
+        "file_size_bytes": os.path.getsize(path),
+        "value_counts": value_counts,
+        "null_counts": {n: nulls.get(n, 0) for n in top},
+        "nan_counts": None,  # not in footers; conservative (no NaN pruning)
+        "lower_bounds": lower,
+        "upper_bounds": upper,
+    }
+
+
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and v != v
+
+
+def _lt(a, b) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def _stats_json_default(o):
+    if isinstance(o, datetime):
+        return {"$ts": o.isoformat()}
+    if isinstance(o, date):
+        return {"$d": o.isoformat()}
+    if isinstance(o, Decimal):
+        return {"$dec": str(o)}
+    if isinstance(o, (bytes, bytearray)):
+        return {"$b64": base64.b64encode(bytes(o)).decode()}
+    raise TypeError(f"not serializable: {o!r}")
+
+
+def _stats_obj_hook(obj):
+    if "$ts" in obj:
+        return datetime.fromisoformat(obj["$ts"])
+    if "$d" in obj:
+        return date.fromisoformat(obj["$d"])
+    if "$dec" in obj:
+        return Decimal(obj["$dec"])
+    if "$b64" in obj:
+        return base64.b64decode(obj["$b64"])
+    return obj
+
+
+def _stats_from_json(s: str, schema: S.Schema) -> dict:
+    return json.loads(s, object_hook=_stats_obj_hook)
+
+
+# ---------------------------------------------------------------------------
+# partition tuple recovery from hive-style staging paths
+# ---------------------------------------------------------------------------
+
+def _partition_from_path(file_path: str, staging_root: str, spec: PartitionSpec) -> dict:
+    if not spec.is_partitioned:
+        return {}
+    rel = os.path.relpath(os.path.dirname(file_path), staging_root)
+    values: dict = {}
+    for seg in rel.split(os.sep):
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        if k.startswith(PARTITION_COL_PREFIX):
+            values[k[len(PARTITION_COL_PREFIX):]] = unquote(v)
+    pt = spec.partition_type()
+    out = {}
+    for f in pt.fields:
+        raw = values.get(f.name)
+        out[f.name] = _parse_partition_value(raw, f.type)
+    return out
+
+
+def _parse_partition_value(raw: Optional[str], t: S.Type):
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(t, S.IntegerType) or isinstance(t, S.LongType):
+        return int(raw)
+    if isinstance(t, (S.FloatType, S.DoubleType)):
+        return float(raw)
+    if isinstance(t, S.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(t, S.DateType):
+        return date.fromisoformat(raw)
+    if isinstance(t, S.TimestampType):
+        return datetime.fromisoformat(raw)
+    if isinstance(t, S.DecimalType):
+        return Decimal(raw)
+    return raw
