@@ -1,0 +1,119 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Bench set follows BASELINE.md B1-B10 and reuses the __spark_entry__
+queries so correctness and performance measure the same code paths.
+The engine warehouse build (one-time ingest) is reported separately as
+``setup_sec`` and excluded from per-query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+BENCH_QUERIES = [
+    # B1 full scan + aggregate
+    "q1_pricing_summary",
+    # B2 selective filter scan with partition/file skipping
+    "q6_forecast_revenue",
+    "filter_pushdown_scan",
+    # B3 join query (Q3-shaped)
+    "q3_shipping_priority",
+    # B5 MERGE INTO
+    "merge_upsert",
+    # B6 delete: metadata-aligned, then CoW
+    "delete_metadata",
+    "delete_cow",
+    # B7 time travel + incremental
+    "time_travel",
+    "incremental_read",
+    # B8 compaction
+    "compaction",
+    # B9 streaming micro-batches
+    "streaming_consume",
+    # B10 metadata tables
+    "partitions_meta",
+    # extensions
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "ann_bruteforce",
+    "text_analyze",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as E
+    from incubator_iceberg_spark.session import get_spark
+
+    spark = get_spark(app_name="iiws-bench")
+    E._prep(spark)
+
+    t0 = time.time()
+    E._ensure_warehouse(spark, sf_dir)
+    setup_sec = round(time.time() - t0, 3)
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    b4_t0 = time.time()
+    # B4 partitioned append: write sf lineitem partitioned by month(l_shipdate)
+    _bench_partitioned_append(spark, sf_dir, E)
+    timings["partitioned_append"] = round(time.time() - b4_t0, 3)
+
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize
+        timings[name] = round(time.time() - t0, 3)
+        sys.stderr.write(f"bench {name}: {timings[name]}s ({n} rows)\n")
+
+    total = round(sum(timings.values()), 3)
+    sf = _sf_from_dir(sf_dir)
+    print(json.dumps({
+        "metric": "engine bench suite (B1-B10 + extensions) wall seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "setup_sec": setup_sec,
+    }))
+    spark.stop()
+    return 0
+
+
+def _bench_partitioned_append(spark, sf_dir, E):
+    import shutil
+    import uuid
+    from incubator_iceberg_spark import Catalog
+    from incubator_iceberg_spark.schema import Schema
+
+    root = os.path.join(E.SCRATCH_ROOT, "bench-" + uuid.uuid4().hex)
+    cat = Catalog(root, spark)
+    li = E._load(spark, sf_dir, "lineitem")
+    t = cat.create_table("b.lineitem_b4", Schema.from_spark(li.schema),
+                         partition_by=["month(l_shipdate)"])
+    t.append(li)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

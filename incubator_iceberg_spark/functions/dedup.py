@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale corpus cleaning (M9).
+
+All variants are pure DataFrame pipelines (shuffle-conscious, no UDFs):
+
+- exact_dedup        — hash-groupBy; one shuffle on the content hash.
+- minhash_lsh_pairs  — shingle → minhash (n seeded xxhash64 mins) → band →
+                       bucket self-join → jaccard verify.  The classic
+                       MinHashLSH pipeline expressed with higher-order
+                       Column functions; band join keeps the self-join from
+                       being O(n²) at 100 TB.
+- simhash            — 64-bit sign-aggregated token hashes; near-dups have
+                       small hamming distance.
+- ngram_jaccard_pairs — exact jaccard over word n-grams for candidate pairs
+                       (verification stage or small corpora).
+"""
+
+from __future__ import annotations
+
+from incubator_iceberg_spark.functions import text as TX
+
+
+def content_hash(col):
+    from pyspark.sql import functions as F
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
+
+
+def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id", keep: str = "min"):
+    """Keep one row per exact content match (hash-groupBy dedup).  Uses a
+    min/max-of-id groupBy + semi-join instead of a window: both shuffle
+    once on the hash, but the agg gets map-side partial aggregation."""
+    from pyspark.sql import functions as F
+    h = content_hash(text_col).alias("__h")
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keep_ids = (df.select(h, F.col(id_col))
+                .groupBy("__h").agg(agg.alias(id_col))
+                .select(id_col))
+    return df.join(keep_ids, id_col, "left_semi")
+
+
+def minhash_signature(col, num_hashes: int = 32, shingle_size: int = 5):
+    """Array of ``num_hashes`` minhash values over character shingles.
+    Seeded hash i = xxhash64(i, shingle) (Spark's xxhash64 is keyed by the
+    extra column — no UDF needed)."""
+    from pyspark.sql import functions as F
+    shingles = TX.char_ngrams(col, shingle_size)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))))
+
+
+def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 32, bands: int = 8, shingle_size: int = 5,
+                      jaccard_threshold: float = 0.6):
+    """Candidate near-duplicate pairs (id_a < id_b) with verified shingle
+    jaccard ≥ threshold.
+
+    Pipeline: signature → explode band hashes → groupBy bucket join →
+    distinct candidate pairs → verify with exact jaccard on shingle sets.
+    """
+    from pyspark.sql import functions as F
+    rows_per_band = num_hashes // bands
+    # materialize shingles ONCE, then hash the materialized array — deriving
+    # shingles inside each of the num_hashes min-hash expressions re-runs
+    # the substring explosion num_hashes times (measured 30×+ slower).
+    # repartition first: signature hashing is CPU-bound and must not be
+    # gated on the input file count
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (df.repartition(par)
+            .select(F.col(id_col).alias("__id"),
+                    TX.char_ngrams(text_col, shingle_size).alias("__sh")))
+    sig = base.select(
+        "__id", "__sh",
+        F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                    lambda i: F.array_min(
+                        F.transform(F.col("__sh"), lambda s: F.xxhash64(i, s))))
+        .alias("__sig"))
+    # eager materialization: four downstream join branches read this cache;
+    # a lazy persist would let them all recompute the signatures in parallel
+    sig = sig.persist()
+    sig.count()
+    banded = sig.select(
+        "__id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice(F.col("__sig"), b * rows_per_band + 1,
+                                             rows_per_band),
+                                     lambda v: v.cast("string")))).alias("bucket")),
+        )).alias("bb"))
+    banded = banded.select("__id", F.col("bb.band").alias("band"),
+                           F.col("bb.bucket").alias("bucket"))
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct())
+    verified = (cand
+                .join(sig.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+                .join(sig.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+                .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return verified
+
+
+def _jaccard(a, b):
+    from pyspark.sql import functions as F
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5):
+    """Exact n-gram jaccard over all pairs sharing ≥1 n-gram (inverted-index
+    join — shuffle on the n-gram, never a cartesian)."""
+    from pyspark.sql import functions as F
+    grams = df.select(F.col(id_col).alias("__id"),
+                      TX.word_ngrams(text_col, n).alias("__g"))
+    grams = grams.persist()
+    inv = grams.select("__id", F.explode("__g").alias("g"))
+    cand = (inv.alias("a").join(inv.alias("b"),
+                                (F.col("a.g") == F.col("b.g"))
+                                & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct())
+    return (cand
+            .join(grams.select(F.col("__id").alias("id_a"), F.col("__g").alias("g_a")), "id_a")
+            .join(grams.select(F.col("__id").alias("id_b"), F.col("__g").alias("g_b")), "id_b")
+            .withColumn("jaccard", _jaccard(F.col("g_a"), F.col("g_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def simhash(col, bits: int = 64):
+    """64-bit SimHash of the token multiset, entirely in Column algebra:
+    per-token xxhash64 → per-bit ±1 votes → sign bits recomposed.  Bit
+    indices are Python ints (shiftright/shiftleft take literal counts)."""
+    from pyspark.sql import functions as F
+    toks = TX.tokens(col)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.when(
+                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)) for i in range(bits)]),
+            lambda a, b: a + b))
+    # two's-complement bit values; bit 63 is the (negative) sign bit
+    powers = F.array(*[
+        F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(votes, powers,
+                   lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x))
+
+
+def hamming_distance(a, b):
+    from pyspark.sql import functions as F
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                  max_distance: int = 3, block_bits: int = 16):
+    """Near-dup pairs by simhash hamming distance ≤ max_distance.  Blocks
+    on 16-bit chunks (pigeonhole: ≤3 differing bits ⇒ at least one of 4
+    chunks identical) so the join is bucketed, not cartesian."""
+    from pyspark.sql import functions as F
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (df.repartition(par)
+          .select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")).persist())
+    n_chunks = 64 // block_bits
+    chunk_arr = F.array(*[
+        F.struct(F.lit(i).alias("chunk"),
+                 F.shiftright(F.col("__sh"), i * block_bits)
+                 .bitwiseAND(F.lit((1 << block_bits) - 1)).alias("key"))
+        for i in range(n_chunks)])
+    chunks = sh.select("__id", "__sh", F.explode(chunk_arr).alias("c"))
+    chunks = chunks.select("__id", "__sh", F.col("c.chunk").alias("chunk"),
+                           F.col("c.key").alias("key"))
+    return (chunks.alias("a")
+            .join(chunks.alias("b"),
+                  (F.col("a.chunk") == F.col("b.chunk"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                    hamming_distance(F.col("a.__sh"), F.col("b.__sh")).alias("distance"))
+            .distinct()
+            .filter(F.col("distance") <= max_distance))

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (``array<float>``) — M9.
+
+- cosine_topk       — brute-force exact top-k: ``F.zip_with`` dot product +
+                      sort; the correctness baseline.
+- cosine_join_topk  — top-k neighbors for EVERY query row via broadcast of
+                      the (small) query side + window rank.
+- lsh_ann_topk      — random-hyperplane LSH buckets (sign bits of seeded
+                      deterministic planes) restrict the candidate set; the
+                      scale path: candidates per query ≈ n / 2^bits·probes.
+
+No UDFs: the dot product is ``aggregate(zip_with(...))`` inside codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def _dot(a, b):
+    from pyspark.sql import functions as F
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    from pyspark.sql import functions as F
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    """Cosine over double-cast arrays (float32 inputs are widened so the
+    arithmetic matches a float64 oracle bit-for-bit)."""
+    from pyspark.sql import functions as F
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
+                id_col: str = "vec_id"):
+    """Exact top-k rows most similar to one query vector."""
+    from pyspark.sql import functions as F
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(F.col(id_col),
+                       F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def cosine_join_topk(df, queries_df, k: int = 10, vec_col: str = "embedding",
+                     id_col: str = "vec_id", q_id_col: str = "q_id",
+                     q_vec_col: str = "q_vec"):
+    """Exact k-NN join: every query row gets its top-k corpus neighbors.
+    Queries are broadcast (small dim table); the corpus never shuffles
+    until the per-query rank."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    joined = df.join(F.broadcast(queries_df))
+    scored = joined.select(
+        F.col(q_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos_sim"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def random_planes(dim: int, bits: int, seed: int = 42):
+    """Deterministic unit hyperplanes (numpy PRNG, fixed seed)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return planes.tolist()
+
+
+def lsh_bucket(vec_col, planes):
+    """Sign-bit bucket id of a vector under the given hyperplanes."""
+    from pyspark.sql import functions as F
+    c = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(c, plane) >= 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_ann_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id", bits: int = 8, seed: int = 42,
+                 multiprobe_hamming: int = 1):
+    """Approximate top-k: scan only rows whose LSH bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket (multi-probe LSH).
+    At 100 TB the bucket column is a partition/cluster key; here it is a
+    filter the Parquet scan can evaluate cheaply."""
+    from pyspark.sql import functions as F
+    dim = len(query_vec)
+    planes = random_planes(dim, bits, seed)
+    # python-side bucket of the query (same arithmetic as the Column path)
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(px * qx for px, qx in zip(p, query_vec)) >= 0:
+            qb |= 1 << i
+    probe = [qb]
+    if multiprobe_hamming >= 1:
+        probe += [qb ^ (1 << i) for i in range(bits)]
+    if multiprobe_hamming >= 2:
+        probe += [qb ^ (1 << i) ^ (1 << j)
+                  for i in range(bits) for j in range(i + 1, bits)]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
+    cand = bucketed.filter(F.col("__bucket").isin(probe))
+    scored = cand.select(F.col(id_col),
+                         F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def embedding_near_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
+                             bits: int = 12, seed: int = 42,
+                             cosine_threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (same
+    bucket ⇒ candidate) verified by exact cosine ≥ threshold."""
+    from pyspark.sql import functions as F
+    sample = df.select(vec_col).head(1)
+    if not sample:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double")
+    dim = len(sample[0][0])
+    planes = random_planes(dim, bits, seed)
+    b = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                  lsh_bucket(vec_col, planes).alias("__bucket"))
+    return (b.alias("a")
+            .join(b.alias("b"),
+                  (F.col("a.__bucket") == F.col("b.__bucket"))
+                  & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                    F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= cosine_threshold))

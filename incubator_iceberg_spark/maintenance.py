@@ -1,0 +1,259 @@
+"""Maintenance actions (SURVEY.md §2.7): expire snapshots, remove orphan
+files, compaction (bin-pack rewrite), rewrite manifests — each a documented
+DataFrame/metadata job, mirroring the reference's Spark actions
+(spark/.../actions/Base*SparkAction.java).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+from incubator_iceberg_spark import manifests as MF
+from incubator_iceberg_spark import metadata as MD
+from incubator_iceberg_spark import snapshots as SN
+
+# BinPackStrategy.java:47-113 defaults
+MIN_INPUT_FILES_DEFAULT = 5
+SPLIT_LOOKBACK = 10
+
+
+def _live_file_set(md, snapshot) -> set:
+    out = set()
+    if snapshot is None:
+        return out
+    for row in MF.read_manifest_list_arrow(snapshot.manifest_list).to_pylist():
+        for e in MF.read_manifest_arrow(row["manifest_path"]).to_pylist():
+            if e.get("status") != MF.DELETED:
+                out.add(e["file_path"])
+    return out
+
+
+def _reachable_paths(md, snapshots) -> tuple[set, set]:
+    """(data file paths, metadata file paths) reachable from snapshots."""
+    data, meta = set(), set()
+    for s in snapshots:
+        if not os.path.exists(s.manifest_list):
+            continue
+        meta.add(s.manifest_list)
+        for row in MF.read_manifest_list_arrow(s.manifest_list).to_pylist():
+            meta.add(row["manifest_path"])
+            for e in MF.read_manifest_arrow(row["manifest_path"]).to_pylist():
+                data.add(e["file_path"])
+    return data, meta
+
+
+def expire_snapshots(table, older_than_ms: Optional[int] = None,
+                     retain_last: int = 1, delete_files: bool = True) -> dict:
+    """C8 (core/.../RemoveSnapshots.java:63-119 + expire action): prune the
+    snapshot log, then J5-style reachability diff finds unreferenced files."""
+    md = table.metadata
+    cutoff = older_than_ms if older_than_ms is not None else MD.now_ms()
+
+    # ancestors of current, newest first
+    chain = []
+    cur = md.current_snapshot()
+    while cur is not None:
+        chain.append(cur)
+        cur = md.snapshot_by_id(cur.parent_id) if cur.parent_id is not None else None
+    keep_ids = {s.snapshot_id for s in chain[:max(retain_last, 1)]}
+    for s in chain:
+        if s.timestamp_ms >= cutoff:
+            keep_ids.add(s.snapshot_id)
+
+    kept = [s for s in md.snapshots if s.snapshot_id in keep_ids]
+    expired = [s for s in md.snapshots if s.snapshot_id not in keep_ids]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_data_files": 0, "deleted_metadata_files": 0}
+
+    before_data, before_meta = _reachable_paths(md, md.snapshots)
+    after_data, after_meta = _reachable_paths(md, kept)
+    dead_data = before_data - after_data  # exceptAll over file sets (J5)
+    dead_meta = before_meta - after_meta
+
+    def apply(base):
+        import dataclasses
+        new = dataclasses.replace(base)
+        new.snapshots = [s for s in base.snapshots if s.snapshot_id in keep_ids]
+        new.snapshot_log = [h for h in base.snapshot_log if h["snapshot-id"] in keep_ids]
+        new.last_updated_ms = MD.now_ms()
+        return new
+
+    table.metadata = MD.run_with_retries(table.ops, apply)
+
+    deleted = 0
+    if delete_files:
+        for p in list(dead_data) + list(dead_meta):
+            try:
+                os.unlink(p)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+    return {"expired_snapshots": len(expired),
+            "deleted_data_files": len(dead_data),
+            "deleted_metadata_files": len(dead_meta),
+            "deleted_total": deleted}
+
+
+def remove_orphan_files(table, older_than_ms: Optional[int] = None,
+                        dry_run: bool = False) -> list:
+    """J4 orphan detection (BaseDeleteOrphanFilesSparkAction.java:76-164):
+    actual files ⟕̸ valid files, left-anti on path; default cutoff now−3d."""
+    md = table.metadata
+    cutoff_s = ((older_than_ms if older_than_ms is not None
+                 else MD.now_ms() - 3 * 24 * 3600 * 1000) / 1000.0)
+    valid_data, valid_meta = _reachable_paths(md, md.snapshots)
+    valid = valid_data | valid_meta
+
+    data_root = os.path.join(md.location, "data")
+    orphans = []
+    for dirpath, _dirs, names in os.walk(data_root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            if p in valid or n.startswith(".") or n.startswith("_"):
+                continue
+            try:
+                if os.path.getmtime(p) < cutoff_s:
+                    orphans.append(p)
+            except FileNotFoundError:
+                pass
+    if not dry_run:
+        for p in orphans:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+    return sorted(orphans)
+
+
+def bin_pack(files: list, target_size: int, min_input_files: int = MIN_INPUT_FILES_DEFAULT,
+             lookback: int = SPLIT_LOOKBACK) -> list:
+    """Greedy bin-packing with lookback (core/.../util/BinPacking.java):
+    ``files`` is [(path, size)]; returns groups worth rewriting."""
+    bins: list[list] = []  # each: [total_size, [(path,size),...]]
+    for path, size in sorted(files, key=lambda x: -x[1]):
+        placed = False
+        for b in bins[-lookback:]:
+            if b[0] + size <= target_size:
+                b[0] += size
+                b[1].append((path, size))
+                placed = True
+                break
+        if not placed:
+            bins.append([size, [(path, size)]])
+    groups = []
+    for total, members in bins:
+        # rewrite when group merges several small files or is over-target
+        if len(members) >= min_input_files:
+            groups.append([p for p, _ in members])
+    return groups
+
+
+def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None,
+                       min_input_files: int = MIN_INPUT_FILES_DEFAULT,
+                       filter=None) -> dict:
+    """C5 compaction (BinPackStrategy.java:47-113 + RewriteDataFiles
+    action): group small files to target size, rewrite each group as one
+    Spark job, commit with operation='replace'."""
+    from incubator_iceberg_spark import write as W
+    from incubator_iceberg_spark.scan import TableScan, _project_to_current
+
+    spark = spark or table.spark
+    md = table.metadata
+    target = target_file_size or md.property(MD.WRITE_TARGET_FILE_SIZE,
+                                             MD.WRITE_TARGET_FILE_SIZE_DEFAULT)
+    scan = TableScan(table, spark)
+    if filter is not None:
+        scan = scan.filter(filter)
+    entries = scan.plan_entries_df()
+    if entries is None:
+        return {"rewritten_files": 0, "added_files": 0}
+    rows = entries.select("file_path", "file_size_bytes", "schema_id").collect()
+    small = [(r["file_path"], r["file_size_bytes"] or 0) for r in rows
+             if (r["file_size_bytes"] or 0) < target]
+    groups = bin_pack(small, target, min_input_files=min_input_files)
+    if not groups:
+        return {"rewritten_files": 0, "added_files": 0}
+
+    schema = md.schema()
+    schema_by_path = {r["file_path"]: r["schema_id"] for r in rows}
+    all_staged, all_deleted = [], set()
+    for group in groups:
+        by_schema: dict[int, list] = {}
+        for p in group:
+            by_schema.setdefault(schema_by_path.get(p, schema.schema_id), []).append(p)
+        parts = []
+        for schema_id, paths in by_schema.items():
+            fs = md.schema_by_id(schema_id) if any(
+                s.schema_id == schema_id for s in md.schemas) else schema
+            df = spark.read.schema(fs.to_spark()).parquet(*paths)
+            parts.append(_project_to_current(df, fs, schema))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # coalesce into as few files as the target allows
+        total = sum(s for p, s in small if p in set(group))
+        n_out = max(1, total // target + (1 if total % target else 0))
+        df = df.coalesce(int(n_out))
+        staged = W.stage_write(spark, md.location, df, schema, md.spec(),
+                               target_file_size=target)
+        all_staged.extend(staged)
+        all_deleted.update(group)
+
+    table.metadata = SN.overwrite_files(
+        table.ops, all_staged, all_deleted, operation="replace",
+        base_snapshot_id=md.current_snapshot_id,
+        conflict_detection_filter=lambda e: e.get("file_path") in all_deleted)
+    return {"rewritten_files": len(all_deleted), "added_files": len(all_staged),
+            "groups": len(groups)}
+
+
+def rewrite_manifests(table, spark=None) -> dict:
+    """C7 (BaseRewriteManifestsSparkAction.java:80-132): cluster manifest
+    entries by partition and rewrite as fresh manifests."""
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None:
+        return {"rewritten_manifests": 0}
+    rows = MF.read_manifest_list_arrow(snap.manifest_list).to_pylist()
+    if len(rows) <= 1:
+        return {"rewritten_manifests": 0}
+
+    by_spec: dict[int, list] = {}
+    for row in rows:
+        entries = MF.read_manifest_arrow(row["manifest_path"]).to_pylist()
+        for e in entries:
+            if e.get("status") == MF.DELETED:
+                continue
+            for k in ("value_counts", "null_counts", "nan_counts"):
+                if isinstance(e.get(k), list):
+                    e[k] = dict(e[k]) if e[k] else None
+            if e.get("status") == MF.ADDED:
+                e["status"] = MF.EXISTING
+            by_spec.setdefault(row["partition_spec_id"], []).append(e)
+
+    def apply(base):
+        snapshot_id = MD.new_snapshot_id()
+        seq = base.last_sequence_number + 1
+        md_dir = os.path.join(base.location, "metadata")
+        new_rows = []
+        for spec_id, entries in by_spec.items():
+            spec = base.spec_by_id(spec_id)
+            part_names = [f.name for f in spec.partition_type().fields]
+            entries.sort(key=lambda e: tuple(
+                (v is None, v) for v in ((e.get("partition") or {}).get(n) for n in part_names)))
+            new_rows.append(MF.write_manifest(md_dir, entries, base.schema(), spec,
+                                              snapshot_id, seq))
+        specs_by_id = {s.spec_id: s for s in base.specs}
+        mlist = MF.write_manifest_list(md_dir, snapshot_id, new_rows, specs_by_id)
+        snap2 = MD.Snapshot(
+            snapshot_id=snapshot_id, parent_id=base.current_snapshot_id,
+            sequence_number=seq, timestamp_ms=MD.now_ms(), operation="replace",
+            summary={"rewritten-manifests": str(len(rows)),
+                     "added-manifests": str(len(new_rows))},
+            manifest_list=mlist, schema_id=base.current_schema_id)
+        return base.with_snapshot(snap2)
+
+    table.metadata = MD.run_with_retries(table.ops, apply)
+    return {"rewritten_manifests": len(rows), "added_manifests": len(by_spec)}

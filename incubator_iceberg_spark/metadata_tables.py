@@ -1,0 +1,163 @@
+"""Metadata tables (S13; core/.../MetadataTableType.java:25-33).
+
+Each is a DataFrame view over the table's own metadata Parquet — the
+reference serves these through StaticDataTask (StaticDataTask.java:34);
+here they are literally ``spark.read.parquet`` + DataFrame ops:
+
+snapshots, history, manifests, entries, files, partitions,
+all_manifests, all_entries, all_data_files, refs
+"""
+
+from __future__ import annotations
+
+from incubator_iceberg_spark import manifests as MF
+
+
+def metadata_table(table, kind: str, spark):
+    kind = kind.lower()
+    fn = {
+        "snapshots": _snapshots,
+        "history": _history,
+        "manifests": _manifests,
+        "entries": _entries,
+        "files": _files,
+        "partitions": _partitions,
+        "all_manifests": _all_manifests,
+        "all_entries": _all_entries,
+        "all_data_files": _all_data_files,
+        "refs": _refs,
+    }.get(kind)
+    if fn is None:
+        raise ValueError(f"unknown metadata table: {kind}")
+    return fn(table, spark)
+
+
+def _snapshots(table, spark):
+    md = table.metadata
+    rows = [
+        {
+            "committed_at": s.timestamp_ms,
+            "snapshot_id": s.snapshot_id,
+            "parent_id": s.parent_id,
+            "operation": s.operation,
+            "manifest_list": s.manifest_list,
+            "summary": {k: str(v) for k, v in s.summary.items()},
+        }
+        for s in md.snapshots
+    ]
+    schema = ("committed_at long, snapshot_id long, parent_id long, "
+              "operation string, manifest_list string, summary map<string,string>")
+    return spark.createDataFrame(rows, schema)
+
+
+def _history(table, spark):
+    md = table.metadata
+    ancestors = set()
+    cur = md.current_snapshot()
+    while cur is not None:
+        ancestors.add(cur.snapshot_id)
+        cur = md.snapshot_by_id(cur.parent_id) if cur.parent_id else None
+    rows = [
+        {
+            "made_current_at": h["timestamp-ms"],
+            "snapshot_id": h["snapshot-id"],
+            "parent_id": (md.snapshot_by_id(h["snapshot-id"]).parent_id
+                          if md.snapshot_by_id(h["snapshot-id"]) else None),
+            "is_current_ancestor": h["snapshot-id"] in ancestors,
+        }
+        for h in md.snapshot_log
+    ]
+    return spark.createDataFrame(
+        rows, "made_current_at long, snapshot_id long, parent_id long, "
+              "is_current_ancestor boolean")
+
+
+def _manifest_list_df(table, spark, snapshot=None):
+    snap = snapshot or table.metadata.current_snapshot()
+    if snap is None:
+        return None
+    return MF.read_manifest_list_df(spark, snap.manifest_list)
+
+
+def _manifests(table, spark, snapshot=None):
+    df = _manifest_list_df(table, spark, snapshot)
+    if df is None:
+        return spark.createDataFrame([], "manifest_path string")
+    return df
+
+
+def _entries(table, spark, snapshot=None):
+    from pyspark.sql import functions as F
+    md = table.metadata
+    snap = snapshot or md.current_snapshot()
+    if snap is None:
+        return spark.createDataFrame([], "file_path string")
+    mlist = MF.read_manifest_list_arrow(snap.manifest_list)
+    paths = mlist.column("manifest_path").to_pylist()
+    df = MF.read_entries_df(spark, paths)
+    if df is None:
+        return spark.createDataFrame([], "file_path string")
+    return df
+
+
+def _files(table, spark, snapshot=None):
+    from pyspark.sql import functions as F
+    df = _entries(table, spark, snapshot)
+    if "status" not in df.columns:
+        return df
+    return df.filter(F.col("status") != MF.DELETED)
+
+
+def _partitions(table, spark):
+    """core/.../PartitionsTable.java:49-76: record_count + file_count per
+    partition — a groupBy over the entries DF (A2)."""
+    from pyspark.sql import functions as F
+    df = _files(table, spark)
+    if "partition" not in df.columns:
+        return df.agg(F.sum("record_count").alias("record_count"),
+                      F.count("*").alias("file_count"))
+    return (df.groupBy("partition")
+            .agg(F.sum("record_count").alias("record_count"),
+                 F.count("*").alias("file_count")))
+
+
+def _all_manifests(table, spark):
+    md = table.metadata
+    parts = [_manifests(table, spark, s) for s in md.snapshots]
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return spark.createDataFrame([], "manifest_path string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out.dropDuplicates(["manifest_path"])
+
+
+def _all_entries(table, spark):
+    md = table.metadata
+    paths = set()
+    for s in md.snapshots:
+        for p in MF.read_manifest_list_arrow(s.manifest_list).column("manifest_path").to_pylist():
+            paths.add(p)
+    df = MF.read_entries_df(spark, sorted(paths))
+    if df is None:
+        return spark.createDataFrame([], "file_path string")
+    return df
+
+
+def _all_data_files(table, spark):
+    from pyspark.sql import functions as F
+    df = _all_entries(table, spark)
+    if "status" not in df.columns:
+        return df
+    return (df.filter(F.col("status") != MF.DELETED)
+            .filter(F.col("content") == MF.DATA)
+            .dropDuplicates(["file_path"]))
+
+
+def _refs(table, spark):
+    md = table.metadata
+    rows = [{"name": "main", "type": "branch", "snapshot_id": md.current_snapshot_id}]
+    for name, sid in (md.refs or {}).items():
+        rows.append({"name": name, "type": "tag", "snapshot_id": sid})
+    return spark.createDataFrame(rows, "name string, type string, snapshot_id long")

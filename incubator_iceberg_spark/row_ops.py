@@ -1,0 +1,448 @@
+"""Row-level operations, copy-on-write (SURVEY.md §2.8 + §3.3).
+
+R1 DELETE  — strict-metadata fast path (whole files dropped without reading
+             data, StrictMetricsEvaluator + RewriteDelete.scala:60-62), else
+             copy-on-write rewrite of only the touched files.
+R2 UPDATE  — rewrite touched files: updated rows ∪ untouched rows
+             (RewriteUpdate.scala:55-87).
+R3 MERGE   — two-pass: (pass 1) semi-join finds touched files (R4 dynamic
+             file filter, DynamicFileFilterExec.scala:83-113); (pass 2)
+             full-outer join on ONLY those files with per-row action
+             dispatch (RewriteMergeInto.scala:58-176, MergeIntoExec.scala:78-100)
+             and the J2 cardinality guard
+             (RewriteRowLevelOperationHelper.scala:116-180).
+
+All commits go through OverwriteFiles (C3) with conflict validation against
+concurrent appends since the read snapshot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional, Sequence, Union
+
+from incubator_iceberg_spark import evaluators as EV
+from incubator_iceberg_spark import expressions as X
+from incubator_iceberg_spark import metadata as MD
+from incubator_iceberg_spark import snapshots as SN
+from incubator_iceberg_spark import write as W
+from incubator_iceberg_spark.scan import TableScan
+
+
+class MergeCardinalityError(Exception):
+    """>1 source row matched one target row (TestMerge error-path parity)."""
+
+
+# ---------------------------------------------------------------------------
+# python-side inclusive metrics check (conflict validation on entry dicts)
+# ---------------------------------------------------------------------------
+
+def entry_might_match(entry: dict, bound: X.Expression) -> bool:
+    """InclusiveMetricsEvaluator on a plain manifest-entry dict — used for
+    validateNoConflictingAppends during commit retries."""
+    if isinstance(bound, X.AlwaysTrue):
+        return True
+    if isinstance(bound, X.AlwaysFalse):
+        return False
+    if isinstance(bound, X.And):
+        return entry_might_match(entry, bound.left) and entry_might_match(entry, bound.right)
+    if isinstance(bound, X.Or):
+        return entry_might_match(entry, bound.left) or entry_might_match(entry, bound.right)
+    assert isinstance(bound, X.Predicate)
+    p = bound.term.path if isinstance(bound.term, X.BoundReference) else bound.term.name
+    lower = (entry.get("lower_bounds") or {}).get(p)
+    upper = (entry.get("upper_bounds") or {}).get(p)
+    nulls = (entry.get("null_counts") or {}).get(p)
+    values = (entry.get("value_counts") or {}).get(p)
+    op = bound.op
+
+    def cmp_ok(cond):
+        return True if cond is None else bool(cond)
+
+    if op == X.IS_NULL:
+        return nulls is None or nulls > 0
+    if op == X.NOT_NULL:
+        return not (nulls is not None and values is not None and nulls == values)
+    if op in (X.IS_NAN, X.NOT_NAN, X.NOT_EQ, X.NOT_IN, X.NOT_STARTS_WITH):
+        return True
+    all_null = nulls is not None and values is not None and nulls >= values
+    if all_null:
+        return False
+    v = bound.literal
+    try:
+        if op == X.LT:
+            return cmp_ok(None if lower is None else lower < v)
+        if op == X.LT_EQ:
+            return cmp_ok(None if lower is None else lower <= v)
+        if op == X.GT:
+            return cmp_ok(None if upper is None else upper > v)
+        if op == X.GT_EQ:
+            return cmp_ok(None if upper is None else upper >= v)
+        if op == X.EQ:
+            return cmp_ok(None if lower is None else lower <= v) and \
+                cmp_ok(None if upper is None else upper >= v)
+        if op == X.IN:
+            return any(cmp_ok(None if lower is None else lower <= x)
+                       and cmp_ok(None if upper is None else upper >= x)
+                       for x in bound.literals)
+        if op == X.STARTS_WITH:
+            n = len(v)
+            lo = None if lower is None else str(lower)[:n] <= v
+            hi = None if upper is None else str(upper)[:n] >= v
+            return cmp_ok(lo) and cmp_ok(hi)
+    except TypeError:
+        return True
+    return True
+
+
+def _normalize_ts(bound: X.Expression, entry_value):
+    return entry_value
+
+
+# ---------------------------------------------------------------------------
+# DELETE (R1)
+# ---------------------------------------------------------------------------
+
+def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None,
+                 operation: str = "delete") -> dict:
+    from pyspark.sql import functions as F
+
+    spark = spark or table.spark
+    md = table.metadata
+    schema = md.schema()
+    bound = X.bind(schema, expr)
+    base_snapshot_id = md.current_snapshot_id
+
+    if isinstance(bound, X.AlwaysFalse) and not extra_added_entries:
+        return {"deleted_files": 0, "rewritten_files": 0, "deleted_rows": 0}
+
+    scan = TableScan(table, spark, row_filter=expr)
+    entries = scan.plan_entries_df()
+    if entries is None:
+        if extra_added_entries:
+            table.metadata = SN.append_files(table.ops, extra_added_entries)
+        return {"deleted_files": 0, "rewritten_files": 0, "deleted_rows": 0}
+
+    # strict flag: every row in the file matches → drop file, no data read
+    strict_cols = EV.strict_metrics_filter(bound, entries.schema)
+    spec_ids = {r["spec_id"] for r in entries.select("spec_id").distinct().collect()}
+    strict_part = None
+    for sid in spec_ids:
+        spec = md.spec_by_id(sid)
+        c = EV.strict_partition_filter(spec, bound, entries.schema) & (F.col("spec_id") == sid)
+        strict_part = c if strict_part is None else (strict_part | c)
+    strict = strict_cols if strict_part is None else (strict_cols | strict_part)
+
+    cand = entries.select("file_path", "schema_id", "record_count",
+                          strict.alias("strict")).collect()
+    full_drop = [r for r in cand if r["strict"]]
+    rewrite = [r for r in cand if not r["strict"]]
+
+    new_entries = list(extra_added_entries or [])
+    kept_records = 0
+    if rewrite:
+        paths_by_schema: dict[int, list] = {}
+        for r in rewrite:
+            paths_by_schema.setdefault(r["schema_id"], []).append(r["file_path"])
+        kept_parts = []
+        from incubator_iceberg_spark.scan import _project_to_current
+        for schema_id, paths in paths_by_schema.items():
+            fs = md.schema_by_id(schema_id) if any(
+                s.schema_id == schema_id for s in md.schemas) else schema
+            df = spark.read.schema(fs.to_spark()).parquet(*paths)
+            df = _project_to_current(df, fs, schema)
+            kept_parts.append(df)
+        kept = kept_parts[0]
+        for p in kept_parts[1:]:
+            kept = kept.unionByName(p)
+        cond = X.to_column(bound)
+        kept = kept.filter(~F.coalesce(cond, F.lit(False)))
+        staged = W.stage_write(spark, md.location, kept, schema, md.spec(),
+                               sort_order=md.sort_order())
+        kept_records = sum(e["record_count"] for e in staged)
+        new_entries.extend(staged)
+
+    deleted_paths = {r["file_path"] for r in cand}
+    if not deleted_paths and not new_entries:
+        return {"deleted_files": 0, "rewritten_files": 0, "deleted_rows": 0}
+
+    table.metadata = SN.overwrite_files(
+        table.ops, new_entries, deleted_paths,
+        operation=operation,
+        base_snapshot_id=base_snapshot_id,
+        conflict_detection_filter=lambda e: entry_might_match(e, bound),
+    )
+    dropped_rows = sum(r["record_count"] or 0 for r in cand)
+    return {
+        "deleted_files": len(full_drop),
+        "rewritten_files": len(rewrite),
+        "deleted_rows": dropped_rows - kept_records,
+        "metadata_only": len(rewrite) == 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# UPDATE (R2)
+# ---------------------------------------------------------------------------
+
+def update(table, assignments: dict, condition: X.Expression, spark=None) -> dict:
+    from pyspark.sql import functions as F
+
+    spark = spark or table.spark
+    md = table.metadata
+    schema = md.schema()
+    bound = X.bind(schema, condition)
+    base_snapshot_id = md.current_snapshot_id
+
+    scan = TableScan(table, spark, row_filter=condition)
+    files = scan.plan_files()
+    if not files:
+        return {"rewritten_files": 0, "updated_rows": 0}
+
+    from incubator_iceberg_spark.scan import _project_to_current
+    by_schema: dict[int, list] = {}
+    for path, schema_id in files:
+        by_schema.setdefault(schema_id, []).append(path)
+    parts = []
+    for schema_id, paths in by_schema.items():
+        fs = md.schema_by_id(schema_id) if any(
+            s.schema_id == schema_id for s in md.schemas) else schema
+        df = spark.read.schema(fs.to_spark()).parquet(*paths)
+        parts.append(_project_to_current(df, fs, schema))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+
+    # single projection: every RHS sees PRE-update values (SQL UPDATE
+    # semantics — sequential withColumn would leak updated values)
+    cond = F.coalesce(X.to_column(bound), F.lit(False))
+    exprs = {}
+    for col, val in assignments.items():
+        f = schema.find_field(col)
+        if f is None:
+            raise ValueError(f"unknown column in UPDATE SET: {col}")
+        c = _value_expr(val)
+        exprs[col] = F.when(cond, c.cast(_spark_type(schema, col))).otherwise(F.col(col))
+    out = df.select(*[
+        (exprs[f.name].alias(f.name) if f.name in exprs else F.col(f.name))
+        for f in schema.fields])
+
+    staged = W.stage_write(spark, md.location, out, schema, md.spec(),
+                           sort_order=md.sort_order())
+    table.metadata = SN.overwrite_files(
+        table.ops, staged, {p for p, _ in files},
+        operation="overwrite",
+        base_snapshot_id=base_snapshot_id,
+        conflict_detection_filter=lambda e: entry_might_match(e, bound),
+    )
+    return {"rewritten_files": len(files), "staged_files": len(staged)}
+
+
+def _spark_type(schema, col):
+    from incubator_iceberg_spark import schema as S
+    return S._to_spark_type(schema.find_field(col).type)
+
+
+def _value_expr(val):
+    from pyspark.sql import Column, functions as F
+    if isinstance(val, Column):
+        return val
+    if isinstance(val, str):
+        return F.expr(val)
+    return F.lit(val)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (R3 + R4 + J1 + J2)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class WhenMatched:
+    condition: Optional[str] = None  # SQL over aliases t (target), s (source)
+    update: Optional[dict] = None  # col → SQL/Column/literal
+    delete: bool = False
+
+    @staticmethod
+    def update_all(condition: Optional[str] = None) -> "WhenMatched":
+        return WhenMatched(condition=condition, update={"*": "*"})
+
+
+@dataclass
+class WhenNotMatched:
+    condition: Optional[str] = None
+    insert: Optional[dict] = None  # col → SQL/Column/literal; None → by name
+
+    @staticmethod
+    def insert_all(condition: Optional[str] = None) -> "WhenNotMatched":
+        return WhenNotMatched(condition=condition, insert=None)
+
+
+def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
+               spark=None, check_cardinality: bool = True) -> dict:
+    from pyspark.sql import functions as F
+
+    spark = spark or table.spark
+    md = table.metadata
+    schema = md.schema()
+    base_snapshot_id = md.current_snapshot_id
+    when_matched = list(when_matched or [])
+    when_not_matched = list(when_not_matched or [])
+
+    def cond_expr(on):
+        if isinstance(on, str):
+            return F.expr(on)
+        if isinstance(on, (list, tuple)):
+            c = None
+            for k in on:
+                e = F.col(f"t.{k}") == F.col(f"s.{k}")
+                c = e if c is None else (c & e)
+            return c
+        return on  # Column
+
+    # ---- pass 1: dynamic file filter (R4) -------------------------------
+    scan = TableScan(table, spark)
+    target_all = scan.to_df(with_lineage=True)
+    join_cond = cond_expr(on)
+    touched_rows = (target_all.alias("t")
+                    .join(source_df.alias("s"), join_cond, "left_semi")
+                    .select("_file").distinct().collect())
+    touched = [normalize_file_uri(r["_file"]) for r in touched_rows]
+
+    # ---- pass 2: full-outer join on touched files only ------------------
+    if touched:
+        tdf = _read_files_with_lineage(spark, md, touched, schema)
+    else:
+        import pyspark.sql.types as T
+        sp = schema.to_spark().add("_file", "string").add("_pos", "long")
+        tdf = spark.createDataFrame([], sp)
+
+    src = source_df.withColumn("__s_exists", F.lit(True))
+    tgt = tdf.withColumn("__t_exists", F.lit(True))
+    joined = tgt.alias("t").join(src.alias("s"), cond_expr(on), "full_outer")
+    t_exists = F.coalesce(F.col("t.__t_exists"), F.lit(False))
+    s_exists = F.coalesce(F.col("s.__s_exists"), F.lit(False))
+
+    # ---- J2 cardinality guard -------------------------------------------
+    if check_cardinality and touched:
+        dup = (joined.filter(t_exists & s_exists)
+               .groupBy(F.col("t._file"), F.col("t._pos")).count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise MergeCardinalityError(
+                "MERGE: a target row matched more than one source row")
+
+    # ---- action dispatch -------------------------------------------------
+    KEEP, DROP = -1, -2
+    action = F.when(t_exists & ~s_exists, F.lit(KEEP))
+    idx = 0
+    matched_case = None
+    for i, m in enumerate(when_matched):
+        c = t_exists & s_exists
+        if m.condition:
+            c = c & F.coalesce(F.expr(m.condition), F.lit(False))
+        step = F.lit(DROP) if m.delete else F.lit(i)
+        matched_case = c if matched_case is None else matched_case
+        action = action.when(c, step)
+    action = action.when(t_exists & s_exists, F.lit(KEEP))  # no clause → keep
+    for j, nm in enumerate(when_not_matched):
+        c = s_exists & ~t_exists
+        if nm.condition:
+            c = c & F.coalesce(F.expr(nm.condition), F.lit(False))
+        action = action.when(c, F.lit(1000 + j))
+    action = action.otherwise(F.lit(DROP))
+
+    joined = joined.withColumn("__action", action).filter(F.col("__action") != DROP)
+
+    src_cols = {c.lower(): c for c in source_df.columns}
+    out_cols = []
+    for f in schema.fields:
+        col = F.when(F.col("__action") == KEEP, F.col(f"t.{f.name}"))
+        for i, m in enumerate(when_matched):
+            if m.delete:
+                continue
+            upd = m.update or {}
+            if "*" in upd:  # update_all: source column by name
+                sc = src_cols.get(f.name.lower())
+                val = F.col(f"s.{sc}") if sc else F.col(f"t.{f.name}")
+            elif f.name in upd:
+                val = _value_expr(upd[f.name])
+            else:
+                val = F.col(f"t.{f.name}")
+            col = col.when(F.col("__action") == i, val)
+        for j, nm in enumerate(when_not_matched):
+            if nm.insert is None:
+                sc = src_cols.get(f.name.lower())
+                val = F.col(f"s.{sc}") if sc else F.lit(None)
+            else:
+                val = _value_expr(nm.insert[f.name]) if f.name in nm.insert else F.lit(None)
+            col = col.when(F.col("__action") == 1000 + j, val)
+        from incubator_iceberg_spark import schema as S
+        out_cols.append(col.cast(S._to_spark_type(f.type)).alias(f.name))
+    result = joined.select(*out_cols)
+
+    staged = W.stage_write(spark, md.location, result, schema, md.spec(),
+                           sort_order=md.sort_order())
+    if not touched and not staged:
+        return {"touched_files": 0, "written_files": 0}
+    table.metadata = SN.overwrite_files(
+        table.ops, staged, set(touched),
+        operation="overwrite",
+        base_snapshot_id=base_snapshot_id,
+        conflict_detection_filter=None,  # serializable: any concurrent append conflicts
+    )
+    return {"touched_files": len(touched), "written_files": len(staged)}
+
+
+def normalize_file_uri(p: str) -> str:
+    """``_metadata.file_path`` yields a ``file:/...`` URI (1-3 slashes);
+    manifests store plain paths — normalize for set membership."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _read_files_with_lineage(spark, md, paths, current_schema):
+    from pyspark.sql import functions as F
+
+    if len(md.schemas) == 1:
+        groups = {current_schema.schema_id: list(paths)}
+    else:
+        from incubator_iceberg_spark.scan import TableScan as TS
+        all_files = dict(TS(_TableShim(md), spark).plan_files())
+        groups = {}
+        for p in paths:
+            groups.setdefault(all_files.get(p, current_schema.schema_id), []).append(p)
+    parts = []
+    for schema_id, ps in groups.items():
+        fs = md.schema_by_id(schema_id) if any(
+            s.schema_id == schema_id for s in md.schemas) else current_schema
+        df = spark.read.schema(fs.to_spark()).parquet(*ps)
+        df = df.select(*_projected_cols(fs, current_schema),
+                       F.col("_metadata.file_path").alias("_file"),
+                       F.col("_metadata.row_index").alias("_pos"))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _projected_cols(file_schema, current):
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import schema as S
+    cols = []
+    for f in current.fields:
+        old = file_schema.find_field(f.field_id)
+        t = S._to_spark_type(f.type)
+        if old is None:
+            cols.append(F.lit(None).cast(t).alias(f.name))
+        else:
+            cols.append(F.col(file_schema.field_path(f.field_id)).cast(t).alias(f.name))
+    return cols
+
+
+class _TableShim:
+    def __init__(self, md):
+        self.metadata = md

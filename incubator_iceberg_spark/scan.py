@@ -34,7 +34,8 @@ class TableScan:
                  row_filter: Optional[X.Expression] = None,
                  selected: Optional[list] = None, case_sensitive: bool = True,
                  from_snapshot_exclusive: Optional[int] = None,
-                 to_snapshot_inclusive: Optional[int] = None):
+                 to_snapshot_inclusive: Optional[int] = None,
+                 incremental: bool = False):
         self.table = table
         self.spark = spark
         self.snapshot_id = snapshot_id
@@ -43,13 +44,15 @@ class TableScan:
         self.case_sensitive = case_sensitive
         self.from_snapshot_exclusive = from_snapshot_exclusive
         self.to_snapshot_inclusive = to_snapshot_inclusive
+        self.incremental = incremental
 
     # -- builders (api/.../TableScan.java:33-207) --------------------------
     def _copy(self, **kw) -> "TableScan":
         args = dict(snapshot_id=self.snapshot_id, row_filter=self.row_filter,
                     selected=self.selected, case_sensitive=self.case_sensitive,
                     from_snapshot_exclusive=self.from_snapshot_exclusive,
-                    to_snapshot_inclusive=self.to_snapshot_inclusive)
+                    to_snapshot_inclusive=self.to_snapshot_inclusive,
+                    incremental=self.incremental)
         args.update(kw)
         return TableScan(self.table, self.spark, **args)
 
@@ -74,7 +77,7 @@ class TableScan:
         """S3 incremental append scan (DataTableScan.java:49-62)."""
         return self._copy(from_snapshot_exclusive=from_exclusive,
                           to_snapshot_inclusive=to_inclusive,
-                          snapshot_id=to_inclusive)
+                          snapshot_id=to_inclusive, incremental=True)
 
     def appends_after(self, from_exclusive: int) -> "TableScan":
         cur = self.table.metadata.current_snapshot_id
@@ -94,7 +97,7 @@ class TableScan:
         return X.bind(schema, self.row_filter, self.case_sensitive)
 
     def _incremental_snapshot_ids(self) -> Optional[set]:
-        if self.from_snapshot_exclusive is None:
+        if not self.incremental:
             return None
         md = self.table.metadata
         ids, cur = [], self.to_snapshot_inclusive
@@ -160,19 +163,19 @@ class TableScan:
         return [(r["file_path"], r["schema_id"]) for r in rows]
 
     # -- execution ---------------------------------------------------------
-    def to_df(self):
+    def to_df(self, with_lineage: bool = False):
         from pyspark.sql import functions as F
 
         snap = self._snapshot()
         md = self.table.metadata
         current_schema = md.schema()
-        if snap is None:
-            df = self.spark.createDataFrame([], current_schema.to_spark())
-            return self._finish(df, current_schema)
 
-        files = self.plan_files()
+        files = self.plan_files() if snap is not None else []
         if not files:
-            df = self.spark.createDataFrame([], current_schema.to_spark())
+            sp = current_schema.to_spark()
+            if with_lineage:
+                sp = sp.add("_file", "string").add("_pos", "long")
+            df = self.spark.createDataFrame([], sp)
             return self._finish(df, current_schema)
 
         by_schema: dict[int, list] = {}
@@ -185,7 +188,12 @@ class TableScan:
             file_schema = md.schema_by_id(schema_id) if any(
                 s.schema_id == schema_id for s in md.schemas) else current_schema
             df = self.spark.read.schema(file_schema.to_spark()).parquet(*paths)
-            df = _project_to_current(df, file_schema, current_schema)
+            if with_lineage:
+                lineage = [F.col("_metadata.file_path").alias("_file"),
+                           F.col("_metadata.row_index").alias("_pos")]
+                df = _project_to_current(df, file_schema, current_schema, extra=lineage)
+            else:
+                df = _project_to_current(df, file_schema, current_schema)
             parts.append(df)
         df = parts[0]
         for p in parts[1:]:
@@ -201,13 +209,13 @@ class TableScan:
         return df
 
 
-def _project_to_current(df, file_schema: S.Schema, current: S.Schema):
+def _project_to_current(df, file_schema: S.Schema, current: S.Schema, extra=None):
     """Field-ID projection (C11 read side): map the file's columns to the
     current schema by field id — renames resolve to the file's old name,
     added columns become NULL, type promotions cast (int→long etc.)."""
     from pyspark.sql import functions as F
 
-    if file_schema.schema_id == current.schema_id:
+    if file_schema.schema_id == current.schema_id and not extra:
         return df
     cols = []
     for f in current.fields:
@@ -218,7 +226,7 @@ def _project_to_current(df, file_schema: S.Schema, current: S.Schema):
         else:
             old_path = file_schema.field_path(f.field_id)
             cols.append(F.col(old_path).cast(spark_t).alias(f.name))
-    return df.select(*cols)
+    return df.select(*cols, *(extra or []))
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,9 @@ def get_spark(app_name: str = "incubator_iceberg_spark", master: str | None = No
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # read TIMESTAMP(NANOS) parquet (events table) as long; io.load_table
+        # converts to TimestampType at micros precision
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -1,0 +1,152 @@
+"""Streaming (S4 micro-batch source + S12 exactly-once sink; SURVEY.md §2.1).
+
+Source — incremental micro-batches over the snapshot log, the semantics of
+SparkMicroBatchStream.java:75-132 / MicroBatches.java:37-53: an offset is a
+snapshot id; each batch is the appends in ``(from, to]`` (S3 incremental
+scan).  ``skip_delete_snapshots`` skips non-append snapshots.  Offsets are
+checkpointed to a JSON file, so a restarted stream resumes.
+
+Sink — exactly-once by epoch id (StreamingWriter.java:40-67,
+SparkWrite.java:398-411): every commit records ``streaming.epoch-id`` in
+the snapshot summary; re-committing an epoch ≤ the last committed one for
+the same query id is a no-op.  Combine with ``foreachBatch``:
+
+    def write_batch(batch_df, epoch_id):
+        streaming.append_exactly_once(table, batch_df, epoch_id, query_id="q1")
+    df.writeStream.foreachBatch(write_batch).start()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+from incubator_iceberg_spark import metadata as MD
+from incubator_iceberg_spark import snapshots as SN
+from incubator_iceberg_spark.scan import TableScan
+
+EPOCH_KEY = "streaming.epoch-id"
+QUERY_KEY = "streaming.query-id"
+
+
+# ---------------------------------------------------------------------------
+# source
+# ---------------------------------------------------------------------------
+
+class MicroBatchReader:
+    """Pull-based micro-batch reader over a table's snapshot log."""
+
+    def __init__(self, table, spark=None, checkpoint_dir: Optional[str] = None,
+                 from_snapshot_id: Optional[int] = None,
+                 skip_delete_snapshots: bool = True,
+                 skip_overwrite_snapshots: bool = True):
+        self.table = table
+        self.spark = spark or table.spark
+        self.checkpoint_dir = checkpoint_dir
+        self.skip_delete = skip_delete_snapshots
+        self.skip_overwrite = skip_overwrite_snapshots
+        self.offset = from_snapshot_id  # last consumed snapshot id (None = beginning)
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            self.offset = self._load_offset() or from_snapshot_id
+
+    def _offset_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "offset.json")
+
+    def _load_offset(self) -> Optional[int]:
+        try:
+            with open(self._offset_path()) as f:
+                return json.load(f).get("snapshot_id")
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _save_offset(self) -> None:
+        if not self.checkpoint_dir:
+            return
+        tmp = self._offset_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": self.offset}, f)
+        os.replace(tmp, self._offset_path())
+
+    def _pending_snapshots(self) -> list:
+        md = self.table.refresh().metadata
+        chain = []
+        cur = md.current_snapshot()
+        while cur is not None and cur.snapshot_id != self.offset:
+            chain.append(cur)
+            cur = md.snapshot_by_id(cur.parent_id) if cur.parent_id is not None else None
+        chain.reverse()  # oldest first
+        out = []
+        for s in chain:
+            if s.operation == "append":
+                out.append(s)
+            elif s.operation == "delete" and self.skip_delete:
+                continue
+            elif s.operation in ("overwrite", "replace") and self.skip_overwrite:
+                continue
+            else:
+                raise ValueError(
+                    f"cannot stream through {s.operation} snapshot {s.snapshot_id}; "
+                    f"enable skip_delete_snapshots/skip_overwrite_snapshots")
+        return out
+
+    def next_batch(self, max_snapshots_per_batch: Optional[int] = None):
+        """Return (DataFrame, new_offset) or None when caught up.  The
+        DataFrame contains rows appended in the consumed snapshot range."""
+        pending = self._pending_snapshots()
+        if not pending:
+            return None
+        take = pending[:max_snapshots_per_batch] if max_snapshots_per_batch else pending
+        to_incl = take[-1].snapshot_id
+        # appends_between(None, x) walks to the root = "from the beginning"
+        df = (TableScan(self.table, self.spark)
+              .appends_between(self.offset, to_incl).to_df())
+        self.offset = to_incl
+        self._save_offset()
+        return df, to_incl
+
+    def batches(self, max_batches: Optional[int] = None,
+                max_snapshots_per_batch: int = 1) -> Iterator:
+        n = 0
+        while max_batches is None or n < max_batches:
+            out = self.next_batch(max_snapshots_per_batch)
+            if out is None:
+                return
+            yield out
+            n += 1
+
+
+# ---------------------------------------------------------------------------
+# sink
+# ---------------------------------------------------------------------------
+
+def last_committed_epoch(table, query_id: str = "default") -> Optional[int]:
+    for s in reversed(table.metadata.snapshots):
+        if s.summary.get(QUERY_KEY) == query_id and EPOCH_KEY in s.summary:
+            return int(s.summary[EPOCH_KEY])
+    return None
+
+
+def append_exactly_once(table, batch_df, epoch_id: int, query_id: str = "default",
+                        spark=None) -> bool:
+    """S12: append a micro-batch exactly once.  Returns False (no-op) when
+    the epoch was already committed — the foreachBatch retry path
+    (StreamingWriter.java:62-67 skip logic)."""
+    table.refresh()
+    last = last_committed_epoch(table, query_id)
+    if last is not None and int(epoch_id) <= last:
+        return False
+    table.append(batch_df, spark=spark,
+                 extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
+    return True
+
+
+def foreach_batch_writer(table, query_id: str = "default"):
+    """Adapter for Structured Streaming's ``writeStream.foreachBatch``."""
+
+    def write(batch_df, epoch_id):
+        append_exactly_once(table, batch_df, epoch_id, query_id=query_id,
+                            spark=batch_df.sparkSession)
+
+    return write

@@ -315,7 +315,9 @@ class _TimeTransform(Transform):
         if g == "day":
             return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("int")
         if g == "hour":
-            return F.floor(col.cast("double") / F.lit(3600.0)).cast("int")
+            # NTZ-safe: cast to (tz) timestamp first (session tz is UTC,
+            # wall clock preserved), then seconds-since-epoch
+            return F.floor(col.cast("timestamp").cast("double") / F.lit(3600.0)).cast("int")
         raise ValueError(g)
 
     def apply(self, value):
