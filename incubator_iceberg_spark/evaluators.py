@@ -122,6 +122,8 @@ def inclusive_metrics_filter(e: X.Expression, df_schema=None):
             return walk(e.left) | walk(e.right)
         if isinstance(e, X.Not):
             raise ValueError("bind() rewrites NOT away before metrics eval")
+        if isinstance(e, X.SqlPredicate):
+            return F.lit(True)  # opaque: might match
         assert isinstance(e, X.Predicate) and isinstance(e.term, X.BoundReference)
         p = e.term.path
         lower, upper = st.lower(p), st.upper(p)
@@ -197,6 +199,8 @@ def strict_metrics_filter(e: X.Expression, df_schema=None):
             return walk(e.left) | walk(e.right)
         if isinstance(e, X.Not):
             raise ValueError("bind() rewrites NOT away before metrics eval")
+        if isinstance(e, X.SqlPredicate):
+            return F.lit(False)  # opaque: no strict guarantee
         assert isinstance(e, X.Predicate) and isinstance(e.term, X.BoundReference)
         p = e.term.path
         lower, upper = st.lower(p), st.upper(p)
@@ -300,6 +304,8 @@ def _compile_over_partition(e: X.Expression, root: str, df_schema):
             return walk(e.left) & walk(e.right)
         if isinstance(e, X.Or):
             return walk(e.left) | walk(e.right)
+        if isinstance(e, X.SqlPredicate):
+            return F.lit(True)
         assert isinstance(e, X.Predicate)
         name = e.term.name if isinstance(e.term, X.Reference) else e.term.path
         if not _has(df_schema, root, name):
@@ -355,6 +361,8 @@ def manifest_summary_filter(spec: P.PartitionSpec, bound_row_expr: X.Expression,
             return walk(e.left) & walk(e.right)
         if isinstance(e, X.Or):
             return walk(e.left) | walk(e.right)
+        if isinstance(e, X.SqlPredicate):
+            return F.lit(True)
         assert isinstance(e, X.Predicate)
         name = e.term.name if isinstance(e.term, X.Reference) else e.term.path
         if not _has(df_schema, "partitions", name):

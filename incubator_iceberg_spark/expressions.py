@@ -112,6 +112,21 @@ class Not(Expression):
 
 
 @dataclass(frozen=True)
+class SqlPredicate(Expression):
+    """Opaque SQL row predicate: anything the tiny predicate parser can't
+    express (modulo, arithmetic, UDF calls).  Compiles to ``F.expr`` on the
+    row path; the metadata path treats it as unknowable (no pruning, which
+    is correct but unoptimized)."""
+
+    sql: str
+    negated: bool = False
+    op: str = "sql"
+
+    def __str__(self):
+        return f"{'NOT ' if self.negated else ''}sql({self.sql})"
+
+
+@dataclass(frozen=True)
 class Reference:
     """Unbound named column reference."""
 
@@ -274,6 +289,8 @@ def not_(e: Expression) -> Expression:
 # -- NOT rewrite (P4; api/.../expressions/RewriteNot.java) -------------------
 
 def rewrite_not(e: Expression) -> Expression:
+    if isinstance(e, SqlPredicate):
+        return e
     if isinstance(e, Not):
         return negate(rewrite_not(e.child))
     if isinstance(e, And):
@@ -297,6 +314,8 @@ def negate(e: Expression) -> Expression:
         return rewrite_not(e.child)
     if isinstance(e, Predicate):
         return Predicate(NEGATIONS[e.op], e.term, e.literals)
+    if isinstance(e, SqlPredicate):
+        return SqlPredicate(e.sql, negated=not e.negated)
     raise ValueError(f"cannot negate {e}")
 
 
@@ -376,7 +395,7 @@ def bind(schema: S.Schema, e: Expression, case_sensitive: bool = True) -> Expres
 
 
 def _bind(schema, e, cs):
-    if isinstance(e, (AlwaysTrue, AlwaysFalse)):
+    if isinstance(e, (AlwaysTrue, AlwaysFalse, SqlPredicate)):
         return e
     if isinstance(e, And):
         return and_(_bind(schema, e.left, cs), _bind(schema, e.right, cs))
@@ -460,6 +479,9 @@ def to_column(e: Expression, col=None):
         return to_column(e.left) | to_column(e.right)
     if isinstance(e, Not):
         return ~to_column(e.child)
+    if isinstance(e, SqlPredicate):
+        c = F.expr(e.sql)
+        return ~c if e.negated else c
     if isinstance(e, Predicate):
         name = e.term.path if isinstance(e.term, BoundReference) else e.term.name
         c = F.col(name)

@@ -87,7 +87,7 @@ def quality_score(col):
 
 def lang_id(col, languages=None):
     """Stopword-overlap language ID: argmax over per-language distinct
-    stopword hits (≥2 hits required, else 'und')."""
+    stopword hits (≥1 hit required, else 'und')."""
     from pyspark.sql import functions as F
     langs = languages or list(STOPWORDS)
     toks = tokens(col)
@@ -104,8 +104,8 @@ def lang_id(col, languages=None):
             c = s > scores[other] if langs.index(other) < langs.index(lang) \
                 else s >= scores[other]
             cond_better = c if cond_better is None else (cond_better & c)
-        case = F.when((s >= 2) & cond_better, F.lit(lang))
-        best = case if best is None else best.when((s >= 2) & cond_better, F.lit(lang))
+        case = F.when((s >= 1) & cond_better, F.lit(lang))
+        best = case if best is None else best.when((s >= 1) & cond_better, F.lit(lang))
     return best.otherwise(F.lit("und"))
 
 

@@ -279,6 +279,16 @@ def write_manifest_list(metadata_dir: str, snapshot_id: int, manifest_rows: list
     return path
 
 
+def normalize_entry(e: dict) -> dict:
+    """Arrow map columns come back from ``to_pylist`` as [(k, v), ...];
+    normalize to dicts in place."""
+    for k in ("value_counts", "null_counts", "nan_counts"):
+        v = e.get(k)
+        if isinstance(v, list):
+            e[k] = dict(v) if v else None
+    return e
+
+
 def read_manifest_list_arrow(path: str) -> pa.Table:
     return pq.read_table(path)
 

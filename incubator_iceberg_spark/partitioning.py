@@ -173,8 +173,8 @@ def _project(spec, e, strict):
         return X.and_(_project(spec, e.left, strict), _project(spec, e.right, strict))
     if isinstance(e, X.Or):
         return X.or_(_project(spec, e.left, strict), _project(spec, e.right, strict))
-    if isinstance(e, X.Not):
-        # callers bind() first which rewrites NOT away; be safe anyway
+    if isinstance(e, (X.Not, X.SqlPredicate)):
+        # NOT is rewritten away by bind(); SqlPredicate is unknowable
         return default
     if isinstance(e, X.Predicate):
         if not isinstance(e.term, X.BoundReference):

@@ -48,7 +48,11 @@ def entry_might_match(entry: dict, bound: X.Expression) -> bool:
         return entry_might_match(entry, bound.left) and entry_might_match(entry, bound.right)
     if isinstance(bound, X.Or):
         return entry_might_match(entry, bound.left) or entry_might_match(entry, bound.right)
+    if isinstance(bound, X.SqlPredicate):
+        return True
     assert isinstance(bound, X.Predicate)
+    from incubator_iceberg_spark import manifests as _MF
+    _MF.normalize_entry(entry)
     p = bound.term.path if isinstance(bound.term, X.BoundReference) else bound.term.name
     lower = (entry.get("lower_bounds") or {}).get(p)
     upper = (entry.get("upper_bounds") or {}).get(p)

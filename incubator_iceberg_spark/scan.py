@@ -235,9 +235,16 @@ def _project_to_current(df, file_schema: S.Schema, current: S.Schema, extra=None
 
 def parse_predicate(sql: str) -> X.Expression:
     """Parse a small SQL predicate subset into the expression algebra.
-    Supports: AND/OR/NOT, comparisons, IN, IS [NOT] NULL, LIKE 'prefix%'.
-    Anything unparseable raises (callers can fall back to F.expr for the
-    row path, losing metadata pruning)."""
+    Supports: AND/OR/NOT, comparisons, IN, IS [NOT] NULL, LIKE 'prefix%',
+    BETWEEN.  Anything else falls back to an opaque ``SqlPredicate`` —
+    row-correct via ``F.expr``, but unprunable on the metadata path."""
+    try:
+        return _parse_predicate_strict(sql)
+    except (ValueError, KeyError, AssertionError, IndexError):
+        return X.SqlPredicate(sql)
+
+
+def _parse_predicate_strict(sql: str) -> X.Expression:
     import re
 
     tokens = re.findall(

@@ -295,6 +295,7 @@ def _validate_no_conflicting_appends(current: TableMetadata, base_snapshot_id: i
             for e in entries:
                 if e.get("status") != M.ADDED or e.get("snapshot_id") != snap.snapshot_id:
                     continue
+                M.normalize_entry(e)
                 if conflict_filter is None or conflict_filter(e):
                     raise ValidationException(
                         f"concurrent commit {snap.snapshot_id} added conflicting "

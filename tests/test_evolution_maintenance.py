@@ -1,0 +1,166 @@
+"""Tier 3: schema/spec evolution, compaction, expire, orphans, manifest
+rewrite, streaming (mirrors TestSchemaUpdate, TestRemoveSnapshots,
+TestRewriteDataFilesAction, TestRemoveOrphanFilesAction)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark.schema import Schema
+
+
+def _ingest(warehouse, name, df, **kw):
+    t = warehouse.create_table(name, Schema.from_spark(df.schema), **kw)
+    t.append(df)
+    return t
+
+
+def test_schema_evolution_rename_add_promote(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.evo", orders.filter("o_orderkey % 2 = 0"))
+    (t.update_schema()
+     .rename_column("o_orderpriority", "o_prio")
+     .add_column("o_note", "string")
+     .commit())
+    # old files readable under new names (field-ID projection)
+    df = t.to_df()
+    assert "o_prio" in df.columns and "o_note" in df.columns
+    assert df.filter("o_prio IS NOT NULL").count() == df.count()
+    assert df.filter("o_note IS NULL").count() == df.count()
+    # append in the new schema; both eras union correctly
+    t.append(orders.filter("o_orderkey % 2 != 0")
+             .withColumnRenamed("o_orderpriority", "o_prio")
+             .withColumn("o_note", F.lit("new-era")))
+    assert t.to_df().count() == orders.count()
+    assert t.to_df(filter="o_note = 'new-era'").count() == \
+        orders.filter("o_orderkey % 2 != 0").count()
+
+
+def test_type_promotion_int_to_long(warehouse, spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, data string")
+    t = _ingest(warehouse, "db.promo", df)
+    t.update_schema().update_column_type("id", "long").commit()
+    got = t.to_df()
+    assert dict(got.dtypes)["id"] == "bigint"
+    assert got.count() == 2
+    # illegal promotion rejected
+    with pytest.raises(ValueError):
+        t.update_schema().update_column_type("data", "long").commit()
+
+
+def test_drop_column(warehouse, orders):
+    t = _ingest(warehouse, "db.drop", orders)
+    t.update_schema().delete_column("o_orderpriority").commit()
+    assert "o_orderpriority" not in t.to_df().columns
+    assert t.to_df().count() == orders.count()
+
+
+def test_spec_evolution_mixed_specs(warehouse, orders):
+    t = _ingest(warehouse, "db.spec", orders)  # snapshot 1: unpartitioned
+    t.update_spec(["month(o_orderdate)"])
+    t.append(orders.limit(100))  # snapshot 2: partitioned
+    assert t.to_df().count() == orders.count() + 100
+    # pruning still correct across mixed specs
+    cond = "o_orderdate >= TIMESTAMP '1997-06-01'"
+    want = orders.filter(cond).count() + orders.limit(100).filter(cond).count()
+    assert t.to_df(filter=cond).count() == want
+
+
+def test_compaction_binpack(warehouse, orders):
+    t = warehouse.create_table("db.compact", Schema.from_spark(orders.schema))
+    for i in range(8):
+        t.append(orders.filter(f"o_orderkey % 8 = {i}"))
+    before = len(t.new_scan().plan_files())
+    res = t.rewrite_data_files(min_input_files=2)
+    after = len(t.new_scan().plan_files())
+    assert res["rewritten_files"] > 0
+    assert after < before
+    assert t.to_df().count() == orders.count()
+    snap = t.current_snapshot()
+    assert snap.operation == "replace"
+
+
+def test_expire_snapshots_deletes_unreachable(warehouse, orders):
+    t = _ingest(warehouse, "db.exp", orders.limit(100))
+    for _ in range(4):
+        t.append(orders.limit(10))
+    t.rewrite_data_files(min_input_files=2)  # makes old files unreachable
+    n_before = t.to_df().count()
+    res = t.expire_snapshots(retain_last=1, older_than_ms=int(time.time() * 1000) + 10_000)
+    assert res["expired_snapshots"] >= 4
+    assert res["deleted_data_files"] > 0
+    assert t.to_df().count() == n_before
+    assert len(t.snapshots()) == 1
+
+
+def test_remove_orphan_files(warehouse, orders):
+    t = _ingest(warehouse, "db.orph", orders.limit(50))
+    # plant an orphan inside the data dir
+    orphan = os.path.join(t.location, "data", "orphan-planted.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    old = time.time() - 10 * 24 * 3600
+    os.utime(orphan, (old, old))
+    found = t.remove_orphan_files()
+    assert orphan in found
+    assert not os.path.exists(orphan)
+    assert t.to_df().count() == 50  # live files untouched
+
+
+def test_rewrite_manifests(warehouse, orders):
+    t = warehouse.create_table("db.rm", Schema.from_spark(orders.schema))
+    for i in range(5):
+        t.append(orders.limit(20))
+    res = t.rewrite_manifests()
+    assert res["rewritten_manifests"] == 5
+    assert t.to_df().count() == 100
+    mlist = t.metadata_table("manifests")
+    assert mlist.count() == 1
+
+
+def test_streaming_source_and_sink(warehouse, spark, sf_dir, tmp_path):
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    t = warehouse.create_table("db.ev", Schema.from_spark(events.schema))
+    batches_in = [events.filter(f"event_id % 3 = {i}") for i in range(3)]
+    for b in batches_in:
+        t.append(b)
+
+    # source: batch-per-snapshot with checkpointed offsets
+    ck = str(tmp_path / "ck")
+    rd = STR.MicroBatchReader(t, checkpoint_dir=ck)
+    counts = [df.count() for df, _ in rd.batches(max_snapshots_per_batch=1)]
+    assert counts == [b.count() for b in batches_in]
+    # restart: nothing pending
+    rd2 = STR.MicroBatchReader(t, checkpoint_dir=ck)
+    assert rd2.next_batch() is None
+    # new append resumes from the checkpoint
+    t.append(events.limit(7))
+    out = rd2.next_batch()
+    assert out is not None and out[0].count() == 7
+
+    # sink: exactly-once epoch dedup
+    sink = warehouse.create_table("db.ev_sink", Schema.from_spark(events.schema))
+    assert STR.append_exactly_once(sink, batches_in[0], 0, "q") is True
+    assert STR.append_exactly_once(sink, batches_in[0], 0, "q") is False  # replay
+    assert STR.append_exactly_once(sink, batches_in[1], 1, "q") is True
+    assert sink.to_df().count() == batches_in[0].count() + batches_in[1].count()
+
+
+def test_skip_delete_snapshots_in_stream(warehouse, orders):
+    from incubator_iceberg_spark import streaming as STR
+
+    t = _ingest(warehouse, "db.evd", orders.limit(100))
+    t.delete_where("o_orderkey % 2 = 0")  # delete/overwrite snapshot
+    t.append(orders.limit(10))
+    rd = STR.MicroBatchReader(t, skip_delete_snapshots=True,
+                              skip_overwrite_snapshots=True)
+    counts = [df.count() for df, _ in rd.batches()]
+    assert sum(counts) == 110  # both appends, delete skipped
+    rd2 = STR.MicroBatchReader(t, skip_delete_snapshots=False,
+                               skip_overwrite_snapshots=False)
+    with pytest.raises(ValueError):
+        list(rd2.batches())

@@ -1,0 +1,158 @@
+"""Tier 2/3: training-data pipeline functions (M9) — dedup, similarity,
+text analysis, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog", "en"),  # near dup of 1
+        (4, "der schnelle braune fuchs springt über den faulen hund und der hund ist müde", "de"),
+        (5, "completely different content about databases and distributed systems", "en"),
+        (6, "le renard brun rapide saute par dessus le chien paresseux et il est le meilleur", "fr"),
+        (7, "", "und"),
+        (8, "el zorro marrón rápido salta sobre el perro perezoso y es el mejor de todos", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    from incubator_iceberg_spark.functions import dedup
+
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids
+    assert len(ids) == docs.count() - 1
+
+
+def test_minhash_finds_near_dups(docs):
+    from incubator_iceberg_spark.functions import dedup
+
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup always survives
+    assert (1, 3) in found  # near dup
+    assert all(not (a in (5,) or b in (5,)) for a, b in found)  # unrelated doc clean
+
+
+def test_simhash_near_dups(docs):
+    from incubator_iceberg_spark.functions import dedup
+
+    pairs = dedup.simhash_pairs(docs, max_distance=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    d = dict(((r["id_a"], r["id_b"]), r["distance"]) for r in pairs)
+    assert d[(1, 2)] == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    from incubator_iceberg_spark.functions import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found
+
+
+def test_lang_id(docs):
+    from incubator_iceberg_spark.functions import text as TX
+
+    got = {r["doc_id"]: r["pred"] for r in
+           docs.select("doc_id", TX.lang_id("text").alias("pred")).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+    assert got[6] == "fr"
+    assert got[8] == "es"
+    assert got[7] == "und"  # empty text
+
+
+def test_token_count_and_fingerprint(docs):
+    from incubator_iceberg_spark.functions import text as TX
+
+    rows = docs.select("doc_id", TX.token_count("text").alias("n"),
+                       TX.fingerprint("text").alias("fp")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["n"] == 9
+    assert by_id[7]["n"] == 0
+    assert by_id[1]["fp"] == by_id[2]["fp"]          # same content, same fp
+    assert by_id[1]["fp"] != by_id[5]["fp"]
+
+
+def test_quality_score_bounds(docs):
+    from incubator_iceberg_spark.functions import text as TX
+
+    vals = [r[0] for r in docs.select(TX.quality_score("text")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_cosine_topk_exact(spark):
+    from incubator_iceberg_spark.functions import similarity
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert abs(out[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """ANN top-10 with multiprobe must recall most of the exact top-10."""
+    from incubator_iceberg_spark.functions import similarity
+    from incubator_iceberg_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").first()["embedding"]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              similarity.lsh_ann_topk(emb, q, k=10, bits=8,
+                                      multiprobe_hamming=2).collect()}
+    assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with 2-probe
+    # and the query vector's own row is always found (cos=1 with itself)
+    assert min(exact) in approx or len(exact & approx) >= 5
+
+
+def test_knn_join(spark):
+    from incubator_iceberg_spark.functions import similarity
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(100, [5.0, 1.0]), (200, [15.0, 1.0])], "q_id long, q_vec array<float>")
+    out = similarity.cosine_join_topk(corpus, queries, k=3)
+    got = {(r["q_id"], r["rank"]): r["vec_id"] for r in out.collect()}
+    assert got[(100, 1)] == 5
+    assert got[(200, 1)] == 15
+
+
+def test_multimodal_plumbing(spark):
+    from incubator_iceberg_spark.functions import multimodal as MM
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    media = MM.attach_fake_media(df, "doc_id", kind="video")
+    feats = MM.extract_features(media, feature_dim=4)
+    rows = feats.collect()
+    assert all(len(r["features"]) == 4 for r in rows)
+    # deterministic: same id → same features
+    again = {r["doc_id"]: r["features"] for r in
+             MM.extract_features(media, feature_dim=4).collect()}
+    assert all(again[r["doc_id"]] == r["features"] for r in rows)
+    # frame sampling explodes one row per sampled frame
+    frames = MM.frame_sample_plan(media, fps=1.0)
+    assert frames.count() >= df.count()
+    # resize preserves aspect ratio cap
+    rs = MM.resize_plan(media, max_side=100).collect()
+    assert all(max(r["target_width"], r["target_height"]) <= 100 for r in rs)
+
+
+def test_decode_stub_raises_without_stub(spark):
+    from incubator_iceberg_spark.functions import multimodal as MM
+
+    df = MM.attach_fake_media(spark.createDataFrame([(1,)], "doc_id long"), "doc_id")
+    feats = MM.extract_features(df, decode_stub=False)
+    with pytest.raises(Exception):  # NotImplementedError inside the udf
+        feats.collect()

@@ -1,0 +1,156 @@
+"""Tier 3: DELETE/UPDATE/MERGE scenario matrix (mirrors TestMerge's ~40
+scenarios, TestDelete, TestCopyOnWriteUpdate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark.row_ops import (
+    MergeCardinalityError,
+    WhenMatched,
+    WhenNotMatched,
+)
+from incubator_iceberg_spark.schema import Schema
+
+
+def _ingest(warehouse, name, df, **kw):
+    t = warehouse.create_table(name, Schema.from_spark(df.schema), **kw)
+    t.append(df)
+    return t
+
+
+def test_metadata_only_delete(warehouse, orders):
+    t = _ingest(warehouse, "db.d1", orders, partition_by=["month(o_orderdate)"])
+    res = t.delete_where("o_orderdate < TIMESTAMP '1996-01-01'")
+    assert res["metadata_only"] is True
+    assert res["rewritten_files"] == 0
+    assert t.to_df().count() == orders.filter("o_orderdate >= TIMESTAMP '1996-01-01'").count()
+
+
+def test_cow_delete(warehouse, orders):
+    t = _ingest(warehouse, "db.d2", orders)
+    res = t.delete_where("o_totalprice > 200000")
+    assert res["rewritten_files"] > 0
+    want = orders.filter("o_totalprice <= 200000").count()
+    assert t.to_df().count() == want
+
+
+def test_delete_everything(warehouse, orders):
+    t = _ingest(warehouse, "db.d3", orders)
+    t.delete_where("o_orderkey IS NOT NULL")
+    assert t.to_df().count() == 0
+
+
+def test_delete_nothing(warehouse, orders):
+    t = _ingest(warehouse, "db.d4", orders)
+    res = t.delete_where("o_orderkey = -1")
+    assert t.to_df().count() == orders.count()
+
+
+def test_update_with_expression(warehouse, orders):
+    t = _ingest(warehouse, "db.u1", orders)
+    t.update({"o_totalprice": "o_totalprice * 2"}, "o_orderstatus = 'O'")
+    got = t.to_df().agg(F.sum("o_totalprice")).collect()[0][0]
+    want = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))).agg(F.sum("o_totalprice")).collect()[0][0]
+    assert abs(got - want) < 1e-6
+
+
+def test_update_rhs_sees_pre_update_values(warehouse, orders):
+    """SQL UPDATE semantics: all assignments read the OLD row."""
+    t = _ingest(warehouse, "db.u2", orders)
+    t.update({"o_totalprice": "o_totalprice + 1",
+              "o_custkey": "CAST(o_totalprice AS BIGINT)"},
+             "o_orderkey % 2 = 0")
+    row = (t.to_df().filter("o_orderkey % 2 = 0")
+           .select("o_custkey", "o_totalprice").first())
+    # o_custkey must be floor(OLD price), i.e. == floor(new price - 1)
+    assert row["o_custkey"] == int(row["o_totalprice"] - 1)
+
+
+def test_merge_update_insert_delete_matrix(warehouse, orders):
+    t = _ingest(warehouse, "db.m1", orders)
+    n = orders.count()
+    source = (orders.filter("o_orderkey % 10 = 0")
+              .withColumn("o_totalprice", F.col("o_totalprice") + 5))
+    new_rows = (orders.filter("o_orderkey % 10 = 1").limit(20)
+                .withColumn("o_orderkey", F.col("o_orderkey") + 90000000))
+    res = t.merge(source.unionByName(new_rows), on=["o_orderkey"],
+                  when_matched=[WhenMatched.update_all()],
+                  when_not_matched=[WhenNotMatched.insert_all()])
+    assert t.to_df().count() == n + new_rows.count()
+
+
+def test_merge_conditional_clauses(warehouse, orders):
+    t = _ingest(warehouse, "db.m2", orders)
+    src = orders.filter("o_orderkey % 20 = 0").select("o_orderkey", "o_totalprice")
+    t.merge(src, on=["o_orderkey"],
+            when_matched=[
+                WhenMatched(condition="s.o_totalprice > 100000", delete=True),
+                WhenMatched(update={"o_orderstatus": "'M'"}),
+            ])
+    deleted = orders.filter("o_orderkey % 20 = 0 AND o_totalprice > 100000").count()
+    updated = orders.filter("o_orderkey % 20 = 0 AND o_totalprice <= 100000").count()
+    assert t.to_df().count() == orders.count() - deleted
+    assert t.to_df(filter="o_orderstatus = 'M'").count() == updated
+
+
+def test_merge_not_matched_condition(warehouse, orders):
+    t = _ingest(warehouse, "db.m3", orders.limit(0))
+    src = orders.limit(100)
+    t.merge(src, on=["o_orderkey"],
+            when_not_matched=[WhenNotMatched(condition="s.o_totalprice > 100000")])
+    want = src.filter("o_totalprice > 100000").count()
+    assert t.to_df().count() == want
+
+
+def test_merge_cardinality_violation_raises(warehouse, orders):
+    t = _ingest(warehouse, "db.m4", orders)
+    dup = orders.filter("o_orderkey % 100 = 0")
+    with pytest.raises(MergeCardinalityError):
+        t.merge(dup.unionByName(dup), on=["o_orderkey"],
+                when_matched=[WhenMatched.update_all()])
+
+
+def test_merge_sql_condition(warehouse, orders):
+    t = _ingest(warehouse, "db.m5", orders)
+    src = orders.filter("o_orderkey % 7 = 0").select(
+        F.col("o_orderkey").alias("key"), F.lit("Z").alias("status"))
+    t.merge(src, on="t.o_orderkey = s.key",
+            when_matched=[WhenMatched(update={"o_orderstatus": "s.status"})])
+    assert t.to_df(filter="o_orderstatus = 'Z'").count() == src.count()
+
+
+def test_merge_untouched_files_not_rewritten(warehouse, orders):
+    t = _ingest(warehouse, "db.m6", orders, partition_by=["month(o_orderdate)"])
+    files_before = {p for p, _ in t.new_scan().plan_files()}
+    one_month = orders.filter(
+        "o_orderdate >= TIMESTAMP '1997-02-01' AND o_orderdate < TIMESTAMP '1997-03-01'")
+    src = one_month.limit(5).withColumn("o_totalprice", F.lit(1.0))
+    t.merge(src, on=["o_orderkey"], when_matched=[WhenMatched.update_all()])
+    files_after = {p for p, _ in t.new_scan().plan_files()}
+    untouched = files_before & files_after
+    # only the touched month's file(s) were replaced
+    assert len(files_before) - len(untouched) <= 2
+
+
+def test_conflict_validation_on_concurrent_append(warehouse, orders, spark):
+    """C3: a delete that raced a conflicting append must fail validation."""
+    from incubator_iceberg_spark import row_ops, snapshots as SN, metadata as MD
+    from incubator_iceberg_spark import expressions as X
+
+    t = _ingest(warehouse, "db.c1", orders)
+    # simulate: plan the delete against the current snapshot…
+    base_snapshot = t.metadata.current_snapshot_id
+    files = [p for p, _ in t.new_scan().plan_files()]
+    # …then a concurrent append lands
+    t2 = warehouse.load_table("db.c1")
+    t2.append(orders.limit(10))
+    # …the delete commit must now detect the conflicting append
+    bound = X.bind(t.metadata.schema(), X.gt("o_totalprice", 0))
+    with pytest.raises(MD.ValidationException):
+        SN.overwrite_files(
+            t.ops, [], set(files), operation="delete",
+            base_snapshot_id=base_snapshot,
+            conflict_detection_filter=lambda e: row_ops.entry_might_match(e, bound))

@@ -1,0 +1,144 @@
+"""Tier 2/3: table round trips — append/scan/prune, time travel,
+incremental, overwrite, snapshots (mirrors TestFastAppend, TestSelect,
+TestPartitionedWrites, core TestTables scenarios)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark.schema import Schema
+
+
+def _ingest(warehouse, name, df, **kw):
+    t = warehouse.create_table(name, Schema.from_spark(df.schema), **kw)
+    t.append(df)
+    return t
+
+
+def test_append_scan_roundtrip(warehouse, orders):
+    t = _ingest(warehouse, "db.o", orders)
+    assert t.to_df().count() == orders.count()
+    got = t.to_df().orderBy("o_orderkey").collect()
+    want = orders.orderBy("o_orderkey").collect()
+    assert got == want
+
+
+def test_filter_matches_plain_spark(warehouse, lineitem):
+    t = _ingest(warehouse, "db.li", lineitem, partition_by=["month(l_shipdate)"])
+    cond = "l_shipdate >= TIMESTAMP '1997-06-01' AND l_discount > 0.05"
+    assert t.to_df(filter=cond).count() == lineitem.filter(cond).count()
+
+
+def test_partition_pruning_skips_files(warehouse, lineitem):
+    t = _ingest(warehouse, "db.li2", lineitem, partition_by=["month(l_shipdate)"])
+    all_files = len(t.new_scan().plan_files())
+    pruned = len(t.new_scan().filter("l_shipdate >= TIMESTAMP '2001-01-01'").plan_files())
+    assert 0 < pruned < all_files / 3
+
+
+def test_metrics_pruning_on_unpartitioned(warehouse, orders, spark):
+    # many files via repartition → bounds should skip most for a point lookup
+    t = warehouse.create_table("db.o2", Schema.from_spark(orders.schema))
+    t.append(orders.repartition(8, "o_orderkey"))
+    key = orders.select("o_orderkey").first()[0]
+    pruned = len(t.new_scan().filter(f"o_orderkey = {key}").plan_files())
+    total = len(t.new_scan().plan_files())
+    assert total == 8 and pruned <= total  # bounds overlap-dependent, sanity only
+
+
+def test_bucket_partition_prunes_equality(warehouse, orders):
+    t = _ingest(warehouse, "db.ob", orders, partition_by=[("o_orderkey", "bucket[8]")])
+    key = orders.select("o_orderkey").first()[0]
+    files = t.new_scan().filter(f"o_orderkey = {key}").plan_files()
+    all_files = t.new_scan().plan_files()
+    assert len(files) < len(all_files)
+    assert t.to_df(filter=f"o_orderkey = {key}").count() == \
+        orders.filter(F.col("o_orderkey") == key).count()
+
+
+def test_time_travel_and_incremental(warehouse, orders):
+    t = _ingest(warehouse, "db.tt", orders.filter("o_orderkey % 2 = 0"))
+    s1 = t.metadata.current_snapshot_id
+    t.append(orders.filter("o_orderkey % 2 != 0"))
+    s2 = t.metadata.current_snapshot_id
+    evens = orders.filter("o_orderkey % 2 = 0").count()
+    odds = orders.filter("o_orderkey % 2 != 0").count()
+    assert t.to_df(snapshot_id=s1).count() == evens
+    assert t.to_df().count() == evens + odds
+    assert t.new_scan().appends_between(s1, s2).to_df().count() == odds
+    # as-of-timestamp resolves to the first snapshot
+    snap1 = t.metadata.snapshot_by_id(s1)
+    assert t.to_df(as_of_timestamp_ms=snap1.timestamp_ms).count() == evens
+
+
+def test_overwrite_by_filter(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.ow", orders)
+    repl = orders.filter("o_orderstatus = 'F'").withColumn(
+        "o_totalprice", F.lit(0.0))
+    t.overwrite(repl, "o_orderstatus = 'F'")
+    assert t.to_df().count() == orders.count()
+    assert t.to_df(filter="o_orderstatus = 'F'") \
+        .agg(F.sum("o_totalprice")).collect()[0][0] == 0.0
+
+
+def test_dynamic_partition_overwrite(warehouse, orders):
+    t = _ingest(warehouse, "db.dyn", orders, partition_by=["month(o_orderdate)"])
+    repl = (orders.filter("o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-03-01'")
+            .withColumn("o_orderpriority", F.lit("REPLACED")))
+    t.dynamic_overwrite(repl)
+    assert t.to_df().count() == orders.count()
+    assert t.to_df(filter="o_orderpriority = 'REPLACED'").count() == repl.count()
+
+
+def test_rollback_and_set_current(warehouse, orders):
+    t = _ingest(warehouse, "db.rb", orders.limit(100))
+    s1 = t.metadata.current_snapshot_id
+    t.append(orders.limit(50))
+    assert t.to_df().count() == 150
+    t.rollback_to_snapshot(s1)
+    assert t.to_df().count() == 100
+
+
+def test_wap_stage_and_cherry_pick(warehouse, orders):
+    t = warehouse.create_table("db.wap", Schema.from_spark(orders.schema),
+                               properties={"write.wap.enabled": "true"})
+    t.append(orders.limit(10))
+    staged = t.wap_append(orders.limit(5), wap_id="audit-1")
+    # current unchanged until publish
+    assert t.to_df().count() == 10
+    t.cherry_pick(staged)
+    assert t.to_df().count() == 15
+
+
+def test_snapshot_metadata_tables(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.meta", orders, partition_by=["month(o_orderdate)"])
+    t.append(orders.limit(10))
+    snaps = t.metadata_table("snapshots")
+    assert snaps.count() == 2
+    assert set(r["operation"] for r in snaps.collect()) == {"append"}
+    files = t.metadata_table("files")
+    assert files.select(F.sum("record_count")).collect()[0][0] == orders.count() + 10
+    parts = t.metadata_table("partitions")
+    assert parts.count() > 0
+    hist = t.metadata_table("history")
+    assert hist.count() == 2
+
+
+def test_stats_collected_in_manifests(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.stats", orders)
+    entries = t.metadata_table("entries")
+    row = entries.select("lower_bounds", "upper_bounds", "null_counts",
+                         "record_count").first()
+    assert row["lower_bounds"]["o_orderkey"] is not None
+    assert row["upper_bounds"]["o_totalprice"] is not None
+    assert row["record_count"] > 0
+
+
+def test_sort_order_applied(warehouse, orders):
+    t = warehouse.create_table("db.sorted", Schema.from_spark(orders.schema),
+                               sort_by=["o_totalprice desc"])
+    t.append(orders)
+    # verify per-file local ordering via first file's content
+    path = t.new_scan().plan_files()[0][0]
+    df = t.spark.read.parquet(path)
+    vals = [r[0] for r in df.select("o_totalprice").collect()]
+    assert vals == sorted(vals, reverse=True)
