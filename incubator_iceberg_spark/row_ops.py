@@ -107,6 +107,57 @@ def _normalize_ts(bound: X.Expression, entry_value):
 # DELETE (R1)
 # ---------------------------------------------------------------------------
 
+class _Cand:
+    __slots__ = ("file_path", "schema_id", "record_count", "strict")
+
+    def __init__(self, file_path, schema_id, record_count, strict):
+        self.file_path, self.schema_id = file_path, schema_id
+        self.record_count, self.strict = record_count, strict
+
+    def __getitem__(self, k):
+        return getattr(self, k)
+
+
+def _plan_delete_candidates(table, scan, bound):
+    """Candidate files with a per-file strict flag (whole file deletable
+    without reading data).  Driver-local when metadata is small; Spark-DF
+    planning otherwise.  Returns None when the table has no snapshot."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import partitioning as PT
+    from incubator_iceberg_spark import py_eval as PE
+
+    md = table.metadata
+    local = scan.plan_entries_local()
+    if local is not None:
+        out = []
+        strict_proj_by_spec: dict = {}
+        for e in local:
+            spec = md.spec_by_id(e.get("spec_id", md.default_spec_id))
+            strict = PE.eval_strict_entry(e, bound)
+            if not strict and spec.is_partitioned:
+                proj = strict_proj_by_spec.get(spec.spec_id)
+                if proj is None:
+                    proj = PT.project_strict(spec, bound)
+                    strict_proj_by_spec[spec.spec_id] = proj
+                strict = PE.eval_partition_value(proj, e.get("partition") or {})
+            out.append(_Cand(e["file_path"], e.get("schema_id"),
+                             e.get("record_count"), strict))
+        return out
+
+    entries = scan.plan_entries_df()
+    if entries is None:
+        return None
+    strict_cols = EV.strict_metrics_filter(bound, entries.schema)
+    spec_ids = {r["spec_id"] for r in entries.select("spec_id").distinct().collect()}
+    strict_part = None
+    for sid in spec_ids:
+        spec = md.spec_by_id(sid)
+        c = EV.strict_partition_filter(spec, bound, entries.schema) & (F.col("spec_id") == sid)
+        strict_part = c if strict_part is None else (strict_part | c)
+    strict = strict_cols if strict_part is None else (strict_cols | strict_part)
+    return entries.select("file_path", "schema_id", "record_count",
+                          strict.alias("strict")).collect()
+
 def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None,
                  operation: str = "delete") -> dict:
     from pyspark.sql import functions as F
@@ -121,24 +172,11 @@ def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None
         return {"deleted_files": 0, "rewritten_files": 0, "deleted_rows": 0}
 
     scan = TableScan(table, spark, row_filter=expr)
-    entries = scan.plan_entries_df()
-    if entries is None:
+    cand = _plan_delete_candidates(table, scan, bound)
+    if cand is None:
         if extra_added_entries:
             table.metadata = SN.append_files(table.ops, extra_added_entries)
         return {"deleted_files": 0, "rewritten_files": 0, "deleted_rows": 0}
-
-    # strict flag: every row in the file matches → drop file, no data read
-    strict_cols = EV.strict_metrics_filter(bound, entries.schema)
-    spec_ids = {r["spec_id"] for r in entries.select("spec_id").distinct().collect()}
-    strict_part = None
-    for sid in spec_ids:
-        spec = md.spec_by_id(sid)
-        c = EV.strict_partition_filter(spec, bound, entries.schema) & (F.col("spec_id") == sid)
-        strict_part = c if strict_part is None else (strict_part | c)
-    strict = strict_cols if strict_part is None else (strict_cols | strict_part)
-
-    cand = entries.select("file_path", "schema_id", "record_count",
-                          strict.alias("strict")).collect()
     full_drop = [r for r in cand if r["strict"]]
     rewrite = [r for r in cand if not r["strict"]]
 

@@ -21,12 +21,29 @@ Control crosses driver→executor exactly twice: metadata job, data job.
 
 from __future__ import annotations
 
+import functools
 from typing import Iterable, Optional
 
 from incubator_iceberg_spark import evaluators as EV
 from incubator_iceberg_spark import expressions as X
 from incubator_iceberg_spark import manifests as MF
+from incubator_iceberg_spark import partitioning as P
+from incubator_iceberg_spark import py_eval as PE
 from incubator_iceberg_spark import schema as S
+
+# metadata below this size plans on the driver (the reference also plans
+# driver-side, BaseTableScan.planFiles); above it, planning runs as Spark
+# jobs over the manifest DataFrames (100 TB path)
+LOCAL_PLAN_MAX_BYTES = 16 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=512)
+def _read_manifest_pylist(path: str):
+    """Manifest files are immutable → parsed entries are safely cacheable."""
+    entries = MF.read_manifest_arrow(path).to_pylist()
+    for e in entries:
+        MF.normalize_entry(e)
+    return entries
 
 
 class TableScan:
@@ -110,6 +127,53 @@ class TableScan:
             cur = snap.parent_id
         return set(ids)
 
+    def plan_entries_local(self):
+        """Driver-side planning fast path: returns pruned entry dicts, or
+        None when metadata is too large / mode=distributed (fall back to
+        plan_entries_df)."""
+        import os
+
+        mode = self.table.metadata.properties.get("read.plan-mode", "auto")
+        if mode == "distributed":
+            return None
+        snap = self._snapshot()
+        if snap is None:
+            return []
+        md = self.table.metadata
+        schema = md.schema_by_id(snap.schema_id) if any(
+            s.schema_id == snap.schema_id for s in md.schemas) else md.schema()
+        bound = self._bound_filter(schema)
+        mlist = MF.read_manifest_list_arrow(snap.manifest_list).to_pylist()
+        if mode == "auto":
+            total = sum(r.get("manifest_length") or 0 for r in mlist)
+            if total > LOCAL_PLAN_MAX_BYTES:
+                return None
+        inc_ids = self._incremental_snapshot_ids()
+        trivial = isinstance(bound, X.AlwaysTrue)
+        out = []
+        for row in mlist:
+            spec = md.spec_by_id(row["partition_spec_id"])
+            proj = None
+            if not trivial:
+                proj = P.project_inclusive(spec, bound)
+                summaries = row.get("partitions") or {}
+                if summaries and not PE.eval_summary(proj, summaries):
+                    continue
+            for e in _read_manifest_pylist(row["manifest_path"]):
+                if e.get("status") == MF.DELETED:
+                    continue
+                if inc_ids is not None and not (
+                        e.get("status") == MF.ADDED and e.get("snapshot_id") in inc_ids):
+                    continue
+                if not trivial:
+                    if spec.is_partitioned and not PE.eval_partition_value(
+                            proj, e.get("partition") or {}):
+                        continue
+                    if not PE.eval_inclusive_entry(e, bound):
+                        continue
+                out.append(dict(e))  # shallow copy: entries are lru-cached
+        return out
+
     def plan_entries_df(self):
         """Pruned manifest-entry DataFrame (the [files] of this scan)."""
         from pyspark.sql import functions as F
@@ -156,6 +220,9 @@ class TableScan:
 
     def plan_files(self) -> list:
         """[(file_path, schema_id)] after pruning."""
+        local = self.plan_entries_local()
+        if local is not None:
+            return [(e["file_path"], e.get("schema_id")) for e in local]
         entries = self.plan_entries_df()
         if entries is None:
             return []
