@@ -140,6 +140,8 @@ def entry_arrow_schema(table_schema: S.Schema, spec: PartitionSpec) -> pa.schema
         pa.field("value_counts", pa.map_(pa.string(), pa.int64())),
         pa.field("null_counts", pa.map_(pa.string(), pa.int64())),
         pa.field("nan_counts", pa.map_(pa.string(), pa.int64())),
+        # v2 equality deletes: field ids the delete rows match on
+        pa.field("equality_ids", pa.list_(pa.int32())),
     ]
     stats_cols = _stats_columns(table_schema)
     if stats_cols:
@@ -175,6 +177,9 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
         names.append(fname)
         vals = [list((e.get(fname) or {}).items()) or None for e in entries]
         arrays.append(pa.array(vals, type=pa.map_(pa.string(), pa.int64())))
+    names.append("equality_ids")
+    arrays.append(pa.array([e.get("equality_ids") for e in entries],
+                           type=pa.list_(pa.int32())))
     if stats_cols:
         for bname, trunc in (("lower_bounds", truncate_lower), ("upper_bounds", truncate_upper)):
             names.append(bname)

@@ -218,16 +218,35 @@ class TableScan:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    def plan_files(self) -> list:
-        """[(file_path, schema_id)] after pruning."""
+    def _plan_split(self):
+        """(data_rows, delete_entries): data_rows are dicts with file_path /
+        schema_id / sequence_number; delete_entries are full entry dicts for
+        content=1/2 files (v2 read path)."""
         local = self.plan_entries_local()
         if local is not None:
-            return [(e["file_path"], e.get("schema_id")) for e in local]
+            data = [e for e in local if (e.get("content") or 0) == MF.DATA]
+            dels = [e for e in local if (e.get("content") or 0) != MF.DATA]
+            return data, dels
         entries = self.plan_entries_df()
         if entries is None:
-            return []
-        rows = entries.select("file_path", "schema_id").collect()
-        return [(r["file_path"], r["schema_id"]) for r in rows]
+            return [], []
+        from pyspark.sql import functions as F
+        cols = ["file_path", "schema_id", "sequence_number", "content"]
+        have = [c for c in cols if c in entries.columns]
+        rows = [r.asDict() for r in entries.select(*have).collect()]
+        data = [r for r in rows if (r.get("content") or 0) == MF.DATA]
+        del_paths = [r["file_path"] for r in rows if (r.get("content") or 0) != MF.DATA]
+        dels = []
+        if del_paths:
+            # need full entries (equality_ids, seq) for application
+            full = entries.filter(F.col("file_path").isin(del_paths)).collect()
+            dels = [MF.normalize_entry(r.asDict(recursive=True)) for r in full]
+        return data, dels
+
+    def plan_files(self) -> list:
+        """[(file_path, schema_id)] of DATA files after pruning."""
+        data, _dels = self._plan_split()
+        return [(e["file_path"], e.get("schema_id")) for e in data]
 
     # -- execution ---------------------------------------------------------
     def to_df(self, with_lineage: bool = False):
@@ -237,25 +256,27 @@ class TableScan:
         md = self.table.metadata
         current_schema = md.schema()
 
-        files = self.plan_files() if snap is not None else []
-        if not files:
+        data, dels = self._plan_split() if snap is not None else ([], [])
+        if not data:
             sp = current_schema.to_spark()
             if with_lineage:
                 sp = sp.add("_file", "string").add("_pos", "long")
             df = self.spark.createDataFrame([], sp)
             return self._finish(df, current_schema)
 
+        need_lineage = with_lineage or bool(dels)
         by_schema: dict[int, list] = {}
-        for path, schema_id in files:
-            by_schema.setdefault(schema_id if schema_id is not None else current_schema.schema_id,
-                                 []).append(path)
+        for e in data:
+            sid = e.get("schema_id")
+            by_schema.setdefault(sid if sid is not None else current_schema.schema_id,
+                                 []).append(e["file_path"])
 
         parts = []
         for schema_id, paths in by_schema.items():
             file_schema = md.schema_by_id(schema_id) if any(
                 s.schema_id == schema_id for s in md.schemas) else current_schema
             df = self.spark.read.schema(file_schema.to_spark()).parquet(*paths)
-            if with_lineage:
+            if need_lineage:
                 lineage = [F.col("_metadata.file_path").alias("_file"),
                            F.col("_metadata.row_index").alias("_pos")]
                 df = _project_to_current(df, file_schema, current_schema, extra=lineage)
@@ -265,6 +286,14 @@ class TableScan:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+
+        if dels:
+            from incubator_iceberg_spark import deletes as DEL
+            seq_by_file = {e["file_path"]: e.get("sequence_number") or 0 for e in data}
+            df = DEL.apply_delete_files(self.spark, df, seq_by_file, dels,
+                                        current_schema)
+        if need_lineage and not with_lineage:
+            df = df.drop("_file", "_pos")
         return self._finish(df, current_schema)
 
     def _finish(self, df, schema: S.Schema):

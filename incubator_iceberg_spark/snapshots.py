@@ -171,8 +171,10 @@ def _install_snapshot(base: Optional[TableMetadata], make_manifest_rows: Callabl
 
 def append_files(ops: TableOperations, new_entries: list,
                  extra_summary: Optional[dict] = None,
-                 spec_id: Optional[int] = None) -> TableMetadata:
-    """C1 fast append (FastAppend.java)."""
+                 spec_id: Optional[int] = None,
+                 operation: str = "append") -> TableMetadata:
+    """C1 fast append (FastAppend.java); with operation='delete' this is
+    the RowDelta delete-file commit (C6)."""
 
     def apply(base):
         def make(base, snapshot_id, seq):
@@ -183,7 +185,7 @@ def append_files(ops: TableOperations, new_entries: list,
                                                      snapshot_id, seq, spec_id)]
             return rows
 
-        return _install_snapshot(base, make, "append", extra_summary,
+        return _install_snapshot(base, make, operation, extra_summary,
                                  new_entries, [])
 
     return MD.run_with_retries(ops, apply)

@@ -262,6 +262,16 @@ class Table:
                                   when_not_matched=when_not_matched,
                                   spark=spark or self.spark)
 
+    # -- v2 delete files (M8; C6 RowDelta) ---------------------------------
+    def add_position_deletes(self, pos_df, spark=None) -> "Table":
+        from incubator_iceberg_spark import deletes
+        return deletes.add_position_deletes(self, pos_df, spark=spark or self.spark)
+
+    def add_equality_deletes(self, del_df, equality_cols, spark=None) -> "Table":
+        from incubator_iceberg_spark import deletes
+        return deletes.add_equality_deletes(self, del_df, equality_cols,
+                                            spark=spark or self.spark)
+
     # -- snapshot management (C9; core/.../SnapshotManager.java:32-233) ----
     def rollback_to_snapshot(self, snapshot_id: int) -> "Table":
         def apply(base):

@@ -1,0 +1,74 @@
+"""Tier 3: format-v2 delete files — position + equality deletes applied on
+read (J3; mirrors TestPositionFilter / TestEqualityFilter / DeleteFileIndex
+sequence-scoping tests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark.schema import Schema
+
+
+def _ingest(warehouse, name, df, **kw):
+    t = warehouse.create_table(name, Schema.from_spark(df.schema), **kw)
+    t.append(df)
+    return t
+
+
+def test_position_deletes(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.pd", orders)
+    # delete rows 0 and 1 of the first data file
+    path = t.new_scan().plan_files()[0][0]
+    pos = spark.createDataFrame([(path, 0), (path, 1)], "file_path string, pos long")
+    t.add_position_deletes(pos)
+    assert t.to_df().count() == orders.count() - 2
+    # deleted rows are exactly the first two of that file
+    survivors = {r["o_orderkey"] for r in t.to_df().collect()}
+    first_two = {r["o_orderkey"] for r in
+                 spark.read.parquet(path).limit(2).collect()}
+    assert first_two.isdisjoint(survivors)
+
+
+def test_equality_deletes(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.ed", orders)
+    victims = orders.filter("o_orderkey % 100 = 0").select("o_orderkey")
+    t.add_equality_deletes(victims, ["o_orderkey"])
+    want = orders.filter("o_orderkey % 100 != 0").count()
+    assert t.to_df().count() == want
+    assert t.to_df(filter="o_orderkey % 100 = 0").count() == 0
+
+
+def test_equality_delete_sequence_scoping(warehouse, orders, spark):
+    """Rows appended AFTER the equality delete are NOT affected."""
+    t = _ingest(warehouse, "db.seq", orders.limit(100))
+    keys = [r["o_orderkey"] for r in orders.limit(100).select("o_orderkey").collect()[:5]]
+    t.add_equality_deletes(
+        spark.createDataFrame([(k,) for k in keys], "o_orderkey long"), ["o_orderkey"])
+    assert t.to_df().count() == 95
+    # re-append the same 5 keys: newer sequence number → survive the delete
+    readd = orders.limit(100).filter(F.col("o_orderkey").isin(keys))
+    t.append(readd)
+    assert t.to_df().count() == 100
+
+
+def test_position_deletes_with_filter_and_timetravel(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.pdt", orders)
+    s1 = t.metadata.current_snapshot_id
+    path = t.new_scan().plan_files()[0][0]
+    pos = spark.createDataFrame([(path, i) for i in range(10)],
+                                "file_path string, pos long")
+    t.add_position_deletes(pos)
+    # filters still apply on top of delete application
+    cond = "o_totalprice > 0"
+    assert t.to_df(filter=cond).count() == orders.count() - 10
+    # time travel BEFORE the delete sees all rows
+    assert t.to_df(snapshot_id=s1).count() == orders.count()
+
+
+def test_compaction_after_deletes_preserves_result(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.cd", orders)
+    victims = orders.filter("o_orderkey % 7 = 0").select("o_orderkey")
+    t.add_equality_deletes(victims, ["o_orderkey"])
+    want = t.to_df().count()
+    # CoW delete of everything matching a predicate rewrites files and the
+    # result stays stable
+    assert want == orders.filter("o_orderkey % 7 != 0").count()
