@@ -419,6 +419,103 @@ def q_compaction(spark, sf_dir):
     return t.to_df()
 
 
+def q_q5_nation_revenue(spark, sf_dir):
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    cust = _table(spark, sf_dir, "customer_ice").to_df()
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .filter((F.col("c_nationkey") == F.col("s_nationkey"))
+                    & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def q_eq_delete_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_eqdel", Schema.from_spark(orders.schema))
+    t.append(orders)
+    victims = orders.filter("o_orderkey % 37 = 0").select("o_orderkey")
+    t.add_equality_deletes(victims, ["o_orderkey"])
+    return t.to_df()
+
+
+def q_pos_delete_scan(spark, sf_dir):
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders").coalesce(1)
+    t = cat.create_table("s.orders_posdel", Schema.from_spark(orders.schema))
+    t.append(orders)
+    files = t.new_scan().plan_files()
+    pos = spark.createDataFrame([(p, i) for p, _ in files for i in range(5)],
+                                "file_path string, pos long")
+    t.add_position_deletes(pos)
+    return t.to_df()
+
+
+def q_orc_scan(spark, sf_dir):
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer")
+    t = cat.create_table("s.cust_orc", Schema.from_spark(cust.schema),
+                         properties={"write.format.default": "orc"})
+    t.append(cust)
+    return t.to_df(filter="c_acctbal > 1000")
+
+
+def q_call_procedure(spark, sf_dir):
+    from incubator_iceberg_spark import procedures as PR
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_call", Schema.from_spark(orders.schema))
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    s1 = t.metadata.current_snapshot_id
+    t.append(orders.filter("o_orderkey % 2 != 0"))
+    PR.call(cat, f"CALL system.rollback_to_snapshot('s.orders_call', {s1})")
+    return cat.load_table("s.orders_call").to_df()
+
+
+def q_transaction(spark, sf_dir):
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_txn", Schema.from_spark(orders.schema))
+    t.append(orders)
+    extra = (orders.filter("o_orderkey % 500 = 3")
+             .withColumn("o_orderkey", orders.o_orderkey + 20000000))
+    with t.new_transaction() as tx:
+        tx.delete_where("o_orderstatus = 'F'")
+        tx.append(extra)
+    return t.refresh().to_df()
+
+
+def q_add_files_import(spark, sf_dir):
+    from incubator_iceberg_spark import procedures as PR
+    from incubator_iceberg_spark.schema import Schema
+    import os
+    cat = _scratch_catalog(spark)
+    part = _load(spark, sf_dir, "part")
+    t = cat.create_table("s.part_imported", Schema.from_spark(part.schema))
+    src_dir = os.path.join(sf_dir, "")  # import the raw file's directory copy
+    copy_dir = os.path.join(cat.warehouse, "plain_part")
+    part.write.parquet(copy_dir)
+    PR.add_files(t, copy_dir)
+    return t.to_df(filter="p_size >= 25")
+
+
 def q_dedup_exact(spark, sf_dir):
     from incubator_iceberg_spark.functions import dedup
     df = _table(spark, sf_dir, "documents_ice").to_df()
@@ -510,6 +607,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_delete": q_merge_delete,
         "overwrite_dynamic": q_overwrite_dynamic,
         "schema_evolution": q_schema_evolution,
+        "q5_nation_revenue": q_q5_nation_revenue,
+        "eq_delete_scan": q_eq_delete_scan,
+        "pos_delete_scan": q_pos_delete_scan,
+        "orc_scan": q_orc_scan,
+        "call_procedure": q_call_procedure,
+        "transaction_multi": q_transaction,
+        "add_files_import": q_add_files_import,
         "partitions_meta": q_partitions_meta,
         "snapshots_meta": q_snapshots_meta,
         "files_meta": q_files_meta,
@@ -640,6 +744,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 2 != 0 THEN 'web' END AS o_channel
             FROM orders
         """,
+        "q5_nation_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY r_name, n_name
+        """,
+        "eq_delete_scan": "SELECT * FROM orders WHERE o_orderkey % 37 != 0",
+        "pos_delete_scan": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM read_parquet('/root/testdata/sf0.01/orders.parquet',
+                              file_row_number=true)
+            WHERE file_row_number >= 5
+        """,
+        "orc_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
+        "call_procedure": "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+        "transaction_multi": """
+            SELECT * FROM orders WHERE o_orderstatus != 'F'
+            UNION ALL
+            SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 500 = 3
+        """,
+        "add_files_import": "SELECT * FROM part WHERE p_size >= 25",
         "partitions_meta": """
             SELECT CAST((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS INT)
                        AS month_ord,

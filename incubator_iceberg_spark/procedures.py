@@ -1,0 +1,174 @@
+"""Stored procedures + table import (SURVEY.md §2.7, S16).
+
+The reference registers ten procedures callable as
+``CALL catalog.system.proc(args)`` (spark3/.../procedures/SparkProcedures.java:44-53,
+grammar IcebergSqlExtensions.g4:69).  Here: a registry + a tiny CALL parser
+so harness SQL like ``CALL system.expire_snapshots('db.t', retain_last =>
+2)`` dispatches to the same actions the Python API exposes.
+
+``add_files`` / ``migrate`` / ``snapshot`` implement table import from
+plain parquet directories (SparkTableUtil.importSparkTable analog,
+spark/.../SparkTableUtil.java:117-209): footer stats are harvested without
+rewriting data, then committed as one append snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+from incubator_iceberg_spark import snapshots as SN
+from incubator_iceberg_spark import write as W
+from incubator_iceberg_spark.schema import Schema
+
+
+def add_files(table, source_dir: str, spark=None) -> dict:
+    """Import existing parquet files (no rewrite): harvest footer stats →
+    manifest entries → one append commit.  Unpartitioned import; partition
+    values for partitioned targets must come via a staged write instead."""
+    spark = spark or table.spark
+    files = W._list_parquet_files(source_dir)
+    if not files:
+        return {"added_files": 0}
+    stats = W.collect_file_stats(spark, files, table.metadata.schema())
+    entries = []
+    for st in stats:
+        entries.append({
+            "file_path": st["file_path"],
+            "file_format": "parquet",
+            "record_count": st["record_count"],
+            "file_size_bytes": st["file_size_bytes"],
+            "value_counts": st["value_counts"],
+            "null_counts": st["null_counts"],
+            "lower_bounds": st["lower_bounds"],
+            "upper_bounds": st["upper_bounds"],
+        })
+    table.metadata = SN.append_files(table.ops, entries)
+    return {"added_files": len(entries),
+            "added_records": sum(e["record_count"] for e in entries)}
+
+
+def migrate(catalog, name: str, source_dir: str, spark=None):
+    """Create an engine table over an existing parquet directory and import
+    its files in place (MigrateTableProcedure analog)."""
+    spark = spark or catalog.spark
+    df = spark.read.parquet(source_dir)
+    t = catalog.create_table(name, Schema.from_spark(df.schema), spark=spark)
+    add_files(t, source_dir, spark=spark)
+    return t
+
+
+def snapshot_table(catalog, source_name: str, dest_name: str, spark=None):
+    """SnapshotTableProcedure analog: new table whose first snapshot
+    references the source table's current data files (no copy)."""
+    src = catalog.load_table(source_name, spark=spark)
+    dest = catalog.create_table(dest_name, src.schema(), spark=spark)
+    entries = []
+    for e in src.new_scan(spark or catalog.spark).plan_entries_local() or []:
+        entries.append({k: e.get(k) for k in (
+            "file_path", "file_format", "record_count", "file_size_bytes",
+            "value_counts", "null_counts", "nan_counts",
+            "lower_bounds", "upper_bounds")})
+    dest.metadata = SN.append_files(dest.ops, entries)
+    return dest
+
+
+PROCEDURES = {
+    "rollback_to_snapshot": lambda t, snapshot_id: t.rollback_to_snapshot(int(snapshot_id)),
+    "rollback_to_timestamp": lambda t, timestamp_ms: t.rollback_to_timestamp(int(timestamp_ms)),
+    "set_current_snapshot": lambda t, snapshot_id: t.set_current_snapshot(int(snapshot_id)),
+    "cherrypick_snapshot": lambda t, snapshot_id: t.cherry_pick(int(snapshot_id)),
+    "rewrite_manifests": lambda t, **kw: t.rewrite_manifests(**kw),
+    "remove_orphan_files": lambda t, **kw: t.remove_orphan_files(
+        older_than_ms=int(kw["older_than_ms"]) if "older_than_ms" in kw else None,
+        dry_run=bool(kw.get("dry_run", False))),
+    "expire_snapshots": lambda t, **kw: t.expire_snapshots(
+        older_than_ms=int(kw["older_than_ms"]) if "older_than_ms" in kw else None,
+        retain_last=int(kw.get("retain_last", 1))),
+    "rewrite_data_files": lambda t, **kw: t.rewrite_data_files(
+        target_file_size=int(kw["target_file_size"]) if "target_file_size" in kw else None,
+        min_input_files=int(kw.get("min_input_files", 5))),
+    "add_files": lambda t, source_dir, **kw: add_files(t, source_dir),
+}
+
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(?:[A-Za-z_][\w]*\.)?system\.([A-Za-z_][\w]*)\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def call(catalog, sql: str, spark=None):
+    """Dispatch ``CALL [cat.]system.proc('db.table', k => v, ...)``."""
+    m = _CALL_RE.match(sql)
+    if not m:
+        raise ValueError(f"not a CALL statement: {sql!r}")
+    proc_name, argstr = m.group(1).lower(), m.group(2)
+    fn = PROCEDURES.get(proc_name)
+    if fn is None:
+        raise ValueError(f"unknown procedure: {proc_name} "
+                         f"(known: {sorted(PROCEDURES)})")
+    args, kwargs = _parse_args(argstr)
+    if not args:
+        raise ValueError("first argument must be the table name")
+    table = catalog.load_table(str(args[0]), spark=spark)
+    return fn(table, *args[1:], **kwargs)
+
+
+def _parse_args(argstr: str):
+    args, kwargs = [], {}
+    for part in _split_args(argstr):
+        part = part.strip()
+        if not part:
+            continue
+        if "=>" in part:
+            k, v = part.split("=>", 1)
+            kwargs[k.strip()] = _literal(v.strip())
+        else:
+            args.append(_literal(part))
+    return args, kwargs
+
+
+def _split_args(s: str):
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _literal(s: str):
+    if s.startswith("'") and s.endswith("'"):
+        return s[1:-1]
+    if s.startswith('"') and s.endswith('"'):
+        return s[1:-1]
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s

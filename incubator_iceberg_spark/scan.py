@@ -231,7 +231,7 @@ class TableScan:
         if entries is None:
             return [], []
         from pyspark.sql import functions as F
-        cols = ["file_path", "schema_id", "sequence_number", "content"]
+        cols = ["file_path", "schema_id", "sequence_number", "content", "file_format"]
         have = [c for c in cols if c in entries.columns]
         rows = [r.asDict() for r in entries.select(*have).collect()]
         data = [r for r in rows if (r.get("content") or 0) == MF.DATA]
@@ -265,20 +265,27 @@ class TableScan:
             return self._finish(df, current_schema)
 
         need_lineage = with_lineage or bool(dels)
-        by_schema: dict[int, list] = {}
+        by_group: dict[tuple, list] = {}
         for e in data:
             sid = e.get("schema_id")
-            by_schema.setdefault(sid if sid is not None else current_schema.schema_id,
-                                 []).append(e["file_path"])
+            fmt = e.get("file_format") or "parquet"
+            by_group.setdefault(
+                (sid if sid is not None else current_schema.schema_id, fmt),
+                []).append(e["file_path"])
 
         parts = []
-        for schema_id, paths in by_schema.items():
+        for (schema_id, fmt), paths in by_group.items():
             file_schema = md.schema_by_id(schema_id) if any(
                 s.schema_id == schema_id for s in md.schemas) else current_schema
-            df = self.spark.read.schema(file_schema.to_spark()).parquet(*paths)
+            reader = self.spark.read.schema(file_schema.to_spark())
+            df = reader.orc(paths) if fmt == "orc" else reader.parquet(*paths)
             if need_lineage:
+                # row_index lineage is parquet-only; ORC rows carry NULL _pos
+                # (position deletes reference parquet files by design)
+                pos = (F.col("_metadata.row_index") if fmt != "orc"
+                       else F.lit(None).cast("long"))
                 lineage = [F.col("_metadata.file_path").alias("_file"),
-                           F.col("_metadata.row_index").alias("_pos")]
+                           pos.alias("_pos")]
                 df = _project_to_current(df, file_schema, current_schema, extra=lineage)
             else:
                 df = _project_to_current(df, file_schema, current_schema)

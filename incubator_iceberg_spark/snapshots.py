@@ -169,26 +169,33 @@ def _install_snapshot(base: Optional[TableMetadata], make_manifest_rows: Callabl
     return base.with_snapshot(snap, set_current=not stage_only)
 
 
+def apply_append(base: TableMetadata, new_entries: list,
+                 extra_summary: Optional[dict] = None,
+                 spec_id: Optional[int] = None,
+                 operation: str = "append") -> TableMetadata:
+    """Pure append application (no commit) — composable in Transactions."""
+
+    def make(base, snapshot_id, seq):
+        rows = _manifest_rows(base)
+        if new_entries:
+            md_dir = os.path.join(base.location, "metadata")
+            rows = rows + [_write_added_manifest(md_dir, base, list(new_entries),
+                                                 snapshot_id, seq, spec_id)]
+        return rows
+
+    return _install_snapshot(base, make, operation, extra_summary,
+                             new_entries, [])
+
+
 def append_files(ops: TableOperations, new_entries: list,
                  extra_summary: Optional[dict] = None,
                  spec_id: Optional[int] = None,
                  operation: str = "append") -> TableMetadata:
     """C1 fast append (FastAppend.java); with operation='delete' this is
     the RowDelta delete-file commit (C6)."""
-
-    def apply(base):
-        def make(base, snapshot_id, seq):
-            rows = _manifest_rows(base)
-            if new_entries:
-                md_dir = os.path.join(base.location, "metadata")
-                rows = rows + [_write_added_manifest(md_dir, base, list(new_entries),
-                                                     snapshot_id, seq, spec_id)]
-            return rows
-
-        return _install_snapshot(base, make, operation, extra_summary,
-                                 new_entries, [])
-
-    return MD.run_with_retries(ops, apply)
+    return MD.run_with_retries(
+        ops, lambda base: apply_append(base, new_entries, extra_summary,
+                                       spec_id, operation))
 
 
 def overwrite_files(ops: TableOperations, added_entries: list, deleted_paths: set,
@@ -204,39 +211,49 @@ def overwrite_files(ops: TableOperations, added_entries: list, deleted_paths: se
     snapshots committed after the read point added files matching the
     filter, fail instead of silently dropping concurrent data.
     """
+    return MD.run_with_retries(
+        ops, lambda base: apply_overwrite(
+            base, added_entries, deleted_paths, operation=operation,
+            extra_summary=extra_summary, base_snapshot_id=base_snapshot_id,
+            conflict_detection_filter=conflict_detection_filter,
+            spec_id=spec_id))
+
+
+def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
+                    operation: str = "overwrite",
+                    extra_summary: Optional[dict] = None,
+                    base_snapshot_id: Optional[int] = None,
+                    conflict_detection_filter=None,
+                    spec_id: Optional[int] = None) -> TableMetadata:
+    """Pure overwrite application (no commit) — composable."""
     deleted_paths = set(deleted_paths)
     dropped_acc: list = []
+    if base_snapshot_id is not None and base is not None:
+        _validate_no_conflicting_appends(base, base_snapshot_id,
+                                         conflict_detection_filter)
 
-    def apply(base):
-        dropped_acc.clear()
-        if base_snapshot_id is not None and base is not None:
-            _validate_no_conflicting_appends(base, base_snapshot_id,
-                                             conflict_detection_filter)
+    def make(base, snapshot_id, seq):
+        md_dir = os.path.join(base.location, "metadata")
+        rows = []
+        remaining = set(deleted_paths)
+        for row in _manifest_rows(base):
+            new_row, dropped = _rewrite_manifest_without(
+                md_dir, base, row, remaining, snapshot_id, seq)
+            dropped_acc.extend(dropped)
+            for e in dropped:
+                remaining.discard(e["file_path"])
+            if new_row is not None:
+                rows.append(new_row)
+        if remaining:
+            raise ValidationException(
+                f"files to delete not found in table: {sorted(remaining)[:5]}")
+        if added_entries:
+            rows.append(_write_added_manifest(md_dir, base, list(added_entries),
+                                              snapshot_id, seq, spec_id))
+        return rows
 
-        def make(base, snapshot_id, seq):
-            md_dir = os.path.join(base.location, "metadata")
-            rows = []
-            remaining = set(deleted_paths)
-            for row in _manifest_rows(base):
-                new_row, dropped = _rewrite_manifest_without(
-                    md_dir, base, row, remaining, snapshot_id, seq)
-                dropped_acc.extend(dropped)
-                for e in dropped:
-                    remaining.discard(e["file_path"])
-                if new_row is not None:
-                    rows.append(new_row)
-            if remaining:
-                raise ValidationException(
-                    f"files to delete not found in table: {sorted(remaining)[:5]}")
-            if added_entries:
-                rows.append(_write_added_manifest(md_dir, base, list(added_entries),
-                                                  snapshot_id, seq, spec_id))
-            return rows
-
-        return _install_snapshot(base, make, operation, extra_summary,
-                                 added_entries, dropped_acc)
-
-    return MD.run_with_retries(ops, apply)
+    return _install_snapshot(base, make, operation, extra_summary,
+                             added_entries, dropped_acc)
 
 
 def replace_partitions(ops: TableOperations, added_entries: list,

@@ -212,9 +212,10 @@ class Table:
         md = self.metadata
         mode = md.properties.get(MD.WRITE_DISTRIBUTION_MODE)
         target = md.property(MD.WRITE_TARGET_FILE_SIZE, MD.WRITE_TARGET_FILE_SIZE_DEFAULT)
+        fmt = md.properties.get("write.format.default", "parquet")
         return W.stage_write(spark, md.location, df, md.schema(), md.spec(),
                              sort_order=md.sort_order(), distribution_mode=mode,
-                             target_file_size=target)
+                             target_file_size=target, file_format=fmt)
 
     def append(self, df, spark=None, extra_summary: Optional[dict] = None) -> "Table":
         entries = self._stage(df, spark)
@@ -261,6 +262,11 @@ class Table:
                                   when_matched=when_matched,
                                   when_not_matched=when_not_matched,
                                   spark=spark or self.spark)
+
+    # -- transactions (C10) --------------------------------------------------
+    def new_transaction(self, spark=None):
+        from incubator_iceberg_spark.transactions import Transaction
+        return Transaction(self, spark=spark or self.spark)
 
     # -- v2 delete files (M8; C6 RowDelta) ---------------------------------
     def add_position_deletes(self, pos_df, spark=None) -> "Table":

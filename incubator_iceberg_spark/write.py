@@ -82,7 +82,7 @@ def _distribute(df, spec: PartitionSpec, sort_order, mode: str, part_cols):
 def stage_write(spark, table_location: str, df, schema: S.Schema, spec: PartitionSpec,
                 sort_order=None, distribution_mode: Optional[str] = None,
                 target_file_size: int = MD.WRITE_TARGET_FILE_SIZE_DEFAULT,
-                fanout: bool = False) -> list:
+                fanout: bool = False, file_format: str = "parquet") -> list:
     """Write the DataFrame into the table's data dir; return manifest
     entries (dicts with stats + partition tuples)."""
     from pyspark.sql import functions as F
@@ -102,16 +102,19 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
     # Rolling at target size (BaseTaskWriter.java:276 analog): Spark splits
     # output per task; cap rows per file so a skewed task still rolls.
     writer = writer.option("maxRecordsPerFile", _max_records_estimate(df, target_file_size))
-    writer.parquet(staging)
+    if file_format == "orc":
+        writer.orc(staging)
+    else:
+        writer.parquet(staging)
 
-    files = _list_parquet_files(staging)
-    stats = collect_file_stats(spark, files, schema)
+    files = _list_data_files(staging, "." + file_format)
+    stats = collect_file_stats(spark, files, schema, file_format=file_format)
     entries = []
     for st in stats:
         partition = _partition_from_path(st["file_path"], staging, spec)
         e = {
             "file_path": st["file_path"],
-            "file_format": "parquet",
+            "file_format": file_format,
             "record_count": st["record_count"],
             "file_size_bytes": st["file_size_bytes"],
             "value_counts": st["value_counts"],
@@ -132,22 +135,32 @@ def _max_records_estimate(df, target_file_size: int) -> int:
     return max(1_000_000, target_file_size // 24)
 
 
-def _list_parquet_files(root: str) -> list:
+def _list_data_files(root: str, ext: str = ".parquet") -> list:
     out = []
     for dirpath, _dirs, names in os.walk(root):
         for n in names:
-            if n.endswith(".parquet") and not n.startswith("."):
+            if n.endswith(ext) and not n.startswith(".") and not n.startswith("_"):
                 out.append(os.path.join(dirpath, n))
     return sorted(out)
+
+
+def _list_parquet_files(root: str) -> list:
+    return _list_data_files(root, ".parquet")
 
 
 # ---------------------------------------------------------------------------
 # per-file stats (A1): Parquet footer read, driver-side or distributed
 # ---------------------------------------------------------------------------
 
-def collect_file_stats(spark, files: list, schema: S.Schema) -> list:
+def collect_file_stats(spark, files: list, schema: S.Schema,
+                       file_format: str = "parquet") -> list:
     if not files:
         return []
+    if file_format == "orc":
+        # pyarrow ORC footers expose row counts but not column bounds:
+        # record counts only → partition pruning works, metrics pruning
+        # degrades to 'might match' (correct, unoptimized)
+        return [orc_stats(p, schema) for p in files]
     if len(files) <= DRIVER_STATS_MAX_FILES or spark is None:
         return [footer_stats(p, schema) for p in files]
     # distributed path: ship paths, read footers on executors, return JSON
@@ -213,6 +226,23 @@ def footer_stats(path: str, schema: S.Schema) -> dict:
         "nan_counts": None,  # not in footers; conservative (no NaN pruning)
         "lower_bounds": lower,
         "upper_bounds": upper,
+    }
+
+
+def orc_stats(path: str, schema: S.Schema) -> dict:
+    import pyarrow.orc as po
+
+    of = po.ORCFile(path)
+    top = {f.name: f for f in schema.fields if f.type.is_primitive}
+    return {
+        "file_path": path,
+        "record_count": of.nrows,
+        "file_size_bytes": os.path.getsize(path),
+        "value_counts": {n: of.nrows for n in top},
+        "null_counts": None,
+        "nan_counts": None,
+        "lower_bounds": {},
+        "upper_bounds": {},
     }
 
 

@@ -1,0 +1,125 @@
+"""Tier 3: transactions (C10), CALL procedures (§2.7), table import (S16),
+ORC format (S6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark.schema import Schema
+
+
+def _ingest(warehouse, name, df, **kw):
+    t = warehouse.create_table(name, Schema.from_spark(df.schema), **kw)
+    t.append(df)
+    return t
+
+
+def test_transaction_multi_op_atomic(warehouse, orders):
+    t = _ingest(warehouse, "db.tx", orders)
+    v_before = len(t.snapshots())
+    with t.new_transaction() as tx:
+        tx.delete_where("o_orderdate < TIMESTAMP '1996-01-01'")
+        tx.append(orders.limit(25))
+        tx.set_properties({"txn.marker": "yes"})
+    t.refresh()
+    want = orders.filter("o_orderdate >= TIMESTAMP '1996-01-01'").count() + 25
+    assert t.to_df().count() == want
+    assert t.properties()["txn.marker"] == "yes"
+    # both snapshots exist but were installed in ONE metadata version
+    assert len(t.snapshots()) == v_before + 2
+    versions = [f for f in os.listdir(os.path.join(t.location, "metadata"))
+                if f.endswith(".metadata.json")]
+    assert len(versions) == 3  # create + initial append + txn
+
+
+def test_transaction_rollback_on_error(warehouse, orders):
+    t = _ingest(warehouse, "db.tx2", orders.limit(100))
+    try:
+        with t.new_transaction() as tx:
+            tx.append(orders.limit(10))
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    t.refresh()
+    assert t.to_df().count() == 100  # nothing committed
+
+
+def test_call_procedures(warehouse, orders, spark):
+    from incubator_iceberg_spark import procedures as PR
+
+    t = _ingest(warehouse, "db.proc", orders.limit(100))
+    s1 = t.metadata.current_snapshot_id
+    t.append(orders.limit(50))
+    PR.call(warehouse, f"CALL system.rollback_to_snapshot('db.proc', {s1})")
+    assert warehouse.load_table("db.proc").to_df().count() == 100
+
+    t2 = _ingest(warehouse, "db.proc2", orders.limit(60))
+    for _ in range(3):
+        t2.append(orders.limit(10))
+    out = PR.call(warehouse,
+                  "CALL system.rewrite_data_files('db.proc2', min_input_files => 2)")
+    assert out["rewritten_files"] > 0
+    assert warehouse.load_table("db.proc2").to_df().count() == 90
+
+    with pytest.raises(ValueError):
+        PR.call(warehouse, "CALL system.nope('db.proc')")
+
+
+def test_add_files_import(warehouse, orders, spark, tmp_path):
+    from incubator_iceberg_spark import procedures as PR
+
+    src_dir = str(tmp_path / "plain")
+    orders.write.parquet(src_dir)
+    t = warehouse.create_table("db.imported", Schema.from_spark(orders.schema))
+    res = PR.add_files(t, src_dir)
+    assert res["added_records"] == orders.count()
+    assert t.to_df().count() == orders.count()
+    # stats harvested → metrics pruning works on imported files
+    key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    pruned = t.new_scan().filter(f"o_orderkey > {key}").plan_files()
+    assert pruned == []
+
+
+def test_migrate(warehouse, nation_dir, spark):
+    from incubator_iceberg_spark import procedures as PR
+
+    t = PR.migrate(warehouse, "db.migrated", nation_dir, spark=spark)
+    assert t.to_df().count() == spark.read.parquet(nation_dir).count()
+
+
+@pytest.fixture()
+def nation_dir(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_copy")
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).write.parquet(out)
+    return out
+
+
+def test_snapshot_table(warehouse, orders, spark):
+    from incubator_iceberg_spark import procedures as PR
+
+    src = _ingest(warehouse, "db.snap_src", orders.limit(200))
+    dest = PR.snapshot_table(warehouse, "db.snap_src", "db.snap_dest", spark=spark)
+    assert dest.to_df().count() == 200
+    # independent lifecycle: deleting from the snapshot leaves source intact
+    dest.delete_where("o_orderkey IS NOT NULL")
+    assert dest.to_df().count() == 0
+    assert warehouse.load_table("db.snap_src").to_df().count() == 200
+
+
+def test_orc_format_roundtrip(warehouse, orders):
+    t = warehouse.create_table("db.orc1", Schema.from_spark(orders.schema),
+                               properties={"write.format.default": "orc"},
+                               partition_by=["month(o_orderdate)"])
+    t.append(orders)
+    assert t.to_df().count() == orders.count()
+    # partition pruning still effective for ORC (no column bounds though)
+    cond = "o_orderdate >= TIMESTAMP '1997-06-01'"
+    assert t.to_df(filter=cond).count() == orders.filter(cond).count()
+    pruned = len(t.new_scan().filter(cond).plan_files())
+    total = len(t.new_scan().plan_files())
+    assert pruned < total
+    # mixed formats in one table: switch default back to parquet and append
+    t.update_properties({"write.format.default": "parquet"})
+    t.append(orders.limit(30))
+    assert t.to_df().count() == orders.count() + 30
