@@ -109,6 +109,65 @@ class Catalog:
         return t
 
 
+def _arrow_mask(tbl, bound):
+    """Compile a bound expression to a pyarrow boolean mask (row filter for
+    the local read path)."""
+    import pyarrow.compute as pc
+    from incubator_iceberg_spark import expressions as X
+
+    def walk(e):
+        if isinstance(e, X.AlwaysTrue):
+            return None
+        if isinstance(e, X.AlwaysFalse):
+            import pyarrow as pa
+            return pa.array([False] * tbl.num_rows)
+        if isinstance(e, X.And):
+            l, r = walk(e.left), walk(e.right)
+            if l is None:
+                return r
+            if r is None:
+                return l
+            return pc.and_kleene(l, r)
+        if isinstance(e, X.Or):
+            l, r = walk(e.left), walk(e.right)
+            if l is None or r is None:
+                return None
+            return pc.or_kleene(l, r)
+        if isinstance(e, X.SqlPredicate):
+            raise ValueError("opaque SQL predicates need the Spark read path")
+        assert isinstance(e, X.Predicate)
+        path = e.term.path if isinstance(e.term, X.BoundReference) else e.term.name
+        col = tbl.column(path)
+        op = e.op
+        if op == X.IS_NULL:
+            return pc.is_null(col)
+        if op == X.NOT_NULL:
+            return pc.is_valid(col)
+        if op == X.IS_NAN:
+            return pc.is_nan(col)
+        if op == X.NOT_NAN:
+            return pc.invert(pc.is_nan(col))
+        v = e.literal
+        fns = {X.LT: pc.less, X.LT_EQ: pc.less_equal, X.GT: pc.greater,
+               X.GT_EQ: pc.greater_equal, X.EQ: pc.equal, X.NOT_EQ: pc.not_equal}
+        if op in fns:
+            return fns[op](col, v)
+        if op == X.IN:
+            import pyarrow as pa
+            return pc.is_in(col, value_set=pa.array(list(e.literals)))
+        if op == X.NOT_IN:
+            import pyarrow as pa
+            return pc.and_kleene(pc.invert(pc.is_in(col, value_set=pa.array(list(e.literals)))),
+                                 pc.is_valid(col))
+        if op == X.STARTS_WITH:
+            return pc.starts_with(col, v)
+        if op == X.NOT_STARTS_WITH:
+            return pc.invert(pc.starts_with(col, v))
+        raise ValueError(f"unhandled {op}")
+
+    return walk(bound)
+
+
 def _as_schema(schema) -> Schema:
     if isinstance(schema, Schema):
         return schema
@@ -262,6 +321,34 @@ class Table:
                                   when_matched=when_matched,
                                   when_not_matched=when_not_matched,
                                   spark=spark or self.spark)
+
+    def to_arrow(self, filter=None, snapshot_id=None):
+        """S14: JVM-free local read (IcebergGenerics.java:28-50 analog) —
+        plan with the driver-side planner, read files with pyarrow.
+        For tests/small tables; the data plane is Spark."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from incubator_iceberg_spark.scan import TableScan, parse_predicate
+
+        scan = TableScan(self, None)
+        if snapshot_id is not None:
+            scan = scan.use_snapshot(snapshot_id)
+        if filter is not None:
+            scan = scan.filter(filter)
+        entries = scan.plan_entries_local()
+        if not entries:
+            return pa.table({})
+        tables = [pq.read_table(e["file_path"]) for e in entries
+                  if (e.get("content") or 0) == 0]
+        out = pa.concat_tables(tables, promote_options="permissive")
+        if filter is not None:
+            import incubator_iceberg_spark.expressions as X
+            bound = X.bind(self.metadata.schema(),
+                           parse_predicate(filter) if isinstance(filter, str) else filter)
+            mask = _arrow_mask(out, bound)
+            if mask is not None:
+                out = out.filter(mask)
+        return out
 
     # -- transactions (C10) --------------------------------------------------
     def new_transaction(self, spark=None):

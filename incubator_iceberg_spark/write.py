@@ -111,6 +111,13 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
     stats = collect_file_stats(spark, files, schema, file_format=file_format)
     entries = []
     for st in stats:
+        if (st["record_count"] or 0) == 0:
+            # Spark emits files for empty partitions; don't commit them
+            try:
+                os.unlink(st["file_path"])
+            except OSError:
+                pass
+            continue
         partition = _partition_from_path(st["file_path"], staging, spec)
         e = {
             "file_path": st["file_path"],
