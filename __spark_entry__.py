@@ -516,6 +516,17 @@ def q_add_files_import(spark, sf_dir):
     return t.to_df(filter="p_size >= 25")
 
 
+def q_pydatasource_scan(spark, sf_dir):
+    """Batch read through the registered Python data source (DSv2-style
+    surface): metadata pruning via the filter option, arrow-batch reads."""
+    from incubator_iceberg_spark import sources
+    sources.register(spark)
+    info = _ensure_warehouse(spark, sf_dir)
+    loc = _table(spark, sf_dir, "orders_ice").location
+    return (spark.read.format("iiws").option("path", loc)
+            .option("filter", "o_totalprice > 200000").load())
+
+
 def q_dedup_exact(spark, sf_dir):
     from incubator_iceberg_spark.functions import dedup
     df = _table(spark, sf_dir, "documents_ice").to_df()
@@ -614,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "call_procedure": q_call_procedure,
         "transaction_multi": q_transaction,
         "add_files_import": q_add_files_import,
+        "pydatasource_scan": q_pydatasource_scan,
         "partitions_meta": q_partitions_meta,
         "snapshots_meta": q_snapshots_meta,
         "files_meta": q_files_meta,
@@ -776,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey % 500 = 3
         """,
         "add_files_import": "SELECT * FROM part WHERE p_size >= 25",
+        "pydatasource_scan": "SELECT * FROM orders WHERE o_totalprice > 200000",
         "partitions_meta": """
             SELECT CAST((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS INT)
                        AS month_ord,

@@ -298,3 +298,63 @@ def eval_summary(proj: X.Expression, summaries: dict) -> bool:
         hi = None if not isinstance(upper, str) else upper[:n] >= v
         return _maybe(lo) and _maybe(hi)
     return True
+
+
+def arrow_mask(tbl, bound):
+    """Compile a bound expression to a pyarrow boolean mask (row filter for
+    the local/arrow read paths — Table.to_arrow and the Python data
+    source)."""
+    import pyarrow.compute as pc
+    from incubator_iceberg_spark import expressions as X
+
+    def walk(e):
+        if isinstance(e, X.AlwaysTrue):
+            return None
+        if isinstance(e, X.AlwaysFalse):
+            import pyarrow as pa
+            return pa.array([False] * tbl.num_rows)
+        if isinstance(e, X.And):
+            l, r = walk(e.left), walk(e.right)
+            if l is None:
+                return r
+            if r is None:
+                return l
+            return pc.and_kleene(l, r)
+        if isinstance(e, X.Or):
+            l, r = walk(e.left), walk(e.right)
+            if l is None or r is None:
+                return None
+            return pc.or_kleene(l, r)
+        if isinstance(e, X.SqlPredicate):
+            raise ValueError("opaque SQL predicates need the Spark read path")
+        assert isinstance(e, X.Predicate)
+        path = e.term.path if isinstance(e.term, X.BoundReference) else e.term.name
+        col = tbl.column(path)
+        op = e.op
+        if op == X.IS_NULL:
+            return pc.is_null(col)
+        if op == X.NOT_NULL:
+            return pc.is_valid(col)
+        if op == X.IS_NAN:
+            return pc.is_nan(col)
+        if op == X.NOT_NAN:
+            return pc.invert(pc.is_nan(col))
+        v = e.literal
+        fns = {X.LT: pc.less, X.LT_EQ: pc.less_equal, X.GT: pc.greater,
+               X.GT_EQ: pc.greater_equal, X.EQ: pc.equal, X.NOT_EQ: pc.not_equal}
+        if op in fns:
+            return fns[op](col, v)
+        if op == X.IN:
+            import pyarrow as pa
+            return pc.is_in(col, value_set=pa.array(list(e.literals)))
+        if op == X.NOT_IN:
+            import pyarrow as pa
+            return pc.and_kleene(pc.invert(pc.is_in(col, value_set=pa.array(list(e.literals)))),
+                                 pc.is_valid(col))
+        if op == X.STARTS_WITH:
+            return pc.starts_with(col, v)
+        if op == X.NOT_STARTS_WITH:
+            return pc.invert(pc.starts_with(col, v))
+        raise ValueError(f"unhandled {op}")
+
+    return walk(bound)

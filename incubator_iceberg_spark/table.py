@@ -48,12 +48,21 @@ class Catalog:
 
     def create_table(self, name: str, schema, partition_by=None,
                      properties: Optional[dict] = None,
-                     sort_by=None, spark=None) -> "Table":
+                     sort_by=None, identifier_fields=None, spark=None) -> "Table":
         location = self._table_location(name)
         ops = TableOperations(location)
         if ops.refresh() is not None:
             raise TableAlreadyExistsError(name)
         schema = _as_schema(schema)
+        if identifier_fields:
+            ids = []
+            for n in identifier_fields:
+                f = schema.find_field(n)
+                if f is None:
+                    raise ValueError(f"identifier field not in schema: {n}")
+                ids.append(f.field_id)
+            schema = Schema(schema.fields, schema_id=schema.schema_id,
+                            identifier_field_ids=ids)
         spec = (PartitionSpec.build(schema, partition_by)
                 if partition_by else PartitionSpec.unpartitioned(schema))
         md = TableMetadata.new(location, schema, spec, properties)
@@ -107,65 +116,6 @@ class Catalog:
                               properties=properties, spark=spark)
         t.append(df)
         return t
-
-
-def _arrow_mask(tbl, bound):
-    """Compile a bound expression to a pyarrow boolean mask (row filter for
-    the local read path)."""
-    import pyarrow.compute as pc
-    from incubator_iceberg_spark import expressions as X
-
-    def walk(e):
-        if isinstance(e, X.AlwaysTrue):
-            return None
-        if isinstance(e, X.AlwaysFalse):
-            import pyarrow as pa
-            return pa.array([False] * tbl.num_rows)
-        if isinstance(e, X.And):
-            l, r = walk(e.left), walk(e.right)
-            if l is None:
-                return r
-            if r is None:
-                return l
-            return pc.and_kleene(l, r)
-        if isinstance(e, X.Or):
-            l, r = walk(e.left), walk(e.right)
-            if l is None or r is None:
-                return None
-            return pc.or_kleene(l, r)
-        if isinstance(e, X.SqlPredicate):
-            raise ValueError("opaque SQL predicates need the Spark read path")
-        assert isinstance(e, X.Predicate)
-        path = e.term.path if isinstance(e.term, X.BoundReference) else e.term.name
-        col = tbl.column(path)
-        op = e.op
-        if op == X.IS_NULL:
-            return pc.is_null(col)
-        if op == X.NOT_NULL:
-            return pc.is_valid(col)
-        if op == X.IS_NAN:
-            return pc.is_nan(col)
-        if op == X.NOT_NAN:
-            return pc.invert(pc.is_nan(col))
-        v = e.literal
-        fns = {X.LT: pc.less, X.LT_EQ: pc.less_equal, X.GT: pc.greater,
-               X.GT_EQ: pc.greater_equal, X.EQ: pc.equal, X.NOT_EQ: pc.not_equal}
-        if op in fns:
-            return fns[op](col, v)
-        if op == X.IN:
-            import pyarrow as pa
-            return pc.is_in(col, value_set=pa.array(list(e.literals)))
-        if op == X.NOT_IN:
-            import pyarrow as pa
-            return pc.and_kleene(pc.invert(pc.is_in(col, value_set=pa.array(list(e.literals)))),
-                                 pc.is_valid(col))
-        if op == X.STARTS_WITH:
-            return pc.starts_with(col, v)
-        if op == X.NOT_STARTS_WITH:
-            return pc.invert(pc.starts_with(col, v))
-        raise ValueError(f"unhandled {op}")
-
-    return walk(bound)
 
 
 def _as_schema(schema) -> Schema:
@@ -322,6 +272,22 @@ class Table:
                                   when_not_matched=when_not_matched,
                                   spark=spark or self.spark)
 
+    def upsert(self, source_df, on=None, spark=None) -> dict:
+        """MERGE shorthand: update matched rows, insert the rest.  Join
+        keys default to the table's identifier fields (row identity,
+        Schema.java:208 identifierFieldIds)."""
+        from incubator_iceberg_spark.row_ops import WhenMatched, WhenNotMatched
+        if on is None:
+            schema = self.metadata.schema()
+            on = [schema.field_path(i) for i in schema.identifier_field_ids]
+            if not on:
+                raise ValueError(
+                    "no identifier fields on table; pass on=[...] explicitly")
+        return self.merge(source_df, on=on,
+                          when_matched=[WhenMatched.update_all()],
+                          when_not_matched=[WhenNotMatched.insert_all()],
+                          spark=spark)
+
     def to_arrow(self, filter=None, snapshot_id=None):
         """S14: JVM-free local read (IcebergGenerics.java:28-50 analog) —
         plan with the driver-side planner, read files with pyarrow.
@@ -345,7 +311,8 @@ class Table:
             import incubator_iceberg_spark.expressions as X
             bound = X.bind(self.metadata.schema(),
                            parse_predicate(filter) if isinstance(filter, str) else filter)
-            mask = _arrow_mask(out, bound)
+            from incubator_iceberg_spark.py_eval import arrow_mask
+            mask = arrow_mask(out, bound)
             if mask is not None:
                 out = out.filter(mask)
         return out

@@ -1,0 +1,76 @@
+"""Tier 3: Structured Streaming on top of the engine — windowed aggregation
+with watermarks for late data, exactly-once sink via epoch dedup, and the
+upsert shorthand (F6 streaming fixture semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark.schema import Schema
+
+
+def test_windowed_agg_with_watermark_foreachbatch(warehouse, spark, sf_dir, tmp_path):
+    """rate-limited file stream → watermarked tumbling window → engine
+    exactly-once sink (the Spark-native streaming story over our tables)."""
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "stream_src")
+    # three files = three micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        events.filter(f"event_id % 3 = {i}").coalesce(1).write.mode("append").parquet(src_dir)
+
+    sink = warehouse.create_table(
+        "db.win_sink",
+        "window_start timestamp, event_type string, n long")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir)
+              .withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count("*").alias("n"))
+              .select(F.col("w.start").alias("window_start"), "event_type", "n"))
+
+    def write_batch(batch_df, epoch_id):
+        # complete-mode snapshot per epoch: last write wins via epoch dedup
+        STR.append_exactly_once(sink, batch_df, epoch_id, query_id="win")
+
+    q = (stream.writeStream.outputMode("complete").foreachBatch(write_batch)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    sink.refresh()
+    # the FINAL epoch's complete output must equal the batch ground truth
+    last_epoch = STR.last_committed_epoch(sink, "win")
+    assert last_epoch is not None
+    final = None
+    for s in sink.metadata.snapshots:
+        if s.summary.get("streaming.epoch-id") == str(last_epoch):
+            final = s
+    # read only the rows appended by the final epoch
+    from incubator_iceberg_spark.scan import TableScan
+    df = TableScan(sink, spark).appends_between(final.parent_id, final.snapshot_id).to_df()
+    want = (events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n"))
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_upsert_with_identifier_fields(warehouse, orders, spark):
+    t = warehouse.create_table("db.ups", Schema.from_spark(orders.schema),
+                               identifier_fields=["o_orderkey"])
+    t.append(orders)
+    src = (orders.limit(50).withColumn("o_orderstatus", F.lit("U"))
+           .unionByName(orders.limit(10).withColumn(
+               "o_orderkey", F.col("o_orderkey") + 777000000)))
+    t.upsert(src)
+    assert t.to_df().count() == orders.count() + 10
+    assert t.to_df(filter="o_orderstatus = 'U'").count() == 50
+
+
+def test_upsert_requires_keys(warehouse, orders):
+    t = warehouse.create_table("db.ups2", Schema.from_spark(orders.schema))
+    t.append(orders.limit(10))
+    with pytest.raises(ValueError):
+        t.upsert(orders.limit(5))
