@@ -157,7 +157,7 @@ def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None
     action): group small files to target size, rewrite each group as one
     Spark job, commit with operation='replace'."""
     from incubator_iceberg_spark import write as W
-    from incubator_iceberg_spark.scan import TableScan, _project_to_current
+    from incubator_iceberg_spark.scan import TableScan, read_entries
 
     spark = spark or table.spark
     md = table.metadata
@@ -166,33 +166,23 @@ def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None
     scan = TableScan(table, spark)
     if filter is not None:
         scan = scan.filter(filter)
-    entries = scan.plan_entries_df()
-    if entries is None:
+    data, dels = scan._plan_split()
+    if not data:
         return {"rewritten_files": 0, "added_files": 0}
-    rows = entries.select("file_path", "file_size_bytes", "schema_id").collect()
-    small = [(r["file_path"], r["file_size_bytes"] or 0) for r in rows
-             if (r["file_size_bytes"] or 0) < target]
+    small = [(e["file_path"], e.get("file_size_bytes") or 0) for e in data
+             if (e.get("file_size_bytes") or 0) < target]
     groups = bin_pack(small, target, min_input_files=min_input_files)
     if not groups:
         return {"rewritten_files": 0, "added_files": 0}
 
     schema = md.schema()
-    schema_by_path = {r["file_path"]: r["schema_id"] for r in rows}
+    entry_by_path = {e["file_path"]: e for e in data}
     all_staged, all_deleted = [], set()
     for group in groups:
-        by_schema: dict[int, list] = {}
-        for p in group:
-            by_schema.setdefault(schema_by_path.get(p, schema.schema_id), []).append(p)
-        parts = []
-        for schema_id, paths in by_schema.items():
-            fs = md.schema_by_id(schema_id) if any(
-                s.schema_id == schema_id for s in md.schemas) else schema
-            df = spark.read.schema(fs.to_spark()).parquet(*paths)
-            parts.append(_project_to_current(df, fs, schema))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        # coalesce into as few files as the target allows
+        # delete files are APPLIED during compaction (new files get higher
+        # sequence numbers, so old pos/eq deletes no longer match them)
+        df = read_entries(spark, md, [entry_by_path[p] for p in group], dels,
+                          schema)
         total = sum(s for p, s in small if p in set(group))
         n_out = max(1, total // target + (1 if total % target else 0))
         df = df.coalesce(int(n_out))

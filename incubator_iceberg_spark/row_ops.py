@@ -108,21 +108,25 @@ def _normalize_ts(bound: X.Expression, entry_value):
 # ---------------------------------------------------------------------------
 
 class _Cand:
-    __slots__ = ("file_path", "schema_id", "record_count", "strict")
+    __slots__ = ("entry", "strict")
 
-    def __init__(self, file_path, schema_id, record_count, strict):
-        self.file_path, self.schema_id = file_path, schema_id
-        self.record_count, self.strict = record_count, strict
+    def __init__(self, entry, strict):
+        self.entry, self.strict = entry, bool(strict)
 
     def __getitem__(self, k):
-        return getattr(self, k)
+        if k == "strict":
+            return self.strict
+        return self.entry.get(k)
 
 
 def _plan_delete_candidates(table, scan, bound):
-    """Candidate files with a per-file strict flag (whole file deletable
-    without reading data).  Driver-local when metadata is small; Spark-DF
-    planning otherwise.  Returns None when the table has no snapshot."""
+    """(candidates, delete_entries): DATA-file candidates with a per-file
+    strict flag (whole file deletable without reading data) plus any v2
+    delete-file entries touching the scan (applied when rewriting).
+    Returns (None, []) when the table has no snapshot.  A v2 delete file
+    can never be 'strict' deleted here — it is not data."""
     from pyspark.sql import functions as F
+    from incubator_iceberg_spark import manifests as MF
     from incubator_iceberg_spark import partitioning as PT
     from incubator_iceberg_spark import py_eval as PE
 
@@ -130,8 +134,11 @@ def _plan_delete_candidates(table, scan, bound):
     local = scan.plan_entries_local()
     if local is not None:
         out = []
+        dels = [e for e in local if (e.get("content") or 0) != MF.DATA]
         strict_proj_by_spec: dict = {}
         for e in local:
+            if (e.get("content") or 0) != MF.DATA:
+                continue
             spec = md.spec_by_id(e.get("spec_id", md.default_spec_id))
             strict = PE.eval_strict_entry(e, bound)
             if not strict and spec.is_partitioned:
@@ -140,13 +147,17 @@ def _plan_delete_candidates(table, scan, bound):
                     proj = PT.project_strict(spec, bound)
                     strict_proj_by_spec[spec.spec_id] = proj
                 strict = PE.eval_partition_value(proj, e.get("partition") or {})
-            out.append(_Cand(e["file_path"], e.get("schema_id"),
-                             e.get("record_count"), strict))
-        return out
+            if strict and dels:
+                # bounds say every row matches, but a delete file may hide
+                # rows — only metadata-drop when no deletes are in play
+                strict = False
+            out.append(_Cand(e, strict))
+        return out, dels
 
     entries = scan.plan_entries_df()
     if entries is None:
-        return None
+        return None, []
+    data, dels = scan._plan_split()
     strict_cols = EV.strict_metrics_filter(bound, entries.schema)
     spec_ids = {r["spec_id"] for r in entries.select("spec_id").distinct().collect()}
     strict_part = None
@@ -155,8 +166,14 @@ def _plan_delete_candidates(table, scan, bound):
         c = EV.strict_partition_filter(spec, bound, entries.schema) & (F.col("spec_id") == sid)
         strict_part = c if strict_part is None else (strict_part | c)
     strict = strict_cols if strict_part is None else (strict_cols | strict_part)
-    return entries.select("file_path", "schema_id", "record_count",
-                          strict.alias("strict")).collect()
+    rows = entries.filter(F.coalesce(F.col("content"), F.lit(0)) == MF.DATA)         .select("file_path", "schema_id", "record_count", "sequence_number",
+                "file_format", strict.alias("strict")).collect()
+    out = [_Cand({"file_path": r["file_path"], "schema_id": r["schema_id"],
+                  "record_count": r["record_count"],
+                  "sequence_number": r["sequence_number"],
+                  "file_format": r["file_format"]},
+                 bool(r["strict"]) and not dels) for r in rows]
+    return out, dels
 
 def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None,
                  operation: str = "delete") -> dict:
@@ -172,7 +189,7 @@ def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None
         return {"deleted_files": 0, "rewritten_files": 0, "deleted_rows": 0}
 
     scan = TableScan(table, spark, row_filter=expr)
-    cand = _plan_delete_candidates(table, scan, bound)
+    cand, dels = _plan_delete_candidates(table, scan, bound)
     if cand is None:
         if extra_added_entries:
             table.metadata = SN.append_files(table.ops, extra_added_entries)
@@ -183,20 +200,8 @@ def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None
     new_entries = list(extra_added_entries or [])
     kept_records = 0
     if rewrite:
-        paths_by_schema: dict[int, list] = {}
-        for r in rewrite:
-            paths_by_schema.setdefault(r["schema_id"], []).append(r["file_path"])
-        kept_parts = []
-        from incubator_iceberg_spark.scan import _project_to_current
-        for schema_id, paths in paths_by_schema.items():
-            fs = md.schema_by_id(schema_id) if any(
-                s.schema_id == schema_id for s in md.schemas) else schema
-            df = spark.read.schema(fs.to_spark()).parquet(*paths)
-            df = _project_to_current(df, fs, schema)
-            kept_parts.append(df)
-        kept = kept_parts[0]
-        for p in kept_parts[1:]:
-            kept = kept.unionByName(p)
+        from incubator_iceberg_spark.scan import read_entries
+        kept = read_entries(spark, md, [r.entry for r in rewrite], dels, schema)
         cond = X.to_column(bound)
         kept = kept.filter(~F.coalesce(cond, F.lit(False)))
         staged = W.stage_write(spark, md.location, kept, schema, md.spec(),
@@ -237,23 +242,11 @@ def update(table, assignments: dict, condition: X.Expression, spark=None) -> dic
     base_snapshot_id = md.current_snapshot_id
 
     scan = TableScan(table, spark, row_filter=condition)
-    files = scan.plan_files()
-    if not files:
+    data, dels = scan._plan_split()
+    if not data:
         return {"rewritten_files": 0, "updated_rows": 0}
-
-    from incubator_iceberg_spark.scan import _project_to_current
-    by_schema: dict[int, list] = {}
-    for path, schema_id in files:
-        by_schema.setdefault(schema_id, []).append(path)
-    parts = []
-    for schema_id, paths in by_schema.items():
-        fs = md.schema_by_id(schema_id) if any(
-            s.schema_id == schema_id for s in md.schemas) else schema
-        df = spark.read.schema(fs.to_spark()).parquet(*paths)
-        parts.append(_project_to_current(df, fs, schema))
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    from incubator_iceberg_spark.scan import read_entries
+    df = read_entries(spark, md, data, dels, schema)
 
     # single projection: every RHS sees PRE-update values (SQL UPDATE
     # semantics — sequential withColumn would leak updated values)
@@ -272,12 +265,12 @@ def update(table, assignments: dict, condition: X.Expression, spark=None) -> dic
     staged = W.stage_write(spark, md.location, out, schema, md.spec(),
                            sort_order=md.sort_order())
     table.metadata = SN.overwrite_files(
-        table.ops, staged, {p for p, _ in files},
+        table.ops, staged, {e["file_path"] for e in data},
         operation="overwrite",
         base_snapshot_id=base_snapshot_id,
         conflict_detection_filter=lambda e: entry_might_match(e, bound),
     )
-    return {"rewritten_files": len(files), "staged_files": len(staged)}
+    return {"rewritten_files": len(data), "staged_files": len(staged)}
 
 
 def _spark_type(schema, col):
@@ -343,6 +336,7 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
 
     # ---- pass 1: dynamic file filter (R4) -------------------------------
     scan = TableScan(table, spark)
+    data, dels = scan._plan_split()
     target_all = scan.to_df(with_lineage=True)
     join_cond = cond_expr(on)
     touched_rows = (target_all.alias("t")
@@ -351,12 +345,11 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
     touched = [normalize_file_uri(r["_file"]) for r in touched_rows]
 
     # ---- pass 2: full-outer join on touched files only ------------------
-    if touched:
-        tdf = _read_files_with_lineage(spark, md, touched, schema)
-    else:
-        import pyspark.sql.types as T
-        sp = schema.to_spark().add("_file", "string").add("_pos", "long")
-        tdf = spark.createDataFrame([], sp)
+    from incubator_iceberg_spark.scan import read_entries
+    by_path = {e["file_path"]: e for e in data}
+    touched_entries = [by_path[p] for p in touched if p in by_path]
+    tdf = read_entries(spark, md, touched_entries, dels, schema,
+                       with_lineage=True)
 
     src = source_df.withColumn("__s_exists", F.lit(True))
     tgt = tdf.withColumn("__t_exists", F.lit(True))
@@ -443,48 +436,3 @@ def normalize_file_uri(p: str) -> str:
         while p.startswith("//"):
             p = p[1:]
     return p
-
-
-def _read_files_with_lineage(spark, md, paths, current_schema):
-    from pyspark.sql import functions as F
-
-    if len(md.schemas) == 1:
-        groups = {current_schema.schema_id: list(paths)}
-    else:
-        from incubator_iceberg_spark.scan import TableScan as TS
-        all_files = dict(TS(_TableShim(md), spark).plan_files())
-        groups = {}
-        for p in paths:
-            groups.setdefault(all_files.get(p, current_schema.schema_id), []).append(p)
-    parts = []
-    for schema_id, ps in groups.items():
-        fs = md.schema_by_id(schema_id) if any(
-            s.schema_id == schema_id for s in md.schemas) else current_schema
-        df = spark.read.schema(fs.to_spark()).parquet(*ps)
-        df = df.select(*_projected_cols(fs, current_schema),
-                       F.col("_metadata.file_path").alias("_file"),
-                       F.col("_metadata.row_index").alias("_pos"))
-        parts.append(df)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-def _projected_cols(file_schema, current):
-    from pyspark.sql import functions as F
-    from incubator_iceberg_spark import schema as S
-    cols = []
-    for f in current.fields:
-        old = file_schema.find_field(f.field_id)
-        t = S._to_spark_type(f.type)
-        if old is None:
-            cols.append(F.lit(None).cast(t).alias(f.name))
-        else:
-            cols.append(F.col(file_schema.field_path(f.field_id)).cast(t).alias(f.name))
-    return cols
-
-
-class _TableShim:
-    def __init__(self, md):
-        self.metadata = md

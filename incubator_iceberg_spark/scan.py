@@ -257,50 +257,8 @@ class TableScan:
         current_schema = md.schema()
 
         data, dels = self._plan_split() if snap is not None else ([], [])
-        if not data:
-            sp = current_schema.to_spark()
-            if with_lineage:
-                sp = sp.add("_file", "string").add("_pos", "long")
-            df = self.spark.createDataFrame([], sp)
-            return self._finish(df, current_schema)
-
-        need_lineage = with_lineage or bool(dels)
-        by_group: dict[tuple, list] = {}
-        for e in data:
-            sid = e.get("schema_id")
-            fmt = e.get("file_format") or "parquet"
-            by_group.setdefault(
-                (sid if sid is not None else current_schema.schema_id, fmt),
-                []).append(e["file_path"])
-
-        parts = []
-        for (schema_id, fmt), paths in by_group.items():
-            file_schema = md.schema_by_id(schema_id) if any(
-                s.schema_id == schema_id for s in md.schemas) else current_schema
-            reader = self.spark.read.schema(file_schema.to_spark())
-            df = reader.orc(paths) if fmt == "orc" else reader.parquet(*paths)
-            if need_lineage:
-                # row_index lineage is parquet-only; ORC rows carry NULL _pos
-                # (position deletes reference parquet files by design)
-                pos = (F.col("_metadata.row_index") if fmt != "orc"
-                       else F.lit(None).cast("long"))
-                lineage = [F.col("_metadata.file_path").alias("_file"),
-                           pos.alias("_pos")]
-                df = _project_to_current(df, file_schema, current_schema, extra=lineage)
-            else:
-                df = _project_to_current(df, file_schema, current_schema)
-            parts.append(df)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-
-        if dels:
-            from incubator_iceberg_spark import deletes as DEL
-            seq_by_file = {e["file_path"]: e.get("sequence_number") or 0 for e in data}
-            df = DEL.apply_delete_files(self.spark, df, seq_by_file, dels,
-                                        current_schema)
-        if need_lineage and not with_lineage:
-            df = df.drop("_file", "_pos")
+        df = read_entries(self.spark, md, data, dels, current_schema,
+                          with_lineage=with_lineage)
         return self._finish(df, current_schema)
 
     def _finish(self, df, schema: S.Schema):
@@ -310,6 +268,62 @@ class TableScan:
         if self.selected:
             df = df.select(*self.selected)
         return df
+
+
+def read_entries(spark, md, data_entries, delete_entries, current_schema,
+                 with_lineage: bool = False):
+    """THE data read path: planned entries → DataFrame in the current
+    schema.  Groups files by (write-schema, format), projects by field ID,
+    applies v2 delete files, and optionally keeps _file/_pos lineage.
+    Used by scans, DELETE/UPDATE/MERGE rewrites, and compaction — every
+    reader must see delete-file semantics or deleted rows resurrect."""
+    from pyspark.sql import functions as F
+
+    if not data_entries:
+        sp = current_schema.to_spark()
+        if with_lineage:
+            sp = sp.add("_file", "string").add("_pos", "long")
+        return spark.createDataFrame([], sp)
+
+    need_lineage = with_lineage or bool(delete_entries)
+    by_group: dict[tuple, list] = {}
+    for e in data_entries:
+        sid = e.get("schema_id")
+        fmt = e.get("file_format") or "parquet"
+        by_group.setdefault(
+            (sid if sid is not None else current_schema.schema_id, fmt),
+            []).append(e["file_path"])
+
+    parts = []
+    for (schema_id, fmt), paths in by_group.items():
+        file_schema = md.schema_by_id(schema_id) if any(
+            s.schema_id == schema_id for s in md.schemas) else current_schema
+        reader = spark.read.schema(file_schema.to_spark())
+        df = reader.orc(paths) if fmt == "orc" else reader.parquet(*paths)
+        if need_lineage:
+            # row_index lineage is parquet-only; ORC rows carry NULL _pos
+            # (position deletes reference parquet files by design)
+            pos = (F.col("_metadata.row_index") if fmt != "orc"
+                   else F.lit(None).cast("long"))
+            lineage = [F.col("_metadata.file_path").alias("_file"),
+                       pos.alias("_pos")]
+            df = _project_to_current(df, file_schema, current_schema, extra=lineage)
+        else:
+            df = _project_to_current(df, file_schema, current_schema)
+        parts.append(df)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+
+    if delete_entries:
+        from incubator_iceberg_spark import deletes as DEL
+        seq_by_file = {e["file_path"]: e.get("sequence_number") or 0
+                       for e in data_entries}
+        df = DEL.apply_delete_files(spark, df, seq_by_file, delete_entries,
+                                    current_schema)
+    if need_lineage and not with_lineage:
+        df = df.drop("_file", "_pos")
+    return df
 
 
 def _project_to_current(df, file_schema: S.Schema, current: S.Schema, extra=None):

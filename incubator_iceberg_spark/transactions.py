@@ -88,28 +88,17 @@ class Transaction:
         md = self.table.metadata
         bound = X.bind(md.schema(), expr)
         scan = TableScan(self.table, self.spark, row_filter=expr)
-        cand = row_ops._plan_delete_candidates(self.table, scan, bound)
+        cand, dels = row_ops._plan_delete_candidates(self.table, scan, bound)
         if cand is None:
             return self
-        full = [c for c in cand if c["strict"]]
         rewrite = [c for c in cand if not c["strict"]]
         new_entries = []
         if rewrite:
             from pyspark.sql import functions as F
-            from incubator_iceberg_spark.scan import _project_to_current
+            from incubator_iceberg_spark.scan import read_entries
             schema = md.schema()
-            by_schema: dict = {}
-            for c in rewrite:
-                by_schema.setdefault(c["schema_id"], []).append(c["file_path"])
-            parts = []
-            for schema_id, paths in by_schema.items():
-                fs = md.schema_by_id(schema_id) if any(
-                    s.schema_id == schema_id for s in md.schemas) else schema
-                dfp = self.spark.read.schema(fs.to_spark()).parquet(*paths)
-                parts.append(_project_to_current(dfp, fs, schema))
-            kept = parts[0]
-            for p in parts[1:]:
-                kept = kept.unionByName(p)
+            kept = read_entries(self.spark, md, [c.entry for c in rewrite],
+                                dels, schema)
             kept = kept.filter(~F.coalesce(X.to_column(bound), F.lit(False)))
             new_entries = W.stage_write(self.spark, md.location, kept, schema,
                                         md.spec(), sort_order=md.sort_order())

@@ -72,3 +72,50 @@ def test_compaction_after_deletes_preserves_result(warehouse, orders, spark):
     # CoW delete of everything matching a predicate rewrites files and the
     # result stays stable
     assert want == orders.filter("o_orderkey % 7 != 0").count()
+
+
+def test_compaction_applies_delete_files(warehouse, orders, spark):
+    """Compaction must not resurrect rows hidden by delete files."""
+    t = _ingest(warehouse, "db.cdel", orders.limit(0))
+    for i in range(4):
+        t.append(orders.filter(f"o_orderkey % 4 = {i}"))
+    victims = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    t.add_equality_deletes(victims, ["o_orderkey"])
+    want = orders.filter("o_orderkey % 10 != 0").count()
+    assert t.to_df().count() == want
+    res = t.rewrite_data_files(min_input_files=2)
+    assert res["rewritten_files"] > 0
+    assert t.to_df().count() == want  # still gone after rewrite
+
+
+def test_cow_delete_applies_delete_files(warehouse, orders, spark):
+    """CoW DELETE rewrite must not resurrect eq-deleted rows."""
+    t = _ingest(warehouse, "db.cowdel", orders)
+    keys = orders.filter("o_orderkey % 11 = 0").select("o_orderkey")
+    t.add_equality_deletes(keys, ["o_orderkey"])
+    n_after_eq = t.to_df().count()
+    t.delete_where("o_totalprice > 200000")
+    want = orders.filter("o_orderkey % 11 != 0 AND o_totalprice <= 200000").count()
+    assert t.to_df().count() == want
+
+
+def test_update_applies_delete_files(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.upddel", orders)
+    keys = orders.filter("o_orderkey % 13 = 0").select("o_orderkey")
+    t.add_equality_deletes(keys, ["o_orderkey"])
+    t.update({"o_orderstatus": "'X'"}, "o_totalprice < 50000")
+    # eq-deleted rows must not reappear via the update rewrite
+    assert t.to_df().count() == orders.filter("o_orderkey % 13 != 0").count()
+    assert t.to_df(filter="o_orderkey % 13 = 0").count() == 0
+
+
+def test_merge_applies_delete_files(warehouse, orders, spark):
+    from incubator_iceberg_spark.row_ops import WhenMatched
+    t = _ingest(warehouse, "db.mrgdel", orders)
+    keys = orders.filter("o_orderkey % 17 = 0").select("o_orderkey")
+    t.add_equality_deletes(keys, ["o_orderkey"])
+    src = orders.limit(200).select("o_orderkey")
+    t.merge(src, on=["o_orderkey"],
+            when_matched=[WhenMatched(update={"o_orderstatus": "'M'"})])
+    assert t.to_df().count() == orders.filter("o_orderkey % 17 != 0").count()
+    assert t.to_df(filter="o_orderkey % 17 = 0").count() == 0
