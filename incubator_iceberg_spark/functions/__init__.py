@@ -9,6 +9,6 @@ Everything stays JVM-side (built-in ``pyspark.sql.functions`` higher-order
 functions) except clearly-marked media decode stubs.
 """
 
-from incubator_iceberg_spark.functions import text, dedup, similarity, multimodal
+from incubator_iceberg_spark.functions import text, dedup, similarity, multimodal, skew
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "skew"]

@@ -156,3 +156,32 @@ def test_decode_stub_raises_without_stub(spark):
     feats = MM.extract_features(df, decode_stub=False)
     with pytest.raises(Exception):  # NotImplementedError inside the udf
         feats.collect()
+
+
+def test_salted_aggregate_matches_plain(spark, lineitem):
+    from incubator_iceberg_spark.functions import skew
+    from pyspark.sql import functions as F
+
+    got = skew.salted_aggregate(
+        lineitem, "l_returnflag",
+        {"total_qty": ("sum", "l_quantity"), "n": ("count", "l_quantity"),
+         "max_price": ("max", "l_extendedprice")},
+        salt_buckets=8).collect()
+    want = (lineitem.groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("total_qty"),
+                 F.count("l_quantity").alias("n"),
+                 F.max("l_extendedprice").alias("max_price"))).collect()
+    g = {r["l_returnflag"]: (round(r["total_qty"], 6), r["n"], r["max_price"]) for r in got}
+    w = {r["l_returnflag"]: (round(r["total_qty"], 6), r["n"], r["max_price"]) for r in want}
+    assert g == w
+
+
+def test_salted_join_matches_plain(spark, lineitem, orders):
+    from incubator_iceberg_spark.functions import skew
+
+    li = lineitem.select("l_orderkey", "l_quantity") \
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    small = orders.select("o_orderkey", "o_orderpriority")
+    got = skew.salted_join(li, small, on="o_orderkey", salt_buckets=4).count()
+    want = li.join(small, "o_orderkey").count()
+    assert got == want
