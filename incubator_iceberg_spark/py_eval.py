@@ -300,6 +300,44 @@ def eval_summary(proj: X.Expression, summaries: dict) -> bool:
     return True
 
 
+def residual_for(bound: X.Expression, spec, partition: dict) -> X.Expression:
+    """P9 residual evaluator (api/.../expressions/ResidualEvaluator.java:30-75):
+    partially evaluate the bound row filter against ONE file's partition
+    tuple.  Predicates proven true for every row in the partition (strict
+    projection holds) collapse to TRUE; predicates that cannot match
+    (inclusive projection fails) collapse to FALSE; the rest remain and
+    must be applied per row.  Files whose residual is AlwaysTrue skip row
+    filtering entirely."""
+    from incubator_iceberg_spark import partitioning as PT
+
+    def walk(e):
+        if isinstance(e, (X.AlwaysTrue, X.AlwaysFalse)):
+            return e
+        if isinstance(e, X.And):
+            return X.and_(walk(e.left), walk(e.right))
+        if isinstance(e, X.Or):
+            return X.or_(walk(e.left), walk(e.right))
+        if isinstance(e, X.SqlPredicate):
+            return e
+        assert isinstance(e, X.Predicate)
+        if not isinstance(e.term, X.BoundReference):
+            return e
+        for f in spec.fields:
+            if f.source_id != e.term.field_id:
+                continue
+            strict = f.transform.project_strict(f.name, e)
+            if strict is not None and eval_partition_value(strict, partition):
+                return X.always_true()
+            incl = f.transform.project(f.name, e)
+            if incl is not None and not eval_partition_value(incl, partition):
+                return X.always_false()
+        return e
+
+    if not spec.is_partitioned:
+        return bound
+    return walk(bound)
+
+
 def arrow_mask(tbl, bound):
     """Compile a bound expression to a pyarrow boolean mask (row filter for
     the local/arrow read paths — Table.to_arrow and the Python data

@@ -257,9 +257,60 @@ class TableScan:
         current_schema = md.schema()
 
         data, dels = self._plan_split() if snap is not None else ([], [])
+        bound = self._bound_filter(current_schema)
+
+        # P9 residual evaluation: group files by the per-file residual of
+        # the row filter — files whose partition strictly satisfies a
+        # predicate skip that comparison per row entirely
+        residual_groups = self._residual_groups(md, data, bound)
+        if residual_groups is not None:
+            from incubator_iceberg_spark import py_eval as PE
+            parts = []
+            for res, group in residual_groups:
+                if isinstance(res, X.AlwaysFalse):
+                    continue
+                df = read_entries(self.spark, md, group, dels, current_schema,
+                                  with_lineage=with_lineage)
+                if not isinstance(res, X.AlwaysTrue):
+                    df = df.filter(X.to_column(res))
+                parts.append(df)
+            if not parts:
+                sp = current_schema.to_spark()
+                if with_lineage:
+                    sp = sp.add("_file", "string").add("_pos", "long")
+                df = self.spark.createDataFrame([], sp)
+            else:
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
+            if self.selected:
+                df = df.select(*self.selected)
+            return df
+
         df = read_entries(self.spark, md, data, dels, current_schema,
                           with_lineage=with_lineage)
         return self._finish(df, current_schema)
+
+    def _residual_groups(self, md, data, bound):
+        """[(residual_expr, entries)] or None to use the plain filter path.
+        Requires local-plan entries (partition tuples present) and a
+        non-trivial filter; falls back when residuals fragment the scan."""
+        from incubator_iceberg_spark import py_eval as PE
+
+        if isinstance(bound, X.AlwaysTrue) or not data:
+            return None
+        if any("partition" not in e and "spec_id" not in e for e in data):
+            return None  # DF-planned row subset: no partition values
+        groups: dict = {}
+        for e in data:
+            spec = md.spec_by_id(e.get("spec_id", md.default_spec_id))
+            if spec.is_partitioned and "partition" not in e:
+                return None
+            res = PE.residual_for(bound, spec, e.get("partition") or {})
+            groups.setdefault(str(res), (res, []))[1].append(e)
+        if len(groups) > 8:
+            return None  # too fragmented; one scan + full filter is better
+        return list(groups.values())
 
     def _finish(self, df, schema: S.Schema):
         bound = self._bound_filter(schema)

@@ -142,3 +142,28 @@ def test_sort_order_applied(warehouse, orders):
     df = t.spark.read.parquet(path)
     vals = [r[0] for r in df.select("o_totalprice").collect()]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_residual_groups_skip_row_filter(warehouse, lineitem, spark):
+    """P9: interior month partitions of a month-range filter get residual
+    TRUE (no per-row date comparison); results stay identical."""
+    import incubator_iceberg_spark.expressions as X
+    from incubator_iceberg_spark import py_eval as PE
+    from incubator_iceberg_spark.scan import parse_predicate
+
+    t = warehouse.create_table("db.resid", Schema.from_spark(lineitem.schema),
+                               partition_by=["month(l_shipdate)"])
+    t.append(lineitem)
+    cond = ("l_shipdate >= TIMESTAMP '1997-01-15' AND "
+            "l_shipdate < TIMESTAMP '1997-04-15'")
+    got = t.to_df(filter=cond).count()
+    want = lineitem.filter(cond).count()
+    assert got == want
+
+    # interior month (Feb 1997, ordinal 325) strictly satisfies the range
+    bound = X.bind(t.schema(), parse_predicate(cond))
+    res = PE.residual_for(bound, t.spec(), {"l_shipdate_month": 325})
+    assert isinstance(res, X.AlwaysTrue)
+    # boundary month (Jan 1997, 324) keeps the lower-bound comparison
+    res_b = PE.residual_for(bound, t.spec(), {"l_shipdate_month": 324})
+    assert not isinstance(res_b, (X.AlwaysTrue, X.AlwaysFalse))
