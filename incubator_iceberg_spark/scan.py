@@ -233,7 +233,9 @@ class TableScan:
         from pyspark.sql import functions as F
         cols = ["file_path", "schema_id", "sequence_number", "content", "file_format"]
         have = [c for c in cols if c in entries.columns]
-        rows = [r.asDict() for r in entries.select(*have).collect()]
+        # stream the pruned file list instead of one giant collect (at
+        # 100 TB the path list is the only driver materialization)
+        rows = [r.asDict() for r in entries.select(*have).toLocalIterator()]
         data = [r for r in rows if (r.get("content") or 0) == MF.DATA]
         del_paths = [r["file_path"] for r in rows if (r.get("content") or 0) != MF.DATA]
         dels = []
