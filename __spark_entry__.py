@@ -536,9 +536,10 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_minhash(spark, sf_dir):
     from incubator_iceberg_spark.functions import dedup
     df = _table(spark, sf_dir, "documents_ice").to_df()
-    # 16 hashes × 8 bands of 2: P(candidate | j=0.8) ≈ 99.97%, half the
-    # signature cost of 32 hashes; final pairs are exact-jaccard verified
-    return dedup.minhash_lsh_pairs(df, num_hashes=16, bands=8,
+    # 32 hashes × 8 bands of 4: P(candidate | j=0.8) ≈ 96%, and crucially
+    # P(candidate | j=0.1) ≈ 0.08% — 2-row bands were measured 15× slower
+    # from low-similarity candidate-pair explosion in the verify stage
+    return dedup.minhash_lsh_pairs(df, num_hashes=32, bands=8,
                                    jaccard_threshold=0.8)
 
 

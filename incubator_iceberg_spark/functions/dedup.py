@@ -99,9 +99,19 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                   & (F.col("a.__id") < F.col("b.__id")))
             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
             .distinct())
+    # cheap signature-estimate prefilter (fraction of equal minhashes ≈
+    # jaccard) before the exact shingle-set verification — an O(num_hashes)
+    # compare instead of O(|shingles|) intersect for the losers
+    est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                      lambda a, b: a == b),
+                           lambda x: x)).cast("double") / F.lit(num_hashes))
     verified = (cand
-                .join(sig.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
-                .join(sig.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+                .join(sig.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"),
+                                 F.col("__sig").alias("sig_a")), "id_a")
+                .join(sig.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"),
+                                 F.col("__sig").alias("sig_b")), "id_b")
+                .withColumn("__est", est)
+                .filter(F.col("__est") >= jaccard_threshold * 0.5)
                 .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
                 .filter(F.col("jaccard") >= jaccard_threshold)
                 .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
