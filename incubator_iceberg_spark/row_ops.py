@@ -33,6 +33,9 @@ class MergeCardinalityError(Exception):
     """>1 source row matched one target row (TestMerge error-path parity)."""
 
 
+_CARDINALITY_MSG = "MERGE_CARDINALITY_VIOLATION: a target row matched more than one source row"
+
+
 # ---------------------------------------------------------------------------
 # python-side inclusive metrics check (conflict validation on entry dicts)
 # ---------------------------------------------------------------------------
@@ -357,14 +360,21 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
     t_exists = F.coalesce(F.col("t.__t_exists"), F.lit(False))
     s_exists = F.coalesce(F.col("s.__s_exists"), F.lit(False))
 
-    # ---- J2 cardinality guard -------------------------------------------
+    # ---- J2 cardinality guard, fused into the main pass ------------------
+    # A separate count job would recompute the full-outer join; instead a
+    # window count per target row feeds a raise_error guard that fires
+    # while the SAME join computes the merge output (one pass total).
     if check_cardinality and touched:
-        dup = (joined.filter(t_exists & s_exists)
-               .groupBy(F.col("t._file"), F.col("t._pos")).count()
-               .filter(F.col("count") > 1).limit(1).count())
-        if dup:
-            raise MergeCardinalityError(
-                "MERGE: a target row matched more than one source row")
+        from pyspark.sql.window import Window
+        w = Window.partitionBy(F.col("t._file"), F.col("t._pos"))
+        match_cnt = F.sum(F.when(t_exists & s_exists, 1).otherwise(0)).over(w)
+        guard = F.when(
+            t_exists & s_exists & (match_cnt > 1),
+            F.raise_error(F.lit(_CARDINALITY_MSG)).cast("boolean")
+        ).otherwise(F.lit(True))
+        # the filter forces per-row evaluation of the guard (a bare column
+        # would be pruned away by Catalyst and never raise)
+        joined = joined.withColumn("__guard", guard).filter(F.col("__guard"))
 
     # ---- action dispatch -------------------------------------------------
     KEEP, DROP = -1, -2
@@ -415,8 +425,14 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
         out_cols.append(col.cast(S._to_spark_type(f.type)).alias(f.name))
     result = joined.select(*out_cols)
 
-    staged = W.stage_write(spark, md.location, result, schema, md.spec(),
-                           sort_order=md.sort_order())
+    try:
+        staged = W.stage_write(spark, md.location, result, schema, md.spec(),
+                               sort_order=md.sort_order())
+    except Exception as e:
+        if _CARDINALITY_MSG in str(e):
+            raise MergeCardinalityError(
+                "MERGE: a target row matched more than one source row") from None
+        raise
     if not touched and not staged:
         return {"touched_files": 0, "written_files": 0}
     table.metadata = SN.overwrite_files(

@@ -218,4 +218,8 @@ class IcebergPyDataSource(DataSource):
 
 
 def register(spark) -> None:
-    spark.dataSource.register(IcebergPyDataSource)
+    try:
+        spark.dataSource.register(IcebergPyDataSource)
+    except Exception as e:  # already registered in this session
+        if "already" not in str(e).lower():
+            raise
