@@ -27,13 +27,15 @@ BENCH_QUERIES = [
     # B2 selective filter scan with partition/file skipping
     "q6_forecast_revenue",
     "filter_pushdown_scan",
-    # B3 join query (Q3-shaped)
+    # B3 join queries (Q3/Q5-shaped)
     "q3_shipping_priority",
+    "q5_nation_revenue",
     # B5 MERGE INTO
     "merge_upsert",
-    # B6 delete: metadata-aligned, then CoW
+    # B6 delete: metadata-aligned, CoW, and v2 delete files
     "delete_metadata",
     "delete_cow",
+    "eq_delete_scan",
     # B7 time travel + incremental
     "time_travel",
     "incremental_read",

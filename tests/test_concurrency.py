@@ -1,0 +1,117 @@
+"""Tier 3: commit-protocol stress — concurrent writers in SEPARATE
+processes race the atomic hard-link swap (threads share the GIL and an
+interpreter; processes are the honest test of HadoopTableOperations-style
+optimistic concurrency)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from incubator_iceberg_spark.schema import Schema
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = """
+import sys, json
+sys.path.insert(0, {repo!r})
+from incubator_iceberg_spark.metadata import TableOperations
+from incubator_iceberg_spark import snapshots as SN
+
+# pure-metadata appends (no Spark in the worker: the race is the commit)
+ops = TableOperations({loc!r})
+for i in range({n_commits}):
+    SN.append_files(ops, [{{
+        "file_path": f"/fake/{{'{tag}'}}-{{i}}.parquet",
+        "file_format": "parquet",
+        "record_count": 10,
+        "file_size_bytes": 100,
+        "value_counts": None,
+        "null_counts": None,
+        "lower_bounds": None,
+        "upper_bounds": None,
+    }}])
+print("done")
+"""
+
+
+def test_multiprocess_commit_race(warehouse, spark):
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    t = warehouse.create_table("db.race", Schema.from_spark(df.schema))
+    loc = t.location
+
+    workers = []
+    for w in range(4):
+        code = WORKER.format(repo=REPO, loc=loc, n_commits=5, tag=f"w{w}")
+        workers.append(subprocess.Popen([sys.executable, "-c", code],
+                                        stdout=subprocess.PIPE,
+                                        stderr=subprocess.PIPE))
+    for p in workers:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[:2000]
+        assert b"done" in out
+
+    t.refresh()
+    # every one of the 20 commits must have landed, linearized
+    assert len(t.snapshots()) == 20
+    seqs = sorted(s.sequence_number for s in t.snapshots())
+    assert seqs == list(range(1, 21))
+    # all fake files present exactly once in the final state
+    entries = t.new_scan().plan_entries_local()
+    paths = [e["file_path"] for e in entries]
+    assert len(paths) == 20 and len(set(paths)) == 20
+    # version chain is contiguous: v1..v21 metadata files exist
+    md_dir = os.path.join(loc, "metadata")
+    versions = sorted(int(f[1:].split(".")[0]) for f in os.listdir(md_dir)
+                      if f.endswith(".metadata.json"))
+    assert versions == list(range(1, 22))
+
+
+def test_reader_never_sees_partial_state(warehouse, spark):
+    """Snapshot isolation under concurrent appends: a reader loading the
+    table mid-commit always sees a consistent snapshot (every load's
+    total-records summary matches its snapshot count)."""
+    import threading
+    from incubator_iceberg_spark import Catalog
+
+    df = spark.createDataFrame([(i, "x") for i in range(100)], "id long, s string")
+    t = warehouse.create_table("db.iso", Schema.from_spark(df.schema))
+    t.append(df)
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        try:
+            for _ in range(5):
+                tt = Catalog(warehouse.warehouse, spark).load_table("db.iso")
+                tt.append(df)
+        except Exception as e:
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def reader():
+        while not stop.is_set():
+            tt = Catalog(warehouse.warehouse, spark).load_table("db.iso")
+            snap = tt.current_snapshot()
+            if snap is None:
+                continue
+            total = int(snap.summary.get("total-records", -1))
+            n_appends = 0
+            cur = snap
+            while cur is not None:
+                n_appends += 1
+                cur = tt.metadata.snapshot_by_id(cur.parent_id) \
+                    if cur.parent_id is not None else None
+            if total != n_appends * 100:
+                errors.append(AssertionError(
+                    f"inconsistent snapshot: total={total}, appends={n_appends}"))
+                return
+
+    wt = threading.Thread(target=writer)
+    rt = threading.Thread(target=reader)
+    wt.start(); rt.start()
+    wt.join(); rt.join()
+    assert not errors, errors[0]
+    assert t.refresh().to_df().count() == 600
