@@ -222,9 +222,11 @@ class Table:
         mode = md.properties.get(MD.WRITE_DISTRIBUTION_MODE)
         target = md.property(MD.WRITE_TARGET_FILE_SIZE, MD.WRITE_TARGET_FILE_SIZE_DEFAULT)
         fmt = md.properties.get("write.format.default", "parquet")
+        nan = md.properties.get("write.metrics.nan-counts", "false") == "true"
         return W.stage_write(spark, md.location, df, md.schema(), md.spec(),
                              sort_order=md.sort_order(), distribution_mode=mode,
-                             target_file_size=target, file_format=fmt)
+                             target_file_size=target, file_format=fmt,
+                             nan_counts=nan)
 
     def append(self, df, spark=None, extra_summary: Optional[dict] = None) -> "Table":
         entries = self._stage(df, spark)

@@ -82,7 +82,8 @@ def _distribute(df, spec: PartitionSpec, sort_order, mode: str, part_cols):
 def stage_write(spark, table_location: str, df, schema: S.Schema, spec: PartitionSpec,
                 sort_order=None, distribution_mode: Optional[str] = None,
                 target_file_size: int = MD.WRITE_TARGET_FILE_SIZE_DEFAULT,
-                fanout: bool = False, file_format: str = "parquet") -> list:
+                fanout: bool = False, file_format: str = "parquet",
+                nan_counts: bool = False) -> list:
     """Write the DataFrame into the table's data dir; return manifest
     entries (dicts with stats + partition tuples)."""
     from pyspark.sql import functions as F
@@ -109,6 +110,8 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
 
     files = _list_data_files(staging, "." + file_format)
     stats = collect_file_stats(spark, files, schema, file_format=file_format)
+    if nan_counts and file_format == "parquet":
+        _attach_nan_counts(spark, staging, schema, stats)
     entries = []
     for st in stats:
         if (st["record_count"] or 0) == 0:
@@ -134,6 +137,33 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
             e["partition"] = partition
         entries.append(e)
     return entries
+
+
+def _attach_nan_counts(spark, staging: str, schema: S.Schema, stats: list) -> None:
+    """Optional NaN stats (DataFile.java:53 nan_value_counts): Parquet
+    footers don't carry them, so one column-pruned scan of the staged
+    float/double columns grouped by file fills them in.  Enabled via table
+    property write.metrics.nan-counts=true (costs a second read of the
+    float columns only)."""
+    from pyspark.sql import functions as F
+
+    float_cols = [f.name for f in schema.fields
+                  if isinstance(f.type, (S.FloatType, S.DoubleType))]
+    if not float_cols:
+        return
+    df = spark.read.parquet(staging)
+    aggs = [F.sum(F.when(F.isnan(F.col(c)), 1).otherwise(0)).alias(c)
+            for c in float_cols if c in df.columns]
+    if not aggs:
+        return
+    rows = (df.groupBy(F.col("_metadata.file_path").alias("__f"))
+            .agg(*aggs).collect())
+    from incubator_iceberg_spark.row_ops import normalize_file_uri
+    by_file = {normalize_file_uri(r["__f"]): r for r in rows}
+    for st in stats:
+        r = by_file.get(st["file_path"])
+        if r is not None:
+            st["nan_counts"] = {c: int(r[c] or 0) for c in float_cols if c in r}
 
 
 def _max_records_estimate(df, target_file_size: int) -> int:

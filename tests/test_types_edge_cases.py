@@ -145,3 +145,28 @@ def test_month_projection_soundness(data_ts, lit_ts):
         from incubator_iceberg_spark import py_eval as PE
         assert PE.eval_partition_value(proj, {"m": part}), \
             f"unsound projection: {op} lit={lit_ts} data={data_ts} part={part}"
+
+
+def test_nan_counts_enable_metadata_pruning(warehouse, spark):
+    """With write.metrics.nan-counts=true, is_nan predicates prune files
+    that provably contain no NaNs."""
+    t = warehouse.create_table(
+        "db.nanstats", "id long, v double",
+        properties={"write.metrics.nan-counts": "true"})
+    clean = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                                  "id long, v double").coalesce(1)
+    dirty = spark.createDataFrame([(100, float("nan")), (101, 1.0)],
+                                  "id long, v double").coalesce(1)
+    t.append(clean)
+    t.append(dirty)
+    entries = t.new_scan().plan_entries_local()
+    nc = {tuple(sorted((e.get("nan_counts") or {}).items())) for e in entries}
+    assert (("v", 0),) in nc and (("v", 1),) in nc
+    # pruning: only the dirty file is scanned for is_nan
+    pruned = t.new_scan().filter(X_is_nan()).plan_files()
+    assert len(pruned) == 1
+    assert t.to_df(filter=X_is_nan()).count() == 1
+
+
+def X_is_nan():
+    return X.is_nan("v")
