@@ -296,9 +296,17 @@ class TableScan:
     def _residual_groups(self, md, data, bound):
         """[(residual_expr, entries)] or None to use the plain filter path.
         Requires local-plan entries (partition tuples present) and a
-        non-trivial filter; falls back when residuals fragment the scan."""
+        non-trivial filter; falls back when residuals fragment the scan.
+
+        Off by default (read.use-residuals table property): every residual
+        group is its own Spark relation (~100s of ms of setup on a local
+        session), which usually exceeds the saved per-row comparisons —
+        Parquet row-group pruning already skips most of that work.  On a
+        long-running cluster session with large files the trade flips."""
         from incubator_iceberg_spark import py_eval as PE
 
+        if md.properties.get("read.use-residuals", "false") != "true":
+            return None
         if isinstance(bound, X.AlwaysTrue) or not data:
             return None
         if any("partition" not in e and "spec_id" not in e for e in data):

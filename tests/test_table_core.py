@@ -152,7 +152,8 @@ def test_residual_groups_skip_row_filter(warehouse, lineitem, spark):
     from incubator_iceberg_spark.scan import parse_predicate
 
     t = warehouse.create_table("db.resid", Schema.from_spark(lineitem.schema),
-                               partition_by=["month(l_shipdate)"])
+                               partition_by=["month(l_shipdate)"],
+                               properties={"read.use-residuals": "true"})
     t.append(lineitem)
     cond = ("l_shipdate >= TIMESTAMP '1997-01-15' AND "
             "l_shipdate < TIMESTAMP '1997-04-15'")
