@@ -36,6 +36,18 @@ def __getattr__(name):  # lazy: table pulls in pyspark-heavy modules
     if name in ("Catalog", "Table"):
         from incubator_iceberg_spark import table as _t
         return getattr(_t, name)
+    if name == "Transaction":
+        from incubator_iceberg_spark.transactions import Transaction
+        return Transaction
+    if name in ("WhenMatched", "WhenNotMatched", "MergeCardinalityError"):
+        from incubator_iceberg_spark import row_ops as _r
+        return getattr(_r, name)
+    if name == "register_data_source":
+        from incubator_iceberg_spark.sources import register
+        return register
+    if name == "events":
+        import importlib
+        return importlib.import_module("incubator_iceberg_spark.events")
     raise AttributeError(name)
 
 __all__ = [

@@ -226,6 +226,7 @@ class TableScan:
         if local is not None:
             data = [e for e in local if (e.get("content") or 0) == MF.DATA]
             dels = [e for e in local if (e.get("content") or 0) != MF.DATA]
+            self._emit_scan_event(data, dels)
             return data, dels
         entries = self.plan_entries_df()
         if entries is None:
@@ -243,7 +244,20 @@ class TableScan:
             # need full entries (equality_ids, seq) for application
             full = entries.filter(F.col("file_path").isin(del_paths)).collect()
             dels = [MF.normalize_entry(r.asDict(recursive=True)) for r in full]
+        self._emit_scan_event(data, dels)
         return data, dels
+
+    def _emit_scan_event(self, data, dels) -> None:
+        from incubator_iceberg_spark import events as EVT
+        snap = self._snapshot()
+        EVT.emit(EVT.ScanEvent(
+            table_location=self.table.metadata.location,
+            snapshot_id=snap.snapshot_id if snap else None,
+            filter=str(self.row_filter),
+            planned_data_files=len(data),
+            planned_delete_files=len(dels),
+            incremental=self.incremental,
+        ))
 
     def plan_files(self) -> list:
         """[(file_path, schema_id)] of DATA files after pruning."""

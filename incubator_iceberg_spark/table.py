@@ -97,6 +97,18 @@ class Catalog:
             shutil.rmtree(os.path.join(loc, "metadata"), ignore_errors=True)
         return True
 
+    def create_namespace(self, namespace: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, *namespace.split(".")),
+                    exist_ok=True)
+
+    def list_namespaces(self) -> list:
+        out = []
+        for entry in sorted(os.listdir(self.warehouse)):
+            p = os.path.join(self.warehouse, entry)
+            if os.path.isdir(p) and not os.path.isdir(os.path.join(p, "metadata")):
+                out.append(entry)
+        return out
+
     def list_tables(self, namespace: str = "") -> list:
         root = os.path.join(self.warehouse, *namespace.split(".")) if namespace else self.warehouse
         out = []
@@ -199,6 +211,15 @@ class Table:
         return self
 
     # -- reads -------------------------------------------------------------
+    def find_files(self, filter=None, spark=None) -> list:
+        """A4 FindFiles (core/.../FindFiles.java:33-151): data-file entry
+        dicts (path, partition, stats) matching an optional filter."""
+        scan = self.new_scan(spark)
+        if filter is not None:
+            scan = scan.filter(filter)
+        data, _dels = scan._plan_split()
+        return data
+
     def new_scan(self, spark=None) -> TableScan:
         return TableScan(self, spark or self.spark)
 

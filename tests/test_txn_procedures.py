@@ -123,3 +123,27 @@ def test_orc_format_roundtrip(warehouse, orders):
     t.update_properties({"write.format.default": "parquet"})
     t.append(orders.limit(30))
     assert t.to_df().count() == orders.count() + 30
+
+
+def test_events_and_find_files(warehouse, orders):
+    from incubator_iceberg_spark import events
+
+    seen = []
+    events.register(seen.append)
+    try:
+        t = _ingest(warehouse, "db.evts", orders,
+                    partition_by=["month(o_orderdate)"])
+        t.to_df(filter="o_orderdate >= TIMESTAMP '1997-06-01'").count()
+    finally:
+        events.unregister(seen.append)
+    commits = [e for e in seen if type(e).__name__ == "CommitEvent"]
+    scans = [e for e in seen if type(e).__name__ == "ScanEvent"]
+    assert commits and commits[0].operation == "append"
+    assert scans and scans[-1].planned_data_files > 0
+    # pruned scan planned fewer files than the table holds
+    total = len(t.find_files())
+    assert scans[-1].planned_data_files < total
+    # find_files with a filter returns pruned entries with stats
+    hits = t.find_files("o_orderdate >= TIMESTAMP '1997-06-01'")
+    assert 0 < len(hits) < total
+    assert "record_count" in hits[0] and "partition" in hits[0]
