@@ -1,0 +1,191 @@
+"""Thin SQL façade (SURVEY.md §4): the reference reaches MERGE/DELETE/
+UPDATE/CALL through a Catalyst parser extension
+(IcebergSparkSqlExtensionsParser, IcebergSqlExtensions.g4:68-88); here the
+same statements route to the Python engine API with a small parser —
+no JVM extensions.
+
+    from incubator_iceberg_spark import sqlfacade
+    sqlfacade.execute(catalog, spark, "DELETE FROM db.orders WHERE o_totalprice > 1e5")
+    sqlfacade.execute(catalog, spark, '''
+        MERGE INTO db.orders AS t USING updates AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice > 0 THEN UPDATE SET *
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+    ''')
+
+USING accepts a temp-view name or a parenthesized subquery (resolved via
+``spark.sql``).  SELECT statements pass through to ``spark.sql`` after
+registering the referenced engine tables as temp views (full-scan views:
+Catalyst applies filters post-scan; programmatic scans keep metadata
+pruning).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from incubator_iceberg_spark.row_ops import WhenMatched, WhenNotMatched
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)\s*(?:WHERE\s+(.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?\s*(\w+)?\s+USING\s+"
+    r"(\(.*?\)|[\w.]+)(?:\s+AS)?\s*(\w+)?\s+ON\s+(.*?)\s*(WHEN\s+.*)$",
+    re.IGNORECASE | re.DOTALL)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+"
+    r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    re.IGNORECASE | re.DOTALL)
+
+
+def execute(catalog, spark, sql: str):
+    """Dispatch one SQL statement against engine tables."""
+    s = sql.strip().rstrip(";")
+    head = s.split(None, 1)[0].upper() if s else ""
+    if head == "CALL":
+        from incubator_iceberg_spark import procedures
+        return procedures.call(catalog, s, spark=spark)
+    if head == "DELETE":
+        m = _DELETE_RE.match(s)
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {sql!r}")
+        t = catalog.load_table(m.group(1), spark=spark)
+        return t.delete_where(m.group(2) or "1 = 1")
+    if head == "UPDATE":
+        m = _UPDATE_RE.match(s)
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {sql!r}")
+        t = catalog.load_table(m.group(1), spark=spark)
+        assignments = _parse_assignments(m.group(2))
+        return t.update(assignments, m.group(3) or "1 = 1")
+    if head == "MERGE":
+        return _merge(catalog, spark, s)
+    if head in ("SELECT", "WITH"):
+        return spark.sql(_register_and_rewrite(catalog, spark, s))
+    raise ValueError(f"unsupported statement: {head} "
+                     "(supported: SELECT, DELETE, UPDATE, MERGE, CALL)")
+
+
+def _parse_assignments(raw: str) -> dict:
+    out = {}
+    for part in _split_top(raw, ","):
+        if "=" not in part:
+            raise ValueError(f"bad assignment: {part!r}")
+        k, v = part.split("=", 1)
+        k = k.strip()
+        if k.lower().startswith("t."):
+            k = k[2:]
+        out[k] = v.strip()
+    return out
+
+
+def _split_top(s: str, sep: str) -> list:
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _merge(catalog, spark, s: str):
+    m = _MERGE_RE.match(s)
+    if not m:
+        raise ValueError(f"cannot parse MERGE: {s!r}")
+    target_name, t_alias, source_sql, s_alias, on_cond, whens = m.groups()
+    t_alias = t_alias or "t"
+    s_alias = s_alias or "s"
+    table = catalog.load_table(target_name, spark=spark)
+    if source_sql.startswith("("):
+        source_df = spark.sql(source_sql[1:-1])
+    else:
+        source_df = spark.table(source_sql)
+
+    # normalize aliases to the engine's canonical t/s
+    def canon(expr: str) -> str:
+        expr = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr)
+        expr = re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr)
+        return expr
+
+    matched, not_matched = [], []
+    for neg, cond, action in _WHEN_RE.findall(whens):
+        cond = canon(cond.strip()) if cond.strip() else None
+        a = action.strip()
+        a_up = a.upper()
+        if neg:
+            if not a_up.startswith("INSERT"):
+                raise ValueError("WHEN NOT MATCHED supports INSERT only")
+            body = a[len("INSERT"):].strip()
+            if body == "*":
+                not_matched.append(WhenNotMatched(condition=cond))
+            else:
+                cols_part, vals_part = body.split("VALUES", 1)
+                cols = [c.strip() for c in cols_part.strip(" ()").split(",")]
+                vals = _split_top(vals_part.strip(" ()"), ",")
+                not_matched.append(WhenNotMatched(
+                    condition=cond,
+                    insert={c: canon(v) for c, v in zip(cols, vals)}))
+        elif a_up == "DELETE":
+            matched.append(WhenMatched(condition=cond, delete=True))
+        elif a_up.startswith("UPDATE"):
+            body = a[len("UPDATE"):].strip()
+            if not body.upper().startswith("SET"):
+                raise ValueError(f"bad UPDATE action: {a!r}")
+            body = body[3:].strip()
+            if body == "*":
+                matched.append(WhenMatched.update_all(condition=cond))
+            else:
+                matched.append(WhenMatched(
+                    condition=cond,
+                    update={k: canon(v) for k, v in _parse_assignments(body).items()}))
+        else:
+            raise ValueError(f"unsupported MERGE action: {a!r}")
+    return table.merge(source_df, on=canon(on_cond),
+                       when_matched=matched, when_not_matched=not_matched)
+
+
+def _register_and_rewrite(catalog, spark, s: str) -> str:
+    """Register engine tables named in the statement as temp views and
+    rewrite their dotted names (full-scan views; see module docstring).
+    Dotted tokens that are not engine tables (column refs like t.col)
+    fail load_table and are left untouched."""
+    for name in set(re.findall(r"\b((?:\w+\.)+\w+)\b", s)):
+        try:
+            t = catalog.load_table(name, spark=spark)
+        except Exception:
+            continue
+        view = name.replace(".", "_")
+        t.to_df(spark).createOrReplaceTempView(view)
+        s = re.sub(rf"\b{re.escape(name)}\b", view, s)
+    return s
+
+
+def register_views(catalog, spark, names=None) -> None:
+    """Expose engine tables as Spark temp views (dots → underscores)."""
+    for name in (names or catalog.list_tables()):
+        t = catalog.load_table(name, spark=spark)
+        t.to_df(spark).createOrReplaceTempView(name.replace(".", "_"))

@@ -1,0 +1,88 @@
+"""Tier 3: SQL façade — DELETE/UPDATE/MERGE/CALL/SELECT statements routed
+to the engine (IcebergSqlExtensions.g4 grammar surface, sans JVM)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark import sqlfacade as SQL
+from incubator_iceberg_spark.schema import Schema
+
+
+def _ingest(warehouse, name, df, **kw):
+    t = warehouse.create_table(name, Schema.from_spark(df.schema), **kw)
+    t.append(df)
+    return t
+
+
+def test_sql_delete(warehouse, orders, spark):
+    _ingest(warehouse, "db.sd", orders)
+    res = SQL.execute(warehouse, spark, "DELETE FROM db.sd WHERE o_totalprice > 200000")
+    assert res["deleted_rows"] == orders.filter("o_totalprice > 200000").count()
+    t = warehouse.load_table("db.sd")
+    assert t.to_df().count() == orders.filter("o_totalprice <= 200000").count()
+
+
+def test_sql_update(warehouse, orders, spark):
+    _ingest(warehouse, "db.su", orders)
+    SQL.execute(warehouse, spark,
+                "UPDATE db.su SET o_orderstatus = 'Z', o_totalprice = o_totalprice * 2 "
+                "WHERE o_orderkey % 10 = 0")
+    t = warehouse.load_table("db.su")
+    assert t.to_df(filter="o_orderstatus = 'Z'").count() == \
+        orders.filter("o_orderkey % 10 = 0").count()
+
+
+def test_sql_merge_full_grammar(warehouse, orders, spark):
+    _ingest(warehouse, "db.sm", orders)
+    (orders.filter("o_orderkey % 20 = 0")
+     .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+     .createOrReplaceTempView("merge_src"))
+    SQL.execute(warehouse, spark, """
+        MERGE INTO db.sm AS tgt USING merge_src AS src
+        ON tgt.o_orderkey = src.o_orderkey
+        WHEN MATCHED AND src.o_totalprice > 150000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    t = warehouse.load_table("db.sm")
+    deleted = orders.filter("o_orderkey % 20 = 0 AND o_totalprice + 1 > 150000").count()
+    updated = orders.filter("o_orderkey % 20 = 0 AND o_totalprice + 1 <= 150000").count()
+    assert t.to_df().count() == orders.count() - deleted
+    assert t.to_df(filter="o_orderstatus = 'M'").count() == updated
+
+
+def test_sql_merge_subquery_source(warehouse, orders, spark):
+    _ingest(warehouse, "db.sm2", orders.limit(100))
+    orders.createOrReplaceTempView("orders_raw")
+    SQL.execute(warehouse, spark, """
+        MERGE INTO db.sm2 t
+        USING (SELECT o_orderkey, 'Q' AS st FROM orders_raw LIMIT 40) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st
+    """)
+    t = warehouse.load_table("db.sm2")
+    assert t.to_df(filter="o_orderstatus = 'Q'").count() > 0
+
+
+def test_sql_select_passthrough(warehouse, orders, spark):
+    _ingest(warehouse, "db.ss", orders)
+    df = SQL.execute(warehouse, spark,
+                     "SELECT o_orderstatus, count(*) AS n FROM db.ss GROUP BY 1")
+    got = {r["o_orderstatus"]: r["n"] for r in df.collect()}
+    want = {r["o_orderstatus"]: r["count"] for r in
+            orders.groupBy("o_orderstatus").count().collect()}
+    assert got == want
+
+
+def test_sql_call(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.sc", orders.limit(50))
+    s1 = t.metadata.current_snapshot_id
+    t.append(orders.limit(10))
+    SQL.execute(warehouse, spark,
+                f"CALL system.rollback_to_snapshot('db.sc', {s1})")
+    assert warehouse.load_table("db.sc").to_df().count() == 50
+
+
+def test_sql_unsupported(warehouse, spark):
+    with pytest.raises(ValueError):
+        SQL.execute(warehouse, spark, "DROP TABLE db.x")
