@@ -66,6 +66,10 @@ def main() -> int:
     setup_sec = round(time.time() - t0, 3)
 
     qs = E.queries()
+    # JIT/classload warmup: the first heavy query in a fresh JVM otherwise
+    # absorbs several seconds of one-time cost (measured 5x on q5)
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     b4_t0 = time.time()
     # B4 partitioned append: write sf lineitem partitioned by month(l_shipdate)
