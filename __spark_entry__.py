@@ -598,6 +598,33 @@ def q_embedding_neardup(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(df, bits=10, cosine_threshold=0.99)
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation (hot-key mitigation) — must equal the
+    plain GROUP BY."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import skew
+    df = _table(spark, sf_dir, "lineitem_part").to_df()
+    out = skew.salted_aggregate(
+        df, "l_returnflag",
+        {"sum_qty": ("sum", "l_quantity"), "n": ("count", "l_quantity"),
+         "max_price": ("max", "l_extendedprice")}, salt_buckets=16)
+    return out.select("l_returnflag", F.round("sum_qty", 2).alias("sum_qty"),
+                      "n", "max_price")
+
+
+def q_knn_join(spark, sf_dir):
+    """Exact k-NN join: top-3 corpus neighbors for each of the first 5
+    vectors (broadcast queries + window rank)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import similarity
+    emb = _table(spark, sf_dir, "embeddings_ice").to_df()
+    queries_df = (emb.orderBy("vec_id").limit(5)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    return (similarity.cosine_join_topk(emb, queries_df, k=3)
+            .select("q_id", "rank", "vec_id", "cos_sim"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.functions import multimodal as MM
@@ -650,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analyze": q_text_analyze,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "skew_salted_agg": q_skew_salted_agg,
+        "knn_join": q_knn_join,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
     }
@@ -844,6 +873,26 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY vec_id LIMIT 1)), 6) AS cos_sim
             FROM embeddings
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "skew_salted_agg": """
+            SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                   count(l_quantity) AS n, max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+                 scored AS (
+                   SELECT q.q_id, e.vec_id,
+                          round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       q.q_vec), 6) AS cos_sim
+                   FROM embeddings e CROSS JOIN q),
+                 ranked AS (
+                   SELECT q_id, vec_id, cos_sim,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cos_sim DESC, vec_id) AS rank
+                   FROM scored)
+            SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 3
         """,
         # rows-only checks (non-SQL-expressible / engine-defined hashing):
         # snapshots_meta, dedup_minhash_pairs, dedup_simhash_pairs,
