@@ -168,3 +168,23 @@ def test_residual_groups_skip_row_filter(warehouse, lineitem, spark):
     # boundary month (Jan 1997, 324) keeps the lower-bound comparison
     res_b = PE.residual_for(bound, t.spec(), {"l_shipdate_month": 324})
     assert not isinstance(res_b, (X.AlwaysTrue, X.AlwaysFalse))
+
+
+def test_distributed_stats_collection(warehouse, orders, spark, monkeypatch):
+    """Above the file-count threshold, footer stats collect via a
+    mapInPandas Spark job on executors — results must match driver-side."""
+    from incubator_iceberg_spark import write as W
+
+    monkeypatch.setattr(W, "DRIVER_STATS_MAX_FILES", 2)
+    t = warehouse.create_table("db.dstats", Schema.from_spark(orders.schema))
+    t.append(orders.repartition(8))  # 8 files > threshold → distributed path
+    entries = t.new_scan().plan_entries_local()
+    assert len(entries) == 8
+    for e in entries:
+        assert e["record_count"] > 0
+        assert e["lower_bounds"]["o_orderkey"] is not None
+        assert e["upper_bounds"]["o_orderdate"] is not None
+    # pruning works off the distributed-collected stats
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    assert t.new_scan().filter(f"o_orderkey > {hi}").plan_files() == []
+    assert t.to_df().count() == orders.count()
