@@ -445,6 +445,50 @@ def q_q5_nation_revenue(spark, sf_dir):
                  .alias("revenue")))
 
 
+def q_q10_returned_items(spark, sf_dir):
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    cust = _table(spark, sf_dir, "customer_ice").to_df()
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .filter((F.col("l_returnflag") == "R")
+                    & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")))
+            .groupBy("c_custkey", "c_name", "c_acctbal")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.col("c_custkey"))
+            .limit(20))
+
+
+def q_q12_priority_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+def q_q14_promo_share(spark, sf_dir):
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    part = _load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .filter((F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp")))
+            .agg(F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev), 4).alias("promo_revenue_pct")))
+
+
 def q_eq_delete_scan(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.schema import Schema
@@ -655,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overwrite_dynamic": q_overwrite_dynamic,
         "schema_evolution": q_schema_evolution,
         "q5_nation_revenue": q_q5_nation_revenue,
+        "q10_returned_items": q_q10_returned_items,
+        "q12_priority_split": q_q12_priority_split,
+        "q14_promo_share": q_q14_promo_share,
         "eq_delete_scan": q_eq_delete_scan,
         "pos_delete_scan": q_pos_delete_scan,
         "orc_scan": q_orc_scan,
@@ -807,6 +854,40 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY r_name, n_name
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+            GROUP BY c_custkey, c_name, c_acctbal
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q12_priority_split": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q14_promo_share": """
+            SELECT round(100.0
+                   * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l_shipdate < TIMESTAMP '1997-09-01'
         """,
         "eq_delete_scan": "SELECT * FROM orders WHERE o_orderkey % 37 != 0",
         "pos_delete_scan": """

@@ -247,3 +247,49 @@ def rewrite_manifests(table, spark=None) -> dict:
 
     table.metadata = MD.run_with_retries(table.ops, apply)
     return {"rewritten_manifests": len(rows), "added_manifests": len(by_spec)}
+
+
+def remove_dangling_deletes(table) -> dict:
+    """Drop v2 delete-file entries that can no longer affect any live data
+    file: an equality delete needs a live data file with a STRICTLY lower
+    sequence number; a position delete needs one with seq <= its own whose
+    path falls inside the delete file's file_path bounds.  After
+    compaction rewrites the data (new, higher sequence numbers), deletes
+    become dead weight in every scan plan — this reclaims them.
+    Conservative: unknown bounds keep the delete file."""
+    from incubator_iceberg_spark import snapshots as SN2
+
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None:
+        return {"removed_delete_files": 0}
+    entries = []
+    for row in MF.read_manifest_list_arrow(snap.manifest_list).to_pylist():
+        for e in MF.read_manifest_arrow(row["manifest_path"]).to_pylist():
+            if e.get("status") != MF.DELETED:
+                entries.append(MF.normalize_entry(e))
+    data = [e for e in entries if (e.get("content") or 0) == MF.DATA]
+    dels = [e for e in entries if (e.get("content") or 0) != MF.DATA]
+    if not dels:
+        return {"removed_delete_files": 0}
+    dangling = []
+    for d in dels:
+        d_seq = d.get("sequence_number") or 0
+        if (d.get("content") or 0) == MF.EQUALITY_DELETES:
+            alive = any((e.get("sequence_number") or 0) < d_seq for e in data)
+        else:  # position deletes: path-bounded, seq <=
+            lo = (d.get("lower_bounds") or {}).get("file_path")
+            hi = (d.get("upper_bounds") or {}).get("file_path")
+            def in_bounds(p):
+                if lo is None or hi is None:
+                    return True  # unknown → assume referenced
+                return lo <= p <= hi
+            alive = any((e.get("sequence_number") or 0) <= d_seq
+                        and in_bounds(e["file_path"]) for e in data)
+        if not alive:
+            dangling.append(d["file_path"])
+    if not dangling:
+        return {"removed_delete_files": 0}
+    table.metadata = SN2.overwrite_files(
+        table.ops, [], set(dangling), operation="delete")
+    return {"removed_delete_files": len(dangling)}

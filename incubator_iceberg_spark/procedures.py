@@ -90,6 +90,7 @@ PROCEDURES = {
         target_file_size=int(kw["target_file_size"]) if "target_file_size" in kw else None,
         min_input_files=int(kw.get("min_input_files", 5))),
     "add_files": lambda t, source_dir, **kw: add_files(t, source_dir),
+    "remove_dangling_deletes": lambda t, **kw: t.remove_dangling_deletes(),
 }
 
 _CALL_RE = re.compile(

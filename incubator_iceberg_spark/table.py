@@ -466,3 +466,7 @@ class Table:
     def rewrite_manifests(self, spark=None) -> dict:
         from incubator_iceberg_spark import maintenance
         return maintenance.rewrite_manifests(self, spark=spark or self.spark)
+
+    def remove_dangling_deletes(self) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.remove_dangling_deletes(self)

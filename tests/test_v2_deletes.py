@@ -119,3 +119,22 @@ def test_merge_applies_delete_files(warehouse, orders, spark):
             when_matched=[WhenMatched(update={"o_orderstatus": "'M'"})])
     assert t.to_df().count() == orders.filter("o_orderkey % 17 != 0").count()
     assert t.to_df(filter="o_orderkey % 17 = 0").count() == 0
+
+
+def test_remove_dangling_deletes(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.dangle", orders.limit(0))
+    for i in range(4):
+        t.append(orders.filter(f"o_orderkey % 4 = {i}"))
+    t.add_equality_deletes(
+        orders.filter("o_orderkey % 10 = 0").select("o_orderkey"), ["o_orderkey"])
+    want = orders.filter("o_orderkey % 10 != 0").count()
+    # still referenced: nothing to remove yet
+    assert t.remove_dangling_deletes()["removed_delete_files"] == 0
+    # compaction applies + supersedes the delete (new files, higher seq)
+    t.rewrite_data_files(min_input_files=2)
+    res = t.remove_dangling_deletes()
+    assert res["removed_delete_files"] >= 1
+    assert t.to_df().count() == want
+    # no delete entries remain in the scan plan
+    _data, dels = t.new_scan()._plan_split()
+    assert dels == []
