@@ -188,3 +188,27 @@ def test_distributed_stats_collection(warehouse, orders, spark, monkeypatch):
     hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
     assert t.new_scan().filter(f"o_orderkey > {hi}").plan_files() == []
     assert t.to_df().count() == orders.count()
+
+
+def test_distributed_plan_mode(warehouse, lineitem, orders, spark):
+    """read.plan-mode=distributed forces manifest-DataFrame planning (the
+    100 TB path) — pruning, scans, deletes and merges must behave
+    identically to the driver-local planner."""
+    t = warehouse.create_table("db.distplan", Schema.from_spark(lineitem.schema),
+                               partition_by=["month(l_shipdate)"],
+                               properties={"read.plan-mode": "distributed"})
+    t.append(lineitem)
+    assert t.new_scan().plan_entries_local() is None  # forced off
+    cond = "l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05"
+    assert t.to_df(filter=cond).count() == lineitem.filter(cond).count()
+    pruned = len(t.new_scan().filter("l_shipdate >= TIMESTAMP '2001-01-01'").plan_files())
+    total = len(t.new_scan().plan_files())
+    assert 0 < pruned < total
+    # row ops through the DF planner
+    res = t.delete_where("l_shipdate < TIMESTAMP '1996-01-01'")
+    want = lineitem.filter("l_shipdate >= TIMESTAMP '1996-01-01'").count()
+    assert t.to_df().count() == want
+    t.update({"l_returnflag": "'X'"}, "l_discount > 0.09")
+    got = t.to_df(filter="l_returnflag = 'X'").count()
+    assert got == lineitem.filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.09").count()
