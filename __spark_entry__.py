@@ -489,6 +489,80 @@ def q_q14_promo_share(spark, sf_dir):
                 / F.sum(rev), 4).alias("promo_revenue_pct")))
 
 
+def q_q2_top_supplier(spark, sf_dir):
+    """Q2-shaped (adapted: no partsupp table): for each EUROPE-region part of
+    a given size/type, the shipping supplier with the highest account balance
+    — correlated-max via window over the distinct candidate set."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    cand = (li.join(F.broadcast(part.filter(F.col("p_size").between(10, 20)
+                                            & (F.col("p_type") == "LARGE"))),
+                    li.l_partkey == F.col("p_partkey"))
+            .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+            .distinct())
+    w = Window.partitionBy("p_partkey")
+    return (cand.withColumn("max_bal", F.max("s_acctbal").over(w))
+            .filter(F.col("s_acctbal") == F.col("max_bal"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+            .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+            .limit(20))
+
+
+def q_q7_volume_shipping(spark, sf_dir):
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    cust = _table(spark, sf_dir, "customer_ice").to_df()
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nkey"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nkey"),
+                                   F.col("n_name").alias("cust_nation")))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+            .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+            .filter(pair
+                    & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+            .groupBy(F.col("supp_nation"), F.col("cust_nation"),
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def q_q19_disjunctive(spark, sf_dir):
+    """Q19-shaped: disjunction of conjunctive brackets over a broadcast join
+    — exercises OR-of-AND predicate pushdown through the scan."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    part = _load(spark, sf_dir, "part")
+    c1 = ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 5))
+          & (F.col("l_quantity").between(1, 11)))
+    c2 = ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 10))
+          & (F.col("l_quantity").between(10, 20)))
+    c3 = ((F.col("p_brand") == "Brand#24") & (F.col("p_size").between(1, 15))
+          & (F.col("l_quantity").between(20, 30)))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .filter(c1 | c2 | c3)
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
 def q_eq_delete_scan(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.schema import Schema
@@ -702,6 +776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "q12_priority_split": q_q12_priority_split,
         "q14_promo_share": q_q14_promo_share,
+        "q2_top_supplier": q_q2_top_supplier,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q19_disjunctive": q_q19_disjunctive,
         "eq_delete_scan": q_eq_delete_scan,
         "pos_delete_scan": q_pos_delete_scan,
         "orc_scan": q_orc_scan,
@@ -888,6 +965,54 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-03-01'
               AND l_shipdate < TIMESTAMP '1997-09-01'
+        """,
+        "q2_top_supplier": """
+            WITH cand AS (
+                SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal, n_name
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+                  AND p_type = 'LARGE'
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+            FROM cand c
+            WHERE s_acctbal = (SELECT max(s_acctbal) FROM cand c2
+                               WHERE c2.p_partkey = c.p_partkey)
+            ORDER BY s_acctbal DESC, p_partkey, s_name
+            LIMIT 20
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(year(l_shipdate) AS INT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                  AND l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+            ) GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q19_disjunctive": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "eq_delete_scan": "SELECT * FROM orders WHERE o_orderkey % 37 != 0",
         "pos_delete_scan": """
