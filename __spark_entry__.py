@@ -298,6 +298,26 @@ def q_merge_delete(spark, sf_dir):
     return t.to_df()
 
 
+def q_merge_by_source(spark, sf_dir):
+    """MERGE with WHEN NOT MATCHED BY SOURCE (sync-to-source semantics):
+    unmatched target rows are conditionally deleted or re-flagged."""
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.row_ops import WhenMatched, WhenNotMatchedBySource
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_mbs", Schema.from_spark(orders.schema))
+    t.append(orders)
+    source = orders.filter("o_orderkey % 3 = 0").select("o_orderkey")
+    t.merge(source, on=["o_orderkey"],
+            when_matched=[WhenMatched(update={"o_orderstatus": "'S'"})],
+            when_not_matched_by_source=[
+                WhenNotMatchedBySource(condition="t.o_totalprice > 150000",
+                                       delete=True),
+                WhenNotMatchedBySource(update={"o_orderstatus": "'N'"}),
+            ])
+    return t.to_df()
+
+
 def q_overwrite_dynamic(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.schema import Schema
@@ -770,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_cow": q_update_cow,
         "merge_upsert": q_merge_upsert,
         "merge_delete": q_merge_delete,
+        "merge_by_source": q_merge_by_source,
         "overwrite_dynamic": q_overwrite_dynamic,
         "schema_evolution": q_schema_evolution,
         "q5_nation_revenue": q_q5_nation_revenue,
@@ -902,6 +923,13 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice, o_orderdate, o_orderpriority
             FROM orders
             WHERE NOT (o_orderkey % 50 = 0 AND o_totalprice > 150000)
+        """,
+        "merge_by_source": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'S' ELSE 'N' END AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders
+            WHERE NOT (o_orderkey % 3 != 0 AND o_totalprice > 150000)
         """,
         "overwrite_dynamic": """
             SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -39,7 +39,8 @@ def __getattr__(name):  # lazy: table pulls in pyspark-heavy modules
     if name == "Transaction":
         from incubator_iceberg_spark.transactions import Transaction
         return Transaction
-    if name in ("WhenMatched", "WhenNotMatched", "MergeCardinalityError"):
+    if name in ("WhenMatched", "WhenNotMatched", "WhenNotMatchedBySource",
+                "MergeCardinalityError"):
         from incubator_iceberg_spark import row_ops as _r
         return getattr(_r, name)
     if name == "register_data_source":

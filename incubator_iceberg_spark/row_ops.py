@@ -315,16 +315,35 @@ class WhenNotMatched:
         return WhenNotMatched(condition=condition, insert=None)
 
 
+@dataclass
+class WhenNotMatchedBySource:
+    """Acts on TARGET rows with no source match (post-v0.11 SQL surface;
+    the condition may reference only ``t.`` columns — source side is null)."""
+    condition: Optional[str] = None
+    update: Optional[dict] = None  # col → SQL/Column/literal
+    delete: bool = False
+
+
 def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
-               spark=None, check_cardinality: bool = True) -> dict:
+               when_not_matched_by_source=None, spark=None,
+               check_cardinality: bool = True, evolve_schema: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     spark = spark or table.spark
+    if evolve_schema:
+        # add source-only columns to the target schema (union-by-name,
+        # UnionByNameVisitor.java analog) so inserts/updates can carry them
+        from incubator_iceberg_spark.schema import Schema as _Schema
+        cur = table.metadata.schema()
+        src_schema = _Schema.from_spark(source_df.schema)
+        if any(cur.find_field(f.name) is None for f in src_schema.fields):
+            table.update_schema().union_by_name(src_schema).commit()
     md = table.metadata
     schema = md.schema()
     base_snapshot_id = md.current_snapshot_id
     when_matched = list(when_matched or [])
     when_not_matched = list(when_not_matched or [])
+    by_source = list(when_not_matched_by_source or [])
 
     def cond_expr(on):
         if isinstance(on, str):
@@ -340,12 +359,18 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
     # ---- pass 1: dynamic file filter (R4) -------------------------------
     scan = TableScan(table, spark)
     data, dels = scan._plan_split()
-    target_all = scan.to_df(with_lineage=True)
-    join_cond = cond_expr(on)
-    touched_rows = (target_all.alias("t")
-                    .join(source_df.alias("s"), join_cond, "left_semi")
-                    .select("_file").distinct().collect())
-    touched = [normalize_file_uri(r["_file"]) for r in touched_rows]
+    if by_source:
+        # WHEN NOT MATCHED BY SOURCE can change any target row WITHOUT a
+        # match — unmatched rows are only identifiable in the join, so
+        # every data file is a rewrite candidate (no dynamic pruning)
+        touched = [e["file_path"] for e in data]
+    else:
+        target_all = scan.to_df(with_lineage=True)
+        join_cond = cond_expr(on)
+        touched_rows = (target_all.alias("t")
+                        .join(source_df.alias("s"), join_cond, "left_semi")
+                        .select("_file").distinct().collect())
+        touched = [normalize_file_uri(r["_file"]) for r in touched_rows]
 
     # ---- pass 2: full-outer join on touched files only ------------------
     from incubator_iceberg_spark.scan import read_entries
@@ -378,7 +403,16 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
 
     # ---- action dispatch -------------------------------------------------
     KEEP, DROP = -1, -2
-    action = F.when(t_exists & ~s_exists, F.lit(KEEP))
+    action = None
+    for j, bs in enumerate(by_source):
+        c = t_exists & ~s_exists
+        if bs.condition:
+            c = c & F.coalesce(F.expr(bs.condition), F.lit(False))
+        step = F.lit(DROP) if bs.delete else F.lit(2000 + j)
+        action = F.when(c, step) if action is None else action.when(c, step)
+    keep_unmatched = F.when(t_exists & ~s_exists, F.lit(KEEP))
+    action = keep_unmatched if action is None else action.when(
+        t_exists & ~s_exists, F.lit(KEEP))
     idx = 0
     matched_case = None
     for i, m in enumerate(when_matched):
@@ -421,6 +455,12 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
             else:
                 val = _value_expr(nm.insert[f.name]) if f.name in nm.insert else F.lit(None)
             col = col.when(F.col("__action") == 1000 + j, val)
+        for j, bs in enumerate(by_source):
+            if bs.delete:
+                continue
+            upd = bs.update or {}
+            val = _value_expr(upd[f.name]) if f.name in upd else F.col(f"t.{f.name}")
+            col = col.when(F.col("__action") == 2000 + j, val)
         from incubator_iceberg_spark import schema as S
         out_cols.append(col.cast(S._to_spark_type(f.type)).alias(f.name))
     result = joined.select(*out_cols)

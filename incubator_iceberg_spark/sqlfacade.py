@@ -26,7 +26,8 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from incubator_iceberg_spark.row_ops import WhenMatched, WhenNotMatched
+from incubator_iceberg_spark.row_ops import (WhenMatched, WhenNotMatched,
+                                             WhenNotMatchedBySource)
 
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)\s*(?:WHERE\s+(.*?))?\s*$",
@@ -39,7 +40,7 @@ _MERGE_RE = re.compile(
     r"(\(.*?\)|[\w.]+)(?:\s+AS)?\s*(\w+)?\s+ON\s+(.*?)\s*(WHEN\s+.*)$",
     re.IGNORECASE | re.DOTALL)
 _WHEN_RE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+"
+    r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?\s*(?:AND\s+(.*?))?\s*THEN\s+"
     r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.IGNORECASE | re.DOTALL)
 
@@ -131,12 +132,26 @@ def _merge(catalog, spark, s: str):
         expr = re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr)
         return expr
 
-    matched, not_matched = [], []
-    for neg, cond, action in _WHEN_RE.findall(whens):
+    matched, not_matched, by_source = [], [], []
+    for neg, bysrc, cond, action in _WHEN_RE.findall(whens):
         cond = canon(cond.strip()) if cond.strip() else None
         a = action.strip()
         a_up = a.upper()
-        if neg:
+        if neg and bysrc:
+            if a_up == "DELETE":
+                by_source.append(WhenNotMatchedBySource(condition=cond, delete=True))
+            elif a_up.startswith("UPDATE"):
+                body = a[len("UPDATE"):].strip()
+                if not body.upper().startswith("SET"):
+                    raise ValueError(f"bad UPDATE action: {a!r}")
+                by_source.append(WhenNotMatchedBySource(
+                    condition=cond,
+                    update={k: canon(v) for k, v in
+                            _parse_assignments(body[3:].strip()).items()}))
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only")
+        elif neg:
             if not a_up.startswith("INSERT"):
                 raise ValueError("WHEN NOT MATCHED supports INSERT only")
             body = a[len("INSERT"):].strip()
@@ -165,7 +180,8 @@ def _merge(catalog, spark, s: str):
         else:
             raise ValueError(f"unsupported MERGE action: {a!r}")
     return table.merge(source_df, on=canon(on_cond),
-                       when_matched=matched, when_not_matched=not_matched)
+                       when_matched=matched, when_not_matched=not_matched,
+                       when_not_matched_by_source=by_source)
 
 
 def _register_and_rewrite(catalog, spark, s: str) -> str:

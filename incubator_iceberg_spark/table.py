@@ -288,12 +288,15 @@ class Table:
         return row_ops.update(self, assignments, expr, spark=spark or self.spark)
 
     def merge(self, source_df, on, when_matched=None, when_not_matched=None,
-              spark=None) -> dict:
+              when_not_matched_by_source=None, spark=None,
+              evolve_schema: bool = False) -> dict:
         from incubator_iceberg_spark import row_ops
         return row_ops.merge_into(self, source_df, on,
                                   when_matched=when_matched,
                                   when_not_matched=when_not_matched,
-                                  spark=spark or self.spark)
+                                  when_not_matched_by_source=when_not_matched_by_source,
+                                  spark=spark or self.spark,
+                                  evolve_schema=evolve_schema)
 
     def upsert(self, source_df, on=None, spark=None) -> dict:
         """MERGE shorthand: update matched rows, insert the rest.  Join

@@ -154,3 +154,49 @@ def test_conflict_validation_on_concurrent_append(warehouse, orders, spark):
             t.ops, [], set(files), operation="delete",
             base_snapshot_id=base_snapshot,
             conflict_detection_filter=lambda e: row_ops.entry_might_match(e, bound))
+
+
+def test_merge_not_matched_by_source_delete(warehouse, orders):
+    """Target rows without a source match are deleted (sync-to-source)."""
+    from incubator_iceberg_spark.row_ops import WhenNotMatchedBySource
+    t = _ingest(warehouse, "db.mbs1", orders)
+    src = orders.filter("o_orderkey % 2 = 0")
+    t.merge(src, on=["o_orderkey"],
+            when_matched=[WhenMatched(update={"o_orderstatus": "'K'"})],
+            when_not_matched_by_source=[WhenNotMatchedBySource(delete=True)])
+    assert t.to_df().count() == src.count()
+    assert t.to_df(filter="o_orderstatus = 'K'").count() == src.count()
+
+
+def test_merge_not_matched_by_source_conditional_update(warehouse, orders):
+    """Conditional by-source UPDATE touches only qualifying unmatched rows."""
+    from incubator_iceberg_spark.row_ops import WhenNotMatchedBySource
+    t = _ingest(warehouse, "db.mbs2", orders)
+    src = orders.filter("o_orderkey % 2 = 0").select("o_orderkey")
+    t.merge(src, on=["o_orderkey"],
+            when_not_matched_by_source=[
+                WhenNotMatchedBySource(condition="t.o_totalprice > 100000",
+                                       update={"o_orderstatus": "'X'"})])
+    want = orders.filter("o_orderkey % 2 != 0 AND o_totalprice > 100000").count()
+    assert t.to_df().count() == orders.count()  # nothing deleted
+    assert t.to_df(filter="o_orderstatus = 'X'").count() == want
+
+
+def test_merge_evolve_schema_adds_source_columns(warehouse, orders):
+    """evolve_schema=True union-by-names source-only columns before merging."""
+    t = _ingest(warehouse, "db.mevo", orders)
+    src = (orders.filter("o_orderkey % 5 = 0")
+           .withColumn("o_channel", F.lit("web")))
+    new_rows = (orders.filter("o_orderkey % 5 = 1").limit(10)
+                .withColumn("o_orderkey", F.col("o_orderkey") + 70000000)
+                .withColumn("o_channel", F.lit("api")))
+    t.merge(src.unionByName(new_rows), on=["o_orderkey"],
+            when_matched=[WhenMatched.update_all()],
+            when_not_matched=[WhenNotMatched.insert_all()],
+            evolve_schema=True)
+    df = t.to_df()
+    assert "o_channel" in df.columns
+    assert df.filter("o_channel = 'web'").count() == src.count()
+    assert df.filter("o_channel = 'api'").count() == 10
+    assert df.filter("o_channel IS NULL").count() == \
+        orders.filter("o_orderkey % 5 != 0").count()

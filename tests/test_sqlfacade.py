@@ -86,3 +86,22 @@ def test_sql_call(warehouse, orders, spark):
 def test_sql_unsupported(warehouse, spark):
     with pytest.raises(ValueError):
         SQL.execute(warehouse, spark, "DROP TABLE db.x")
+
+
+def test_sql_merge_not_matched_by_source(warehouse, orders, spark):
+    _ingest(warehouse, "db.smbs", orders)
+    orders.filter("o_orderkey % 3 = 0").createOrReplaceTempView("mbs_src")
+    SQL.execute(warehouse, spark, """
+        MERGE INTO db.smbs AS tgt USING mbs_src AS src
+        ON tgt.o_orderkey = src.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'S'
+        WHEN NOT MATCHED BY SOURCE AND tgt.o_totalprice > 150000 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'N'
+    """)
+    t = warehouse.load_table("db.smbs")
+    matched = orders.filter("o_orderkey % 3 = 0").count()
+    deleted = orders.filter("o_orderkey % 3 != 0 AND o_totalprice > 150000").count()
+    rest = orders.filter("o_orderkey % 3 != 0 AND o_totalprice <= 150000").count()
+    assert t.to_df().count() == orders.count() - deleted
+    assert t.to_df(filter="o_orderstatus = 'S'").count() == matched
+    assert t.to_df(filter="o_orderstatus = 'N'").count() == rest
