@@ -61,6 +61,18 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     for s in chain:
         if s.timestamp_ms >= cutoff:
             keep_ids.add(s.snapshot_id)
+    # branch/tag refs are GC roots: a tag pins its snapshot, a branch pins
+    # its whole ancestry chain (SnapshotRef retention analog)
+    for name in (md.refs or {}):
+        r = md.ref(name)
+        cur = md.snapshot_by_id(r["snapshot-id"])
+        if r["type"] == "tag":
+            if cur is not None:
+                keep_ids.add(cur.snapshot_id)
+            continue
+        while cur is not None:
+            keep_ids.add(cur.snapshot_id)
+            cur = md.snapshot_by_id(cur.parent_id) if cur.parent_id is not None else None
 
     kept = [s for s in md.snapshots if s.snapshot_id in keep_ids]
     expired = [s for s in md.snapshots if s.snapshot_id not in keep_ids]

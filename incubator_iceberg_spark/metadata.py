@@ -136,7 +136,10 @@ class TableMetadata:
     current_snapshot_id: Optional[int]
     snapshots: list  # list[Snapshot]
     snapshot_log: list  # [{"timestamp-ms", "snapshot-id"}]
-    refs: dict = dc_field(default_factory=dict)  # branch/tag name → snapshot-id (WAP staging)
+    # branch/tag refs (format-v2 SnapshotRef analog): name →
+    # {"snapshot-id": int, "type": "branch"|"tag"}; legacy plain-int values
+    # are read as tags
+    refs: dict = dc_field(default_factory=dict)
     format_version: int = FORMAT_VERSION
 
     # -- accessors ---------------------------------------------------------
@@ -176,6 +179,20 @@ class TableMetadata:
     def history(self) -> list:
         return list(self.snapshot_log)
 
+    def ref(self, name: str) -> Optional[dict]:
+        """Resolve a branch/tag ref to {"snapshot-id", "type"}.  "main" is
+        implicit (the current snapshot)."""
+        if name == "main":
+            if self.current_snapshot_id is None:
+                return None
+            return {"snapshot-id": self.current_snapshot_id, "type": "branch"}
+        v = self.refs.get(name)
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            return {"snapshot-id": v["snapshot-id"], "type": v.get("type", "tag")}
+        return {"snapshot-id": v, "type": "tag"}  # legacy flat form
+
     def property(self, key: str, default):
         v = self.properties.get(key)
         if v is None:
@@ -194,6 +211,25 @@ class TableMetadata:
             md.current_snapshot_id = snapshot.snapshot_id
             md.snapshot_log = self.snapshot_log + [
                 {"timestamp-ms": snapshot.timestamp_ms, "snapshot-id": snapshot.snapshot_id}]
+        return md
+
+    def with_ref(self, name: str, snapshot_id: int, ref_type: str = "branch") -> "TableMetadata":
+        if name == "main":
+            return self.with_current(snapshot_id)
+        if self.snapshot_by_id(snapshot_id) is None:
+            raise ValidationException(f"unknown snapshot: {snapshot_id}")
+        md = replace(self)
+        md.refs = dict(self.refs)
+        md.refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+        md.last_updated_ms = now_ms()
+        return md
+
+    def without_ref(self, name: str) -> "TableMetadata":
+        if name not in self.refs:
+            raise ValidationException(f"unknown ref: {name}")
+        md = replace(self)
+        md.refs = {k: v for k, v in self.refs.items() if k != name}
+        md.last_updated_ms = now_ms()
         return md
 
     def with_current(self, snapshot_id: int, timestamp_ms: Optional[int] = None) -> "TableMetadata":

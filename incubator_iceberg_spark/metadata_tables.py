@@ -158,6 +158,7 @@ def _all_data_files(table, spark):
 def _refs(table, spark):
     md = table.metadata
     rows = [{"name": "main", "type": "branch", "snapshot_id": md.current_snapshot_id}]
-    for name, sid in (md.refs or {}).items():
-        rows.append({"name": name, "type": "tag", "snapshot_id": sid})
+    for name in (md.refs or {}):
+        r = md.ref(name)
+        rows.append({"name": name, "type": r["type"], "snapshot_id": r["snapshot-id"]})
     return spark.createDataFrame(rows, "name string, type string, snapshot_id long")

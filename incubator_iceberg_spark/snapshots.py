@@ -141,22 +141,36 @@ def _merge_small_manifests(base: TableMetadata, manifest_rows: list,
 def _install_snapshot(base: Optional[TableMetadata], make_manifest_rows: Callable,
                       operation: str, extra_summary: Optional[dict],
                       added_entries: list, deleted_entries: list,
-                      schema_id: Optional[int] = None) -> TableMetadata:
+                      schema_id: Optional[int] = None,
+                      branch: Optional[str] = None) -> TableMetadata:
     if base is None:
         raise ValidationException("table does not exist")
+    # committing to a branch: plan/summarize against the BRANCH head by
+    # viewing base with current set to it; the real base only gains the new
+    # snapshot + moved ref (SnapshotRef branch-commit analog)
+    view = base
+    if branch is not None and branch != "main":
+        import dataclasses
+        r = base.ref(branch)
+        if r is None:
+            raise ValidationException(f"unknown branch: {branch}")
+        if r["type"] != "branch":
+            raise ValidationException(f"cannot write to tag: {branch}")
+        view = dataclasses.replace(base)
+        view.current_snapshot_id = r["snapshot-id"]
     snapshot_id = new_snapshot_id()
     seq = base.last_sequence_number + 1
-    manifest_rows = make_manifest_rows(base, snapshot_id, seq)
-    manifest_rows = _merge_small_manifests(base, manifest_rows, snapshot_id, seq)
+    manifest_rows = make_manifest_rows(view, snapshot_id, seq)
+    manifest_rows = _merge_small_manifests(view, manifest_rows, snapshot_id, seq)
     md_dir = os.path.join(base.location, "metadata")
     specs_by_id = {s.spec_id: s for s in base.specs}
     mlist = M.write_manifest_list(md_dir, snapshot_id, manifest_rows, specs_by_id)
-    summary = _summary(base, added_entries, deleted_entries)
+    summary = _summary(view, added_entries, deleted_entries)
     if extra_summary:
         summary.update({k: str(v) for k, v in extra_summary.items()})
     snap = Snapshot(
         snapshot_id=snapshot_id,
-        parent_id=base.current_snapshot_id,
+        parent_id=view.current_snapshot_id,
         sequence_number=seq,
         timestamp_ms=now_ms(),
         operation=operation,
@@ -170,13 +184,17 @@ def _install_snapshot(base: Optional[TableMetadata], make_manifest_rows: Callabl
     EVT.emit(EVT.CommitEvent(
         table_location=base.location, snapshot_id=snapshot_id,
         operation=operation, sequence_number=seq, summary=dict(summary)))
+    if branch is not None and branch != "main":
+        return base.with_snapshot(snap, set_current=False).with_ref(
+            branch, snapshot_id, "branch")
     return base.with_snapshot(snap, set_current=not stage_only)
 
 
 def apply_append(base: TableMetadata, new_entries: list,
                  extra_summary: Optional[dict] = None,
                  spec_id: Optional[int] = None,
-                 operation: str = "append") -> TableMetadata:
+                 operation: str = "append",
+                 branch: Optional[str] = None) -> TableMetadata:
     """Pure append application (no commit) — composable in Transactions."""
 
     def make(base, snapshot_id, seq):
@@ -188,18 +206,19 @@ def apply_append(base: TableMetadata, new_entries: list,
         return rows
 
     return _install_snapshot(base, make, operation, extra_summary,
-                             new_entries, [])
+                             new_entries, [], branch=branch)
 
 
 def append_files(ops: TableOperations, new_entries: list,
                  extra_summary: Optional[dict] = None,
                  spec_id: Optional[int] = None,
-                 operation: str = "append") -> TableMetadata:
+                 operation: str = "append",
+                 branch: Optional[str] = None) -> TableMetadata:
     """C1 fast append (FastAppend.java); with operation='delete' this is
     the RowDelta delete-file commit (C6)."""
     return MD.run_with_retries(
         ops, lambda base: apply_append(base, new_entries, extra_summary,
-                                       spec_id, operation))
+                                       spec_id, operation, branch=branch))
 
 
 def overwrite_files(ops: TableOperations, added_entries: list, deleted_paths: set,

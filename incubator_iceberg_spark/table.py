@@ -224,8 +224,13 @@ class Table:
         return TableScan(self, spark or self.spark)
 
     def to_df(self, spark=None, filter=None, select=None, snapshot_id=None,
-              as_of_timestamp_ms=None):
+              as_of_timestamp_ms=None, ref=None):
         scan = self.new_scan(spark)
+        if ref is not None:
+            r = self.metadata.ref(ref)
+            if r is None:
+                raise ValueError(f"unknown ref: {ref}")
+            scan = scan.use_snapshot(r["snapshot-id"])
         if snapshot_id is not None:
             scan = scan.use_snapshot(snapshot_id)
         if as_of_timestamp_ms is not None:
@@ -249,9 +254,12 @@ class Table:
                              target_file_size=target, file_format=fmt,
                              nan_counts=nan)
 
-    def append(self, df, spark=None, extra_summary: Optional[dict] = None) -> "Table":
+    def append(self, df, spark=None, extra_summary: Optional[dict] = None,
+               branch: Optional[str] = None) -> "Table":
         entries = self._stage(df, spark)
-        self.metadata = SN.append_files(self.ops, entries, extra_summary=extra_summary)
+        self.metadata = SN.append_files(self.ops, entries,
+                                        extra_summary=extra_summary,
+                                        branch=branch)
         return self
 
     def overwrite(self, df, overwrite_filter, spark=None) -> "Table":
@@ -400,6 +408,60 @@ class Table:
         published = {"published-wap-id": snap.summary.get("wap.id")} \
             if snap.summary.get("wap.id") else None
         self.metadata = SN.append_files(self.ops, entries, extra_summary=published)
+        return self
+
+    # -- branch/tag refs (SnapshotRef analog beyond WAP) -------------------
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> "Table":
+        """Named branch starting at ``snapshot_id`` (default: current head);
+        writable via ``append(df, branch=name)``, readable via
+        ``to_df(ref=name)``."""
+        sid = snapshot_id if snapshot_id is not None else self.metadata.current_snapshot_id
+        if sid is None:
+            raise ValueError("cannot branch an empty table")
+        self.metadata = MD.run_with_retries(
+            self.ops, lambda base: base.with_ref(name, sid, "branch"))
+        return self
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> "Table":
+        """Immutable named snapshot pointer."""
+        sid = snapshot_id if snapshot_id is not None else self.metadata.current_snapshot_id
+        if sid is None:
+            raise ValueError("cannot tag an empty table")
+        self.metadata = MD.run_with_retries(
+            self.ops, lambda base: base.with_ref(name, sid, "tag"))
+        return self
+
+    def drop_ref(self, name: str) -> "Table":
+        self.metadata = MD.run_with_retries(
+            self.ops, lambda base: base.without_ref(name))
+        return self
+
+    def fast_forward(self, name: str, to_ref: str) -> "Table":
+        """Move ref ``name`` (e.g. "main") to ``to_ref``'s head, requiring
+        the move be an ancestry fast-forward (no history rewrite)."""
+        def apply(base):
+            src = base.ref(to_ref)
+            if src is None:
+                raise ValueError(f"unknown ref: {to_ref}")
+            dst = base.ref(name)
+            target = src["snapshot-id"]
+            if dst is not None:
+                # walk parents from target; must reach dst's head
+                cur = base.snapshot_by_id(target)
+                ok = False
+                while cur is not None:
+                    if cur.snapshot_id == dst["snapshot-id"]:
+                        ok = True
+                        break
+                    cur = (base.snapshot_by_id(cur.parent_id)
+                           if cur.parent_id is not None else None)
+                if not ok:
+                    raise MD.ValidationException(
+                        f"cannot fast-forward {name} to {to_ref}: not an ancestor")
+            ref_type = dst["type"] if dst is not None else "branch"
+            return base.with_ref(name, target, ref_type)
+
+        self.metadata = MD.run_with_retries(self.ops, apply)
         return self
 
     # -- WAP (write-audit-publish) -----------------------------------------
