@@ -70,8 +70,23 @@ def arrow_type(t: S.Type) -> pa.DataType:
 
 
 def _stats_columns(table_schema: S.Schema):
-    """Top-level primitive columns eligible for bounds stats."""
-    return [f for f in table_schema.fields if f.type.is_primitive]
+    """Primitive columns eligible for bounds stats: top-level plus
+    struct-nested leaves as dotted paths (matching Parquet footer column
+    paths, so nested predicates prune files too).  List/map subtrees are
+    excluded — multi-valued per row, bounds aren't one-value-per-row."""
+    import dataclasses
+    out = []
+
+    def walk(struct, prefix):
+        for f in struct.fields:
+            path = prefix + f.name
+            if f.type.is_primitive:
+                out.append(f if not prefix else dataclasses.replace(f, name=path))
+            elif isinstance(f.type, S.StructType):
+                walk(f.type, path + ".")
+
+    walk(table_schema.struct, "")
+    return out
 
 
 def truncate_lower(v, length: int = TRUNCATE_LENGTH):

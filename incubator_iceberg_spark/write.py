@@ -229,7 +229,9 @@ def footer_stats(path: str, schema: S.Schema) -> dict:
     md = pq.ParquetFile(path).metadata
     ncols = md.num_columns
     names = [md.schema.column(i).path for i in range(ncols)]
-    top = {f.name: f for f in schema.fields if f.type.is_primitive}
+    # dotted leaf paths (struct-nested included) — same set the manifest
+    # bounds struct is keyed by, so footer stats flow into pruning
+    top = {f.name: f for f in MF._stats_columns(schema)}
     lower: dict = {}
     upper: dict = {}
     nulls: dict = {}

@@ -212,3 +212,23 @@ def test_distributed_plan_mode(warehouse, lineitem, orders, spark):
     got = t.to_df(filter="l_returnflag = 'X'").count()
     assert got == lineitem.filter(
         "l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.09").count()
+
+
+def test_nested_struct_bounds_prune_files(warehouse, spark):
+    """Struct-leaf stats (dotted paths) flow from Parquet footers into
+    manifests and prune files on nested predicates."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.struct(F.col("id").alias("col1"),
+                 F.concat(F.lit("s"), F.col("id")).alias("col3")).alias("nested"))
+    t = warehouse.create_table("db.nested_bounds", Schema.from_spark(df.schema))
+    for lo in range(0, 400, 100):
+        t.append(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)).coalesce(1))
+    all_files = len(t.new_scan().plan_files())
+    pruned = len(t.new_scan().filter("nested.col1 >= 300").plan_files())
+    assert pruned < all_files
+    assert t.to_df(filter="nested.col1 >= 300").count() == 100
+    row = t.metadata_table("files").select("lower_bounds").first()
+    assert "nested.col1" in row["lower_bounds"].asDict()
