@@ -250,6 +250,65 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
     }
 
 
+def write_manifests_distributed(spark, metadata_dir: str, entries: list,
+                                table_schema: S.Schema, spec: PartitionSpec,
+                                snapshot_id: int, sequence_number: int,
+                                entries_per_manifest: int = 50_000) -> list:
+    """Executor-side manifest writing for huge commits (the 100 TB path —
+    importing or appending 10⁵-10⁶ files would serialize on the driver).
+
+    Entries are sorted by partition tuple and chunked; each Spark task
+    writes ONE manifest Parquet via the same ``write_manifest`` code the
+    driver uses (identical layout + per-manifest partition summaries, so
+    manifests cluster by partition and manifest-level pruning stays sharp)
+    and returns its manifest-list row.  Parallel analog of
+    BaseRewriteManifestsSparkAction.java:80-132's repartition+write."""
+    import json
+    import math
+
+    from incubator_iceberg_spark.write import _stats_json_default, _stats_obj_hook
+
+    if spec.is_partitioned:
+        part_names = [f.name for f in spec.partition_type().fields]
+
+        def key(e):
+            p = e.get("partition") or {}
+            # None sorts first; tuple of (is_null, value-as-sortable)
+            return tuple((p.get(n) is None, p.get(n)) for n in part_names)
+
+        try:
+            entries = sorted(entries, key=key)
+        except TypeError:
+            pass  # mixed un-orderable partition values: keep input order
+    n_chunks = max(1, math.ceil(len(entries) / entries_per_manifest))
+    size = math.ceil(len(entries) / n_chunks)
+    chunks = [entries[i * size:(i + 1) * size] for i in range(n_chunks)]
+    schema_json = json.dumps(table_schema.to_json())
+    spec_json = json.dumps(spec.to_json())
+    payload = [(json.dumps(c, default=_stats_json_default),) for c in chunks if c]
+
+    def write_chunk(batches):
+        import pandas as pd
+        from incubator_iceberg_spark import manifests as M2
+        from incubator_iceberg_spark.partitioning import PartitionSpec as PS
+        from incubator_iceberg_spark.schema import Schema as Sch
+        sch = Sch.from_json(json.loads(schema_json))
+        sp = PS.from_json(json.loads(spec_json), sch)
+        for pdf in batches:
+            rows = []
+            for raw in pdf["chunk"]:
+                es = json.loads(raw, object_hook=_stats_obj_hook)
+                row = M2.write_manifest(metadata_dir, es, sch, sp,
+                                        snapshot_id, sequence_number)
+                rows.append(json.dumps(row, default=_stats_json_default))
+            yield pd.DataFrame({"row": rows})
+
+    df = spark.createDataFrame(payload, "chunk string") \
+        .repartition(min(len(payload), 256))
+    out = df.mapInPandas(write_chunk, "row string").collect()
+    return [json.loads(r["row"], object_hook=_stats_obj_hook) for r in out]
+
+
 def manifest_list_arrow_schema(specs_by_id: dict) -> pa.schema:
     fields = [
         pa.field("manifest_path", pa.string()),

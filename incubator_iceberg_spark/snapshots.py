@@ -61,8 +61,16 @@ def _summary(base: TableMetadata, added_entries, deleted_entries) -> dict:
     }
 
 
-def _write_added_manifest(md_dir: str, base: TableMetadata, entries: list,
-                          snapshot_id: int, seq: int, spec_id: Optional[int] = None):
+# above this entry count, manifest writing fans out as a Spark job (one
+# task per ~50k-entry manifest) instead of one driver-side pyarrow write
+DISTRIBUTED_MANIFEST_THRESHOLD = 20_000
+
+
+def _write_added_manifests(md_dir: str, base: TableMetadata, entries: list,
+                           snapshot_id: int, seq: int,
+                           spec_id: Optional[int] = None) -> list:
+    """Write the added-entries manifest(s); returns manifest-list rows
+    (one for small commits; several, written distributedly, for huge ones)."""
     spec = base.spec_by_id(spec_id) if spec_id is not None else base.spec()
     schema = base.schema()
     for e in entries:
@@ -73,7 +81,14 @@ def _write_added_manifest(md_dir: str, base: TableMetadata, entries: list,
         e.setdefault("file_format", "parquet")
         e.setdefault("spec_id", spec.spec_id)
         e.setdefault("schema_id", schema.schema_id)
-    return M.write_manifest(md_dir, entries, schema, spec, snapshot_id, seq)
+    if len(entries) > DISTRIBUTED_MANIFEST_THRESHOLD:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            return M.write_manifests_distributed(
+                spark, md_dir, entries, schema, spec, snapshot_id, seq,
+                entries_per_manifest=DISTRIBUTED_MANIFEST_THRESHOLD)
+    return [M.write_manifest(md_dir, entries, schema, spec, snapshot_id, seq)]
 
 
 def _rewrite_manifest_without(md_dir: str, base: TableMetadata, manifest_row: dict,
@@ -201,8 +216,8 @@ def apply_append(base: TableMetadata, new_entries: list,
         rows = _manifest_rows(base)
         if new_entries:
             md_dir = os.path.join(base.location, "metadata")
-            rows = rows + [_write_added_manifest(md_dir, base, list(new_entries),
-                                                 snapshot_id, seq, spec_id)]
+            rows = rows + _write_added_manifests(md_dir, base, list(new_entries),
+                                                 snapshot_id, seq, spec_id)
         return rows
 
     return _install_snapshot(base, make, operation, extra_summary,
@@ -271,8 +286,8 @@ def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
             raise ValidationException(
                 f"files to delete not found in table: {sorted(remaining)[:5]}")
         if added_entries:
-            rows.append(_write_added_manifest(md_dir, base, list(added_entries),
-                                              snapshot_id, seq, spec_id))
+            rows.extend(_write_added_manifests(md_dir, base, list(added_entries),
+                                               snapshot_id, seq, spec_id))
         return rows
 
     return _install_snapshot(base, make, operation, extra_summary,
@@ -308,8 +323,8 @@ def replace_partitions(ops: TableOperations, added_entries: list,
                 if new_row is not None:
                     rows.append(new_row)
             if added_entries:
-                rows.append(_write_added_manifest(md_dir, base, list(added_entries),
-                                                  snapshot_id, seq))
+                rows.extend(_write_added_manifests(md_dir, base, list(added_entries),
+                                                   snapshot_id, seq))
             return rows
 
         return _install_snapshot(base, make, "overwrite", extra_summary,

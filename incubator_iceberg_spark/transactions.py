@@ -67,7 +67,7 @@ class Transaction:
                     if new_row is not None:
                         rows.append(new_row)
                 if entries:
-                    rows.append(SN._write_added_manifest(
+                    rows.extend(SN._write_added_manifests(
                         md_dir, base, list(entries), snapshot_id, seq))
                 return rows
 
