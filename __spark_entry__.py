@@ -731,9 +731,22 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Near-dup detection must find exactly the PLANTED perturbed copies
+    (the raw corpus has no pairs above 0.51 cosine): first 5 vectors get a
+    +0.0005 per-component twin; LSH banding with 1-bit multiprobe recovers
+    all 5 pairs, verified by exact cosine."""
+    from pyspark.sql import functions as F
     from incubator_iceberg_spark.functions import similarity
-    df = _table(spark, sf_dir, "embeddings_ice").to_df()
-    return similarity.embedding_near_dup_pairs(df, bits=10, cosine_threshold=0.99)
+    df = (_table(spark, sf_dir, "embeddings_ice").to_df()
+          .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+    planted = (df.orderBy("vec_id").limit(5)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x + F.lit(0.0005))
+                       .alias("embedding")))
+    allv = df.unionByName(planted)
+    return similarity.embedding_near_dup_pairs(allv, bits=10,
+                                               cosine_threshold=0.99,
+                                               hamming_tolerance=1)
 
 
 def q_skew_salted_agg(spark, sf_dir):
@@ -1128,7 +1141,20 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
             SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 3
         """,
+        "embedding_neardup": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 planted AS (
+                   SELECT vec_id + 1000000 AS vec_id,
+                          list_transform(v, x -> x + 0.0005) AS v
+                   FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 5)),
+                 allv AS (SELECT vec_id, v FROM base
+                          UNION ALL SELECT vec_id, v FROM planted)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+        """,
         # rows-only checks (non-SQL-expressible / engine-defined hashing):
         # snapshots_meta, dedup_minhash_pairs, dedup_simhash_pairs,
-        # text_analyze, ann_lsh, embedding_neardup, multimodal_features
+        # text_analyze, ann_lsh, multimodal_features
     }

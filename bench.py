@@ -71,10 +71,16 @@ def main() -> int:
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    b4_t0 = time.time()
-    # B4 partitioned append: write sf lineitem partitioned by month(l_shipdate)
-    _bench_partitioned_append(spark, sf_dir, E)
-    timings["partitioned_append"] = round(time.time() - b4_t0, 3)
+    # B4 partitioned append: write sf lineitem partitioned by month(l_shipdate).
+    # Local-disk writes are the noisiest bench (measured 2.7-7.5 s run to
+    # run); report the median of 3 so the number tracks the code, not the
+    # page cache.
+    runs = []
+    for _ in range(3):
+        b4_t0 = time.time()
+        _bench_partitioned_append(spark, sf_dir, E)
+        runs.append(time.time() - b4_t0)
+    timings["partitioned_append"] = round(sorted(runs)[1], 3)
 
     for name in BENCH_QUERIES:
         fn = qs[name]

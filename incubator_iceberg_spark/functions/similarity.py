@@ -117,9 +117,14 @@ def lsh_ann_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
 
 def embedding_near_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
                              bits: int = 12, seed: int = 42,
-                             cosine_threshold: float = 0.95):
-    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (same
-    bucket ⇒ candidate) verified by exact cosine ≥ threshold."""
+                             cosine_threshold: float = 0.95,
+                             hamming_tolerance: int = 0):
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join verified
+    by exact cosine ≥ threshold.  With ``hamming_tolerance=1`` one side is
+    expanded to its bit-flip probe buckets (multi-probe), so a true
+    near-dup pair straddling one hyperplane is still a candidate — recall
+    goes from (1-θ/π)^bits to ≈1 for small angles, at (bits+1)× candidate
+    cost on one side only."""
     from pyspark.sql import functions as F
     sample = df.select(vec_col).head(1)
     if not sample:
@@ -129,10 +134,22 @@ def embedding_near_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_
     planes = random_planes(dim, bits, seed)
     b = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
                   lsh_bucket(vec_col, planes).alias("__bucket"))
-    return (b.alias("a")
-            .join(b.alias("b"),
-                  (F.col("a.__bucket") == F.col("b.__bucket"))
-                  & (F.col("a.__id") < F.col("b.__id")))
+    if hamming_tolerance >= 1:
+        probes = F.array(F.col("__bucket"),
+                         *[F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                           for i in range(bits)])
+        probed = b.withColumn("__probe", F.explode(probes))
+        pairs = (b.alias("a")
+                 .join(probed.alias("b"),
+                       (F.col("a.__bucket") == F.col("b.__probe"))
+                       & (F.col("a.__id") < F.col("b.__id"))))
+    else:
+        pairs = (b.alias("a")
+                 .join(b.alias("b"),
+                       (F.col("a.__bucket") == F.col("b.__bucket"))
+                       & (F.col("a.__id") < F.col("b.__id"))))
+    return (pairs
             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
                     F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= cosine_threshold))
+            .filter(F.col("cos_sim") >= cosine_threshold)
+            .dropDuplicates(["id_a", "id_b"]))
