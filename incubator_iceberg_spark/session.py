@@ -25,6 +25,8 @@ def get_spark(app_name: str = "incubator_iceberg_spark", master: str | None = No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let the Python Data Source surface receive Catalyst filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # read TIMESTAMP(NANOS) parquet (events table) as long; io.load_table
         # converts to TimestampType at micros precision

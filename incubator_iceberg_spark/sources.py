@@ -61,16 +61,68 @@ class _Shim:
         self.metadata = md
 
 
+def _filter_to_expr(f):
+    """Spark DataSource Filter → engine Expression — the P16 bridge
+    (SparkFilters.java:72-103 analog, Python Data Source flavor).
+    Returns None for filters the algebra can't express (Spark re-applies
+    them post-scan either way)."""
+    from pyspark.sql import datasource as DSF
+
+    from incubator_iceberg_spark import expressions as X
+
+    if isinstance(f, DSF.Not):
+        child = _filter_to_expr(f.child)
+        return X.not_(child) if child is not None else None
+    attr = getattr(f, "attribute", None)
+    if not attr:
+        return None
+    col = ".".join(attr)
+    if isinstance(f, DSF.EqualTo):
+        return X.eq(col, f.value)
+    if isinstance(f, DSF.EqualNullSafe):
+        return X.is_null(col) if f.value is None else X.eq(col, f.value)
+    if isinstance(f, DSF.GreaterThan):
+        return X.gt(col, f.value)
+    if isinstance(f, DSF.GreaterThanOrEqual):
+        return X.gt_eq(col, f.value)
+    if isinstance(f, DSF.LessThan):
+        return X.lt(col, f.value)
+    if isinstance(f, DSF.LessThanOrEqual):
+        return X.lt_eq(col, f.value)
+    if isinstance(f, DSF.In):
+        return X.in_(col, list(f.value))
+    if isinstance(f, DSF.IsNull):
+        return X.is_null(col)
+    if isinstance(f, DSF.IsNotNull):
+        return X.not_null(col)
+    if isinstance(f, DSF.StringStartsWith):
+        return X.starts_with(col, f.value)
+    return None
+
+
+def _combined_filter(option_filter, pushed_exprs):
+    """AND of the option-string filter and Catalyst-pushed expressions."""
+    from incubator_iceberg_spark import expressions as X
+    from incubator_iceberg_spark.scan import parse_predicate
+
+    parts = list(pushed_exprs or [])
+    if option_filter:
+        parts.append(parse_predicate(option_filter))
+    if not parts:
+        return None
+    return X.and_(*parts) if len(parts) > 1 else parts[0]
+
+
 def _plan(md, row_filter=None, snapshot_id=None, incremental=None):
-    from incubator_iceberg_spark.scan import TableScan, parse_predicate
+    from incubator_iceberg_spark.scan import TableScan
 
     scan = TableScan(_Shim(md), None)
     if snapshot_id is not None:
         scan = scan.use_snapshot(int(snapshot_id))
     if incremental is not None:
         scan = scan.appends_between(*incremental)
-    if row_filter:
-        scan = scan.filter(parse_predicate(row_filter))
+    if row_filter is not None:
+        scan = scan.filter(row_filter)
     entries = scan.plan_entries_local()
     return [e for e in (entries or []) if (e.get("content") or 0) == 0]
 
@@ -78,10 +130,9 @@ def _plan(md, row_filter=None, snapshot_id=None, incremental=None):
 def _slices(md, entries, row_filter=None) -> list:
     current = md.schema()
     bound = None
-    if row_filter:
+    if row_filter is not None:
         from incubator_iceberg_spark import expressions as X
-        from incubator_iceberg_spark.scan import parse_predicate
-        bound = X.bind(current, parse_predicate(row_filter))
+        bound = X.bind(current, row_filter)
     out = []
     for e in entries:
         schema_id = e.get("schema_id", current.schema_id)
@@ -150,13 +201,33 @@ def _arrow_type_from_str(s: str):
 
 
 class IcebergBatchReader(DataSourceReader):
+    """Plans lazily so Catalyst-pushed filters (pushFilters, called before
+    partitions) participate in metadata pruning — the DSv2
+    SparkScanBuilder.pushFilters flow (SparkScanBuilder.java:100-127),
+    Python Data Source flavor."""
+
     def __init__(self, location: str, options: dict):
-        md = _load_metadata(location)
-        entries = _plan(md, row_filter=options.get("filter"),
-                        snapshot_id=options.get("snapshot_id"))
-        self._parts = _slices(md, entries, row_filter=options.get("filter"))
+        self._location = location
+        self._options = options
+        self._pushed: list = []
+        self._parts = None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            e = _filter_to_expr(f)
+            if e is not None:
+                self._pushed.append(e)
+            # report every filter as unhandled: the engine prunes files and
+            # masks rows with them, Spark re-verifies — never drop a filter
+            yield f
 
     def partitions(self):
+        if self._parts is None:
+            md = _load_metadata(self._location)
+            expr = _combined_filter(self._options.get("filter"), self._pushed)
+            entries = _plan(md, row_filter=expr,
+                            snapshot_id=self._options.get("snapshot_id"))
+            self._parts = _slices(md, entries, row_filter=expr)
         return self._parts
 
     def read(self, partition: _FileSlice):
@@ -218,6 +289,8 @@ class IcebergPyDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # runtime conf gating DataSourceReader.pushFilters (off by default)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(IcebergPyDataSource)
     except Exception as e:  # already registered in this session

@@ -186,7 +186,10 @@ def _merge(catalog, spark, s: str):
 
 def _register_and_rewrite(catalog, spark, s: str) -> str:
     """Register engine tables named in the statement as temp views and
-    rewrite their dotted names (full-scan views; see module docstring).
+    rewrite their dotted names.  Views go through the Python Data Source
+    (Catalyst WHERE clauses reach metadata pruning via pushFilters) unless
+    the table carries live v2 delete files — that read path doesn't apply
+    them, so such tables fall back to full-fidelity ``to_df`` views.
     Dotted tokens that are not engine tables (column refs like t.col)
     fail load_table and are left untouched."""
     for name in set(re.findall(r"\b((?:\w+\.)+\w+)\b", s)):
@@ -195,13 +198,26 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
         except Exception:
             continue
         view = name.replace(".", "_")
-        t.to_df(spark).createOrReplaceTempView(view)
+        _view_df(t, spark).createOrReplaceTempView(view)
         s = re.sub(rf"\b{re.escape(name)}\b", view, s)
     return s
+
+
+def _view_df(t, spark):
+    try:
+        _data, dels = t.new_scan(spark)._plan_split()
+        if not dels:
+            from incubator_iceberg_spark import sources
+            sources.register(spark)
+            return (spark.read.format(sources.FORMAT_NAME)
+                    .option("path", t.location).load())
+    except Exception:
+        pass  # planning hiccup → correct-but-unpruned path
+    return t.to_df(spark)
 
 
 def register_views(catalog, spark, names=None) -> None:
     """Expose engine tables as Spark temp views (dots → underscores)."""
     for name in (names or catalog.list_tables()):
         t = catalog.load_table(name, spark=spark)
-        t.to_df(spark).createOrReplaceTempView(name.replace(".", "_"))
+        _view_df(t, spark).createOrReplaceTempView(name.replace(".", "_"))

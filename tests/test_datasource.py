@@ -68,3 +68,31 @@ def test_streaming_micro_batches(warehouse, orders, spark, tmp_path):
     # no duplicates on one more restart with nothing new
     run_stream()
     assert spark.read.parquet(out_dir).count() == orders.count()
+
+
+def test_catalyst_filter_pushdown_prunes_files(warehouse, orders, spark):
+    """A plain DataFrame .filter() (no filter option) reaches metadata
+    pruning through DataSourceReader.pushFilters: fewer input partitions
+    (= planned files) than a full scan, same rows as the oracle."""
+    t = warehouse.create_table("db.dspush", Schema.from_spark(orders.schema),
+                               partition_by=["month(o_orderdate)"])
+    t.append(orders)
+    base = spark.read.format("iiws").option("path", t.location).load()
+    all_parts = base.rdd.getNumPartitions()
+    filtered = (spark.read.format("iiws").option("path", t.location).load()
+                .filter(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")))
+    pruned_parts = filtered.rdd.getNumPartitions()
+    assert pruned_parts < all_parts, (pruned_parts, all_parts)
+    want = orders.filter("o_orderdate >= TIMESTAMP '1997-06-01'").count()
+    assert filtered.count() == want
+
+
+def test_pushdown_with_in_and_null_filters(warehouse, orders, spark):
+    t = warehouse.create_table("db.dspush2", Schema.from_spark(orders.schema))
+    t.append(orders)
+    df = spark.read.format("iiws").option("path", t.location).load()
+    got = df.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                    & F.col("o_custkey").isNotNull()).count()
+    want = orders.filter("o_orderpriority IN ('1-URGENT','2-HIGH') "
+                         "AND o_custkey IS NOT NULL").count()
+    assert got == want

@@ -105,3 +105,25 @@ def test_sql_merge_not_matched_by_source(warehouse, orders, spark):
     assert t.to_df().count() == orders.count() - deleted
     assert t.to_df(filter="o_orderstatus = 'S'").count() == matched
     assert t.to_df(filter="o_orderstatus = 'N'").count() == rest
+
+
+def test_sql_select_views_prune_via_datasource(warehouse, orders, spark):
+    """Facade SELECT registers data-source views: WHERE clauses reach
+    metadata pruning (pushFilters), and results match a plain filter."""
+    _ingest(warehouse, "db.selds", orders, partition_by=["month(o_orderdate)"])
+    got = SQL.execute(warehouse, spark, """
+        SELECT count(*) AS n FROM db.selds
+        WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+    """).collect()[0]["n"]
+    assert got == orders.filter("o_orderdate >= TIMESTAMP '1997-06-01'").count()
+
+
+def test_sql_select_with_v2_deletes_falls_back(warehouse, orders, spark):
+    """Tables carrying v2 delete files must NOT use the datasource view
+    (it skips delete application) — results stay delete-aware."""
+    t = _ingest(warehouse, "db.seldel", orders)
+    victims = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    t.add_equality_deletes(victims, ["o_orderkey"])
+    got = SQL.execute(warehouse, spark,
+                      "SELECT count(*) AS n FROM db.seldel").collect()[0]["n"]
+    assert got == orders.filter("o_orderkey % 10 != 0").count()
