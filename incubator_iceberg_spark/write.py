@@ -112,6 +112,8 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
     stats = collect_file_stats(spark, files, schema, file_format=file_format)
     if nan_counts and file_format == "parquet":
         _attach_nan_counts(spark, staging, schema, stats)
+    if file_format == "orc" and spark is not None:
+        _attach_orc_bounds(spark, staging, schema, stats)
     entries = []
     for st in stats:
         if (st["record_count"] or 0) == 0:
@@ -164,6 +166,49 @@ def _attach_nan_counts(spark, staging: str, schema: S.Schema, stats: list) -> No
         r = by_file.get(st["file_path"])
         if r is not None:
             st["nan_counts"] = {c: int(r[c] or 0) for c in float_cols if c in r}
+
+
+def _attach_orc_bounds(spark, staging: str, schema: S.Schema, stats: list) -> None:
+    """pyarrow ORC footers expose no column statistics, so ORC writes run
+    one aggregation job over the staged files (min/max/null count per
+    top-level primitive, grouped by ``_metadata.file_path``) — without it
+    ORC tables get no metrics pruning at all.  One extra columnar read of
+    the just-written data; the reference reads ORC stats from file tails
+    (orc/.../OrcMetrics) which pyarrow doesn't surface."""
+    from pyspark.sql import functions as F
+
+    cols = [f for f in schema.fields if f.type.is_primitive]
+    df = spark.read.orc(staging)
+    aggs = []
+    for f in cols:
+        if f.name not in df.columns:
+            continue
+        c = F.col(f.name)
+        mn, mx = F.min(c), F.max(c)
+        if isinstance(f.type, (S.FloatType, S.DoubleType)):
+            # NaN sorts above +inf in Spark aggregates; NaN-polluted bounds
+            # are unusable for pruning (same rule as the footer path)
+            not_nan = ~F.isnan(c)
+            mn, mx = F.min(F.when(not_nan, c)), F.max(F.when(not_nan, c))
+        aggs += [mn.alias("mn_" + f.name), mx.alias("mx_" + f.name),
+                 F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("nl_" + f.name)]
+    if not aggs:
+        return
+    rows = (df.groupBy(F.col("_metadata.file_path").alias("__f"))
+            .agg(*aggs).collect())
+    from incubator_iceberg_spark.row_ops import normalize_file_uri
+    by_file = {normalize_file_uri(r["__f"]): r for r in rows}
+    for st in stats:
+        r = by_file.get(st["file_path"])
+        if r is None:
+            continue
+        d = r.asDict()
+        st["lower_bounds"] = {f.name: d["mn_" + f.name] for f in cols
+                              if d.get("mn_" + f.name) is not None}
+        st["upper_bounds"] = {f.name: d["mx_" + f.name] for f in cols
+                              if d.get("mx_" + f.name) is not None}
+        st["null_counts"] = {f.name: int(d.get("nl_" + f.name) or 0) for f in cols
+                             if ("nl_" + f.name) in d}
 
 
 def _max_records_estimate(df, target_file_size: int) -> int:

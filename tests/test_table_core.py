@@ -232,3 +232,22 @@ def test_nested_struct_bounds_prune_files(warehouse, spark):
     assert t.to_df(filter="nested.col1 >= 300").count() == 100
     row = t.metadata_table("files").select("lower_bounds").first()
     assert "nested.col1" in row["lower_bounds"].asDict()
+
+
+def test_orc_bounds_prune_files(warehouse, orders, spark):
+    """ORC writes collect column bounds via a Spark stats job, so metrics
+    pruning skips ORC files just like Parquet ones."""
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.orc_bounds", Schema.from_spark(orders.schema),
+                               properties={"write.format.default": "orc"})
+    half = orders.count() // 2
+    lo = orders.orderBy("o_orderkey").limit(half)
+    hi = orders.orderBy(F.desc("o_orderkey")).limit(half)
+    t.append(lo.coalesce(1))
+    t.append(hi.coalesce(1))
+    split = orders.orderBy(F.desc("o_orderkey")).limit(1).collect()[0]["o_orderkey"]
+    all_files = len(t.new_scan().plan_files())
+    pruned = len(t.new_scan().filter(f"o_orderkey >= {split}").plan_files())
+    assert pruned < all_files, (pruned, all_files)
+    row = t.metadata_table("files").select("lower_bounds", "null_counts").first()
+    assert row["lower_bounds"]["o_orderkey"] is not None
