@@ -318,6 +318,25 @@ def q_merge_by_source(spark, sf_dir):
     return t.to_df()
 
 
+def q_branch_read(spark, sf_dir):
+    """Branch refs (SnapshotRef analog): write half to main, branch, write
+    the other half to the branch only; read the branch back through the
+    SQL facade's VERSION AS OF syntax — must equal the full table while
+    main still has only half."""
+    from incubator_iceberg_spark import sqlfacade as SQL
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_branch", Schema.from_spark(orders.schema))
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    t.create_branch("audit")
+    t.append(orders.filter("o_orderkey % 2 != 0"), branch="audit")
+    n_main = t.to_df().count()
+    assert n_main < orders.count(), "branch write leaked into main"
+    return SQL.execute(cat, spark,
+                       "SELECT * FROM s.orders_branch VERSION AS OF 'audit'")
+
+
 def q_overwrite_dynamic(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.schema import Schema
@@ -804,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "merge_delete": q_merge_delete,
         "merge_by_source": q_merge_by_source,
+        "branch_read": q_branch_read,
         "overwrite_dynamic": q_overwrite_dynamic,
         "schema_evolution": q_schema_evolution,
         "q5_nation_revenue": q_q5_nation_revenue,
@@ -937,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_orderkey % 50 = 0 AND o_totalprice > 150000)
         """,
+        "branch_read": "SELECT * FROM orders",
         "merge_by_source": """
             SELECT o_orderkey, o_custkey,
                    CASE WHEN o_orderkey % 3 = 0 THEN 'S' ELSE 'N' END AS o_orderstatus,

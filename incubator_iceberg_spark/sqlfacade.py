@@ -184,6 +184,40 @@ def _merge(catalog, spark, s: str):
                        when_not_matched_by_source=by_source)
 
 
+_TT_RE = re.compile(
+    r"\b((?:\w+\.)+\w+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
+    re.IGNORECASE)
+
+
+def _rewrite_time_travel(catalog, spark, s: str) -> str:
+    """Spark SQL time-travel syntax over engine tables:
+    ``t VERSION AS OF <snapshot-id | 'branch-or-tag'>`` and
+    ``t TIMESTAMP AS OF '<iso>'`` become temp views of the resolved scan
+    (read options snapshot-id/as-of-timestamp, SparkReadOptions.java:31-34)."""
+    def repl(m):
+        name, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+        try:
+            t = catalog.load_table(name, spark=spark)
+        except Exception:
+            return m.group(0)
+        if kind == "VERSION":
+            if val.startswith("'"):
+                df = t.to_df(spark, ref=val.strip("'"))
+            else:
+                df = t.to_df(spark, snapshot_id=int(val))
+        else:
+            from datetime import datetime, timezone
+            dt = datetime.fromisoformat(val.strip("'"))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            df = t.to_df(spark, as_of_timestamp_ms=int(dt.timestamp() * 1000))
+        view = re.sub(r"\W", "_", f"{name}_{kind}_{val.strip(chr(39))}")
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _TT_RE.sub(repl, s)
+
+
 def _register_and_rewrite(catalog, spark, s: str) -> str:
     """Register engine tables named in the statement as temp views and
     rewrite their dotted names.  Views go through the Python Data Source
@@ -192,6 +226,7 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
     them, so such tables fall back to full-fidelity ``to_df`` views.
     Dotted tokens that are not engine tables (column refs like t.col)
     fail load_table and are left untouched."""
+    s = _rewrite_time_travel(catalog, spark, s)
     for name in set(re.findall(r"\b((?:\w+\.)+\w+)\b", s)):
         try:
             t = catalog.load_table(name, spark=spark)

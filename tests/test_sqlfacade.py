@@ -127,3 +127,51 @@ def test_sql_select_with_v2_deletes_falls_back(warehouse, orders, spark):
     got = SQL.execute(warehouse, spark,
                       "SELECT count(*) AS n FROM db.seldel").collect()[0]["n"]
     assert got == orders.filter("o_orderkey % 10 != 0").count()
+
+
+def test_sql_time_travel_and_branch_syntax(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.tt1", orders.filter("o_orderkey % 2 = 0"))
+    s1 = t.metadata.current_snapshot_id
+    t.create_branch("audit")
+    t.append(orders.filter("o_orderkey % 2 != 0"), branch="audit")
+    t.append(orders.limit(7).withColumn("o_orderkey", F.col("o_orderkey") + 8_000_000))
+    half = orders.filter("o_orderkey % 2 = 0").count()
+    # VERSION AS OF snapshot id
+    n = SQL.execute(warehouse, spark,
+                    f"SELECT count(*) AS n FROM db.tt1 VERSION AS OF {s1}"
+                    ).collect()[0]["n"]
+    assert n == half
+    # VERSION AS OF branch name
+    n = SQL.execute(warehouse, spark,
+                    "SELECT count(*) AS n FROM db.tt1 VERSION AS OF 'audit'"
+                    ).collect()[0]["n"]
+    assert n == orders.count()
+    # current main includes the extra 7
+    n = SQL.execute(warehouse, spark,
+                    "SELECT count(*) AS n FROM db.tt1").collect()[0]["n"]
+    assert n == half + 7
+
+
+def test_sql_timestamp_as_of(warehouse, orders, spark):
+    import time as _time
+    from datetime import datetime, timezone
+    t = _ingest(warehouse, "db.tt2", orders.limit(100))
+    _time.sleep(0.05)
+    mark = datetime.now(timezone.utc).isoformat()
+    _time.sleep(0.05)
+    t.append(orders.limit(50).withColumn("o_orderkey", F.col("o_orderkey") + 7_000_000))
+    n = SQL.execute(warehouse, spark,
+                    f"SELECT count(*) AS n FROM db.tt2 TIMESTAMP AS OF '{mark}'"
+                    ).collect()[0]["n"]
+    assert n == 100
+
+
+def test_call_ref_procedures(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.refproc", orders.filter("o_orderkey % 2 = 0"))
+    SQL.execute(warehouse, spark, "CALL system.create_branch('db.refproc', 'dev')")
+    t.refresh().append(orders.filter("o_orderkey % 2 != 0"), branch="dev")
+    SQL.execute(warehouse, spark, "CALL system.fast_forward('db.refproc', 'main', 'dev')")
+    assert warehouse.load_table("db.refproc").to_df().count() == orders.count()
+    SQL.execute(warehouse, spark, "CALL system.create_tag('db.refproc', 'v1')")
+    SQL.execute(warehouse, spark, "CALL system.drop_ref('db.refproc', 'v1')")
+    assert "v1" not in warehouse.load_table("db.refproc").metadata.refs
