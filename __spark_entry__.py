@@ -583,6 +583,56 @@ def q_q7_volume_shipping(spark, sf_dir):
                  .alias("revenue")))
 
 
+def q_q4_order_priority(spark, sf_dir):
+    """Q4-shaped: EXISTS subquery → left-semi join (Catalyst picks the
+    physical semi strategy)."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+            .filter((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """Q18-shaped: IN-subquery with HAVING over a grouped aggregate."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    cust = _table(spark, sf_dir, "customer_ice").to_df()
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 150)
+           .select("l_orderkey"))
+    li2 = li.select(F.col("l_orderkey").alias("lo_key"), "l_quantity")
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(li2, orders.o_orderkey == li2.lo_key)
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+            .limit(20))
+
+
+def q_q22_global_sales(spark, sf_dir):
+    """Q22-shaped: anti-join (customers with no orders) gated by a scalar
+    average subquery."""
+    from pyspark.sql import functions as F
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    cust = _table(spark, sf_dir, "customer_ice").to_df()
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("a")).collect()[0]["a"])
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    return (cust.filter(F.col("c_acctbal") > avg_bal)
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
 def q_q19_disjunctive(spark, sf_dir):
     """Q19-shaped: disjunction of conjunctive brackets over a broadcast join
     — exercises OR-of-AND predicate pushdown through the scan."""
@@ -833,6 +883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_top_supplier": q_q2_top_supplier,
         "q7_volume_shipping": q_q7_volume_shipping,
         "q19_disjunctive": q_q19_disjunctive,
+        "q4_order_priority": q_q4_order_priority,
+        "q18_large_orders": q_q18_large_orders,
+        "q22_global_sales": q_q22_global_sales,
         "eq_delete_scan": q_eq_delete_scan,
         "pos_delete_scan": q_pos_delete_scan,
         "orc_scan": q_orc_scan,
@@ -1027,6 +1080,38 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-03-01'
               AND l_shipdate < TIMESTAMP '1997-09-01'
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY l_orderkey
+                                 HAVING sum(l_quantity) > 150)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
+        """,
+        "q22_global_sales": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY c_nationkey
         """,
         "q2_top_supplier": """
             WITH cand AS (
