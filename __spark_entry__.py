@@ -818,6 +818,14 @@ def q_embedding_neardup(spark, sf_dir):
                                                hamming_tolerance=1)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (60-min idle gap) over the events table —
+    lag + running-sum windows, fully JVM-side."""
+    from incubator_iceberg_spark.functions import sessions
+    df = _table(spark, sf_dir, "events_stream").to_df()
+    return sessions.sessionize(df, gap_minutes=60)
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Two-stage salted aggregation (hot-key mitigation) — must equal the
     plain GROUP BY."""
@@ -899,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transforms_projection": q_transforms,
         "bucket_transform": q_bucket_transform,
         "events_hourly": q_events_hourly,
+        "sessionize_events": q_sessionize,
         "streaming_consume": q_streaming_consume,
         "compaction": q_compaction,
         "dedup_exact": q_dedup_exact,
@@ -1205,6 +1214,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us FROM events),
+                 flagged AS (
+                   SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                                    OR us - lag(us) OVER w > 3600000000
+                                  THEN 1 ELSE 0 END AS new_s
+                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+                 sess AS (
+                   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                              ROWS UNBOUNDED PRECEDING) AS session_seq
+                   FROM flagged)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, session_seq
         """,
         "streaming_consume": "SELECT * FROM events",
         "compaction": "SELECT * FROM nation",
