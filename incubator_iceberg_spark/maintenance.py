@@ -305,3 +305,54 @@ def remove_dangling_deletes(table) -> dict:
     table.metadata = SN2.overwrite_files(
         table.ops, [], set(dangling), operation="delete")
     return {"removed_delete_files": len(dangling)}
+
+
+def rewrite_position_deletes(table, spark=None) -> dict:
+    """Compact v2 position-delete files (RewritePositionDeleteFiles
+    analog): drop tuples whose target data file is no longer live (or no
+    longer in sequence scope), merge the survivors into one consolidated
+    delete file, and swap the old delete entries out in one commit.
+
+    Safe because data-file paths are never reused: a surviving tuple's
+    target is live with seq <= the original delete's seq, so carrying the
+    tuple at the new (higher) sequence number applies it to exactly the
+    same file."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import deletes as DEL
+    from incubator_iceberg_spark import snapshots as SN2
+    from incubator_iceberg_spark.scan import TableScan
+
+    spark = spark or table.spark
+    data, dels = TableScan(table, spark)._plan_split()
+    pos = [e for e in dels if (e.get("content") or 0) == MF.POSITION_DELETES]
+    if not pos:
+        return {"rewritten_delete_files": 0, "kept_tuples": 0, "dropped_tuples": 0}
+
+    # live data files in scope of each delete file's sequence number
+    live_rows = [(e["file_path"], e.get("sequence_number") or 0) for e in data]
+    live_df = spark.createDataFrame(live_rows, "file_path string, ___data_seq long")
+    tuples = None
+    total = 0
+    for e in pos:
+        part = (spark.read.schema(DEL.POS_DELETE_SCHEMA.to_spark())
+                .parquet(e["file_path"])
+                .withColumn("___del_seq", F.lit(e.get("sequence_number") or 0)))
+        tuples = part if tuples is None else tuples.unionByName(part)
+        total += e.get("record_count") or 0
+    kept = (tuples.join(F.broadcast(live_df), "file_path")
+            .filter(F.col("___del_seq") >= F.col("___data_seq"))
+            .select("file_path", "pos").distinct())
+    n_kept = kept.count()
+    old_paths = {e["file_path"] for e in pos}
+    added = []
+    if n_kept:
+        added = DEL._write_delete_parquet(
+            spark, table.metadata.location,
+            kept.sort("file_path", "pos").coalesce(1), DEL.POS_DELETE_SCHEMA)
+        for e in added:
+            e["content"] = MF.POSITION_DELETES
+    table.metadata = SN2.overwrite_files(table.ops, added, old_paths,
+                                         operation="replace")
+    return {"rewritten_delete_files": len(pos), "added_delete_files": len(added),
+            "kept_tuples": n_kept, "dropped_tuples": total - n_kept}

@@ -91,6 +91,7 @@ PROCEDURES = {
         min_input_files=int(kw.get("min_input_files", 5))),
     "add_files": lambda t, source_dir, **kw: add_files(t, source_dir),
     "remove_dangling_deletes": lambda t, **kw: t.remove_dangling_deletes(),
+    "rewrite_position_deletes": lambda t, **kw: t.rewrite_position_deletes(),
     # branch/tag refs (SnapshotRef management procedures)
     "create_branch": lambda t, name, **kw: t.create_branch(
         name, snapshot_id=int(kw["snapshot_id"]) if "snapshot_id" in kw else None),

@@ -535,3 +535,7 @@ class Table:
     def remove_dangling_deletes(self) -> dict:
         from incubator_iceberg_spark import maintenance
         return maintenance.remove_dangling_deletes(self)
+
+    def rewrite_position_deletes(self, spark=None) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.rewrite_position_deletes(self, spark=spark or self.spark)

@@ -138,3 +138,36 @@ def test_remove_dangling_deletes(warehouse, orders, spark):
     # no delete entries remain in the scan plan
     _data, dels = t.new_scan()._plan_split()
     assert dels == []
+
+
+def test_rewrite_position_deletes_compacts_and_drops_dead(warehouse, orders, spark):
+    """Many small position-delete files → one consolidated file; tuples
+    referencing compacted-away data files are dropped; reads unchanged."""
+    from incubator_iceberg_spark import manifests as MF
+    t = _ingest(warehouse, "db.posrw", orders.coalesce(2))
+    files = [p for p, _ in t.new_scan().plan_files()]
+    # three separate delete commits → three pos-delete files
+    for k in range(3):
+        pos = spark.createDataFrame([(files[0], i) for i in range(k * 5, k * 5 + 5)],
+                                    "file_path string, pos long").coalesce(1)
+        t.add_position_deletes(pos)
+    want = t.to_df().count()
+    _data, dels = t.new_scan()._plan_split()
+    assert len([e for e in dels if e["content"] == MF.POSITION_DELETES]) == 3
+    res = t.rewrite_position_deletes()
+    assert res["rewritten_delete_files"] == 3
+    assert res["added_delete_files"] == 1
+    assert res["kept_tuples"] == 15 and res["dropped_tuples"] == 0
+    _data, dels = t.new_scan()._plan_split()
+    assert len([e for e in dels if e["content"] == MF.POSITION_DELETES]) == 1
+    assert t.to_df().count() == want
+
+    # compact the data: old paths die; delete tuples become dead weight
+    for i in range(4):
+        t.append(orders.limit(10).coalesce(1))
+    t.rewrite_data_files(min_input_files=2)
+    res = t.rewrite_position_deletes()
+    # every tuple referenced a rewritten (dead) path or lost seq scope
+    assert res["kept_tuples"] == 0 and res["added_delete_files"] == 0
+    _data, dels = t.new_scan()._plan_split()
+    assert len([e for e in dels if e["content"] == MF.POSITION_DELETES]) == 0
