@@ -318,6 +318,23 @@ def q_merge_by_source(spark, sf_dir):
     return t.to_df()
 
 
+def q_changelog_scan(spark, sf_dir):
+    """Row-level CDC: delete + update commits over a baseline append; the
+    changelog must show exactly the net changed rows as delete/insert
+    pairs (copy-on-write rewrites of untouched rows cancel out)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_cdc", Schema.from_spark(orders.schema))
+    t.append(orders)
+    s0 = t.metadata.current_snapshot_id
+    t.delete_where("o_totalprice > 250000")
+    t.update({"o_orderstatus": "'X'"}, "o_orderkey % 100 = 0")
+    return (t.changelog(from_snapshot_id=s0)
+            .drop("_change_snapshot_id", "_change_ordinal"))
+
+
 def q_branch_read(spark, sf_dir):
     """Branch refs (SnapshotRef analog): write half to main, branch, write
     the other half to the branch only; read the branch back through the
@@ -882,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_delete": q_merge_delete,
         "merge_by_source": q_merge_by_source,
         "branch_read": q_branch_read,
+        "changelog_scan": q_changelog_scan,
         "overwrite_dynamic": q_overwrite_dynamic,
         "schema_evolution": q_schema_evolution,
         "q5_nation_revenue": q_q5_nation_revenue,
@@ -1020,6 +1038,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (o_orderkey % 50 = 0 AND o_totalprice > 150000)
         """,
         "branch_read": "SELECT * FROM orders",
+        "changelog_scan": """
+            -- deletes: rows removed by the delete commit (original values),
+            -- then delete+insert pairs for the update commit (update runs
+            -- on the post-delete table state)
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, 'delete' AS _change_type
+            FROM orders WHERE o_totalprice > 250000
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, 'delete' AS _change_type
+            FROM orders
+            WHERE o_totalprice <= 250000 AND o_orderkey % 100 = 0
+              AND o_orderstatus != 'X'
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, 'insert' AS _change_type
+            FROM orders
+            WHERE o_totalprice <= 250000 AND o_orderkey % 100 = 0
+              AND o_orderstatus != 'X'
+        """,
         "merge_by_source": """
             SELECT o_orderkey, o_custkey,
                    CASE WHEN o_orderkey % 3 = 0 THEN 'S' ELSE 'N' END AS o_orderstatus,

@@ -539,3 +539,10 @@ class Table:
     def rewrite_position_deletes(self, spark=None) -> dict:
         from incubator_iceberg_spark import maintenance
         return maintenance.rewrite_position_deletes(self, spark=spark or self.spark)
+
+    def changelog(self, from_snapshot_id=None, to_snapshot_id=None, spark=None):
+        """Row-level CDC diff in (from, to] — see changelog.changelog."""
+        from incubator_iceberg_spark import changelog as CL
+        return CL.changelog(self, spark=spark or self.spark,
+                            from_snapshot_id=from_snapshot_id,
+                            to_snapshot_id=to_snapshot_id)

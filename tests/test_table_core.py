@@ -251,3 +251,26 @@ def test_orc_bounds_prune_files(warehouse, orders, spark):
     assert pruned < all_files, (pruned, all_files)
     row = t.metadata_table("files").select("lower_bounds", "null_counts").first()
     assert row["lower_bounds"]["o_orderkey"] is not None
+
+
+def test_changelog_row_level_diff(warehouse, orders, spark):
+    """CDC scan: append → delete → update yields exactly the net row
+    changes; compaction (replace) contributes nothing."""
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.cdc", Schema.from_spark(orders.schema))
+    t.append(orders)
+    s0 = t.metadata.current_snapshot_id
+    t.delete_where("o_totalprice > 250000")
+    t.update({"o_orderstatus": "'X'"}, "o_orderkey % 100 = 0")
+    t.rewrite_data_files(min_input_files=2)  # replace snapshot: no changes
+    cl = t.changelog(from_snapshot_id=s0)
+    deleted = orders.filter("o_totalprice > 250000").count()
+    updated = orders.filter(
+        "o_totalprice <= 250000 AND o_orderkey % 100 = 0 AND o_orderstatus != 'X'").count()
+    assert cl.filter("_change_type = 'delete'").count() == deleted + updated
+    assert cl.filter("_change_type = 'insert'").count() == updated
+    # the update commit's ordinal follows the delete commit's
+    assert cl.select("_change_ordinal").distinct().count() == 2
+    # full-range changelog (from=None) includes the initial append
+    full = t.changelog()
+    assert full.filter("_change_type = 'insert'").count() == orders.count() + updated
