@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "streaming_consume",
     # B10 metadata tables
     "partitions_meta",
+    # window-heavy sessionization + semi-join subquery shapes
+    "sessionize_events",
+    "q18_large_orders",
     # extensions
     "dedup_exact",
     "dedup_minhash_pairs",

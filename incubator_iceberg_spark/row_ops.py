@@ -326,7 +326,8 @@ class WhenNotMatchedBySource:
 
 def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
                when_not_matched_by_source=None, spark=None,
-               check_cardinality: bool = True, evolve_schema: bool = False) -> dict:
+               check_cardinality: bool = True, evolve_schema: bool = False,
+               extra_summary: Optional[dict] = None) -> dict:
     from pyspark.sql import functions as F
 
     spark = spark or table.spark
@@ -474,10 +475,14 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
                 "MERGE: a target row matched more than one source row") from None
         raise
     if not touched and not staged:
+        if extra_summary:  # e.g. streaming epoch marker must still commit
+            table.metadata = SN.append_files(table.ops, [],
+                                             extra_summary=extra_summary)
         return {"touched_files": 0, "written_files": 0}
     table.metadata = SN.overwrite_files(
         table.ops, staged, set(touched),
         operation="overwrite",
+        extra_summary=extra_summary,
         base_snapshot_id=base_snapshot_id,
         conflict_detection_filter=None,  # serializable: any concurrent append conflicts
     )

@@ -150,3 +150,43 @@ def foreach_batch_writer(table, query_id: str = "default"):
                             spark=batch_df.sparkSession)
 
     return write
+
+
+def upsert_exactly_once(table, batch_df, epoch_id: int, on=None,
+                        query_id: str = "default", spark=None) -> bool:
+    """CDC-apply sink: MERGE the micro-batch into the table (update
+    matched on the key columns / identifier fields, insert the rest),
+    skipping already-committed epochs on foreachBatch retry.  The MERGE
+    commit carries the epoch marker, so replay detection covers the
+    rewrite commit itself."""
+    table.refresh()
+    last = last_committed_epoch(table, query_id)
+    if last is not None and int(epoch_id) <= last:
+        return False
+    from incubator_iceberg_spark.row_ops import WhenMatched, WhenNotMatched
+    if on is None:
+        schema = table.metadata.schema()
+        on = [schema.field_path(i) for i in schema.identifier_field_ids]
+        if not on:
+            raise ValueError("no identifier fields on table; pass on=[...]")
+    from incubator_iceberg_spark import row_ops
+    # dedup within the batch (last-wins is arbitrary for same-key rows in
+    # one epoch; callers needing order pass a pre-deduped frame)
+    batch_df = batch_df.dropDuplicates(on)
+    row_ops.merge_into(
+        table, batch_df, on=on,
+        when_matched=[WhenMatched.update_all()],
+        when_not_matched=[WhenNotMatched.insert_all()],
+        spark=spark or batch_df.sparkSession,
+        extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
+    return True
+
+
+def foreach_batch_upserter(table, on=None, query_id: str = "default"):
+    """Adapter: ``writeStream.foreachBatch(foreach_batch_upserter(t, on))``."""
+
+    def write(batch_df, epoch_id):
+        upsert_exactly_once(table, batch_df, epoch_id, on=on,
+                            query_id=query_id, spark=batch_df.sparkSession)
+
+    return write

@@ -74,3 +74,40 @@ def test_upsert_requires_keys(warehouse, orders):
     t.append(orders.limit(10))
     with pytest.raises(ValueError):
         t.upsert(orders.limit(5))
+
+
+def test_streaming_upsert_sink_exactly_once(warehouse, spark, sf_dir, tmp_path):
+    """CDC-apply sink: stream key-value updates into a table via
+    foreach_batch_upserter; replayed epochs are no-ops."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.io import load_table
+    from incubator_iceberg_spark.schema import Schema
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.limit(200)
+    t = warehouse.create_table("db.upsink", Schema.from_spark(base.schema))
+    t.append(base)
+
+    # stream of updates: same keys, doubled price + 20 brand-new keys
+    upd = (base.limit(50).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+           .unionByName(base.limit(20).withColumn(
+               "o_orderkey", F.col("o_orderkey") + 3_000_000)))
+    src_dir = str(tmp_path / "cdc_src")
+    upd.write.parquet(src_dir)
+    stream = spark.readStream.schema(upd.schema).parquet(src_dir)
+    q = (stream.writeStream
+         .foreachBatch(STR.foreach_batch_upserter(t, on=["o_orderkey"]))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    t.refresh()
+    assert t.to_df().count() == 220
+    doubled = t.to_df().join(base.limit(50).select("o_orderkey", F.col("o_totalprice").alias("old")),
+                             "o_orderkey").filter("abs(o_totalprice - 2*old) < 1e-6")
+    assert doubled.count() == 50
+    # epoch replay: re-running the same epoch id must be a no-op
+    before = t.metadata.current_snapshot_id
+    assert STR.upsert_exactly_once(t, upd, epoch_id=0, on=["o_orderkey"]) is False
+    assert t.refresh().metadata.current_snapshot_id == before
