@@ -318,6 +318,38 @@ def q_merge_by_source(spark, sf_dir):
     return t.to_df()
 
 
+def q_spec_evolution(spark, sf_dir):
+    """C12: evolve the partition spec mid-table (month → bucket); scan
+    plans per-spec manifests with per-spec projections and still prunes."""
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_spec", Schema.from_spark(orders.schema),
+                         partition_by=["month(o_orderdate)"])
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    t.update_spec(["bucket(8, o_custkey)"])
+    t.append(orders.filter("o_orderkey % 2 != 0"))
+    return t.to_df(filter="o_orderdate >= TIMESTAMP '1997-01-01'")
+
+
+def q_wap_publish(spark, sf_dir):
+    """C9 WAP: stage an append (current unchanged), audit the staged
+    snapshot, publish via cherry-pick."""
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_wap", Schema.from_spark(orders.schema),
+                         properties={"write.wap.enabled": "true"})
+    t.append(orders.filter("o_orderkey % 3 = 0"))
+    n_before = t.to_df().count()
+    staged = t.wap_append(orders.filter("o_orderkey % 3 != 0"), wap_id="audit-q")
+    assert t.to_df().count() == n_before, "staged snapshot leaked into current"
+    audit = t.to_df(snapshot_id=staged)  # audit: staged data readable by id
+    assert audit.count() > 0
+    t.cherry_pick(staged)
+    return t.to_df()
+
+
 def q_changelog_scan(spark, sf_dir):
     """Row-level CDC: delete + update commits over a baseline append; the
     changelog must show exactly the net changed rows as delete/insert
@@ -900,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_by_source": q_merge_by_source,
         "branch_read": q_branch_read,
         "changelog_scan": q_changelog_scan,
+        "spec_evolution": q_spec_evolution,
+        "wap_publish": q_wap_publish,
         "overwrite_dynamic": q_overwrite_dynamic,
         "schema_evolution": q_schema_evolution,
         "q5_nation_revenue": q_q5_nation_revenue,
@@ -1038,6 +1072,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (o_orderkey % 50 = 0 AND o_totalprice > 150000)
         """,
         "branch_read": "SELECT * FROM orders",
+        "spec_evolution":
+            "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'",
+        "wap_publish": "SELECT * FROM orders",
         "changelog_scan": """
             -- deletes: rows removed by the delete commit (original values),
             -- then delete+insert pairs for the update commit (update runs
