@@ -39,6 +39,9 @@ def __getattr__(name):  # lazy: table pulls in pyspark-heavy modules
     if name == "Transaction":
         from incubator_iceberg_spark.transactions import Transaction
         return Transaction
+    if name == "SqliteCatalog":
+        from incubator_iceberg_spark.catalog_sqlite import SqliteCatalog
+        return SqliteCatalog
     if name in ("WhenMatched", "WhenNotMatched", "WhenNotMatchedBySource",
                 "MergeCardinalityError"):
         from incubator_iceberg_spark import row_ops as _r
