@@ -485,6 +485,19 @@ def q_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON props column JVM-side
+    (get_json_object) and aggregate on the extracted key."""
+    from pyspark.sql import functions as F
+    df = _table(spark, sf_dir, "events_stream").to_df()
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (df.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_streaming_consume(spark, sf_dir):
     """S4: consume the events table via micro-batches; union of batches
     must equal the full table (exactly-once, no loss, no dup)."""
@@ -960,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_transform": q_bucket_transform,
         "events_hourly": q_events_hourly,
         "sessionize_events": q_sessionize,
+        "events_props_json": q_events_props_json,
         "streaming_consume": q_streaming_consume,
         "compaction": q_compaction,
         "dedup_exact": q_dedup_exact,
@@ -1289,6 +1303,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_props_json": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
         "sessionize_events": """
             WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us FROM events),
