@@ -318,6 +318,19 @@ def q_merge_by_source(spark, sf_dir):
     return t.to_df()
 
 
+def q_zorder_scan(spark, sf_dir):
+    """Z-order clustering rewrite on (o_custkey, o_totalprice), then a
+    selective two-dimension scan over the re-clustered files."""
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_z", Schema.from_spark(orders.schema))
+    for i in range(4):
+        t.append(orders.filter(f"o_orderkey % 4 = {i}"))
+    t.zorder_rewrite(["o_custkey", "o_totalprice"], target_file_size=256 * 1024)
+    return t.to_df(filter="o_custkey < 300 AND o_totalprice < 100000")
+
+
 def q_spec_evolution(spark, sf_dir):
     """C12: evolve the partition spec mid-table (month → bucket); scan
     plans per-spec manifests with per-spec projections and still prunes."""
@@ -946,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_read": q_branch_read,
         "changelog_scan": q_changelog_scan,
         "spec_evolution": q_spec_evolution,
+        "zorder_scan": q_zorder_scan,
         "wap_publish": q_wap_publish,
         "overwrite_dynamic": q_overwrite_dynamic,
         "schema_evolution": q_schema_evolution,
@@ -1088,6 +1102,8 @@ def oracle_sql() -> dict[str, str]:
         "branch_read": "SELECT * FROM orders",
         "spec_evolution":
             "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'",
+        "zorder_scan":
+            "SELECT * FROM orders WHERE o_custkey < 300 AND o_totalprice < 100000",
         "wap_publish": "SELECT * FROM orders",
         "changelog_scan": """
             -- deletes: rows removed by the delete commit (original values),

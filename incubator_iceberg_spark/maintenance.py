@@ -356,3 +356,88 @@ def rewrite_position_deletes(table, spark=None) -> dict:
                                          operation="replace")
     return {"rewritten_delete_files": len(pos), "added_delete_files": len(added),
             "kept_tuples": n_kept, "dropped_tuples": total - n_kept}
+
+
+def zorder_rewrite(table, columns: list, spark=None,
+                   target_file_size: Optional[int] = None, bits: int = 16) -> dict:
+    """Z-order clustering rewrite (later-Iceberg RewriteDataFiles
+    ZOrderStrategy analog, UDF-free): normalize each column to a
+    ``bits``-wide integer from its table-wide min/max, interleave the
+    bits JVM-side into one z-value, range-repartition + sort by it, and
+    swap the whole file set in one replace commit.
+
+    After the rewrite every file's bounds are tight in EVERY z-ordered
+    dimension, so metrics pruning works for filters on any of them — the
+    multi-column generalization of sort-order clustering.  Numeric,
+    date, and timestamp columns only (strings have no bounded linear
+    domain to normalize into)."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import schema as S
+    from incubator_iceberg_spark import write as W
+    from incubator_iceberg_spark.scan import TableScan, read_entries
+
+    spark = spark or table.spark
+    md = table.metadata
+    schema = md.schema()
+    target = target_file_size or md.property(MD.WRITE_TARGET_FILE_SIZE,
+                                             MD.WRITE_TARGET_FILE_SIZE_DEFAULT)
+    for c in columns:
+        f = schema.find_field(c)
+        if f is None:
+            raise ValueError(f"z-order column not in schema: {c}")
+        if isinstance(f.type, (S.StringType, S.BinaryType, S.BooleanType)):
+            raise ValueError(f"z-order unsupported for type of column: {c}")
+
+    data, dels = TableScan(table, spark)._plan_split()
+    if not data:
+        return {"rewritten_files": 0, "added_files": 0}
+    df = read_entries(spark, md, data, dels, schema)
+
+    def as_line(c):
+        f = schema.find_field(c)
+        col = F.col(c)
+        if isinstance(f.type, S.TimestampType):
+            return F.unix_micros(col).cast("double")
+        if isinstance(f.type, S.DateType):
+            return F.datediff(col, F.lit("1970-01-01")).cast("double")
+        return col.cast("double")
+
+    lines = {c: as_line(c) for c in columns}
+    aggs = []
+    for c in columns:
+        aggs += [F.min(lines[c]).alias("mn_" + c), F.max(lines[c]).alias("mx_" + c)]
+    r = df.agg(*aggs).collect()[0].asDict()
+
+    maxv = (1 << bits) - 1
+    units = []
+    for c in columns:
+        mn, mx = r["mn_" + c], r["mx_" + c]
+        if mn is None or mx is None or mx == mn:
+            units.append(F.lit(0).cast("long"))
+        else:
+            scaled = (lines[c] - F.lit(float(mn))) / F.lit(float(mx - mn)) * maxv
+            units.append(F.coalesce(scaled.cast("long"), F.lit(0)))
+    k = len(units)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for ci, u in enumerate(units):
+            bit = F.shiftright(u, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + ci))
+
+    total = sum(e.get("file_size_bytes") or 0 for e in data)
+    n_out = max(1, total // target + (1 if total % target else 0))
+    out = (df.withColumn("__z", z)
+           .repartitionByRange(int(n_out), F.col("__z"))
+           .sortWithinPartitions("__z")
+           .drop("__z"))
+    # distribution_mode="none": the z-range partitioning IS the layout —
+    # the default hash-by-partition redistribution would destroy it
+    staged = W.stage_write(spark, md.location, out, schema, md.spec(),
+                           target_file_size=target, distribution_mode="none")
+    old = {e["file_path"] for e in data}
+    table.metadata = SN.overwrite_files(
+        table.ops, staged, old, operation="replace",
+        base_snapshot_id=md.current_snapshot_id,
+        conflict_detection_filter=lambda e: e.get("file_path") in old)
+    return {"rewritten_files": len(old), "added_files": len(staged)}

@@ -92,6 +92,9 @@ PROCEDURES = {
     "add_files": lambda t, source_dir, **kw: add_files(t, source_dir),
     "remove_dangling_deletes": lambda t, **kw: t.remove_dangling_deletes(),
     "rewrite_position_deletes": lambda t, **kw: t.rewrite_position_deletes(),
+    "rewrite_data_files_zorder": lambda t, *cols, **kw: t.zorder_rewrite(
+        list(cols), target_file_size=int(kw["target_file_size"])
+        if "target_file_size" in kw else None),
     # branch/tag refs (SnapshotRef management procedures)
     "create_branch": lambda t, name, **kw: t.create_branch(
         name, snapshot_id=int(kw["snapshot_id"]) if "snapshot_id" in kw else None),

@@ -540,6 +540,11 @@ class Table:
         from incubator_iceberg_spark import maintenance
         return maintenance.rewrite_position_deletes(self, spark=spark or self.spark)
 
+    def zorder_rewrite(self, columns, spark=None, **kw) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.zorder_rewrite(self, columns,
+                                          spark=spark or self.spark, **kw)
+
     def changelog(self, from_snapshot_id=None, to_snapshot_id=None, spark=None):
         """Row-level CDC diff in (from, to] — see changelog.changelog."""
         from incubator_iceberg_spark import changelog as CL

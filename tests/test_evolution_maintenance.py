@@ -164,3 +164,32 @@ def test_skip_delete_snapshots_in_stream(warehouse, orders):
                                skip_overwrite_snapshots=False)
     with pytest.raises(ValueError):
         list(rd2.batches())
+
+
+def test_zorder_rewrite_prunes_both_dimensions(warehouse, spark):
+    """After z-ordering on (x, y), file-level bounds are tight in BOTH
+    columns: selective filters on either prune most files."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    n = 64
+    grid = (spark.range(n * n)
+            .select((F.col("id") % n).alias("x"),
+                    (F.col("id") / n).cast("long").alias("y"),
+                    F.col("id").alias("payload"))
+            .orderBy(F.rand(seed=7)))  # shuffled: every file spans everything
+    t = warehouse.create_table("db.zord", Schema.from_spark(grid.schema))
+    for i in range(8):
+        t.append(grid.filter(F.col("payload") % 8 == i).coalesce(1))
+    before = len(t.new_scan().plan_files())
+    bx = len(t.new_scan().filter(f"x < {n // 8}").plan_files())
+    assert bx == before  # shuffled layout: no pruning possible
+
+    res = t.zorder_rewrite(["x", "y"], target_file_size=2_000)
+    assert res["rewritten_files"] == before and res["added_files"] > 3
+    after = len(t.new_scan().plan_files())
+    ax = len(t.new_scan().filter(f"x < {n // 8}").plan_files())
+    ay = len(t.new_scan().filter(f"y < {n // 8}").plan_files())
+    assert ax < after and ay < after, (ax, ay, after)
+    # contents unchanged
+    assert t.to_df().count() == n * n
+    assert t.to_df().agg(F.sum("payload")).collect()[0][0] == (n * n) * (n * n - 1) // 2
