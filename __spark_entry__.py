@@ -318,6 +318,17 @@ def q_merge_by_source(spark, sf_dir):
     return t.to_df()
 
 
+def q_metadata_agg(spark, sf_dir):
+    """Metadata-only COUNT/MIN/MAX (aggregate pushdown analog): answered
+    from manifest stats with zero data reads — asserted exact."""
+    t = _table(spark, sf_dir, "lineitem_part")
+    cnt = t.fast_count("l_shipdate >= TIMESTAMP '1997-01-01'")
+    assert cnt is not None, "fast count unexpectedly needed a data scan"
+    lo, hi = t.fast_min_max("l_orderkey")
+    return spark.createDataFrame(
+        [(cnt, lo, hi)], "cnt long, min_orderkey long, max_orderkey long")
+
+
 def q_zorder_scan(spark, sf_dir):
     """Z-order clustering rewrite on (o_custkey, o_totalprice), then a
     selective two-dimension scan over the re-clustered files."""
@@ -960,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_scan": q_changelog_scan,
         "spec_evolution": q_spec_evolution,
         "zorder_scan": q_zorder_scan,
+        "metadata_agg": q_metadata_agg,
         "wap_publish": q_wap_publish,
         "overwrite_dynamic": q_overwrite_dynamic,
         "schema_evolution": q_schema_evolution,
@@ -1104,6 +1116,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'",
         "zorder_scan":
             "SELECT * FROM orders WHERE o_custkey < 300 AND o_totalprice < 100000",
+        "metadata_agg": """
+            SELECT (SELECT count(*) FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1997-01-01') AS cnt,
+                   min(l_orderkey) AS min_orderkey,
+                   max(l_orderkey) AS max_orderkey
+            FROM lineitem
+        """,
         "wap_publish": "SELECT * FROM orders",
         "changelog_scan": """
             -- deletes: rows removed by the delete commit (original values),

@@ -540,6 +540,17 @@ class Table:
         from incubator_iceberg_spark import maintenance
         return maintenance.rewrite_position_deletes(self, spark=spark or self.spark)
 
+    def fast_count(self, filter=None, spark=None):
+        """Metadata-only exact COUNT(*) (None → needs a data scan)."""
+        from incubator_iceberg_spark import agg_pushdown
+        return agg_pushdown.fast_count(self, filter=filter,
+                                       spark=spark or self.spark)
+
+    def fast_min_max(self, column, spark=None):
+        """Metadata-only exact (min, max) (None → needs a data scan)."""
+        from incubator_iceberg_spark import agg_pushdown
+        return agg_pushdown.fast_min_max(self, column, spark=spark or self.spark)
+
     def zorder_rewrite(self, columns, spark=None, **kw) -> dict:
         from incubator_iceberg_spark import maintenance
         return maintenance.zorder_rewrite(self, columns,

@@ -274,3 +274,25 @@ def test_changelog_row_level_diff(warehouse, orders, spark):
     # full-range changelog (from=None) includes the initial append
     full = t.changelog()
     assert full.filter("_change_type = 'insert'").count() == orders.count() + updated
+
+
+def test_fast_count_and_min_max_metadata_only(warehouse, orders, spark):
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.fastagg", Schema.from_spark(orders.schema),
+                               partition_by=["month(o_orderdate)"])
+    t.append(orders)
+    n = orders.count()
+    assert t.fast_count() == n
+    # partition-aligned predicate: strictly decidable per file
+    want = orders.filter("o_orderdate >= TIMESTAMP '1997-01-01'").count()
+    assert t.fast_count("o_orderdate >= TIMESTAMP '1997-01-01'") == want
+    # row-level predicate: files only MIGHT match → not answerable
+    assert t.fast_count("o_totalprice > 100000") is None
+    lo, hi = t.fast_min_max("o_orderkey")
+    row = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    assert (lo, hi) == (row[0], row[1])
+    assert t.fast_min_max("o_orderpriority") is None  # string: truncated bounds
+    # v2 deletes void metadata-only answers
+    t.add_equality_deletes(orders.limit(5).select("o_orderkey"), ["o_orderkey"])
+    assert t.fast_count() is None
+    assert t.fast_min_max("o_orderkey") is None
