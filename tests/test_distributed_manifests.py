@@ -87,3 +87,18 @@ def test_distributed_threshold_via_append(table, spark, monkeypatch):
     # partition pruning over the distributed manifests still works
     pruned = table.new_scan().filter("bucket = 3").plan_files()
     assert 0 < len(pruned) < 120
+
+
+def test_real_threshold_path_30k_entries(table, spark):
+    """Exercise the production threshold (no monkeypatch): a 30k-entry
+    commit fans out and plans back correctly."""
+    entries = _synthetic_entries(30_000)
+    table.metadata = SN.append_files(table.ops, entries)
+    rows = MF.read_manifest_list_arrow(
+        table.metadata.current_snapshot().manifest_list).to_pylist()
+    assert len(rows) == 2  # 30k / 20k-per-manifest
+    assert sum(r["added_files_count"] for r in rows) == 30_000
+    files = table.new_scan().plan_files()
+    assert len(files) == 30_000
+    pruned = table.new_scan().filter("bucket = 3").plan_files()
+    assert len(pruned) < 6000

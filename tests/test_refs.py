@@ -86,3 +86,37 @@ def test_refs_metadata_table(warehouse, orders):
     assert rows["dev"]["type"] == "branch"
     assert rows["v0"]["type"] == "tag"
     assert rows["dev"]["snapshot_id"] == t.metadata.current_snapshot_id
+
+
+def test_concurrent_branch_and_main_writers(warehouse, orders, spark):
+    """Branch commits and main commits race through the same optimistic
+    swap; all land, neither clobbers the other."""
+    import threading
+    t0 = _ingest(warehouse, "db.brconc", orders.limit(10))
+    t0.create_branch("side")
+    errs = []
+
+    def main_writer(k):
+        try:
+            h = warehouse.load_table("db.brconc")
+            h.append(orders.limit(5).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000 * k))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def branch_writer(k):
+        try:
+            h = warehouse.load_table("db.brconc")
+            h.append(orders.limit(3).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 900000 * k), branch="side")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = ([threading.Thread(target=main_writer, args=(k,)) for k in (1, 2)]
+               + [threading.Thread(target=branch_writer, args=(k,)) for k in (1, 2)])
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs
+    t = warehouse.load_table("db.brconc")
+    assert t.to_df().count() == 10 + 2 * 5
+    assert t.to_df(ref="side").count() == 10 + 2 * 3
