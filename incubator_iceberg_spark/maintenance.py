@@ -441,3 +441,25 @@ def zorder_rewrite(table, columns: list, spark=None,
         base_snapshot_id=md.current_snapshot_id,
         conflict_detection_filter=lambda e: e.get("file_path") in old)
     return {"rewritten_files": len(old), "added_files": len(staged)}
+
+
+def run_maintenance(table, spark=None, target_file_size: Optional[int] = None,
+                    expire_older_than_ms: Optional[int] = None,
+                    retain_last: int = 3) -> dict:
+    """One-call housekeeping in dependency order: compact small data
+    files → consolidate position deletes → drop dangling deletes →
+    rewrite manifests → expire snapshots → remove orphans.  Each step is
+    the standalone action; the order matters (compaction creates the
+    dangling deletes the later steps reclaim, expiry makes orphan
+    detection cheap)."""
+    out: dict = {}
+    out["rewrite_data_files"] = rewrite_data_files(
+        table, spark=spark, target_file_size=target_file_size)
+    out["rewrite_position_deletes"] = rewrite_position_deletes(table, spark=spark)
+    out["remove_dangling_deletes"] = remove_dangling_deletes(table)
+    out["rewrite_manifests"] = rewrite_manifests(table, spark=spark)
+    out["expire_snapshots"] = expire_snapshots(
+        table, older_than_ms=expire_older_than_ms, retain_last=retain_last)
+    out["remove_orphan_files"] = len(remove_orphan_files(
+        table, older_than_ms=MD.now_ms()))
+    return out

@@ -540,6 +540,12 @@ class Table:
         from incubator_iceberg_spark import maintenance
         return maintenance.rewrite_position_deletes(self, spark=spark or self.spark)
 
+    def run_maintenance(self, spark=None, **kw) -> dict:
+        """Composite housekeeping (compact → delete-file cleanup →
+        manifest rewrite → expire → orphans)."""
+        from incubator_iceberg_spark import maintenance
+        return maintenance.run_maintenance(self, spark=spark or self.spark, **kw)
+
     def fast_count(self, filter=None, spark=None):
         """Metadata-only exact COUNT(*) (None → needs a data scan)."""
         from incubator_iceberg_spark import agg_pushdown

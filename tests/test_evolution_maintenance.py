@@ -193,3 +193,28 @@ def test_zorder_rewrite_prunes_both_dimensions(warehouse, spark):
     # contents unchanged
     assert t.to_df().count() == n * n
     assert t.to_df().agg(F.sum("payload")).collect()[0][0] == (n * n) * (n * n - 1) // 2
+
+
+def test_run_maintenance_composite(warehouse, orders, spark):
+    from incubator_iceberg_spark import maintenance as MT
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.housekeep", Schema.from_spark(orders.schema))
+    for i in range(6):
+        t.append(orders.filter(f"o_orderkey % 6 = {i}").coalesce(1))
+    files = [p for p, _ in t.new_scan().plan_files()]
+    pos = spark.createDataFrame([(files[0], i) for i in range(3)],
+                                "file_path string, pos long").coalesce(1)
+    t.add_position_deletes(pos)
+    want = t.to_df().count()
+    res = MT.run_maintenance(t, expire_older_than_ms=MD_now_plus())
+    assert res["rewrite_data_files"]["rewritten_files"] > 0
+    assert res["expire_snapshots"]["expired_snapshots"] > 0
+    assert t.to_df().count() == want
+    # post-maintenance: few files, no delete entries left in the plan
+    _data, dels = t.new_scan()._plan_split()
+    assert not dels
+
+
+def MD_now_plus():
+    from incubator_iceberg_spark import metadata as MD
+    return MD.now_ms() + 10_000
