@@ -751,9 +751,13 @@ def q_eq_delete_scan(spark, sf_dir):
 
 
 def q_pos_delete_scan(spark, sf_dir):
+    """Position deletes: one file sorted by o_orderkey, so positions 0-4
+    are the 5 smallest keys — SQL-expressible at any scale factor."""
+    from pyspark.sql import functions as F
     from incubator_iceberg_spark.schema import Schema
     cat = _scratch_catalog(spark)
-    orders = _load(spark, sf_dir, "orders").coalesce(1)
+    orders = (_load(spark, sf_dir, "orders")
+              .repartition(1).sortWithinPartitions("o_orderkey"))
     t = cat.create_table("s.orders_posdel", Schema.from_spark(orders.schema))
     t.append(orders)
     files = t.new_scan().plan_files()
@@ -1296,11 +1300,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "eq_delete_scan": "SELECT * FROM orders WHERE o_orderkey % 37 != 0",
         "pos_delete_scan": """
-            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-                   o_orderdate, o_orderpriority
-            FROM read_parquet('/root/testdata/sf0.01/orders.parquet',
-                              file_row_number=true)
-            WHERE file_row_number >= 5
+            SELECT * FROM orders
+            WHERE o_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
         """,
         "orc_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
         "call_procedure": "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
