@@ -296,3 +296,19 @@ def test_fast_count_and_min_max_metadata_only(warehouse, orders, spark):
     t.add_equality_deletes(orders.limit(5).select("o_orderkey"), ["o_orderkey"])
     assert t.fast_count() is None
     assert t.fast_min_max("o_orderkey") is None
+
+
+def test_nested_bounds_prune_in_distributed_plan_mode(warehouse, spark):
+    """The Spark-job planner resolves dotted bounds-struct field names
+    (getField('nested.col1')) the same as the driver-local planner."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.range(0, 400).select(
+        F.col("id"), F.struct(F.col("id").alias("col1")).alias("nested"))
+    t = warehouse.create_table("db.nested_dist", Schema.from_spark(df.schema),
+                               properties={"read.plan-mode": "distributed"})
+    for lo in range(0, 400, 100):
+        t.append(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)).coalesce(1))
+    assert len(t.new_scan().filter("nested.col1 >= 300").plan_files()) \
+        < len(t.new_scan().plan_files())
+    assert t.to_df(filter="nested.col1 >= 300").count() == 100
