@@ -176,6 +176,16 @@ class SqliteCatalog:
         MD.run_with_retries(ops, apply, retries=0)
         return Table(name, ops, spark or self.spark)
 
+    def create_table_as_select(self, name: str, df, partition_by=None,
+                               properties: Optional[dict] = None,
+                               spark=None) -> Table:
+        from incubator_iceberg_spark.schema import Schema
+        t = self.create_table(name, Schema.from_spark(df.schema),
+                              partition_by=partition_by,
+                              properties=properties, spark=spark)
+        t.append(df)
+        return t
+
     def load_table(self, name: str, spark=None) -> Table:
         ops = self._ops(name)
         if ops.refresh() is None:

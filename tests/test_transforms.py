@@ -115,3 +115,29 @@ def test_spark_transform_exprs_match_python(spark):
         got = [r[0] for r in df.select(tr.spark_expr(F.col("ts"))).collect()]
         want = [tr.apply(r[0]) for r in rows]
         assert got == want, str(tr)
+
+
+def test_zorder_interleave_monotone_property(spark):
+    """Property: with one dimension fixed, the z-value is monotone in the
+    other (bit interleave preserves per-dimension order)."""
+    from hypothesis import given, settings, strategies as st
+    import pyspark.sql.functions as F
+
+    bits = 8
+    maxv = (1 << bits) - 1
+
+    def z(u1, u2):
+        out = 0
+        for i in range(bits):
+            out |= ((u1 >> i) & 1) << (2 * i)
+            out |= ((u2 >> i) & 1) << (2 * i + 1)
+        return out
+
+    @given(st.integers(0, maxv), st.integers(0, maxv), st.integers(0, maxv))
+    @settings(max_examples=200, deadline=None)
+    def prop(a, b, fixed):
+        lo, hi = min(a, b), max(a, b)
+        assert z(lo, fixed) <= z(hi, fixed)
+        assert z(fixed, lo) <= z(fixed, hi)
+
+    prop()
