@@ -719,6 +719,39 @@ def q_q22_global_sales(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
 
 
+def q_q15_top_supplier_revenue(spark, sf_dir):
+    """Q15-shaped: revenue 'view' (grouped CTE) + scalar-max tie filter."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    supp = _load(spark, sf_dir, "supplier")
+    rev = (li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue")).collect()[0][0]
+    return (F.broadcast(supp).join(rev, supp.s_suppkey == rev.supplier_no)
+            .filter(F.col("total_revenue") == mx)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def q_q20_part_suppliers(spark, sf_dir):
+    """Q20-shaped: nested IN — suppliers who shipped enough of the
+    matching parts (LIKE filter → grouped HAVING → semi-join)."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    keys = (li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+                    li.l_partkey == part.p_partkey)
+            .groupBy("l_suppkey")
+            .agg(F.sum("l_quantity").alias("q"))
+            .filter(F.col("q") > 500)
+            .select("l_suppkey"))
+    return (supp.join(keys, supp.s_suppkey == keys.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal"))
+
+
 def q_q19_disjunctive(spark, sf_dir):
     """Q19-shaped: disjunction of conjunctive brackets over a broadcast join
     — exercises OR-of-AND predicate pushdown through the scan."""
@@ -987,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q_q7_volume_shipping,
         "q19_disjunctive": q_q19_disjunctive,
         "q4_order_priority": q_q4_order_priority,
+        "q15_top_supplier": q_q15_top_supplier_revenue,
+        "q20_part_suppliers": q_q20_part_suppliers,
         "q18_large_orders": q_q18_large_orders,
         "q22_global_sales": q_q22_global_sales,
         "eq_delete_scan": q_eq_delete_scan,
@@ -1217,6 +1252,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-03-01'
               AND l_shipdate < TIMESTAMP '1997-09-01'
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS supplier_no,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q20_part_suppliers": """
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%red%'
+                GROUP BY l_suppkey
+                HAVING sum(l_quantity) > 500)
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count
