@@ -207,6 +207,14 @@ def q_rollup(spark, sf_dir):
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
 
 
+def q_cube_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _table(spark, sf_dir, "lineitem_part").to_df()
+    return (df.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
 def q_distinct_agg(spark, sf_dir):
     from pyspark.sql import functions as F
     df = _table(spark, sf_dir, "lineitem_part").to_df()
@@ -995,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_pushdown_scan": q_filter_scan,
         "topk_window": q_topk_window,
         "rollup_agg": q_rollup,
+        "cube_agg": q_cube_agg,
         "distinct_agg": q_distinct_agg,
         "time_travel": q_time_travel,
         "incremental_read": q_incremental,
@@ -1111,6 +1120,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "distinct_agg": """
             SELECT l_returnflag,
