@@ -120,3 +120,25 @@ def test_concurrent_branch_and_main_writers(warehouse, orders, spark):
     t = warehouse.load_table("db.brconc")
     assert t.to_df().count() == 10 + 2 * 5
     assert t.to_df(ref="side").count() == 10 + 2 * 3
+
+
+def test_branch_reads_after_schema_evolution(warehouse, orders):
+    """Schema evolves AFTER branching: the branch head predates the new
+    column; scans at the branch still read its snapshot correctly, and
+    new branch appends use the evolved schema."""
+    t = _ingest(warehouse, "db.brevo", orders.limit(100))
+    t.create_branch("b")
+    t.update_schema().add_column("o_channel", "string").commit()
+    # branch read at old snapshot: column list follows CURRENT schema
+    # with nulls for the new column (field-ID projection)
+    df = t.to_df(ref="b")
+    assert df.count() == 100
+    if "o_channel" in df.columns:
+        assert df.filter("o_channel IS NOT NULL").count() == 0
+    # append to the branch post-evolution
+    from pyspark.sql import functions as F
+    t.append(orders.limit(10).withColumn("o_orderkey", F.col("o_orderkey") + 777000)
+             .withColumn("o_channel", F.lit("b-era")), branch="b")
+    got = t.to_df(ref="b")
+    assert got.count() == 110
+    assert got.filter("o_channel = 'b-era'").count() == 10
