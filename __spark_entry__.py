@@ -399,6 +399,22 @@ def q_changelog_scan(spark, sf_dir):
             .drop("_change_snapshot_id", "_change_ordinal"))
 
 
+def q_sql_facade_join(spark, sf_dir):
+    """SQL façade SELECT joining two engine tables (data-source views with
+    pushed filters) — plain Spark SQL over the engine surface."""
+    from incubator_iceberg_spark import sqlfacade as SQL
+    from incubator_iceberg_spark import Catalog
+    _ensure_warehouse(spark, sf_dir)
+    cat = Catalog(_wh_dir(sf_dir), spark)
+    return SQL.execute(cat, spark, """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM db.orders_ice JOIN db.customer_ice ON o_custkey = c_custkey
+        WHERE o_totalprice > 150000
+        GROUP BY o_orderpriority
+    """)
+
+
 def q_branch_read(spark, sf_dir):
     """Branch refs (SnapshotRef analog): write half to main, branch, write
     the other half to the branch only; read the branch back through the
@@ -1014,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_delete": q_merge_delete,
         "merge_by_source": q_merge_by_source,
         "branch_read": q_branch_read,
+        "sql_facade_join": q_sql_facade_join,
         "changelog_scan": q_changelog_scan,
         "spec_evolution": q_spec_evolution,
         "zorder_scan": q_zorder_scan,
@@ -1165,6 +1182,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (o_orderkey % 50 = 0 AND o_totalprice > 150000)
         """,
         "branch_read": "SELECT * FROM orders",
+        "sql_facade_join": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(c_acctbal), 2) AS sum_bal
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice > 150000
+            GROUP BY o_orderpriority
+        """,
         "spec_evolution":
             "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'",
         "zorder_scan":
