@@ -1000,6 +1000,23 @@ def q_knn_join(spark, sf_dir):
             .select("q_id", "rank", "vec_id", "cos_sim"))
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan (1 fps) over arithmetic-derived durations
+    — one row per sampled frame, SQL-replicable."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import multimodal as MM
+    df = (_table(spark, sf_dir, "documents_ice").to_df()
+          .filter("doc_id < 200").select("doc_id"))
+    meta = F.struct(
+        F.lit("video").alias("kind"), F.lit("application/fake").alias("mime"),
+        F.lit(640).alias("width"), F.lit(480).alias("height"),
+        ((F.col("doc_id") % 59 + 1) * 1000).cast("long").alias("duration_ms"),
+        F.lit(16000).alias("sample_rate"))
+    media = df.withColumn("media_meta", meta)
+    return (MM.frame_sample_plan(media, fps=1.0)
+            .select("doc_id", "frame_ts_ms"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.functions import multimodal as MM
@@ -1078,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1471,6 +1489,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
                    length(text) AS text_len
             FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT doc_id,
+                   unnest(range(0, CAST(doc_id % 59 + 1 AS BIGINT))) * 1000
+                       AS frame_ts_ms
+            FROM documents WHERE doc_id < 200
         """,
         "ann_bruteforce": """
             SELECT vec_id,

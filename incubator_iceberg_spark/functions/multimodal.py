@@ -86,6 +86,24 @@ def frame_sample_plan(df, meta_col: str = "media_meta", fps: float = 1.0):
                               lambda i: (i * F.lit(int(1000 / fps))).cast("long"))))
 
 
+def audio_chunk_plan(df, meta_col: str = "media_meta", window_ms: int = 5000):
+    """Audio chunking plan: one row per fixed window with millisecond and
+    sample offsets (what a transcription/embedding stage consumes) — pure
+    Column math from duration_ms + sample_rate, no decode."""
+    from pyspark.sql import functions as F
+    dur = F.col(f"{meta_col}.duration_ms")
+    rate = F.col(f"{meta_col}.sample_rate")
+    n = F.greatest(F.ceil(dur / F.lit(window_ms)).cast("int"), F.lit(1))
+    df = df.withColumn("chunk_idx",
+                       F.explode(F.sequence(F.lit(0), n - 1)))
+    start = F.col("chunk_idx").cast("long") * window_ms
+    end = F.least(start + window_ms, dur.cast("long"))
+    return (df.withColumn("chunk_start_ms", start)
+            .withColumn("chunk_end_ms", end)
+            .withColumn("start_sample", (start * rate / 1000).cast("long"))
+            .withColumn("end_sample", (end * rate / 1000).cast("long")))
+
+
 def resize_plan(df, meta_col: str = "media_meta", max_side: int = 336):
     """Image resize metadata (target dims, aspect preserved) — the shape
     computation is Column math; the pixel work is the stubbed decode."""

@@ -185,3 +185,20 @@ def test_salted_join_matches_plain(spark, lineitem, orders):
     got = skew.salted_join(li, small, on="o_orderkey", salt_buckets=4).count()
     want = li.join(small, "o_orderkey").count()
     assert got == want
+
+
+def test_audio_chunk_plan_shapes(spark):
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import multimodal as MM
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    media = MM.attach_fake_media(df, "doc_id", kind="audio")
+    chunks = MM.audio_chunk_plan(media, window_ms=5000)
+    rows = chunks.select("doc_id", "chunk_idx", "chunk_start_ms",
+                         "chunk_end_ms", "start_sample", "end_sample").collect()
+    assert len(rows) >= 5
+    for r in rows:
+        assert r["chunk_start_ms"] == r["chunk_idx"] * 5000
+        assert r["chunk_end_ms"] <= r["chunk_start_ms"] + 5000
+        assert r["start_sample"] == r["chunk_start_ms"] * 16
+        # last chunk may be short but never empty-negative
+        assert r["chunk_end_ms"] >= r["chunk_start_ms"]
