@@ -795,6 +795,146 @@ def q_q19_disjunctive(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
+def q_q8_market_share(spark, sf_dir):
+    """Q8-shaped (adapted: part type instead of nation-of-interest region
+    scoping): yearly market share of NATION_1 suppliers in AMERICA-region
+    customers' STANDARD-part purchases."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    cust = _table(spark, sf_dir, "customer_ice").to_df()
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    cn = (nation.join(region.filter(F.col("r_name") == "AMERICA"),
+                      nation.n_regionkey == region.r_regionkey)
+          .select(F.col("n_nationkey").alias("c_nkey")))
+    sn = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+                    li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev)
+                      .otherwise(0.0)) / F.sum(rev), 6).alias("mkt_share")))
+
+
+def q_q9_product_profit(spark, sf_dir):
+    """Q9-shaped (adapted: no partsupp, cost proxy = 0.5 * p_retailprice *
+    l_quantity): profit by supplier nation and order year for parts whose
+    name contains 'gear'."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    # Per-row doubles are bit-identical in Spark and DuckDB; only the SUM
+    # accumulation order differs. Summing a per-row decimal cast is
+    # order-independent, so both sides agree exactly.
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(part.filter(F.col("p_name").like("%gear%"))),
+                    li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(profit.cast("decimal(28,10)")), 2)
+                 .cast("double").alias("sum_profit")))
+
+
+def q_q13_cust_distribution(spark, sf_dir):
+    """Q13-shaped: customer order-count distribution — left outer join with
+    an extra join-side predicate, then aggregate-of-aggregate."""
+    from pyspark.sql import functions as F
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    cust = _table(spark, sf_dir, "customer_ice").to_df()
+    joined = cust.join(
+        orders, (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"), "left_outer")
+    return (joined.groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+def q_q16_supplier_cnt(spark, sf_dir):
+    """Q16-shaped (adapted: lineitem is the part↔supplier link; the NOT IN
+    exclusion is negative-balance suppliers): distinct supplier count per
+    (brand, type, size)."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(F.broadcast(part.filter(
+                (F.col("p_brand") != "Brand#1")
+                & F.col("p_size").isin(1, 4, 9, 14, 19, 23))),
+                    li.l_partkey == part.p_partkey)
+            .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_q17_small_quantity(spark, sf_dir):
+    """Q17-shaped: correlated scalar subquery (per-part average quantity)
+    rewritten as an aggregate + broadcast join — avg-yearly revenue lost to
+    small orders of Brand#3 parts."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    part = _load(spark, sf_dir, "part")
+    b3 = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    avg_q = (li.join(F.broadcast(b3), li.l_partkey == b3.p_partkey, "left_semi")
+             .groupBy("l_partkey")
+             .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")))
+    return (li.join(F.broadcast(b3), li.l_partkey == b3.p_partkey, "left_semi")
+            .join(F.broadcast(avg_q), "l_partkey")
+            .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+
+
+def q_q21_waiting_supplier(spark, sf_dir):
+    """Q21-shaped (adapted: no receiptdate — 'R' returnflag plays the late
+    role): suppliers whose returned lines sit on multi-supplier finalized
+    orders where no OTHER supplier also returned — EXISTS + NOT EXISTS as
+    semi/anti joins."""
+    from pyspark.sql import functions as F
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    supp = _load(spark, sf_dir, "supplier")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey").distinct()
+          .join(fin, F.col("l_orderkey") == fin.o_orderkey, "left_semi"))
+    other = pairs.select(F.col("l_orderkey").alias("o_key"),
+                         F.col("l_suppkey").alias("o_supp"))
+    exists_other = l1.join(
+        other, (l1.l_orderkey == other.o_key) & (l1.l_suppkey != other.o_supp),
+        "left_semi")
+    other_r = (li.filter(F.col("l_returnflag") == "R")
+               .select(F.col("l_orderkey").alias("r_key"),
+                       F.col("l_suppkey").alias("r_supp")).distinct())
+    lone = exists_other.join(
+        other_r,
+        (exists_other.l_orderkey == other_r.r_key)
+        & (exists_other.l_suppkey != other_r.r_supp), "left_anti")
+    return (lone.join(F.broadcast(supp), lone.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20))
+
+
 def q_eq_delete_scan(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.schema import Schema
@@ -1062,6 +1202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_top_supplier": q_q2_top_supplier,
         "q7_volume_shipping": q_q7_volume_shipping,
         "q19_disjunctive": q_q19_disjunctive,
+        "q8_market_share": q_q8_market_share,
+        "q9_product_profit": q_q9_product_profit,
+        "q13_cust_distribution": q_q13_cust_distribution,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q21_waiting_supplier": q_q21_waiting_supplier,
         "q4_order_priority": q_q4_order_priority,
         "q15_top_supplier": q_q15_top_supplier_revenue,
         "q20_part_suppliers": q_q20_part_suppliers,
@@ -1411,6 +1557,83 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+            GROUP BY year(o_orderdate)
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       - 0.5 * p_retailprice * l_quantity
+                                       AS DECIMAL(28,10))), 2)
+                        AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "q13_cust_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 9, 14, 19, 23)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q17_small_quantity": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#3'
+              AND l_quantity < (
+                  SELECT 0.5 * avg(l2.l_quantity)
+                  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """,
+        "q21_waiting_supplier": """
+            SELECT s_name, count(*) AS numwait FROM (
+                SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+                FROM lineitem l1
+                JOIN orders ON l1.l_orderkey = o_orderkey
+                WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+                  AND EXISTS (SELECT 1 FROM lineitem l2
+                              WHERE l2.l_orderkey = l1.l_orderkey
+                                AND l2.l_suppkey <> l1.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                  WHERE l3.l_orderkey = l1.l_orderkey
+                                    AND l3.l_suppkey <> l1.l_suppkey
+                                    AND l3.l_returnflag = 'R')
+            ) lone JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "eq_delete_scan": "SELECT * FROM orders WHERE o_orderkey % 37 != 0",
         "pos_delete_scan": """
