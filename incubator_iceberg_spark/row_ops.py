@@ -390,7 +390,19 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
     # A separate count job would recompute the full-outer join; instead a
     # window count per target row feeds a raise_error guard that fires
     # while the SAME join computes the merge output (one pass total).
-    if check_cardinality and touched:
+    #
+    # Equi-key fast path: with `on` as a key list, a target row can match
+    # >1 source rows ONLY if the source has duplicate keys (NULL keys never
+    # equi-match). A limit-1 aggregate on the (small) source decides that
+    # without shuffling the whole rewrite set by (_file,_pos).
+    need_guard = bool(check_cardinality and touched)
+    if need_guard and isinstance(on, (list, tuple)):
+        has_dup_keys = bool(
+            source_df.groupBy(*[F.col(k) for k in on])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1).limit(1).collect())
+        need_guard = has_dup_keys
+    if need_guard:
         from pyspark.sql.window import Window
         w = Window.partitionBy(F.col("t._file"), F.col("t._pos"))
         match_cnt = F.sum(F.when(t_exists & s_exists, 1).otherwise(0)).over(w)
