@@ -479,14 +479,24 @@ def q_partitions_meta(spark, sf_dir):
 
 
 def q_snapshots_meta(spark, sf_dir):
+    """`snapshots` metadata table: the 3 staged event appends' operation +
+    record accounting are derivable from the raw events table, making the
+    snapshot log itself oracle-checkable (snapshot ids are random, so the
+    summary counters are the stable surface)."""
     from pyspark.sql import functions as F
     t = _table(spark, sf_dir, "events_stream")
     return (t.metadata_table("snapshots")
-            .select("snapshot_id", "operation")
-            .orderBy("snapshot_id"))
+            .select("operation",
+                    F.element_at("summary", "added-records").cast("long")
+                    .alias("added_records"),
+                    F.element_at("summary", "total-records").cast("long")
+                    .alias("total_records")))
 
 
 def q_files_meta(spark, sf_dir):
+    """`files` metadata table: hash distribution writes exactly one file per
+    month(l_shipdate) partition, so file count == distinct months and the
+    record_count sum == table rows — both SQL-derivable."""
     from pyspark.sql import functions as F
     t = _table(spark, sf_dir, "lineitem_part")
     df = t.metadata_table("files")
@@ -1657,6 +1667,17 @@ def oracle_sql() -> dict[str, str]:
                        AS month_ord,
                    count(*) AS record_count
             FROM lineitem GROUP BY 1
+        """,
+        "files_meta": """
+            SELECT count(DISTINCT date_trunc('month', l_shipdate)) AS n_files,
+                   count(*) AS n_records
+            FROM lineitem
+        """,
+        "snapshots_meta": """
+            SELECT 'append' AS operation,
+                   count(*) AS added_records,
+                   sum(count(*)) OVER (ORDER BY event_id % 3) AS total_records
+            FROM events GROUP BY event_id % 3
         """,
         "transforms_projection": """
             SELECT l_orderkey, l_linenumber,
