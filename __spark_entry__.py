@@ -1052,6 +1052,23 @@ def q_dedup_minhash(spark, sf_dir):
                                    jaccard_threshold=0.8)
 
 
+def q_dedup_minhash_planted(spark, sf_dir):
+    """Exact-duplicate slice of the MinHash-LSH pipeline is deterministically
+    oracle-checkable: planted copies (and any natural dups) have identical
+    shingle sets → identical signatures → same bucket in EVERY band, so
+    banding finds them with probability 1 and exact-jaccard verify scores
+    them 1.0. The oracle recomputes equal-shingle-set pairs in SQL."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import dedup
+    docs = _table(spark, sf_dir, "documents_ice").to_df().select("doc_id", "text")
+    planted = (docs.filter(F.col("doc_id") % 97 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 10000000))
+    aug = docs.unionByName(planted)
+    pairs = dedup.minhash_lsh_pairs(aug, num_hashes=32, bands=8,
+                                    jaccard_threshold=0.8)
+    return pairs.filter(F.col("jaccard") >= 1.0).select("id_a", "id_b")
+
+
 def q_dedup_simhash(spark, sf_dir):
     from incubator_iceberg_spark.functions import dedup
     df = _table(spark, sf_dir, "documents_ice").to_df()
@@ -1242,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction": q_compaction,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_minhash_planted": q_dedup_minhash_planted,
         "dedup_simhash_pairs": q_dedup_simhash,
         "text_stats": q_text_stats,
         "text_analyze": q_text_analyze,
@@ -1723,6 +1741,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_consume": "SELECT * FROM events",
         "compaction": "SELECT * FROM nation",
+        "dedup_minhash_planted": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id % 97 = 0),
+            sh AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                         [substr(text, i, 5) FOR i IN range(1, length(text)-3)]))
+                         AS s
+              FROM aug WHERE length(text) >= 5)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        """,
         "dedup_exact": """
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
