@@ -450,6 +450,23 @@ def q_overwrite_dynamic(spark, sf_dir):
     return t.to_df()
 
 
+def q_overwrite_filter(spark, sf_dir):
+    """S11 overwrite-by-filter: one atomic snapshot deletes the filter's
+    rows and appends replacements (BaseOverwriteFiles.java:50-131 analog).
+    High-balance customers get a zeroed-balance replacement row set."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer")
+    t = cat.create_table("s.customer_ovw", Schema.from_spark(cust.schema))
+    t.append(cust)
+    repl = (cust.filter("c_acctbal > 5000")
+            .withColumn("c_acctbal", F.lit(0.0))
+            .withColumn("c_mktsegment", F.lit("FROZEN")))
+    t.overwrite(repl, "c_acctbal > 5000")
+    return t.to_df()
+
+
 def q_schema_evolution(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.schema import Schema
@@ -1221,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_agg": q_metadata_agg,
         "wap_publish": q_wap_publish,
         "overwrite_dynamic": q_overwrite_dynamic,
+        "overwrite_filter": q_overwrite_filter,
         "schema_evolution": q_schema_evolution,
         "q5_nation_revenue": q_q5_nation_revenue,
         "q10_returned_items": q_q10_returned_items,
@@ -1741,6 +1759,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_consume": "SELECT * FROM events",
         "compaction": "SELECT * FROM nation",
+        "overwrite_filter": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer WHERE c_acctbal <= 5000
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey,
+                   0.0 AS c_acctbal, 'FROZEN' AS c_mktsegment
+            FROM customer WHERE c_acctbal > 5000
+        """,
         "dedup_minhash_planted": """
             WITH aug AS (
               SELECT doc_id, text FROM documents
