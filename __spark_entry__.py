@@ -600,6 +600,36 @@ def q_compaction(spark, sf_dir):
     return t.to_df()
 
 
+def q_maintenance_scan(spark, sf_dir):
+    """C7+C8+J4 post-state: after compaction, manifest rewrite, snapshot
+    expiry (retain 1), and orphan-file removal, the table must still read
+    exactly its logical contents — oracle-checks that metadata surgery and
+    GC never touch live data."""
+    import os
+    from incubator_iceberg_spark import maintenance as MT
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    supp = _load(spark, sf_dir, "supplier")
+    t = cat.create_table("s.supplier_maint", Schema.from_spark(supp.schema))
+    for i in range(4):
+        t.append(supp.filter(f"s_suppkey % 4 = {i}"))
+    t.delete_where("s_acctbal < 0")
+    # plant an orphan: an uncommitted data file in the table dir
+    orphan = os.path.join(t.metadata.location, "data", "orphan_plant.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    supp.limit(3).write.mode("overwrite").parquet(orphan + ".dir")
+    t.rewrite_data_files(min_input_files=2)
+    MT.rewrite_manifests(t)
+    MT.expire_snapshots(t, retain_last=1)
+    from incubator_iceberg_spark import metadata as _MDx
+    MT.remove_orphan_files(t, older_than_ms=_MDx.now_ms() + 60_000)
+    leftover = [n for _, _, ns in os.walk(orphan + ".dir") for n in ns
+                if n.endswith(".parquet") and not n.startswith(("_", "."))]
+    assert not leftover, f"orphan data files survived GC: {leftover}"
+    assert len(t.metadata.snapshots) == 1, "expiry kept extra snapshots"
+    return t.to_df()
+
+
 def q_q5_nation_revenue(spark, sf_dir):
     from pyspark.sql import functions as F
     li = _table(spark, sf_dir, "lineitem_part").to_df()
@@ -1275,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": q_events_props_json,
         "streaming_consume": q_streaming_consume,
         "compaction": q_compaction,
+        "maintenance_scan": q_maintenance_scan,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
         "dedup_minhash_planted": q_dedup_minhash_planted,
@@ -1759,6 +1790,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_consume": "SELECT * FROM events",
         "compaction": "SELECT * FROM nation",
+        "maintenance_scan": "SELECT * FROM supplier WHERE s_acctbal >= 0",
         "overwrite_filter": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
             FROM customer WHERE c_acctbal <= 5000
