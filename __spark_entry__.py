@@ -600,6 +600,25 @@ def q_compaction(spark, sf_dir):
     return t.to_df()
 
 
+def q_streaming_sink_replay(spark, sf_dir):
+    """S12 exactly-once sink: three event micro-batches committed with
+    epoch ids, with epoch 1 REPLAYED (foreachBatch retry) and a stale
+    epoch 0 retried at the end — both must be skipped, so the table holds
+    each batch exactly once (StreamingWriter.java:62-67 skip logic)."""
+    from incubator_iceberg_spark import streaming as ST
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    events = _load(spark, sf_dir, "events")
+    t = cat.create_table("s.events_sink", Schema.from_spark(events.schema))
+    batches = [events.filter(f"event_id % 3 = {i}") for i in range(3)]
+    assert ST.append_exactly_once(t, batches[0], epoch_id=0)
+    assert ST.append_exactly_once(t, batches[1], epoch_id=1)
+    assert not ST.append_exactly_once(t, batches[1], epoch_id=1)  # replay
+    assert ST.append_exactly_once(t, batches[2], epoch_id=2)
+    assert not ST.append_exactly_once(t, batches[0], epoch_id=0)  # stale retry
+    return t.to_df()
+
+
 def q_maintenance_scan(spark, sf_dir):
     """C7+C8+J4 post-state: after compaction, manifest rewrite, snapshot
     expiry (retain 1), and orphan-file removal, the table must still read
@@ -1306,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_consume": q_streaming_consume,
         "compaction": q_compaction,
         "maintenance_scan": q_maintenance_scan,
+        "streaming_sink_replay": q_streaming_sink_replay,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
         "dedup_minhash_planted": q_dedup_minhash_planted,
@@ -1791,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_consume": "SELECT * FROM events",
         "compaction": "SELECT * FROM nation",
         "maintenance_scan": "SELECT * FROM supplier WHERE s_acctbal >= 0",
+        "streaming_sink_replay": "SELECT * FROM events",
         "overwrite_filter": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
             FROM customer WHERE c_acctbal <= 5000
