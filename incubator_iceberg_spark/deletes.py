@@ -92,6 +92,132 @@ def add_equality_deletes(table, del_df, equality_cols, spark=None):
     return table
 
 
+def scope_deletes_for_file(data_entry: dict, delete_entries: list,
+                           table_schema: S.Schema):
+    """Driver-side: the delete files that can affect ONE data file
+    (DeleteFileIndex.forEntry analog).  Returns (pos_paths, eq_groups):
+    ``pos_paths`` = position-delete parquet paths whose sequence number
+    covers the data file and whose file_path column bounds admit it;
+    ``eq_groups`` = [(path, (current-schema column name, ...))] for
+    equality deletes strictly newer than the data file."""
+    data_seq = data_entry.get("sequence_number") or 0
+    data_path = data_entry["file_path"]
+    pos_paths, eq_groups = [], []
+    for e in delete_entries or []:
+        del_seq = e.get("sequence_number") or 0
+        content = e.get("content")
+        if content == MF.POSITION_DELETES:
+            if del_seq < data_seq:
+                continue
+            # skip via the delete file's file_path column bounds (the same
+            # trick DeleteFileIndex plays with referenced-data-file stats)
+            lo = (e.get("lower_bounds") or {}).get("file_path")
+            hi = (e.get("upper_bounds") or {}).get("file_path")
+            if lo is not None and hi is not None:
+                # bounds may be truncated prefixes: compare on prefix length
+                if not (lo <= data_path and data_path[:len(hi)] <= hi):
+                    continue
+            pos_paths.append(e["file_path"])
+        elif content == MF.EQUALITY_DELETES:
+            if del_seq <= data_seq:
+                continue
+            cols = tuple(c for c in (table_schema.field_path(i)
+                                     for i in e.get("equality_ids") or ())
+                         if c is not None)
+            if cols:
+                eq_groups.append((e["file_path"], cols))
+    return pos_paths, eq_groups
+
+
+def arrow_apply_pos_deletes(tbl, data_file_path: str, pos_paths: list):
+    """Executor-safe pyarrow J3 (position half): drop deleted row indices.
+    ``tbl`` MUST hold the data file's rows in original row order."""
+    if not pos_paths:
+        return tbl
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    positions: set = set()
+    for p in pos_paths:
+        # filters push to row groups via the dataset API: a delete file
+        # sorted by file_path only decodes the matching stripe
+        dt = pq.read_table(p, columns=["file_path", "pos"],
+                           filters=[("file_path", "=", data_file_path)])
+        positions.update(dt["pos"].to_pylist())
+    if not positions:
+        return tbl
+    mask = np.ones(tbl.num_rows, dtype=bool)
+    idx = np.fromiter((i for i in positions if 0 <= i < tbl.num_rows),
+                      dtype=np.int64, count=-1)
+    mask[idx] = False
+    import pyarrow as pa
+    return tbl.filter(pa.array(mask))
+
+
+def arrow_apply_eq_deletes(tbl, eq_groups: list):
+    """Executor-safe pyarrow J3 (equality half): left-anti join the data
+    table against each equality-delete file on its key columns.  Null keys
+    use null-safe equality (Iceberg semantics), handled via an explicit
+    mask for the (rare) delete rows that contain nulls."""
+    if not eq_groups or tbl.num_rows == 0:
+        return tbl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for path, cols in eq_groups:
+        if tbl.num_rows == 0:
+            return tbl
+        cols = [c for c in cols]
+        # dotted paths address struct-nested keys
+        def key_arr(t, name):
+            parts = name.split(".")
+            arr = t[parts[0]]
+            for p in parts[1:]:
+                arr = pc.struct_field(arr, p)
+            return arr
+        # delete parquet columns are flat, named by the LEAF field name
+        # (add_equality_deletes writes Schema([leaf fields])); the data side
+        # addresses the same key by its dotted path
+        leaves = [c.split(".")[-1] for c in cols]
+        try:
+            dt = pq.read_table(path, columns=leaves)
+        except FileNotFoundError:
+            continue
+        del_keys = pa.table({f"__k{i}": dt[leaf].cast(
+            key_arr(tbl, c).type) for i, (c, leaf) in enumerate(zip(cols, leaves))})
+        has_null = pc.is_null(del_keys["__k0"])
+        for i in range(1, len(cols)):
+            has_null = pc.or_(has_null, pc.is_null(del_keys[f"__k{i}"]))
+        null_rows = del_keys.filter(has_null)
+        plain = del_keys.filter(pc.invert(has_null))
+        data_keys = {f"__k{i}": key_arr(tbl, c) for i, c in enumerate(cols)}
+        if plain.num_rows:
+            left = tbl
+            for k, arr in data_keys.items():
+                left = left.append_column(k, arr)
+            left = left.append_column("__rowid", pa.array(range(tbl.num_rows),
+                                                          type=pa.int64()))
+            kept = left.join(plain, keys=list(data_keys), join_type="left anti")
+            keep_ids = kept["__rowid"].to_pylist()
+            tbl = tbl.take(pa.array(sorted(keep_ids), type=pa.int64()))
+            data_keys = {f"__k{i}": key_arr(tbl, c) for i, c in enumerate(cols)}
+        for row in null_rows.to_pylist():
+            if tbl.num_rows == 0:
+                break
+            m = None
+            for i in range(len(cols)):
+                v = row[f"__k{i}"]
+                arr = data_keys[f"__k{i}"]
+                piece = pc.is_null(arr) if v is None else \
+                    pc.and_kleene(pc.equal(arr, v), pc.is_valid(arr))
+                m = piece if m is None else pc.and_(m, piece)
+            m = pc.fill_null(m, False)
+            tbl = tbl.filter(pc.invert(m))
+            data_keys = {f"__k{i}": key_arr(tbl, c) for i, c in enumerate(cols)}
+    return tbl
+
+
 def apply_delete_files(spark, data_df, data_seq_by_file: dict,
                        delete_entries: list, table_schema: S.Schema):
     """J3: anti-join pos/eq delete files onto a data DataFrame that carries

@@ -9,6 +9,8 @@ the Python-native equivalent surface:
     spark.dataSource.register(IcebergPyDataSource)
     df  = spark.read.format("iiws").option("filter", "id > 5").load(loc)
     sdf = spark.readStream.format("iiws").load(loc)   # snapshot micro-batches
+    df.write.format("iiws").option("path", loc).mode("append").save()
+    sdf.writeStream.format("iiws").option("path", loc2).start()  # exactly-once
 
 Batch reads plan with the driver-side planner (metadata pruning via the
 ``filter`` option) and read Parquet on EXECUTORS via pyarrow, one input
@@ -18,7 +20,10 @@ each micro-batch is the incremental append slice.
 
 Scale note: this surface exists for Structured Streaming integration and
 API parity.  The high-throughput batch path remains ``Table.to_df`` (JVM
-vectorized Parquet scan); v2 delete files are applied there, not here.
+vectorized Parquet scan).  v2 delete files ARE applied here too: each
+file slice carries its sequence-scoped position/equality delete files and
+the executor applies them pyarrow-side (position mask before projection,
+equality anti-joins after).
 """
 
 from __future__ import annotations
@@ -38,13 +43,15 @@ FORMAT_NAME = "iiws"
 
 class _FileSlice(InputPartition):
     def __init__(self, path: str, fmt: str, rename: list, add_null: list,
-                 casts: dict, row_filter=None):
+                 casts: dict, row_filter=None, pos_dels=None, eq_dels=None):
         self.path = path
         self.fmt = fmt
         self.rename = rename  # [(file_col, out_col)] in output order
         self.add_null = add_null  # [(out_col, arrow_type_str)]
         self.casts = casts  # out_col -> arrow type str
         self.row_filter = row_filter  # bound Expression (picklable dataclasses)
+        self.pos_dels = pos_dels or []  # position-delete parquet paths
+        self.eq_dels = eq_dels or []  # [(path, (current col name, ...))]
 
 
 def _load_metadata(location: str):
@@ -114,6 +121,7 @@ def _combined_filter(option_filter, pushed_exprs):
 
 
 def _plan(md, row_filter=None, snapshot_id=None, incremental=None):
+    """(data entries, delete entries) for the scan — driver-side planner."""
     from incubator_iceberg_spark.scan import TableScan
 
     scan = TableScan(_Shim(md), None)
@@ -124,10 +132,12 @@ def _plan(md, row_filter=None, snapshot_id=None, incremental=None):
     if row_filter is not None:
         scan = scan.filter(row_filter)
     entries = scan.plan_entries_local()
-    return [e for e in (entries or []) if (e.get("content") or 0) == 0]
+    data = [e for e in (entries or []) if (e.get("content") or 0) == 0]
+    dels = [e for e in (entries or []) if (e.get("content") or 0) != 0]
+    return data, dels
 
 
-def _slices(md, entries, row_filter=None) -> list:
+def _slices(md, entries, row_filter=None, delete_entries=None) -> list:
     current = md.schema()
     bound = None
     if row_filter is not None:
@@ -148,14 +158,23 @@ def _slices(md, entries, row_filter=None) -> list:
                 rename.append((fs.field_path(f.field_id), f.name))
                 if old.type != f.type:
                     casts[f.name] = str(MF.arrow_type(f.type))
+        pos_dels, eq_dels = ([], [])
+        if delete_entries:
+            from incubator_iceberg_spark import deletes as DEL
+            pos_dels, eq_dels = DEL.scope_deletes_for_file(
+                e, delete_entries, current)
         out.append(_FileSlice(e["file_path"], e.get("file_format") or "parquet",
-                              rename, add_null, casts, row_filter=bound))
+                              rename, add_null, casts, row_filter=bound,
+                              pos_dels=pos_dels, eq_dels=eq_dels))
     return out
 
 
 def _read_slice(part: _FileSlice):
     """Executor-side: one file → arrow record batches projected to the
-    current schema (field-ID rename / null-fill / promotion cast)."""
+    current schema (field-ID rename / null-fill / promotion cast), with v2
+    delete files applied (position mask in original row order, then
+    equality anti-joins on current-schema names — DeleteFilter.java:57-151
+    semantics, pyarrow flavor)."""
     import pyarrow as pa
 
     if part.fmt == "orc":
@@ -164,6 +183,9 @@ def _read_slice(part: _FileSlice):
     else:
         import pyarrow.parquet as pq
         tbl = pq.read_table(part.path, columns=[c for c, _ in part.rename])
+    if part.pos_dels:
+        from incubator_iceberg_spark.deletes import arrow_apply_pos_deletes
+        tbl = arrow_apply_pos_deletes(tbl, part.path, part.pos_dels)
     cols, names = [], []
     for file_col, out_col in part.rename:
         arr = tbl.column(file_col)
@@ -176,6 +198,9 @@ def _read_slice(part: _FileSlice):
         cols.append(pa.nulls(tbl.num_rows, type=_arrow_type_from_str(type_str)))
         names.append(out_col)
     projected = pa.table(dict(zip(names, cols)))
+    if part.eq_dels:
+        from incubator_iceberg_spark.deletes import arrow_apply_eq_deletes
+        projected = arrow_apply_eq_deletes(projected, part.eq_dels)
     if part.row_filter is not None:
         from incubator_iceberg_spark.py_eval import arrow_mask
         mask = arrow_mask(projected, part.row_filter)
@@ -225,9 +250,10 @@ class IcebergBatchReader(DataSourceReader):
         if self._parts is None:
             md = _load_metadata(self._location)
             expr = _combined_filter(self._options.get("filter"), self._pushed)
-            entries = _plan(md, row_filter=expr,
-                            snapshot_id=self._options.get("snapshot_id"))
-            self._parts = _slices(md, entries, row_filter=expr)
+            entries, dels = _plan(md, row_filter=expr,
+                                  snapshot_id=self._options.get("snapshot_id"))
+            self._parts = _slices(md, entries, row_filter=expr,
+                                  delete_entries=dels)
         return self._parts
 
     def read(self, partition: _FileSlice):
@@ -256,7 +282,8 @@ class IcebergStreamReader(DataSourceStreamReader):
         if e is None or e == -1 or s == e:
             return []
         md = _load_metadata(self.location)
-        entries = _plan(md, incremental=(None if s in (None, -1) else s, e))
+        entries, _dels = _plan(md, incremental=(None if s in (None, -1) else s, e))
+        # incremental append slices carry no deletes (append snapshots only)
         return _slices(md, entries)
 
     def read(self, partition: _FileSlice):
@@ -286,6 +313,15 @@ class IcebergPyDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return IcebergStreamReader(self.options["path"], dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        from incubator_iceberg_spark.sinks import IcebergBatchWriter
+        return IcebergBatchWriter(self.options["path"], overwrite,
+                                  dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool):
+        from incubator_iceberg_spark.sinks import IcebergStreamWriter
+        return IcebergStreamWriter(self.options["path"], dict(self.options))
 
 
 def register(spark) -> None:

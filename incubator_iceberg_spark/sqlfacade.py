@@ -221,11 +221,10 @@ def _rewrite_time_travel(catalog, spark, s: str) -> str:
 def _register_and_rewrite(catalog, spark, s: str) -> str:
     """Register engine tables named in the statement as temp views and
     rewrite their dotted names.  Views go through the Python Data Source
-    (Catalyst WHERE clauses reach metadata pruning via pushFilters) unless
-    the table carries live v2 delete files — that read path doesn't apply
-    them, so such tables fall back to full-fidelity ``to_df`` views.
-    Dotted tokens that are not engine tables (column refs like t.col)
-    fail load_table and are left untouched."""
+    (Catalyst WHERE clauses reach metadata pruning via pushFilters; v2
+    delete files are applied executor-side by the reader).  Dotted tokens
+    that are not engine tables (column refs like t.col) fail load_table
+    and are left untouched."""
     s = _rewrite_time_travel(catalog, spark, s)
     for name in set(re.findall(r"\b((?:\w+\.)+\w+)\b", s)):
         try:
@@ -240,14 +239,12 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
 
 def _view_df(t, spark):
     try:
-        _data, dels = t.new_scan(spark)._plan_split()
-        if not dels:
-            from incubator_iceberg_spark import sources
-            sources.register(spark)
-            return (spark.read.format(sources.FORMAT_NAME)
-                    .option("path", t.location).load())
+        from incubator_iceberg_spark import sources
+        sources.register(spark)
+        return (spark.read.format(sources.FORMAT_NAME)
+                .option("path", t.location).load())
     except Exception:
-        pass  # planning hiccup → correct-but-unpruned path
+        pass  # registration hiccup → correct-but-unpruned path
     return t.to_df(spark)
 
 

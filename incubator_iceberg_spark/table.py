@@ -338,8 +338,18 @@ class Table:
         entries = scan.plan_entries_local()
         if not entries:
             return pa.table({})
-        tables = [pq.read_table(e["file_path"]) for e in entries
-                  if (e.get("content") or 0) == 0]
+        data = [e for e in entries if (e.get("content") or 0) == 0]
+        dels = [e for e in entries if (e.get("content") or 0) != 0]
+        tables = []
+        for e in data:
+            tbl = pq.read_table(e["file_path"])
+            if dels:
+                from incubator_iceberg_spark import deletes as DEL
+                pos_paths, eq_groups = DEL.scope_deletes_for_file(
+                    e, dels, self.metadata.schema())
+                tbl = DEL.arrow_apply_pos_deletes(tbl, e["file_path"], pos_paths)
+                tbl = DEL.arrow_apply_eq_deletes(tbl, eq_groups)
+            tables.append(tbl)
         out = pa.concat_tables(tables, promote_options="permissive")
         if filter is not None:
             import incubator_iceberg_spark.expressions as X

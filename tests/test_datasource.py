@@ -96,3 +96,77 @@ def test_pushdown_with_in_and_null_filters(warehouse, orders, spark):
     want = orders.filter("o_orderpriority IN ('1-URGENT','2-HIGH') "
                          "AND o_custkey IS NOT NULL").count()
     assert got == want
+
+
+def test_ds_read_applies_position_deletes(warehouse, orders, spark):
+    """v2 position deletes are applied by the Python Data Source reader
+    (executor-side pyarrow mask) — result matches the to_df path."""
+    t = warehouse.create_table("db.dspd", Schema.from_spark(orders.schema))
+    t.append(orders)
+    path = t.new_scan().plan_files()[0][0]
+    pos = spark.createDataFrame([(path, i) for i in range(5)],
+                                "file_path string, pos long")
+    t.add_position_deletes(pos)
+    df = spark.read.format("iiws").option("path", t.location).load()
+    assert df.count() == orders.count() - 5
+    got = {r["o_orderkey"] for r in df.collect()}
+    want = {r["o_orderkey"] for r in t.to_df().collect()}
+    assert got == want
+
+
+def test_ds_read_applies_equality_deletes_with_seq_scoping(warehouse, orders, spark):
+    """Equality deletes anti-join in the DS reader; rows re-appended AFTER
+    the delete (higher sequence number) survive."""
+    t = warehouse.create_table("db.dsed", Schema.from_spark(orders.schema))
+    base = orders.limit(200)
+    t.append(base)
+    keys = [r["o_orderkey"] for r in base.select("o_orderkey").collect()[:7]]
+    t.add_equality_deletes(
+        spark.createDataFrame([(k,) for k in keys], "o_orderkey long"),
+        ["o_orderkey"])
+    readd = base.filter(F.col("o_orderkey").isin(keys[:3]))
+    t.append(readd)  # newer seq: these 3 keys come back
+    df = spark.read.format("iiws").option("path", t.location).load()
+    assert df.count() == 200 - 7 + 3
+    got = {r["o_orderkey"] for r in df.collect()}
+    want = {r["o_orderkey"] for r in t.to_df().collect()}
+    assert got == want
+    # filters still compose on top of delete application
+    hit = df.filter(F.col("o_orderkey").isin(keys)).count()
+    assert hit == 3
+
+
+def test_to_arrow_applies_deletes(warehouse, orders, spark):
+    """S14 local read honors v2 delete files too."""
+    t = warehouse.create_table("db.arrd", Schema.from_spark(orders.schema))
+    t.append(orders.limit(150))
+    path = t.new_scan().plan_files()[0][0]
+    t.add_position_deletes(spark.createDataFrame(
+        [(path, 0)], "file_path string, pos long"))
+    keys = [r["o_orderkey"] for r in
+            t.to_df().select("o_orderkey").limit(4).collect()]
+    t.add_equality_deletes(
+        spark.createDataFrame([(k,) for k in keys], "o_orderkey long"),
+        ["o_orderkey"])
+    at = t.to_arrow()
+    assert at.num_rows == t.to_df().count()
+    assert set(at["o_orderkey"].to_pylist()) == \
+        {r["o_orderkey"] for r in t.to_df().collect()}
+
+
+def test_sqlfacade_select_over_table_with_deletes(warehouse, orders, spark):
+    """SQL facade SELECT uses the pushdown DS view even with live v2
+    deletes (the reader applies them)."""
+    from incubator_iceberg_spark import sqlfacade
+    t = warehouse.create_table("db.sqld", Schema.from_spark(orders.schema))
+    t.append(orders.limit(300))
+    keys = [r["o_orderkey"] for r in
+            orders.limit(300).select("o_orderkey").collect()[:11]]
+    t.add_equality_deletes(
+        spark.createDataFrame([(k,) for k in keys], "o_orderkey long"),
+        ["o_orderkey"])
+    out = sqlfacade.execute(
+        warehouse, spark,
+        "SELECT COUNT(*) AS n FROM db.sqld WHERE o_totalprice >= 0")
+    n = out.collect()[0]["n"]
+    assert n == t.to_df().filter("o_totalprice >= 0").count()
