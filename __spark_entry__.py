@@ -1179,6 +1179,15 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_topk(df, qv, k=10, bits=8, multiprobe_hamming=1)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (kmeans coarse quantizer, probe 4/16 cells) — the second
+    scale path next to LSH; rows-only check (kmeans isn't SQL)."""
+    from incubator_iceberg_spark.functions import similarity
+    df = _table(spark, sf_dir, "embeddings_ice").to_df()
+    qv = _query_vector(sf_dir)
+    return similarity.ivf_ann_topk(df, qv, k=10, n_cells=16, nprobe=4)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Near-dup detection must find exactly the PLANTED perturbed copies
     (the raw corpus has no pairs above 0.51 cosine): first 5 vectors get a
@@ -1334,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analyze": q_text_analyze,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "skew_salted_agg": q_skew_salted_agg,
         "knn_join": q_knn_join,
         "embedding_neardup": q_embedding_neardup,

@@ -115,6 +115,86 @@ def lsh_ann_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def spherical_kmeans(df, vec_col: str = "embedding", id_col: str = "vec_id",
+                     n_cells: int = 16, sample: int = 2048, iters: int = 8,
+                     seed: int = 42):
+    """Driver-side spherical k-means over a DETERMINISTIC sample (ordered
+    by id) — the coarse-quantizer build step of an IVF index.  The sample
+    and the centroid matrix are driver-sized (n_cells × dim floats) no
+    matter the corpus size; assignment stays distributed."""
+    import numpy as np
+
+    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect())
+    A = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(A, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    A = A / norms
+    rng = np.random.default_rng(seed)
+    cent = A[rng.choice(len(A), size=min(n_cells, len(A)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(A @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = A[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent.tolist()
+
+
+def ivf_cell_col(centroids, vec_col: str = "embedding"):
+    """Nearest-centroid cell id as a Column (vectorized pandas UDF: one
+    matmul per Arrow batch — linear algebra the built-ins can't express)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    M = [list(map(float, c)) for c in centroids]
+
+    def _cell(v):
+        C = np.array(M, dtype=np.float64)  # (cells, dim)
+        A = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        n = np.linalg.norm(A, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((A / n) @ C.T, axis=1).astype(np.int32))
+
+    # annotate with the real classes: string hints wouldn't resolve since
+    # pandas is imported function-locally
+    _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    cell = pandas_udf(_cell, "int")
+    return cell(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def ivf_ann_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id", n_cells: int = 16, nprobe: int = 4,
+                 sample: int = 2048, iters: int = 8, seed: int = 42):
+    """IVF approximate top-k (the second scale path next to LSH): cluster
+    the corpus into ``n_cells`` Voronoi cells around k-means centroids,
+    probe only the ``nprobe`` cells nearest the query, brute-force cosine
+    inside them.  Scan fraction ≈ nprobe / n_cells.  At 100 TB the cell id
+    is a write-time partition/cluster column (ivf_cell_col at ingest), so
+    probing prunes files via partition metadata instead of computing the
+    UDF per row at query time."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cent = np.array(spherical_kmeans(df, vec_col, id_col, n_cells, sample,
+                                     iters, seed))
+    q = np.array(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probe = [int(i) for i in np.argsort(-(cent @ q))[:nprobe]]
+    cand = df.withColumn("__cell", ivf_cell_col(cent.tolist(), vec_col)) \
+        .filter(F.col("__cell").isin(probe))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = cand.select(F.col(id_col),
+                         F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
 def embedding_near_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
                              bits: int = 12, seed: int = 42,
                              cosine_threshold: float = 0.95,

@@ -202,3 +202,38 @@ def test_audio_chunk_plan_shapes(spark):
         assert r["start_sample"] == r["chunk_start_ms"] * 16
         # last chunk may be short but never empty-negative
         assert r["chunk_end_ms"] >= r["chunk_start_ms"]
+
+
+def test_ivf_ann_recall_and_scan_fraction(spark, sf_dir):
+    """IVF probe of 4/16 cells recalls most of the exact top-10 and scans
+    only the probed cells' rows (candidate set ≪ corpus)."""
+    from incubator_iceberg_spark.functions import similarity
+    from incubator_iceberg_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").first()["embedding"]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              similarity.ivf_ann_topk(emb, q, k=10, n_cells=16,
+                                      nprobe=4).collect()}
+    assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 at 4/16 cells
+    # the probed candidate set is a strict subset of the corpus
+    cent = similarity.spherical_kmeans(emb, n_cells=16)
+    cells = emb.withColumn("__cell", similarity.ivf_cell_col(cent))
+    sizes = {r["__cell"]: r["n"] for r in
+             cells.groupBy("__cell").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) > 4  # kmeans produced a real spread of cells
+    total = sum(sizes.values())
+    top4 = sum(sorted(sizes.values(), reverse=True)[:4])
+    assert top4 < total  # probing 4 cells cannot read the whole corpus
+
+
+def test_ivf_kmeans_deterministic(spark, sf_dir):
+    from incubator_iceberg_spark.functions import similarity
+    from incubator_iceberg_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = similarity.spherical_kmeans(emb, n_cells=8, sample=512)
+    c2 = similarity.spherical_kmeans(emb, n_cells=8, sample=512)
+    assert c1 == c2
