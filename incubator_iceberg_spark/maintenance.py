@@ -139,6 +139,39 @@ def remove_orphan_files(table, older_than_ms: Optional[int] = None,
     return sorted(orphans)
 
 
+def delete_reachable_files(table, dry_run: bool = False) -> dict:
+    """DeleteReachableFiles action (api/.../actions/DeleteReachableFiles.java;
+    BaseDeleteReachableFilesSparkAction analog): the GC half of DROP TABLE
+    PURGE.  Deletes every file reachable from ANY snapshot of the table —
+    data + delete files (including files outside the table location that
+    add_files/migrate imported and the table now owns), manifests,
+    manifest lists — plus all metadata.json versions and the version hint.
+    Unlike a blunt directory removal this follows the metadata graph, so
+    imported external files are reclaimed too."""
+    md = table.metadata
+    data, meta = _reachable_paths(md, md.snapshots)
+    md_dir = table.ops.metadata_dir
+    version_files = []
+    if os.path.isdir(md_dir):
+        for n in sorted(os.listdir(md_dir)):
+            if (n.startswith("v") and n.endswith(".metadata.json")) or \
+                    n == "version-hint.text":
+                version_files.append(os.path.join(md_dir, n))
+    counts = {"deleted_data_files": len(data),
+              "deleted_manifest_files": len(meta),
+              "deleted_metadata_files": len(version_files)}
+    if dry_run:
+        return counts
+    for p in list(data) + list(meta) + version_files:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    import shutil
+    shutil.rmtree(table.location, ignore_errors=True)
+    return counts
+
+
 def bin_pack(files: list, target_size: int, min_input_files: int = MIN_INPUT_FILES_DEFAULT,
              lookback: int = SPLIT_LOOKBACK) -> list:
     """Greedy bin-packing with lookback (core/.../util/BinPacking.java):

@@ -92,6 +92,14 @@ class Catalog:
         if not os.path.exists(os.path.join(loc, "metadata")):
             return False
         if purge:
+            # follow the metadata graph (DeleteReachableFiles) so files the
+            # table owns OUTSIDE its location (add_files imports) go too
+            try:
+                from incubator_iceberg_spark import maintenance
+                maintenance.delete_reachable_files(
+                    self.load_table(name, spark=self.spark))
+            except Exception:
+                pass  # unreadable metadata: fall through to dir removal
             shutil.rmtree(loc, ignore_errors=True)
         else:
             shutil.rmtree(os.path.join(loc, "metadata"), ignore_errors=True)

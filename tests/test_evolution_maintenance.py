@@ -218,3 +218,30 @@ def test_run_maintenance_composite(warehouse, orders, spark):
 def MD_now_plus():
     from incubator_iceberg_spark import metadata as MD
     return MD.now_ms() + 10_000
+
+
+def test_delete_reachable_files_purges_imported_externals(warehouse, orders, spark, tmp_path):
+    """DROP TABLE PURGE follows the metadata graph: files the table owns
+    OUTSIDE its location (add_files imports) are reclaimed too."""
+    import os
+    from incubator_iceberg_spark import maintenance, procedures
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table("db.drf", Schema.from_spark(orders.schema))
+    t.append(orders.limit(60))
+    ext = str(tmp_path / "external_import")
+    orders.limit(30).write.parquet(ext)
+    procedures.add_files(t, ext, spark=spark)
+    assert t.to_df().count() == 90
+    ext_files = [os.path.join(dp, n) for dp, _d, ns in os.walk(ext)
+                 for n in ns if n.endswith(".parquet")]
+    assert ext_files
+
+    dry = maintenance.delete_reachable_files(t, dry_run=True)
+    assert dry["deleted_data_files"] >= 1 + len(ext_files)
+    assert dry["deleted_metadata_files"] >= 2  # versions + hint
+    assert all(os.path.exists(p) for p in ext_files)  # dry run deletes nothing
+
+    assert warehouse.drop_table("db.drf", purge=True)
+    assert not os.path.exists(t.location)
+    assert not any(os.path.exists(p) for p in ext_files)  # externals GC'd
