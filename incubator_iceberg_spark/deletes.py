@@ -129,9 +129,12 @@ def scope_deletes_for_file(data_entry: dict, delete_entries: list,
     return pos_paths, eq_groups
 
 
-def arrow_apply_pos_deletes(tbl, data_file_path: str, pos_paths: list):
+def arrow_apply_pos_deletes(tbl, data_file_path: str, pos_paths: list,
+                            row_offset: int = 0):
     """Executor-safe pyarrow J3 (position half): drop deleted row indices.
-    ``tbl`` MUST hold the data file's rows in original row order."""
+    ``tbl`` MUST hold the data file's rows in original row order;
+    ``row_offset`` is the absolute index of its first row when the file
+    was split into row-group slices."""
     if not pos_paths:
         return tbl
     import numpy as np
@@ -147,7 +150,8 @@ def arrow_apply_pos_deletes(tbl, data_file_path: str, pos_paths: list):
     if not positions:
         return tbl
     mask = np.ones(tbl.num_rows, dtype=bool)
-    idx = np.fromiter((i for i in positions if 0 <= i < tbl.num_rows),
+    idx = np.fromiter((i - row_offset for i in positions
+                       if 0 <= i - row_offset < tbl.num_rows),
                       dtype=np.int64, count=-1)
     mask[idx] = False
     import pyarrow as pa

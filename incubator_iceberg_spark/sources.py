@@ -43,7 +43,8 @@ FORMAT_NAME = "iiws"
 
 class _FileSlice(InputPartition):
     def __init__(self, path: str, fmt: str, rename: list, add_null: list,
-                 casts: dict, row_filter=None, pos_dels=None, eq_dels=None):
+                 casts: dict, row_filter=None, pos_dels=None, eq_dels=None,
+                 row_groups=None, row_offset: int = 0):
         self.path = path
         self.fmt = fmt
         self.rename = rename  # [(file_col, out_col)] in output order
@@ -52,6 +53,14 @@ class _FileSlice(InputPartition):
         self.row_filter = row_filter  # bound Expression (picklable dataclasses)
         self.pos_dels = pos_dels or []  # position-delete parquet paths
         self.eq_dels = eq_dels or []  # [(path, (current col name, ...))]
+        self.row_groups = row_groups  # None = whole file; else [rg index]
+        self.row_offset = row_offset  # absolute row index of slice start
+
+
+# parquet files larger than this split into per-row-group input
+# partitions (TableScanUtil.java:43-64 split-at-128MB analog) so a few
+# huge files still parallelize across executors
+SPLIT_TARGET_BYTES = 128 * 1024 * 1024
 
 
 def _load_metadata(location: str):
@@ -137,7 +146,29 @@ def _plan(md, row_filter=None, snapshot_id=None, incremental=None):
     return data, dels
 
 
-def _slices(md, entries, row_filter=None, delete_entries=None) -> list:
+def _split_row_groups(entry: dict, force: bool):
+    """[(rg_index, abs_row_offset)] when the file should split into
+    per-row-group slices, else None.  Only files above SPLIT_TARGET_BYTES
+    pay the footer read (driver-side, few such files), unless forced."""
+    size = entry.get("file_size_bytes") or 0
+    if not force and size < SPLIT_TARGET_BYTES:
+        return None
+    import pyarrow.parquet as pq
+    try:
+        meta = pq.ParquetFile(entry["file_path"]).metadata
+    except OSError:
+        return None
+    if meta.num_row_groups <= 1:
+        return None
+    out, offset = [], 0
+    for i in range(meta.num_row_groups):
+        out.append((i, offset))
+        offset += meta.row_group(i).num_rows
+    return out
+
+
+def _slices(md, entries, row_filter=None, delete_entries=None,
+            split_force: bool = False) -> list:
     current = md.schema()
     bound = None
     if row_filter is not None:
@@ -156,16 +187,28 @@ def _slices(md, entries, row_filter=None, delete_entries=None) -> list:
                 add_null.append((f.name, str(MF.arrow_type(f.type))))
             else:
                 rename.append((fs.field_path(f.field_id), f.name))
-                if old.type != f.type:
+                if old.type != f.type or f.type.is_primitive:
+                    # primitives always carry the expected arrow type:
+                    # imported files may hold a different physical flavor
+                    # (ns timestamps, int32 dates) than the schema says
                     casts[f.name] = str(MF.arrow_type(f.type))
         pos_dels, eq_dels = ([], [])
         if delete_entries:
             from incubator_iceberg_spark import deletes as DEL
             pos_dels, eq_dels = DEL.scope_deletes_for_file(
                 e, delete_entries, current)
-        out.append(_FileSlice(e["file_path"], e.get("file_format") or "parquet",
-                              rename, add_null, casts, row_filter=bound,
-                              pos_dels=pos_dels, eq_dels=eq_dels))
+        fmt = e.get("file_format") or "parquet"
+        groups = _split_row_groups(e, split_force) if fmt == "parquet" else None
+        if groups:
+            for rg, offset in groups:
+                out.append(_FileSlice(e["file_path"], fmt, rename, add_null,
+                                      casts, row_filter=bound,
+                                      pos_dels=pos_dels, eq_dels=eq_dels,
+                                      row_groups=[rg], row_offset=offset))
+        else:
+            out.append(_FileSlice(e["file_path"], fmt, rename, add_null,
+                                  casts, row_filter=bound,
+                                  pos_dels=pos_dels, eq_dels=eq_dels))
     return out
 
 
@@ -180,18 +223,25 @@ def _read_slice(part: _FileSlice):
     if part.fmt == "orc":
         import pyarrow.orc as po
         tbl = po.ORCFile(part.path).read(columns=[c for c, _ in part.rename])
+    elif part.row_groups is not None:
+        import pyarrow.parquet as pq
+        tbl = pq.ParquetFile(part.path).read_row_groups(
+            part.row_groups, columns=[c for c, _ in part.rename])
     else:
         import pyarrow.parquet as pq
         tbl = pq.read_table(part.path, columns=[c for c, _ in part.rename])
     if part.pos_dels:
         from incubator_iceberg_spark.deletes import arrow_apply_pos_deletes
-        tbl = arrow_apply_pos_deletes(tbl, part.path, part.pos_dels)
+        tbl = arrow_apply_pos_deletes(tbl, part.path, part.pos_dels,
+                                      row_offset=part.row_offset)
     cols, names = [], []
     for file_col, out_col in part.rename:
         arr = tbl.column(file_col)
         if out_col in part.casts:
-            import pyarrow.compute as pc
-            arr = pc.cast(arr, part.casts[out_col])
+            want = _arrow_type_from_str(part.casts[out_col])
+            if arr.type != want:
+                import pyarrow.compute as pc
+                arr = pc.cast(arr, want)
         cols.append(arr)
         names.append(out_col)
     for out_col, type_str in part.add_null:
@@ -252,8 +302,9 @@ class IcebergBatchReader(DataSourceReader):
             expr = _combined_filter(self._options.get("filter"), self._pushed)
             entries, dels = _plan(md, row_filter=expr,
                                   snapshot_id=self._options.get("snapshot_id"))
+            force = str(self._options.get("split_row_groups", "")).lower() == "true"
             self._parts = _slices(md, entries, row_filter=expr,
-                                  delete_entries=dels)
+                                  delete_entries=dels, split_force=force)
         return self._parts
 
     def read(self, partition: _FileSlice):

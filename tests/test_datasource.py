@@ -170,3 +170,42 @@ def test_sqlfacade_select_over_table_with_deletes(warehouse, orders, spark):
         "SELECT COUNT(*) AS n FROM db.sqld WHERE o_totalprice >= 0")
     n = out.collect()[0]["n"]
     assert n == t.to_df().filter("o_totalprice >= 0").count()
+
+
+def test_ds_row_group_splitting_with_pos_deletes(warehouse, orders, spark, tmp_path):
+    """Large parquet files split into per-row-group input partitions
+    (TableScanUtil 128 MB analog, forced via option for testability);
+    position deletes use absolute row indices across the slice offsets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from incubator_iceberg_spark import procedures
+
+    pdf = orders.limit(400).toPandas()
+    ext = tmp_path / "big"
+    ext.mkdir()
+    path = str(ext / "multi_rg.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path,
+                   row_group_size=100)  # 4 row groups
+    t = warehouse.create_table("db.rgsplit", Schema.from_spark(orders.schema))
+    procedures.add_files(t, str(ext), spark=spark)
+
+    base = spark.read.format("iiws").option("path", t.location)
+    whole = base.load()
+    assert whole.rdd.getNumPartitions() == 1  # small file: no auto split
+    split = (spark.read.format("iiws").option("path", t.location)
+             .option("split_row_groups", "true").load())
+    assert split.rdd.getNumPartitions() == 4  # one per row group
+    assert split.count() == 400
+    assert {r["o_orderkey"] for r in split.collect()} == \
+        {r["o_orderkey"] for r in whole.collect()}
+
+    # absolute positions 0, 150, 399 land in row groups 0, 1, 3
+    pos = spark.createDataFrame([(path, 0), (path, 150), (path, 399)],
+                                "file_path string, pos long")
+    t.add_position_deletes(pos)
+    split2 = (spark.read.format("iiws").option("path", t.location)
+              .option("split_row_groups", "true").load())
+    assert split2.count() == 397
+    deleted = {int(pdf.iloc[i]["o_orderkey"]) for i in (0, 150, 399)}
+    survivors = {r["o_orderkey"] for r in split2.collect()}
+    assert deleted.isdisjoint(survivors)
