@@ -1,0 +1,65 @@
+"""Tier 3: physical-plan regression guards — the properties BENCH_NOTES
+audits by hand must hold structurally: filters reach the parquet scan,
+projections prune the read schema, small join sides broadcast, and
+aggregates run inside whole-stage codegen with a map-side partial."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark.schema import Schema
+
+
+def _final_plan(df) -> str:
+    df.collect()  # resolve AQE so the final physical plan is visible
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def orders_table(spark, sf_dir, tmp_path_factory):
+    from incubator_iceberg_spark import Catalog
+    from incubator_iceberg_spark.io import load_table
+
+    wh = str(tmp_path_factory.mktemp("planwh"))
+    cat = Catalog(wh, spark)
+    orders = load_table(spark, sf_dir, "orders")
+    t = cat.create_table("db.plans", Schema.from_spark(orders.schema))
+    t.append(orders)
+    return t
+
+
+def test_filter_reaches_parquet_scan(orders_table, spark):
+    df = orders_table.to_df(filter="o_totalprice > 100000") \
+        .select("o_orderkey", "o_totalprice")
+    plan = _final_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_projection_prunes_read_schema(orders_table, spark):
+    df = orders_table.to_df().select("o_orderkey", "o_totalprice")
+    plan = _final_plan(df)
+    scan_line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "o_orderkey" in scan_line and "o_totalprice" in scan_line
+    assert "o_comment" not in scan_line  # widest column must not be read
+
+
+def test_small_dimension_join_broadcasts(orders_table, spark, sf_dir):
+    from incubator_iceberg_spark.io import load_table
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    df = orders_table.to_df().join(F.broadcast(cust),
+                                   F.col("o_custkey") == F.col("c_custkey"))
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact table must not shuffle
+
+
+def test_aggregate_is_codegen_with_partial(orders_table, spark):
+    df = (orders_table.to_df()
+          .groupBy("o_orderstatus")
+          .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n")))
+    plan = _final_plan(df)
+    assert "*(" in plan  # whole-stage-codegen stage markers
+    # partial_sum before the exchange = map-side combine (no raw shuffle
+    # of unaggregated rows)
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
