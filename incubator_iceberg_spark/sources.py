@@ -311,30 +311,109 @@ class IcebergBatchReader(DataSourceReader):
         yield from _read_slice(partition)
 
 
+def _append_file_chain(md):
+    """Ordered streaming file list: (chain_pos_by_sid, flat) where flat =
+    [(snapshot_id, entry)] of ADDED data entries for every append snapshot
+    root→current, each snapshot's files sorted by path.  Committed
+    snapshots are immutable, so this ordering is checkpoint-stable — the
+    basis for (snapshot_id, file_index) offsets (MicroBatches.java:37-53 /
+    StreamingOffset semantics)."""
+    chain = []
+    cur = md.current_snapshot()
+    while cur is not None:
+        chain.append(cur)
+        cur = md.snapshot_by_id(cur.parent_id) if cur.parent_id is not None else None
+    chain.reverse()
+    pos_by_sid = {s.snapshot_id: i for i, s in enumerate(chain)}
+    flat = []
+    for s in chain:
+        if s.operation != "append":
+            continue
+        entries, _d = _plan(md, incremental=(s.parent_id, s.snapshot_id))
+        for e in sorted(entries, key=lambda e: e["file_path"]):
+            flat.append((s.snapshot_id, e))
+    return pos_by_sid, flat
+
+
+def _offset_position(pos_by_sid, flat, off: dict) -> int:
+    """Flat-list index of an offset.  ``file_index`` absent (legacy
+    snapshot-granularity checkpoints) means the whole snapshot was
+    consumed; unknown snapshot ids mean the beginning."""
+    sid = off.get("snapshot_id")
+    if sid in (None, -1):
+        return 0
+    if sid not in pos_by_sid:
+        return 0
+    spos = pos_by_sid[sid]
+    idx = off.get("file_index")
+    before = sum(1 for fsid, _e in flat if pos_by_sid[fsid] < spos)
+    own = sum(1 for fsid, _e in flat if fsid == sid)
+    return before + (own if idx is None else min(int(idx), own))
+
+
+def _position_offset(pos_by_sid, flat, position: int) -> dict:
+    if position <= 0:
+        return {"snapshot_id": -1, "file_index": 0}
+    sid = flat[position - 1][0]
+    consumed_of_sid = sum(1 for fsid, _e in flat[:position] if fsid == sid)
+    return {"snapshot_id": sid, "file_index": consumed_of_sid}
+
+
 class IcebergStreamReader(DataSourceStreamReader):
-    """Offsets are snapshot ids; each batch = appends in (start, end]
-    (SparkMicroBatchStream semantics; non-append snapshots skipped)."""
+    """Offsets are (snapshot_id, file_index) — the reference's
+    SparkMicroBatchStream/StreamingOffset shape — so a batch can stop
+    mid-snapshot.  ``max_files_per_trigger`` caps each micro-batch (the
+    MicroBatches.generate size-capping analog); non-append snapshots are
+    skipped.  Legacy {"snapshot_id"} checkpoints load as whole-snapshot
+    positions."""
 
     def __init__(self, location: str, options: dict):
         self.location = location
         self.options = options
+        mft = options.get("max_files_per_trigger")
+        self.max_files = int(mft) if mft is not None else None
+        self._pos = None  # flat position of the last offset handed out
 
     def initialOffset(self) -> dict:
         start = self.options.get("from_snapshot_id")
-        return {"snapshot_id": int(start) if start is not None else -1}
+        off = {"snapshot_id": int(start) if start is not None else -1,
+               "file_index": None if start is not None else 0}
+        # fresh query (no checkpoint): the start position is known, so
+        # rate limiting applies from the very first batch
+        try:
+            md = _load_metadata(self.location)
+            pos_by_sid, flat = _append_file_chain(md)
+            self._pos = _offset_position(pos_by_sid, flat, off)
+        except Exception:
+            self._pos = None
+        return off
 
     def latestOffset(self) -> dict:
         md = _load_metadata(self.location)
-        cur = md.current_snapshot_id
-        return {"snapshot_id": cur if cur is not None else -1}
+        if md.current_snapshot_id is None:
+            return {"snapshot_id": -1, "file_index": 0}
+        pos_by_sid, flat = _append_file_chain(md)
+        if self.max_files is None or self._pos is None:
+            # uncapped, or first call after a restart (checkpointed start
+            # unknown until partitions()): one catch-up batch to latest
+            target = len(flat)
+        else:
+            target = min(self._pos + self.max_files, len(flat))
+        self._pos = target
+        return _position_offset(pos_by_sid, flat, target)
 
     def partitions(self, start: dict, end: dict):
-        s, e = start.get("snapshot_id"), end.get("snapshot_id")
-        if e is None or e == -1 or s == e:
-            return []
         md = _load_metadata(self.location)
-        entries, _dels = _plan(md, incremental=(None if s in (None, -1) else s, e))
-        # incremental append slices carry no deletes (append snapshots only)
+        if md.current_snapshot_id is None:
+            return []
+        pos_by_sid, flat = _append_file_chain(md)
+        p0 = _offset_position(pos_by_sid, flat, start)
+        p1 = _offset_position(pos_by_sid, flat, end)
+        self._pos = max(self._pos or 0, p1)
+        if p1 <= p0:
+            return []
+        entries = [e for _sid, e in flat[p0:p1]]
+        # append slices carry no deletes (append snapshots only)
         return _slices(md, entries)
 
     def read(self, partition: _FileSlice):

@@ -209,3 +209,56 @@ def test_ds_row_group_splitting_with_pos_deletes(warehouse, orders, spark, tmp_p
     deleted = {int(pdf.iloc[i]["o_orderkey"]) for i in (0, 150, 399)}
     survivors = {r["o_orderkey"] for r in split2.collect()}
     assert deleted.isdisjoint(survivors)
+
+
+def test_stream_reader_file_index_offsets_rate_limit(warehouse, orders, spark):
+    """(snapshot_id, file_index) offsets: max_files_per_trigger caps each
+    micro-batch and a batch may stop mid-snapshot; the file sequence is
+    checkpoint-stable and replay-safe."""
+    from incubator_iceberg_spark.sources import (
+        IcebergStreamReader, _append_file_chain)
+
+    t = warehouse.create_table("db.dsrl", Schema.from_spark(orders.schema))
+    # snapshot 1: 3 files; snapshot 2: 2 files
+    t.append(orders.limit(90).repartition(3))
+    t.append(orders.limit(40).repartition(2))
+    _pos, flat = _append_file_chain(t.metadata)
+    assert len(flat) == 5
+
+    r = IcebergStreamReader(t.location, {"max_files_per_trigger": "2"})
+    off = r.initialOffset()
+    seen_files = []
+    batches = 0
+    while True:
+        end = r.latestOffset()
+        parts = r.partitions(off, end)
+        if not parts:
+            break
+        seen_files.extend(p.path for p in parts)
+        batches += 1
+        off = end
+    assert batches == 3  # 2 + 2 + 1 files
+    assert len(seen_files) == 5
+    assert len(set(seen_files)) == 5  # no file delivered twice
+    # replaying a checkpointed range returns exactly the same slice
+    r2 = IcebergStreamReader(t.location, {"max_files_per_trigger": "2"})
+    first_end = None
+    # recompute the first capped offset on a fresh reader: start known
+    r2._pos = 0
+    first_end = r2.latestOffset()
+    replay = r2.partitions(r.initialOffset(), first_end)
+    assert [p.path for p in replay] == seen_files[:2]
+
+
+def test_stream_reader_legacy_snapshot_offset_compat(warehouse, orders, spark):
+    """Old {"snapshot_id"} checkpoints (no file_index) mean the snapshot
+    was fully consumed: only later appends are delivered."""
+    from incubator_iceberg_spark.sources import IcebergStreamReader
+
+    t = warehouse.create_table("db.dslegacy", Schema.from_spark(orders.schema))
+    t.append(orders.limit(50))
+    s1 = t.metadata.current_snapshot_id
+    t.append(orders.limit(30).repartition(2))
+    r = IcebergStreamReader(t.location, {})
+    parts = r.partitions({"snapshot_id": s1}, r.latestOffset())
+    assert len(parts) == 2  # only snapshot 2's files
