@@ -24,17 +24,24 @@ from incubator_iceberg_spark.schema import Schema
 
 
 def add_files(table, source_dir: str, spark=None) -> dict:
-    """Import existing parquet files (no rewrite): harvest footer stats →
-    manifest entries → one append commit.  Unpartitioned import; partition
-    values for partitioned targets must come via a staged write instead."""
+    """Import existing parquet files (no rewrite; AddFilesProcedure
+    analog): harvest footer stats → manifest entries → one append commit.
+    Partitioned targets derive each file's partition tuple from its
+    footer bounds: for order-preserving transforms (identity, truncate,
+    year/month/day/hour) a file whose transformed lower == transformed
+    upper lies in exactly one partition.  Files spanning partitions (or
+    bucket specs, where bounds can't prove membership) are rejected —
+    import those via a staged write instead."""
     spark = spark or table.spark
     files = W._list_parquet_files(source_dir)
     if not files:
         return {"added_files": 0}
-    stats = W.collect_file_stats(spark, files, table.metadata.schema())
+    schema = table.metadata.schema()
+    spec = table.metadata.spec()
+    stats = W.collect_file_stats(spark, files, schema)
     entries = []
     for st in stats:
-        entries.append({
+        e = {
             "file_path": st["file_path"],
             "file_format": "parquet",
             "record_count": st["record_count"],
@@ -43,10 +50,49 @@ def add_files(table, source_dir: str, spark=None) -> dict:
             "null_counts": st["null_counts"],
             "lower_bounds": st["lower_bounds"],
             "upper_bounds": st["upper_bounds"],
-        })
+        }
+        if spec.is_partitioned:
+            e["partition"] = _partition_from_bounds(st, spec, schema)
+        entries.append(e)
     table.metadata = SN.append_files(table.ops, entries)
     return {"added_files": len(entries),
             "added_records": sum(e["record_count"] for e in entries)}
+
+
+def _partition_from_bounds(st: dict, spec, schema) -> dict:
+    """One file's partition tuple proven from its column bounds."""
+    import inspect
+    partition = {}
+    for f in spec.fields:
+        src = schema.field_path(f.source_id)
+        src_type = schema.find_field(f.source_id).type
+        if not f.transform.preserves_order():
+            raise ValueError(
+                f"cannot import into {f.transform}-partitioned field "
+                f"{f.name}: bounds cannot prove bucket membership")
+        lo = (st.get("lower_bounds") or {}).get(src)
+        hi = (st.get("upper_bounds") or {}).get(src)
+        nulls = (st.get("null_counts") or {}).get(src, 0)
+        if lo is None or hi is None:
+            if st["record_count"] == nulls:  # all-null source column
+                partition[f.name] = None
+                continue
+            raise ValueError(
+                f"file {st['file_path']} has no bounds for partition "
+                f"source column {src}")
+        if nulls:
+            raise ValueError(
+                f"file {st['file_path']} mixes nulls and values in "
+                f"partition source column {src}")
+        two_arg = len(inspect.signature(f.transform.apply).parameters) >= 2
+        tlo = f.transform.apply(lo, src_type) if two_arg else f.transform.apply(lo)
+        thi = f.transform.apply(hi, src_type) if two_arg else f.transform.apply(hi)
+        if tlo != thi:
+            raise ValueError(
+                f"file {st['file_path']} spans partitions "
+                f"{f.name}={tlo}..{thi}; split it or use a staged write")
+        partition[f.name] = tlo
+    return partition
 
 
 def migrate(catalog, name: str, source_dir: str, spark=None):

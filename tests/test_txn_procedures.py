@@ -147,3 +147,68 @@ def test_events_and_find_files(warehouse, orders):
     hits = t.find_files("o_orderdate >= TIMESTAMP '1997-06-01'")
     assert 0 < len(hits) < total
     assert "record_count" in hits[0] and "partition" in hits[0]
+
+
+def test_add_files_partitioned_from_bounds(warehouse, orders, spark, tmp_path):
+    """Partitioned import: each file's partition tuple is proven from its
+    footer bounds (transformed lower == upper); pruning then works on the
+    imported table exactly as for staged writes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from incubator_iceberg_spark import procedures
+    from incubator_iceberg_spark.schema import Schema
+
+    pdf = orders.limit(500).toPandas()
+    ext = tmp_path / "monthly"
+    ext.mkdir()
+    months = pdf["o_orderdate"].dt.to_period("M")
+    for m, grp in pdf.groupby(months):
+        pq.write_table(pa.Table.from_pandas(grp, preserve_index=False),
+                       str(ext / f"m-{m}.parquet"), coerce_timestamps="us")
+    t = warehouse.create_table("db.addpart", Schema.from_spark(orders.schema),
+                               partition_by=["month(o_orderdate)"])
+    res = procedures.add_files(t, str(ext), spark=spark)
+    assert res["added_files"] == months.nunique()
+    assert t.to_df().count() == 500
+    all_files = len(t.new_scan().plan_files())
+    pruned = len(t.new_scan().filter(
+        "o_orderdate >= TIMESTAMP '1997-01-01'").plan_files())
+    assert 0 < pruned < all_files
+    want = int((pdf["o_orderdate"] >= "1997-01-01").sum())
+    assert t.to_df(filter="o_orderdate >= TIMESTAMP '1997-01-01'").count() == want
+
+
+def test_add_files_rejects_partition_spanning_file(warehouse, orders, spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from incubator_iceberg_spark import procedures
+    from incubator_iceberg_spark.schema import Schema
+
+    pdf = orders.limit(300).toPandas()  # spans many months
+    ext = tmp_path / "mixed"
+    ext.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(ext / "all.parquet"), coerce_timestamps="us")
+    t = warehouse.create_table("db.addspan", Schema.from_spark(orders.schema),
+                               partition_by=["month(o_orderdate)"])
+    with _pytest.raises(ValueError, match="spans partitions"):
+        procedures.add_files(t, str(ext), spark=spark)
+
+
+def test_add_files_rejects_bucket_spec(warehouse, orders, spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from incubator_iceberg_spark import procedures
+    from incubator_iceberg_spark.schema import Schema
+
+    pdf = orders.limit(50).toPandas()
+    ext = tmp_path / "bk"
+    ext.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(ext / "f.parquet"), coerce_timestamps="us")
+    t = warehouse.create_table("db.addbk", Schema.from_spark(orders.schema),
+                               partition_by=[("o_orderkey", "bucket[4]")])
+    with _pytest.raises(ValueError, match="bucket membership"):
+        procedures.add_files(t, str(ext), spark=spark)
