@@ -18,7 +18,10 @@ USING accepts a temp-view name or a parenthesized subquery (resolved via
 ``spark.sql``).  SELECT statements pass through to ``spark.sql`` after
 registering the referenced engine tables as temp views (full-scan views:
 Catalyst applies filters post-scan; programmatic scans keep metadata
-pruning).
+pruning).  DDL/DML: ``INSERT INTO/OVERWRITE ... SELECT|VALUES``,
+``CREATE TABLE ... [PARTITIONED BY (...)] AS SELECT``, and
+``DROP TABLE [IF EXISTS] ... [PURGE]`` round out the statement surface
+the reference reaches through DSv2.
 """
 
 from __future__ import annotations
@@ -43,6 +46,17 @@ _WHEN_RE = re.compile(
     r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?\s*(?:AND\s+(.*?))?\s*THEN\s+"
     r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.IGNORECASE | re.DOTALL)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s+(.*)$",
+    re.IGNORECASE | re.DOTALL)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+([\w.]+)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"AS\s+(SELECT\b.*|WITH\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(PURGE)?\s*$",
+    re.IGNORECASE)
 
 
 def execute(catalog, spark, sql: str):
@@ -69,8 +83,42 @@ def execute(catalog, spark, sql: str):
         return _merge(catalog, spark, s)
     if head in ("SELECT", "WITH"):
         return spark.sql(_register_and_rewrite(catalog, spark, s))
-    raise ValueError(f"unsupported statement: {head} "
-                     "(supported: SELECT, DELETE, UPDATE, MERGE, CALL)")
+    if head == "INSERT":
+        m = _INSERT_RE.match(s)
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {sql!r}")
+        t = catalog.load_table(m.group(2), spark=spark)
+        body = m.group(3).strip()
+        if body.upper().startswith("VALUES"):
+            df = spark.sql(f"SELECT * FROM ({body}) "
+                           f"AS v({', '.join(f.name for f in t.schema().fields)})")
+        else:
+            df = spark.sql(_register_and_rewrite(catalog, spark, body))
+        if m.group(1).upper() == "OVERWRITE":
+            t.dynamic_overwrite(df) if t.metadata.spec().is_partitioned \
+                else t.overwrite(df, "1 = 1")
+        else:
+            t.append(df)
+        return t
+    if head == "CREATE":
+        m = _CTAS_RE.match(s)
+        if not m:
+            raise ValueError(f"cannot parse CREATE (only CTAS supported): {sql!r}")
+        from incubator_iceberg_spark.schema import Schema
+        df = spark.sql(_register_and_rewrite(catalog, spark, m.group(3)))
+        parts = [p.strip() for p in (m.group(2) or "").split(",") if p.strip()]
+        t = catalog.create_table(m.group(1), Schema.from_spark(df.schema),
+                                 partition_by=parts or None, spark=spark)
+        t.append(df)
+        return t
+    if head == "DROP":
+        m = _DROP_RE.match(s)
+        if not m:
+            raise ValueError(f"cannot parse DROP TABLE: {sql!r}")
+        return catalog.drop_table(m.group(1), purge=bool(m.group(2)))
+    raise ValueError(
+        f"unsupported statement: {head} (supported: SELECT, INSERT, "
+        "CREATE TABLE AS, DROP TABLE, DELETE, UPDATE, MERGE, CALL)")
 
 
 def _parse_assignments(raw: str) -> dict:

@@ -85,7 +85,7 @@ def test_sql_call(warehouse, orders, spark):
 
 def test_sql_unsupported(warehouse, spark):
     with pytest.raises(ValueError):
-        SQL.execute(warehouse, spark, "DROP TABLE db.x")
+        SQL.execute(warehouse, spark, "ALTER TABLE db.x ADD COLUMN y int")
 
 
 def test_sql_merge_not_matched_by_source(warehouse, orders, spark):
@@ -175,3 +175,68 @@ def test_call_ref_procedures(warehouse, orders, spark):
     SQL.execute(warehouse, spark, "CALL system.create_tag('db.refproc', 'v1')")
     SQL.execute(warehouse, spark, "CALL system.drop_ref('db.refproc', 'v1')")
     assert "v1" not in warehouse.load_table("db.refproc").metadata.refs
+
+
+def test_sql_insert_into_select(warehouse, orders, spark):
+    _ingest(warehouse, "db.inssrc", orders)
+    t = warehouse.create_table("db.insdst", Schema.from_spark(orders.schema))
+    SQL.execute(warehouse, spark,
+                "INSERT INTO db.insdst SELECT * FROM db.inssrc "
+                "WHERE o_totalprice > 150000")
+    t.refresh()
+    assert t.to_df().count() == orders.filter("o_totalprice > 150000").count()
+    # a second INSERT accumulates
+    SQL.execute(warehouse, spark,
+                "INSERT INTO db.insdst SELECT * FROM db.inssrc "
+                "WHERE o_totalprice <= 150000")
+    t.refresh()
+    assert t.to_df().count() == orders.count()
+
+
+def test_sql_insert_values(warehouse, spark):
+    from incubator_iceberg_spark.schema import (Schema as Sch, NestedField,
+                                                LongType, StringType)
+    t = warehouse.create_table("db.insval", Sch([
+        NestedField(1, "id", LongType(), required=False),
+        NestedField(2, "name", StringType(), required=False)]))
+    SQL.execute(warehouse, spark,
+                "INSERT INTO db.insval VALUES (1, 'a'), (2, 'b')")
+    t.refresh()
+    assert sorted((r["id"], r["name"]) for r in t.to_df().collect()) == \
+        [(1, "a"), (2, "b")]
+
+
+def test_sql_ctas_partitioned_and_drop(warehouse, orders, spark):
+    _ingest(warehouse, "db.ctassrc", orders)
+    t = SQL.execute(warehouse, spark, """
+        CREATE TABLE db.ctasdst PARTITIONED BY (month(o_orderdate)) AS
+        SELECT * FROM db.ctassrc WHERE o_orderkey % 2 = 0
+    """)
+    assert t.metadata.spec().is_partitioned
+    want = orders.filter("o_orderkey % 2 = 0").count()
+    assert t.to_df().count() == want
+    pruned = len(t.new_scan().filter(
+        "o_orderdate >= TIMESTAMP '1997-06-01'").plan_files())
+    assert pruned < len(t.new_scan().plan_files())
+    assert SQL.execute(warehouse, spark, "DROP TABLE db.ctasdst PURGE") is True
+    import pytest as _pytest
+    from incubator_iceberg_spark.table import NoSuchTableError
+    with _pytest.raises(NoSuchTableError):
+        warehouse.load_table("db.ctasdst")
+
+
+def test_sql_insert_overwrite_dynamic(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.insow", orders,
+                partition_by=["month(o_orderdate)"])
+    _ingest(warehouse, "db.insowsrc", orders.filter("o_orderkey % 5 = 0"))
+    SQL.execute(warehouse, spark,
+                "INSERT OVERWRITE db.insow SELECT * FROM db.insowsrc")
+    t.refresh()
+    # dynamic overwrite: months present in the source are replaced, other
+    # months keep their original rows
+    src = orders.filter("o_orderkey % 5 = 0")
+    src_months = {r[0] for r in
+                  src.selectExpr("date_trunc('month', o_orderdate)").collect()}
+    kept = orders.filter(
+        ~F.date_trunc("month", "o_orderdate").isin(list(src_months)))
+    assert t.to_df().count() == src.count() + kept.count()
