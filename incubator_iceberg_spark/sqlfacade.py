@@ -116,9 +116,119 @@ def execute(catalog, spark, sql: str):
         if not m:
             raise ValueError(f"cannot parse DROP TABLE: {sql!r}")
         return catalog.drop_table(m.group(1), purge=bool(m.group(2)))
+    if head == "ALTER":
+        return _alter(catalog, spark, s)
     raise ValueError(
         f"unsupported statement: {head} (supported: SELECT, INSERT, "
-        "CREATE TABLE AS, DROP TABLE, DELETE, UPDATE, MERGE, CALL)")
+        "CREATE TABLE AS, DROP TABLE, ALTER TABLE, DELETE, UPDATE, MERGE, "
+        "CALL)")
+
+
+_ALTER_RE = re.compile(r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(.*)$",
+                       re.IGNORECASE | re.DOTALL)
+
+
+def _alter(catalog, spark, s: str):
+    """ALTER TABLE statements — the reference's own SQL-extension grammar
+    (IcebergSqlExtensions.g4:70-75: ADD/DROP PARTITION FIELD, WRITE
+    ORDERED BY) plus the standard column DDL the reference reaches via
+    Spark's DSv2 ALTER support (SparkCatalog.alterTable)."""
+    m = _ALTER_RE.match(s)
+    if not m:
+        raise ValueError(f"cannot parse ALTER TABLE: {s!r}")
+    t = catalog.load_table(m.group(1), spark=spark)
+    rest = m.group(2).strip()
+    up = rest.upper()
+
+    if up.startswith("ADD PARTITION FIELD"):
+        term = rest[len("ADD PARTITION FIELD"):].strip()
+        name = None
+        as_m = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", term, re.IGNORECASE)
+        if as_m:
+            term, name = as_m.group(1).strip(), as_m.group(2)
+        parts = _current_spec_parts(t)
+        parts.append((*_parse_part_term(term), name) if name
+                     else _parse_part_term(term))
+        return t.update_spec(parts)
+    if up.startswith("DROP PARTITION FIELD"):
+        term = rest[len("DROP PARTITION FIELD"):].strip()
+        src, tr = _parse_part_term(term)
+        parts = [p for p in _current_spec_parts(t)
+                 if not (p[0] == src and p[1] == tr) and p[2] != term]
+        return t.update_spec(parts)
+    if up.startswith("WRITE ORDERED BY"):
+        cols = rest[len("WRITE ORDERED BY"):].strip().strip("()")
+        return t.replace_sort_order([c.strip() for c in cols.split(",")])
+    if up.startswith("WRITE UNORDERED"):
+        return t.replace_sort_order([])
+    if up.startswith("SET TBLPROPERTIES"):
+        body = rest[len("SET TBLPROPERTIES"):].strip().strip("()")
+        updates = {}
+        for kv in _split_top(body, ","):
+            k, v = kv.split("=", 1)
+            updates[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        return t.update_properties(updates)
+    if up.startswith("ADD COLUMN"):
+        mm = re.match(r"ADD\s+COLUMNS?\s+\(?\s*(\w+)\s+([\w(),]+)\s*\)?\s*$",
+                      rest, re.IGNORECASE)
+        if not mm:
+            raise ValueError(f"cannot parse ADD COLUMN: {rest!r}")
+        return t.update_schema().add_column(mm.group(1),
+                                            _sql_type(mm.group(2))).commit()
+    if up.startswith("DROP COLUMN"):
+        return t.update_schema().delete_column(
+            rest[len("DROP COLUMN"):].strip()).commit()
+    if up.startswith("RENAME COLUMN"):
+        mm = re.match(r"RENAME\s+COLUMN\s+([\w.]+)\s+TO\s+(\w+)\s*$",
+                      rest, re.IGNORECASE)
+        if not mm:
+            raise ValueError(f"cannot parse RENAME COLUMN: {rest!r}")
+        return t.update_schema().rename_column(mm.group(1), mm.group(2)).commit()
+    if up.startswith("ALTER COLUMN"):
+        mm = re.match(r"ALTER\s+COLUMN\s+([\w.]+)\s+TYPE\s+([\w(),]+)\s*$",
+                      rest, re.IGNORECASE)
+        if mm:
+            return t.update_schema().update_column_type(
+                mm.group(1), _sql_type(mm.group(2))).commit()
+        mm = re.match(r"ALTER\s+COLUMN\s+([\w.]+)\s+DROP\s+NOT\s+NULL\s*$",
+                      rest, re.IGNORECASE)
+        if mm:
+            return t.update_schema().make_column_optional(mm.group(1)).commit()
+        raise ValueError(f"cannot parse ALTER COLUMN: {rest!r}")
+    raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
+
+
+_SQL_TYPE_MAP = {"bigint": "long", "integer": "int", "smallint": "int",
+                 "varchar": "string", "text": "string", "bool": "boolean",
+                 "real": "float", "timestamptz": "timestamptz"}
+
+
+def _sql_type(s: str) -> str:
+    base = s.strip().lower()
+    return _SQL_TYPE_MAP.get(base, base)
+
+
+def _current_spec_parts(t) -> list:
+    schema = t.metadata.schema()
+    return [(schema.field_path(f.source_id), str(f.transform), f.name)
+            for f in t.metadata.spec().fields]
+
+
+def _parse_part_term(term: str) -> tuple:
+    """'month(ts)' → ('ts', 'month'); 'bucket(16, id)' (reference grammar
+    argument order) or 'bucket[16](id)' → ('id', 'bucket[16]'); bare
+    column → identity."""
+    term = term.strip()
+    mm = re.match(r"(\w+)\s*\[\s*(\d+)\s*\]\s*\(\s*([\w.]+)\s*\)$", term)
+    if mm:
+        return (mm.group(3), f"{mm.group(1)}[{mm.group(2)}]")
+    mm = re.match(r"(\w+)\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)$", term)
+    if mm:
+        return (mm.group(3), f"{mm.group(1)}[{mm.group(2)}]")
+    mm = re.match(r"(\w+)\s*\(\s*([\w.]+)\s*\)$", term)
+    if mm:
+        return (mm.group(2), mm.group(1))
+    return (term, "identity")
 
 
 def _parse_assignments(raw: str) -> dict:

@@ -85,7 +85,7 @@ def test_sql_call(warehouse, orders, spark):
 
 def test_sql_unsupported(warehouse, spark):
     with pytest.raises(ValueError):
-        SQL.execute(warehouse, spark, "ALTER TABLE db.x ADD COLUMN y int")
+        SQL.execute(warehouse, spark, "VACUUM db.x")
 
 
 def test_sql_merge_not_matched_by_source(warehouse, orders, spark):
@@ -240,3 +240,51 @@ def test_sql_insert_overwrite_dynamic(warehouse, orders, spark):
     kept = orders.filter(
         ~F.date_trunc("month", "o_orderdate").isin(list(src_months)))
     assert t.to_df().count() == src.count() + kept.count()
+
+
+def test_sql_alter_partition_fields_and_sort(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.alt1", orders)
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.alt1 ADD PARTITION FIELD month(o_orderdate)")
+    t.refresh()
+    assert [str(f.transform) for f in t.metadata.spec().fields] == ["month"]
+    # reference-grammar bucket argument order: bucket(4, col)
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.alt1 ADD PARTITION FIELD bucket(4, o_custkey)")
+    t.refresh()
+    assert len(t.metadata.spec().fields) == 2
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.alt1 DROP PARTITION FIELD bucket(4, o_custkey)")
+    t.refresh()
+    assert [str(f.transform) for f in t.metadata.spec().fields] == ["month"]
+    # new data written under the evolved spec prunes; old files still scan
+    t.append(orders.limit(100))
+    assert t.to_df().count() == orders.count() + 100
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.alt1 WRITE ORDERED BY (o_totalprice DESC)")
+    t.refresh()
+    so = t.metadata.sort_order()
+    assert so.fields and so.fields[0].direction == "desc"
+
+
+def test_sql_alter_columns_and_properties(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.alt2", orders.limit(50))
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.alt2 ADD COLUMN note string")
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.alt2 RENAME COLUMN o_orderpriority TO prio")
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.alt2 ALTER COLUMN o_custkey TYPE bigint")
+    t.refresh()
+    names = [f.name for f in t.schema().fields]
+    assert "note" in names and "prio" in names and "o_orderpriority" not in names
+    df = t.to_df()
+    assert df.schema["o_custkey"].dataType.typeName() == "long"
+    assert df.filter("prio IS NOT NULL").count() == 50  # old data readable
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.alt2 SET TBLPROPERTIES ('read.plan-mode'='auto', 'x'='1')")
+    t.refresh()
+    assert t.metadata.properties.get("x") == "1"
+    SQL.execute(warehouse, spark, "ALTER TABLE db.alt2 DROP COLUMN note")
+    t.refresh()
+    assert "note" not in [f.name for f in t.schema().fields]
