@@ -415,6 +415,29 @@ def q_sql_facade_join(spark, sf_dir):
     """)
 
 
+def q_sql_ctas(spark, sf_dir):
+    """SQL facade DDL end-to-end: CTAS a partitioned table from lineitem,
+    INSERT a second slice, then aggregate it — the whole statement surface
+    (CREATE TABLE AS / INSERT INTO / SELECT) in one oracle-checked query."""
+    from incubator_iceberg_spark import sqlfacade as SQL
+    cat = _scratch_catalog(spark)
+    li = _load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_raw")
+    SQL.execute(cat, spark, """
+        CREATE TABLE s.ctas_li PARTITIONED BY (month(l_shipdate)) AS
+        SELECT * FROM lineitem_raw WHERE l_quantity > 25
+    """)
+    SQL.execute(cat, spark, """
+        INSERT INTO s.ctas_li SELECT * FROM lineitem_raw WHERE l_quantity <= 10
+    """)
+    return SQL.execute(cat, spark, """
+        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM s.ctas_li
+        WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+        GROUP BY l_returnflag
+    """)
+
+
 def q_branch_read(spark, sf_dir):
     """Branch refs (SnapshotRef analog): write half to main, branch, write
     the other half to the branch only; read the branch back through the
@@ -1290,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_by_source": q_merge_by_source,
         "branch_read": q_branch_read,
         "sql_facade_join": q_sql_facade_join,
+        "sql_ctas": q_sql_ctas,
         "changelog_scan": q_changelog_scan,
         "spec_evolution": q_spec_evolution,
         "zorder_scan": q_zorder_scan,
@@ -1459,6 +1483,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE o_totalprice > 150000
             GROUP BY o_orderpriority
+        """,
+        "sql_ctas": """
+            SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            WHERE (l_quantity > 25 OR l_quantity <= 10)
+              AND l_shipdate >= TIMESTAMP '1996-06-01'
+            GROUP BY l_returnflag
         """,
         "spec_evolution":
             "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'",

@@ -71,7 +71,10 @@ def execute(catalog, spark, sql: str):
         if not m:
             raise ValueError(f"cannot parse DELETE: {sql!r}")
         t = catalog.load_table(m.group(1), spark=spark)
-        return t.delete_where(m.group(2) or "1 = 1")
+        if m.group(2):
+            return t.delete_where(m.group(2))
+        from incubator_iceberg_spark import expressions as X
+        return t.delete_where(X.always_true())
     if head == "UPDATE":
         m = _UPDATE_RE.match(s)
         if not m:
@@ -95,8 +98,11 @@ def execute(catalog, spark, sql: str):
         else:
             df = spark.sql(_register_and_rewrite(catalog, spark, body))
         if m.group(1).upper() == "OVERWRITE":
-            t.dynamic_overwrite(df) if t.metadata.spec().is_partitioned \
-                else t.overwrite(df, "1 = 1")
+            if t.metadata.spec().is_partitioned:
+                t.dynamic_overwrite(df)
+            else:
+                from incubator_iceberg_spark import expressions as X
+                t.overwrite(df, X.always_true())
         else:
             t.append(df)
         return t
@@ -118,6 +124,13 @@ def execute(catalog, spark, sql: str):
         return catalog.drop_table(m.group(1), purge=bool(m.group(2)))
     if head == "ALTER":
         return _alter(catalog, spark, s)
+    if head == "TRUNCATE":
+        mm = re.match(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", s, re.IGNORECASE)
+        if not mm:
+            raise ValueError(f"cannot parse TRUNCATE: {sql!r}")
+        from incubator_iceberg_spark import expressions as X
+        return catalog.load_table(mm.group(1),
+                                  spark=spark).delete_where(X.always_true())
     raise ValueError(
         f"unsupported statement: {head} (supported: SELECT, INSERT, "
         "CREATE TABLE AS, DROP TABLE, ALTER TABLE, DELETE, UPDATE, MERGE, "

@@ -288,3 +288,13 @@ def test_sql_alter_columns_and_properties(warehouse, orders, spark):
     SQL.execute(warehouse, spark, "ALTER TABLE db.alt2 DROP COLUMN note")
     t.refresh()
     assert "note" not in [f.name for f in t.schema().fields]
+
+
+def test_sql_truncate(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.trunc", orders.limit(80))
+    SQL.execute(warehouse, spark, "TRUNCATE TABLE db.trunc")
+    t.refresh()
+    assert t.to_df().count() == 0
+    # table still writable after truncate
+    t.append(orders.limit(5))
+    assert t.to_df().count() == 5
