@@ -45,6 +45,24 @@ DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
 TRUNCATE_LENGTH = 16  # MetricsModes.java:34-84 default truncate(16)
 
 
+def metrics_mode_for(properties, col_name: str):
+    """Per-column metrics collection mode (MetricsModes.java:34-84):
+    ``write.metadata.metrics.column.<col>`` overrides
+    ``write.metadata.metrics.default``; values none | counts |
+    truncate(N) | full.  Returns (kind, truncate_length)."""
+    import re
+    props = properties or {}
+    raw = (props.get(f"write.metadata.metrics.column.{col_name}")
+           or props.get("write.metadata.metrics.default")
+           or f"truncate({TRUNCATE_LENGTH})").strip().lower()
+    if raw in ("none", "counts", "full"):
+        return (raw, None)
+    m = re.match(r"truncate\((\d+)\)$", raw)
+    if m:
+        return ("truncate", int(m.group(1)))
+    raise ValueError(f"bad metrics mode {raw!r} for column {col_name}")
+
+
 def arrow_type(t: S.Type) -> pa.DataType:
     if isinstance(t, S.BooleanType):
         return pa.bool_()
@@ -171,12 +189,16 @@ def entry_arrow_schema(table_schema: S.Schema, spec: PartitionSpec) -> pa.schema
 
 
 def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
-                   spec: PartitionSpec, snapshot_id: int, sequence_number: int) -> dict:
+                   spec: PartitionSpec, snapshot_id: int, sequence_number: int,
+                   properties: Optional[dict] = None) -> dict:
     """Write one manifest Parquet; returns its manifest-list row (with
-    per-manifest partition summaries, A5 in SURVEY.md §2.5)."""
+    per-manifest partition summaries, A5 in SURVEY.md §2.5).  Per-column
+    metrics modes (P17) apply here: none drops counts+bounds, counts
+    drops bounds, truncate(N)/full control bound truncation."""
     path = os.path.join(metadata_dir, f"manifest-{uuid.uuid4().hex}.parquet")
     schema = entry_arrow_schema(table_schema, spec)
     stats_cols = _stats_columns(table_schema)
+    modes = {f.name: metrics_mode_for(properties, f.name) for f in stats_cols}
 
     def col(name, getter):
         return [getter(e) for e in entries]
@@ -190,7 +212,9 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
                                type=schema.field(fname).type))
     for fname in ["value_counts", "null_counts", "nan_counts"]:
         names.append(fname)
-        vals = [list((e.get(fname) or {}).items()) or None for e in entries]
+        vals = [[(k, v) for k, v in (e.get(fname) or {}).items()
+                 if modes.get(k, ("truncate", None))[0] != "none"] or None
+                for e in entries]
         arrays.append(pa.array(vals, type=pa.map_(pa.string(), pa.int64())))
     names.append("equality_ids")
     arrays.append(pa.array([e.get("equality_ids") for e in entries],
@@ -201,8 +225,18 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
             structs = []
             for e in entries:
                 b = e.get(bname) or {}
-                structs.append({f.name: _norm_ts(trunc(b.get(f.name)), f.type)
-                                for f in stats_cols})
+                row = {}
+                for f in stats_cols:
+                    kind, length = modes[f.name]
+                    if kind in ("none", "counts"):
+                        row[f.name] = None
+                    elif kind == "full":
+                        row[f.name] = _norm_ts(b.get(f.name), f.type)
+                    else:
+                        row[f.name] = _norm_ts(
+                            trunc(b.get(f.name), length or TRUNCATE_LENGTH),
+                            f.type)
+                structs.append(row)
             arrays.append(pa.array(structs, type=schema.field(bname).type))
     if spec.is_partitioned:
         names.append("partition")
@@ -253,7 +287,8 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
 def write_manifests_distributed(spark, metadata_dir: str, entries: list,
                                 table_schema: S.Schema, spec: PartitionSpec,
                                 snapshot_id: int, sequence_number: int,
-                                entries_per_manifest: int = 50_000) -> list:
+                                entries_per_manifest: int = 50_000,
+                                properties: Optional[dict] = None) -> list:
     """Executor-side manifest writing for huge commits (the 100 TB path —
     importing or appending 10⁵-10⁶ files would serialize on the driver).
 
@@ -285,6 +320,7 @@ def write_manifests_distributed(spark, metadata_dir: str, entries: list,
     chunks = [entries[i * size:(i + 1) * size] for i in range(n_chunks)]
     schema_json = json.dumps(table_schema.to_json())
     spec_json = json.dumps(spec.to_json())
+    props = dict(properties or {})
     payload = [(json.dumps(c, default=_stats_json_default),) for c in chunks if c]
 
     def write_chunk(batches):
@@ -299,7 +335,8 @@ def write_manifests_distributed(spark, metadata_dir: str, entries: list,
             for raw in pdf["chunk"]:
                 es = json.loads(raw, object_hook=_stats_obj_hook)
                 row = M2.write_manifest(metadata_dir, es, sch, sp,
-                                        snapshot_id, sequence_number)
+                                        snapshot_id, sequence_number,
+                                        properties=props)
                 rows.append(json.dumps(row, default=_stats_json_default))
             yield pd.DataFrame({"row": rows})
 

@@ -87,8 +87,10 @@ def _write_added_manifests(md_dir: str, base: TableMetadata, entries: list,
         if spark is not None:
             return M.write_manifests_distributed(
                 spark, md_dir, entries, schema, spec, snapshot_id, seq,
-                entries_per_manifest=DISTRIBUTED_MANIFEST_THRESHOLD)
-    return [M.write_manifest(md_dir, entries, schema, spec, snapshot_id, seq)]
+                entries_per_manifest=DISTRIBUTED_MANIFEST_THRESHOLD,
+                properties=base.properties)
+    return [M.write_manifest(md_dir, entries, schema, spec, snapshot_id, seq,
+                             properties=base.properties)]
 
 
 def _rewrite_manifest_without(md_dir: str, base: TableMetadata, manifest_row: dict,
@@ -118,7 +120,8 @@ def _rewrite_manifest_without(md_dir: str, base: TableMetadata, manifest_row: di
         if e.get("status") == M.ADDED:
             e["status"] = M.EXISTING
     new_row = M.write_manifest(os.path.join(base.location, "metadata"), keep,
-                               schema, spec, snapshot_id, seq)
+                               schema, spec, snapshot_id, seq,
+                               properties=base.properties)
     return new_row, dropped
 
 
@@ -149,7 +152,8 @@ def _merge_small_manifests(base: TableMetadata, manifest_rows: list,
                 entries.append(e)
         spec = base.spec_by_id(spec_id)
         schema = base.schema()
-        out.append(M.write_manifest(md_dir, entries, schema, spec, snapshot_id, seq))
+        out.append(M.write_manifest(md_dir, entries, schema, spec, snapshot_id, seq,
+                                    properties=base.properties))
     return out
 
 

@@ -312,3 +312,35 @@ def test_nested_bounds_prune_in_distributed_plan_mode(warehouse, spark):
     assert len(t.new_scan().filter("nested.col1 >= 300").plan_files()) \
         < len(t.new_scan().plan_files())
     assert t.to_df(filter="nested.col1 >= 300").count() == 100
+
+
+def test_metrics_modes_per_column(warehouse, orders, spark):
+    """P17 MetricsModes: none drops counts+bounds, counts drops bounds
+    only, full keeps untruncated bounds, truncate(N) shortens strings —
+    and queries stay correct (pruning just degrades gracefully)."""
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table(
+        "db.mmodes", Schema.from_spark(orders.schema),
+        properties={
+            "write.metadata.metrics.column.o_orderpriority": "none",
+            "write.metadata.metrics.column.o_orderstatus": "counts",
+            "write.metadata.metrics.column.o_totalprice": "full",
+            "write.metadata.metrics.default": "truncate(4)",
+        })
+    t.append(orders)
+    entry = t.new_scan().plan_entries_local()[0]
+    lo, hi = entry["lower_bounds"], entry["upper_bounds"]
+    assert lo.get("o_orderpriority") is None  # none: no bounds
+    assert (entry.get("value_counts") or {}).get("o_orderpriority") is None
+    assert lo.get("o_orderstatus") is None  # counts: counts but no bounds
+    assert (entry.get("value_counts") or {}).get("o_orderstatus") is not None
+    assert lo.get("o_totalprice") is not None  # full: bounds kept
+    # queries on degraded columns remain correct (row filter still applies)
+    want = orders.filter("o_orderpriority = '1-URGENT'").count()
+    assert t.to_df(filter="o_orderpriority = '1-URGENT'").count() == want
+    want = orders.filter("o_orderstatus = 'O'").count()
+    assert t.to_df(filter="o_orderstatus = 'O'").count() == want
+    # truncation to 4 chars still prunes correctly on the default columns
+    want = orders.filter("o_totalprice > 200000").count()
+    assert t.to_df(filter="o_totalprice > 200000").count() == want
