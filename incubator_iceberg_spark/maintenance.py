@@ -244,6 +244,55 @@ def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None
             "groups": len(groups)}
 
 
+def sort_rewrite(table, sort_by, spark=None,
+                 target_file_size: Optional[int] = None, filter=None) -> dict:
+    """Sort-strategy rewrite (RewriteDataFiles SortStrategy analog,
+    beside bin-pack and z-order): rewrite the matching data files
+    range-clustered on ``sort_by`` (``["col", "col DESC", ...]``), so
+    every output file holds one tight slice of the sort key — metrics
+    pruning on those columns becomes near-perfect.  Delete files are
+    applied during the rewrite; one replace commit swaps the file set."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import write as W
+    from incubator_iceberg_spark.scan import TableScan, read_entries
+
+    spark = spark or table.spark
+    md = table.metadata
+    schema = md.schema()
+    target = target_file_size or md.property(MD.WRITE_TARGET_FILE_SIZE,
+                                             MD.WRITE_TARGET_FILE_SIZE_DEFAULT)
+    cols = []
+    for item in ([sort_by] if isinstance(sort_by, str) else list(sort_by)):
+        name, desc = item, False
+        if item.lower().endswith(" desc"):
+            name, desc = item[:-5].strip(), True
+        if schema.find_field(name) is None:
+            raise ValueError(f"sort column not in schema: {name}")
+        c = F.col(name)
+        cols.append(c.desc() if desc else c.asc())
+
+    scan = TableScan(table, spark)
+    if filter is not None:
+        scan = scan.filter(filter)
+    data, dels = scan._plan_split()
+    if not data:
+        return {"rewritten_files": 0, "added_files": 0}
+    df = read_entries(spark, md, data, dels, schema)
+    total = sum(e.get("file_size_bytes") or 0 for e in data)
+    n_out = max(1, total // target + (1 if total % target else 0))
+    df = df.repartitionByRange(int(n_out), *cols).sortWithinPartitions(*cols)
+    # distribution_mode none: keep the range clustering we just created
+    staged = W.stage_write(spark, md.location, df, schema, md.spec(),
+                           distribution_mode="none", target_file_size=target)
+    deleted = {e["file_path"] for e in data}
+    table.metadata = SN.overwrite_files(
+        table.ops, staged, deleted, operation="replace",
+        base_snapshot_id=md.current_snapshot_id,
+        conflict_detection_filter=lambda e: e.get("file_path") in deleted)
+    return {"rewritten_files": len(deleted), "added_files": len(staged)}
+
+
 def rewrite_manifests(table, spark=None) -> dict:
     """C7 (BaseRewriteManifestsSparkAction.java:80-132): cluster manifest
     entries by partition and rewrite as fresh manifests."""

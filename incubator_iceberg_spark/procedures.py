@@ -141,6 +141,9 @@ PROCEDURES = {
     "rewrite_data_files_zorder": lambda t, *cols, **kw: t.zorder_rewrite(
         list(cols), target_file_size=int(kw["target_file_size"])
         if "target_file_size" in kw else None),
+    "rewrite_data_files_sort": lambda t, *cols, **kw: t.sort_rewrite(
+        list(cols), target_file_size=int(kw["target_file_size"])
+        if "target_file_size" in kw else None),
     # branch/tag refs (SnapshotRef management procedures)
     "create_branch": lambda t, name, **kw: t.create_branch(
         name, snapshot_id=int(kw["snapshot_id"]) if "snapshot_id" in kw else None),

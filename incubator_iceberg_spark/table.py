@@ -580,6 +580,11 @@ class Table:
         return maintenance.zorder_rewrite(self, columns,
                                           spark=spark or self.spark, **kw)
 
+    def sort_rewrite(self, sort_by, spark=None, **kw) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.sort_rewrite(self, sort_by,
+                                        spark=spark or self.spark, **kw)
+
     def changelog(self, from_snapshot_id=None, to_snapshot_id=None, spark=None):
         """Row-level CDC diff in (from, to] — see changelog.changelog."""
         from incubator_iceberg_spark import changelog as CL

@@ -245,3 +245,28 @@ def test_delete_reachable_files_purges_imported_externals(warehouse, orders, spa
     assert warehouse.drop_table("db.drf", purge=True)
     assert not os.path.exists(t.location)
     assert not any(os.path.exists(p) for p in ext_files)  # externals GC'd
+
+
+def test_sort_rewrite_clusters_and_prunes(warehouse, orders, spark):
+    """SortStrategy rewrite: after clustering on o_totalprice, a selective
+    range filter plans a proper subset of files (tight per-file bounds),
+    and row results are unchanged."""
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table("db.sortrw", Schema.from_spark(orders.schema))
+    # several appends in random key order = overlapping bounds everywhere
+    for i in range(4):
+        t.append(orders.filter(f"o_orderkey % 4 = {i}"))
+    before = t.to_df().count()
+    assert len(t.new_scan().filter("o_totalprice > 250000").plan_files()) == \
+        len(t.new_scan().plan_files())  # no pruning before: every file overlaps
+
+    res = t.sort_rewrite(["o_totalprice"], target_file_size=16 * 1024)
+    assert res["rewritten_files"] == 4 and res["added_files"] >= 2
+    assert t.to_df().count() == before
+    total = len(t.new_scan().plan_files())
+    pruned = len(t.new_scan().filter("o_totalprice > 250000").plan_files())
+    assert pruned < total  # clustered bounds now prune
+    want = orders.filter("o_totalprice > 250000").count()
+    assert t.to_df(filter="o_totalprice > 250000").count() == want
+    assert t.metadata.current_snapshot().operation == "replace"
