@@ -169,6 +169,18 @@ def _alter(catalog, spark, s: str):
         parts = [p for p in _current_spec_parts(t)
                  if not (p[0] == src and p[1] == tr) and p[2] != term]
         return t.update_spec(parts)
+    if up.startswith("REPLACE PARTITION FIELD"):
+        mm = re.match(r"REPLACE\s+PARTITION\s+FIELD\s+(.*?)\s+WITH\s+(.*?)"
+                      r"(?:\s+AS\s+(\w+))?\s*$", rest, re.IGNORECASE)
+        if not mm:
+            raise ValueError(f"cannot parse REPLACE PARTITION FIELD: {rest!r}")
+        old_src, old_tr = _parse_part_term(mm.group(1))
+        parts = [p for p in _current_spec_parts(t)
+                 if not (p[0] == old_src and p[1] == old_tr)
+                 and p[2] != mm.group(1).strip()]
+        new = _parse_part_term(mm.group(2))
+        parts.append((*new, mm.group(3)) if mm.group(3) else new)
+        return t.update_spec(parts)
     if up.startswith("WRITE ORDERED BY"):
         cols = rest[len("WRITE ORDERED BY"):].strip().strip("()")
         return t.replace_sort_order([c.strip() for c in cols.split(",")])

@@ -298,3 +298,16 @@ def test_sql_truncate(warehouse, orders, spark):
     # table still writable after truncate
     t.append(orders.limit(5))
     assert t.to_df().count() == 5
+
+
+def test_sql_alter_replace_partition_field(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.alt3", orders,
+                partition_by=["month(o_orderdate)"])
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.alt3 REPLACE PARTITION FIELD "
+                "month(o_orderdate) WITH day(o_orderdate)")
+    t.refresh()
+    assert [str(f.transform) for f in t.metadata.spec().fields] == ["day"]
+    # old month-partitioned files still readable (mixed-spec planning)
+    t.append(orders.limit(40))
+    assert t.to_df().count() == orders.count() + 40

@@ -170,3 +170,33 @@ def test_nan_counts_enable_metadata_pruning(warehouse, spark):
 
 def X_is_nan():
     return X.is_nan("v")
+
+
+@given(st.text(min_size=0, max_size=48), st.integers(min_value=1, max_value=20))
+@settings(max_examples=300, deadline=None)
+def test_truncated_bounds_still_bound(s, length):
+    """truncate(N) parity property: a truncated lower bound is <= every
+    value it covers and the incremented upper bound is >= it — required
+    for pruning soundness (UnicodeUtil.truncateStringMin/Max analog)."""
+    from incubator_iceberg_spark.manifests import truncate_lower, truncate_upper
+    lo = truncate_lower(s, length)
+    assert lo <= s
+    up = truncate_upper(s, length)
+    if up is not None:
+        assert up >= s
+    else:
+        # increment impossible only when every truncated char is U+10FFFF
+        assert all(ord(c) >= 0x10FFFF for c in s[:length])
+
+
+@given(st.binary(min_size=0, max_size=48), st.integers(min_value=1, max_value=20))
+@settings(max_examples=300, deadline=None)
+def test_truncated_binary_bounds_still_bound(b, length):
+    from incubator_iceberg_spark.manifests import truncate_lower, truncate_upper
+    lo = truncate_lower(b, length)
+    assert lo <= b
+    up = truncate_upper(b, length)
+    if up is not None:
+        assert up >= b
+    else:
+        assert all(x == 0xFF for x in b[:length])
