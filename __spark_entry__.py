@@ -842,6 +842,23 @@ def q_q22_global_sales(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
 
 
+def q_q11_value_share(spark, sf_dir):
+    """Q11-shaped (adapted: no partsupp table): per-nation supplier value
+    share with a HAVING gate against a global-scalar-subquery fraction —
+    group-by filtered by an aggregate over the whole table."""
+    from pyspark.sql import functions as F
+    supp = _load(spark, sf_dir, "supplier")
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    value = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+             .groupBy("s_nationkey")
+             .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                  .alias("v")))
+    total = value.agg(F.sum("v").alias("t")).collect()[0]["t"]
+    return (value.filter(F.col("v") > total * 0.01)
+            .select("s_nationkey", F.round("v", 2).alias("value"))
+            .orderBy(F.desc("value")))
+
+
 def q_q15_top_supplier_revenue(spark, sf_dir):
     """Q15-shaped: revenue 'view' (grouped CTE) + scalar-max tie filter."""
     from pyspark.sql import functions as F
@@ -1340,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_suppliers": q_q20_part_suppliers,
         "q18_large_orders": q_q18_large_orders,
         "q22_global_sales": q_q22_global_sales,
+        "q11_value_share": q_q11_value_share,
         "eq_delete_scan": q_eq_delete_scan,
         "pos_delete_scan": q_pos_delete_scan,
         "orc_scan": q_orc_scan,
@@ -1647,6 +1665,17 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                               AND o_orderdate >= TIMESTAMP '1998-01-01')
             GROUP BY c_nationkey
+        """,
+        "q11_value_share": """
+            WITH value AS (
+                SELECT s_nationkey, sum(l_extendedprice * l_quantity) AS v
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY s_nationkey
+            )
+            SELECT s_nationkey, round(v, 2) AS value
+            FROM value
+            WHERE v > (SELECT sum(v) FROM value) * 0.01
+            ORDER BY value DESC
         """,
         "q2_top_supplier": """
             WITH cand AS (

@@ -218,6 +218,9 @@ class IcebergBatchWriter(DataSourceArrowWriter):
             raise ValueError(f"not an engine table: {location}")
         self.location = location
         self.overwrite = overwrite
+        self.branch = options.get("branch")
+        if self.branch and overwrite:
+            raise ValueError("branch writes support append mode only")
         self.task = _TaskWriter(location, json.dumps(md.schema().to_json()),
                                 _spec_parts(md))
 
@@ -242,7 +245,7 @@ class IcebergBatchWriter(DataSourceArrowWriter):
             deleted = {e["file_path"] for e in live}
             SN.overwrite_files(ops, entries, deleted)
         else:
-            SN.append_files(ops, entries)
+            SN.append_files(ops, entries, branch=self.branch)
 
     def abort(self, messages):
         _cleanup(messages)

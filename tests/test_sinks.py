@@ -130,3 +130,16 @@ def test_stream_writer_replayed_epoch_skipped_unit(warehouse, orders, spark):
     w.commit([staged()], 1)
     t.refresh()
     assert t.to_df().count() == 80
+
+
+def test_batch_write_to_branch(warehouse, orders, spark):
+    """option('branch', ...): the DS append lands on the branch, main is
+    untouched (branch-scoped writes parity with Table.append(branch=))."""
+    t = warehouse.create_table("db.wbr", Schema.from_spark(orders.schema))
+    t.append(orders.limit(60))
+    t.create_branch("dev")
+    orders.limit(25).write.format("iiws").option("path", t.location) \
+        .option("branch", "dev").mode("append").save()
+    t.refresh()
+    assert t.to_df().count() == 60  # main unchanged
+    assert t.to_df(ref="dev").count() == 85
