@@ -300,8 +300,14 @@ class IcebergBatchReader(DataSourceReader):
         if self._parts is None:
             md = _load_metadata(self._location)
             expr = _combined_filter(self._options.get("filter"), self._pushed)
-            entries, dels = _plan(md, row_filter=expr,
-                                  snapshot_id=self._options.get("snapshot_id"))
+            snap_id = self._options.get("snapshot_id")
+            ref = self._options.get("ref")
+            if ref is not None and snap_id is None:
+                r = md.ref(ref)
+                if r is None:
+                    raise ValueError(f"unknown ref: {ref}")
+                snap_id = r["snapshot-id"]
+            entries, dels = _plan(md, row_filter=expr, snapshot_id=snap_id)
             force = str(self._options.get("split_row_groups", "")).lower() == "true"
             self._parts = _slices(md, entries, row_filter=expr,
                                   delete_entries=dels, split_force=force)

@@ -262,3 +262,16 @@ def test_stream_reader_legacy_snapshot_offset_compat(warehouse, orders, spark):
     r = IcebergStreamReader(t.location, {})
     parts = r.partitions({"snapshot_id": s1}, r.latestOffset())
     assert len(parts) == 2  # only snapshot 2's files
+
+
+def test_ds_read_ref_option(warehouse, orders, spark):
+    """option('ref', branch-or-tag): the DS read resolves the ref's
+    snapshot, matching to_df(ref=...)."""
+    t = warehouse.create_table("db.dsref", Schema.from_spark(orders.schema))
+    t.append(orders.limit(70))
+    t.create_tag("v1")
+    t.append(orders.limit(30))
+    df = (spark.read.format("iiws").option("path", t.location)
+          .option("ref", "v1").load())
+    assert df.count() == 70
+    assert spark.read.format("iiws").option("path", t.location).load().count() == 100
