@@ -69,12 +69,19 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     base = (df.repartition(par)
             .select(F.col(id_col).alias("__id"),
                     TX.char_ngrams(text_col, shingle_size).alias("__sh")))
-    sig = base.select(
-        "__id", "__sh",
-        F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                    lambda i: F.array_min(
-                        F.transform(F.col("__sh"), lambda s: F.xxhash64(i, s))))
-        .alias("__sig"))
+    # signature via explode + groupBy(min(xxhash64(i, shingle))): higher-order
+    # array lambdas run interpreted row-by-row, but hash+min aggregates stay
+    # inside whole-stage codegen with map-side partial aggregation — same
+    # values (xxhash64(lit(i), s) == xxhash64(seq_elem_i, s)), ~10× faster,
+    # and the shuffle is pre-aggregated so it scales with docs, not shingles
+    ex = base.select("__id", F.explode_outer("__sh").alias("__s"))
+    mins = ex.groupBy("__id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__h{i}")
+          for i in range(num_hashes)])
+    sig = (base.join(mins, "__id")
+           .select("__id", "__sh",
+                   F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
+                   .alias("__sig")))
     # eager materialization: four downstream join branches read this cache;
     # a lazy persist would let them all recompute the signatures in parallel
     sig = sig.persist()
@@ -185,7 +192,24 @@ def simhash_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     from pyspark.sql import functions as F
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (df.repartition(par)
-          .select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")).persist())
+          .filter(F.col(text_col).isNotNull())  # null text → null hash → no pairs (as before)
+          .select(F.col(id_col).alias("__id"), TX.tokens(text_col).alias("__t"))
+          .select("__id", F.explode_outer("__t").alias("__tok")))
+    # per-bit ±1 votes as 64 codegen'd SUM aggregates (the array-lambda form
+    # of simhash() runs interpreted; explode+groupBy keeps whole-stage
+    # codegen and map-side partial aggregation — same bits)
+    h = F.xxhash64(F.col("__tok"))
+    votes = sh.groupBy("__id").agg(
+        *[F.sum(F.when(F.col("__tok").isNull(), F.lit(0)).otherwise(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)))
+          .alias(f"__v{i}") for i in range(64)])
+    bit = [F.when(F.col(f"__v{i}") > 0,
+                  F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"))
+           .otherwise(F.lit(0).cast("long")) for i in range(64)]
+    acc = bit[0]
+    for b in bit[1:]:
+        acc = acc.bitwiseOR(b)
+    sh = votes.select("__id", acc.alias("__sh")).persist()
     n_chunks = 64 // block_bits
     chunk_arr = F.array(*[
         F.struct(F.lit(i).alias("chunk"),

@@ -258,15 +258,18 @@ def test_sort_rewrite_clusters_and_prunes(warehouse, orders, spark):
     for i in range(4):
         t.append(orders.filter(f"o_orderkey % 4 = {i}"))
     before = t.to_df().count()
-    assert len(t.new_scan().filter("o_totalprice > 250000").plan_files()) == \
+    # filter above the 90th percentile: selective enough that range-clustered
+    # files must prune, wherever repartitionByRange sampling lands boundaries
+    thresh = int(orders.approxQuantile("o_totalprice", [0.9], 0.01)[0])
+    assert len(t.new_scan().filter(f"o_totalprice > {thresh}").plan_files()) == \
         len(t.new_scan().plan_files())  # no pruning before: every file overlaps
 
-    res = t.sort_rewrite(["o_totalprice"], target_file_size=16 * 1024)
-    assert res["rewritten_files"] == 4 and res["added_files"] >= 2
+    res = t.sort_rewrite(["o_totalprice"], target_file_size=4 * 1024)
+    assert res["rewritten_files"] == 4 and res["added_files"] >= 3
     assert t.to_df().count() == before
     total = len(t.new_scan().plan_files())
-    pruned = len(t.new_scan().filter("o_totalprice > 250000").plan_files())
+    pruned = len(t.new_scan().filter(f"o_totalprice > {thresh}").plan_files())
     assert pruned < total  # clustered bounds now prune
-    want = orders.filter("o_totalprice > 250000").count()
-    assert t.to_df(filter="o_totalprice > 250000").count() == want
+    want = orders.filter(f"o_totalprice > {thresh}").count()
+    assert t.to_df(filter=f"o_totalprice > {thresh}").count() == want
     assert t.metadata.current_snapshot().operation == "replace"
