@@ -26,7 +26,9 @@ def assign_sessions(df, user_col: str = "user_id", ts_col: str = "ts",
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    us = F.unix_micros(F.col(ts_col))
+    # cast tolerates TIMESTAMP_NTZ inputs (identity on TIMESTAMP; session
+    # tz is UTC so NTZ wall-clock == instant)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(us)
     prev = F.lag(us).over(w)
     new_s = F.when(prev.isNull() | ((us - prev) > gap_minutes * 60_000_000), 1) \

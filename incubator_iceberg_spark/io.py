@@ -14,10 +14,16 @@ def load_table(spark, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: ts/1000 through a double would corrupt ns epochs
-        # (~1.7e18 exceeds the 2^53 double mantissa)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: ts/1000 through a double would corrupt ns epochs
+            # (~1.7e18 exceeds the 2^53 double mantissa)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet isAdjustedToUTC=false reads as TIMESTAMP_NTZ in Spark 4;
+            # session tz is pinned to UTC so this cast preserves the micros
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

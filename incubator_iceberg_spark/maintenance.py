@@ -480,7 +480,7 @@ def zorder_rewrite(table, columns: list, spark=None,
         f = schema.find_field(c)
         col = F.col(c)
         if isinstance(f.type, S.TimestampType):
-            return F.unix_micros(col).cast("double")
+            return F.unix_micros(col.cast("timestamp")).cast("double")
         if isinstance(f.type, S.DateType):
             return F.datediff(col, F.lit("1970-01-01")).cast("double")
         return col.cast("double")
