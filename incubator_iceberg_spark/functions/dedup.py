@@ -51,13 +51,24 @@ def minhash_signature(col, num_hashes: int = 32, shingle_size: int = 5):
 
 def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 32, bands: int = 8, shingle_size: int = 5,
-                      jaccard_threshold: float = 0.6):
+                      jaccard_threshold: float = 0.6,
+                      max_bucket_size: int = 1000):
     """Candidate near-duplicate pairs (id_a < id_b) with verified shingle
     jaccard ≥ threshold.
 
     Pipeline: signature → explode band hashes → groupBy bucket join →
     distinct candidate pairs → verify with exact jaccard on shingle sets.
+
+    Hot-bucket cap (the standard guard in production LSH dedup): the banded
+    self-join is quadratic PER BUCKET, so one boilerplate bucket with 10⁶
+    ids would put O(10¹²) pairs on a single reducer.  Buckets larger than
+    ``max_bucket_size`` are collapsed to STAR pairs (bucket-min ↔ member):
+    O(n) per bucket, and the duplicate-group CONNECTIVITY the dedup keep-one
+    decision needs is preserved (transitive closure unchanged); only
+    non-min ↔ non-min pair enumeration inside degenerate buckets is
+    skipped.  The number of capped buckets is logged.
     """
+    import logging
     from pyspark.sql import functions as F
     rows_per_band = num_hashes // bands
     # materialize shingles ONCE, then hash the materialized array — deriving
@@ -99,13 +110,31 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
         )).alias("bb"))
     banded = banded.select("__id", F.col("bb.band").alias("band"),
                            F.col("bb.bucket").alias("bucket"))
-    cand = (banded.alias("a")
-            .join(banded.alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.bucket") == F.col("b.bucket"))
-                  & (F.col("a.__id") < F.col("b.__id")))
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .distinct())
+    # hot-bucket guard: size every (band, bucket) first (map-side combined
+    # aggregate — one shuffle on the bucket key the join needs anyway)
+    sizes = (banded.groupBy("band", "bucket")
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.min("__id").alias("__min_id")))
+    sizes = sizes.persist()
+    n_hot = sizes.filter(F.col("__n") > max_bucket_size).count()
+    if n_hot:
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_pairs: %d hot bucket(s) over max_bucket_size=%d "
+            "collapsed to star pairs", n_hot, max_bucket_size)
+    tagged = banded.join(sizes, ["band", "bucket"])
+    small = tagged.filter(F.col("__n") <= max_bucket_size)
+    all_pairs = (small.alias("a")
+                 .join(small.alias("b"),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.__id") < F.col("b.__id")))
+                 .select(F.col("a.__id").alias("id_a"),
+                         F.col("b.__id").alias("id_b")))
+    star_pairs = (tagged.filter((F.col("__n") > max_bucket_size)
+                                & (F.col("__id") > F.col("__min_id")))
+                  .select(F.col("__min_id").alias("id_a"),
+                          F.col("__id").alias("id_b")))
+    cand = all_pairs.unionByName(star_pairs).distinct()
     # cheap signature-estimate prefilter (fraction of equal minhashes ≈
     # jaccard) before the exact shingle-set verification — an O(num_hashes)
     # compare instead of O(|shingles|) intersect for the losers
@@ -185,10 +214,17 @@ def hamming_distance(a, b):
 
 
 def simhash_pairs(df, text_col: str = "text", id_col: str = "doc_id",
-                  max_distance: int = 3, block_bits: int = 16):
+                  max_distance: int = 3, block_bits: int = 16,
+                  max_bucket_size: int = 1000):
     """Near-dup pairs by simhash hamming distance ≤ max_distance.  Blocks
     on 16-bit chunks (pigeonhole: ≤3 differing bits ⇒ at least one of 4
-    chunks identical) so the join is bucketed, not cartesian."""
+    chunks identical) so the join is bucketed, not cartesian.
+
+    Chunk-key buckets larger than ``max_bucket_size`` are collapsed to star
+    pairs (bucket-min ↔ member) like ``minhash_lsh_pairs`` — a degenerate
+    corpus of identical docs otherwise makes the block join O(n²) on one
+    reducer.  Group connectivity is preserved; capped buckets are logged."""
+    import logging
     from pyspark.sql import functions as F
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (df.repartition(par)
@@ -219,12 +255,40 @@ def simhash_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     chunks = sh.select("__id", "__sh", F.explode(chunk_arr).alias("c"))
     chunks = chunks.select("__id", "__sh", F.col("c.chunk").alias("chunk"),
                            F.col("c.key").alias("key"))
-    return (chunks.alias("a")
-            .join(chunks.alias("b"),
-                  (F.col("a.chunk") == F.col("b.chunk"))
-                  & (F.col("a.key") == F.col("b.key"))
-                  & (F.col("a.__id") < F.col("b.__id")))
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-                    hamming_distance(F.col("a.__sh"), F.col("b.__sh")).alias("distance"))
+    sizes = (chunks.groupBy("chunk", "key")
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.min("__id").alias("__min_id")))
+    sizes = sizes.persist()
+    n_hot = sizes.filter(F.col("__n") > max_bucket_size).count()
+    if n_hot:
+        logging.getLogger(__name__).warning(
+            "simhash_pairs: %d hot chunk bucket(s) over max_bucket_size=%d "
+            "collapsed to star pairs", n_hot, max_bucket_size)
+    tagged = chunks.join(sizes, ["chunk", "key"])
+    small = tagged.filter(F.col("__n") <= max_bucket_size)
+    all_pairs = (small.alias("a")
+                 .join(small.alias("b"),
+                       (F.col("a.chunk") == F.col("b.chunk"))
+                       & (F.col("a.key") == F.col("b.key"))
+                       & (F.col("a.__id") < F.col("b.__id")))
+                 .select(F.col("a.__id").alias("id_a"),
+                         F.col("b.__id").alias("id_b"),
+                         hamming_distance(F.col("a.__sh"),
+                                          F.col("b.__sh")).alias("distance")))
+    # star pairs need the bucket-min's hash for the distance column: join
+    # the (small, aggregated) sizes frame back to the signature table
+    min_sh = sh.select(F.col("__id").alias("__min_id"),
+                       F.col("__sh").alias("__min_sh"))
+    star_pairs = (tagged.filter((F.col("__n") > max_bucket_size)
+                                & (F.col("__id") > F.col("__min_id")))
+                  .join(F.broadcast(
+                      sizes.filter(F.col("__n") > max_bucket_size)
+                      .select("__min_id").distinct()
+                      .join(min_sh, "__min_id")), "__min_id")
+                  .select(F.col("__min_id").alias("id_a"),
+                          F.col("__id").alias("id_b"),
+                          hamming_distance(F.col("__min_sh"),
+                                           F.col("__sh")).alias("distance")))
+    return (all_pairs.unionByName(star_pairs)
             .distinct()
             .filter(F.col("distance") <= max_distance))

@@ -26,8 +26,15 @@ def assign_sessions(df, user_col: str = "user_id", ts_col: str = "ts",
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    # cast tolerates TIMESTAMP_NTZ inputs (identity on TIMESTAMP; session
-    # tz is UTC so NTZ wall-clock == instant)
+    # cast tolerates TIMESTAMP_NTZ inputs (identity on TIMESTAMP) — but the
+    # NTZ→instant cast is only linear when the session tz has no DST, so
+    # require UTC rather than silently shifting gap boundaries
+    if dict(df.dtypes).get(ts_col if isinstance(ts_col, str) else None) == "timestamp_ntz":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                f"TIMESTAMP_NTZ {ts_col!r} requires spark.sql.session.timeZone"
+                f"=UTC for gap sessionization (got {tz!r})")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(us)
     prev = F.lag(us).over(w)
@@ -41,9 +48,13 @@ def assign_sessions(df, user_col: str = "user_id", ts_col: str = "ts",
 def sessionize(df, user_col: str = "user_id", ts_col: str = "ts",
                value_col: str = "value",
                gap_minutes: int = GAP_MINUTES_DEFAULT):
-    """Per-session aggregate: start/end, event count, value sum."""
+    """Per-session aggregate: start/end, event count, value sum.
+
+    ``ts_col`` is cast to tz-aware TIMESTAMP up front so batch output types
+    match ``sessionize_stream``'s schema for TIMESTAMP_NTZ inputs too."""
     from pyspark.sql import functions as F
 
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     tagged = assign_sessions(df, user_col, ts_col, gap_minutes)
     return (tagged.groupBy(user_col, "session_seq")
             .agg(F.min(ts_col).alias("session_start"),

@@ -64,6 +64,21 @@ def cosine_join_topk(df, queries_df, k: int = 10, vec_col: str = "embedding",
             .filter(F.col("rank") <= k))
 
 
+def vector_dim(df, vec_col: str = "embedding") -> int:
+    """Embedding dimension WITHOUT running a job: prefer the column's
+    ``"dim"`` schema metadata, else Spark's cheap local-relation/stats path
+    is skipped entirely and a 1-row limit is read (the unavoidable
+    fallback for untyped array columns)."""
+    field = df.schema[vec_col] if vec_col in df.columns else None
+    if field is not None and field.metadata and "dim" in field.metadata:
+        return int(field.metadata["dim"])
+    sample = df.select(vec_col).limit(1).collect()
+    if not sample or sample[0][0] is None:
+        raise ValueError(f"cannot infer vector dimension of {vec_col!r}: "
+                         "empty input and no 'dim' schema metadata")
+    return len(sample[0][0])
+
+
 def random_planes(dim: int, bits: int, seed: int = 42):
     """Deterministic unit hyperplanes (numpy PRNG, fixed seed)."""
     import numpy as np
@@ -206,11 +221,11 @@ def embedding_near_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_
     goes from (1-θ/π)^bits to ≈1 for small angles, at (bits+1)× candidate
     cost on one side only."""
     from pyspark.sql import functions as F
-    sample = df.select(vec_col).head(1)
-    if not sample:
+    try:
+        dim = vector_dim(df, vec_col)
+    except ValueError:  # empty input → no pairs
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos_sim double")
-    dim = len(sample[0][0])
     planes = random_planes(dim, bits, seed)
     b = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
                   lsh_bucket(vec_col, planes).alias("__bucket"))

@@ -368,10 +368,15 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
     else:
         target_all = scan.to_df(with_lineage=True)
         join_cond = cond_expr(on)
+        # stream the touched-file list instead of collect(): bounded by the
+        # distinct file count, but at 10^6-file tables a single collect would
+        # materialize the whole list in one driver RPC (same pattern as
+        # scan.plan_entries' toLocalIterator)
         touched_rows = (target_all.alias("t")
                         .join(source_df.alias("s"), join_cond, "left_semi")
-                        .select("_file").distinct().collect())
-        touched = [normalize_file_uri(r["_file"]) for r in touched_rows]
+                        .select("_file").distinct())
+        touched = [normalize_file_uri(r["_file"])
+                   for r in touched_rows.toLocalIterator()]
 
     # ---- pass 2: full-outer join on touched files only ------------------
     from incubator_iceberg_spark.scan import read_entries

@@ -237,3 +237,54 @@ def test_ivf_kmeans_deterministic(spark, sf_dir):
     c1 = similarity.spherical_kmeans(emb, n_cells=8, sample=512)
     c2 = similarity.spherical_kmeans(emb, n_cells=8, sample=512)
     assert c1 == c2
+
+
+def test_minhash_hot_bucket_cap_bounded(spark):
+    """Degenerate corpus: thousands of identical docs would make the banded
+    self-join O(n²) in one bucket.  With the cap, the plan emits star pairs
+    (min-id ↔ member) in bounded time while non-degenerate near-dup pairs
+    keep full recall."""
+    from incubator_iceberg_spark.functions import dedup
+
+    n_identical = 3000
+    boiler = [(i, "spark spark spark boilerplate footer text repeated verbatim")
+              for i in range(n_identical)]
+    distinct = [
+        (100000, "the quick brown fox jumps over the lazy dog", ),
+        (100001, "the quick brown fox jumped over the lazy dog", ),
+        (100002, "completely unrelated content about query planners", ),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in boiler + distinct], "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.5,
+                                    max_bucket_size=100).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # star collapse: every identical doc linked to the group min, O(n) pairs
+    star = {(0, i) for i in range(1, n_identical)}
+    assert star <= found
+    # bounded: no quadratic blowup inside the hot bucket
+    degenerate = {p for p in found if p[0] < 100000 and p[1] < 100000}
+    assert len(degenerate) == n_identical - 1
+    # recall preserved outside the degenerate bucket
+    assert (100000, 100001) in found
+    assert all(100002 not in p for p in found)
+
+
+def test_simhash_hot_bucket_cap_bounded(spark):
+    from incubator_iceberg_spark.functions import dedup
+
+    n_identical = 2000
+    boiler = [(i, "same tokens every time for the footer block")
+              for i in range(n_identical)]
+    distinct = [(100000, "the quick brown fox jumps over the lazy dog"),
+                (100001, "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    pairs = dedup.simhash_pairs(df, max_distance=3, max_bucket_size=50).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    dist = {(r["id_a"], r["id_b"]): r["distance"] for r in pairs}
+    star = {(0, i) for i in range(1, n_identical)}
+    assert star <= found
+    assert all(dist[p] == 0 for p in star)
+    degenerate = {p for p in found if p[0] < 100000 and p[1] < 100000}
+    assert len(degenerate) == n_identical - 1
+    assert (100000, 100001) in found
