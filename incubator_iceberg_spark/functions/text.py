@@ -61,10 +61,13 @@ def word_ngrams(col, n: int = 3):
     return F.when(cnt > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
-def quality_score(col):
+def quality_score(col, round_digits=6):
     """Heuristic document quality in [0,1]: balanced length, alpha ratio,
     moderate word length, low symbol noise (C4/Gopher-style rule scoring
-    re-expressed as Column arithmetic)."""
+    re-expressed as Column arithmetic).  ``round_digits=None`` returns the
+    raw double (useful when the caller needs deterministic cross-engine
+    comparison: decimal ROUNDING of a knife-edge double differs between
+    engines by one ulp, ``floor`` of the same product does not)."""
     from pyspark.sql import functions as F
     c = F.col(col) if isinstance(col, str) else col
     length = F.length(c).cast("double")
@@ -78,11 +81,11 @@ def quality_score(col):
     digit_ratio = F.when(length > 0, digits / length).otherwise(F.lit(0.0))
     len_score = F.least(length / F.lit(500.0), F.lit(1.0))
     word_score = F.when((avg_word >= 3) & (avg_word <= 12), F.lit(1.0)).otherwise(F.lit(0.4))
-    return F.round(
-        F.lit(0.35) * alpha_ratio
-        + F.lit(0.25) * len_score
-        + F.lit(0.25) * word_score
-        + F.lit(0.15) * (F.lit(1.0) - F.least(digit_ratio * 4, F.lit(1.0))), 6)
+    raw = (F.lit(0.35) * alpha_ratio
+           + F.lit(0.25) * len_score
+           + F.lit(0.25) * word_score
+           + F.lit(0.15) * (F.lit(1.0) - F.least(digit_ratio * 4, F.lit(1.0))))
+    return raw if round_digits is None else F.round(raw, round_digits)
 
 
 def lang_id(col, languages=None):

@@ -56,6 +56,8 @@ class TableScan:
         self.table = table
         self.spark = spark
         self.snapshot_id = snapshot_id
+        if isinstance(row_filter, str):
+            row_filter = parse_predicate(row_filter)
         self.row_filter = row_filter or X.always_true()
         self.selected = selected
         self.case_sensitive = case_sensitive

@@ -288,3 +288,74 @@ def test_simhash_hot_bucket_cap_bounded(spark):
     degenerate = {p for p in found if p[0] < 100000 and p[1] < 100000}
     assert len(degenerate) == n_identical - 1
     assert (100000, 100001) in found
+
+
+def test_ann_index_ivf_prunes_and_matches(spark, warehouse, sf_dir):
+    """add_ann_index materializes __ann_cell + identity partition field;
+    the indexed probe partition-prunes (files read ≈ nprobe/n_cells) and
+    probe-all equals brute force exactly."""
+    from incubator_iceberg_spark.io import load_table
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.functions import similarity
+    from incubator_iceberg_spark.scan import TableScan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = warehouse.create_table("db.emb_ivf", Schema.from_spark(emb.schema))
+    t.append(emb)
+    similarity.add_ann_index(t, kind="ivf", n_cells=8, sample=512)
+
+    # stored column + partition field exist
+    assert t.metadata.schema().find_field("__ann_cell") is not None
+    assert [f.name for f in t.spec().fields] == ["__ann_cell"]
+
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+
+    # partition pruning: probe scans a strict subset of files
+    total_files = len(TableScan(t, spark).plan_files())
+    probed = similarity.ivf_ann_topk_indexed(t, qv, k=5, nprobe=2)
+    import numpy as np, json
+    cent = np.array(json.loads(
+        t.metadata.properties["ann.index.centroids"]))
+    q = np.array(qv, dtype=np.float64); q /= np.linalg.norm(q)
+    probe = [int(i) for i in np.argsort(-(cent @ q))[:2]]
+    in_list = ", ".join(str(c) for c in probe)
+    pruned_files = len(TableScan(
+        t, spark,
+        row_filter=f"__ann_cell IN ({in_list})").plan_files())
+    assert 0 < pruned_files < total_files
+    # identity-partitioned: pruned fraction tracks probed cells
+    assert pruned_files <= total_files * 2 / 8 + 1
+
+    # probe-all == exact brute force
+    exact = similarity.cosine_topk(emb, qv, k=5).collect()
+    allprobe = similarity.ivf_ann_topk_indexed(t, qv, k=5, nprobe=8).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in allprobe] == \
+        [(r["vec_id"], r["cos_sim"]) for r in exact]
+
+    # self-match: the query vector's own cell is always probe[0]
+    top1 = similarity.ivf_ann_topk_indexed(t, qv, k=1, nprobe=1).collect()[0]
+    assert top1["cos_sim"] == 1.0
+
+
+def test_ann_index_lsh_prunes(spark, warehouse, sf_dir):
+    from incubator_iceberg_spark.io import load_table
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.functions import similarity
+    from incubator_iceberg_spark.scan import TableScan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = warehouse.create_table("db.emb_lsh", Schema.from_spark(emb.schema))
+    t.append(emb)
+    similarity.add_ann_index(t, kind="lsh", bits=4)
+    assert [f.name for f in t.spec().fields] == ["__ann_bucket"]
+
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    total_files = len(TableScan(t, spark).plan_files())
+    out = similarity.lsh_ann_topk_indexed(t, qv, k=3, multiprobe_hamming=1)
+    rows = out.collect()
+    assert rows and rows[0]["cos_sim"] == 1.0  # query is in the corpus
+    # 5 of 16 buckets probed → strictly fewer files than the full table
+    probe_files = len(TableScan(
+        t, spark,
+        row_filter="__ann_bucket IN (0)").plan_files())
+    assert probe_files < total_files
