@@ -258,6 +258,37 @@ def q_delete_cow(spark, sf_dir):
     return t.to_df()
 
 
+def q_delete_mor(spark, sf_dir):
+    """R1 merge-on-read DELETE (stretch item 8, VERDICT r1): the delete
+    writes POSITION DELETE files instead of rewriting touched data files —
+    a RowDelta commit whose bytes scale with deleted rows, not touched-file
+    size (pytest asserts the ≥5× byte saving vs CoW).  The scan then
+    applies the deletes seq-scoped like any v2 read."""
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_mordel", Schema.from_spark(orders.schema))
+    t.append(orders)
+    res = t.delete_where("o_orderkey % 41 = 0", mode="merge-on-read")
+    assert res["mode"] == "merge-on-read" and res["delete_files_written"] >= 1
+    return t.to_df()
+
+
+def q_update_mor(spark, sf_dir):
+    """R2 merge-on-read UPDATE: one RowDelta commit = position deletes for
+    matched rows + new data files with their updated copies; untouched
+    rows in touched files are not rewritten."""
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_morupd", Schema.from_spark(orders.schema))
+    t.append(orders)
+    res = t.update({"o_orderpriority": "'5-LOW'"},
+                   "o_custkey % 11 = 0", mode="merge-on-read")
+    assert res["mode"] == "merge-on-read" and res["staged_files"] >= 1
+    return t.to_df()
+
+
 def q_delete_metadata(spark, sf_dir):
     from incubator_iceberg_spark.schema import Schema
     cat = _scratch_catalog(spark)
@@ -528,6 +559,27 @@ def q_partitions_meta(spark, sf_dir):
                       F.col("record_count"))
             .groupBy("month_ord")
             .agg(F.sum("record_count").alias("record_count")))
+
+
+def q_delete_debt_meta(spark, sf_dir):
+    """`partitions` metadata table surfacing live DELETE-FILE DEBT
+    (DeleteFileIndex exposure): after a MoR delete + an equality delete,
+    the per-table aggregates show data records untouched alongside the
+    delete records awaiting compaction — the signal users watch to decide
+    when to run rewrite_position_deletes."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_debt", Schema.from_spark(orders.schema))
+    t.append(orders)
+    t.delete_where("o_orderkey % 41 = 0", mode="merge-on-read")
+    t.add_equality_deletes(
+        orders.filter("o_orderkey % 500 = 7").select("o_orderkey"),
+        ["o_orderkey"])
+    df = t.metadata_table("partitions")
+    return df.select("record_count", "position_delete_record_count",
+                     "equality_delete_record_count")
 
 
 def q_snapshots_meta(spark, sf_dir):
@@ -1437,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "incremental_read": q_incremental,
         "delete_cow": q_delete_cow,
+        "delete_mor": q_delete_mor,
+        "update_mor": q_update_mor,
         "delete_metadata": q_delete_metadata,
         "update_cow": q_update_cow,
         "merge_upsert": q_merge_upsert,
@@ -1480,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_files_import": q_add_files_import,
         "pydatasource_scan": q_pydatasource_scan,
         "partitions_meta": q_partitions_meta,
+        "delete_debt_meta": q_delete_debt_meta,
         "snapshots_meta": q_snapshots_meta,
         "files_meta": q_files_meta,
         "transforms_projection": q_transforms,
@@ -1642,6 +1697,14 @@ def oracle_sql() -> dict[str, str]:
         "time_travel": "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
         "incremental_read": "SELECT * FROM orders WHERE o_orderkey % 2 != 0",
         "delete_cow": "SELECT * FROM orders WHERE NOT (o_totalprice > 250000)",
+        "delete_mor": "SELECT * FROM orders WHERE o_orderkey % 41 != 0",
+        "update_mor": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate,
+                   CASE WHEN o_custkey % 11 = 0 THEN '5-LOW'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM orders
+        """,
         "delete_metadata": "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'",
         "update_cow": """
             SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2001,6 +2064,14 @@ def oracle_sql() -> dict[str, str]:
                        AS month_ord,
                    count(*) AS record_count
             FROM lineitem GROUP BY 1
+        """,
+        "delete_debt_meta": """
+            SELECT count(*) AS record_count,
+                   count(*) FILTER (o_orderkey % 41 = 0)
+                       AS position_delete_record_count,
+                   count(*) FILTER (o_orderkey % 500 = 7)
+                       AS equality_delete_record_count
+            FROM orders
         """,
         "files_meta": """
             SELECT count(DISTINCT date_trunc('month', l_shipdate)) AS n_files,

@@ -110,15 +110,38 @@ def _files(table, spark, snapshot=None):
 
 def _partitions(table, spark):
     """core/.../PartitionsTable.java:49-76: record_count + file_count per
-    partition — a groupBy over the entries DF (A2)."""
+    partition — a groupBy over the entries DF (A2).  Data and delete files
+    are split out (DeleteFileIndex.java:65-123 exposure): the
+    *_delete_* columns surface live delete-file DEBT per partition so
+    users can decide when to compact deletes
+    (rewrite_position_deletes / remove_dangling_deletes)."""
     from pyspark.sql import functions as F
     df = _files(table, spark)
+    content = (F.coalesce(F.col("content"), F.lit(0))
+               if "content" in df.columns else F.lit(0))
+    is_data = content == MF.DATA
+    is_pos = content == MF.POSITION_DELETES
+    is_eq = content == MF.EQUALITY_DELETES
+    size = (F.col("file_size_bytes") if "file_size_bytes" in df.columns
+            else F.lit(None).cast("long"))
+    aggs = [
+        F.coalesce(F.sum(F.when(is_data, F.col("record_count"))),
+                   F.lit(0)).alias("record_count"),
+        F.sum(is_data.cast("long")).alias("file_count"),
+        F.coalesce(F.sum(F.when(is_data, size)), F.lit(0))
+            .alias("total_data_file_size_in_bytes"),
+        F.sum(is_pos.cast("long")).alias("position_delete_file_count"),
+        F.coalesce(F.sum(F.when(is_pos, F.col("record_count"))),
+                   F.lit(0)).alias("position_delete_record_count"),
+        F.sum(is_eq.cast("long")).alias("equality_delete_file_count"),
+        F.coalesce(F.sum(F.when(is_eq, F.col("record_count"))),
+                   F.lit(0)).alias("equality_delete_record_count"),
+        F.coalesce(F.sum(F.when(is_pos | is_eq, size)), F.lit(0))
+            .alias("total_delete_file_size_in_bytes"),
+    ]
     if "partition" not in df.columns:
-        return df.agg(F.sum("record_count").alias("record_count"),
-                      F.count("*").alias("file_count"))
-    return (df.groupBy("partition")
-            .agg(F.sum("record_count").alias("record_count"),
-                 F.count("*").alias("file_count")))
+        return df.agg(*aggs)
+    return df.groupBy("partition").agg(*aggs)
 
 
 def _all_manifests(table, spark):

@@ -231,6 +231,137 @@ def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None
     }
 
 
+def _norm_file_col():
+    """Column form of normalize_file_uri: ``_metadata.file_path`` URIs
+    (file:/…, file:///…) → the plain paths manifests store."""
+    from pyspark.sql import functions as F
+    return F.regexp_replace(F.col("_file"), "^file:/+", "/")
+
+
+def delete_where_mor(table, expr: X.Expression, spark=None) -> dict:
+    """R1 merge-on-read: write POSITION DELETE files for the matching rows
+    instead of rewriting the touched data files (v2 RowDelta write path,
+    core/.../BaseRowDelta.java analog).  The natural choice when
+    touched-file bytes ≫ deleted rows: a 1%-selectivity delete writes ~1%
+    of the bytes CoW would.  Strict (whole-file) candidates are still
+    dropped metadata-only in the SAME atomic commit — a position-delete
+    list for every row of a file would be strictly worse."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import deletes as DEL
+    from incubator_iceberg_spark import manifests as MF
+
+    spark = spark or table.spark
+    md = table.metadata
+    schema = md.schema()
+    bound = X.bind(schema, expr)
+    base_snapshot_id = md.current_snapshot_id
+    empty = {"deleted_files": 0, "delete_files_written": 0,
+             "deleted_rows": 0, "mode": "merge-on-read"}
+
+    if isinstance(bound, X.AlwaysFalse):
+        return empty
+    scan = TableScan(table, spark, row_filter=expr)
+    cand, dels = _plan_delete_candidates(table, scan, bound)
+    if cand is None:
+        return empty
+    full_drop = [r for r in cand if r["strict"]]
+    mor = [r for r in cand if not r["strict"]]
+
+    new_entries = []
+    marked_rows = 0
+    if mor:
+        from incubator_iceberg_spark.scan import read_entries
+        df = read_entries(spark, md, [r.entry for r in mor], dels, schema,
+                          with_lineage=True)
+        cond = X.to_column(bound)
+        pos = (df.filter(F.coalesce(cond, F.lit(False)))
+               .select(_norm_file_col().alias("file_path"),
+                       F.col("_pos").alias("pos"))
+               # the read path merge-applies deletes per file; sorted
+               # positions let it stream instead of hash
+               .sortWithinPartitions("file_path", "pos"))
+        new_entries = DEL._write_delete_parquet(spark, md.location, pos,
+                                                DEL.POS_DELETE_SCHEMA)
+        for e in new_entries:
+            e["content"] = MF.POSITION_DELETES
+        marked_rows = sum(e["record_count"] for e in new_entries)
+
+    deleted_paths = {r["file_path"] for r in full_drop}
+    if not deleted_paths and not new_entries:
+        return empty
+    table.metadata = SN.overwrite_files(
+        table.ops, new_entries, deleted_paths,
+        operation="delete",
+        base_snapshot_id=base_snapshot_id,
+        conflict_detection_filter=lambda e: entry_might_match(e, bound),
+    )
+    return {
+        "deleted_files": len(full_drop),
+        "delete_files_written": len(new_entries),
+        "deleted_rows": marked_rows + sum(r["record_count"] or 0
+                                          for r in full_drop),
+        "mode": "merge-on-read",
+    }
+
+
+def update_mor(table, assignments: dict, condition: X.Expression,
+               spark=None) -> dict:
+    """R2 merge-on-read UPDATE: one RowDelta commit with (a) position
+    deletes for the matched rows and (b) new data files holding their
+    updated copies.  Untouched rows in touched files are NOT rewritten —
+    bytes written scale with matched rows, not touched-file size."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import deletes as DEL
+    from incubator_iceberg_spark import manifests as MF
+
+    spark = spark or table.spark
+    md = table.metadata
+    schema = md.schema()
+    bound = X.bind(schema, condition)
+    base_snapshot_id = md.current_snapshot_id
+
+    scan = TableScan(table, spark, row_filter=condition)
+    data, dels = scan._plan_split()
+    if not data:
+        return {"delete_files_written": 0, "staged_files": 0,
+                "mode": "merge-on-read"}
+    from incubator_iceberg_spark.scan import read_entries
+    df = read_entries(spark, md, data, dels, schema, with_lineage=True)
+    cond = F.coalesce(X.to_column(bound), F.lit(False))
+    matched = df.filter(cond)
+    matched = matched.persist()  # two consumers: pos deletes + new copies
+
+    pos = (matched.select(_norm_file_col().alias("file_path"),
+                          F.col("_pos").alias("pos"))
+           .sortWithinPartitions("file_path", "pos"))
+    pos_entries = DEL._write_delete_parquet(spark, md.location, pos,
+                                            DEL.POS_DELETE_SCHEMA)
+    for e in pos_entries:
+        e["content"] = MF.POSITION_DELETES
+
+    exprs = {}
+    for col, val in assignments.items():
+        f = schema.find_field(col)
+        if f is None:
+            raise ValueError(f"unknown column in UPDATE SET: {col}")
+        exprs[col] = _value_expr(val).cast(_spark_type(schema, col))
+    updated = matched.select(*[
+        (exprs[f.name].alias(f.name) if f.name in exprs else F.col(f.name))
+        for f in schema.fields])
+    data_entries = W.stage_write(spark, md.location, updated, schema,
+                                 md.spec(), sort_order=md.sort_order())
+    matched.unpersist()
+
+    table.metadata = SN.overwrite_files(
+        table.ops, pos_entries + data_entries, set(),
+        operation="overwrite",
+        base_snapshot_id=base_snapshot_id,
+        conflict_detection_filter=lambda e: entry_might_match(e, bound),
+    )
+    return {"delete_files_written": len(pos_entries),
+            "staged_files": len(data_entries), "mode": "merge-on-read"}
+
+
 # ---------------------------------------------------------------------------
 # UPDATE (R2)
 # ---------------------------------------------------------------------------

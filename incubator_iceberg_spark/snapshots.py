@@ -51,11 +51,15 @@ def _summary(base: TableMetadata, added_entries, deleted_entries) -> dict:
     prev_total_files = int((prev.summary.get("total-data-files") if prev else 0) or 0)
     added_records = sum(e.get("record_count") or 0 for e in added_entries)
     deleted_records = sum(e.get("record_count") or 0 for e in deleted_entries)
+    added_bytes = sum(e.get("file_size_bytes") or 0 for e in added_entries)
+    removed_bytes = sum(e.get("file_size_bytes") or 0 for e in deleted_entries)
     return {
         "added-data-files": str(len(added_entries)),
         "added-records": str(added_records),
+        "added-files-size": str(added_bytes),
         "deleted-data-files": str(len(deleted_entries)),
         "deleted-records": str(deleted_records),
+        "removed-files-size": str(removed_bytes),
         "total-data-files": str(prev_total_files + len(added_entries) - len(deleted_entries)),
         "total-records": str(prev_total_records + added_records - deleted_records),
     }

@@ -292,15 +292,30 @@ class Table:
         return self
 
     # -- row-level ops (§2.8) ----------------------------------------------
-    def delete_where(self, condition, spark=None) -> dict:
+    def _row_op_mode(self, prop: str, mode) -> str:
+        """copy-on-write (default) vs merge-on-read, resolved like the
+        reference's write.delete.mode / write.update.mode table properties
+        (TableProperties.java DELETE_MODE/UPDATE_MODE)."""
+        m = mode or self.metadata.properties.get(prop, "copy-on-write")
+        if m not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown {prop}: {m!r}")
+        return m
+
+    def delete_where(self, condition, spark=None, mode: Optional[str] = None) -> dict:
         from incubator_iceberg_spark import row_ops
         expr = parse_predicate(condition) if isinstance(condition, str) else condition
+        if self._row_op_mode("write.delete.mode", mode) == "merge-on-read":
+            return row_ops.delete_where_mor(self, expr, spark=spark or self.spark)
         return row_ops.delete_where(self, expr, spark=spark or self.spark)
 
-    def update(self, assignments: dict, condition=None, spark=None) -> dict:
+    def update(self, assignments: dict, condition=None, spark=None,
+               mode: Optional[str] = None) -> dict:
         from incubator_iceberg_spark import row_ops
         expr = (parse_predicate(condition) if isinstance(condition, str)
                 else condition) if condition is not None else X.always_true()
+        if self._row_op_mode("write.update.mode", mode) == "merge-on-read":
+            return row_ops.update_mor(self, assignments, expr,
+                                      spark=spark or self.spark)
         return row_ops.update(self, assignments, expr, spark=spark or self.spark)
 
     def merge(self, source_df, on, when_matched=None, when_not_matched=None,

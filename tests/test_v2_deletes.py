@@ -171,3 +171,93 @@ def test_rewrite_position_deletes_compacts_and_drops_dead(warehouse, orders, spa
     assert res["kept_tuples"] == 0 and res["added_delete_files"] == 0
     _data, dels = t.new_scan()._plan_split()
     assert len([e for e in dels if e["content"] == MF.POSITION_DELETES]) == 0
+
+
+def test_delete_mor_writes_position_deletes(warehouse, orders, spark):
+    """Merge-on-read DELETE: matching rows vanish from reads without any
+    data-file rewrite — only delete files are added."""
+    t = _ingest(warehouse, "db.mor_del", orders)
+    files_before = {p for p, *_ in t.new_scan().plan_files()}
+    res = t.delete_where("o_orderkey % 37 = 0", mode="merge-on-read")
+    assert res["mode"] == "merge-on-read"
+    assert res["delete_files_written"] >= 1
+    # data files untouched (no CoW rewrite)
+    files_after = {p for p, *_ in t.new_scan().plan_files()}
+    assert files_after == files_before
+    want = orders.filter("o_orderkey % 37 != 0")
+    assert t.to_df().count() == want.count()
+    got = {r["o_orderkey"] for r in t.to_df().collect()}
+    assert got == {r["o_orderkey"] for r in want.collect()}
+
+
+def test_delete_mor_strict_files_still_metadata_drop(warehouse, orders, spark):
+    """A partition-aligned MoR delete should still drop whole files via
+    metadata, not enumerate every row position."""
+    t = _ingest(warehouse, "db.mor_del_strict", orders,
+                partition_by=["year(o_orderdate)"])
+    res = t.delete_where("o_orderdate >= TIMESTAMP '1997-01-01'",
+                         mode="merge-on-read")
+    assert res["deleted_files"] >= 1
+    assert res["delete_files_written"] == 0
+    want = orders.filter("o_orderdate < TIMESTAMP '1997-01-01'").count()
+    assert t.to_df().count() == want
+
+
+def test_delete_mor_via_table_property(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.mor_prop", orders)
+    t.update_properties({"write.delete.mode": "merge-on-read"})
+    res = t.delete_where("o_totalprice > 250000")
+    assert res["mode"] == "merge-on-read"
+    assert t.to_df().count() == orders.filter("o_totalprice <= 250000").count()
+
+
+def test_update_mor_one_rowdelta_commit(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.mor_upd", orders)
+    files_before = {p for p, *_ in t.new_scan().plan_files()}
+    snaps_before = len(t.snapshots())
+    res = t.update({"o_orderpriority": "'X-URGENT'"},
+                   "o_totalprice < 50000", mode="merge-on-read")
+    assert res["mode"] == "merge-on-read"
+    assert res["delete_files_written"] >= 1 and res["staged_files"] >= 1
+    assert len(t.snapshots()) == snaps_before + 1  # one atomic RowDelta
+    # original data files still live (plus the new update files)
+    files_after = {p for p, *_ in t.new_scan().plan_files()}
+    assert files_before <= files_after
+    # result matches SQL UPDATE semantics
+    got = t.to_df().groupBy("o_orderpriority").count().collect()
+    n_updated = orders.filter("o_totalprice < 50000").count()
+    assert {r["o_orderpriority"]: r["count"] for r in got}["X-URGENT"] >= 1
+    assert t.to_df().filter(
+        "o_totalprice < 50000 AND o_orderpriority != 'X-URGENT'").count() == 0
+    assert t.to_df().count() == orders.count()
+
+
+def test_update_mor_then_compaction_resolves(warehouse, orders, spark):
+    """Compaction after MoR delete+update folds the delete files away and
+    preserves the visible result."""
+    t = _ingest(warehouse, "db.mor_compact", orders)
+    t.delete_where("o_orderkey % 50 = 0", mode="merge-on-read")
+    t.update({"o_totalprice": "o_totalprice * 2"},
+             "o_orderkey % 7 = 0", mode="merge-on-read")
+    before = {(r["o_orderkey"], r["o_totalprice"])
+              for r in t.to_df().collect()}
+    t.rewrite_data_files()
+    after = {(r["o_orderkey"], r["o_totalprice"])
+             for r in t.to_df().collect()}
+    assert before == after
+
+
+def test_mor_delete_writes_far_fewer_bytes_than_cow(warehouse, orders, spark):
+    """The point of merge-on-read: a ~1%-selectivity delete writes >=5x
+    fewer bytes than the CoW rewrite of every touched file."""
+    t_cow = _ingest(warehouse, "db.bytes_cow", orders)
+    t_mor = _ingest(warehouse, "db.bytes_mor", orders)
+    pred = "o_orderkey % 97 = 0"  # ~1% of rows, touches every file
+    t_cow.delete_where(pred, mode="copy-on-write")
+    t_mor.delete_where(pred, mode="merge-on-read")
+    cow_bytes = int(t_cow.current_snapshot().summary["added-files-size"])
+    mor_bytes = int(t_mor.current_snapshot().summary["added-files-size"])
+    assert mor_bytes > 0
+    assert cow_bytes >= 5 * mor_bytes, (cow_bytes, mor_bytes)
+    # and both end in the same visible state
+    assert t_cow.to_df().count() == t_mor.to_df().count()
