@@ -1477,36 +1477,82 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING (round 2): the driver's correctness gate samples a prefix of
+    # this dict, so the 29 queries with no CORRECTNESS_r01 row (streaming,
+    # maintenance, transactions, metadata tables, import, and every
+    # LLM-pipeline operator) come FIRST, followed by the round-2 additions
+    # (MoR row ops, indexed ANN, delete debt); the 50 already-driver-green
+    # r1 queries rotate to the back — they are proven and re-verifiable
+    # locally via tools/check_correctness.py.
     return {
+        # --- r1-unverified: ops/ACID surface -----------------------------
+        "transaction_multi": q_transaction,
+        "add_files_import": q_add_files_import,
+        "pydatasource_scan": q_pydatasource_scan,
+        "partitions_meta": q_partitions_meta,
+        "snapshots_meta": q_snapshots_meta,
+        "files_meta": q_files_meta,
+        "transforms_projection": q_transforms,
+        "bucket_transform": q_bucket_transform,
+        "events_hourly": q_events_hourly,
+        "sessionize_events": q_sessionize,
+        "events_props_json": q_events_props_json,
+        "streaming_consume": q_streaming_consume,
+        "compaction": q_compaction,
+        "maintenance_scan": q_maintenance_scan,
+        "streaming_sink_replay": q_streaming_sink_replay,
+        # --- r1-unverified: LLM-pipeline operators -----------------------
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_minhash_planted": q_dedup_minhash_planted,
+        "dedup_simhash_pairs": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "text_analyze": q_text_analyze,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "skew_salted_agg": q_skew_salted_agg,
+        "knn_join": q_knn_join,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        # --- new in round 2 ----------------------------------------------
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "delete_mor": q_delete_mor,
+        "update_mor": q_update_mor,
+        "delete_debt_meta": q_delete_debt_meta,
+        # --- driver-green in round 1 (proven; rotate to the back) --------
         "q1_pricing_summary": q_q1,
         "q3_shipping_priority": q_q3,
         "q6_forecast_revenue": q_q6,
         "filter_pushdown_scan": q_filter_scan,
+        "merge_upsert": q_merge_upsert,
+        "merge_delete": q_merge_delete,
+        "merge_by_source": q_merge_by_source,
+        "delete_cow": q_delete_cow,
+        "delete_metadata": q_delete_metadata,
+        "update_cow": q_update_cow,
+        "eq_delete_scan": q_eq_delete_scan,
+        "pos_delete_scan": q_pos_delete_scan,
+        "time_travel": q_time_travel,
+        "incremental_read": q_incremental,
+        "changelog_scan": q_changelog_scan,
+        "spec_evolution": q_spec_evolution,
+        "schema_evolution": q_schema_evolution,
+        "overwrite_dynamic": q_overwrite_dynamic,
+        "overwrite_filter": q_overwrite_filter,
+        "branch_read": q_branch_read,
+        "wap_publish": q_wap_publish,
+        "sql_facade_join": q_sql_facade_join,
+        "sql_ctas": q_sql_ctas,
+        "zorder_scan": q_zorder_scan,
+        "metadata_agg": q_metadata_agg,
+        "orc_scan": q_orc_scan,
+        "call_procedure": q_call_procedure,
         "topk_window": q_topk_window,
         "rollup_agg": q_rollup,
         "cube_agg": q_cube_agg,
         "distinct_agg": q_distinct_agg,
-        "time_travel": q_time_travel,
-        "incremental_read": q_incremental,
-        "delete_cow": q_delete_cow,
-        "delete_mor": q_delete_mor,
-        "update_mor": q_update_mor,
-        "delete_metadata": q_delete_metadata,
-        "update_cow": q_update_cow,
-        "merge_upsert": q_merge_upsert,
-        "merge_delete": q_merge_delete,
-        "merge_by_source": q_merge_by_source,
-        "branch_read": q_branch_read,
-        "sql_facade_join": q_sql_facade_join,
-        "sql_ctas": q_sql_ctas,
-        "changelog_scan": q_changelog_scan,
-        "spec_evolution": q_spec_evolution,
-        "zorder_scan": q_zorder_scan,
-        "metadata_agg": q_metadata_agg,
-        "wap_publish": q_wap_publish,
-        "overwrite_dynamic": q_overwrite_dynamic,
-        "overwrite_filter": q_overwrite_filter,
-        "schema_evolution": q_schema_evolution,
         "q5_nation_revenue": q_q5_nation_revenue,
         "q10_returned_items": q_q10_returned_items,
         "q12_priority_split": q_q12_priority_split,
@@ -1526,41 +1572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q22_global_sales": q_q22_global_sales,
         "q11_value_share": q_q11_value_share,
-        "eq_delete_scan": q_eq_delete_scan,
-        "pos_delete_scan": q_pos_delete_scan,
-        "orc_scan": q_orc_scan,
-        "call_procedure": q_call_procedure,
-        "transaction_multi": q_transaction,
-        "add_files_import": q_add_files_import,
-        "pydatasource_scan": q_pydatasource_scan,
-        "partitions_meta": q_partitions_meta,
-        "delete_debt_meta": q_delete_debt_meta,
-        "snapshots_meta": q_snapshots_meta,
-        "files_meta": q_files_meta,
-        "transforms_projection": q_transforms,
-        "bucket_transform": q_bucket_transform,
-        "events_hourly": q_events_hourly,
-        "sessionize_events": q_sessionize,
-        "events_props_json": q_events_props_json,
-        "streaming_consume": q_streaming_consume,
-        "compaction": q_compaction,
-        "maintenance_scan": q_maintenance_scan,
-        "streaming_sink_replay": q_streaming_sink_replay,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_pairs": q_dedup_minhash,
-        "dedup_minhash_planted": q_dedup_minhash_planted,
-        "dedup_simhash_pairs": q_dedup_simhash,
-        "text_stats": q_text_stats,
-        "text_analyze": q_text_analyze,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "skew_salted_agg": q_skew_salted_agg,
-        "knn_join": q_knn_join,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
     }
 
 
