@@ -582,6 +582,29 @@ def q_delete_debt_meta(spark, sf_dir):
                      "equality_delete_record_count")
 
 
+def q_catalog_branch_merge(spark, sf_dir):
+    """Catalog-LEVEL branches (NessieLiteCatalog, the NessieCatalog
+    analog): write even keys to main, odd keys on an ``etl`` branch that
+    main cannot see, then ``merge`` fast-forwards main to the branch
+    commit — the merged table equals the full orders set."""
+    import uuid as _uuid
+    from incubator_iceberg_spark.catalog_branches import NessieLiteCatalog
+    from incubator_iceberg_spark.schema import Schema
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    root = os.path.join(SCRATCH_ROOT, "ncat-" + _uuid.uuid4().hex)
+    cat = NessieLiteCatalog(os.path.join(root, "cat.db"),
+                            os.path.join(root, "wh"), spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("db.orders", Schema.from_spark(orders.schema))
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    etl = cat.create_branch("etl")
+    etl.load_table("db.orders").append(orders.filter("o_orderkey % 2 != 0"))
+    main_rows = cat.load_table("db.orders").to_df().count()
+    assert main_rows < orders.count(), "branch write leaked into main"
+    cat.merge("etl")
+    return cat.load_table("db.orders").to_df()
+
+
 def q_snapshots_meta(spark, sf_dir):
     """`snapshots` metadata table: the 3 staged event appends' operation +
     record accounting are derivable from the raw events table, making the
@@ -1521,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_mor": q_delete_mor,
         "update_mor": q_update_mor,
         "delete_debt_meta": q_delete_debt_meta,
+        "catalog_branch_merge": q_catalog_branch_merge,
         # --- driver-green in round 1 (proven; rotate to the back) --------
         "q1_pricing_summary": q_q1,
         "q3_shipping_priority": q_q3,
@@ -1709,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_read": "SELECT * FROM orders WHERE o_orderkey % 2 != 0",
         "delete_cow": "SELECT * FROM orders WHERE NOT (o_totalprice > 250000)",
         "delete_mor": "SELECT * FROM orders WHERE o_orderkey % 41 != 0",
+        "catalog_branch_merge": "SELECT * FROM orders",
         "update_mor": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    o_orderdate,

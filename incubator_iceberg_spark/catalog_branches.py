@@ -1,0 +1,428 @@
+"""Catalog-level branches and tags — the NessieCatalog analog (SURVEY
+§2.1 S15 stretch; nessie/src/main/java/org/apache/iceberg/nessie/NessieCatalog.java
+re-expressed for the Python engine).
+
+Where table-level refs (Table.create_branch) version ONE table's snapshot
+pointer, a Nessie-style catalog versions the WHOLE catalog state: every
+commit is an immutable (name → table-metadata-pointer) map with a parent
+hash, and a branch is a mutable ref to one commit.  That gives
+cross-table atomicity semantics the reference gets from Nessie:
+
+- writers on branch ``etl`` see and mutate only ``etl``'s state;
+- ``main`` readers see nothing until an explicit ``merge``;
+- merge fast-forwards when possible, else applies a three-way per-table
+  merge from the common ancestor and raises ``MergeConflictError`` when
+  both branches changed the same table.
+
+Storage reuses the SQLite pointer-store pattern of ``SqliteCatalog``
+(BEGIN IMMEDIATE serializes ref swaps; losers raise
+CommitFailedException and the engine retry loop re-applies), and
+metadata/manifest files stay on the shared filesystem.  Metadata files
+are uuid-named so the same table can advance independently on two
+branches without filename collisions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import time
+import uuid
+from typing import Optional
+
+from incubator_iceberg_spark import metadata as MD
+from incubator_iceberg_spark.metadata import (
+    CommitFailedException,
+    TableMetadata,
+    TableOperations,
+)
+from incubator_iceberg_spark.table import (
+    NoSuchTableError,
+    Table,
+    TableAlreadyExistsError,
+)
+
+_DDL = [
+    """
+    CREATE TABLE IF NOT EXISTS catalog_refs (
+        ref      TEXT PRIMARY KEY,
+        type     TEXT NOT NULL,
+        hash     TEXT NOT NULL
+    )
+    """,
+    """
+    CREATE TABLE IF NOT EXISTS catalog_commits (
+        hash        TEXT PRIMARY KEY,
+        parent      TEXT,
+        merge_parent TEXT,
+        message     TEXT,
+        tables_json TEXT NOT NULL,
+        created_ms  INTEGER NOT NULL
+    )
+    """,
+]
+
+_EMPTY_HASH = "0" * 16
+
+
+class MergeConflictError(Exception):
+    """Both branches changed the same table since their common ancestor."""
+
+
+def _connect(db_path: str) -> sqlite3.Connection:
+    # autocommit mode: transactions are ONLY the explicit BEGIN IMMEDIATE
+    # blocks below (python's implicit-transaction default would leave the
+    # seed INSERTs holding a txn open)
+    con = sqlite3.connect(db_path, timeout=30.0, isolation_level=None)
+    con.execute("PRAGMA journal_mode=WAL")
+    for ddl in _DDL:
+        con.execute(ddl)
+    # the empty root commit every new ref starts from
+    con.execute(
+        "INSERT OR IGNORE INTO catalog_commits "
+        "(hash, parent, merge_parent, message, tables_json, created_ms) "
+        "VALUES (?, NULL, NULL, 'root', '{}', ?)",
+        (_EMPTY_HASH, int(time.time() * 1000)))
+    con.execute(
+        "INSERT OR IGNORE INTO catalog_refs (ref, type, hash) "
+        "VALUES ('main', 'branch', ?)", (_EMPTY_HASH,))
+    return con
+
+
+def _tables_at(con, ref_hash: str) -> dict:
+    row = con.execute("SELECT tables_json FROM catalog_commits WHERE hash = ?",
+                      (ref_hash,)).fetchone()
+    if row is None:
+        raise CommitFailedException(f"unknown commit {ref_hash}")
+    return json.loads(row[0])
+
+
+def _ref_hash(con, ref: str) -> tuple:
+    row = con.execute("SELECT type, hash FROM catalog_refs WHERE ref = ?",
+                      (ref,)).fetchone()
+    if row is None:
+        raise NoSuchRefError(ref)
+    return row
+
+
+class NoSuchRefError(Exception):
+    pass
+
+
+class BranchTableOperations(TableOperations):
+    """TableOperations whose current pointer lives in the branch's commit
+    map.  ``version`` is a per-(branch, table) monotone counter; each
+    version maps to a uuid-named metadata file so two branches can write
+    v3 of the same table without colliding."""
+
+    def __init__(self, catalog: "NessieLiteCatalog", name: str,
+                 table_location: str):
+        super().__init__(table_location)
+        self.catalog = catalog
+        self.name = name
+
+    def _entry(self, con) -> Optional[dict]:
+        _, h = _ref_hash(con, self.catalog.ref)
+        return _tables_at(con, h).get(self.name)
+
+    def current_version(self) -> Optional[int]:
+        with _connect(self.catalog.db_path) as con:
+            e = self._entry(con)
+        return e["version"] if e else None
+
+    def refresh(self) -> Optional[TableMetadata]:
+        with _connect(self.catalog.db_path) as con:
+            e = self._entry(con)
+        if e is None:
+            return None
+        with open(e["metadata_file"]) as f:
+            md = TableMetadata.from_json(json.load(f))
+        md._version = e["version"]  # type: ignore[attr-defined]
+        return md
+
+    def commit(self, base_version: Optional[int], metadata: TableMetadata) -> int:
+        cat = self.catalog
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        new_version = (base_version or 0) + 1
+        mfile = os.path.join(self.metadata_dir,
+                             f"b-{uuid.uuid4().hex}.metadata.json")
+        with open(mfile, "w") as f:
+            json.dump(metadata.to_json(), f, default=MD._json_default)
+            f.flush()
+            os.fsync(f.fileno())
+
+        con = _connect(cat.db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            ref_type, cur_hash = _ref_hash(con, cat.ref)
+            if ref_type != "branch":
+                con.rollback()
+                raise CommitFailedException(
+                    f"ref {cat.ref!r} is a {ref_type}; only branches accept commits")
+            tables = _tables_at(con, cur_hash)
+            entry = tables.get(self.name)
+            cur_v = entry["version"] if entry else None
+            if cur_v != base_version:
+                con.rollback()
+                os.unlink(mfile)
+                raise CommitFailedException(
+                    f"{self.name}@{cat.ref}: expected v{base_version}, "
+                    f"found v{cur_v} (concurrent catalog commit)")
+            tables[self.name] = {"location": self.location,
+                                 "version": new_version,
+                                 "metadata_file": mfile}
+            new_hash = uuid.uuid4().hex[:16]
+            con.execute(
+                "INSERT INTO catalog_commits (hash, parent, merge_parent, "
+                "message, tables_json, created_ms) VALUES (?, ?, NULL, ?, ?, ?)",
+                (new_hash, cur_hash, f"commit {self.name} v{new_version}",
+                 json.dumps(tables), int(time.time() * 1000)))
+            cur = con.execute(
+                "UPDATE catalog_refs SET hash = ? WHERE ref = ? AND hash = ?",
+                (new_hash, cat.ref, cur_hash))
+            if cur.rowcount == 0:
+                con.rollback()
+                os.unlink(mfile)
+                raise CommitFailedException(
+                    f"concurrent commit moved ref {cat.ref!r}")
+            con.commit()
+        finally:
+            con.close()
+        return new_version
+
+
+class NessieLiteCatalog:
+    """Catalog with Nessie-style branches/tags.  Same table surface as
+    ``Catalog``/``SqliteCatalog`` plus ref management; all table
+    operations act on ``self.ref``."""
+
+    def __init__(self, db_path: str, warehouse: str, spark=None,
+                 ref: str = "main"):
+        self.db_path = os.path.abspath(db_path)
+        self.warehouse = os.path.abspath(warehouse)
+        self.spark = spark
+        self.ref = ref
+        os.makedirs(self.warehouse, exist_ok=True)
+        with _connect(self.db_path):
+            pass
+
+    # -- ref management ----------------------------------------------------
+    def with_ref(self, ref: str) -> "NessieLiteCatalog":
+        """A view of the same catalog on another branch/tag."""
+        return NessieLiteCatalog(self.db_path, self.warehouse, self.spark, ref)
+
+    def create_branch(self, name: str, from_ref: Optional[str] = None) -> "NessieLiteCatalog":
+        return self._create_ref(name, "branch", from_ref)
+
+    def create_tag(self, name: str, from_ref: Optional[str] = None) -> "NessieLiteCatalog":
+        return self._create_ref(name, "tag", from_ref)
+
+    def _create_ref(self, name, ref_type, from_ref):
+        src = from_ref or self.ref
+        con = _connect(self.db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            _, src_hash = _ref_hash(con, src)
+            try:
+                con.execute(
+                    "INSERT INTO catalog_refs (ref, type, hash) VALUES (?, ?, ?)",
+                    (name, ref_type, src_hash))
+            except sqlite3.IntegrityError:
+                con.rollback()
+                raise ValueError(f"ref already exists: {name}")
+            con.commit()
+        finally:
+            con.close()
+        return self.with_ref(name)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        with _connect(self.db_path) as con:
+            con.execute("DELETE FROM catalog_refs WHERE ref = ?", (name,))
+
+    def list_refs(self) -> list:
+        with _connect(self.db_path) as con:
+            return sorted(
+                (r[0], r[1], r[2]) for r in
+                con.execute("SELECT ref, type, hash FROM catalog_refs"))
+
+    def ref_hash(self, ref: Optional[str] = None) -> str:
+        with _connect(self.db_path) as con:
+            return _ref_hash(con, ref or self.ref)[1]
+
+    def log(self, ref: Optional[str] = None, limit: int = 100) -> list:
+        """Commit log of a ref (newest first) — `nessie log` analog."""
+        out = []
+        with _connect(self.db_path) as con:
+            h = _ref_hash(con, ref or self.ref)[1]
+            while h and len(out) < limit:
+                row = con.execute(
+                    "SELECT hash, parent, merge_parent, message, created_ms "
+                    "FROM catalog_commits WHERE hash = ?", (h,)).fetchone()
+                if row is None:
+                    break
+                out.append({"hash": row[0], "parent": row[1],
+                            "merge_parent": row[2], "message": row[3],
+                            "created_ms": row[4]})
+                h = row[1]
+        return out
+
+    # -- merge -------------------------------------------------------------
+    def _ancestors(self, con, h: str) -> list:
+        chain = []
+        while h is not None:
+            chain.append(h)
+            row = con.execute("SELECT parent FROM catalog_commits WHERE hash = ?",
+                              (h,)).fetchone()
+            h = row[0] if row else None
+        return chain
+
+    def merge(self, from_ref: str, to_ref: Optional[str] = None,
+              message: Optional[str] = None) -> str:
+        """Merge ``from_ref`` into ``to_ref`` (default: this catalog's
+        ref).  Fast-forwards when ``to_ref`` hasn't moved since the
+        branch point; otherwise three-way merges the table maps from the
+        common ancestor and raises MergeConflictError if both sides
+        changed (or one deleted, one changed) the same table."""
+        to_ref = to_ref or self.ref
+        con = _connect(self.db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            to_type, to_hash = _ref_hash(con, to_ref)
+            _, from_hash = _ref_hash(con, from_ref)
+            if to_type != "branch":
+                con.rollback()
+                raise ValueError(f"cannot merge into {to_type} {to_ref!r}")
+            if from_hash == to_hash:
+                con.rollback()
+                return to_hash
+            from_anc = self._ancestors(con, from_hash)
+            if to_hash in from_anc:
+                # fast-forward
+                con.execute("UPDATE catalog_refs SET hash = ? WHERE ref = ?",
+                            (from_hash, to_ref))
+                con.commit()
+                return from_hash
+            # merge base = first ancestor of to_ref that from_ref also has
+            from_set = set(from_anc)
+            base_hash = next(h for h in self._ancestors(con, to_hash)
+                             if h in from_set)
+            base = _tables_at(con, base_hash)
+            src = _tables_at(con, from_hash)
+            dst = _tables_at(con, to_hash)
+            merged = dict(dst)
+            changed = []
+            for name in set(base) | set(src):
+                b, s = base.get(name), src.get(name)
+                if s == b:
+                    continue  # unchanged on from_ref
+                d = dst.get(name)
+                if d != b and d != s:
+                    con.rollback()
+                    raise MergeConflictError(
+                        f"table {name!r} changed on both {from_ref!r} and "
+                        f"{to_ref!r} since {base_hash}")
+                if s is None:
+                    merged.pop(name, None)
+                else:
+                    merged[name] = s
+                changed.append(name)
+            new_hash = uuid.uuid4().hex[:16]
+            con.execute(
+                "INSERT INTO catalog_commits (hash, parent, merge_parent, "
+                "message, tables_json, created_ms) VALUES (?, ?, ?, ?, ?, ?)",
+                (new_hash, to_hash, from_hash,
+                 message or f"merge {from_ref} into {to_ref} ({len(changed)} tables)",
+                 json.dumps(merged), int(time.time() * 1000)))
+            cur = con.execute(
+                "UPDATE catalog_refs SET hash = ? WHERE ref = ? AND hash = ?",
+                (new_hash, to_ref, to_hash))
+            if cur.rowcount == 0:
+                con.rollback()
+                raise CommitFailedException(f"concurrent commit moved {to_ref!r}")
+            con.commit()
+            return new_hash
+        finally:
+            con.close()
+
+    # -- table surface (acts on self.ref) ----------------------------------
+    def _ops(self, name: str) -> BranchTableOperations:
+        with _connect(self.db_path) as con:
+            _, h = _ref_hash(con, self.ref)
+            e = _tables_at(con, h).get(name)
+        loc = e["location"] if e else os.path.join(
+            self.warehouse, *name.split("."), uuid.uuid4().hex[:8])
+        return BranchTableOperations(self, name, loc)
+
+    def create_table(self, name: str, schema, partition_by=None,
+                     properties: Optional[dict] = None,
+                     sort_by=None, spark=None) -> Table:
+        from incubator_iceberg_spark.partitioning import PartitionSpec
+        from incubator_iceberg_spark.table import _as_schema, _as_sort_order
+
+        ops = self._ops(name)
+        if ops.refresh() is not None:
+            raise TableAlreadyExistsError(f"{name}@{self.ref}")
+        schema = _as_schema(schema)
+        spec = (PartitionSpec.build(schema, partition_by)
+                if partition_by else PartitionSpec.unpartitioned(schema))
+        md = TableMetadata.new(ops.location, schema, spec, properties)
+        if sort_by:
+            md.sort_orders = [_as_sort_order(schema, sort_by, order_id=1)]
+            md.default_sort_order_id = 1
+
+        def apply(base):
+            if base is not None:
+                raise TableAlreadyExistsError(f"{name}@{self.ref}")
+            return md
+
+        MD.run_with_retries(ops, apply, retries=0)
+        return Table(name, ops, spark or self.spark)
+
+    def load_table(self, name: str, spark=None) -> Table:
+        ops = self._ops(name)
+        if ops.refresh() is None:
+            raise NoSuchTableError(f"{name}@{self.ref}")
+        return Table(name, ops, spark or self.spark)
+
+    def table_exists(self, name: str) -> bool:
+        return self._ops(name).refresh() is not None
+
+    def drop_table(self, name: str, purge: bool = False) -> bool:
+        """Remove the table from THIS branch's state (a new commit).  Files
+        are never purged here — other branches may still reference them
+        (the Nessie GC problem; remove_orphan_files handles files)."""
+        con = _connect(self.db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            ref_type, cur_hash = _ref_hash(con, self.ref)
+            if ref_type != "branch":
+                raise ValueError(f"cannot drop on {ref_type} {self.ref!r}")
+            tables = _tables_at(con, cur_hash)
+            if name not in tables:
+                con.rollback()
+                return False
+            del tables[name]
+            new_hash = uuid.uuid4().hex[:16]
+            con.execute(
+                "INSERT INTO catalog_commits (hash, parent, merge_parent, "
+                "message, tables_json, created_ms) VALUES (?, ?, NULL, ?, ?, ?)",
+                (new_hash, cur_hash, f"drop {name}", json.dumps(tables),
+                 int(time.time() * 1000)))
+            con.execute(
+                "UPDATE catalog_refs SET hash = ? WHERE ref = ? AND hash = ?",
+                (new_hash, self.ref, cur_hash))
+            con.commit()
+            return True
+        finally:
+            con.close()
+
+    def list_tables(self, namespace: str = "") -> list:
+        with _connect(self.db_path) as con:
+            _, h = _ref_hash(con, self.ref)
+            names = _tables_at(con, h)
+        if namespace:
+            return sorted(n for n in names if n.startswith(namespace + "."))
+        return sorted(names)

@@ -1,0 +1,131 @@
+"""Tier 3: catalog-level branches/tags (NessieCatalog analog) and the
+CachingCatalog wrapper."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark.schema import Schema
+
+
+@pytest.fixture()
+def ncat(tmp_path, spark):
+    from incubator_iceberg_spark.catalog_branches import NessieLiteCatalog
+
+    return NessieLiteCatalog(str(tmp_path / "cat.db"), str(tmp_path / "wh"),
+                             spark)
+
+
+def test_branch_isolation_and_fast_forward_merge(ncat, orders, spark):
+    t = ncat.create_table("db.orders", Schema.from_spark(orders.schema))
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    n_main = t.to_df().count()
+
+    etl = ncat.create_branch("etl")
+    te = etl.load_table("db.orders")
+    te.append(orders.filter("o_orderkey % 2 != 0"))
+
+    # main unchanged until merge
+    assert ncat.load_table("db.orders").to_df().count() == n_main
+    assert etl.load_table("db.orders").to_df().count() == orders.count()
+
+    ncat.merge("etl")  # fast-forward: main didn't move
+    assert ncat.load_table("db.orders").to_df().count() == orders.count()
+    log = ncat.log()
+    assert log[0]["hash"] == etl.ref_hash()
+
+
+def test_merge_disjoint_tables_three_way(ncat, orders, spark):
+    a = orders.limit(100)
+    ncat.create_table("db.base", Schema.from_spark(a.schema)).append(a)
+    b1 = ncat.create_branch("b1")
+    b1.create_table("db.t1", Schema.from_spark(a.schema)).append(a)
+    # main moves too (different table) → three-way, not fast-forward
+    ncat.create_table("db.t2", Schema.from_spark(a.schema)).append(a)
+    h = ncat.merge("b1")
+    assert set(ncat.list_tables()) == {"db.base", "db.t1", "db.t2"}
+    assert ncat.log()[0]["hash"] == h
+    assert ncat.log()[0]["merge_parent"] is not None
+
+
+def test_merge_conflict_same_table(ncat, orders, spark):
+    from incubator_iceberg_spark.catalog_branches import MergeConflictError
+
+    t = ncat.create_table("db.c", Schema.from_spark(orders.schema))
+    t.append(orders.limit(10))
+    br = ncat.create_branch("risky")
+    br.load_table("db.c").append(orders.limit(5))
+    ncat.load_table("db.c").append(orders.limit(3))  # main moves same table
+    with pytest.raises(MergeConflictError):
+        ncat.merge("risky")
+
+
+def test_tag_is_immutable_and_pins_state(ncat, orders, spark):
+    from incubator_iceberg_spark.metadata import CommitFailedException
+
+    t = ncat.create_table("db.tg", Schema.from_spark(orders.schema))
+    t.append(orders.limit(10))
+    tag = ncat.create_tag("v1")
+    t.append(orders.limit(20))  # main advances
+    assert ncat.load_table("db.tg").to_df().count() == 30
+    assert tag.load_table("db.tg").to_df().count() == 10  # tag pinned
+    with pytest.raises((CommitFailedException, ValueError)):
+        tag.load_table("db.tg").append(orders.limit(1))
+
+
+def test_drop_on_branch_does_not_touch_other_refs(ncat, orders, spark):
+    t = ncat.create_table("db.d", Schema.from_spark(orders.schema))
+    t.append(orders.limit(10))
+    keep = ncat.create_branch("keep")
+    assert ncat.drop_table("db.d")
+    assert not ncat.table_exists("db.d")
+    assert keep.table_exists("db.d")
+    assert keep.load_table("db.d").to_df().count() == 10
+
+
+def test_concurrent_appends_one_branch_retry(ncat, orders, spark):
+    t = ncat.create_table("db.cc", Schema.from_spark(orders.schema))
+    halves = [orders.filter(f"o_orderkey % 2 = {i}") for i in (0, 1)]
+    errs = []
+
+    def run(i):
+        try:
+            ncat.load_table("db.cc").append(halves[i])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert ncat.load_table("db.cc").to_df().count() == orders.count()
+
+
+def test_caching_catalog_reuses_and_invalidates(warehouse, orders, spark):
+    from incubator_iceberg_spark.caching_catalog import CachingCatalog
+
+    cat = CachingCatalog(warehouse)
+    t = cat.create_table("db.cached", Schema.from_spark(orders.schema))
+    t.append(orders.limit(10))
+    assert cat.load_table("db.cached") is t          # same instance
+    assert cat.load_table("db.cached") is t
+    cat.invalidate("db.cached")
+    t2 = cat.load_table("db.cached")
+    assert t2 is not t
+    assert t2.to_df().count() == 10
+    cat.drop_table("db.cached")
+    from incubator_iceberg_spark.table import NoSuchTableError
+    with pytest.raises(NoSuchTableError):
+        cat.load_table("db.cached")
+
+
+def test_caching_catalog_lru_bound(warehouse, orders, spark):
+    from incubator_iceberg_spark.caching_catalog import CachingCatalog
+
+    cat = CachingCatalog(warehouse, max_size=2)
+    for i in range(3):
+        cat.create_table(f"db.lru{i}", Schema.from_spark(orders.schema))
+    assert len(cat._cache) == 2  # oldest evicted
