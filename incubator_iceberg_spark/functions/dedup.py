@@ -80,6 +80,9 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     base = (df.repartition(par)
             .select(F.col(id_col).alias("__id"),
                     TX.char_ngrams(text_col, shingle_size).alias("__sh")))
+    # two consumers read base (the explode below and the signature
+    # join-back) — without a cache the substring explosion runs twice
+    base = base.persist()
     # signature via explode + groupBy(min(xxhash64(i, shingle))): higher-order
     # array lambdas run interpreted row-by-row, but hash+min aggregates stay
     # inside whole-stage codegen with map-side partial aggregation — same
@@ -97,6 +100,7 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     # a lazy persist would let them all recompute the signatures in parallel
     sig = sig.persist()
     sig.count()
+    base.unpersist()
     banded = sig.select(
         "__id",
         F.explode(F.transform(
