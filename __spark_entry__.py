@@ -1285,6 +1285,16 @@ def q_dedup_simhash(spark, sf_dir):
             .select("id_a", "id_b", "distance"))
 
 
+def q_dedup_ngram(spark, sf_dir):
+    """Exact word-3gram jaccard pairs ≥ 0.5 via the inverted-index join
+    (shuffle on the n-gram, never cartesian) — fully oracle-checkable
+    because the whole pipeline is exact set arithmetic: the oracle
+    mirrors the tokenizer and the same inverted-index join in SQL."""
+    from incubator_iceberg_spark.functions import dedup
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    return dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
+
+
 def q_text_stats(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.functions import text as TX
@@ -1529,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash,
         "dedup_minhash_planted": q_dedup_minhash_planted,
         "dedup_simhash_pairs": q_dedup_simhash,
+        "dedup_ngram_pairs": q_dedup_ngram,
         "text_stats": q_text_stats,
         "text_analyze": q_text_analyze,
         "ann_bruteforce": q_ann_bruteforce,
@@ -2258,6 +2269,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": """
             SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, 0 AS distance
             FROM documents WHERE doc_id % 53 = 0
+        """,
+        "dedup_ngram_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+2], ' ')
+                                    FOR i IN range(1, len(t) - 1)]) AS g
+              FROM toks WHERE len(t) >= 3),
+            ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sized AS (SELECT doc_id, len(g) AS n FROM grams)
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+            FROM cand
+            JOIN sized na ON na.doc_id = id_a
+            JOIN sized nb ON nb.doc_id = id_b
+            WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.5
         """,
         "multimodal_features": """
             WITH m AS (

@@ -168,21 +168,41 @@ def _jaccard(a, b):
 def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5):
     """Exact n-gram jaccard over all pairs sharing ≥1 n-gram (inverted-index
-    join — shuffle on the n-gram, never a cartesian)."""
+    join — shuffle on the n-gram, never a cartesian).
+
+    Grams come from posexplode + window ``lead``s, and jaccard from pure
+    COUNT aggregates (|A∩B| from the inverted join, |A|/|B| from per-doc
+    gram counts): no array columns ever ship through a shuffle and no
+    interpreted higher-order lambdas run per row — the array-lambda
+    formulation was measured 30×+ slower on 500 docs."""
     from pyspark.sql import functions as F
-    grams = df.select(F.col(id_col).alias("__id"),
-                      TX.word_ngrams(text_col, n).alias("__g"))
-    grams = grams.persist()
-    inv = grams.select("__id", F.explode("__g").alias("g"))
-    cand = (inv.alias("a").join(inv.alias("b"),
-                                (F.col("a.g") == F.col("b.g"))
-                                & (F.col("a.__id") < F.col("b.__id")))
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .distinct())
-    return (cand
-            .join(grams.select(F.col("__id").alias("id_a"), F.col("__g").alias("g_a")), "id_a")
-            .join(grams.select(F.col("__id").alias("id_b"), F.col("__g").alias("g_b")), "id_b")
-            .withColumn("jaccard", _jaccard(F.col("g_a"), F.col("g_b")))
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.posexplode_outer(TX.tokens(text_col))
+                     .alias("__p", "__t"))
+    w = Window.partitionBy("__id").orderBy("__p")
+    cols = [F.col("__t")] + [F.lead("__t", k).over(w) for k in range(1, n)]
+    g = (toks.select("__id", *[c.alias(f"__t{k}") for k, c in enumerate(cols)])
+         .filter(F.col(f"__t{n-1}").isNotNull())
+         .select("__id", F.concat_ws(" ", *[F.col(f"__t{k}")
+                                            for k in range(n)]).alias("g"))
+         .distinct())
+    g = g.persist()
+    sizes = g.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (g.alias("a")
+             .join(g.alias("b"), (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+             .groupBy(F.col("a.__id").alias("id_a"),
+                      F.col("b.__id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("__i")))
+    return (inter
+            .join(sizes.select(F.col("__id").alias("id_a"),
+                               F.col("__n").alias("__na")), "id_a")
+            .join(sizes.select(F.col("__id").alias("id_b"),
+                               F.col("__n").alias("__nb")), "id_b")
+            .withColumn("jaccard", F.col("__i")
+                        / (F.col("__na") + F.col("__nb") - F.col("__i")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
