@@ -582,6 +582,31 @@ def q_delete_debt_meta(spark, sf_dir):
                      "equality_delete_record_count")
 
 
+def q_ann_lsh_indexed(spark, sf_dir):
+    """Persistent LSH index: add_ann_index stores the hyperplane bucket as
+    ``__ann_bucket`` + identity partition field; probes prune to the
+    query bucket's 1-bit multiprobe ring.  Each of the first 5 corpus
+    vectors finds itself at cosine 1.0 (its stored bucket equals its own
+    probe bucket by construction)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import similarity
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    emb = _load(spark, sf_dir, "embeddings")
+    t = cat.create_table("s.emb_lsh_idx", Schema.from_spark(emb.schema))
+    t.append(emb)
+    similarity.add_ann_index(t, kind="lsh", bits=8)
+    qs = [(r["vec_id"], r["embedding"])
+          for r in emb.orderBy("vec_id").limit(5).collect()]
+    out = None
+    for qid, qv in qs:
+        top = (similarity.lsh_ann_topk_indexed(t, qv, k=1,
+                                               multiprobe_hamming=1)
+               .withColumn("q_id", F.lit(qid)))
+        out = top if out is None else out.unionByName(top)
+    return out.select("q_id", "vec_id", "cos_sim")
+
+
 def q_catalog_branch_merge(spark, sf_dir):
     """Catalog-LEVEL branches (NessieLiteCatalog, the NessieCatalog
     analog): write even keys to main, odd keys on an ``etl`` branch that
@@ -1552,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         # --- new in round 2 ----------------------------------------------
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
         "delete_mor": q_delete_mor,
         "update_mor": q_update_mor,
         "delete_debt_meta": q_delete_debt_meta,
@@ -2244,6 +2270,10 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "ann_ivf_indexed": """
+            SELECT vec_id AS q_id, vec_id, 1.0 AS cos_sim
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        """,
+        "ann_lsh_indexed": """
             SELECT vec_id AS q_id, vec_id, 1.0 AS cos_sim
             FROM embeddings ORDER BY vec_id LIMIT 5
         """,

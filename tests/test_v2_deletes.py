@@ -261,3 +261,32 @@ def test_mor_delete_writes_far_fewer_bytes_than_cow(warehouse, orders, spark):
     assert cow_bytes >= 5 * mor_bytes, (cow_bytes, mor_bytes)
     # and both end in the same visible state
     assert t_cow.to_df().count() == t_mor.to_df().count()
+
+
+def test_concurrent_mor_deletes_both_commit(warehouse, orders, spark):
+    """Two merge-on-read deletes race: both only ADD delete files (no data
+    files removed), so the conflict validator lets the loser retry and the
+    final state applies both predicates."""
+    import threading
+
+    t = _ingest(warehouse, "db.mor_race", orders)
+    preds = ["o_orderkey % 31 = 0", "o_orderkey % 37 = 0"]
+    errs = []
+
+    def run(p):
+        try:
+            # separate Table handles: each writer refreshes independently
+            warehouse.load_table("db.mor_race").delete_where(
+                p, mode="merge-on-read")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(p,)) for p in preds]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    want = orders.filter(
+        "o_orderkey % 31 != 0 AND o_orderkey % 37 != 0").count()
+    assert warehouse.load_table("db.mor_race").to_df().count() == want
