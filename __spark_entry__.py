@@ -1320,6 +1320,31 @@ def q_dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
 
 
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline — the operators composed
+    the way a real corpus-prep job chains them: quality gate → exact dedup
+    (hash-groupBy keep-min) → near-dup removal (MinHash-LSH pairs, drop
+    the higher id of each verified pair) → per-language corpus stats.
+    Every stage is individually oracle-proven, so the composition is too."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import dedup
+    from incubator_iceberg_spark.functions import text as TX
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    qual = F.floor(TX.quality_score("text", round_digits=None)
+                   * F.lit(1000000.0)).cast("long")
+    gated = docs.withColumn("__q", qual).filter(F.col("__q") >= 500000)
+    uniq = dedup.exact_dedup(gated, "text", "doc_id")
+    pairs = dedup.minhash_lsh_pairs(uniq, num_hashes=32, bands=8,
+                                    jaccard_threshold=0.8)
+    clean = uniq.join(pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+                      "doc_id", "left_anti")
+    return (clean.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(TX.token_count("text")).alias("total_tokens"),
+                 F.sum(F.length("text")).alias("total_chars"))
+            .orderBy("lang"))
+
+
 def q_text_stats(spark, sf_dir):
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.functions import text as TX
@@ -1565,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_planted": q_dedup_minhash_planted,
         "dedup_simhash_pairs": q_dedup_simhash,
         "dedup_ngram_pairs": q_dedup_ngram,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "text_stats": q_text_stats,
         "text_analyze": q_text_analyze,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1702,9 +1728,50 @@ def _text_analyze_oracle() -> str:
     """
 
 
+def _pipeline_oracle() -> str:
+    """Composition of already-validated oracle pieces: the text_analyze
+    SQL provides quality_micro + n_tokens, the minhash inverted-index SQL
+    provides the exact-jaccard near-dup pairs; dedup + anti-join + lang
+    aggregate around them."""
+    return f"""
+        WITH ta AS ({_text_analyze_oracle()}),
+        gated AS (
+          SELECT d.doc_id, d.text, d.lang, ta.n_tokens
+          FROM documents d JOIN ta ON d.doc_id = ta.doc_id
+          WHERE ta.quality_micro >= 500000),
+        uniq AS (
+          SELECT * FROM gated
+          WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([substr(text, i, 5)
+                                FOR i IN range(1, length(text) - 3)]) AS s
+          FROM uniq WHERE length(text) >= 5),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sized AS (SELECT doc_id, len(s) AS n FROM sh),
+        dups AS (
+          SELECT DISTINCT id_b FROM cand
+          JOIN sized na ON na.doc_id = id_a
+          JOIN sized nb ON nb.doc_id = id_b
+          WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8),
+        clean AS (
+          SELECT * FROM uniq
+          WHERE doc_id NOT IN (SELECT id_b FROM dups))
+        SELECT lang, count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               sum(length(text)) AS total_chars
+        FROM clean GROUP BY lang ORDER BY lang
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "text_analyze": _text_analyze_oracle(),
+        "pipeline_clean_corpus": _pipeline_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -263,7 +263,12 @@ def add_ann_index(table, kind: str = "ivf", vec_col: str = "embedding",
         raise ValueError(f"unknown ANN index kind: {kind!r}")
 
     table.update_schema().add_column(col_name, col_type).commit()
-    table.update_spec([col_name])  # identity partition on the index column
+    # identity partition on the index column, APPENDED to any existing
+    # partition fields (spec evolution keeps e.g. a date partition intact)
+    md = table.metadata
+    existing = [(md.schema().field_path(f.source_id), f.transform, f.name)
+                for f in md.spec().fields]
+    table.update_spec(existing + [col_name])
     out = df.withColumn(col_name, idx_col.cast(col_type))
     table.overwrite(out, X.always_true(), spark=spark)
     table.update_properties(props)

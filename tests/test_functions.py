@@ -359,3 +359,21 @@ def test_ann_index_lsh_prunes(spark, warehouse, sf_dir):
         t, spark,
         row_filter="__ann_bucket IN (0)").plan_files())
     assert probe_files < total_files
+
+
+def test_ann_index_preserves_existing_partition_fields(spark, warehouse, sf_dir):
+    """add_ann_index APPENDS the index partition field; an existing
+    partition (e.g. by label) survives, and probes prune on both."""
+    from incubator_iceberg_spark.io import load_table
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = warehouse.create_table("db.emb_2spec", Schema.from_spark(emb.schema),
+                               partition_by=["label"])
+    t.append(emb)
+    similarity.add_ann_index(t, kind="ivf", n_cells=4, sample=256)
+    assert [f.name for f in t.spec().fields] == ["label", "__ann_cell"]
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    top = similarity.ivf_ann_topk_indexed(t, qv, k=1, nprobe=1).collect()
+    assert top[0]["cos_sim"] == 1.0
