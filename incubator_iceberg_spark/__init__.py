@@ -42,6 +42,12 @@ def __getattr__(name):  # lazy: table pulls in pyspark-heavy modules
     if name == "SqliteCatalog":
         from incubator_iceberg_spark.catalog_sqlite import SqliteCatalog
         return SqliteCatalog
+    if name in ("NessieLiteCatalog", "MergeConflictError"):
+        from incubator_iceberg_spark import catalog_branches as _cb
+        return getattr(_cb, name)
+    if name == "CachingCatalog":
+        from incubator_iceberg_spark.caching_catalog import CachingCatalog
+        return CachingCatalog
     if name in ("WhenMatched", "WhenNotMatched", "WhenNotMatchedBySource",
                 "MergeCardinalityError"):
         from incubator_iceberg_spark import row_ops as _r
