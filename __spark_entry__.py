@@ -1528,6 +1528,43 @@ def q_multimodal_frames(spark, sf_dir):
             .select("doc_id", "frame_ts_ms"))
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio chunking plan (5 s windows): one row per chunk with ms and
+    sample offsets — pure Column math from arithmetic durations, so the
+    whole plan is SQL-replicable (the decode itself stays the documented
+    stub)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import multimodal as MM
+    df = (_table(spark, sf_dir, "documents_ice").to_df()
+          .filter("doc_id < 200").select("doc_id"))
+    meta = F.struct(
+        F.lit("audio").alias("kind"), F.lit("application/fake").alias("mime"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        ((F.col("doc_id") % 47 + 1) * 1700).cast("long").alias("duration_ms"),
+        F.lit(16000).alias("sample_rate"))
+    media = df.withColumn("media_meta", meta)
+    return (MM.audio_chunk_plan(media, window_ms=5000)
+            .select("doc_id", "chunk_idx", "chunk_start_ms", "chunk_end_ms",
+                    "start_sample", "end_sample"))
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Salt-and-replicate join (hot-key mitigation beyond AQE): revenue
+    per order priority via lineitem ⋈ orders must equal the plain join."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import skew
+    li = (_table(spark, sf_dir, "lineitem_part").to_df()
+          .select(F.col("l_orderkey").alias("o_orderkey"),
+                  "l_extendedprice", "l_discount"))
+    orders = _table(spark, sf_dir, "orders_ice").to_df() \
+        .select("o_orderkey", "o_orderpriority")
+    joined = skew.salted_join(li, orders, on="o_orderkey", salt_buckets=8)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue")))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over fake media with
     ARITHMETIC metadata so every output column is SQL-replicable: the
@@ -1601,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio": q_multimodal_audio,
+        "skew_salted_join": q_skew_salted_join,
         # --- new in round 2 ----------------------------------------------
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ann_lsh_indexed": q_ann_lsh_indexed,
@@ -2413,6 +2452,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                    count(l_quantity) AS n, max(l_extendedprice) AS max_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "skew_salted_join": """
+            SELECT o_orderpriority, count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "multimodal_audio": """
+            WITH m AS (
+              SELECT doc_id, (doc_id % 47 + 1) * 1700 AS dur
+              FROM documents WHERE doc_id < 200),
+            c AS (
+              SELECT doc_id, dur,
+                     unnest(range(0, CAST(ceil(dur / 5000.0) AS BIGINT)))
+                         AS chunk_idx
+              FROM m)
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   chunk_idx * 5000 AS chunk_start_ms,
+                   least(chunk_idx * 5000 + 5000, dur) AS chunk_end_ms,
+                   chunk_idx * 5000 * 16000 // 1000 AS start_sample,
+                   least(chunk_idx * 5000 + 5000, dur) * 16000 // 1000
+                       AS end_sample
+            FROM c
         """,
         "knn_join": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec

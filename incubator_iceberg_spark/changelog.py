@@ -16,9 +16,16 @@ of only the changed rows.  `replace` (compaction) snapshots are skipped —
 they don't change table contents.  The shuffle is bounded by the touched
 files of each snapshot, never the whole table.
 
-Limitations (documented): v2 delete-file commits (RowDelta) change
-contents without changing data files — their effect is not reflected
-here; map-typed columns can't go through EXCEPT ALL (Spark restriction).
+RowDelta (v2 delete-file) commits are handled since round 2: a snapshot
+that ADDS delete files without touching data files still changes the
+visible rows, so the data files those new delete files can affect
+(sequence- and bounds-scoped via ``scope_deletes_for_file``) are read on
+both sides WITH each side's live delete files applied — merge-on-read
+DELETE shows its rows as 'delete', MoR UPDATE as delete+insert, exactly
+like their copy-on-write counterparts.
+
+Limitation (documented): map-typed columns can't go through EXCEPT ALL
+(Spark restriction).
 
 Output columns: table columns (current schema) + `_change_type`
 ('insert' | 'delete') + `_change_snapshot_id` + `_change_ordinal`
@@ -32,19 +39,22 @@ from typing import Optional
 from incubator_iceberg_spark import manifests as MF
 
 
-def _live_data_entries(snapshot) -> dict:
-    """path → normalized entry for live DATA files of one snapshot."""
-    out: dict = {}
+def _live_entries(snapshot) -> tuple:
+    """(data: path → normalized entry, deletes: [entries]) live at one
+    snapshot."""
+    data: dict = {}
+    dels: list = []
     if snapshot is None:
-        return out
+        return data, dels
     for row in MF.read_manifest_list_arrow(snapshot.manifest_list).to_pylist():
         for e in MF.read_manifest_arrow(row["manifest_path"]).to_pylist():
             if e.get("status") == MF.DELETED:
                 continue
             if (e.get("content") or 0) != MF.DATA:
-                continue
-            out[e["file_path"]] = MF.normalize_entry(e)
-    return out
+                dels.append(MF.normalize_entry(e))
+            else:
+                data[e["file_path"]] = MF.normalize_entry(e)
+    return data, dels
 
 
 def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
@@ -53,6 +63,7 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
     means from table creation, to=None means current."""
     from pyspark.sql import functions as F
 
+    from incubator_iceberg_spark import deletes as DEL
     from incubator_iceberg_spark.scan import read_entries
 
     spark = spark or table.spark
@@ -80,15 +91,34 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
         if snap.operation == "replace":
             continue
         parent = md.snapshot_by_id(snap.parent_id) if snap.parent_id is not None else None
-        live_now = _live_data_entries(snap)
-        live_before = _live_data_entries(parent)
-        added = [e for p, e in live_now.items() if p not in live_before]
-        removed = [e for p, e in live_before.items() if p not in live_now]
-        if not added and not removed:
+        data_now, dels_now = _live_entries(snap)
+        data_before, dels_before = _live_entries(parent)
+        added = [e for p, e in data_now.items() if p not in data_before]
+        removed = [e for p, e in data_before.items() if p not in data_now]
+        # RowDelta: data files whose visible rows change because this
+        # commit added delete files that cover them (seq/bounds-scoped)
+        before_del_paths = {e["file_path"] for e in dels_before}
+        new_dels = [e for e in dels_now
+                    if e["file_path"] not in before_del_paths]
+        affected = []
+        if new_dels:
+            for p, e in data_now.items():
+                if p not in data_before:
+                    continue  # added files are diffed anyway
+                pos, eq = DEL.scope_deletes_for_file(e, new_dels, schema)
+                if pos or eq:
+                    affected.append(p)
+        if not added and not removed and not affected:
             continue
         cols = [f.name for f in schema.fields]
-        added_df = read_entries(spark, md, added, [], schema).select(*cols)
-        removed_df = read_entries(spark, md, removed, [], schema).select(*cols)
+        now_entries = added + [data_now[p] for p in affected]
+        before_entries = removed + [data_before[p] for p in affected]
+        # each side applies ITS OWN live delete files, so already-deleted
+        # rows never resurrect into the diff
+        added_df = read_entries(spark, md, now_entries, dels_now,
+                                schema).select(*cols)
+        removed_df = read_entries(spark, md, before_entries, dels_before,
+                                  schema).select(*cols)
         ins = added_df.exceptAll(removed_df).withColumn("_change_type", F.lit("insert"))
         dels = removed_df.exceptAll(added_df).withColumn("_change_type", F.lit("delete"))
         step = (ins.unionByName(dels)

@@ -290,3 +290,38 @@ def test_concurrent_mor_deletes_both_commit(warehouse, orders, spark):
     want = orders.filter(
         "o_orderkey % 31 != 0 AND o_orderkey % 37 != 0").count()
     assert warehouse.load_table("db.mor_race").to_df().count() == want
+
+
+def test_changelog_sees_mor_deletes(warehouse, orders, spark):
+    """CDC changelog over a merge-on-read delete: the net diff between
+    snapshots must report the position-deleted rows as 'delete' changes
+    even though no data file was rewritten."""
+    t = _ingest(warehouse, "db.mor_cdc", orders)
+    s1 = t.metadata.current_snapshot_id
+    t.delete_where("o_orderkey % 100 = 0", mode="merge-on-read")
+    ch = t.changelog(from_snapshot_id=s1).collect()
+    deleted = {r["o_orderkey"] for r in ch if r["_change_type"] == "delete"}
+    want = {r["o_orderkey"] for r in
+            orders.filter("o_orderkey % 100 = 0").collect()}
+    assert deleted == want
+    # the RowDelta commit emits ONLY deletes (no rewrite side-effects)
+    assert all(r["_change_type"] == "delete" for r in ch)
+
+
+def test_changelog_sees_mor_update(warehouse, orders, spark):
+    """MoR UPDATE (position deletes + new data files in one RowDelta
+    commit) shows as delete+insert pairs of only the changed rows."""
+    t = _ingest(warehouse, "db.mor_cdc_upd", orders)
+    s1 = t.metadata.current_snapshot_id
+    t.update({"o_orderpriority": "'Z-TEST'"}, "o_orderkey % 500 = 0",
+             mode="merge-on-read")
+    ch = t.changelog(from_snapshot_id=s1).collect()
+    want = {r["o_orderkey"] for r in
+            orders.filter("o_orderkey % 500 = 0").collect()}
+    dels = {r["o_orderkey"] for r in ch if r["_change_type"] == "delete"}
+    ins = {r["o_orderkey"] for r in ch if r["_change_type"] == "insert"}
+    assert dels == want and ins == want
+    assert all(r["o_orderpriority"] == "Z-TEST" for r in ch
+               if r["_change_type"] == "insert")
+    assert all(r["o_orderpriority"] != "Z-TEST" for r in ch
+               if r["_change_type"] == "delete")
