@@ -1320,6 +1320,18 @@ def q_dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Transitive duplicate GROUPS: MinHash near-dup pairs → connected
+    components via iterative min-label propagation (the keep-one decision
+    for clusters, not just pairs).  Oracle: DuckDB recursive-CTE
+    reachability computes the same min-of-component labels."""
+    from incubator_iceberg_spark.functions import dedup
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=32, bands=8,
+                                    jaccard_threshold=0.8)
+    return dedup.connected_components(pairs).select("node", "label")
+
+
 def q_pipeline_clean_corpus(spark, sf_dir):
     """End-to-end training-data cleaning pipeline — the operators composed
     the way a real corpus-prep job chains them: quality gate → exact dedup
@@ -1627,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_planted": q_dedup_minhash_planted,
         "dedup_simhash_pairs": q_dedup_simhash,
         "dedup_ngram_pairs": q_dedup_ngram,
+        "dedup_groups": q_dedup_groups,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "text_stats": q_text_stats,
         "text_analyze": q_text_analyze,
@@ -2405,6 +2418,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": """
             SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, 0 AS distance
             FROM documents WHERE doc_id % 53 = 0
+        """,
+        "dedup_groups": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                                    FOR i IN range(1, length(text) - 3)]) AS s
+              FROM documents WHERE length(text) >= 5),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sized AS (SELECT doc_id, len(s) AS n FROM sh),
+            pairs AS (
+              SELECT id_a, id_b FROM cand
+              JOIN sized na ON na.doc_id = id_a
+              JOIN sized nb ON nb.doc_id = id_b
+              WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT n.a AS node,
+                   least(n.a, min(r.b)) AS label
+            FROM (SELECT DISTINCT a FROM edges) n
+            LEFT JOIN reach r ON r.a = n.a
+            GROUP BY n.a
         """,
         "dedup_ngram_pairs": r"""
             WITH toks AS (

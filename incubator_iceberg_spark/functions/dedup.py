@@ -207,6 +207,57 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 20):
+    """Duplicate GROUPS from near-dup pairs: min-label propagation until
+    fixpoint — the keep-one decision for TRANSITIVE duplicate clusters
+    (pairs alone under-delete: a~b, b~c ⇒ {a,b,c} is one group even if
+    a~c was never emitted).
+
+    Iterative label propagation (the simplified small-star pattern used
+    in production CC over edge lists): each round every node takes the
+    min label among itself and its neighbors; rounds needed = graph
+    diameter, and near-dup clusters are shallow.  All joins shuffle on
+    the node id only; no driver-side graph materialization.
+
+    Returns (node, label) for every node appearing in ``pairs``, where
+    label = min id of the node's component.
+    """
+    from pyspark.sql import functions as F
+
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct().persist())
+    # localCheckpoint (not persist): the loop would otherwise chain every
+    # round's joins into one ever-deeper logical plan — lineage truncation
+    # is mandatory for iterative DataFrame algorithms
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["a"] == labels["node"])
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.alias("l")
+                      .join(prop.alias("p"), "node", "left")
+                      .select("node",
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nlabel"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(col, bits: int = 64):
     """64-bit SimHash of the token multiset, entirely in Column algebra:
     per-token xxhash64 → per-bit ±1 votes → sign bits recomposed.  Bit

@@ -377,3 +377,27 @@ def test_ann_index_preserves_existing_partition_fields(spark, warehouse, sf_dir)
     qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     top = similarity.ivf_ann_topk_indexed(t, qv, k=1, nprobe=1).collect()
     assert top[0]["cos_sim"] == 1.0
+
+
+def test_connected_components_transitive_groups(spark):
+    from incubator_iceberg_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (30, 32)],
+        "id_a long, id_b long")
+    got = {r["node"]: r["label"] for r in
+           dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30, 32: 30}
+
+
+def test_connected_components_chain_diameter(spark):
+    """A long chain needs multiple propagation rounds; min label reaches
+    the far end."""
+    from incubator_iceberg_spark.functions import dedup
+
+    chain = [(i, i + 1) for i in range(40)]
+    got = {r["node"]: r["label"] for r in
+           dedup.connected_components(spark.createDataFrame(
+               chain, "id_a long, id_b long"), max_iter=50).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 41
