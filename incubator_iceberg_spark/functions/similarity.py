@@ -282,6 +282,32 @@ def _ann_props(table):
     return p
 
 
+def ann_index_col(table):
+    """The stored-index Column recomputed from the table's persisted
+    parameters — what an APPEND to an indexed table must attach so new
+    rows land in the right cell/bucket partitions (index maintenance:
+    ``t.append(with_ann_index_col(t, df))`` keeps the clustering live
+    without a rebuild)."""
+    import json
+    p = _ann_props(table)
+    vec_col = p[ANN_PROP + "vec-col"]
+    if p[ANN_PROP + "kind"] == "ivf":
+        cent = json.loads(p[ANN_PROP + "centroids"])
+        return ivf_cell_col(cent, vec_col).cast("int")
+    planes = random_planes(int(p[ANN_PROP + "dim"]),
+                           int(p[ANN_PROP + "bits"]),
+                           int(p[ANN_PROP + "seed"]))
+    return lsh_bucket(vec_col, planes).cast("long")
+
+
+def with_ann_index_col(table, df):
+    """``df`` + the index column named as stored — use before appending
+    to an indexed table."""
+    name = ("__ann_cell" if _ann_props(table)[ANN_PROP + "kind"] == "ivf"
+            else "__ann_bucket")
+    return df.withColumn(name, ann_index_col(table))
+
+
 def ivf_ann_topk_indexed(table, query_vec, k: int = 10,
                          id_col: str = "vec_id", nprobe: int = 4, spark=None):
     """IVF probe against the STORED index: nearest ``nprobe`` centroids are

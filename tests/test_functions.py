@@ -401,3 +401,28 @@ def test_connected_components_chain_diameter(spark):
                chain, "id_a long, id_b long"), max_iter=50).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 41
+
+
+def test_ann_index_append_maintenance(spark, warehouse, sf_dir):
+    """Appends to an indexed table attach the stored-parameter index
+    column, so new rows stay partition-clustered and findable by probes."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.io import load_table
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first, rest = emb.filter("vec_id < 250"), emb.filter("vec_id >= 250")
+    t = warehouse.create_table("db.emb_maint", Schema.from_spark(emb.schema))
+    t.append(first)
+    similarity.add_ann_index(t, kind="ivf", n_cells=8, sample=512)
+    t.append(similarity.with_ann_index_col(t, rest))
+    # a probe finds a vector that arrived AFTER the index build
+    qv = rest.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    top = similarity.ivf_ann_topk_indexed(t, qv, k=1, nprobe=1).collect()
+    assert top[0]["cos_sim"] == 1.0
+    # and the appended files are cell-partitioned (all partition tuples set)
+    from incubator_iceberg_spark.scan import TableScan
+    entries = TableScan(t, spark).plan_entries_local()
+    assert all((e.get("partition") or {}).get("__ann_cell") is not None
+               for e in entries if (e.get("content") or 0) == 0)
