@@ -123,7 +123,7 @@ class BranchTableOperations(TableOperations):
         self.name = name
 
     def _entry(self, con) -> Optional[dict]:
-        _, h = _ref_hash(con, self.catalog.ref)
+        _, h = self.catalog._resolve(con)
         return _tables_at(con, h).get(self.name)
 
     def current_version(self) -> Optional[int]:
@@ -155,7 +155,7 @@ class BranchTableOperations(TableOperations):
         con = _connect(cat.db_path)
         try:
             con.execute("BEGIN IMMEDIATE")
-            ref_type, cur_hash = _ref_hash(con, cat.ref)
+            ref_type, cur_hash = cat._resolve(con)
             if ref_type != "branch":
                 con.rollback()
                 raise CommitFailedException(
@@ -207,10 +207,31 @@ class NessieLiteCatalog:
         with _connect(self.db_path):
             pass
 
+    def _resolve(self, con) -> tuple:
+        """(ref_type, commit_hash) for this view — detached views pin a
+        commit hash and are read-only."""
+        h = getattr(self, "_detached_hash", None)
+        if h is not None:
+            return ("detached", h)
+        return _ref_hash(con, self.ref)
+
     # -- ref management ----------------------------------------------------
     def with_ref(self, ref: str) -> "NessieLiteCatalog":
         """A view of the same catalog on another branch/tag."""
         return NessieLiteCatalog(self.db_path, self.warehouse, self.spark, ref)
+
+    def at_hash(self, commit_hash: str) -> "NessieLiteCatalog":
+        """Read-only view pinned to one catalog commit (nessie detached
+        ref): loads resolve against that commit's table map; commits
+        raise (no ref to move)."""
+        with _connect(self.db_path) as con:
+            if con.execute("SELECT 1 FROM catalog_commits WHERE hash = ?",
+                           (commit_hash,)).fetchone() is None:
+                raise ValueError(f"unknown catalog commit: {commit_hash}")
+        view = NessieLiteCatalog(self.db_path, self.warehouse, self.spark,
+                                 f"DETACHED@{commit_hash}")
+        view._detached_hash = commit_hash
+        return view
 
     def create_branch(self, name: str, from_ref: Optional[str] = None) -> "NessieLiteCatalog":
         return self._create_ref(name, "branch", from_ref)
@@ -350,7 +371,7 @@ class NessieLiteCatalog:
     # -- table surface (acts on self.ref) ----------------------------------
     def _ops(self, name: str) -> BranchTableOperations:
         with _connect(self.db_path) as con:
-            _, h = _ref_hash(con, self.ref)
+            _, h = self._resolve(con)
             e = _tables_at(con, h).get(name)
         loc = e["location"] if e else os.path.join(
             self.warehouse, *name.split("."), uuid.uuid4().hex[:8])
@@ -421,7 +442,7 @@ class NessieLiteCatalog:
 
     def list_tables(self, namespace: str = "") -> list:
         with _connect(self.db_path) as con:
-            _, h = _ref_hash(con, self.ref)
+            _, h = self._resolve(con)
             names = _tables_at(con, h)
         if namespace:
             return sorted(n for n in names if n.startswith(namespace + "."))

@@ -21,6 +21,8 @@ def metadata_table(table, kind: str, spark):
         "manifests": _manifests,
         "entries": _entries,
         "files": _files,
+        "data_files": _data_files,
+        "delete_files": _delete_files,
         "partitions": _partitions,
         "all_manifests": _all_manifests,
         "all_entries": _all_entries,
@@ -106,6 +108,26 @@ def _files(table, spark, snapshot=None):
     if "status" not in df.columns:
         return df
     return df.filter(F.col("status") != MF.DELETED)
+
+
+def _data_files(table, spark, snapshot=None):
+    """Live DATA files only (DataFilesTable analog)."""
+    from pyspark.sql import functions as F
+    df = _files(table, spark, snapshot)
+    if "content" not in df.columns:
+        return df
+    return df.filter(F.coalesce(F.col("content"), F.lit(0)) == MF.DATA)
+
+
+def _delete_files(table, spark, snapshot=None):
+    """Live position/equality DELETE files only (DeleteFilesTable
+    analog) — the per-file view of the delete debt `partitions`
+    aggregates."""
+    from pyspark.sql import functions as F
+    df = _files(table, spark, snapshot)
+    if "content" not in df.columns:
+        return df.limit(0)
+    return df.filter(F.coalesce(F.col("content"), F.lit(0)) != MF.DATA)
 
 
 def _partitions(table, spark):

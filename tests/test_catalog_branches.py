@@ -129,3 +129,20 @@ def test_caching_catalog_lru_bound(warehouse, orders, spark):
     for i in range(3):
         cat.create_table(f"db.lru{i}", Schema.from_spark(orders.schema))
     assert len(cat._cache) == 2  # oldest evicted
+
+
+def test_detached_commit_read(ncat, orders, spark):
+    """at_hash pins a catalog commit: reads see that state, writes fail."""
+    from incubator_iceberg_spark.metadata import CommitFailedException
+
+    t = ncat.create_table("db.det", Schema.from_spark(orders.schema))
+    t.append(orders.limit(10))
+    h1 = ncat.ref_hash()
+    t.append(orders.limit(30))
+    old = ncat.at_hash(h1)
+    assert old.load_table("db.det").to_df().count() == 10
+    assert ncat.load_table("db.det").to_df().count() == 40
+    with pytest.raises((CommitFailedException, ValueError)):
+        old.load_table("db.det").append(orders.limit(1))
+    with pytest.raises(ValueError):
+        ncat.at_hash("nope")

@@ -344,3 +344,18 @@ def test_metrics_modes_per_column(warehouse, orders, spark):
     # truncation to 4 chars still prunes correctly on the default columns
     want = orders.filter("o_totalprice > 200000").count()
     assert t.to_df(filter="o_totalprice > 200000").count() == want
+
+
+def test_data_and_delete_files_metadata_tables(warehouse, orders, spark):
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table("db.mt_split", Schema.from_spark(orders.schema))
+    t.append(orders)
+    t.delete_where("o_orderkey % 50 = 0", mode="merge-on-read")
+    data = t.metadata_table("data_files")
+    dels = t.metadata_table("delete_files")
+    n_all = t.metadata_table("files").count()
+    assert data.count() + dels.count() == n_all
+    assert dels.count() >= 1
+    want_deleted = orders.filter("o_orderkey % 50 = 0").count()
+    assert sum(r["record_count"] for r in dels.collect()) == want_deleted
