@@ -151,7 +151,21 @@ PROCEDURES = {
         name, snapshot_id=int(kw["snapshot_id"]) if "snapshot_id" in kw else None),
     "drop_ref": lambda t, name: t.drop_ref(name),
     "fast_forward": lambda t, name, to_ref: t.fast_forward(name, to_ref),
+    # persistent ANN index build (round 2; clustering-rewrite action)
+    "add_ann_index": lambda t, **kw: _call_add_ann_index(t, **kw),
 }
+
+
+def _call_add_ann_index(t, **kw):
+    from incubator_iceberg_spark.functions import similarity
+    similarity.add_ann_index(
+        t, kind=kw.get("kind", "ivf"),
+        vec_col=kw.get("vec_col", "embedding"),
+        id_col=kw.get("id_col", "vec_id"),
+        n_cells=int(kw.get("n_cells", 16)),
+        bits=int(kw.get("bits", 8)),
+        seed=int(kw.get("seed", 42)))
+    return {"indexed": t.name, "kind": kw.get("kind", "ivf")}
 
 _CALL_RE = re.compile(
     r"^\s*CALL\s+(?:[A-Za-z_][\w]*\.)?system\.([A-Za-z_][\w]*)\s*\((.*)\)\s*$",

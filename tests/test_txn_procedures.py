@@ -212,3 +212,19 @@ def test_add_files_rejects_bucket_spec(warehouse, orders, spark, tmp_path):
                                partition_by=[("o_orderkey", "bucket[4]")])
     with _pytest.raises(ValueError, match="bucket membership"):
         procedures.add_files(t, str(ext), spark=spark)
+
+
+def test_call_add_ann_index(warehouse, spark, sf_dir):
+    from incubator_iceberg_spark import procedures as PR
+    from incubator_iceberg_spark.io import load_table
+    from incubator_iceberg_spark.schema import Schema
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = warehouse.create_table("db.emb_proc", Schema.from_spark(emb.schema))
+    t.append(emb)
+    PR.call(warehouse,
+            "CALL system.add_ann_index('db.emb_proc', kind => 'ivf', "
+            "n_cells => 8)")
+    t = warehouse.load_table("db.emb_proc")
+    assert t.metadata.schema().find_field("__ann_cell") is not None
+    assert t.metadata.properties.get("ann.index.kind") == "ivf"
