@@ -282,6 +282,9 @@ def delete_where_mor(table, expr: X.Expression, spark=None) -> dict:
                .sortWithinPartitions("file_path", "pos"))
         new_entries = DEL._write_delete_parquet(spark, md.location, pos,
                                                 DEL.POS_DELETE_SCHEMA)
+        # inclusive stats can admit files whose rows don't actually match:
+        # don't commit empty delete files
+        new_entries = [e for e in new_entries if e["record_count"]]
         for e in new_entries:
             e["content"] = MF.POSITION_DELETES
         marked_rows = sum(e["record_count"] for e in new_entries)
@@ -336,6 +339,7 @@ def update_mor(table, assignments: dict, condition: X.Expression,
            .sortWithinPartitions("file_path", "pos"))
     pos_entries = DEL._write_delete_parquet(spark, md.location, pos,
                                             DEL.POS_DELETE_SCHEMA)
+    pos_entries = [e for e in pos_entries if e["record_count"]]
     for e in pos_entries:
         e["content"] = MF.POSITION_DELETES
 

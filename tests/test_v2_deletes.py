@@ -325,3 +325,20 @@ def test_changelog_sees_mor_update(warehouse, orders, spark):
                if r["_change_type"] == "insert")
     assert all(r["o_orderpriority"] != "Z-TEST" for r in ch
                if r["_change_type"] == "delete")
+
+
+def test_mor_delete_no_matching_rows_writes_nothing(warehouse, orders, spark):
+    """Stats admit a file but no row matches: no empty delete files, no
+    pointless snapshot."""
+    t = _ingest(warehouse, "db.mor_empty", orders)
+    snaps = len(t.snapshots())
+    lo = orders.agg(F.min("o_totalprice")).collect()[0][0]
+    hi = orders.agg(F.max("o_totalprice")).collect()[0][0]
+    mid = (float(lo) + float(hi)) / 2
+    res = t.delete_where(
+        f"o_totalprice > {mid} AND o_totalprice < {mid}",  # unsatisfiable
+        mode="merge-on-read")
+    assert res["delete_files_written"] == 0
+    assert res["deleted_rows"] == 0
+    assert len(t.snapshots()) == snaps
+    assert t.to_df().count() == orders.count()
