@@ -1320,6 +1320,28 @@ def q_dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
 
 
+def q_vocab_doc_freq(spark, sf_dir):
+    """Vocabulary by document frequency (top 100, ties by token) — the
+    stopword/tokenizer-building statistic over the corpus."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import text as TX
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    return (TX.doc_frequency(df)
+            .orderBy(F.desc("doc_freq"), "token").limit(100))
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact corpus length/quality quantiles (p25/p50/p75/p95 with linear
+    interpolation — Spark percentile() and DuckDB quantile_cont agree)."""
+    from pyspark.sql import functions as F
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    ln = F.length("text").cast("double")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return df.agg(*[F.round(F.expr(f"percentile(CAST(length(text) AS DOUBLE), {p})"), 6)
+                    .alias(f"p{int(p * 100)}") for p in qs],
+                  F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_dedup_groups(spark, sf_dir):
     """Transitive duplicate GROUPS: MinHash near-dup pairs → connected
     components via iterative min-label propagation (the keep-one decision
@@ -1641,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": q_dedup_ngram,
         "dedup_groups": q_dedup_groups,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "vocab_doc_freq": q_vocab_doc_freq,
+        "length_quantiles": q_length_quantiles,
         "text_stats": q_text_stats,
         "text_analyze": q_text_analyze,
         "ann_bruteforce": q_ann_bruteforce,
@@ -2495,6 +2519,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                    count(l_quantity) AS n, max(l_extendedprice) AS max_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "vocab_doc_freq": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                         regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                         x -> x != ''))) AS token
+              FROM documents)
+            SELECT token, count(*) AS doc_freq
+            FROM tok GROUP BY token
+            ORDER BY doc_freq DESC, token LIMIT 100
+        """,
+        "length_quantiles": """
+            SELECT round(quantile_cont(length(text)::DOUBLE, 0.25), 6) AS p25,
+                   round(quantile_cont(length(text)::DOUBLE, 0.50), 6) AS p50,
+                   round(quantile_cont(length(text)::DOUBLE, 0.75), 6) AS p75,
+                   round(quantile_cont(length(text)::DOUBLE, 0.95), 6) AS p95,
+                   count(*) AS n_docs
+            FROM documents
         """,
         "skew_salted_join": """
             SELECT o_orderpriority, count(*) AS n_lines,

@@ -119,6 +119,17 @@ def fingerprint(col):
     return F.xxhash64(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
+def doc_frequency(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(token, df) document-frequency table over the corpus — the vocab
+    statistic tokenizer/stopword builders consume.  explode + distinct +
+    groupBy count: one shuffle on the token, map-side combined."""
+    from pyspark.sql import functions as F
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("doc_freq")))
+
+
 def analyze(df, text_col: str = "text"):
     """One-pass text-analysis projection over a documents DataFrame."""
     from pyspark.sql import functions as F
