@@ -111,3 +111,40 @@ def test_streaming_upsert_sink_exactly_once(warehouse, spark, sf_dir, tmp_path):
     before = t.metadata.current_snapshot_id
     assert STR.upsert_exactly_once(t, upd, epoch_id=0, on=["o_orderkey"]) is False
     assert t.refresh().metadata.current_snapshot_id == before
+
+
+def test_streaming_exact_dedup_dropduplicates(warehouse, spark, sf_dir, tmp_path):
+    """Streaming exact dedup: dropDuplicates on the content hash across
+    micro-batches (state-backed) feeding the exactly-once sink — the
+    final table holds one row per distinct text even when duplicates
+    span batches."""
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.functions.dedup import content_hash
+
+    docs = spark.createDataFrame(
+        [(i, ["alpha text", "beta text", "gamma text"][i % 3]) for i in range(30)],
+        "doc_id long, text string")
+    src_dir = str(tmp_path / "dd_src")
+    for i in range(3):  # duplicates deliberately span the 3 micro-batches
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+
+    sink = warehouse.create_table("db.dd_sink", "doc_id long, text string")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir)
+              .withColumn("__h", content_hash("text"))
+              .dropDuplicates(["__h"])
+              .drop("__h"))
+
+    def write_batch(batch_df, epoch_id):
+        STR.append_exactly_once(sink, batch_df, epoch_id, query_id="dd")
+
+    q = (stream.writeStream.outputMode("append").foreachBatch(write_batch)
+         .option("checkpointLocation", str(tmp_path / "dd_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    sink.refresh()
+    rows = sink.to_df().collect()
+    assert len(rows) == 3  # one per distinct text across ALL batches
+    assert {r["text"] for r in rows} == {"alpha text", "beta text", "gamma text"}
