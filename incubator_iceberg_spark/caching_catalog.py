@@ -25,6 +25,9 @@ class CachingCatalog:
         t = self._cache.get(name)
         if t is not None:
             self._cache.move_to_end(name)
+            if spark is not None and t.spark is None:
+                # first load had no session; honor the caller's
+                t.spark = spark
             return t
         t = self.inner.load_table(name, spark=spark) if spark is not None \
             else self.inner.load_table(name)

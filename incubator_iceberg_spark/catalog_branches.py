@@ -28,6 +28,7 @@ import json
 import os
 import sqlite3
 import time
+from contextlib import closing
 import uuid
 from typing import Optional
 
@@ -70,23 +71,32 @@ class MergeConflictError(Exception):
     """Both branches changed the same table since their common ancestor."""
 
 
+_initialized: set = set()
+
+
 def _connect(db_path: str) -> sqlite3.Connection:
     # autocommit mode: transactions are ONLY the explicit BEGIN IMMEDIATE
     # blocks below (python's implicit-transaction default would leave the
-    # seed INSERTs holding a txn open)
+    # seed INSERTs holding a txn open).  DDL + root-commit seeding runs
+    # once per db path per process; callers MUST close (or use the
+    # `with closing(...)`-style contexts below) — sqlite3's own context
+    # manager commits, it does not close.
     con = sqlite3.connect(db_path, timeout=30.0, isolation_level=None)
     con.execute("PRAGMA journal_mode=WAL")
-    for ddl in _DDL:
-        con.execute(ddl)
-    # the empty root commit every new ref starts from
-    con.execute(
-        "INSERT OR IGNORE INTO catalog_commits "
-        "(hash, parent, merge_parent, message, tables_json, created_ms) "
-        "VALUES (?, NULL, NULL, 'root', '{}', ?)",
-        (_EMPTY_HASH, int(time.time() * 1000)))
-    con.execute(
-        "INSERT OR IGNORE INTO catalog_refs (ref, type, hash) "
-        "VALUES ('main', 'branch', ?)", (_EMPTY_HASH,))
+    if db_path not in _initialized:
+        for ddl in _DDL:
+            con.execute(ddl)
+        # the empty root commit every new ref starts from (idempotent —
+        # a concurrent-process race is harmless)
+        con.execute(
+            "INSERT OR IGNORE INTO catalog_commits "
+            "(hash, parent, merge_parent, message, tables_json, created_ms) "
+            "VALUES (?, NULL, NULL, 'root', '{}', ?)",
+            (_EMPTY_HASH, int(time.time() * 1000)))
+        con.execute(
+            "INSERT OR IGNORE INTO catalog_refs (ref, type, hash) "
+            "VALUES ('main', 'branch', ?)", (_EMPTY_HASH,))
+        _initialized.add(db_path)
     return con
 
 
@@ -127,12 +137,12 @@ class BranchTableOperations(TableOperations):
         return _tables_at(con, h).get(self.name)
 
     def current_version(self) -> Optional[int]:
-        with _connect(self.catalog.db_path) as con:
+        with closing(_connect(self.catalog.db_path)) as con:
             e = self._entry(con)
         return e["version"] if e else None
 
     def refresh(self) -> Optional[TableMetadata]:
-        with _connect(self.catalog.db_path) as con:
+        with closing(_connect(self.catalog.db_path)) as con:
             e = self._entry(con)
         if e is None:
             return None
@@ -204,7 +214,7 @@ class NessieLiteCatalog:
         self.spark = spark
         self.ref = ref
         os.makedirs(self.warehouse, exist_ok=True)
-        with _connect(self.db_path):
+        with closing(_connect(self.db_path)):
             pass
 
     def _resolve(self, con) -> tuple:
@@ -224,7 +234,7 @@ class NessieLiteCatalog:
         """Read-only view pinned to one catalog commit (nessie detached
         ref): loads resolve against that commit's table map; commits
         raise (no ref to move)."""
-        with _connect(self.db_path) as con:
+        with closing(_connect(self.db_path)) as con:
             if con.execute("SELECT 1 FROM catalog_commits WHERE hash = ?",
                            (commit_hash,)).fetchone() is None:
                 raise ValueError(f"unknown catalog commit: {commit_hash}")
@@ -260,23 +270,23 @@ class NessieLiteCatalog:
     def drop_ref(self, name: str) -> None:
         if name == "main":
             raise ValueError("cannot drop main")
-        with _connect(self.db_path) as con:
+        with closing(_connect(self.db_path)) as con:
             con.execute("DELETE FROM catalog_refs WHERE ref = ?", (name,))
 
     def list_refs(self) -> list:
-        with _connect(self.db_path) as con:
+        with closing(_connect(self.db_path)) as con:
             return sorted(
                 (r[0], r[1], r[2]) for r in
                 con.execute("SELECT ref, type, hash FROM catalog_refs"))
 
     def ref_hash(self, ref: Optional[str] = None) -> str:
-        with _connect(self.db_path) as con:
+        with closing(_connect(self.db_path)) as con:
             return _ref_hash(con, ref or self.ref)[1]
 
     def log(self, ref: Optional[str] = None, limit: int = 100) -> list:
         """Commit log of a ref (newest first) — `nessie log` analog."""
         out = []
-        with _connect(self.db_path) as con:
+        with closing(_connect(self.db_path)) as con:
             h = _ref_hash(con, ref or self.ref)[1]
             while h and len(out) < limit:
                 row = con.execute(
@@ -292,12 +302,22 @@ class NessieLiteCatalog:
 
     # -- merge -------------------------------------------------------------
     def _ancestors(self, con, h: str) -> list:
-        chain = []
-        while h is not None:
-            chain.append(h)
-            row = con.execute("SELECT parent FROM catalog_commits WHERE hash = ?",
-                              (h,)).fetchone()
-            h = row[0] if row else None
+        """BFS ancestors over BOTH parent edges — merge commits have a
+        ``merge_parent`` too, and ignoring it would make the merge base
+        of a re-merged long-lived branch resolve to the original branch
+        point (spurious conflicts on every later merge)."""
+        chain, seen, frontier = [], set(), [h]
+        while frontier:
+            cur = frontier.pop(0)
+            if cur is None or cur in seen:
+                continue
+            seen.add(cur)
+            chain.append(cur)
+            row = con.execute(
+                "SELECT parent, merge_parent FROM catalog_commits WHERE hash = ?",
+                (cur,)).fetchone()
+            if row:
+                frontier.extend(p for p in row if p is not None)
         return chain
 
     def merge(self, from_ref: str, to_ref: Optional[str] = None,
@@ -370,7 +390,7 @@ class NessieLiteCatalog:
 
     # -- table surface (acts on self.ref) ----------------------------------
     def _ops(self, name: str) -> BranchTableOperations:
-        with _connect(self.db_path) as con:
+        with closing(_connect(self.db_path)) as con:
             _, h = self._resolve(con)
             e = _tables_at(con, h).get(name)
         loc = e["location"] if e else os.path.join(
@@ -441,7 +461,7 @@ class NessieLiteCatalog:
             con.close()
 
     def list_tables(self, namespace: str = "") -> list:
-        with _connect(self.db_path) as con:
+        with closing(_connect(self.db_path)) as con:
             _, h = self._resolve(con)
             names = _tables_at(con, h)
         if namespace:

@@ -63,10 +63,17 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     self-join is quadratic PER BUCKET, so one boilerplate bucket with 10⁶
     ids would put O(10¹²) pairs on a single reducer.  Buckets larger than
     ``max_bucket_size`` are collapsed to STAR pairs (bucket-min ↔ member):
-    O(n) per bucket, and the duplicate-group CONNECTIVITY the dedup keep-one
-    decision needs is preserved (transitive closure unchanged); only
-    non-min ↔ non-min pair enumeration inside degenerate buckets is
-    skipped.  The number of capped buckets is logged.
+    O(n) per bucket.  Precise semantics of the trade: the CANDIDATE graph
+    keeps every hot-bucket member connected to the bucket min, so a
+    degenerate bucket of mutually-identical docs still dedups fully (all
+    pairs verify at jaccard 1.0 through the min).  A pair of merely
+    SIMILAR docs whose only co-occurring bands are hot can be missed when
+    neither verifies against the bucket min — that recall loss is
+    inherent to every hot-bucket guard (the common alternative, dropping
+    the bucket outright, loses strictly more), is bounded by the other
+    ``bands-1`` bands each pair hashes into, and only applies past a
+    threshold tuned to be degenerate-only.  The number of capped buckets
+    is logged so operators see when it fires.
     """
     import logging
     from pyspark.sql import functions as F
@@ -254,6 +261,12 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "connected_components: max_iter=%d reached before fixpoint — "
+            "labels for components with diameter > max_iter are NOT "
+            "converged; raise max_iter", max_iter)
     edges.unpersist()
     return labels
 
@@ -298,7 +311,11 @@ def simhash_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     Chunk-key buckets larger than ``max_bucket_size`` are collapsed to star
     pairs (bucket-min ↔ member) like ``minhash_lsh_pairs`` — a degenerate
     corpus of identical docs otherwise makes the block join O(n²) on one
-    reducer.  Group connectivity is preserved; capped buckets are logged."""
+    reducer.  Identical docs (distance 0 to the min) always survive; a
+    member pair within ``max_distance`` of each other but beyond it from
+    the bucket min can be missed if its other three chunks are also hot —
+    the inherent hot-bucket trade (see minhash_lsh_pairs docstring).
+    Capped buckets are logged."""
     import logging
     from pyspark.sql import functions as F
     par = df.sparkSession.sparkContext.defaultParallelism

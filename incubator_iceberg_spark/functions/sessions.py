@@ -20,21 +20,25 @@ from __future__ import annotations
 GAP_MINUTES_DEFAULT = 60
 
 
+def _require_utc_for_ntz(df, ts_col: str) -> None:
+    """The NTZ→instant cast is only linear when the session tz has no DST:
+    require UTC rather than silently shifting gap boundaries.  Must run
+    BEFORE any cast to tz-aware timestamp (the cast erases the evidence)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                f"TIMESTAMP_NTZ {ts_col!r} requires spark.sql.session.timeZone"
+                f"=UTC for gap sessionization (got {tz!r})")
+
+
 def assign_sessions(df, user_col: str = "user_id", ts_col: str = "ts",
                     gap_minutes: int = GAP_MINUTES_DEFAULT):
     """Per-event session sequence number (1-based per user)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    # cast tolerates TIMESTAMP_NTZ inputs (identity on TIMESTAMP) — but the
-    # NTZ→instant cast is only linear when the session tz has no DST, so
-    # require UTC rather than silently shifting gap boundaries
-    if dict(df.dtypes).get(ts_col if isinstance(ts_col, str) else None) == "timestamp_ntz":
-        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
-        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
-            raise ValueError(
-                f"TIMESTAMP_NTZ {ts_col!r} requires spark.sql.session.timeZone"
-                f"=UTC for gap sessionization (got {tz!r})")
+    _require_utc_for_ntz(df, ts_col)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(us)
     prev = F.lag(us).over(w)
@@ -54,6 +58,7 @@ def sessionize(df, user_col: str = "user_id", ts_col: str = "ts",
     match ``sessionize_stream``'s schema for TIMESTAMP_NTZ inputs too."""
     from pyspark.sql import functions as F
 
+    _require_utc_for_ntz(df, ts_col)  # BEFORE the cast erases NTZ-ness
     df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     tagged = assign_sessions(df, user_col, ts_col, gap_minutes)
     return (tagged.groupBy(user_col, "session_seq")

@@ -101,17 +101,12 @@ def lsh_bucket(vec_col, planes):
     return bucket
 
 
-def lsh_ann_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
-                 id_col: str = "vec_id", bits: int = 8, seed: int = 42,
-                 multiprobe_hamming: int = 1):
-    """Approximate top-k: scan only rows whose LSH bucket is within
-    ``multiprobe_hamming`` bits of the query's bucket (multi-probe LSH).
-    At 100 TB the bucket column is a partition/cluster key; here it is a
-    filter the Parquet scan can evaluate cheaply."""
-    from pyspark.sql import functions as F
-    dim = len(query_vec)
-    planes = random_planes(dim, bits, seed)
-    # python-side bucket of the query (same arithmetic as the Column path)
+def lsh_probe_buckets(planes, query_vec, multiprobe_hamming: int = 1) -> list:
+    """Driver-side probe set: the query's sign-bit bucket plus its
+    ``multiprobe_hamming``-bit-flip ring — ONE implementation shared by
+    the ad-hoc and stored-index paths so bucket semantics can't diverge.
+    Same arithmetic as the Column path (lsh_bucket)."""
+    bits = len(planes)
     qb = 0
     for i, p in enumerate(planes):
         if sum(px * qx for px, qx in zip(p, query_vec)) >= 0:
@@ -122,6 +117,32 @@ def lsh_ann_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
     if multiprobe_hamming >= 2:
         probe += [qb ^ (1 << i) ^ (1 << j)
                   for i in range(bits) for j in range(i + 1, bits)]
+    return probe
+
+
+def ivf_probe_cells(centroids, query_vec, nprobe: int) -> list:
+    """Driver-side nearest-``nprobe`` centroid cells of a query (shared by
+    ad-hoc and stored-index IVF paths)."""
+    import numpy as np
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.array(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    return [int(i) for i in np.argsort(-(cent @ q))[:nprobe]]
+
+
+def lsh_ann_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id", bits: int = 8, seed: int = 42,
+                 multiprobe_hamming: int = 1):
+    """Approximate top-k: scan only rows whose LSH bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket (multi-probe LSH).
+    At 100 TB the bucket column is a partition/cluster key; here it is a
+    filter the Parquet scan can evaluate cheaply."""
+    from pyspark.sql import functions as F
+    dim = len(query_vec)
+    planes = random_planes(dim, bits, seed)
+    probe = lsh_probe_buckets(planes, query_vec, multiprobe_hamming)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
     cand = bucketed.filter(F.col("__bucket").isin(probe))
@@ -197,11 +218,7 @@ def ivf_ann_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
 
     cent = np.array(spherical_kmeans(df, vec_col, id_col, n_cells, sample,
                                      iters, seed))
-    q = np.array(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q)
-    if qn > 0:
-        q = q / qn
-    probe = [int(i) for i in np.argsort(-(cent @ q))[:nprobe]]
+    probe = ivf_probe_cells(cent, query_vec, nprobe)
     cand = df.withColumn("__cell", ivf_cell_col(cent.tolist(), vec_col)) \
         .filter(F.col("__cell").isin(probe))
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
@@ -322,11 +339,7 @@ def ivf_ann_topk_indexed(table, query_vec, k: int = 10,
     import json
     cent = np.array(json.loads(p[ANN_PROP + "centroids"]))
     vec_col = p[ANN_PROP + "vec-col"]
-    q = np.array(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q)
-    if qn > 0:
-        q = q / qn
-    probe = [int(i) for i in np.argsort(-(cent @ q))[:nprobe]]
+    probe = ivf_probe_cells(cent, query_vec, nprobe)
     in_list = ", ".join(str(c) for c in probe)
     cand = table.to_df(spark=spark, filter=f"__ann_cell IN ({in_list})")
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
@@ -350,16 +363,7 @@ def lsh_ann_topk_indexed(table, query_vec, k: int = 10,
     dim = int(p[ANN_PROP + "dim"])
     vec_col = p[ANN_PROP + "vec-col"]
     planes = random_planes(dim, bits, seed)
-    qb = 0
-    for i, pl in enumerate(planes):
-        if sum(px * qx for px, qx in zip(pl, query_vec)) >= 0:
-            qb |= 1 << i
-    probe = [qb]
-    if multiprobe_hamming >= 1:
-        probe += [qb ^ (1 << i) for i in range(bits)]
-    if multiprobe_hamming >= 2:
-        probe += [qb ^ (1 << i) ^ (1 << j)
-                  for i in range(bits) for j in range(i + 1, bits)]
+    probe = lsh_probe_buckets(planes, query_vec, multiprobe_hamming)
     in_list = ", ".join(str(b) for b in probe)
     cand = table.to_df(spark=spark, filter=f"__ann_bucket IN ({in_list})")
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])

@@ -146,16 +146,20 @@ def _partitions(table, spark):
     is_eq = content == MF.EQUALITY_DELETES
     size = (F.col("file_size_bytes") if "file_size_bytes" in df.columns
             else F.lit(None).cast("long"))
+    # every aggregate coalesced: a global agg over ZERO rows yields NULL
+    # sums, and the pre-split count(*) contract was 0
     aggs = [
         F.coalesce(F.sum(F.when(is_data, F.col("record_count"))),
                    F.lit(0)).alias("record_count"),
-        F.sum(is_data.cast("long")).alias("file_count"),
+        F.coalesce(F.sum(is_data.cast("long")), F.lit(0)).alias("file_count"),
         F.coalesce(F.sum(F.when(is_data, size)), F.lit(0))
             .alias("total_data_file_size_in_bytes"),
-        F.sum(is_pos.cast("long")).alias("position_delete_file_count"),
+        F.coalesce(F.sum(is_pos.cast("long")), F.lit(0))
+            .alias("position_delete_file_count"),
         F.coalesce(F.sum(F.when(is_pos, F.col("record_count"))),
                    F.lit(0)).alias("position_delete_record_count"),
-        F.sum(is_eq.cast("long")).alias("equality_delete_file_count"),
+        F.coalesce(F.sum(is_eq.cast("long")), F.lit(0))
+            .alias("equality_delete_file_count"),
         F.coalesce(F.sum(F.when(is_eq, F.col("record_count"))),
                    F.lit(0)).alias("equality_delete_record_count"),
         F.coalesce(F.sum(F.when(is_pos | is_eq, size)), F.lit(0))

@@ -342,6 +342,11 @@ def update_mor(table, assignments: dict, condition: X.Expression,
     pos_entries = [e for e in pos_entries if e["record_count"]]
     for e in pos_entries:
         e["content"] = MF.POSITION_DELETES
+    if not pos_entries:
+        # stats admitted files but no row matched: nothing to commit
+        matched.unpersist()
+        return {"delete_files_written": 0, "staged_files": 0,
+                "mode": "merge-on-read"}
 
     exprs = {}
     for col, val in assignments.items():

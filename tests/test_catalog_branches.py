@@ -146,3 +146,20 @@ def test_detached_commit_read(ncat, orders, spark):
         old.load_table("db.det").append(orders.limit(1))
     with pytest.raises(ValueError):
         ncat.at_hash("nope")
+
+
+def test_remerge_long_lived_branch_no_spurious_conflict(ncat, orders, spark):
+    """After a three-way merge, merging the SAME branch again (with new
+    commits) must not conflict: the merge base follows merge_parent
+    edges, not just first parents."""
+    a = orders.limit(50)
+    ncat.create_table("db.x", Schema.from_spark(a.schema)).append(a)
+    etl = ncat.create_branch("lived")
+    etl.create_table("db.y", Schema.from_spark(a.schema)).append(a)
+    ncat.create_table("db.z", Schema.from_spark(a.schema)).append(a)
+    ncat.merge("lived")  # three-way (both sides moved, different tables)
+    # branch keeps living: another change to db.y on the branch only
+    etl.load_table("db.y").append(a)
+    h = ncat.merge("lived")  # re-merge must NOT conflict
+    assert ncat.load_table("db.y").to_df().count() == 100
+    assert ncat.log()[0]["hash"] == h

@@ -342,3 +342,12 @@ def test_mor_delete_no_matching_rows_writes_nothing(warehouse, orders, spark):
     assert res["deleted_rows"] == 0
     assert len(t.snapshots()) == snaps
     assert t.to_df().count() == orders.count()
+
+
+def test_mor_update_no_matching_rows_writes_nothing(warehouse, orders, spark):
+    t = _ingest(warehouse, "db.morupd_empty", orders)
+    snaps = len(t.snapshots())
+    res = t.update({"o_orderstatus": "'Q'"},
+                   "o_totalprice < 0", mode="merge-on-read")
+    assert res["delete_files_written"] == 0 and res["staged_files"] == 0
+    assert len(t.snapshots()) == snaps
