@@ -53,7 +53,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "ann_bruteforce",
-    "ann_ivf_indexed",
+    "ann_ivf_indexed",   # one-time index BUILD (clustering rewrite) + probe
+    "ann_ivf_probe",     # steady-state partition-pruned probe only
     "text_analyze",
 ]
 
