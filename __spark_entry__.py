@@ -657,6 +657,30 @@ def q_catalog_branch_merge(spark, sf_dir):
     return cat.load_table("db.orders").to_df()
 
 
+def q_catalog_txn_multi_table(spark, sf_dir):
+    """ATOMIC MULTI-TABLE transaction (Nessie capability): even keys into
+    one table and odd keys into another, staged together and published by
+    a single catalog-ref CAS; mid-transaction neither is visible.  The
+    union read equals the full orders set."""
+    import uuid as _uuid
+    from incubator_iceberg_spark.catalog_branches import NessieLiteCatalog
+    from incubator_iceberg_spark.schema import Schema
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    root = os.path.join(SCRATCH_ROOT, "ntxn-" + _uuid.uuid4().hex)
+    cat = NessieLiteCatalog(os.path.join(root, "cat.db"),
+                            os.path.join(root, "wh"), spark)
+    orders = _load(spark, sf_dir, "orders")
+    cat.create_table("db.evens", Schema.from_spark(orders.schema))
+    cat.create_table("db.odds", Schema.from_spark(orders.schema))
+    with cat.transaction() as txn:
+        txn.table("db.evens").append(orders.filter("o_orderkey % 2 = 0"))
+        txn.table("db.odds").append(orders.filter("o_orderkey % 2 != 0"))
+        assert cat.load_table("db.evens").to_df().count() == 0, \
+            "transaction leaked before commit"
+    return (cat.load_table("db.evens").to_df()
+            .unionByName(cat.load_table("db.odds").to_df()))
+
+
 def q_snapshots_meta(spark, sf_dir):
     """`snapshots` metadata table: the 3 staged event appends' operation +
     record accounting are derivable from the raw events table, making the
@@ -1712,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_mor": q_update_mor,
         "delete_debt_meta": q_delete_debt_meta,
         "catalog_branch_merge": q_catalog_branch_merge,
+        "catalog_txn_multi_table": q_catalog_txn_multi_table,
         # --- driver-green in round 1 (proven; rotate to the back) --------
         "q1_pricing_summary": q_q1,
         "q3_shipping_priority": q_q3,
@@ -1942,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "delete_cow": "SELECT * FROM orders WHERE NOT (o_totalprice > 250000)",
         "delete_mor": "SELECT * FROM orders WHERE o_orderkey % 41 != 0",
         "catalog_branch_merge": "SELECT * FROM orders",
+        "catalog_txn_multi_table": "SELECT * FROM orders",
         "update_mor": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    o_orderdate,

@@ -202,6 +202,167 @@ class BranchTableOperations(TableOperations):
         return new_version
 
 
+class StagedTableOperations(BranchTableOperations):
+    """TableOperations that stage commits into a CatalogTransaction
+    instead of the ref store: metadata files are written, but the
+    catalog pointer only moves when the WHOLE transaction commits."""
+
+    def __init__(self, txn: "CatalogTransaction", name: str,
+                 table_location: str):
+        super().__init__(txn.catalog, name, table_location)
+        self.txn = txn
+
+    def _staged(self) -> Optional[dict]:
+        return self.txn.staged.get(self.name)
+
+    def current_version(self) -> Optional[int]:
+        s = self._staged()
+        if s is not None:
+            return s["version"]
+        e = self.txn.base_tables.get(self.name)
+        return e["version"] if e else None
+
+    def refresh(self) -> Optional[TableMetadata]:
+        s = self._staged() or self.txn.base_tables.get(self.name)
+        if s is None:
+            return None
+        with open(s["metadata_file"]) as f:
+            md = TableMetadata.from_json(json.load(f))
+        md._version = s["version"]  # type: ignore[attr-defined]
+        return md
+
+    def commit(self, base_version: Optional[int], metadata: TableMetadata) -> int:
+        cur = self.current_version()
+        if cur != base_version:
+            raise CommitFailedException(
+                f"{self.name}@txn: expected v{base_version}, found v{cur}")
+        new_version = (base_version or 0) + 1
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        mfile = os.path.join(self.metadata_dir,
+                             f"b-{uuid.uuid4().hex}.metadata.json")
+        with open(mfile, "w") as f:
+            json.dump(metadata.to_json(), f, default=MD._json_default)
+            f.flush()
+            os.fsync(f.fileno())
+        self.txn.staged[self.name] = {"location": self.location,
+                                      "version": new_version,
+                                      "metadata_file": mfile}
+        return new_version
+
+
+class CatalogTransaction:
+    """ATOMIC MULTI-TABLE transaction on a branch — the capability the
+    reference ecosystem gets from Nessie: any number of table mutations
+    (appends, deletes, creates, …) staged against one catalog state and
+    published by a single ref CAS.  Readers see all of it or none of it.
+
+    Conflict rule at commit: every touched table's version in the
+    branch's CURRENT state must still equal the version this transaction
+    started from (per-table optimistic check — commits that touched
+    DISJOINT tables interleave freely; a concurrent change to a touched
+    table fails the transaction, nothing is applied).
+
+        with cat.transaction() as txn:
+            txn.table("db.a").append(df1)
+            txn.table("db.b").append(df2)
+        # one catalog commit: a and b move together
+    """
+
+    def __init__(self, catalog: "NessieLiteCatalog"):
+        self.catalog = catalog
+        with closing(_connect(catalog.db_path)) as con:
+            ref_type, h = catalog._resolve(con)
+            if ref_type != "branch":
+                raise ValueError(
+                    f"transactions require a branch (ref {catalog.ref!r} "
+                    f"is a {ref_type})")
+            self.base_hash = h
+            self.base_tables = _tables_at(con, h)
+        self.staged: dict = {}
+        self._done = False
+
+    def table(self, name: str) -> Table:
+        e = self.staged.get(name) or self.base_tables.get(name)
+        loc = e["location"] if e else os.path.join(
+            self.catalog.warehouse, *name.split("."), uuid.uuid4().hex[:8])
+        ops = StagedTableOperations(self, name, loc)
+        if ops.refresh() is None:
+            raise NoSuchTableError(f"{name}@{self.catalog.ref} (txn)")
+        return Table(name, ops, self.catalog.spark)
+
+    def create_table(self, name: str, schema, partition_by=None,
+                     properties: Optional[dict] = None) -> Table:
+        from incubator_iceberg_spark.partitioning import PartitionSpec
+        from incubator_iceberg_spark.table import _as_schema
+
+        if name in self.staged or name in self.base_tables:
+            raise TableAlreadyExistsError(f"{name}@{self.catalog.ref}")
+        loc = os.path.join(self.catalog.warehouse, *name.split("."),
+                           uuid.uuid4().hex[:8])
+        ops = StagedTableOperations(self, name, loc)
+        schema = _as_schema(schema)
+        spec = (PartitionSpec.build(schema, partition_by)
+                if partition_by else PartitionSpec.unpartitioned(schema))
+        md = TableMetadata.new(loc, schema, spec, properties)
+        ops.commit(None, md)
+        return Table(name, ops, self.catalog.spark)
+
+    def commit(self) -> str:
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self._done = True
+        if not self.staged:
+            return self.base_hash
+        cat = self.catalog
+        con = _connect(cat.db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            ref_type, cur_hash = cat._resolve(con)
+            if ref_type != "branch":
+                raise CommitFailedException(f"ref {cat.ref!r} became {ref_type}")
+            tables = _tables_at(con, cur_hash)
+            for name in self.staged:
+                base_e = self.base_tables.get(name)
+                cur_e = tables.get(name)
+                base_v = base_e["version"] if base_e else None
+                cur_v = cur_e["version"] if cur_e else None
+                if base_v != cur_v:
+                    con.rollback()
+                    raise CommitFailedException(
+                        f"transaction conflict: {name}@{cat.ref} moved "
+                        f"v{base_v} → v{cur_v} since the transaction began")
+            tables.update(self.staged)
+            new_hash = uuid.uuid4().hex[:16]
+            con.execute(
+                "INSERT INTO catalog_commits (hash, parent, merge_parent, "
+                "message, tables_json, created_ms) VALUES (?, ?, NULL, ?, ?, ?)",
+                (new_hash, cur_hash,
+                 f"txn: {len(self.staged)} table(s) "
+                 + ", ".join(sorted(self.staged)),
+                 json.dumps(tables), int(time.time() * 1000)))
+            cur = con.execute(
+                "UPDATE catalog_refs SET hash = ? WHERE ref = ? AND hash = ?",
+                (new_hash, cat.ref, cur_hash))
+            if cur.rowcount == 0:
+                con.rollback()
+                raise CommitFailedException(
+                    f"concurrent commit moved ref {cat.ref!r}")
+            con.commit()
+            return new_hash
+        finally:
+            con.close()
+
+    def __enter__(self) -> "CatalogTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.commit()
+        else:
+            self._done = True  # abandon: staged files become orphans (GC'd)
+        return False
+
+
 class NessieLiteCatalog:
     """Catalog with Nessie-style branches/tags.  Same table surface as
     ``Catalog``/``SqliteCatalog`` plus ref management; all table
@@ -224,6 +385,10 @@ class NessieLiteCatalog:
         if h is not None:
             return ("detached", h)
         return _ref_hash(con, self.ref)
+
+    def transaction(self) -> "CatalogTransaction":
+        """Begin an atomic MULTI-TABLE transaction on this branch."""
+        return CatalogTransaction(self)
 
     # -- ref management ----------------------------------------------------
     def with_ref(self, ref: str) -> "NessieLiteCatalog":

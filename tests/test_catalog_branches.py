@@ -163,3 +163,58 @@ def test_remerge_long_lived_branch_no_spurious_conflict(ncat, orders, spark):
     h = ncat.merge("lived")  # re-merge must NOT conflict
     assert ncat.load_table("db.y").to_df().count() == 100
     assert ncat.log()[0]["hash"] == h
+
+
+def test_catalog_transaction_multi_table_atomic(ncat, orders, spark):
+    """Two tables move in ONE catalog commit: neither change is visible
+    before commit; both after; the commit log gains exactly one entry."""
+    a = orders.limit(60)
+    ncat.create_table("db.t_a", Schema.from_spark(a.schema)).append(a)
+    ncat.create_table("db.t_b", Schema.from_spark(a.schema))
+    log_before = len(ncat.log())
+    with ncat.transaction() as txn:
+        txn.table("db.t_a").append(a)            # 60 → 120
+        txn.table("db.t_b").append(a.limit(10))  # 0 → 10
+        # staged but NOT visible outside the txn yet
+        assert ncat.load_table("db.t_a").to_df().count() == 60
+        assert ncat.load_table("db.t_b").to_df().count() == 0
+    assert ncat.load_table("db.t_a").to_df().count() == 120
+    assert ncat.load_table("db.t_b").to_df().count() == 10
+    assert len(ncat.log()) == log_before + 1
+
+
+def test_catalog_transaction_conflict_aborts_everything(ncat, orders, spark):
+    from incubator_iceberg_spark.metadata import CommitFailedException
+
+    a = orders.limit(40)
+    ncat.create_table("db.c_a", Schema.from_spark(a.schema)).append(a)
+    ncat.create_table("db.c_b", Schema.from_spark(a.schema)).append(a)
+    txn = ncat.transaction()
+    txn.table("db.c_a").append(a)
+    txn.table("db.c_b").append(a)
+    # concurrent writer moves one touched table before the txn commits
+    ncat.load_table("db.c_a").append(a.limit(5))
+    with pytest.raises(CommitFailedException):
+        txn.commit()
+    # NOTHING from the transaction is visible — only the concurrent append
+    assert ncat.load_table("db.c_a").to_df().count() == 45
+    assert ncat.load_table("db.c_b").to_df().count() == 40
+
+
+def test_catalog_transaction_create_and_write(ncat, orders, spark):
+    a = orders.limit(25)
+    with ncat.transaction() as txn:
+        t = txn.create_table("db.fresh", Schema.from_spark(a.schema))
+        t.append(a)
+        assert not ncat.table_exists("db.fresh")
+    assert ncat.load_table("db.fresh").to_df().count() == 25
+
+
+def test_catalog_transaction_abandoned_on_error(ncat, orders, spark):
+    a = orders.limit(10)
+    ncat.create_table("db.ab", Schema.from_spark(a.schema))
+    with pytest.raises(RuntimeError):
+        with ncat.transaction() as txn:
+            txn.table("db.ab").append(a)
+            raise RuntimeError("boom")
+    assert ncat.load_table("db.ab").to_df().count() == 0
