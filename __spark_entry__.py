@@ -622,7 +622,9 @@ def q_ann_lsh_indexed(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     t = cat.create_table("s.emb_lsh_idx", Schema.from_spark(emb.schema))
     t.append(emb)
-    similarity.add_ann_index(t, kind="lsh", bits=8)
+    # 4 bits → 16 bucket partitions: enough to show pruning (5/16 probed)
+    # without the clustering rewrite writing hundreds of tiny files
+    similarity.add_ann_index(t, kind="lsh", bits=4)
     qs = [(r["vec_id"], r["embedding"])
           for r in emb.orderBy("vec_id").limit(5).collect()]
     out = None
