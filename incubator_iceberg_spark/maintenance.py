@@ -545,3 +545,49 @@ def run_maintenance(table, spark=None, target_file_size: Optional[int] = None,
     out["remove_orphan_files"] = len(remove_orphan_files(
         table, older_than_ms=MD.now_ms()))
     return out
+
+
+def write_partition_stats(table, spark=None) -> dict:
+    """Materialize the `partitions` metadata aggregate as a stats file
+    (the partition-statistics files of the later table-format spec,
+    core/.../PartitionStatisticsFile analog): at 10^6-file scale, showing
+    a user per-partition row/file/delete-debt counts should read ONE
+    small parquet, not re-aggregate every manifest entry.  The file is
+    pinned to the snapshot it summarizes via table properties;
+    ``Table.partition_stats()`` serves it while fresh and falls back to
+    the live aggregate after new commits."""
+    import os
+    import uuid
+
+    from incubator_iceberg_spark import metadata_tables as MT
+
+    spark = spark or table.spark
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return {"written": False, "reason": "no snapshot"}
+    df = MT.metadata_table(table, "partitions", spark)
+    path = os.path.join(table.location, "metadata",
+                        f"partition-stats-{snap.snapshot_id}-"
+                        f"{uuid.uuid4().hex[:8]}.parquet")
+    df.coalesce(1).write.mode("errorifexists").parquet(path)
+    table.update_properties({
+        "partition-stats.snapshot-id": str(snap.snapshot_id),
+        "partition-stats.path": path,
+    })
+    return {"written": True, "snapshot_id": snap.snapshot_id, "path": path}
+
+
+def partition_stats(table, spark=None):
+    """The `partitions` aggregate, served from the materialized stats
+    file when it is FRESH (pinned snapshot == current), else computed
+    live from the manifests."""
+    from incubator_iceberg_spark import metadata_tables as MT
+
+    spark = spark or table.spark
+    props = table.metadata.properties
+    pinned = props.get("partition-stats.snapshot-id")
+    path = props.get("partition-stats.path")
+    cur = table.metadata.current_snapshot_id
+    if pinned is not None and path is not None and str(cur) == pinned:
+        return spark.read.parquet(path)
+    return MT.metadata_table(table, "partitions", spark)

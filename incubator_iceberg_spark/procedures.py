@@ -153,6 +153,7 @@ PROCEDURES = {
     "fast_forward": lambda t, name, to_ref: t.fast_forward(name, to_ref),
     # persistent ANN index build (round 2; clustering-rewrite action)
     "add_ann_index": lambda t, **kw: _call_add_ann_index(t, **kw),
+    "write_partition_stats": lambda t, **kw: t.write_partition_stats(),
 }
 
 

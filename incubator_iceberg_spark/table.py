@@ -579,6 +579,14 @@ class Table:
         from incubator_iceberg_spark import maintenance
         return maintenance.run_maintenance(self, spark=spark or self.spark, **kw)
 
+    def write_partition_stats(self, spark=None) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.write_partition_stats(self, spark=spark or self.spark)
+
+    def partition_stats(self, spark=None):
+        from incubator_iceberg_spark import maintenance
+        return maintenance.partition_stats(self, spark=spark or self.spark)
+
     def fast_count(self, filter=None, spark=None):
         """Metadata-only exact COUNT(*) (None → needs a data scan)."""
         from incubator_iceberg_spark import agg_pushdown

@@ -273,3 +273,25 @@ def test_sort_rewrite_clusters_and_prunes(warehouse, orders, spark):
     want = orders.filter(f"o_totalprice > {thresh}").count()
     assert t.to_df(filter=f"o_totalprice > {thresh}").count() == want
     assert t.metadata.current_snapshot().operation == "replace"
+
+
+def test_partition_stats_file_fresh_and_stale(warehouse, lineitem, spark):
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table("db.pstats", Schema.from_spark(lineitem.schema),
+                               partition_by=["month(l_shipdate)"])
+    t.append(lineitem)
+    live = {tuple(sorted(r["partition"].asDict().items())): r["record_count"]
+            for r in t.partition_stats().collect()}
+    res = t.write_partition_stats()
+    assert res["written"]
+    # fresh: served from the materialized file, same contents
+    from_file = {tuple(sorted(r["partition"].asDict().items())): r["record_count"]
+                 for r in t.partition_stats().collect()}
+    assert from_file == live
+    assert t.metadata.properties["partition-stats.snapshot-id"] == \
+        str(t.metadata.current_snapshot_id)
+    # stale after a new commit: falls back to the live aggregate
+    t.append(lineitem.limit(100))
+    stale_sum = sum(r["record_count"] for r in t.partition_stats().collect())
+    assert stale_sum == lineitem.count() + 100
