@@ -54,7 +54,26 @@ def _marker_path(sf_dir: str) -> str:
     return os.path.join(_wh_dir(sf_dir), "_BUILT.json")
 
 
-_WAREHOUSE_VERSION = 3  # bump when the table set below changes
+_WAREHOUSE_VERSION = 4  # bump when the table set below changes
+
+
+def _build_fingerprint() -> str:
+    """Content hash of the warehouse-build recipe AND the engine write path.
+    Embedded in _BUILT.json so a warehouse written by older code can never be
+    served to a newer session even if _WAREHOUSE_VERSION was not bumped
+    (r2 post-mortem: version-matched-but-stale state is otherwise silent)."""
+    import hashlib
+    import inspect
+    h = hashlib.sha256()
+    h.update(inspect.getsource(_ensure_warehouse).encode())
+    import incubator_iceberg_spark as _pkg
+    pkg_dir = os.path.dirname(_pkg.__file__)
+    for rel in ("write.py", "snapshots.py", "manifests.py", "metadata.py",
+                "deletes.py", "transforms.py", "partitioning.py",
+                os.path.join("functions", "similarity.py")):
+        with open(os.path.join(pkg_dir, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
 
 
 def _ensure_warehouse(spark: SparkSession, sf_dir: str) -> dict:
@@ -65,7 +84,8 @@ def _ensure_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     if os.path.exists(marker):
         with open(marker) as f:
             info = json.load(f)
-        if info.get("version") == _WAREHOUSE_VERSION:
+        if (info.get("version") == _WAREHOUSE_VERSION
+                and info.get("fingerprint") == _build_fingerprint()):
             return info
 
     from incubator_iceberg_spark import Catalog
@@ -75,7 +95,8 @@ def _ensure_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     shutil.rmtree(wh, ignore_errors=True)
     os.makedirs(wh, exist_ok=True)
     cat = Catalog(wh, spark)
-    info: dict = {"sf_dir": sf_dir, "version": _WAREHOUSE_VERSION}
+    info: dict = {"sf_dir": sf_dir, "version": _WAREHOUSE_VERSION,
+                  "fingerprint": _build_fingerprint()}
 
     lineitem = _load(spark, sf_dir, "lineitem")
     t = cat.create_table("db.lineitem_part", Schema.from_spark(lineitem.schema),
@@ -1893,8 +1914,8 @@ def _pipeline_oracle() -> str:
           SELECT * FROM uniq
           WHERE doc_id NOT IN (SELECT id_b FROM dups))
         SELECT lang, count(*) AS n_docs,
-               sum(n_tokens) AS total_tokens,
-               sum(length(text)) AS total_chars
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM clean GROUP BY lang ORDER BY lang
     """
 
@@ -2353,7 +2374,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshots_meta": """
             SELECT 'append' AS operation,
                    count(*) AS added_records,
-                   sum(count(*)) OVER (ORDER BY event_id % 3) AS total_records
+                   CAST(sum(count(*)) OVER (ORDER BY event_id % 3) AS BIGINT)
+                       AS total_records
             FROM events GROUP BY event_id % 3
         """,
         "transforms_projection": """
@@ -2378,8 +2400,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_json": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k
             FROM events GROUP BY event_type
         """,
         "sessionize_events": """

@@ -67,6 +67,23 @@ _DDL = [
 _EMPTY_HASH = "0" * 16
 
 
+def _rel_to(base: str, path: str) -> str:
+    """Store catalog pointers relative to the warehouse root so relocating
+    the warehouse (or its db file) keeps every entry resolvable — the
+    reference keeps metadata pointers resolvable relative to the table
+    location for the same reason.  Paths outside the warehouse stay
+    absolute."""
+    try:
+        rel = os.path.relpath(os.path.abspath(path), base)
+    except ValueError:  # different drive (windows)
+        return path
+    return path if rel.startswith("..") else rel
+
+
+def _abs_to(base: str, path: str) -> str:
+    return path if os.path.isabs(path) else os.path.join(base, path)
+
+
 class MergeConflictError(Exception):
     """Both branches changed the same table since their common ancestor."""
 
@@ -146,7 +163,7 @@ class BranchTableOperations(TableOperations):
             e = self._entry(con)
         if e is None:
             return None
-        with open(e["metadata_file"]) as f:
+        with open(_abs_to(self.catalog.warehouse, e["metadata_file"])) as f:
             md = TableMetadata.from_json(json.load(f))
         md._version = e["version"]  # type: ignore[attr-defined]
         return md
@@ -179,9 +196,9 @@ class BranchTableOperations(TableOperations):
                 raise CommitFailedException(
                     f"{self.name}@{cat.ref}: expected v{base_version}, "
                     f"found v{cur_v} (concurrent catalog commit)")
-            tables[self.name] = {"location": self.location,
+            tables[self.name] = {"location": _rel_to(cat.warehouse, self.location),
                                  "version": new_version,
-                                 "metadata_file": mfile}
+                                 "metadata_file": _rel_to(cat.warehouse, mfile)}
             new_hash = uuid.uuid4().hex[:16]
             con.execute(
                 "INSERT INTO catalog_commits (hash, parent, merge_parent, "
@@ -226,7 +243,7 @@ class StagedTableOperations(BranchTableOperations):
         s = self._staged() or self.txn.base_tables.get(self.name)
         if s is None:
             return None
-        with open(s["metadata_file"]) as f:
+        with open(_abs_to(self.catalog.warehouse, s["metadata_file"])) as f:
             md = TableMetadata.from_json(json.load(f))
         md._version = s["version"]  # type: ignore[attr-defined]
         return md
@@ -244,9 +261,10 @@ class StagedTableOperations(BranchTableOperations):
             json.dump(metadata.to_json(), f, default=MD._json_default)
             f.flush()
             os.fsync(f.fileno())
-        self.txn.staged[self.name] = {"location": self.location,
+        wh = self.catalog.warehouse
+        self.txn.staged[self.name] = {"location": _rel_to(wh, self.location),
                                       "version": new_version,
-                                      "metadata_file": mfile}
+                                      "metadata_file": _rel_to(wh, mfile)}
         return new_version
 
 
@@ -283,7 +301,7 @@ class CatalogTransaction:
 
     def table(self, name: str) -> Table:
         e = self.staged.get(name) or self.base_tables.get(name)
-        loc = e["location"] if e else os.path.join(
+        loc = _abs_to(self.catalog.warehouse, e["location"]) if e else os.path.join(
             self.catalog.warehouse, *name.split("."), uuid.uuid4().hex[:8])
         ops = StagedTableOperations(self, name, loc)
         if ops.refresh() is None:
@@ -485,6 +503,33 @@ class NessieLiteCatalog:
                 frontier.extend(p for p in row if p is not None)
         return chain
 
+    def _generations(self, con, head: str) -> dict:
+        """Longest-path-to-root depth for every ancestor of ``head``.
+        Merge-base selection orders candidates by generation: plain BFS
+        distance can, in criss-cross merge histories, pick an ancestor
+        OLDER than the closest common ancestor and raise spurious
+        conflicts."""
+        memo: dict = {}
+
+        def parents(h):
+            row = con.execute(
+                "SELECT parent, merge_parent FROM catalog_commits WHERE hash = ?",
+                (h,)).fetchone()
+            return [p for p in (row or ()) if p is not None]
+
+        stack = [(head, False)]
+        while stack:
+            h, ready = stack.pop()
+            if h in memo:
+                continue
+            ps = parents(h)
+            if ready:
+                memo[h] = 1 + max((memo[p] for p in ps), default=0)
+            else:
+                stack.append((h, True))
+                stack.extend((p, False) for p in ps if p not in memo)
+        return memo
+
     def merge(self, from_ref: str, to_ref: Optional[str] = None,
               message: Optional[str] = None) -> str:
         """Merge ``from_ref`` into ``to_ref`` (default: this catalog's
@@ -511,10 +556,17 @@ class NessieLiteCatalog:
                             (from_hash, to_ref))
                 con.commit()
                 return from_hash
-            # merge base = first ancestor of to_ref that from_ref also has
-            from_set = set(from_anc)
-            base_hash = next(h for h in self._ancestors(con, to_hash)
-                             if h in from_set)
+            to_anc = self._ancestors(con, to_hash)
+            if from_hash in to_anc:
+                # already merged: from_ref is strictly behind to_ref — no
+                # no-op merge commit, the target hash is already the answer
+                con.rollback()
+                return to_hash
+            # merge base = common ancestor of max generation (closest by
+            # commit depth; ties broken by hash for determinism)
+            common = set(from_anc) & set(to_anc)
+            gen = self._generations(con, to_hash)
+            base_hash = max(common, key=lambda h: (gen.get(h, 0), h))
             base = _tables_at(con, base_hash)
             src = _tables_at(con, from_hash)
             dst = _tables_at(con, to_hash)
@@ -558,7 +610,7 @@ class NessieLiteCatalog:
         with closing(_connect(self.db_path)) as con:
             _, h = self._resolve(con)
             e = _tables_at(con, h).get(name)
-        loc = e["location"] if e else os.path.join(
+        loc = _abs_to(self.warehouse, e["location"]) if e else os.path.join(
             self.warehouse, *name.split("."), uuid.uuid4().hex[:8])
         return BranchTableOperations(self, name, loc)
 

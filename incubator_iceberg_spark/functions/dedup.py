@@ -25,6 +25,21 @@ def content_hash(col):
     return F.xxhash64(c)
 
 
+def _materialize_and_release(result, intermediates):
+    """Persist + materialize ``result`` (small: verified pairs), then
+    unpersist the large ``intermediates`` (signature/size caches).  Without
+    this, repeated invocations in a long-lived session accumulate executor
+    storage memory: the lazily-returned result pins the intermediate caches
+    forever.  The returned DataFrame is itself persisted; callers that are
+    done with it may ``.unpersist()`` — its footprint is O(pairs), not
+    O(corpus)."""
+    result = result.persist()
+    result.count()
+    for df in intermediates:
+        df.unpersist()
+    return result
+
+
 def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id", keep: str = "min"):
     """Keep one row per exact content match (hash-groupBy dedup).  Uses a
     min/max-of-id groupBy + semi-join instead of a window: both shuffle
@@ -162,7 +177,7 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                 .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
                 .filter(F.col("jaccard") >= jaccard_threshold)
                 .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
-    return verified
+    return _materialize_and_release(verified, [sig, sizes])
 
 
 def _jaccard(a, b):
@@ -203,15 +218,16 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
              .groupBy(F.col("a.__id").alias("id_a"),
                       F.col("b.__id").alias("id_b"))
              .agg(F.count(F.lit(1)).alias("__i")))
-    return (inter
-            .join(sizes.select(F.col("__id").alias("id_a"),
-                               F.col("__n").alias("__na")), "id_a")
-            .join(sizes.select(F.col("__id").alias("id_b"),
-                               F.col("__n").alias("__nb")), "id_b")
-            .withColumn("jaccard", F.col("__i")
-                        / (F.col("__na") + F.col("__nb") - F.col("__i")))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    out = (inter
+           .join(sizes.select(F.col("__id").alias("id_a"),
+                              F.col("__n").alias("__na")), "id_a")
+           .join(sizes.select(F.col("__id").alias("id_b"),
+                              F.col("__n").alias("__nb")), "id_b")
+           .withColumn("jaccard", F.col("__i")
+                       / (F.col("__na") + F.col("__nb") - F.col("__i")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return _materialize_and_release(out, [g])
 
 
 def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
@@ -381,6 +397,7 @@ def simhash_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                           F.col("__id").alias("id_b"),
                           hamming_distance(F.col("__min_sh"),
                                            F.col("__sh")).alias("distance")))
-    return (all_pairs.unionByName(star_pairs)
-            .distinct()
-            .filter(F.col("distance") <= max_distance))
+    out = (all_pairs.unionByName(star_pairs)
+           .distinct()
+           .filter(F.col("distance") <= max_distance))
+    return _materialize_and_release(out, [sh, sizes])

@@ -566,13 +566,16 @@ def write_partition_stats(table, spark=None) -> dict:
     if snap is None:
         return {"written": False, "reason": "no snapshot"}
     df = MT.metadata_table(table, "partitions", spark)
-    path = os.path.join(table.location, "metadata",
-                        f"partition-stats-{snap.snapshot_id}-"
-                        f"{uuid.uuid4().hex[:8]}.parquet")
+    # stored RELATIVE to the table location so relocating the warehouse
+    # keeps the pointer resolvable (reference metadata pointers likewise)
+    rel = os.path.join("metadata",
+                       f"partition-stats-{snap.snapshot_id}-"
+                       f"{uuid.uuid4().hex[:8]}.parquet")
+    path = os.path.join(table.location, rel)
     df.coalesce(1).write.mode("errorifexists").parquet(path)
     table.update_properties({
         "partition-stats.snapshot-id": str(snap.snapshot_id),
-        "partition-stats.path": path,
+        "partition-stats.path": rel,
     })
     return {"written": True, "snapshot_id": snap.snapshot_id, "path": path}
 
@@ -589,5 +592,8 @@ def partition_stats(table, spark=None):
     path = props.get("partition-stats.path")
     cur = table.metadata.current_snapshot_id
     if pinned is not None and path is not None and str(cur) == pinned:
+        import os
+        if not os.path.isabs(path):  # old entries were absolute
+            path = os.path.join(table.location, path)
         return spark.read.parquet(path)
     return MT.metadata_table(table, "partitions", spark)

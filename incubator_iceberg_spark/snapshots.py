@@ -46,23 +46,62 @@ def _manifest_rows(md: TableMetadata) -> list:
 
 
 def _summary(base: TableMetadata, added_entries, deleted_entries) -> dict:
+    """SnapshotSummary analog (core/.../SnapshotSummary.java): data and
+    delete manifest entries are accounted separately — record/file totals
+    track DATA content only; delete files get their own added/removed keys
+    (added-delete-files, added-position-deletes, added-equality-deletes)
+    and running totals.  added/removed-files-size covers all content, as in
+    the reference."""
     prev = base.current_snapshot()
-    prev_total_records = int((prev.summary.get("total-records") if prev else 0) or 0)
-    prev_total_files = int((prev.summary.get("total-data-files") if prev else 0) or 0)
-    added_records = sum(e.get("record_count") or 0 for e in added_entries)
-    deleted_records = sum(e.get("record_count") or 0 for e in deleted_entries)
-    added_bytes = sum(e.get("file_size_bytes") or 0 for e in added_entries)
-    removed_bytes = sum(e.get("file_size_bytes") or 0 for e in deleted_entries)
-    return {
-        "added-data-files": str(len(added_entries)),
-        "added-records": str(added_records),
-        "added-files-size": str(added_bytes),
-        "deleted-data-files": str(len(deleted_entries)),
-        "deleted-records": str(deleted_records),
-        "removed-files-size": str(removed_bytes),
-        "total-data-files": str(prev_total_files + len(added_entries) - len(deleted_entries)),
-        "total-records": str(prev_total_records + added_records - deleted_records),
+
+    def pget(key: str) -> int:
+        return int((prev.summary.get(key) if prev else 0) or 0)
+
+    def split(entries):
+        data, pos, eq = [], [], []
+        for e in entries:
+            c = e.get("content") or M.DATA
+            (data if c == M.DATA
+             else pos if c == M.POSITION_DELETES else eq).append(e)
+        return data, pos, eq
+
+    def recs(entries) -> int:
+        return sum(e.get("record_count") or 0 for e in entries)
+
+    def size(entries) -> int:
+        return sum(e.get("file_size_bytes") or 0 for e in entries)
+
+    a_data, a_pos, a_eq = split(added_entries)
+    d_data, d_pos, d_eq = split(deleted_entries)
+    out = {
+        "added-data-files": str(len(a_data)),
+        "added-records": str(recs(a_data)),
+        "added-files-size": str(size(added_entries)),
+        "deleted-data-files": str(len(d_data)),
+        "deleted-records": str(recs(d_data)),
+        "removed-files-size": str(size(deleted_entries)),
+        "total-data-files": str(pget("total-data-files") + len(a_data) - len(d_data)),
+        "total-records": str(pget("total-records") + recs(a_data) - recs(d_data)),
+        "total-delete-files": str(pget("total-delete-files")
+                                  + len(a_pos) + len(a_eq) - len(d_pos) - len(d_eq)),
+        "total-position-deletes": str(pget("total-position-deletes")
+                                      + recs(a_pos) - recs(d_pos)),
+        "total-equality-deletes": str(pget("total-equality-deletes")
+                                      + recs(a_eq) - recs(d_eq)),
     }
+    if a_pos or a_eq:
+        out["added-delete-files"] = str(len(a_pos) + len(a_eq))
+        if a_pos:
+            out["added-position-deletes"] = str(recs(a_pos))
+        if a_eq:
+            out["added-equality-deletes"] = str(recs(a_eq))
+    if d_pos or d_eq:
+        out["removed-delete-files"] = str(len(d_pos) + len(d_eq))
+        if d_pos:
+            out["removed-position-deletes"] = str(recs(d_pos))
+        if d_eq:
+            out["removed-equality-deletes"] = str(recs(d_eq))
+    return out
 
 
 # above this entry count, manifest writing fans out as a Spark job (one

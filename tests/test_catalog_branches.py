@@ -122,6 +122,25 @@ def test_caching_catalog_reuses_and_invalidates(warehouse, orders, spark):
         cat.load_table("db.cached")
 
 
+def test_caching_catalog_expiration_sees_external_commit(warehouse, orders, spark):
+    """With an expiration interval, an expired cached handle is refreshed
+    on hit and picks up commits made through another handle (the reference
+    CACHE_EXPIRATION_INTERVAL_MS behavior); without one it stays stale."""
+    from incubator_iceberg_spark.caching_catalog import CachingCatalog
+
+    stale = CachingCatalog(warehouse)
+    fresh = CachingCatalog(warehouse, expiration_interval_s=0.0)
+    warehouse.create_table("db.ttl", Schema.from_spark(orders.schema))
+    t_stale = stale.load_table("db.ttl")
+    t_fresh = fresh.load_table("db.ttl")
+    assert t_stale.to_df().count() == 0
+    # external commit via a separate handle
+    warehouse.load_table("db.ttl").append(orders.limit(10))
+    assert stale.load_table("db.ttl").metadata.current_snapshot() is None
+    assert fresh.load_table("db.ttl") is t_fresh  # same handle, refreshed
+    assert fresh.load_table("db.ttl").to_df().count() == 10
+
+
 def test_caching_catalog_lru_bound(warehouse, orders, spark):
     from incubator_iceberg_spark.caching_catalog import CachingCatalog
 
@@ -218,3 +237,60 @@ def test_catalog_transaction_abandoned_on_error(ncat, orders, spark):
             txn.table("db.ab").append(a)
             raise RuntimeError("boom")
     assert ncat.load_table("db.ab").to_df().count() == 0
+
+
+def test_merge_behind_branch_is_noop(ncat, orders, spark):
+    """Merging a branch strictly behind the target returns the target hash
+    unchanged — no no-op merge commit (nessie behavior)."""
+    t = ncat.create_table("db.nb", Schema.from_spark(orders.schema))
+    t.append(orders.limit(10))
+    old = ncat.create_branch("old")
+    ncat.load_table("db.nb").append(orders.limit(5))  # main advances
+    before = ncat.ref_hash()
+    n_log = len(ncat.log())
+    assert ncat.merge("old") == before
+    assert ncat.ref_hash() == before
+    assert len(ncat.log()) == n_log
+
+
+def test_merge_crisscross_uses_closest_ancestor(ncat, orders, spark):
+    """Criss-cross history: after main and side have merged each other's
+    disjoint work, further disjoint work on side must merge cleanly — a
+    BFS-nearest base can pick an ancestor older than the LCA and raise a
+    spurious conflict."""
+    s = Schema.from_spark(orders.schema)
+    ncat.create_table("db.x", s).append(orders.limit(5))
+    side = ncat.create_branch("side")
+    # diverge: disjoint tables on each ref
+    side.create_table("db.s1", s).append(orders.limit(5))
+    ncat.create_table("db.m1", s).append(orders.limit(5))
+    # cross-merge both ways → criss-cross ancestry
+    ncat.merge("side")
+    side.merge("main", to_ref="side")
+    # further disjoint work on side, then merge again — must NOT conflict
+    side.create_table("db.s2", s).append(orders.limit(5))
+    ncat.merge("side")
+    assert {"db.x", "db.s1", "db.m1", "db.s2"} <= set(ncat.list_tables())
+
+
+def test_catalog_survives_warehouse_relocation(tmp_path, orders, spark):
+    """Catalog pointers are stored relative to the warehouse: moving the
+    warehouse + db file keeps every table's metadata resolvable."""
+    import shutil
+
+    from incubator_iceberg_spark.catalog_branches import NessieLiteCatalog
+
+    src = tmp_path / "site_a"
+    src.mkdir()
+    cat = NessieLiteCatalog(str(src / "cat.db"), str(src / "wh"), spark)
+    t = cat.create_table("db.mv", Schema.from_spark(orders.schema))
+    t.append(orders.limit(10))
+    v = t.ops.current_version()
+
+    dst = tmp_path / "site_b"
+    shutil.move(str(src), str(dst))
+    cat2 = NessieLiteCatalog(str(dst / "cat.db"), str(dst / "wh"), spark)
+    t2 = cat2.load_table("db.mv")  # refresh() resolves via relative pointer
+    assert t2.ops.current_version() == v
+    assert [f.name for f in t2.schema().fields] == \
+        [f.name for f in Schema.from_spark(orders.schema).fields]

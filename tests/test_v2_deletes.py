@@ -351,3 +351,42 @@ def test_mor_update_no_matching_rows_writes_nothing(warehouse, orders, spark):
                    "o_totalprice < 0", mode="merge-on-read")
     assert res["delete_files_written"] == 0 and res["staged_files"] == 0
     assert len(t.snapshots()) == snaps
+
+
+def test_snapshot_summary_separates_delete_content(warehouse, orders, spark):
+    """SnapshotSummary semantics (core/.../SnapshotSummary.java): a
+    RowDelta delete commit must NOT inflate data-file/record totals; delete
+    content gets its own added-delete-files / added-position-deletes /
+    added-equality-deletes keys and running totals."""
+    t = _ingest(warehouse, "db.sumsplit", orders)
+    base = t.current_snapshot().summary
+    n = orders.count()
+    assert int(base["total-records"]) == n
+    assert int(base.get("total-delete-files", 0)) == 0
+
+    victims = orders.filter("o_orderkey % 100 = 0").select("o_orderkey")
+    n_victims = victims.count()
+    t.add_equality_deletes(victims, ["o_orderkey"])
+    s = t.current_snapshot().summary
+    # data totals unchanged by a delete-file commit
+    assert int(s["total-records"]) == n
+    assert int(s["total-data-files"]) == int(base["total-data-files"])
+    assert int(s["added-data-files"]) == 0
+    assert int(s["added-records"]) == 0
+    # delete accounting present and correct
+    assert int(s["added-delete-files"]) >= 1
+    assert int(s["added-equality-deletes"]) == n_victims
+    assert int(s["total-delete-files"]) == int(s["added-delete-files"])
+    assert int(s["total-equality-deletes"]) == n_victims
+
+    path = t.new_scan().plan_files()[0][0]
+    pos = spark.createDataFrame([(path, 0), (path, 1)],
+                                "file_path string, pos long")
+    t.add_position_deletes(pos)
+    s2 = t.current_snapshot().summary
+    assert int(s2["total-records"]) == n
+    assert int(s2["added-position-deletes"]) == 2
+    assert int(s2["total-position-deletes"]) == 2
+    assert int(s2["total-equality-deletes"]) == n_victims
+    assert int(s2["total-delete-files"]) == (int(s["total-delete-files"])
+                                             + int(s2["added-delete-files"]))
