@@ -657,6 +657,50 @@ def q_ann_lsh_indexed(spark, sf_dir):
     return out.select("q_id", "vec_id", "cos_sim")
 
 
+def q_ann_append_probe(spark, sf_dir):
+    """Stored-ANN index MAINTENANCE loop end-to-end: build the IVF index
+    on the even-id half of the corpus, append the odd-id half through
+    ``with_ann_index_col`` (no rebuild — appended rows are clustered by
+    the persisted centroids), then probe with queries drawn from the
+    APPENDED half.  The query body asserts probes still partition-prune
+    (pruned files strictly fewer than total), proving the maintenance
+    path keeps the index live; each appended vector self-matches at
+    cosine 1.0 (its own cell is its nearest centroid, nprobe=2)."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark.functions import similarity
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    emb = _load(spark, sf_dir, "embeddings")
+    t = cat.create_table("s.emb_append_idx", Schema.from_spark(emb.schema))
+    t.append(emb.filter("vec_id % 2 = 0"))
+    similarity.add_ann_index(t, kind="ivf", n_cells=8, sample=1024)
+    # index maintenance: append the other half through the stored params
+    t.append(similarity.with_ann_index_col(t, emb.filter("vec_id % 2 != 0")))
+    total = len(TableScan(t, spark).plan_files())
+    cent = np.array(json.loads(t.metadata.properties["ann.index.centroids"]))
+    qs = [(r["vec_id"], r["embedding"]) for r in
+          emb.filter("vec_id % 2 != 0").orderBy("vec_id").limit(5).collect()]
+    out = None
+    for qid, qv in qs:
+        q = np.array(qv, dtype=np.float64)
+        q /= np.linalg.norm(q)
+        probe = [int(i) for i in np.argsort(-(cent @ q))[:2]]
+        in_list = ", ".join(str(c) for c in probe)
+        pruned = len(TableScan(
+            t, spark, row_filter=f"__ann_cell IN ({in_list})").plan_files())
+        assert 0 < pruned < total, \
+            f"probe not pruned after append: {pruned}/{total} files"
+        top = (similarity.ivf_ann_topk_indexed(t, qv, k=1, nprobe=2)
+               .withColumn("q_id", F.lit(qid)))
+        out = top if out is None else out.unionByName(top)
+    return out.select("q_id", "vec_id", "cos_sim")
+
+
 def q_catalog_branch_merge(spark, sf_dir):
     """Catalog-LEVEL branches (NessieLiteCatalog, the NessieCatalog
     analog): write even keys to main, odd keys on an ``etl`` branch that
@@ -1705,68 +1749,21 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING (round 2): the driver's correctness gate samples a prefix of
-    # this dict, so the 29 queries with no CORRECTNESS_r01 row (streaming,
-    # maintenance, transactions, metadata tables, import, and every
-    # LLM-pipeline operator) come FIRST, followed by the round-2 additions
-    # (MoR row ops, indexed ANN, delete debt); the 50 already-driver-green
-    # r1 queries rotate to the back — they are proven and re-verifiable
-    # locally via tools/check_correctness.py.
+    # ORDERING (round 3): the driver's correctness gate samples a 50-entry
+    # prefix of this dict, so ordering = verification recency.  Prefix =
+    # [the 3 r2 hash-fail rows, now env-proofed] + [the round-3 addition]
+    # + [the 44 queries last driver-verified in r1 — re-green them under
+    # r2+r3 code] + [2 r2-green canaries on the snapshot-summary change].
+    # Everything r2-green rotates to the back (re-verifiable locally via
+    # tools/check_correctness.py).
     return {
-        # --- r1-unverified: ops/ACID surface -----------------------------
-        "transaction_multi": q_transaction,
-        "add_files_import": q_add_files_import,
-        "pydatasource_scan": q_pydatasource_scan,
-        "partitions_meta": q_partitions_meta,
+        # --- r2 hash-fails, oracles env-proofed this round ----------------
         "snapshots_meta": q_snapshots_meta,
-        "files_meta": q_files_meta,
-        "transforms_projection": q_transforms,
-        "bucket_transform": q_bucket_transform,
-        "events_hourly": q_events_hourly,
-        "sessionize_events": q_sessionize,
         "events_props_json": q_events_props_json,
-        "streaming_consume": q_streaming_consume,
-        "compaction": q_compaction,
-        "maintenance_scan": q_maintenance_scan,
-        "streaming_sink_replay": q_streaming_sink_replay,
-        # --- r1-unverified: LLM-pipeline operators -----------------------
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_pairs": q_dedup_minhash,
-        "dedup_minhash_planted": q_dedup_minhash_planted,
-        "dedup_simhash_pairs": q_dedup_simhash,
-        "dedup_ngram_pairs": q_dedup_ngram,
-        "dedup_groups": q_dedup_groups,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "vocab_doc_freq": q_vocab_doc_freq,
-        "length_quantiles": q_length_quantiles,
-        "text_stats": q_text_stats,
-        "text_analyze": q_text_analyze,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "skew_salted_agg": q_skew_salted_agg,
-        "knn_join": q_knn_join,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_audio": q_multimodal_audio,
-        "skew_salted_join": q_skew_salted_join,
-        # --- new in round 2 ----------------------------------------------
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "ann_ivf_probe": q_ann_ivf_probe,
-        "ann_lsh_indexed": q_ann_lsh_indexed,
-        "delete_mor": q_delete_mor,
-        "update_mor": q_update_mor,
-        "delete_debt_meta": q_delete_debt_meta,
-        "catalog_branch_merge": q_catalog_branch_merge,
-        "catalog_txn_multi_table": q_catalog_txn_multi_table,
-        # --- driver-green in round 1 (proven; rotate to the back) --------
-        "q1_pricing_summary": q_q1,
-        "q3_shipping_priority": q_q3,
-        "q6_forecast_revenue": q_q6,
-        "filter_pushdown_scan": q_filter_scan,
-        "merge_upsert": q_merge_upsert,
-        "merge_delete": q_merge_delete,
+        # --- new in round 3 ------------------------------------------------
+        "ann_append_probe": q_ann_append_probe,
+        # --- last driver-verified in r1 (least-recently-verified 44) ------
         "merge_by_source": q_merge_by_source,
         "delete_cow": q_delete_cow,
         "delete_metadata": q_delete_metadata,
@@ -1811,6 +1808,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q22_global_sales": q_q22_global_sales,
         "q11_value_share": q_q11_value_share,
+        # --- r2-green canaries: summary accounting changed this round -----
+        "delete_mor": q_delete_mor,
+        "update_mor": q_update_mor,
+        # --- driver-green in round 2 (proven; rotate to the back) ---------
+        "transaction_multi": q_transaction,
+        "add_files_import": q_add_files_import,
+        "pydatasource_scan": q_pydatasource_scan,
+        "partitions_meta": q_partitions_meta,
+        "files_meta": q_files_meta,
+        "transforms_projection": q_transforms,
+        "bucket_transform": q_bucket_transform,
+        "events_hourly": q_events_hourly,
+        "sessionize_events": q_sessionize,
+        "streaming_consume": q_streaming_consume,
+        "compaction": q_compaction,
+        "maintenance_scan": q_maintenance_scan,
+        "streaming_sink_replay": q_streaming_sink_replay,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_minhash_planted": q_dedup_minhash_planted,
+        "dedup_simhash_pairs": q_dedup_simhash,
+        "dedup_ngram_pairs": q_dedup_ngram,
+        "dedup_groups": q_dedup_groups,
+        "vocab_doc_freq": q_vocab_doc_freq,
+        "length_quantiles": q_length_quantiles,
+        "text_stats": q_text_stats,
+        "text_analyze": q_text_analyze,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "skew_salted_agg": q_skew_salted_agg,
+        "knn_join": q_knn_join,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio": q_multimodal_audio,
+        "skew_salted_join": q_skew_salted_join,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
+        "delete_debt_meta": q_delete_debt_meta,
+        "catalog_branch_merge": q_catalog_branch_merge,
+        "catalog_txn_multi_table": q_catalog_txn_multi_table,
+        "q1_pricing_summary": q_q1,
+        "q3_shipping_priority": q_q3,
+        "q6_forecast_revenue": q_q6,
+        "filter_pushdown_scan": q_filter_scan,
+        "merge_upsert": q_merge_upsert,
+        "merge_delete": q_merge_delete,
     }
 
 
@@ -2503,6 +2549,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_probe": """
             SELECT vec_id AS q_id, vec_id, 1.0 AS cos_sim
             FROM embeddings ORDER BY vec_id LIMIT 5
+        """,
+        "ann_append_probe": """
+            SELECT vec_id AS q_id, vec_id, 1.0 AS cos_sim
+            FROM embeddings WHERE vec_id % 2 <> 0 ORDER BY vec_id LIMIT 5
         """,
         "dedup_minhash_pairs": """
             WITH sh AS (

@@ -58,17 +58,14 @@ BENCH_QUERIES = [
     "text_analyze",
 ]
 
-# queries that BUILD state inside the timed callable (scratch tables,
-# file writes, caches) or carry one-time codegen-JIT cost: local-disk
-# writes are the noisiest part of the suite (2.7-7.5 s run-to-run
-# historically) and the 32-aggregate minhash stage pays ~3 s of Janino
-# compile on its first run only — report the median of 3 runs so the
-# number tracks the code's steady state, not the page cache or JIT
-MUTATION_QUERIES = {
-    "merge_upsert", "delete_metadata", "delete_cow", "delete_mor",
-    "eq_delete_scan", "compaction", "streaming_consume",
-    "ann_ivf_indexed", "dedup_minhash_pairs",
-}
+# Warm-up set run untimed before any timed query: covers the scan/agg,
+# pruned-scan, and broadcast-join codegen paths so the first timed query
+# doesn't absorb one-time JVM/JIT/classload cost.  The r2 driver bench
+# reused a pre-built warehouse (setup 0.002 s vs 12 s in r1) and the
+# warm-up that setup used to absorb landed inside the first timed reads —
+# q1/q6/filter_pushdown "regressed" 1.6-2.1x with no code change.
+WARMUP_QUERIES = ["q1_pricing_summary", "q6_forecast_revenue",
+                  "filter_pushdown_scan", "q3_shipping_priority"]
 
 
 def main() -> int:
@@ -84,15 +81,16 @@ def main() -> int:
     setup_sec = round(time.time() - t0, 3)
 
     qs = E.queries()
-    # JIT/classload warmup: the first heavy query in a fresh JVM otherwise
-    # absorbs several seconds of one-time cost (measured 5x on q5)
-    qs["q1_pricing_summary"](spark, sf_dir).count()
+    for name in WARMUP_QUERIES:
+        qs[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     # B4 partitioned append: write sf lineitem partitioned by month(l_shipdate).
-    # Local-disk writes are the noisiest bench (measured 2.7-7.5 s run to
-    # run); report the median of 3 so the number tracks the code, not the
-    # page cache.
+    # Every bench reports the MEDIAN OF 3 runs: local-disk writes are the
+    # noisiest part of the suite (2.7-7.5 s run-to-run historically), the
+    # 32-aggregate minhash stage pays ~3 s of Janino compile on its first
+    # run only, and even pure read benches see 1.5x first-touch page-cache
+    # skew — the median tracks the code's steady state.
     runs = []
     for _ in range(3):
         b4_t0 = time.time()
@@ -102,17 +100,15 @@ def main() -> int:
 
     for name in BENCH_QUERIES:
         fn = qs[name]
-        n_runs = 3 if name in MUTATION_QUERIES else 1
         runs = []
-        for _ in range(n_runs):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # materialize
             runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
-        sys.stderr.write(f"bench {name}: {timings[name]}s ({n} rows"
-                         + (f", median of {n_runs}" if n_runs > 1 else "")
-                         + ")\n")
+        timings[name] = round(sorted(runs)[1], 3)
+        sys.stderr.write(f"bench {name}: {timings[name]}s ({n} rows, "
+                         f"median of 3)\n")
 
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(sf_dir)
