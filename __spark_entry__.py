@@ -701,6 +701,62 @@ def q_ann_append_probe(spark, sf_dir):
     return out.select("q_id", "vec_id", "cos_sim")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Document chunking for RAG/context-window prep: fixed 200-char
+    windows every 180 chars (20 overlap) — pure Column algebra
+    (sequence + posexplode + substr), each output chunk SQL-derivable."""
+    from incubator_iceberg_spark.functions import corpus
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    return corpus.chunk_documents(df, chunk_size=200, overlap=20)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing (training-batch prep): per-lang, docs in
+    id order fill 200-token sequences.  Inherently sequential per group →
+    Arrow-batched applyInPandas; the oracle replays the same next-fit
+    recurrence as a DuckDB recursive CTE, so every per-doc seq assignment
+    is value-checked."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import corpus
+    from incubator_iceberg_spark.functions import text as TX
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    sized = docs.select("doc_id", "lang",
+                        TX.token_count("text").cast("long").alias("n_tokens"))
+    packed = corpus.pack_sequences(sized, "lang", "n_tokens", "doc_id",
+                                   budget=200)
+    return packed.select("lang", "doc_id", "n_tokens", "seq_id")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic corpus-mixture sampling: per-source keep rates
+    decided by a multiplicative-hash uniform of doc_id (no RNG state —
+    identical rows every run/partitioning, the property mixture rebuilds
+    need).  Rates (suffix%4+1)/4 per source; oracle applies the same
+    exact int64 arithmetic."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import corpus
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    rates = {f"src{i}": (i % 4 + 1) / 4.0 for i in range(64)}
+    kept = corpus.mixture_sample(docs, rates, "source", "doc_id")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf-idf with a RATIONAL idf
+    surrogate (tf*(N+1)/(df+1)): one correctly-rounded IEEE division
+    instead of ln, so scores/ranks are bit-identical across engines;
+    emitted as floor-micro-units to stay off decimal-round knife edges."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import corpus
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    out = corpus.tf_idf_top_terms(docs, k=3)
+    return out.select("doc_id", "rank", "term", "tf", "df",
+                      F.floor(F.col("score") * F.lit(1000000.0))
+                      .cast("long").alias("score_micro"))
+
+
 def q_catalog_branch_merge(spark, sf_dir):
     """Catalog-LEVEL branches (NessieLiteCatalog, the NessieCatalog
     analog): write even keys to main, odd keys on an ``etl`` branch that
@@ -1763,6 +1819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # --- new in round 3 ------------------------------------------------
         "ann_append_probe": q_ann_append_probe,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # --- last driver-verified in r1 (least-recently-verified 44) ------
         "merge_by_source": q_merge_by_source,
         "delete_cow": q_delete_cow,
@@ -1786,8 +1846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_scan": q_orc_scan,
         "call_procedure": q_call_procedure,
         "topk_window": q_topk_window,
-        "rollup_agg": q_rollup,
-        "cube_agg": q_cube_agg,
         "distinct_agg": q_distinct_agg,
         "q5_nation_revenue": q_q5_nation_revenue,
         "q10_returned_items": q_q10_returned_items,
@@ -1808,7 +1866,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q22_global_sales": q_q22_global_sales,
         "q11_value_share": q_q11_value_share,
-        # --- r2-green canaries: summary accounting changed this round -----
+        # --- past the 50-row window: rollup/cube are pure Spark-delegated
+        # aggregates over a scan path 40+ prefix queries exercise — the
+        # least information-bearing rotation rows, deferred to r4 ----------
+        "rollup_agg": q_rollup,
+        "cube_agg": q_cube_agg,
         "delete_mor": q_delete_mor,
         "update_mor": q_update_mor,
         # --- driver-green in round 2 (proven; rotate to the back) ---------
@@ -2553,6 +2615,72 @@ def oracle_sql() -> dict[str, str]:
         "ann_append_probe": """
             SELECT vec_id AS q_id, vec_id, 1.0 AS cos_sim
             FROM embeddings WHERE vec_id % 2 <> 0 ORDER BY vec_id LIMIT 5
+        """,
+        "doc_chunks": """
+            SELECT doc_id,
+                   CAST((start - 1) / 180 AS INT) AS chunk_id,
+                   substr(text, CAST(start AS INT), 200) AS chunk_text,
+                   length(substr(text, CAST(start AS INT), 200)) AS chunk_len
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(
+                             1, greatest(length(text), 1), 180)) AS start
+                  FROM documents)
+        """,
+        "pack_sequences": """
+            WITH RECURSIVE base AS (
+              SELECT lang, doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                         AS rn
+              FROM documents),
+            rec AS (
+              SELECT lang, doc_id, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS seq_id, n_tokens AS acc
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.lang, b.doc_id, b.n_tokens, b.rn,
+                     CASE WHEN r.acc > 0 AND r.acc + b.n_tokens > 200
+                          THEN r.seq_id + 1 ELSE r.seq_id END,
+                     CASE WHEN r.acc > 0 AND r.acc + b.n_tokens > 200
+                          THEN b.n_tokens ELSE r.acc + b.n_tokens END
+              FROM rec r JOIN base b ON b.lang = r.lang AND b.rn = r.rn + 1)
+            SELECT lang, doc_id, n_tokens, seq_id FROM rec
+        """,
+        "mixture_sample": """
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            WHERE ((doc_id * 2654435761) % 1000000) / 1000000.0
+                  < (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0
+            GROUP BY source
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         regexp_split_to_array(lower(text),
+                                               '[^\\p{L}\\p{N}]+'),
+                         x -> x != '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                      FROM tok GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     (tf.tf * (n.n + 1.0)) / (dfreq.df + 1.0) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term ASC)
+                            AS rank
+              FROM scored)
+            SELECT doc_id, CAST(rank AS INT) AS rank, term, tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(floor(score * 1000000) AS BIGINT) AS score_micro
+            FROM ranked WHERE rank <= 3
         """,
         "dedup_minhash_pairs": """
             WITH sh AS (

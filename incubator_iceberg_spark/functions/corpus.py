@@ -1,0 +1,172 @@
+"""Corpus-preparation operators for training-data pipelines (SURVEY §7
+post-parity extensions, same family as dedup/text/similarity):
+
+- chunk_documents    — fixed-size overlapping character windows per doc
+                       (RAG / context-window prep); pure Column algebra.
+- pack_sequences     — next-fit packing of docs into fixed-token-budget
+                       training sequences, per group — inherently
+                       sequential per group, so Arrow-batched
+                       applyInPandas (the sanctioned stateful path);
+                       group count bounds parallelism, not corpus size.
+- mixture_sample     — deterministic per-stratum sampling by a
+                       multiplicative-hash uniform; reproducible corpus
+                       mixtures without RNG state (same rows on every
+                       run/cluster — the property mixture rebuilds need).
+- tf_idf             — classic ln-idf term weighting (explode + two
+                       aggregates, all codegen).
+- tf_idf_top_terms   — top-k terms per doc by a RATIONAL idf surrogate
+                       (tf·(N+1)/(df+1)): division is correctly-rounded
+                       IEEE so ranks are bit-identical across engines,
+                       unlike ln whose last-ulp differs by libm.
+
+At 100 TB: chunking explodes rows ~len/step× but stays in whole-stage
+codegen (no shuffle); packing shuffles once on the group key and streams
+each group through one Arrow batch sequence; mixture_sample is a pure
+filter (no shuffle, no sampling state); tf-idf is two hash aggregates
+(term and (doc,term)) plus a broadcast-joined doc-frequency table when
+the vocabulary is small.
+"""
+
+from __future__ import annotations
+
+from incubator_iceberg_spark.functions import text as TX
+
+
+def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_size: int = 200, overlap: int = 20):
+    """One row per (doc, chunk): fixed-size character windows starting
+    every ``chunk_size - overlap`` characters.  An empty document yields
+    one empty chunk (callers filter if unwanted).  chunk_id is the
+    0-based window ordinal; chunk_len the actual window length (the last
+    window is usually short)."""
+    from pyspark.sql import functions as F
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    c = F.col(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1)),
+                        F.lit(step))
+    ex = df.select(F.col(id_col), c.alias("__t"),
+                   F.posexplode(starts).alias("chunk_id", "__start"))
+    return (ex.select(
+        id_col, "chunk_id",
+        F.col("__t").substr(F.col("__start"), F.lit(chunk_size))
+        .alias("chunk_text"))
+        .withColumn("chunk_len", F.length("chunk_text")))
+
+
+def pack_sequences(df, group_cols, token_col: str, id_col: str = "doc_id",
+                   budget: int = 2048):
+    """Next-fit sequence packing: within each group, docs in ``id_col``
+    order are appended to the current sequence until the next doc would
+    overflow ``budget`` tokens, then a new sequence starts.  A single doc
+    larger than the budget gets its own sequence.  Deterministic (order
+    is total), so rebuilds produce identical packings.
+
+    Returns df columns + ``seq_id`` (0-based per group).  Per-group
+    sequential by nature — runs as one applyInPandas per group; at scale
+    the group key (e.g. (lang, shard)) sets parallelism, so shard wide
+    corpora into enough groups."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    out_schema = df.schema.add("seq_id", "long")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seqs = []
+        seq, acc = 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if acc > 0 and acc + t > budget:
+                seq += 1
+                acc = 0
+            acc += t
+            seqs.append(seq)
+        pdf["seq_id"] = seqs
+        return pdf
+
+    return (df.repartition(*[F.col(c) for c in group_cols])
+            .groupBy(*group_cols).applyInPandas(pack, schema=out_schema))
+
+
+# multiplicative-hash constant (Knuth): u = (key * K) % M / M is a
+# deterministic uniform both Spark and any SQL engine compute identically
+# in exact int64 arithmetic
+_MIX_K = 2654435761
+_MIX_M = 1_000_000
+
+
+def mixture_u(key_col):
+    """Deterministic pseudo-uniform in [0, 1) from an integer key."""
+    from pyspark.sql import functions as F
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (F.pmod(c * F.lit(_MIX_K), F.lit(_MIX_M)).cast("double")
+            / F.lit(float(_MIX_M)))
+
+
+def mixture_sample(df, rates: dict, strata_col: str, key_col: str):
+    """Keep each row with its stratum's rate, decided by the
+    deterministic key hash (not an RNG): ``u(key) < rate[stratum]``.
+    Strata missing from ``rates`` are dropped (rate 0).  Scale shape: a
+    pure filter — no shuffle, no sample() RNG whose result depends on
+    partitioning."""
+    from pyspark.sql import functions as F
+    rate = F.lit(0.0)
+    for s, r in rates.items():
+        rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.filter(mixture_u(key_col) < rate)
+
+
+def mixture_u_sql(key_expr: str) -> str:
+    """The ANSI-SQL mirror of mixture_u — exact same int64 arithmetic."""
+    return f"(({key_expr} * {_MIX_K}) % {_MIX_M}) / {_MIX_M}.0"
+
+
+def _term_freqs(df, text_col: str, id_col: str):
+    from pyspark.sql import functions as F
+    ex = df.select(F.col(id_col).alias("__id"),
+                   F.explode(TX.tokens(text_col)).alias("term"))
+    tf = ex.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (ex.distinct().groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df")))
+    return tf, dfreq
+
+
+def tf_idf(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc, term, tf, df, tfidf) with the classic ln idf:
+    tfidf = tf * ln((N + 1) / (df + 1)).  Two codegen hash aggregates +
+    one join on term (broadcastable while the vocab is small)."""
+    from pyspark.sql import functions as F
+    n_docs = df.count()
+    tf, dfreq = _term_freqs(df, text_col, id_col)
+    return (tf.join(dfreq, "term")
+            .select(F.col("__id").alias(id_col), "term", "tf", "df",
+                    (F.col("tf") * F.log((F.lit(float(n_docs + 1)))
+                                         / (F.col("df") + F.lit(1.0))))
+                    .alias("tfidf")))
+
+
+def tf_idf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 3):
+    """Top-k most characteristic terms per doc, ranked by the RATIONAL
+    idf surrogate score = tf * (N + 1) / (df + 1) — monotone in the same
+    (tf, df) ordering as ln idf for fixed tf, but computed with one IEEE
+    division (correctly rounded, engine-identical) instead of ln (libm
+    last-ulp varies), so ranks — and therefore result hashes — are
+    reproducible across engines.  Ties break by term ascending."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    n_docs = df.count()
+    tf, dfreq = _term_freqs(df, text_col, id_col)
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score",
+                          (F.col("tf") * F.lit(float(n_docs + 1)))
+                          / (F.col("df") + F.lit(1.0))))
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__id").alias(id_col), "rank", "term", "tf", "df",
+                    "score"))

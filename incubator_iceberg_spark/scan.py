@@ -312,16 +312,18 @@ class TableScan:
     def _residual_groups(self, md, data, bound):
         """[(residual_expr, entries)] or None to use the plain filter path.
         Requires local-plan entries (partition tuples present) and a
-        non-trivial filter; falls back when residuals fragment the scan.
+        non-trivial filter; falls back when residuals fragment the scan
+        (> 8 groups) — one scan + full filter beats many tiny relations.
 
-        Off by default (read.use-residuals table property): every residual
-        group is its own Spark relation (~100s of ms of setup on a local
-        session), which usually exceeds the saved per-row comparisons —
-        Parquet row-group pruning already skips most of that work.  On a
-        long-running cluster session with large files the trade flips."""
+        ON by default (read.use-residuals table property): measured with a
+        WARMED session at sf0.001/sf0.1/sf1 the residual path wins 1.4-1.6x
+        on partition-range predicates (q6-shaped: 0.364 -> 0.230 s at sf1;
+        even 0.251 -> 0.160 s at sf0.001) — the earlier off-default was a
+        cold-session artifact where per-relation setup dominated
+        (BENCH_NOTES round-3 residual experiment)."""
         from incubator_iceberg_spark import py_eval as PE
 
-        if md.properties.get("read.use-residuals", "false") != "true":
+        if md.properties.get("read.use-residuals", "true") != "true":
             return None
         if isinstance(bound, X.AlwaysTrue) or not data:
             return None

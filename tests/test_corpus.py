@@ -1,0 +1,113 @@
+"""Corpus-prep operators (functions/corpus.py): chunking, sequence
+packing, deterministic mixture sampling, tf-idf."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark.functions import corpus
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "a" * 450, "en", "src0"),
+        (1, "short doc", "en", "src1"),
+        (2, "", "en", "src2"),
+        (3, "b" * 200, "fr", "src3"),
+        (4, "the quick brown fox jumps over the lazy dog", "en", "src0"),
+        (5, "the quick brown fox sat on the mat", "en", "src1"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_chunk_documents_windows(docs):
+    out = corpus.chunk_documents(docs, chunk_size=200, overlap=20)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # 450 chars, step 180 -> starts 1, 181, 361 -> 3 chunks
+    assert sorted(c for d, c in rows if d == 0) == [0, 1, 2]
+    assert rows[(0, 0)]["chunk_len"] == 200
+    assert rows[(0, 2)]["chunk_len"] == 450 - 360  # tail chunk
+    # overlap: chunk 1 starts 20 chars before chunk 0 ends
+    assert rows[(0, 1)]["chunk_text"][:20] == rows[(0, 0)]["chunk_text"][-20:]
+    # short doc -> one chunk, full text
+    assert rows[(1, 0)]["chunk_text"] == "short doc"
+    # empty doc -> one empty chunk (documented)
+    assert rows[(2, 0)]["chunk_len"] == 0
+    # exact-boundary doc: 200 chars, starts 1 and 181 -> 2 chunks
+    assert sorted(c for d, c in rows if d == 3) == [0, 1]
+    assert rows[(3, 1)]["chunk_len"] == 20
+
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(docs, chunk_size=10, overlap=10)
+
+
+def test_pack_sequences_next_fit(spark):
+    rows = [("en", i, t) for i, t in
+            enumerate([60, 60, 60, 50, 200, 250, 10, 10])] + \
+           [("fr", 100, 90), ("fr", 101, 20)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    out = corpus.pack_sequences(df, "lang", "n_tokens", "doc_id", budget=200)
+    got = {(r["lang"], r["doc_id"]): r["seq_id"] for r in out.collect()}
+    # en, budget 200: [60,60,60] fits (180); 50 overflows -> seq1 [50];
+    # 200 overflows (50+200) -> seq2 [200] exactly at budget; 250 overflows
+    # -> seq3 [250] oversized alone; 10 overflows (250+10) -> seq4 [10,10]
+    assert [got[("en", i)] for i in range(8)] == [0, 0, 0, 1, 2, 3, 4, 4]
+    assert [got[("fr", i)] for i in (100, 101)] == [0, 0]
+    # determinism across repartitionings
+    out2 = corpus.pack_sequences(df.repartition(7), "lang", "n_tokens",
+                                 "doc_id", budget=200)
+    assert {(r["lang"], r["doc_id"]): r["seq_id"]
+            for r in out2.collect()} == got
+
+
+def test_pack_sequences_budget_never_exceeded_except_oversize(spark):
+    import random
+    rng = random.Random(7)
+    rows = [("g", i, rng.randint(1, 120)) for i in range(200)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    out = corpus.pack_sequences(df, "lang", "n_tokens", "doc_id", budget=256)
+    per_seq = (out.groupBy("lang", "seq_id")
+               .agg(F.sum("n_tokens").alias("tot")).collect())
+    assert all(r["tot"] <= 256 for r in per_seq)  # no doc > budget here
+    # sequences are contiguous id ranges (next-fit never backtracks)
+    seqs = sorted((r["doc_id"], r["seq_id"]) for r in out.collect())
+    assert all(b >= a for (_, a), (_, b) in zip(seqs, seqs[1:]))
+
+
+def test_mixture_sample_deterministic_and_rated(spark):
+    rows = [(i, f"src{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = corpus.mixture_sample(df, rates, "source", "doc_id")
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("src0") == 1000          # rate 1.0 keeps all
+    assert "src2" not in by_src                # rate 0.0 drops all
+    assert 350 < by_src.get("src1", 0) < 650   # ~half
+    # unlisted stratum dropped
+    df2 = df.withColumn("source", F.lit("unknown"))
+    assert corpus.mixture_sample(df2, rates, "source", "doc_id").count() == 0
+    # deterministic: same rows regardless of partitioning
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in corpus.mixture_sample(
+        df.repartition(13), rates, "source", "doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_tf_idf_ranks_characteristic_terms(docs):
+    scored = corpus.tf_idf(docs.filter("doc_id in (4, 5)"))
+    rows = {(r["doc_id"], r["term"]): r for r in scored.collect()}
+    # 'the' appears in both docs (df=2) twice each (tf=2); 'fox' df=2 tf=1
+    assert rows[(4, "the")]["tf"] == 2 and rows[(4, "the")]["df"] == 2
+    # unique terms ('jumps') score higher than shared ones at equal tf
+    assert rows[(4, "jumps")]["tfidf"] > rows[(4, "fox")]["tfidf"]
+
+    top = corpus.tf_idf_top_terms(docs.filter("doc_id in (4, 5)"), k=2)
+    got = {(r["doc_id"], r["rank"]): r["term"] for r in top.collect()}
+    assert len(got) == 4
+    # rank 1 for doc 4 is 'the' (tf=2 dominates: 2*3/3=2.0 > 1*3/2=1.5)
+    assert got[(4, 1)] == "the"
+    # doc-4-unique terms (df=1, score 1.5) beat shared fox/brown/quick
+    # (df=2, score 1.0); tie among uniques breaks alphabetically
+    assert got[(4, 2)] == "dog"
