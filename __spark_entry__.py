@@ -1370,6 +1370,21 @@ def q_orc_scan(spark, sf_dir):
     return t.to_df(filter="c_acctbal > 1000")
 
 
+def q_avro_scan(spark, sf_dir):
+    """S7 Avro round trip: write customers into an avro-format table
+    (engine's pure-Python container codec run distributed via mapInArrow,
+    avro_format.py — files validated against the Apache Avro Java
+    reference implementation in tests/test_avro.py), filtered read
+    back.  Closes the one deliberate r2 coverage skip."""
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer")
+    t = cat.create_table("s.cust_avro", Schema.from_spark(cust.schema),
+                         properties={"write.format.default": "avro"})
+    t.append(cust)
+    return t.to_df(filter="c_acctbal > 1000")
+
+
 def q_call_procedure(spark, sf_dir):
     from incubator_iceberg_spark import procedures as PR
     from incubator_iceberg_spark.schema import Schema
@@ -1823,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "avro_scan": q_avro_scan,
         # --- last driver-verified in r1 (least-recently-verified 44) ------
         "merge_by_source": q_merge_by_source,
         "delete_cow": q_delete_cow,
@@ -1846,7 +1862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_scan": q_orc_scan,
         "call_procedure": q_call_procedure,
         "topk_window": q_topk_window,
-        "distinct_agg": q_distinct_agg,
         "q5_nation_revenue": q_q5_nation_revenue,
         "q10_returned_items": q_q10_returned_items,
         "q12_priority_split": q_q12_priority_split,
@@ -1866,11 +1881,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q22_global_sales": q_q22_global_sales,
         "q11_value_share": q_q11_value_share,
-        # --- past the 50-row window: rollup/cube are pure Spark-delegated
-        # aggregates over a scan path 40+ prefix queries exercise — the
-        # least information-bearing rotation rows, deferred to r4 ----------
+        # --- past the 50-row window: rollup/cube/distinct are pure Spark-
+        # delegated aggregates over a scan path 40+ prefix queries exercise
+        # — the least information-bearing rotation rows, deferred to r4 ----
         "rollup_agg": q_rollup,
         "cube_agg": q_cube_agg,
+        "distinct_agg": q_distinct_agg,
         "delete_mor": q_delete_mor,
         "update_mor": q_update_mor,
         # --- driver-green in round 2 (proven; rotate to the back) ---------
@@ -2450,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
         """,
         "orc_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
+        "avro_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
         "call_procedure": "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
         "transaction_multi": """
             SELECT * FROM orders WHERE o_orderstatus != 'F'

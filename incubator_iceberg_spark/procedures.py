@@ -23,27 +23,35 @@ from incubator_iceberg_spark import write as W
 from incubator_iceberg_spark.schema import Schema
 
 
-def add_files(table, source_dir: str, spark=None) -> dict:
-    """Import existing parquet files (no rewrite; AddFilesProcedure
+def add_files(table, source_dir, spark=None,
+              file_format: str = "parquet") -> dict:
+    """Import existing parquet/avro files (no rewrite; AddFilesProcedure
     analog): harvest footer stats → manifest entries → one append commit.
     Partitioned targets derive each file's partition tuple from its
     footer bounds: for order-preserving transforms (identity, truncate,
     year/month/day/hour) a file whose transformed lower == transformed
     upper lies in exactly one partition.  Files spanning partitions (or
     bucket specs, where bounds can't prove membership) are rejected —
-    import those via a staged write instead."""
+    import those via a staged write instead.  ``source_dir`` may be a
+    directory to walk or an explicit list of file paths; avro imports get
+    row counts from block headers (no column bounds → no metrics pruning
+    until rewritten)."""
     spark = spark or table.spark
-    files = W._list_parquet_files(source_dir)
+    if isinstance(source_dir, (list, tuple)):
+        files = list(source_dir)
+    else:
+        files = W._list_data_files(source_dir, "." + file_format)
     if not files:
         return {"added_files": 0}
     schema = table.metadata.schema()
     spec = table.metadata.spec()
-    stats = W.collect_file_stats(spark, files, schema)
+    stats = W.collect_file_stats(spark, files, schema,
+                                 file_format=file_format)
     entries = []
     for st in stats:
         e = {
             "file_path": st["file_path"],
-            "file_format": "parquet",
+            "file_format": file_format,
             "record_count": st["record_count"],
             "file_size_bytes": st["file_size_bytes"],
             "value_counts": st["value_counts"],

@@ -377,6 +377,18 @@ def read_entries(spark, md, data_entries, delete_entries, current_schema,
     for (schema_id, fmt), paths in by_group.items():
         file_schema = md.schema_by_id(schema_id) if any(
             s.schema_id == schema_id for s in md.schemas) else current_schema
+        if fmt == "avro":
+            # engine's own distributed container decode (avro_format.py,
+            # S7) — binaryFile + mapInArrow; emits real _pos lineage
+            from incubator_iceberg_spark import avro_format as AV
+            df = AV.read_avro_files(spark, paths, file_schema,
+                                    with_lineage=need_lineage)
+            extra = ([F.col("_file"), F.col("_pos")] if need_lineage
+                     else None)
+            df = _project_to_current(df, file_schema, current_schema,
+                                     extra=extra)
+            parts.append(df)
+            continue
         reader = spark.read.schema(file_schema.to_spark())
         df = reader.orc(paths) if fmt == "orc" else reader.parquet(*paths)
         if need_lineage:

@@ -365,7 +365,10 @@ class Table:
         dels = [e for e in entries if (e.get("content") or 0) != 0]
         tables = []
         for e in data:
-            tbl = pq.read_table(e["file_path"])
+            if (e.get("file_format") or "parquet") == "avro":
+                tbl = self._read_avro_local(e)
+            else:
+                tbl = pq.read_table(e["file_path"])
             if dels:
                 from incubator_iceberg_spark import deletes as DEL
                 pos_paths, eq_groups = DEL.scope_deletes_for_file(
@@ -383,6 +386,26 @@ class Table:
             if mask is not None:
                 out = out.filter(mask)
         return out
+
+    def _read_avro_local(self, entry):
+        """Local avro file → arrow table via the engine codec (S14+S7)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from incubator_iceberg_spark import avro_format as AV
+        sid = entry.get("schema_id")
+        sch = (self.metadata.schema_by_id(sid)
+               if sid is not None and any(s.schema_id == sid
+                                          for s in self.metadata.schemas)
+               else self.metadata.schema())
+        with open(entry["file_path"], "rb") as f:
+            cols, _n = AV.read_container(f.read(), sch)
+        if not cols:
+            cols = [[] for _ in sch.fields]
+        arrow_schema = to_arrow_schema(sch.to_spark())
+        return pa.table(
+            {f.name: pa.array(col, type=arrow_schema.field(f.name).type)
+             for f, col in zip(sch.fields, cols)})
 
     # -- transactions (C10) --------------------------------------------------
     def new_transaction(self, spark=None):

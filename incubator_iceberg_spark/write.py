@@ -107,13 +107,22 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
     # Rolling at target size (BaseTaskWriter.java:276 analog): Spark splits
     # output per task; cap rows per file so a skewed task still rolls.
     writer = writer.option("maxRecordsPerFile", _max_records_estimate(df, target_file_size))
-    if file_format == "orc":
-        writer.orc(staging)
+    if file_format == "avro":
+        # no Spark datasource for avro in this runtime: the engine's own
+        # distributed container writer (mapInArrow) emits the same
+        # hive-style layout + per-file stats (avro_format.py, S7)
+        from incubator_iceberg_spark import avro_format as AV
+        stats = AV.write_avro_files(
+            spark, df, staging, schema, [n for n, _ in part_cols],
+            _max_records_estimate(df, target_file_size))
     else:
-        writer.parquet(staging)
-
-    files = _list_data_files(staging, "." + file_format)
-    stats = collect_file_stats(spark, files, schema, file_format=file_format)
+        if file_format == "orc":
+            writer.orc(staging)
+        else:
+            writer.parquet(staging)
+        files = _list_data_files(staging, "." + file_format)
+        stats = collect_file_stats(spark, files, schema,
+                                   file_format=file_format)
     if nan_counts and file_format == "parquet":
         _attach_nan_counts(spark, staging, schema, stats)
     if file_format == "orc" and spark is not None:
@@ -247,6 +256,18 @@ def collect_file_stats(spark, files: list, schema: S.Schema,
         # record counts only → partition pruning works, metrics pruning
         # degrades to 'might match' (correct, unoptimized)
         return [orc_stats(p, schema) for p in files]
+    if file_format == "avro":
+        # import path (add_files) for pre-existing avro: block headers
+        # give row counts without decompression; no bounds (engine-written
+        # avro computes bounds at write time instead)
+        from incubator_iceberg_spark import avro_format as AV
+        return [{
+            "file_path": p,
+            "record_count": AV.avro_row_count(p),
+            "file_size_bytes": os.path.getsize(p),
+            "value_counts": None, "null_counts": None, "nan_counts": None,
+            "lower_bounds": {}, "upper_bounds": {},
+        } for p in files]
     if len(files) <= DRIVER_STATS_MAX_FILES or spark is None:
         if len(files) > 8:
             # footer reads are I/O-bound and release the GIL in pyarrow:

@@ -1,0 +1,213 @@
+"""S7 Avro: the engine's pure-Python Object Container File codec
+(avro_format.py) — codec round trips, engine-table integration, and
+BOTH-direction binary interop with the Apache Avro Java reference
+implementation on Spark's classpath."""
+
+import glob
+import io
+import os
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+from incubator_iceberg_spark import avro_format as AV
+from incubator_iceberg_spark import schema as S
+from incubator_iceberg_spark.schema import Schema
+
+
+def _all_types_schema():
+    return Schema([
+        S.NestedField(1, "i", S.IntegerType()),
+        S.NestedField(2, "l", S.LongType()),
+        S.NestedField(3, "f", S.FloatType()),
+        S.NestedField(4, "d", S.DoubleType()),
+        S.NestedField(5, "s", S.StringType()),
+        S.NestedField(6, "b", S.BinaryType()),
+        S.NestedField(7, "dt", S.DateType()),
+        S.NestedField(8, "ts", S.TimestampType(with_zone=False)),
+        S.NestedField(9, "bo", S.BooleanType()),
+        S.NestedField(10, "dec", S.DecimalType(10, 2)),
+        S.NestedField(11, "arr", S.ListType.of(20, S.LongType())),
+        S.NestedField(12, "m", S.MapType.of(21, S.StringType(),
+                                            22, S.DoubleType())),
+    ])
+
+
+def _all_types_columns():
+    return [
+        [1, None, -5],
+        [10**12, 2, None],
+        [1.5, None, -0.25],
+        [3.14159, 2.5, None],
+        ["héllo", "", None],
+        [b"\x00\xffbin", None, b""],
+        [date(2020, 1, 31), None, date(1969, 12, 31)],
+        [datetime(2021, 6, 1, 12, 30, 45, 123456), None, datetime(1960, 1, 1)],
+        [True, False, None],
+        [Decimal("123.45"), Decimal("-0.01"), None],
+        [[1, 2, None, 4], [], None],
+        [{"a": 1.5, "b": None}, {}, None],
+    ]
+
+
+@pytest.mark.parametrize("codec", ["deflate", "null"])
+def test_container_roundtrip_all_types(codec):
+    sch, cols = _all_types_schema(), _all_types_columns()
+    buf = io.BytesIO()
+    n = AV.write_container(buf, cols, sch, codec=codec)
+    assert n == 3
+    out, total = AV.read_container(buf.getvalue(), sch)
+    assert total == 3 and out == cols
+    # count-only path reads block headers without decompressing
+    assert AV.read_container(buf.getvalue(), Schema([]),
+                             count_only=True)[1] == 3
+
+
+def test_container_multiblock_roundtrip():
+    sch = Schema([S.NestedField(1, "x", S.LongType()),
+                  S.NestedField(2, "y", S.StringType())])
+    cols = [list(range(10000)), [f"s{i}" for i in range(10000)]]
+    buf = io.BytesIO()
+    AV.write_container(buf, cols, sch, block_rows=777)
+    out, total = AV.read_container(buf.getvalue(), sch)
+    assert total == 10000 and out == cols
+
+
+def test_avro_table_end_to_end(warehouse, orders, spark):
+    """Engine table in avro format: append, filtered read, metrics-bounds
+    pruning, equality deletes (real _pos/_file lineage), local no-engine
+    read."""
+    t = warehouse.create_table("db.o_avro", Schema.from_spark(orders.schema),
+                               properties={"write.format.default": "avro"})
+    t.append(orders)
+    n = orders.count()
+    assert t.to_df().count() == n
+    want = orders.filter("o_totalprice > 200000").count()
+    assert t.to_df(filter="o_totalprice > 200000").count() == want
+    # write-time stats give full metrics pruning (no footer needed)
+    assert len(t.new_scan().filter("o_orderkey < 0").plan_files()) == 0
+    # v2 equality deletes apply on the avro read path
+    t.add_equality_deletes(
+        orders.filter("o_orderkey % 100 = 0").select("o_orderkey"),
+        ["o_orderkey"])
+    survivors = orders.filter("o_orderkey % 100 != 0").count()
+    assert t.to_df().count() == survivors
+    assert t.to_arrow().num_rows == survivors  # S14 local read too
+
+
+def test_avro_table_position_deletes(warehouse, orders, spark):
+    """Avro decode emits real per-row _pos, so position deletes work on
+    avro data files (they cannot on ORC)."""
+    t = warehouse.create_table("db.o_avro_pd", Schema.from_spark(orders.schema),
+                               properties={"write.format.default": "avro"})
+    t.append(orders)
+    path = t.new_scan().plan_files()[0][0]
+    pos = spark.createDataFrame([(path, 0), (path, 1)],
+                                "file_path string, pos long")
+    t.add_position_deletes(pos)
+    assert t.to_df().count() == orders.count() - 2
+
+
+def test_avro_partitioned_write_prunes(warehouse, orders, spark):
+    t = warehouse.create_table(
+        "db.o_avro_p", Schema.from_spark(orders.schema),
+        partition_by=["month(o_orderdate)"],
+        properties={"write.format.default": "avro"})
+    t.append(orders)
+    assert t.to_df().count() == orders.count()
+    total = len(t.new_scan().plan_files())
+    pruned = len(t.new_scan().filter(
+        "o_orderdate >= TIMESTAMP '1997-03-01' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01'").plan_files())
+    assert 0 < pruned < total
+
+
+def test_avro_schema_evolution_field_id_projection(warehouse, orders, spark):
+    """Field-ID projection works across avro files written under an old
+    schema: rename resolves, added column reads NULL."""
+    from pyspark.sql import functions as F
+    t = warehouse.create_table("db.o_avro_ev", Schema.from_spark(orders.schema),
+                               properties={"write.format.default": "avro"})
+    t.append(orders.limit(50))
+    t.update_schema().rename_column("o_totalprice", "price") \
+        .add_column("note", "string").commit()
+    df = t.to_df()
+    assert "price" in df.columns and "note" in df.columns
+    rows = df.orderBy("o_orderkey").limit(5).collect()
+    assert all(r["note"] is None for r in rows)
+    assert rows[0]["price"] is not None
+
+
+def test_avro_java_reads_python_files(warehouse, orders, spark):
+    """Interop A: files written by the python codec decode byte-perfectly
+    under the Apache Avro JAVA reference implementation (avro-1.x jar on
+    Spark's classpath)."""
+    t = warehouse.create_table("db.o_avro_j", Schema.from_spark(orders.schema),
+                               properties={"write.format.default": "avro"})
+    t.append(orders.limit(100))
+    path = t.new_scan().plan_files()[0][0]
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader())
+    assert dfr.getMetaString("avro.codec") == "deflate"
+    n = 0
+    keys = set()
+    while dfr.hasNext():
+        rec = dfr.next()
+        keys.add(rec.get("o_orderkey"))
+        n += 1
+    dfr.close()
+    assert n == 100
+    want = {r["o_orderkey"] for r in orders.limit(100).collect()}
+    assert keys == want
+
+
+def test_avro_python_reads_java_files(tmp_path, spark):
+    """Interop B: a container written by the JAVA reference implementation
+    decodes under the python codec."""
+    jvm = spark._jvm
+    # x declared "int" java-side: py4j passes python ints as Integer (it
+    # re-unboxes even an explicit Long.valueOf), and avro int/long share
+    # the same zigzag wire format, so the python side reads it as long
+    avsc = ('{"type":"record","name":"r","fields":['
+            '{"name":"x","type":["null","int"],"default":null},'
+            '{"name":"s","type":["null","string"],"default":null}]}')
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(avsc)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema))
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    path = str(tmp_path / "java.avro")
+    writer.create(jschema, jvm.java.io.File(path))
+    for i in range(500):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("x", i * 7)
+        rec.put("s", None if i % 10 == 0 else f"v{i}")
+        writer.append(rec)
+    writer.close()
+
+    sch = Schema([S.NestedField(1, "x", S.LongType()),
+                  S.NestedField(2, "s", S.StringType())])
+    with open(path, "rb") as f:
+        cols, n = AV.read_container(f.read(), sch)
+    assert n == 500
+    assert cols[0] == [i * 7 for i in range(500)]
+    assert cols[1][0] is None and cols[1][1] == "v1"
+    assert AV.avro_row_count(path) == 500
+
+
+def test_avro_add_files_import(warehouse, orders, spark, tmp_path):
+    """add_files (S16) imports pre-existing avro files: row counts come
+    from block headers without decompression."""
+    sch = Schema.from_spark(orders.schema)
+    ext = str(tmp_path / "ext.avro")
+    rows = orders.limit(40).collect()
+    cols = [[r[f.name] for r in rows] for f in sch.fields]
+    with open(ext, "wb") as f:
+        AV.write_container(f, cols, sch)
+
+    t = warehouse.create_table("db.o_avro_imp", sch)
+    from incubator_iceberg_spark import procedures as PR
+    PR.add_files(t, [ext], file_format="avro")
+    assert t.to_df().count() == 40
