@@ -757,6 +757,89 @@ def q_tfidf_top_terms(spark, sf_dir):
                       .cast("long").alias("score_micro"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark DECONTAMINATION: every-50th doc plays the eval set; for
+    each remaining corpus doc, count its distinct 5-word-grams that
+    appear anywhere in the eval set (pre-training hygiene — eval leakage
+    detection).  One hash join on the gram; eval side distinct (small →
+    broadcastable)."""
+    from incubator_iceberg_spark.functions import corpus
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    bench = docs.filter("doc_id % 50 = 0")
+    corp = docs.filter("doc_id % 50 != 0")
+    return corpus.ngram_contamination(corp, bench, n=5)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (boilerplate/spam
+    filters): duplicate-line fraction + top-word dominance in exact
+    floor-micro units — pure Column algebra and two aggregates."""
+    from incubator_iceberg_spark.functions import corpus
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    return corpus.repetition_stats(docs)
+
+
+def q_sorted_write_clustering(spark, sf_dir):
+    """O1 sort order + range distribution end-to-end: a table created
+    with sort_by + write.distribution-mode=range writes globally
+    range-clustered files whose sort-key bounds DO NOT overlap (the
+    property that makes min/max file skipping effective on the sort
+    key).  The query body asserts the non-overlap from the planned
+    entries' bounds; the returned aggregate is raw-data-derivable."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_sorted", Schema.from_spark(orders.schema),
+                         sort_by=["o_custkey"],
+                         properties={"write.distribution-mode": "range",
+                                     "write.distribution.partition-count": "8"})
+    t.append(orders)
+    ents = [e for e in t.new_scan().plan_entries_local()
+            if (e.get("content") or 0) == 0]
+    rng = sorted((e["lower_bounds"]["o_custkey"],
+                  e["upper_bounds"]["o_custkey"]) for e in ents)
+    assert len(rng) > 1, "expected multiple range-clustered files"
+    overlaps = sum(1 for (l1, u1), (l2, u2) in zip(rng, rng[1:]) if l2 < u1)
+    assert overlaps == 0, f"overlapping sorted files: {rng[:4]}"
+    return (t.to_df(filter="o_custkey < 500")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("o_custkey").alias("min_ck"),
+                 F.max("o_custkey").alias("max_ck"),
+                 F.lit(0).alias("overlapping_files")))
+
+
+def q_metrics_modes(spark, sf_dir):
+    """P17 metrics modes surfaced end-to-end: truncate(4) stores 4-char
+    lower-bound prefixes, counts drops bounds entirely, full keeps exact
+    values — all observable via the planned entries and derivable from
+    raw data (lower-bound truncation is a prefix, so min-over-files of
+    the stored prefix == prefix of the raw min)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer")
+    t = cat.create_table(
+        "s.cust_metrics", Schema.from_spark(cust.schema),
+        properties={"write.metadata.metrics.default": "truncate(4)",
+                    "write.metadata.metrics.column.c_acctbal": "counts",
+                    "write.metadata.metrics.column.c_custkey": "full"})
+    t.append(cust)
+    ents = [e for e in t.new_scan().plan_entries_local()
+            if (e.get("content") or 0) == 0]
+    assert ents
+    assert all((e.get("lower_bounds") or {}).get("c_acctbal") is None
+               for e in ents), "counts mode must drop bounds"
+    assert all(len(e["lower_bounds"]["c_name"]) <= 4 for e in ents)
+    name_low = min(e["lower_bounds"]["c_name"] for e in ents)
+    ck_low = min(e["lower_bounds"]["c_custkey"] for e in ents)
+    n = sum(e["record_count"] for e in ents)
+    return spark.createDataFrame(
+        [(name_low, int(ck_low), 0, int(n))],
+        "name_low_prefix string, custkey_low long, "
+        "acctbal_bounds_present int, n_rows long")
+
+
 def q_catalog_branch_merge(spark, sf_dir):
     """Catalog-LEVEL branches (NessieLiteCatalog, the NessieCatalog
     analog): write even keys to main, odd keys on an ``etl`` branch that
@@ -1881,9 +1964,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q22_global_sales": q_q22_global_sales,
         "q11_value_share": q_q11_value_share,
-        # --- past the 50-row window: rollup/cube/distinct are pure Spark-
-        # delegated aggregates over a scan path 40+ prefix queries exercise
-        # — the least information-bearing rotation rows, deferred to r4 ----
+        # --- past the 50-row window; r4-prefix candidates first -----------
+        "sorted_write_clustering": q_sorted_write_clustering,
+        "metrics_modes": q_metrics_modes,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        # rollup/cube/distinct are pure Spark-delegated aggregates over a
+        # scan path 40+ prefix queries exercise — the least information-
+        # bearing rotation rows, deferred to r4
         "rollup_agg": q_rollup,
         "cube_agg": q_cube_agg,
         "distinct_agg": q_distinct_agg,
@@ -2467,6 +2555,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
         "avro_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
+        "sorted_write_clustering": """
+            SELECT count(*) AS n_rows, min(o_custkey) AS min_ck,
+                   max(o_custkey) AS max_ck, 0 AS overlapping_files
+            FROM orders WHERE o_custkey < 500
+        """,
+        "metrics_modes": """
+            SELECT substr(min(c_name), 1, 4) AS name_low_prefix,
+                   min(c_custkey) AS custkey_low,
+                   0 AS acctbal_bounds_present,
+                   count(*) AS n_rows
+            FROM customer
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+4], ' ')
+                                    FOR i IN range(1, len(t) - 3)]) AS g
+              FROM toks WHERE len(t) >= 5),
+            ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+            bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0),
+            corp AS (SELECT * FROM ex WHERE doc_id % 50 != 0),
+            totals AS (SELECT doc_id, count(*) AS n_grams
+                       FROM corp GROUP BY 1),
+            hits AS (SELECT c.doc_id, count(*) AS contaminated_grams
+                     FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1)
+            SELECT t.doc_id, t.n_grams,
+                   COALESCE(h.contaminated_grams, 0) AS contaminated_grams,
+                   CAST(floor(COALESCE(h.contaminated_grams, 0) * 1000000.0
+                              / t.n_grams) AS BIGINT) AS contamination_micro
+            FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        """,
+        "repetition_stats": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                s -> trim(s)),
+                                 s -> s != '') AS ls,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            lines AS (
+              SELECT doc_id, len(ls) AS n_lines,
+                     CASE WHEN len(ls) > 0
+                          THEN CAST(floor((1.0 - len(list_distinct(ls))::DOUBLE
+                                           / len(ls)) * 1000000.0) AS BIGINT)
+                          ELSE 0 END AS dup_line_micro
+              FROM base),
+            tok AS (SELECT doc_id, unnest(t) AS w FROM base),
+            tw AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+            tops AS (SELECT doc_id, max(c) AS top, sum(c) AS total
+                     FROM tw GROUP BY 1)
+            SELECT l.doc_id, l.n_lines, l.dup_line_micro,
+                   CASE WHEN COALESCE(tp.total, 0) > 0
+                        THEN CAST(floor(tp.top * 1000000.0 / tp.total)
+                                  AS BIGINT)
+                        ELSE 0 END AS top_word_micro
+            FROM lines l LEFT JOIN tops tp ON l.doc_id = tp.doc_id
+        """,
         "call_procedure": "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
         "transaction_multi": """
             SELECT * FROM orders WHERE o_orderstatus != 'F'

@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "ann_ivf_indexed",   # one-time index BUILD (clustering rewrite) + probe
     "ann_ivf_probe",     # steady-state partition-pruned probe only
     "text_analyze",
+    # round-3 additions: corpus-prep operators + the avro format path
+    "doc_chunks",
+    "tfidf_top_terms",
+    "pack_sequences",
+    "decontaminate",
+    "avro_scan",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -170,3 +170,75 @@ def tf_idf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
             .filter(F.col("rank") <= k)
             .select(F.col("__id").alias(id_col), "rank", "term", "tf", "df",
                     "score"))
+
+
+def ngram_contamination(corpus_df, benchmark_df, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = None):
+    """Benchmark DECONTAMINATION check: for every corpus doc, how many of
+    its word n-grams appear anywhere in the benchmark set (the standard
+    pre-training hygiene test — eval data leaking into the corpus).
+
+    Returns (id, n_grams, contaminated_grams, contamination_micro) where
+    contamination_micro = floor(contaminated/n_grams * 1e6).  Shape: both
+    sides explode to distinct n-grams; the benchmark side is a distinct
+    gram set (usually small → broadcast); one semi-ish inner join on the
+    gram + count aggregate.  No UDFs, scales as a hash join on grams."""
+    from pyspark.sql import functions as F
+    grams = (corpus_df.select(F.col(id_col).alias("__id"),
+                              F.explode(TX.word_ngrams(text_col, n))
+                              .alias("g")))
+    bench = (benchmark_df.select(
+        F.explode(TX.word_ngrams(bench_text_col or text_col, n)).alias("g"))
+        .distinct())
+    totals = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (grams.join(bench, "g")
+            .groupBy("__id").agg(F.count(F.lit(1)).alias("contaminated_grams")))
+    return (totals.join(hits, "__id", "left")
+            .select(F.col("__id").alias(id_col), "n_grams",
+                    F.coalesce("contaminated_grams", F.lit(0))
+                    .alias("contaminated_grams"))
+            .withColumn("contamination_micro",
+                        F.floor(F.col("contaminated_grams")
+                                * F.lit(1000000.0) / F.col("n_grams"))
+                        .cast("long")))
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style within-document repetition signals: duplicate-line
+    fraction and top-word dominance, used to drop boilerplate/spam docs.
+
+    Returns (id, n_lines, dup_line_micro, top_word_micro):
+    dup_line_micro = floor((1 - distinct_lines/lines) * 1e6) over
+    non-empty trimmed lines; top_word_micro = floor(max word frequency /
+    total words * 1e6).  Pure Column algebra + two aggregates."""
+    from pyspark.sql import functions as F
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "")
+    base = df.select(F.col(id_col).alias("__id"), lines.alias("__ls"),
+                     TX.tokens(text_col).alias("__toks"))
+    line_stats = base.select(
+        "__id",
+        F.size("__ls").alias("n_lines"),
+        F.when(F.size("__ls") > 0,
+               F.floor((F.lit(1.0)
+                        - F.size(F.array_distinct("__ls")).cast("double")
+                        / F.size("__ls")) * F.lit(1000000.0)).cast("long"))
+        .otherwise(F.lit(0)).alias("dup_line_micro"))
+    tok = base.select("__id", F.explode_outer("__toks").alias("__t"))
+    word_stats = (tok.groupBy("__id", "__t")
+                  .agg(F.count(F.lit(1)).alias("__c"))
+                  .groupBy("__id")
+                  .agg(F.sum(F.when(F.col("__t").isNotNull(), F.col("__c"))
+                             .otherwise(0)).alias("__total"),
+                       F.max(F.when(F.col("__t").isNotNull(), F.col("__c"))
+                             .otherwise(0)).alias("__top")))
+    top = word_stats.select(
+        "__id",
+        F.when(F.col("__total") > 0,
+               F.floor(F.col("__top") * F.lit(1000000.0) / F.col("__total"))
+               .cast("long")).otherwise(F.lit(0)).alias("top_word_micro"))
+    return (line_stats.join(top, "__id")
+            .select(F.col("__id").alias(id_col), "n_lines",
+                    "dup_line_micro", "top_word_micro"))

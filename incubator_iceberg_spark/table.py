@@ -257,10 +257,12 @@ class Table:
         target = md.property(MD.WRITE_TARGET_FILE_SIZE, MD.WRITE_TARGET_FILE_SIZE_DEFAULT)
         fmt = md.properties.get("write.format.default", "parquet")
         nan = md.properties.get("write.metrics.nan-counts", "false") == "true"
+        dist_n = md.properties.get("write.distribution.partition-count")
         return W.stage_write(spark, md.location, df, md.schema(), md.spec(),
                              sort_order=md.sort_order(), distribution_mode=mode,
                              target_file_size=target, file_format=fmt,
-                             nan_counts=nan)
+                             nan_counts=nan,
+                             distribution_partitions=int(dist_n) if dist_n else None)
 
     def append(self, df, spark=None, extra_summary: Optional[dict] = None,
                branch: Optional[str] = None) -> "Table":

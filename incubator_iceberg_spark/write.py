@@ -61,15 +61,19 @@ def align_to_schema(df, schema: S.Schema):
     return df.select(*cols)
 
 
-def _distribute(df, spec: PartitionSpec, sort_order, mode: str, part_cols):
-    """Write distribution + local sort (O1)."""
+def _distribute(df, spec: PartitionSpec, sort_order, mode: str, part_cols,
+                num_partitions: Optional[int] = None):
+    """Write distribution + local sort (O1).  ``range`` distributes by
+    partition columns AND sort-order columns (SparkWrite's
+    buildRequiredOrdering analog) — on a sorted table this yields
+    globally range-clustered files with non-overlapping sort-key bounds,
+    which is what makes min/max file skipping effective on the sort
+    key.  ``num_partitions`` (write.distribution.partition-count) pins
+    the shuffle width — without it AQE may coalesce a small write into
+    one file, which is right for size but defeats clustering tests."""
     from pyspark.sql import functions as F
 
     names = [n for n, _ in part_cols]
-    if mode == "hash" and names:
-        df = df.repartition(*[F.col(n) for n in names])
-    elif mode == "range" and names:
-        df = df.repartitionByRange(*[F.col(n) for n in names])
     sort_cols = []
     if sort_order and sort_order.fields:
         for sf in sort_order.fields:
@@ -78,6 +82,12 @@ def _distribute(df, spec: PartitionSpec, sort_order, mode: str, part_cols):
                 c = F.col(path)
                 c = c.desc() if sf.direction == "desc" else c.asc()
                 sort_cols.append(c)
+    nargs = [num_partitions] if num_partitions else []
+    if mode == "hash" and names:
+        df = df.repartition(*nargs, *[F.col(n) for n in names])
+    elif mode == "range" and (names or sort_cols):
+        df = df.repartitionByRange(*nargs, *[F.col(n) for n in names],
+                                   *sort_cols)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     return df
@@ -87,7 +97,8 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
                 sort_order=None, distribution_mode: Optional[str] = None,
                 target_file_size: int = MD.WRITE_TARGET_FILE_SIZE_DEFAULT,
                 fanout: bool = False, file_format: str = "parquet",
-                nan_counts: bool = False) -> list:
+                nan_counts: bool = False,
+                distribution_partitions: Optional[int] = None) -> list:
     """Write the DataFrame into the table's data dir; return manifest
     entries (dicts with stats + partition tuples)."""
     from pyspark.sql import functions as F
@@ -98,7 +109,8 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
     for name, expr in part_cols:
         df = df.withColumn(name, expr)
     mode = distribution_mode or ("hash" if spec.is_partitioned else "none")
-    df = _distribute(df, spec, sort_order, mode, part_cols)
+    df = _distribute(df, spec, sort_order, mode, part_cols,
+                     num_partitions=distribution_partitions)
 
     staging = os.path.join(table_location, "data", uuid.uuid4().hex)
     writer = df.write.mode("errorifexists")

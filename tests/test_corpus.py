@@ -111,3 +111,36 @@ def test_tf_idf_ranks_characteristic_terms(docs):
     # doc-4-unique terms (df=1, score 1.5) beat shared fox/brown/quick
     # (df=2, score 1.0); tie among uniques breaks alphabetically
     assert got[(4, 2)] == "dog"
+
+
+def test_ngram_contamination_detects_planted_overlap(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),   # eval doc
+        (1, "alpha beta gamma delta epsilon zeta unrelated"),   # leaked prefix
+        (2, "totally different words with no shared grams here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id = 0")
+    corp = df.filter("doc_id != 0")
+    out = {r["doc_id"]: r for r in
+           corpus.ngram_contamination(corp, bench, n=5).collect()}
+    # doc 1 shares exactly the 5-grams of its first 6 words: 2 of its 3
+    assert out[1]["n_grams"] == 3 and out[1]["contaminated_grams"] == 2
+    assert out[1]["contamination_micro"] == 666666
+    assert out[2]["contaminated_grams"] == 0
+    assert out[2]["contamination_micro"] == 0
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    rows = [
+        (0, "line one\nline two\nline three"),             # all unique
+        (1, "spam\nspam\nspam\nspam"),                     # 75% dup lines
+        (2, "buy buy buy buy now"),                        # top word 4/5
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.repetition_stats(df).collect()}
+    assert out[0]["dup_line_micro"] == 0 and out[0]["n_lines"] == 3
+    assert out[1]["n_lines"] == 4 and out[1]["dup_line_micro"] == 750000
+    assert out[2]["top_word_micro"] == 800000
+    assert out[3]["n_lines"] == 0 and out[3]["top_word_micro"] == 0

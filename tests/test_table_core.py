@@ -359,3 +359,23 @@ def test_data_and_delete_files_metadata_tables(warehouse, orders, spark):
     assert dels.count() >= 1
     want_deleted = orders.filter("o_orderkey % 50 = 0").count()
     assert sum(r["record_count"] for r in dels.collect()) == want_deleted
+
+
+def test_range_distribution_clusters_sort_key(warehouse, orders, spark):
+    """O1: sort_by + range distribution writes files with non-overlapping
+    sort-key bounds (repartitionByRange includes the sort columns, the
+    SparkWrite requiredOrdering analog)."""
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table(
+        "db.range_sorted", Schema.from_spark(orders.schema),
+        sort_by=["o_custkey"],
+        properties={"write.distribution-mode": "range",
+                    "write.distribution.partition-count": "6"})
+    t.append(orders)
+    ents = [e for e in t.new_scan().plan_entries_local()
+            if (e.get("content") or 0) == 0]
+    rng = sorted((e["lower_bounds"]["o_custkey"],
+                  e["upper_bounds"]["o_custkey"]) for e in ents)
+    assert len(rng) > 1
+    assert all(l2 >= u1 for (_, u1), (l2, _) in zip(rng, rng[1:]))
+    assert t.to_df().count() == orders.count()
