@@ -172,6 +172,26 @@ def tf_idf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
                     "score"))
 
 
+def word_ngram_rows(df, text_col: str, id_col: str, n: int):
+    """(id, gram) rows of DISTINCT word n-grams via posexplode + window
+    ``lead``s — the array-lambda formulation (transform+slice+concat_ws)
+    runs interpreted per row and measured 10×+ slower on real corpora
+    (same finding that drove dedup.ngram_jaccard_pairs' rewrite)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.posexplode_outer(TX.tokens(text_col))
+                     .alias("__p", "__t"))
+    w = Window.partitionBy("__id").orderBy("__p")
+    cols = [F.col("__t")] + [F.lead("__t", k).over(w) for k in range(1, n)]
+    return (toks.select("__id", *[c.alias(f"__t{k}")
+                                  for k, c in enumerate(cols)])
+            .filter(F.col(f"__t{n-1}").isNotNull())
+            .select("__id", F.concat_ws(" ", *[F.col(f"__t{k}")
+                                               for k in range(n)]).alias("g"))
+            .distinct())
+
+
 def ngram_contamination(corpus_df, benchmark_df, n: int = 8,
                         text_col: str = "text", id_col: str = "doc_id",
                         bench_text_col: str = None):
@@ -181,27 +201,31 @@ def ngram_contamination(corpus_df, benchmark_df, n: int = 8,
 
     Returns (id, n_grams, contaminated_grams, contamination_micro) where
     contamination_micro = floor(contaminated/n_grams * 1e6).  Shape: both
-    sides explode to distinct n-grams; the benchmark side is a distinct
-    gram set (usually small → broadcast); one semi-ish inner join on the
-    gram + count aggregate.  No UDFs, scales as a hash join on grams."""
+    sides reduce to distinct (id, gram) rows via window leads (codegen,
+    no interpreted array lambdas); the benchmark side is a distinct gram
+    set (small → broadcast), so the probe is a map-side hash join.  The
+    corpus gram set has two consumers (totals + hits) — persisted once
+    and released after materialization."""
     from pyspark.sql import functions as F
-    grams = (corpus_df.select(F.col(id_col).alias("__id"),
-                              F.explode(TX.word_ngrams(text_col, n))
-                              .alias("g")))
-    bench = (benchmark_df.select(
-        F.explode(TX.word_ngrams(bench_text_col or text_col, n)).alias("g"))
-        .distinct())
+    from incubator_iceberg_spark.functions.dedup import (
+        _materialize_and_release,
+    )
+    grams = word_ngram_rows(corpus_df, text_col, id_col, n).persist()
+    bench = (word_ngram_rows(benchmark_df, bench_text_col or text_col,
+                             id_col, n)
+             .select("g").distinct())
     totals = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (grams.join(bench, "g")
+    hits = (grams.join(F.broadcast(bench), "g")
             .groupBy("__id").agg(F.count(F.lit(1)).alias("contaminated_grams")))
-    return (totals.join(hits, "__id", "left")
-            .select(F.col("__id").alias(id_col), "n_grams",
-                    F.coalesce("contaminated_grams", F.lit(0))
-                    .alias("contaminated_grams"))
-            .withColumn("contamination_micro",
-                        F.floor(F.col("contaminated_grams")
-                                * F.lit(1000000.0) / F.col("n_grams"))
-                        .cast("long")))
+    out = (totals.join(hits, "__id", "left")
+           .select(F.col("__id").alias(id_col), "n_grams",
+                   F.coalesce("contaminated_grams", F.lit(0))
+                   .alias("contaminated_grams"))
+           .withColumn("contamination_micro",
+                       F.floor(F.col("contaminated_grams")
+                               * F.lit(1000000.0) / F.col("n_grams"))
+                       .cast("long")))
+    return _materialize_and_release(out, [grams])
 
 
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
