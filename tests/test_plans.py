@@ -63,3 +63,43 @@ def test_aggregate_is_codegen_with_partial(orders_table, spark):
     # of unaggregated rows)
     assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, sf_dir):
+    from incubator_iceberg_spark.io import load_table
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_chunk_documents_is_shuffle_free(docs_df):
+    """Chunking is a narrow transform: NO Exchange anywhere in the plan —
+    at 100 TB it must not shuffle the corpus to window it."""
+    from incubator_iceberg_spark.functions import corpus
+    plan = _final_plan(corpus.chunk_documents(docs_df))
+    assert "Exchange" not in plan
+
+
+def test_contamination_probe_broadcasts_eval_grams(docs_df):
+    """The eval-gram side must broadcast (map-side hash join), never
+    shuffle the corpus grams against it with a sort-merge join."""
+    from incubator_iceberg_spark.functions import corpus
+    out = corpus.ngram_contamination(
+        docs_df.filter("doc_id % 50 != 0"),
+        docs_df.filter("doc_id % 50 = 0"), n=5)
+    plan = _final_plan(out)
+    assert "BroadcastHashJoin" in plan
+    # the totals-vs-hits join on the doc id may sort-merge (both sides
+    # pre-aggregated); the GRAM join must never
+    smj_on_gram = [ln for ln in plan.splitlines()
+                   if "SortMergeJoin" in ln and "[g#" in ln]
+    assert not smj_on_gram, smj_on_gram
+
+
+def test_mixture_sample_is_pure_filter(docs_df):
+    """Deterministic sampling adds no shuffle and no UDF: a Filter over
+    the scan, nothing else."""
+    from incubator_iceberg_spark.functions import corpus
+    out = corpus.mixture_sample(docs_df, {"src0": 0.5}, "source", "doc_id")
+    plan = _final_plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
