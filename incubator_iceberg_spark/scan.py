@@ -234,7 +234,8 @@ class TableScan:
         if entries is None:
             return [], []
         from pyspark.sql import functions as F
-        cols = ["file_path", "schema_id", "sequence_number", "content", "file_format"]
+        cols = ["file_path", "schema_id", "sequence_number", "content",
+                "file_format", "file_size_bytes"]
         have = [c for c in cols if c in entries.columns]
         # stream the pruned file list instead of one giant collect (at
         # 100 TB the path list is the only driver materialization)
@@ -265,6 +266,56 @@ class TableScan:
         """[(file_path, schema_id)] of DATA files after pruning."""
         data, _dels = self._plan_split()
         return [(e["file_path"], e.get("schema_id")) for e in data]
+
+    def plan_tasks(self) -> list:
+        """CombinedScanTask planning (TableScanUtil.planTasks /
+        BaseTableScan.planTasks analog, core/.../util/TableScanUtil.java:43-64):
+        pruned files are split at ``read.split.target-size`` (128 MB
+        default), each split weighted at max(length, open-file-cost 4 MB)
+        so a thousand tiny files don't collapse into one task, then
+        packed IN ORDER with a ``read.split.planning-lookback`` (10)
+        bin-pack (BinPacking.java semantics — order-preserving, close a
+        bin when the lookback window overflows).
+
+        Returns [[{file_path, start, length, schema_id}, ...], ...] —
+        one inner list per combined task.  The Spark data plane delegates
+        read-side splitting to ``spark.sql.files.maxPartitionBytes``
+        (SURVEY §2.5 O2); this API serves the reference's external-
+        executor contract and custom per-task processing."""
+        props = self.table.metadata.properties
+        split = int(props.get("read.split.target-size", 128 * 1024 * 1024))
+        lookback = int(props.get("read.split.planning-lookback", 10))
+        open_cost = int(props.get("read.split.open-file-cost", 4 * 1024 * 1024))
+        data, _dels = self._plan_split()
+        splits = []
+        for e in data:
+            size = e.get("file_size_bytes") or 0
+            off = 0
+            while True:
+                ln = min(split, size - off)
+                splits.append({"file_path": e["file_path"], "start": off,
+                               "length": ln,
+                               "schema_id": e.get("schema_id")})
+                off += ln
+                if off >= size:
+                    break
+        bins: list[list] = []  # [weight, splits]
+        tasks: list[list] = []
+        for s in splits:
+            w = max(s["length"], open_cost)
+            placed = False
+            for b in bins:
+                if b[0] + w <= split:
+                    b[0] += w
+                    b[1].append(s)
+                    placed = True
+                    break
+            if not placed:
+                bins.append([w, [s]])
+                while len(bins) > lookback:
+                    tasks.append(bins.pop(0)[1])
+        tasks.extend(b[1] for b in bins)
+        return tasks
 
     # -- execution ---------------------------------------------------------
     def to_df(self, with_lineage: bool = False):

@@ -379,3 +379,51 @@ def test_range_distribution_clusters_sort_key(warehouse, orders, spark):
     assert len(rng) > 1
     assert all(l2 >= u1 for (_, u1), (l2, _) in zip(rng, rng[1:]))
     assert t.to_df().count() == orders.count()
+
+
+def test_plan_tasks_combines_small_files(warehouse, orders, spark):
+    """planTasks (TableScanUtil analog): many small files combine into
+    few tasks, bounded by the open-file-cost weighting — never one task
+    per file, never one giant task."""
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.tasks_small", Schema.from_spark(orders.schema))
+    for i in range(8):
+        t.append(orders.filter(f"o_orderkey % 8 = {i}"))
+    n_files = len(t.new_scan().plan_files())
+    assert n_files >= 8
+    tasks = t.new_scan().plan_tasks()
+    # 8+ tiny files at 4 MB open cost pack 32 per 128 MB task
+    assert 1 <= len(tasks) < n_files or n_files <= 1
+    covered = {s["file_path"] for g in tasks for s in g}
+    assert len(covered) == n_files
+
+
+def test_plan_tasks_splits_large_files_and_packs_lookback(warehouse, orders, spark):
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.tasks_split", Schema.from_spark(orders.schema),
+                               properties={
+                                   "read.split.target-size": "4096",
+                                   "read.split.open-file-cost": "1024",
+                                   "read.split.planning-lookback": "2"})
+    t.append(orders)
+    sizes = {e["file_path"]: e["file_size_bytes"]
+             for e in t.new_scan().plan_entries_local()}
+    tasks = t.new_scan().plan_tasks()
+    # every byte of every file covered exactly once, contiguous ranges
+    per_file: dict = {}
+    for g in tasks:
+        for s in g:
+            per_file.setdefault(s["file_path"], []).append(
+                (s["start"], s["length"]))
+    for path, spans in per_file.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert all(a + ln == b for (a, ln), (b, _) in zip(spans, spans[1:]))
+        assert sum(ln for _, ln in spans) == sizes[path]
+        # no split exceeds the target size
+        assert all(ln <= 4096 for _, ln in spans)
+    # packing respects the target: no task's weight exceeds it (single
+    # oversized splits excepted, impossible here since split==target)
+    for g in tasks:
+        if len(g) > 1:
+            assert sum(max(s["length"], 1024) for s in g) <= 4096
