@@ -779,6 +779,55 @@ def q_repetition_stats(spark, sf_dir):
     return corpus.repetition_stats(docs)
 
 
+def q_streaming_windowed_agg(spark, sf_dir):
+    """Structured Streaming, event-time tumbling windows with a
+    watermark, feeding the exactly-once engine sink (the full
+    Spark-native streaming story over engine tables): availableNow file
+    stream in 3 micro-batches, complete-mode epochs into the sink, and
+    the FINAL epoch's rows — read back via the incremental-append scan —
+    must equal the batch ground truth the oracle recomputes."""
+    import os
+    import uuid as _u
+
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.scan import TableScan
+    cat = _scratch_catalog(spark)
+    events = _load(spark, sf_dir, "events")
+    base = os.path.join(SCRATCH_ROOT, "winstream-" + _u.uuid4().hex)
+    src = os.path.join(base, "src")
+    for i in range(3):
+        (events.filter(f"event_id % 3 = {i}").coalesce(1)
+         .write.mode("append").parquet(src))
+    sink = cat.create_table(
+        "s.win_sink", "window_start timestamp, event_type string, n long")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("window_start"),
+                      "event_type", "n"))
+
+    def write_batch(bdf, eid):
+        STR.append_exactly_once(sink, bdf, eid, query_id="winq")
+
+    q = (stream.writeStream.outputMode("complete").foreachBatch(write_batch)
+         .option("checkpointLocation", os.path.join(base, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    sink.refresh()
+    last = STR.last_committed_epoch(sink, "winq")
+    assert last is not None, "no committed streaming epoch"
+    final = None
+    for s in sink.metadata.snapshots:
+        if s.summary.get("streaming.epoch-id") == str(last):
+            final = s
+    return (TableScan(sink, spark)
+            .appends_between(final.parent_id, final.snapshot_id).to_df())
+
+
 def q_sorted_write_clustering(spark, sf_dir):
     """O1 sort order + range distribution end-to-end: a table created
     with sort_by + write.distribution-mode=range writes globally
@@ -1969,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_modes": q_metrics_modes,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "streaming_windowed_agg": q_streaming_windowed_agg,
         # rollup/cube/distinct are pure Spark-delegated aggregates over a
         # scan path 40+ prefix queries exercise — the least information-
         # bearing rotation rows, deferred to r4
@@ -2701,6 +2751,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_seq
         """,
         "streaming_consume": "SELECT * FROM events",
+        "streaming_windowed_agg": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
         "compaction": "SELECT * FROM nation",
         "maintenance_scan": "SELECT * FROM supplier WHERE s_acctbal >= 0",
         "streaming_sink_replay": "SELECT * FROM events",
