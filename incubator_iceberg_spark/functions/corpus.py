@@ -72,7 +72,10 @@ def pack_sequences(df, group_cols, token_col: str, id_col: str = "doc_id",
 
     if isinstance(group_cols, str):
         group_cols = [group_cols]
-    out_schema = df.schema.add("seq_id", "long")
+    from pyspark.sql.types import StructType
+    # copy before .add — pyspark's StructType.add MUTATES in place, and
+    # df.schema is the DataFrame's cached schema object
+    out_schema = StructType(list(df.schema.fields)).add("seq_id", "long")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
@@ -88,8 +91,9 @@ def pack_sequences(df, group_cols, token_col: str, id_col: str = "doc_id",
         pdf["seq_id"] = seqs
         return pdf
 
-    return (df.repartition(*[F.col(c) for c in group_cols])
-            .groupBy(*group_cols).applyInPandas(pack, schema=out_schema))
+    # groupBy().applyInPandas shuffles on the group key itself — a
+    # repartition first would be a second, redundant exchange
+    return df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)
 
 
 # multiplicative-hash constant (Knuth): u = (key * K) % M / M is a
