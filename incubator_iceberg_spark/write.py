@@ -122,11 +122,14 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
     if file_format == "avro":
         # no Spark datasource for avro in this runtime: the engine's own
         # distributed container writer (mapInArrow) emits the same
-        # hive-style layout + per-file stats (avro_format.py, S7)
+        # hive-style layout + per-file stats (avro_format.py, S7).
+        # Roll avro files at 64k rows (not the parquet row estimate):
+        # each file decodes as ONE python task on read, so file size IS
+        # the read-parallelism knob for this format
         from incubator_iceberg_spark import avro_format as AV
         stats = AV.write_avro_files(
             spark, df, staging, schema, [n for n, _ in part_cols],
-            _max_records_estimate(df, target_file_size))
+            min(_max_records_estimate(df, target_file_size), 64_000))
     else:
         if file_format == "orc":
             writer.orc(staging)
