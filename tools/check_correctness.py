@@ -83,6 +83,18 @@ def main():
         try:
             rel = con.sql(oracles[name])
             o_cols = rel.columns
+            # HUGEINT guard: DuckDB returns sum(BIGINT) as int128; local
+            # fetchall() gives exact python ints, but the DRIVER's fetch
+            # path renders HUGEINT as float64 ("33.0" vs "33") — the r2
+            # hash failures.  Fail HERE so the divergence can't ship.
+            hug = [c for c, t in zip(o_cols, rel.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")]
+            if hug:
+                failures.append(name)
+                print(f"FAIL  {name}: oracle columns {hug} are HUGEINT — "
+                      f"CAST integer aggregates to BIGINT (driver fetch "
+                      f"renders int128 as float64)")
+                continue
             o_rows = [dict(zip(o_cols, r)) for r in rel.fetchall()]
         except Exception as e:
             failures.append(name)
