@@ -828,6 +828,43 @@ def q_streaming_windowed_agg(spark, sf_dir):
             .appends_between(final.parent_id, final.snapshot_id).to_df())
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator end-to-end: the engine
+    streaming source feeds ``applyInPandasWithState`` sessionization
+    (O(active-users) state); CLOSED sessions must equal the batch
+    window-function result minus each user's final (still-open) session
+    — which the oracle recomputes in SQL."""
+    import uuid as _u
+
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import sources
+    from incubator_iceberg_spark.functions import sessions
+    from incubator_iceberg_spark.schema import Schema
+    sources.register(spark)
+    cat = _scratch_catalog(spark)
+    ev = _load(spark, sf_dir, "events").filter("user_id % 10 = 0")
+    t = cat.create_table("s.sess_stream", Schema.from_spark(ev.schema))
+    evu = ev.withColumn("__us", F.unix_micros("ts"))
+    qs = evu.approxQuantile("__us", [0.33, 0.66], 0.001)
+    t.append(evu.filter(F.col("__us") < qs[0]).drop("__us"))
+    t.append(evu.filter((F.col("__us") >= qs[0])
+                        & (F.col("__us") < qs[1])).drop("__us"))
+    t.append(evu.filter(F.col("__us") >= qs[1]).drop("__us"))
+
+    name = "sess_out_" + _u.uuid4().hex[:8]
+    sdf = spark.readStream.format("iiws").option("path", t.location).load()
+    out = sessions.sessionize_stream(sdf, gap_minutes=60)
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation",
+                 os.path.join(SCRATCH_ROOT, "ck-" + name))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select("user_id", "session_start", "session_end", "n_events",
+                    F.round("sum_value", 2).alias("sum_value")))
+
+
 def q_sorted_write_clustering(spark, sf_dir):
     """O1 sort order + range distribution end-to-end: a table created
     with sort_by + write.distribution-mode=range writes globally
@@ -2019,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "streaming_windowed_agg": q_streaming_windowed_agg,
+        "streaming_sessionize": q_streaming_sessionize,
         # rollup/cube/distinct are pure Spark-delegated aggregates over a
         # scan path 40+ prefix queries exercise — the least information-
         # bearing rotation rows, deferred to r4
@@ -2755,6 +2793,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_sessionize": """
+            WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us
+                       FROM events WHERE user_id % 10 = 0),
+                 flagged AS (
+                   SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                                    OR us - lag(us) OVER w > 3600000000
+                                  THEN 1 ELSE 0 END AS new_s
+                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+                 sess AS (
+                   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                              ROWS UNBOUNDED PRECEDING)
+                                 AS session_seq
+                   FROM flagged),
+                 agg AS (
+                   SELECT user_id, session_seq,
+                          min(ts) AS session_start, max(ts) AS session_end,
+                          count(*) AS n_events,
+                          round(sum(value), 2) AS sum_value
+                   FROM sess GROUP BY user_id, session_seq),
+                 last AS (SELECT user_id, max(session_seq) AS mx
+                          FROM agg GROUP BY user_id)
+            SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+                   a.sum_value
+            FROM agg a JOIN last l
+              ON a.user_id = l.user_id AND a.session_seq != l.mx
         """,
         "compaction": "SELECT * FROM nation",
         "maintenance_scan": "SELECT * FROM supplier WHERE s_acctbal >= 0",
