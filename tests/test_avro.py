@@ -211,3 +211,73 @@ def test_avro_add_files_import(warehouse, orders, spark, tmp_path):
     from incubator_iceberg_spark import procedures as PR
     PR.add_files(t, [ext], file_format="avro")
     assert t.to_df().count() == 40
+
+
+# -- property-based round trips (hypothesis) --------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _rt(sch, cols, codec="deflate"):
+    buf = io.BytesIO()
+    AV.write_container(buf, cols, sch, codec=codec)
+    out, n = AV.read_container(buf.getvalue(), sch)
+    return out, n
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+                max_size=40))
+def test_prop_long_roundtrip_full_int64_range(vals):
+    sch = Schema([S.NestedField(1, "x", S.LongType())])
+    out, n = _rt(sch, [vals])
+    assert n == len(vals) and out[0] == vals
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=80)), max_size=30))
+def test_prop_unicode_string_roundtrip(vals):
+    sch = Schema([S.NestedField(1, "s", S.StringType())])
+    out, n = _rt(sch, [vals])
+    assert n == len(vals) and out[0] == vals
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(allow_nan=True, allow_infinity=True,
+                                    width=64)),
+                max_size=30))
+def test_prop_double_roundtrip_nan_inf(vals):
+    import math
+    sch = Schema([S.NestedField(1, "d", S.DoubleType())])
+    out, n = _rt(sch, [vals])
+    assert n == len(vals)
+    for a, b in zip(vals, out[0]):
+        if a is None:
+            assert b is None
+        elif math.isnan(a):
+            assert math.isnan(b)
+        else:
+            assert a == b  # bit-exact incl. -0.0 sign? equality suffices
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=60)), max_size=20),
+       st.sampled_from(["deflate", "null"]))
+def test_prop_bytes_roundtrip_both_codecs(vals, codec):
+    sch = Schema([S.NestedField(1, "b", S.BinaryType())])
+    out, n = _rt(sch, [vals], codec=codec)
+    assert n == len(vals) and out[0] == vals
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(st.one_of(st.none(),
+                                             st.integers(-10**12, 10**12)),
+                                   max_size=8)),
+                max_size=15))
+def test_prop_nested_list_roundtrip(vals):
+    sch = Schema([S.NestedField(1, "a", S.ListType.of(10, S.LongType()))])
+    out, n = _rt(sch, [vals])
+    assert n == len(vals) and out[0] == vals
