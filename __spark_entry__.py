@@ -828,6 +828,35 @@ def q_streaming_windowed_agg(spark, sf_dir):
             .appends_between(final.parent_id, final.snapshot_id).to_df())
 
 
+def q_chunk_by_tokens(spark, sf_dir):
+    """Token-window chunking (training-prep shape): 40-token windows
+    every 32 tokens, chunk text = space-joined window; every chunk
+    SQL-derived via list slicing."""
+    from incubator_iceberg_spark.functions import corpus
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    return corpus.chunk_by_tokens(docs, chunk_tokens=40, overlap=8)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: spherical-kmeans cells block the
+    pair search, exact cosine verifies.  Planted scalar-multiple twins
+    (x2 per component — same direction, so cell assignment is
+    bit-identical and recall is deterministic) must be exactly the pairs
+    found; the raw corpus has no pairs above 0.51 cosine."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import similarity
+    df = (_table(spark, sf_dir, "embeddings_ice").to_df()
+          .select("vec_id",
+                  F.col("embedding").cast("array<double>").alias("embedding")))
+    planted = (df.orderBy("vec_id").limit(5)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x * F.lit(2.0))
+                       .alias("embedding")))
+    allv = df.unionByName(planted)
+    return similarity.semantic_dedup_pairs(allv, n_cells=8,
+                                           cosine_threshold=0.9999)
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Custom STATEFUL streaming operator end-to-end: the engine
     streaming source feeds ``applyInPandasWithState`` sessionization
@@ -2057,6 +2086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_windowed_agg": q_streaming_windowed_agg,
         "streaming_sessionize": q_streaming_sessionize,
+        "chunk_by_tokens": q_chunk_by_tokens,
+        "semantic_dedup": q_semantic_dedup,
         # rollup/cube/distinct are pure Spark-delegated aggregates over a
         # scan path 40+ prefix queries exercise — the least information-
         # bearing rotation rows, deferred to r4
@@ -2654,6 +2685,36 @@ def oracle_sql() -> dict[str, str]:
                    0 AS acctbal_bounds_present,
                    count(*) AS n_rows
             FROM customer
+        """,
+        "chunk_by_tokens": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            s AS (SELECT doc_id, t,
+                         unnest(generate_series(0, greatest(len(t) - 1, 0),
+                                                32)) AS st
+                  FROM toks)
+            SELECT doc_id, CAST(st / 32 AS INT) AS chunk_id,
+                   array_to_string(t[st+1 : st+40], ' ') AS chunk_text,
+                   len(t[st+1 : st+40]) AS n_tokens
+            FROM s
+        """,
+        "semantic_dedup": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM embeddings),
+                 planted AS (
+                   SELECT vec_id + 1000000 AS vec_id,
+                          list_transform(v, x -> x * 2) AS v
+                   FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 5)),
+                 allv AS (SELECT vec_id, v FROM base
+                          UNION ALL SELECT vec_id, v FROM planted)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9999
         """,
         "decontaminate": r"""
             WITH toks AS (

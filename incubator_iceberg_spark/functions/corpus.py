@@ -270,3 +270,27 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     return (line_stats.join(top, "__id")
             .select(F.col("__id").alias(id_col), "n_lines",
                     "dup_line_micro", "top_word_micro"))
+
+
+def chunk_by_tokens(df, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 256, overlap: int = 32):
+    """Token-window chunking: windows of ``chunk_tokens`` word tokens
+    every ``chunk_tokens - overlap`` tokens; chunk_text is the
+    space-joined token window (tokenization is lossy by design — this is
+    the training-prep shape, char-preserving chunks are
+    ``chunk_documents``).  An empty/token-free doc yields one empty
+    chunk.  Pure Column algebra, no shuffle."""
+    from pyspark.sql import functions as F
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    base = df.select(F.col(id_col), TX.tokens(text_col).alias("__t"))
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size("__t") - 1, F.lit(0)),
+                        F.lit(step))
+    ex = base.select(id_col, "__t",
+                     F.posexplode(starts).alias("chunk_id", "__s"))
+    win = F.slice("__t", F.col("__s") + 1, F.lit(chunk_tokens))
+    return ex.select(id_col, "chunk_id",
+                     F.concat_ws(" ", win).alias("chunk_text"),
+                     F.size(win).alias("n_tokens"))

@@ -410,3 +410,43 @@ def embedding_near_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_
                     F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos_sim"))
             .filter(F.col("cos_sim") >= cosine_threshold)
             .dropDuplicates(["id_a", "id_b"]))
+
+
+def semantic_dedup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
+                         n_cells: int = 16, sample: int = 2048, iters: int = 8,
+                         seed: int = 42, cosine_threshold: float = 0.95):
+    """SemDeDup-style semantic near-duplicate pairs: spherical-kmeans
+    cells are the blocking stage (the self-join is quadratic PER CELL,
+    never globally), exact cosine >= threshold verifies inside the cell.
+
+    Recall contract: vectors with the SAME direction (exact or scalar-
+    multiple duplicates) get bit-identical cell assignments, so
+    exact-duplicate recall is total; a near-dup pair straddling a cell
+    boundary can be missed — the standard SemDeDup trade, bounded by the
+    cell granularity (fewer cells = higher recall, bigger per-cell
+    join).  At 100 TB: one pandas-UDF cell-assignment pass (one matmul
+    per Arrow batch), one shuffle on the cell id, per-cell joins sized
+    corpus/n_cells."""
+    from pyspark.sql import functions as F
+    cent = spherical_kmeans(df, vec_col, id_col, n_cells, sample, iters, seed)
+    b = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                  ivf_cell_col(cent, vec_col).alias("__cell"))
+    return (b.alias("a")
+            .join(b.alias("b"),
+                  (F.col("a.__cell") == F.col("b.__cell"))
+                  & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= cosine_threshold))
+
+
+def semantic_dedup(df, vec_col: str = "embedding", id_col: str = "vec_id",
+                   **kwargs):
+    """Keep-one semantic dedup: drop the higher id of every
+    ``semantic_dedup_pairs`` pair (keep-min representative)."""
+    from pyspark.sql import functions as F
+    pairs = semantic_dedup_pairs(df, vec_col, id_col, **kwargs)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

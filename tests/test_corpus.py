@@ -144,3 +144,36 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[1]["n_lines"] == 4 and out[1]["dup_line_micro"] == 750000
     assert out[2]["top_word_micro"] == 800000
     assert out[3]["n_lines"] == 0 and out[3]["top_word_micro"] == 0
+
+
+def test_chunk_by_tokens_windows(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))), (1, "solo"), (2, "")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_id"]): r for r in
+           corpus.chunk_by_tokens(df, chunk_tokens=4, overlap=1).collect()}
+    # 10 tokens, step 3 -> starts 0,3,6,9
+    assert sorted(c for d, c in out if d == 0) == [0, 1, 2, 3]
+    assert out[(0, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[(0, 1)]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert out[(0, 3)]["chunk_text"] == "w9" and out[(0, 3)]["n_tokens"] == 1
+    assert out[(1, 0)]["chunk_text"] == "solo"
+    assert out[(2, 0)]["n_tokens"] == 0  # empty doc -> one empty chunk
+
+
+def test_semantic_dedup_finds_planted_and_keeps_one(spark):
+    import random
+    from incubator_iceberg_spark.functions import similarity
+    rng = random.Random(3)
+    base = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    twins = [(i + 1000, [x * 2.0 for x in v]) for i, v in base[:4]]
+    df = spark.createDataFrame(base + twins,
+                               "vec_id long, embedding array<double>")
+    pairs = similarity.semantic_dedup_pairs(df, n_cells=4, sample=256,
+                                            cosine_threshold=0.9999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 1000) for i in range(4)}
+    kept = similarity.semantic_dedup(df, n_cells=4, sample=256,
+                                     cosine_threshold=0.9999)
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert ids == {i for i in range(60)}  # twins dropped, originals kept
