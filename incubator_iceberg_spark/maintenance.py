@@ -597,3 +597,70 @@ def partition_stats(table, spark=None):
             path = os.path.join(table.location, path)
         return spark.read.parquet(path)
     return MT.metadata_table(table, "partitions", spark)
+
+
+def compute_column_stats(table, spark=None, columns=None) -> dict:
+    """ANALYZE-style table column statistics (the later table-format
+    spec's StatisticsFile / Puffin role, reduced to what a DataFrame
+    engine serves): per top-level primitive column — value count, null
+    count, approx NDV (HyperLogLog++ via approx_count_distinct) — in ONE
+    aggregation job, materialized as a small parquet pinned to the
+    snapshot via table properties.  ``Table.column_stats()`` serves the
+    file while fresh and recomputes only on request (NDV needs a data
+    scan; unlike min/max it cannot come from manifests)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    spark = spark or table.spark
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return {"written": False, "reason": "no snapshot"}
+    schema = table.metadata.schema()
+    prim = [f.name for f in schema.fields if f.type.is_primitive]
+    if columns:
+        prim = [c for c in prim if c in set(columns)]
+    if not prim:
+        return {"written": False, "reason": "no primitive columns"}
+    df = table.to_df(spark=spark)
+    aggs = []
+    for c in prim:
+        aggs += [F.count(F.col(c)).alias(f"__cnt_{c}"),
+                 F.approx_count_distinct(F.col(c), 0.02).alias(f"__ndv_{c}"),
+                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                 .alias(f"__null_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    stats = [(c, int(row[f"__cnt_{c}"] or 0), int(row[f"__ndv_{c}"] or 0),
+              int(row[f"__null_{c}"] or 0)) for c in prim]
+    out = spark.createDataFrame(
+        stats, "column string, value_count long, ndv long, null_count long")
+    rel = os.path.join("metadata",
+                       f"column-stats-{snap.snapshot_id}-"
+                       f"{uuid.uuid4().hex[:8]}.parquet")
+    path = os.path.join(table.location, rel)
+    out.coalesce(1).write.mode("errorifexists").parquet(path)
+    table.update_properties({
+        "column-stats.snapshot-id": str(snap.snapshot_id),
+        "column-stats.path": rel,
+    })
+    return {"written": True, "snapshot_id": snap.snapshot_id,
+            "path": path, "columns": len(stats)}
+
+
+def column_stats(table, spark=None):
+    """The materialized column statistics while FRESH (pinned snapshot ==
+    current), else None — callers decide whether to recompute (a data
+    scan) or proceed without."""
+    import os
+
+    spark = spark or table.spark
+    props = table.metadata.properties
+    pinned = props.get("column-stats.snapshot-id")
+    path = props.get("column-stats.path")
+    cur = table.metadata.current_snapshot_id
+    if pinned is None or path is None or str(cur) != pinned:
+        return None
+    if not os.path.isabs(path):
+        path = os.path.join(table.location, path)
+    return spark.read.parquet(path)

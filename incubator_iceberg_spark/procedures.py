@@ -162,6 +162,7 @@ PROCEDURES = {
     # persistent ANN index build (round 2; clustering-rewrite action)
     "add_ann_index": lambda t, **kw: _call_add_ann_index(t, **kw),
     "write_partition_stats": lambda t, **kw: t.write_partition_stats(),
+    "compute_column_stats": lambda t, **kw: t.compute_column_stats(**kw),
 }
 
 

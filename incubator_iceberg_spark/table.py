@@ -612,6 +612,15 @@ class Table:
         from incubator_iceberg_spark import maintenance
         return maintenance.partition_stats(self, spark=spark or self.spark)
 
+    def compute_column_stats(self, spark=None, columns=None) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.compute_column_stats(
+            self, spark=spark or self.spark, columns=columns)
+
+    def column_stats(self, spark=None):
+        from incubator_iceberg_spark import maintenance
+        return maintenance.column_stats(self, spark=spark or self.spark)
+
     def fast_count(self, filter=None, spark=None):
         """Metadata-only exact COUNT(*) (None → needs a data scan)."""
         from incubator_iceberg_spark import agg_pushdown

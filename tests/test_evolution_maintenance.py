@@ -295,3 +295,31 @@ def test_partition_stats_file_fresh_and_stale(warehouse, lineitem, spark):
     t.append(lineitem.limit(100))
     stale_sum = sum(r["record_count"] for r in t.partition_stats().collect())
     assert stale_sum == lineitem.count() + 100
+
+
+def test_column_stats_materialize_and_staleness(warehouse, orders, spark):
+    """ANALYZE-style column stats: one agg job, pinned to the snapshot;
+    stale after a new commit (column_stats() returns None, caller
+    recomputes)."""
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.colstats", Schema.from_spark(orders.schema))
+    t.append(orders)
+    assert t.column_stats() is None  # never computed
+    res = t.compute_column_stats()
+    assert res["written"] and res["columns"] == len(orders.columns)
+    st = {r["column"]: r for r in t.column_stats().collect()}
+    n = orders.count()
+    assert st["o_orderkey"]["value_count"] == n
+    assert st["o_orderkey"]["null_count"] == 0
+    # approx NDV of a unique key within HLL++ rsd=0.02 tolerance
+    assert abs(st["o_orderkey"]["ndv"] - n) <= max(3, n * 0.05)
+    exact_status = orders.select("o_orderstatus").distinct().count()
+    assert abs(st["o_orderstatus"]["ndv"] - exact_status) <= 1
+    # new commit -> stats stale -> None
+    t.append(orders.limit(1))
+    assert t.column_stats() is None
+    # CALL procedure surface
+    from incubator_iceberg_spark import procedures as PR
+    out = PR.call(warehouse, "CALL system.compute_column_stats('db.colstats')")
+    assert out["written"]
+    assert t.refresh().column_stats() is not None
