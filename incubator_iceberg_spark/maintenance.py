@@ -232,7 +232,8 @@ def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None
         n_out = max(1, total // target + (1 if total % target else 0))
         df = df.coalesce(int(n_out))
         staged = W.stage_write(spark, md.location, df, schema, md.spec(),
-                               target_file_size=target)
+                               target_file_size=target,
+                               file_format=W.table_format(md))
         all_staged.extend(staged)
         all_deleted.update(group)
 
@@ -284,7 +285,8 @@ def sort_rewrite(table, sort_by, spark=None,
     df = df.repartitionByRange(int(n_out), *cols).sortWithinPartitions(*cols)
     # distribution_mode none: keep the range clustering we just created
     staged = W.stage_write(spark, md.location, df, schema, md.spec(),
-                           distribution_mode="none", target_file_size=target)
+                           distribution_mode="none", target_file_size=target,
+                           file_format=W.table_format(md))
     deleted = {e["file_path"] for e in data}
     table.metadata = SN.overwrite_files(
         table.ops, staged, deleted, operation="replace",
@@ -516,7 +518,8 @@ def zorder_rewrite(table, columns: list, spark=None,
     # distribution_mode="none": the z-range partitioning IS the layout —
     # the default hash-by-partition redistribution would destroy it
     staged = W.stage_write(spark, md.location, out, schema, md.spec(),
-                           target_file_size=target, distribution_mode="none")
+                           target_file_size=target, distribution_mode="none",
+                           file_format=W.table_format(md))
     old = {e["file_path"] for e in data}
     table.metadata = SN.overwrite_files(
         table.ops, staged, old, operation="replace",

@@ -208,7 +208,8 @@ def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None
         cond = X.to_column(bound)
         kept = kept.filter(~F.coalesce(cond, F.lit(False)))
         staged = W.stage_write(spark, md.location, kept, schema, md.spec(),
-                               sort_order=md.sort_order())
+                               sort_order=md.sort_order(),
+                               file_format=W.table_format(md))
         kept_records = sum(e["record_count"] for e in staged)
         new_entries.extend(staged)
 
@@ -358,7 +359,8 @@ def update_mor(table, assignments: dict, condition: X.Expression,
         (exprs[f.name].alias(f.name) if f.name in exprs else F.col(f.name))
         for f in schema.fields])
     data_entries = W.stage_write(spark, md.location, updated, schema,
-                                 md.spec(), sort_order=md.sort_order())
+                                 md.spec(), sort_order=md.sort_order(),
+                                 file_format=W.table_format(md))
     matched.unpersist()
 
     table.metadata = SN.overwrite_files(
@@ -406,7 +408,8 @@ def update(table, assignments: dict, condition: X.Expression, spark=None) -> dic
         for f in schema.fields])
 
     staged = W.stage_write(spark, md.location, out, schema, md.spec(),
-                           sort_order=md.sort_order())
+                           sort_order=md.sort_order(),
+                           file_format=W.table_format(md))
     table.metadata = SN.overwrite_files(
         table.ops, staged, {e["file_path"] for e in data},
         operation="overwrite",
@@ -625,7 +628,8 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
 
     try:
         staged = W.stage_write(spark, md.location, result, schema, md.spec(),
-                               sort_order=md.sort_order())
+                               sort_order=md.sort_order(),
+                               file_format=W.table_format(md))
     except Exception as e:
         if _CARDINALITY_MSG in str(e):
             raise MergeCardinalityError(

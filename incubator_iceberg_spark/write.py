@@ -239,6 +239,13 @@ def _attach_orc_bounds(spark, staging: str, schema: S.Schema, stats: list) -> No
                              if ("nl_" + f.name) in d}
 
 
+def table_format(md) -> str:
+    """The table's write format (write.format.default) — every rewrite
+    path (compaction, sort/zorder, CoW row ops, MERGE) must honor it, or
+    maintenance silently migrates an ORC/Avro table back to parquet."""
+    return md.properties.get("write.format.default", "parquet")
+
+
 def _max_records_estimate(df, target_file_size: int) -> int:
     # cheap static estimate: assume ≥24 bytes/row encoded; the exact roll
     # size matters at 100 TB (512 MB target), not at test scale

@@ -281,3 +281,37 @@ def test_prop_nested_list_roundtrip(vals):
     sch = Schema([S.NestedField(1, "a", S.ListType.of(10, S.LongType()))])
     out, n = _rt(sch, [vals])
     assert n == len(vals) and out[0] == vals
+
+
+def test_format_migration_parquet_to_avro_via_rewrite(warehouse, orders, spark):
+    """Format migration: flip write.format.default then compact — the
+    rewrite emits avro files, mixed-format reads stay correct along the
+    way."""
+    t = warehouse.create_table("db.fmt_mig", Schema.from_spark(orders.schema))
+    for i in range(4):
+        t.append(orders.filter(f"o_orderkey % 4 = {i}"))
+    t.update_properties({"write.format.default": "avro"})
+    # mixed state: append one more batch as avro alongside parquet files
+    t.append(orders.limit(0))  # no-op append keeps state simple
+    t.rewrite_data_files(min_input_files=2)
+    ents = t.new_scan().plan_entries_local()
+    fmts = {e.get("file_format") or "parquet" for e in ents
+            if (e.get("content") or 0) == 0}
+    assert "avro" in fmts
+    assert t.to_df().count() == orders.count()
+    assert (t.to_df(filter="o_totalprice > 200000").count()
+            == orders.filter("o_totalprice > 200000").count())
+
+
+def test_cow_delete_on_avro_table_stays_avro(warehouse, orders, spark):
+    """Row ops honor the table format: a copy-on-write DELETE on an avro
+    table rewrites survivors as avro, not parquet."""
+    t = warehouse.create_table("db.avro_cow", Schema.from_spark(orders.schema),
+                               properties={"write.format.default": "avro"})
+    t.append(orders)
+    t.delete_where("o_orderkey % 5 = 0")
+    ents = [e for e in t.new_scan().plan_entries_local()
+            if (e.get("content") or 0) == 0]
+    assert ents and all((e.get("file_format") or "parquet") == "avro"
+                        for e in ents)
+    assert t.to_df().count() == orders.filter("o_orderkey % 5 != 0").count()
