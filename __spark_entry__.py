@@ -2079,7 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q22_global_sales": q_q22_global_sales,
         "q11_value_share": q_q11_value_share,
-        # --- past the 50-row window; r4-prefix candidates first -----------
+        # --- past the 50-row window; ALL of these are r4-prefix
+        # candidates (new this round, builder-verified at sf0.001+sf0.01
+        # via tools/check_correctness.py but no driver row yet) ----------
         "sorted_write_clustering": q_sorted_write_clustering,
         "metrics_modes": q_metrics_modes,
         "decontaminate": q_decontaminate,
