@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "pack_sequences",
     "decontaminate",
+    "semantic_dedup",
     "avro_scan",
 ]
 

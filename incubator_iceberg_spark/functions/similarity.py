@@ -425,21 +425,37 @@ def semantic_dedup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
     boundary can be missed — the standard SemDeDup trade, bounded by the
     cell granularity (fewer cells = higher recall, bigger per-cell
     join).  At 100 TB: one pandas-UDF cell-assignment pass (one matmul
-    per Arrow batch), one shuffle on the cell id, per-cell joins sized
-    corpus/n_cells."""
+    per Arrow batch), one shuffle on the cell id, then ONE numpy
+    similarity matmul per cell (applyInPandas) — the shape SemDeDup runs
+    in practice.  A per-pair Column-expression cosine was measured ~10×
+    slower (interpreted higher-order lambdas over |cell|² pairs).  Cell
+    memory is O((corpus/n_cells)²) during verify: size n_cells so cells
+    fit an executor (or shard the corpus first)."""
+    import pandas as pd
     from pyspark.sql import functions as F
     cent = spherical_kmeans(df, vec_col, id_col, n_cells, sample, iters, seed)
     b = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
                   ivf_cell_col(cent, vec_col).alias("__cell"))
-    return (b.alias("a")
-            .join(b.alias("b"),
-                  (F.col("a.__cell") == F.col("b.__cell"))
-                  & (F.col("a.__id") < F.col("b.__id")))
-            .select(F.col("a.__id").alias("id_a"),
-                    F.col("b.__id").alias("id_b"),
-                    F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
-                    .alias("cos_sim"))
-            .filter(F.col("cos_sim") >= cosine_threshold))
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        S = (V / norms[:, None]) @ (V / norms[:, None]).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cs = np.round(S[ia, ib], 6)
+        keep = cs >= cosine_threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "cos_sim": cs[keep]})
+
+    return (b.groupBy("__cell")
+            .applyInPandas(cell_pairs,
+                           "id_a long, id_b long, cos_sim double"))
 
 
 def semantic_dedup(df, vec_col: str = "embedding", id_col: str = "vec_id",
