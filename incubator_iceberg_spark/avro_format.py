@@ -595,7 +595,12 @@ def read_avro_files(spark, paths: list, file_schema: S.Schema,
             tbl = pa.Table.from_batches([batch])
             for path, content in zip(tbl["path"].to_pylist(),
                                      tbl["content"].to_pylist()):
-                cols, n = read_container(bytes(content), sch)
+                try:
+                    cols, n = read_container(bytes(content), sch)
+                except (IndexError, zlib.error, ValueError) as e:
+                    raise ValueError(
+                        f"corrupt avro container {path!r}: "
+                        f"{type(e).__name__}: {e}") from e
                 if not cols:
                     cols = [[] for _ in out_names]
                 arrays = {name: pa.array(col, type=arrow_schema.field(name).type)

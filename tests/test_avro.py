@@ -315,3 +315,18 @@ def test_cow_delete_on_avro_table_stays_avro(warehouse, orders, spark):
     assert ents and all((e.get("file_format") or "parquet") == "avro"
                         for e in ents)
     assert t.to_df().count() == orders.filter("o_orderkey % 5 != 0").count()
+
+
+def test_truncated_avro_file_raises_with_path(warehouse, orders, spark):
+    """A corrupted/truncated avro file fails the read with the offending
+    path in the message, not a bare decode error."""
+    t = warehouse.create_table("db.avro_trunc", Schema.from_spark(orders.schema),
+                               properties={"write.format.default": "avro"})
+    t.append(orders.limit(200))
+    path = t.new_scan().plan_files()[0][0]
+    data = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(data[:len(data) // 2])  # truncate mid-block
+    with pytest.raises(Exception) as ei:
+        t.to_df().count()
+    assert "corrupt avro container" in str(ei.value)
