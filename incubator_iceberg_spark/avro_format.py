@@ -613,3 +613,76 @@ def read_avro_files(spark, paths: list, file_schema: S.Schema,
 
     bin_df = spark.read.format("binaryFile").load(paths)
     return bin_df.select("path", "content").mapInArrow(task, spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# avro schema -> engine schema (import/migrate path)
+# ---------------------------------------------------------------------------
+
+def from_avro_schema(avsc: dict) -> S.Schema:
+    """Avro record schema → engine Schema (AvroSchemaUtil.toIceberg
+    analog): honors ``field-id`` props when present (engine-written
+    files), else assigns sequential ids; nullable unions unwrap; logical
+    types map back to date/time/timestamp/decimal/uuid."""
+    counter = [0]
+
+    def next_id() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def conv(t):
+        if isinstance(t, list):  # union: only [null, T] supported
+            non_null = [x for x in t if x != "null"]
+            if len(non_null) != 1:
+                raise NotImplementedError(f"avro union {t!r}")
+            return conv(non_null[0])
+        if isinstance(t, str):
+            prim = {"boolean": S.BooleanType(), "int": S.IntegerType(),
+                    "long": S.LongType(), "float": S.FloatType(),
+                    "double": S.DoubleType(), "string": S.StringType(),
+                    "bytes": S.BinaryType()}
+            if t in prim:
+                return prim[t]
+            raise NotImplementedError(f"avro type {t!r}")
+        lt = t.get("logicalType")
+        base = t.get("type")
+        if lt == "date":
+            return S.DateType()
+        if lt == "time-micros":
+            return S.TimeType()
+        if lt == "timestamp-micros":
+            return S.TimestampType(with_zone=True)
+        if lt == "local-timestamp-micros":
+            return S.TimestampType(with_zone=False)
+        if lt == "uuid":
+            return S.UUIDType()
+        if lt == "decimal":
+            return S.DecimalType(t["precision"], t["scale"])
+        if base == "fixed":
+            return S.FixedType(t["size"])
+        if base == "record":
+            return S.StructType([
+                S.NestedField(f.get("field-id") or next_id(), f["name"],
+                              conv(f["type"]))
+                for f in t["fields"]])
+        if base == "array":
+            return S.ListType.of(next_id(), conv(t["items"]))
+        if base == "map":
+            return S.MapType.of(next_id(), S.StringType(),
+                                next_id(), conv(t["values"]))
+        if base is not None:
+            return conv(base)
+        raise NotImplementedError(f"avro type {t!r}")
+
+    fields = [S.NestedField(f.get("field-id") or next_id(), f["name"],
+                            conv(f["type"]))
+              for f in avsc["fields"]]
+    return S.Schema(fields)
+
+
+def read_file_schema(path: str) -> S.Schema:
+    """Engine schema from one container file's header."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)  # header metadata is tiny
+    meta, _sync, _pos = _read_header(head)
+    return from_avro_schema(json.loads(meta["avro.schema"].decode()))

@@ -103,13 +103,26 @@ def _partition_from_bounds(st: dict, spec, schema) -> dict:
     return partition
 
 
-def migrate(catalog, name: str, source_dir: str, spark=None):
-    """Create an engine table over an existing parquet directory and import
-    its files in place (MigrateTableProcedure analog)."""
+def migrate(catalog, name: str, source_dir: str, spark=None,
+            file_format: str = "parquet"):
+    """Create an engine table over an existing parquet/avro directory and
+    import its files in place (MigrateTableProcedure analog).  Avro
+    sources take their schema from the first file's container header
+    (field-id props honored for engine-written files, sequential ids
+    assigned otherwise)."""
     spark = spark or catalog.spark
-    df = spark.read.parquet(source_dir)
-    t = catalog.create_table(name, Schema.from_spark(df.schema), spark=spark)
-    add_files(t, source_dir, spark=spark)
+    if file_format == "avro":
+        from incubator_iceberg_spark import avro_format as AV
+        files = W._list_data_files(source_dir, ".avro")
+        if not files:
+            raise ValueError(f"no .avro files under {source_dir!r}")
+        schema = AV.read_file_schema(files[0])
+        t = catalog.create_table(name, schema, spark=spark)
+    else:
+        df = spark.read.parquet(source_dir)
+        t = catalog.create_table(name, Schema.from_spark(df.schema),
+                                 spark=spark)
+    add_files(t, source_dir, spark=spark, file_format=file_format)
     return t
 
 

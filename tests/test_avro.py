@@ -330,3 +330,29 @@ def test_truncated_avro_file_raises_with_path(warehouse, orders, spark):
     with pytest.raises(Exception) as ei:
         t.to_df().count()
     assert "corrupt avro container" in str(ei.value)
+
+
+def test_migrate_avro_directory_in_place(warehouse, orders, spark, tmp_path):
+    """migrate() over a directory of avro files: schema comes from the
+    container header (round-tripping the engine's field-id props), files
+    import without rewrite."""
+    from incubator_iceberg_spark import procedures as PR
+    src_dir = tmp_path / "avro_src"
+    src_dir.mkdir()
+    sch = Schema.from_spark(orders.schema)
+    rows = orders.limit(120).collect()
+    for part in range(2):
+        cols = [[r[f.name] for r in rows[part * 60:(part + 1) * 60]]
+                for f in sch.fields]
+        with open(src_dir / f"part-{part}.avro", "wb") as f:
+            AV.write_container(f, cols, sch)
+
+    t = PR.migrate(warehouse, "db.migrated_avro", str(src_dir),
+                   file_format="avro")
+    assert t.to_df().count() == 120
+    # field ids round-tripped from the header props
+    assert [f.field_id for f in t.schema().fields] == \
+        [f.field_id for f in sch.fields]
+    # imported in place: data files point into the source dir
+    assert all(p.startswith(str(src_dir))
+               for p, _ in t.new_scan().plan_files())
