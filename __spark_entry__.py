@@ -828,6 +828,23 @@ def q_streaming_windowed_agg(spark, sf_dir):
             .appends_between(final.parent_id, final.snapshot_id).to_df())
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (8/1/1) by the doc_id hash
+    uniform — reproducible, incremental-safe (a row's split never
+    depends on other rows); per-split counts + token totals are
+    SQL-derivable with the same exact int64 arithmetic."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import corpus
+    from incubator_iceberg_spark.functions import text as TX
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    out = corpus.split_assign(docs, {"train": 8, "val": 1, "test": 1},
+                              "doc_id")
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(TX.token_count("text").cast("long"))
+                 .alias("total_tokens")))
+
+
 def q_chunk_by_tokens(spark, sf_dir):
     """Token-window chunking (training-prep shape): 40-token windows
     every 32 tokens, chunk text = space-joined window; every chunk
@@ -2090,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "chunk_by_tokens": q_chunk_by_tokens,
         "semantic_dedup": q_semantic_dedup,
+        "split_assign": q_split_assign,
         # rollup/cube/distinct are pure Spark-delegated aggregates over a
         # scan path 40+ prefix queries exercise — the least information-
         # bearing rotation rows, deferred to r4
@@ -2687,6 +2705,20 @@ def oracle_sql() -> dict[str, str]:
                    0 AS acctbal_bounds_present,
                    count(*) AS n_rows
             FROM customer
+        """,
+        "split_assign": """
+            SELECT CASE
+                     WHEN ((doc_id * 2654435761) % 1000000) / 1000000.0
+                          < 0.8 THEN 'train'
+                     WHEN ((doc_id * 2654435761) % 1000000) / 1000000.0
+                          < 0.9 THEN 'val'
+                     ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                            END) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY 1
         """,
         "chunk_by_tokens": r"""
             WITH toks AS (

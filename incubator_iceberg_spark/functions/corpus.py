@@ -294,3 +294,31 @@ def chunk_by_tokens(df, text_col: str = "text", id_col: str = "doc_id",
     return ex.select(id_col, "chunk_id",
                      F.concat_ws(" ", win).alias("chunk_text"),
                      F.size(win).alias("n_tokens"))
+
+
+def split_assign(df, weights: dict, key_col: str,
+                 split_col: str = "split"):
+    """Deterministic train/val/test assignment: each row gets the split
+    whose cumulative-weight interval contains the key's hash uniform —
+    reproducible across runs/partitionings (no RNG), and a row's split
+    never changes when OTHER rows are added (the property incremental
+    corpus builds need; weights are normalized).  Pure Column algebra."""
+    from pyspark.sql import functions as F
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum > 0")
+    u = mixture_u(key_col)
+    cum = 0.0
+    expr = None
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += float(w)
+        # ONE division per boundary: accumulating normalized fractions
+        # (0.8 + 0.1) lands on a different double than the literal 0.9 a
+        # SQL mirror writes — cum/total is the same double both sides
+        cond = u < F.lit(cum / total)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

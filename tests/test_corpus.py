@@ -177,3 +177,20 @@ def test_semantic_dedup_finds_planted_and_keeps_one(spark):
                                      cosine_threshold=0.9999)
     ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
     assert ids == {i for i in range(60)}  # twins dropped, originals kept
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = corpus.split_assign(df, {"train": 8, "val": 1, "test": 1},
+                              "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 3700 < counts["train"] < 4300
+    assert 350 < counts["val"] < 650 and 350 < counts["test"] < 650
+    # stability: a row's split is identical under any partitioning and
+    # unaffected by other rows
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    sub = corpus.split_assign(df.filter("doc_id < 100").repartition(7),
+                              {"train": 8, "val": 1, "test": 1}, "doc_id")
+    assert all(a[r["doc_id"]] == r["split"] for r in sub.collect())
