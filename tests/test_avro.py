@@ -356,3 +356,28 @@ def test_migrate_avro_directory_in_place(warehouse, orders, spark, tmp_path):
     # imported in place: data files point into the source dir
     assert all(p.startswith(str(src_dir))
                for p, _ in t.new_scan().plan_files())
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.sampled_from([S.BooleanType(), S.IntegerType(), S.LongType(),
+                     S.FloatType(), S.DoubleType(), S.StringType(),
+                     S.BinaryType(), S.DateType(),
+                     S.TimestampType(with_zone=False),
+                     S.TimestampType(with_zone=True),
+                     S.DecimalType(10, 2), S.FixedType(8)]),
+    min_size=1, max_size=10))
+def test_prop_schema_roundtrip_through_avro(types):
+    """Engine schema → avro json → engine schema preserves field ids,
+    names, and types (the migrate/import path's contract)."""
+    sch = Schema([S.NestedField(i + 1, f"c{i}", t)
+                  for i, t in enumerate(types)])
+    back = AV.from_avro_schema(AV.to_avro_schema(sch))
+    assert [(f.field_id, f.name, type(f.type)) for f in back.fields] == \
+        [(f.field_id, f.name, type(f.type)) for f in sch.fields]
+    for a, b in zip(back.fields, sch.fields):
+        if isinstance(b.type, S.TimestampType):
+            assert a.type.with_zone == b.type.with_zone
+        if isinstance(b.type, S.DecimalType):
+            assert (a.type.precision, a.type.scale) == \
+                (b.type.precision, b.type.scale)
