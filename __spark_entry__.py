@@ -845,6 +845,43 @@ def q_split_assign(spark, sf_dir):
                  .alias("total_tokens")))
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming EXACT dedup engine-to-engine: the corpus is appended
+    twice (duplicate texts under fresh ids, duplicates spanning
+    micro-batches), streamed from the engine source through state-backed
+    ``dropDuplicates`` on the content hash into the exactly-once sink —
+    the final table holds exactly one row per distinct text."""
+    import uuid as _u
+
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import sources
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.functions.dedup import content_hash
+    from incubator_iceberg_spark.schema import Schema
+    sources.register(spark)
+    cat = _scratch_catalog(spark)
+    docs = _load(spark, sf_dir, "documents")
+    t = cat.create_table("s.dd_src", Schema.from_spark(docs.schema))
+    t.append(docs)
+    t.append(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    sink = cat.create_table("s.dd_sink", "text string")
+    name = "dd_" + _u.uuid4().hex[:8]
+    sdf = spark.readStream.format("iiws").option("path", t.location).load()
+    stream = (sdf.withColumn("__h", content_hash("text"))
+              .dropDuplicates(["__h"]).select("text"))
+
+    def write_batch(bdf, eid):
+        STR.append_exactly_once(sink, bdf, eid, query_id=name)
+
+    q = (stream.writeStream.outputMode("append").foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 os.path.join(SCRATCH_ROOT, "ck-" + name))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return sink.refresh().to_df()
+
+
 def q_chunk_by_tokens(spark, sf_dir):
     """Token-window chunking (training-prep shape): 40-token windows
     every 32 tokens, chunk text = space-joined window; every chunk
@@ -2108,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_by_tokens": q_chunk_by_tokens,
         "semantic_dedup": q_semantic_dedup,
         "split_assign": q_split_assign,
+        "streaming_dedup": q_streaming_dedup,
         # rollup/cube/distinct are pure Spark-delegated aggregates over a
         # scan path 40+ prefix queries exercise — the least information-
         # bearing rotation rows, deferred to r4
@@ -2706,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM customer
         """,
+        "streaming_dedup": "SELECT text FROM documents",
         "split_assign": """
             SELECT CASE
                      WHEN ((doc_id * 2654435761) % 1000000) / 1000000.0
