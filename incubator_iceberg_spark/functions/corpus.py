@@ -18,6 +18,14 @@ post-parity extensions, same family as dedup/text/similarity):
                        (tf·(N+1)/(df+1)): division is correctly-rounded
                        IEEE so ranks are bit-identical across engines,
                        unlike ln whose last-ulp differs by libm.
+- ngram_contamination — benchmark-leakage check (corpus n-grams against
+                       a broadcast eval-gram set; window-lead grams).
+- repetition_stats   — Gopher-style dup-line fraction + top-word
+                       dominance in floor-micro units.
+- chunk_by_tokens    — token-count windows (training-prep counterpart
+                       to the char-window chunker).
+- split_assign       — deterministic train/val/test assignment from the
+                       key-hash uniform (incremental-safe).
 
 At 100 TB: chunking explodes rows ~len/step× but stays in whole-stage
 codegen (no shuffle); packing shuffles once on the group key and streams

@@ -194,3 +194,17 @@ def test_split_assign_deterministic_and_proportional(spark):
     sub = corpus.split_assign(df.filter("doc_id < 100").repartition(7),
                               {"train": 8, "val": 1, "test": 1}, "doc_id")
     assert all(a[r["doc_id"]] == r["split"] for r in sub.collect())
+
+
+def test_chunk_documents_unicode_matches_python_slicing(spark):
+    """Chunk boundaries are CHARACTER-based (python-slice semantics), not
+    byte-based — pinned on multibyte text (CJK + accents + emoji)."""
+    text = ("漢字テキスト混在 des données accentuées 🎈 " * 20).strip()
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        ((r["chunk_id"], r["chunk_text"]) for r in
+         corpus.chunk_documents(df, chunk_size=50, overlap=10).collect()))
+    for cid, chunk in rows:
+        start = cid * 40
+        assert chunk == text[start:start + 50]
+    assert rows[-1][0] == (max(len(text) - 1, 0)) // 40
