@@ -208,3 +208,20 @@ def test_chunk_documents_unicode_matches_python_slicing(spark):
         start = cid * 40
         assert chunk == text[start:start + 50]
     assert rows[-1][0] == (max(len(text) - 1, 0)) // 40
+
+
+def test_mixture_u_sql_mirror_matches_spark(spark):
+    """The ANSI-SQL mirror helper computes bit-identical uniforms to the
+    Spark Column form — the contract every oracle that samples relies
+    on."""
+    import duckdb
+    df = spark.createDataFrame([(i,) for i in range(0, 5000, 7)],
+                               "doc_id long")
+    got = {r["doc_id"]: r["u"] for r in
+           df.select("doc_id", corpus.mixture_u("doc_id").alias("u"))
+           .collect()}
+    sql = corpus.mixture_u_sql("doc_id")
+    want = dict(duckdb.sql(
+        f"SELECT doc_id, {sql} AS u "
+        f"FROM (SELECT unnest(range(0, 5000, 7)) AS doc_id)").fetchall())
+    assert got == want  # exact double equality, every key
