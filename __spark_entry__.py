@@ -2747,9 +2747,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": "SELECT text FROM documents",
         "split_assign": """
             SELECT CASE
-                     WHEN ((doc_id * 2654435761) % 1000000) / 1000000.0
+                     WHEN (((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000000) / 1000000.0
                           < 0.8 THEN 'train'
-                     WHEN ((doc_id * 2654435761) % 1000000) / 1000000.0
+                     WHEN (((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000000) / 1000000.0
                           < 0.9 THEN 'val'
                      ELSE 'test' END AS split,
                    count(*) AS n_docs,
@@ -3075,7 +3075,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_kept,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
-            WHERE ((doc_id * 2654435761) % 1000000) / 1000000.0
+            WHERE (((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000000) / 1000000.0
                   < (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0
             GROUP BY source
         """,

@@ -112,10 +112,18 @@ _MIX_M = 1_000_000
 
 
 def mixture_u(key_col):
-    """Deterministic pseudo-uniform in [0, 1) from an integer key."""
+    """Deterministic pseudo-uniform in [0, 1) from an integer key.
+
+    The key is reduced mod M BEFORE the multiply: (key·K) mod M ==
+    ((key mod M)·K) mod M, so the value is unchanged, but the product
+    stays < 2.7e15 — exact int64 in every engine.  (The un-reduced form
+    overflowed int64 for keys ≥ ~3.5e9: Spark non-ANSI wrapped silently
+    while other engines widened or errored, breaking the promised
+    cross-engine bit-equality.)"""
     from pyspark.sql import functions as F
     c = F.col(key_col) if isinstance(key_col, str) else key_col
-    return (F.pmod(c * F.lit(_MIX_K), F.lit(_MIX_M)).cast("double")
+    r = F.pmod(c, F.lit(_MIX_M))
+    return (F.pmod(r * F.lit(_MIX_K), F.lit(_MIX_M)).cast("double")
             / F.lit(float(_MIX_M)))
 
 
@@ -133,8 +141,13 @@ def mixture_sample(df, rates: dict, strata_col: str, key_col: str):
 
 
 def mixture_u_sql(key_expr: str) -> str:
-    """The ANSI-SQL mirror of mixture_u — exact same int64 arithmetic."""
-    return f"(({key_expr} * {_MIX_K}) % {_MIX_M}) / {_MIX_M}.0"
+    """The ANSI-SQL mirror of mixture_u — exact same int64 arithmetic
+    for the FULL int64 key range (key reduced mod M first; the double-%
+    makes the reduction non-negative like Spark's pmod, so negative keys
+    agree too)."""
+    m = _MIX_M
+    return (f"((((({key_expr} % {m}) + {m}) % {m}) * {_MIX_K}) % {m})"
+            f" / {m}.0")
 
 
 def _term_freqs(df, text_col: str, id_col: str):

@@ -412,9 +412,22 @@ def embedding_near_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_
             .dropDuplicates(["id_a", "id_b"]))
 
 
+SEMANTIC_DEDUP_TARGET_CELL = 4096
+
+
+def semantic_dedup_cells_for(n: int, target_cell_size: int = SEMANTIC_DEDUP_TARGET_CELL) -> int:
+    """Cell count so the per-cell O(cell²) verify stays executor-sized:
+    ceil(n / target_cell_size), floored at 16.  At 10⁸ vectors this gives
+    ~24k cells (≈4k vectors ≈ 16M-pair matmul per cell) instead of a
+    fixed 16 (≈4·10¹³ pairs per cell — an OOM)."""
+    return max(16, -(-max(n, 1) // target_cell_size))
+
+
 def semantic_dedup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
-                         n_cells: int = 16, sample: int = 2048, iters: int = 8,
-                         seed: int = 42, cosine_threshold: float = 0.95):
+                         n_cells: int | None = None, sample: int = 2048,
+                         iters: int = 8, seed: int = 42,
+                         cosine_threshold: float = 0.95,
+                         target_cell_size: int = SEMANTIC_DEDUP_TARGET_CELL):
     """SemDeDup-style semantic near-duplicate pairs: spherical-kmeans
     cells are the blocking stage (the self-join is quadratic PER CELL,
     never globally), exact cosine >= threshold verifies inside the cell.
@@ -429,10 +442,16 @@ def semantic_dedup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
     similarity matmul per cell (applyInPandas) — the shape SemDeDup runs
     in practice.  A per-pair Column-expression cosine was measured ~10×
     slower (interpreted higher-order lambdas over |cell|² pairs).  Cell
-    memory is O((corpus/n_cells)²) during verify: size n_cells so cells
-    fit an executor (or shard the corpus first)."""
+    memory is O((corpus/n_cells)²) during verify.  ``n_cells=None``
+    (default) auto-sizes from a cheap ``df.count()`` so cells target
+    ``target_cell_size`` vectors each — pass n_cells explicitly only
+    when you know the corpus size (the kmeans sample is widened to keep
+    ≥4 sample points per cell)."""
     import pandas as pd
     from pyspark.sql import functions as F
+    if n_cells is None:
+        n_cells = semantic_dedup_cells_for(df.count(), target_cell_size)
+        sample = max(sample, 4 * n_cells)
     cent = spherical_kmeans(df, vec_col, id_col, n_cells, sample, iters, seed)
     b = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
                   ivf_cell_col(cent, vec_col).alias("__cell"))

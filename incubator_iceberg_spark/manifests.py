@@ -421,5 +421,66 @@ def read_entries_df(spark, manifest_paths: list):
     return spark.read.option("mergeSchema", "true").parquet(*manifest_paths)
 
 
+def _align_arrow(col, target: "pa.DataType"):
+    """Align a (possibly chunked) arrow array written under an older table
+    schema to the current entries layout: structs gain null children for
+    new stats columns, widened primitives are cast (int32→int64 etc.)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.type.equals(target):
+        return arr
+    if pa.types.is_struct(target) and pa.types.is_struct(arr.type):
+        present = {arr.type.field(i).name for i in range(arr.type.num_fields)}
+        children = [
+            _align_arrow(arr.field(f.name), f.type) if f.name in present
+            else pa.nulls(len(arr), f.type)
+            for f in target
+        ]
+        mask = arr.is_null() if arr.null_count else None
+        return pa.StructArray.from_arrays(children, fields=list(target), mask=mask)
+    return arr.cast(target)
+
+
+def read_entries_df_from_mlist(spark, mlist_df, table_schema: S.Schema,
+                               spec: PartitionSpec):
+    """Distributed manifest-entry scan (SURVEY §3.1 metadata-scale
+    contract).  Takes the already-summary-filtered manifest-LIST
+    DataFrame and reads each manifest parquet inside an executor task
+    (mapInArrow), aligning every file to the current (schema, spec)
+    entries layout.  The manifest-path list therefore never materializes
+    on the driver — at 10^5-10^6 manifests the only driver
+    materialization left in planning is the final pruned file list that
+    scan._plan_split streams.  Reference contract:
+    core/src/main/java/org/apache/iceberg/ManifestGroup.java:191-245
+    (planFiles streams entries manifest-by-manifest off-driver)."""
+    target = entry_arrow_schema(table_schema, spec)
+
+    def _read(batches):
+        import pyarrow.parquet as pq
+        for batch in batches:
+            for path in batch.column(0).to_pylist():
+                t = pq.read_table(path)
+                cols = [
+                    _align_arrow(t.column(f.name), f.type)
+                    if f.name in t.column_names
+                    else pa.nulls(t.num_rows, f.type)
+                    for f in target
+                ]
+                yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+
+    paths = mlist_df.select("manifest_path")
+    n_slots = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # round-robin the path rows so manifest decode parallelizes; the
+    # manifest list itself is one small file (1 input partition)
+    paths = paths.repartition(n_slots)
+    return paths.mapInArrow(_read, schema=_spark_schema_for(target))
+
+
+def _spark_schema_for(arrow_schema: pa.schema):
+    """Spark StructType for an arrow schema via an empty-table round-trip
+    (public API only — no pyspark internals)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+    return from_arrow_schema(arrow_schema)
+
+
 def read_manifest_list_df(spark, path: str):
     return spark.read.parquet(path)

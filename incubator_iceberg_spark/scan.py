@@ -199,10 +199,10 @@ class TableScan:
             sub = mlist_df.filter(F.col("partition_spec_id") == spec_id)
             if not isinstance(bound, X.AlwaysTrue):
                 sub = sub.filter(EV.manifest_summary_filter(spec, bound, mlist_df.schema))
-            manifest_paths = [r["manifest_path"] for r in sub.select("manifest_path").collect()]
-            if not manifest_paths:
-                continue
-            entries = MF.read_entries_df(self.spark, manifest_paths)
+            # the summary-filtered manifest-path list stays executor-side:
+            # entries are decoded distributedly, so the only driver
+            # materialization in planning is the final pruned file list
+            entries = MF.read_entries_df_from_mlist(self.spark, sub, schema, spec)
             entries = entries.filter(F.col("status") != MF.DELETED)
             if inc_ids is not None:
                 entries = entries.filter((F.col("status") == MF.ADDED)
@@ -244,8 +244,12 @@ class TableScan:
         del_paths = [r["file_path"] for r in rows if (r.get("content") or 0) != MF.DATA]
         dels = []
         if del_paths:
-            # need full entries (equality_ids, seq) for application
-            full = entries.filter(F.col("file_path").isin(del_paths)).collect()
+            # need full entries (equality_ids, seq) for application — select
+            # by the same content!=DATA predicate that produced del_paths
+            # (an isin(del_paths) literal list would be O(#delete-files) in
+            # the plan tree: a driver-side plan bomb at heavy MoR debt)
+            full = entries.filter(
+                F.coalesce(F.col("content"), F.lit(0)) != MF.DATA).collect()
             dels = [MF.normalize_entry(r.asDict(recursive=True)) for r in full]
         self._emit_scan_event(data, dels)
         return data, dels

@@ -89,6 +89,78 @@ def test_distributed_threshold_via_append(table, spark, monkeypatch):
     assert 0 < len(pruned) < 120
 
 
+@pytest.fixture()
+def df_plan_path(monkeypatch):
+    """Force the DataFrame planning path AND prove the driver-side
+    path-collect reader is never used: at metadata scale the
+    manifest-path list must stay executor-side (SURVEY §3.1)."""
+    from incubator_iceberg_spark import scan as SC
+
+    monkeypatch.setattr(SC, "LOCAL_PLAN_MAX_BYTES", -1)
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side manifest-path collect used")
+
+    monkeypatch.setattr(MF, "read_entries_df", _boom)
+
+
+def _mk_rows(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "concat('v', id) as v", "cast(id % 7 as int) as bucket")
+
+
+def test_distributed_entry_read_matches_local(table2, spark, df_plan_path):
+    """plan_entries_df decodes manifests inside executor tasks; results
+    must match the local planning path exactly, pruning included."""
+    exp_all, exp_pruned = table2.pop("expected")
+    t = table2["t"]
+    files = t.new_scan().plan_files()
+    assert sorted(files) == sorted(exp_all)
+    pruned = t.new_scan().filter("bucket = 3").plan_files()
+    assert sorted(pruned) == sorted(exp_pruned)
+
+
+@pytest.fixture()
+def table2(warehouse, spark):
+    schema = Schema.from_spark(
+        spark.createDataFrame([], "id long, v string, bucket int").schema)
+    t = warehouse.create_table("db.distread", schema,
+                               partition_by=["identity(bucket)"])
+    t.append(_mk_rows(spark, 0, 500))
+    t.append(_mk_rows(spark, 500, 900))
+    # expected results computed on the LOCAL path before any monkeypatch
+    exp_all = t.new_scan().plan_files()
+    exp_pruned = t.new_scan().filter("bucket = 3").plan_files()
+    return {"t": t, "expected": (exp_all, exp_pruned)}
+
+
+def test_distributed_read_applies_mor_deletes_no_isin(warehouse, spark,
+                                                      df_plan_path):
+    """MoR delete entries are re-selected with the content!=DATA predicate
+    (O(1) plan size), never an isin(<every delete path>) literal list —
+    at heavy delete debt that list is a driver-side plan bomb."""
+    from incubator_iceberg_spark import scan as SC
+
+    schema = Schema.from_spark(
+        spark.createDataFrame([], "id long, v string, bucket int").schema)
+    t = warehouse.create_table("db.distmor", schema,
+                               partition_by=["identity(bucket)"])
+    t.append(_mk_rows(spark, 0, 1000))
+    t.delete_where("id % 10 = 0", mode="merge-on-read")
+    t.delete_where("id = 777", mode="merge-on-read")
+
+    data, dels = t.new_scan()._plan_split()
+    assert len(dels) >= 2  # delete entries surfaced through the DF path
+    got = sorted(r.id for r in t.new_scan().to_df().collect())
+    assert len(got) == 1000 - 100 - 1
+    assert 777 not in got and 0 not in got and 33 in got
+    # the fix itself: no isin over file paths anywhere in _plan_split
+    import inspect
+
+    src = inspect.getsource(SC.TableScan._plan_split)
+    assert ".isin(del_paths)" not in src
+
+
 def test_real_threshold_path_30k_entries(table, spark):
     """Exercise the production threshold (no monkeypatch): a 30k-entry
     commit fans out and plans back correctly."""
