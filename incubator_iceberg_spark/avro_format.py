@@ -180,7 +180,11 @@ def _encoder(t: S.Type):
         def enc_ts(buf, v):
             if isinstance(v, datetime):
                 epoch = _EPOCH_DT_TZ if v.tzinfo is not None else _EPOCH_DT
-                v = round((v - epoch).total_seconds() * 1e6)
+                td = v - epoch
+                # exact integer micros: float total_seconds() loses
+                # sub-µs exactness past ~year 2255 (spacing > 0.5 µs)
+                v = (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                     + td.microseconds)
             _w_long(buf, int(v))
         return enc_ts
     if isinstance(t, (S.StringType, S.UUIDType)):
@@ -499,7 +503,10 @@ def write_avro_files(spark, df, staging: str, schema: S.Schema,
     ``max_records``, computes column stats WHILE encoding (avro has no
     readable footer — this keeps metrics pruning at parquet parity) and
     emits one JSON stats row per file.  Returns footer_stats-shaped
-    dicts."""
+    dicts.  The stats here are always FULL; ``write.metadata.metrics.*``
+    modes (none/counts/truncate(N)) are applied at the manifest layer
+    (manifests.write_manifest), identically for every file format —
+    pinned by tests/test_avro.py::test_metrics_modes_apply_to_avro_tables."""
     import pyarrow as pa
 
     schema_json = json.dumps(schema.to_json())
@@ -571,12 +578,64 @@ def write_avro_files(spark, df, staging: str, schema: S.Schema,
             for r in raw]
 
 
+def _resolvable(src: S.Type, dst: S.Type) -> bool:
+    """May values decoded as writer type ``src`` be served as read type
+    ``dst``?  Avro schema-resolution rules: identical types, the
+    int→long / float→double promotions, and name-matched (field-id-
+    insensitive — foreign writers don't carry engine ids) recursion into
+    records/arrays/maps."""
+    if type(src) is type(dst):
+        if isinstance(src, S.StructType):
+            have = {f.name: f.type for f in src.fields}
+            return all(f.name in have and _resolvable(have[f.name], f.type)
+                       for f in dst.fields)
+        if isinstance(src, S.ListType):
+            return _resolvable(src.element_field.type, dst.element_field.type)
+        if isinstance(src, S.MapType):
+            return _resolvable(src.value_field.type, dst.value_field.type)
+        return src == dst
+    if isinstance(src, S.IntegerType) and isinstance(dst, S.LongType):
+        return True
+    if isinstance(src, S.FloatType) and isinstance(dst, S.DoubleType):
+        return True
+    return False
+
+
+def _writer_resolution(raw_schema: bytes, expected: S.Schema, path: str):
+    """(writer_schema, column_index_per_expected_field) for one file's
+    embedded ``avro.schema``.  The Avro spec (and the reference,
+    core/src/main/java/org/apache/iceberg/avro/AvroIterable.java:89 via
+    DataFileReader) always resolves against the per-file WRITER schema;
+    decoding blindly with the table schema silently mis-decodes files
+    whose field order or widths differ (two swapped long columns decode
+    without error, values crossed)."""
+    wsch = from_avro_schema(json.loads(raw_schema.decode()))
+    by_name = {f.name: i for i, f in enumerate(wsch.fields)}
+    mapping = []
+    for f in expected.fields:
+        i = by_name.get(f.name)
+        if i is None:
+            raise ValueError(
+                f"avro file {path!r}: field {f.name!r} missing from writer "
+                f"schema (has {sorted(by_name)}); refusing blind decode")
+        wt = wsch.fields[i].type
+        if not _resolvable(wt, f.type):
+            raise ValueError(
+                f"avro file {path!r}: field {f.name!r} writer type {wt!r} "
+                f"is not resolvable to expected {f.type!r}")
+        mapping.append(i)
+    return wsch, mapping
+
+
 def read_avro_files(spark, paths: list, file_schema: S.Schema,
                     with_lineage: bool = False):
     """Distributed avro read: binaryFile ships each file's bytes to an
-    executor, mapInArrow decodes.  Emits real ``_pos`` per-row lineage
-    (sequential decode order), so position deletes work on avro files
-    too."""
+    executor, mapInArrow decodes.  Each file is decoded with its OWN
+    header-embedded writer schema, then resolved to the expected schema
+    by field name (int→long / float→double promoted, swapped or foreign
+    field order handled, incompatible files rejected loudly).  Emits
+    real ``_pos`` per-row lineage (sequential decode order), so position
+    deletes work on avro files too."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -590,17 +649,31 @@ def read_avro_files(spark, paths: list, file_schema: S.Schema,
     def task(batches):
         from incubator_iceberg_spark.row_ops import normalize_file_uri
         from incubator_iceberg_spark.schema import Schema as Sch
-        sch = Sch.from_json(json.loads(schema_json))
+        expected = Sch.from_json(json.loads(schema_json))
+        res_cache: dict = {}  # raw writer-schema bytes -> (wsch, mapping)
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             for path, content in zip(tbl["path"].to_pylist(),
                                      tbl["content"].to_pylist()):
+                data = bytes(content)
                 try:
-                    cols, n = read_container(bytes(content), sch)
+                    meta, _sync, _hdr = _read_header(data)
+                    raw = meta["avro.schema"]
+                except (ValueError, IndexError, KeyError) as e:
+                    raise ValueError(
+                        f"corrupt avro container {path!r}: "
+                        f"{type(e).__name__}: {e}") from e
+                if raw not in res_cache:
+                    # raises a path-bearing ValueError on schema mismatch
+                    res_cache[raw] = _writer_resolution(raw, expected, path)
+                wsch, mapping = res_cache[raw]
+                try:
+                    cols_w, n = read_container(data, wsch)
                 except (IndexError, zlib.error, ValueError) as e:
                     raise ValueError(
                         f"corrupt avro container {path!r}: "
                         f"{type(e).__name__}: {e}") from e
+                cols = [cols_w[i] for i in mapping] if cols_w else []
                 if not cols:
                     cols = [[] for _ in out_names]
                 arrays = {name: pa.array(col, type=arrow_schema.field(name).type)
@@ -662,8 +735,7 @@ def from_avro_schema(avsc: dict) -> S.Schema:
             return S.FixedType(t["size"])
         if base == "record":
             return S.StructType([
-                S.NestedField(f.get("field-id") or next_id(), f["name"],
-                              conv(f["type"]))
+                S.NestedField(_fid(f, next_id), f["name"], conv(f["type"]))
                 for f in t["fields"]])
         if base == "array":
             return S.ListType.of(next_id(), conv(t["items"]))
@@ -674,10 +746,16 @@ def from_avro_schema(avsc: dict) -> S.Schema:
             return conv(base)
         raise NotImplementedError(f"avro type {t!r}")
 
-    fields = [S.NestedField(f.get("field-id") or next_id(), f["name"],
-                            conv(f["type"]))
+    fields = [S.NestedField(_fid(f, next_id), f["name"], conv(f["type"]))
               for f in avsc["fields"]]
     return S.Schema(fields)
+
+
+def _fid(f: dict, next_id):
+    """Explicit None test — a legitimate ``field-id: 0`` must not be
+    treated as absent and silently reassigned."""
+    fid = f.get("field-id")
+    return fid if fid is not None else next_id()
 
 
 def read_file_schema(path: str) -> S.Schema:

@@ -18,6 +18,25 @@ from incubator_iceberg_spark import snapshots as SN
 MIN_INPUT_FILES_DEFAULT = 5
 SPLIT_LOOKBACK = 10
 
+# Above this many input bytes, an avro-format rewrite gets a loud
+# warning: the avro data plane decodes file-at-a-time in Python
+# (avro_format.py), well below JVM parquet throughput — fine for avro's
+# interop role, wrong as a silent migration target for big data-plane
+# rewrites.
+AVRO_REWRITE_WARN_BYTES = 1 << 30
+
+
+def _warn_if_large_avro_rewrite(fmt: str, total_bytes: int, op: str) -> None:
+    if fmt == "avro" and total_bytes > AVRO_REWRITE_WARN_BYTES:
+        import logging
+        logging.getLogger(__name__).warning(
+            "%s is rewriting %.1f GiB into avro (write.format.default="
+            "avro): the avro read path is file-grained Python decode — "
+            "throughput is far below parquet.  Pass file_format="
+            "'parquet' to migrate the rewritten files, or raise "
+            "maintenance.AVRO_REWRITE_WARN_BYTES to silence.",
+            op, total_bytes / (1 << 30))
+
 
 def _live_file_set(md, snapshot) -> set:
     out = set()
@@ -197,10 +216,12 @@ def bin_pack(files: list, target_size: int, min_input_files: int = MIN_INPUT_FIL
 
 def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None,
                        min_input_files: int = MIN_INPUT_FILES_DEFAULT,
-                       filter=None) -> dict:
+                       filter=None, file_format: Optional[str] = None) -> dict:
     """C5 compaction (BinPackStrategy.java:47-113 + RewriteDataFiles
     action): group small files to target size, rewrite each group as one
-    Spark job, commit with operation='replace'."""
+    Spark job, commit with operation='replace'.  ``file_format``
+    overrides the table's write format for the rewritten files (the
+    escape hatch for migrating a large avro table to parquet)."""
     from incubator_iceberg_spark import write as W
     from incubator_iceberg_spark.scan import TableScan, read_entries
 
@@ -222,6 +243,10 @@ def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None
 
     schema = md.schema()
     entry_by_path = {e["file_path"]: e for e in data}
+    out_format = file_format or W.table_format(md)
+    _warn_if_large_avro_rewrite(
+        out_format, sum(s for g in groups for p, s in small if p in set(g)),
+        "rewrite_data_files")
     all_staged, all_deleted = [], set()
     for group in groups:
         # delete files are APPLIED during compaction (new files get higher
@@ -233,7 +258,7 @@ def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None
         df = df.coalesce(int(n_out))
         staged = W.stage_write(spark, md.location, df, schema, md.spec(),
                                target_file_size=target,
-                               file_format=W.table_format(md))
+                               file_format=out_format)
         all_staged.extend(staged)
         all_deleted.update(group)
 
@@ -283,6 +308,7 @@ def sort_rewrite(table, sort_by, spark=None,
     total = sum(e.get("file_size_bytes") or 0 for e in data)
     n_out = max(1, total // target + (1 if total % target else 0))
     df = df.repartitionByRange(int(n_out), *cols).sortWithinPartitions(*cols)
+    _warn_if_large_avro_rewrite(W.table_format(md), total, "sort_rewrite")
     # distribution_mode none: keep the range clustering we just created
     staged = W.stage_write(spark, md.location, df, schema, md.spec(),
                            distribution_mode="none", target_file_size=target,
@@ -515,6 +541,7 @@ def zorder_rewrite(table, columns: list, spark=None,
            .repartitionByRange(int(n_out), F.col("__z"))
            .sortWithinPartitions("__z")
            .drop("__z"))
+    _warn_if_large_avro_rewrite(W.table_format(md), total, "zorder_rewrite")
     # distribution_mode="none": the z-range partitioning IS the layout —
     # the default hash-by-partition redistribution would destroy it
     staged = W.stage_write(spark, md.location, out, schema, md.spec(),

@@ -381,3 +381,144 @@ def test_prop_schema_roundtrip_through_avro(types):
         if isinstance(b.type, S.DecimalType):
             assert (a.type.precision, a.type.scale) == \
                 (b.type.precision, b.type.scale)
+
+
+# ---------------------------------------------------------------------------
+# round-4: per-file writer-schema resolution (Avro spec / AvroIterable
+# semantics — decode against the file's embedded schema, never blindly)
+# ---------------------------------------------------------------------------
+
+def _write_file(tmp_path, name, cols, sch):
+    p = str(tmp_path / name)
+    with open(p, "wb") as f:
+        AV.write_container(f, cols, sch)
+    return p
+
+
+def test_read_resolves_swapped_field_order_by_name(tmp_path, spark):
+    """A file whose writer schema has the SAME two long columns in the
+    other order must decode with values in the right columns — blind
+    positional decode crossed them silently."""
+    expected = Schema([S.NestedField(1, "a", S.LongType()),
+                       S.NestedField(2, "b", S.LongType())])
+    swapped = Schema([S.NestedField(2, "b", S.LongType()),
+                      S.NestedField(1, "a", S.LongType())])
+    p = _write_file(tmp_path, "sw.avro", [[100, 200], [1, 2]], swapped)
+    rows = {r["a"]: r["b"] for r in
+            AV.read_avro_files(spark, [p], expected).collect()}
+    assert rows == {1: 100, 2: 200}
+
+
+def test_read_promotes_int_to_long_and_float_to_double(tmp_path, spark):
+    expected = Schema([S.NestedField(1, "x", S.LongType()),
+                       S.NestedField(2, "y", S.DoubleType())])
+    writer = Schema([S.NestedField(1, "x", S.IntegerType()),
+                     S.NestedField(2, "y", S.FloatType())])
+    p = _write_file(tmp_path, "promo.avro", [[7, None], [1.5, -0.5]], writer)
+    rows = sorted(AV.read_avro_files(spark, [p], expected).collect(),
+                  key=lambda r: (r["x"] is None, r["x"]))
+    assert [r["x"] for r in rows] == [7, None]
+    assert [r["y"] for r in rows] == [1.5, -0.5]
+
+
+def test_read_rejects_missing_field_loudly(tmp_path, spark):
+    expected = Schema([S.NestedField(1, "a", S.LongType()),
+                       S.NestedField(2, "zz", S.LongType())])
+    writer = Schema([S.NestedField(1, "a", S.LongType())])
+    p = _write_file(tmp_path, "miss.avro", [[1]], writer)
+    with pytest.raises(Exception) as ei:
+        AV.read_avro_files(spark, [p], expected).collect()
+    assert "zz" in str(ei.value) and "missing from writer" in str(ei.value)
+
+
+def test_read_rejects_incompatible_type_loudly(tmp_path, spark):
+    expected = Schema([S.NestedField(1, "a", S.LongType())])
+    writer = Schema([S.NestedField(1, "a", S.StringType())])
+    p = _write_file(tmp_path, "bad.avro", [["oops"]], writer)
+    with pytest.raises(Exception) as ei:
+        AV.read_avro_files(spark, [p], expected).collect()
+    assert "not resolvable" in str(ei.value)
+
+
+def test_read_skips_extra_writer_fields(tmp_path, spark):
+    """Foreign files may carry extra columns; resolution selects only the
+    expected ones (spec: unmatched writer fields are skipped)."""
+    expected = Schema([S.NestedField(1, "a", S.LongType())])
+    writer = Schema([S.NestedField(5, "junk", S.StringType()),
+                     S.NestedField(1, "a", S.LongType())])
+    p = _write_file(tmp_path, "extra.avro", [["x", "y"], [1, 2]], writer)
+    assert sorted(r["a"] for r in
+                  AV.read_avro_files(spark, [p], expected).collect()) == [1, 2]
+
+
+def test_field_id_zero_is_preserved():
+    """A legitimate ``field-id: 0`` must not be reassigned (the old
+    ``or next_id()`` treated 0 as absent)."""
+    avsc = {"type": "record", "name": "r", "fields": [
+        {"name": "z", "type": "long", "field-id": 0},
+        {"name": "a", "type": "long", "field-id": 7}]}
+    sch = AV.from_avro_schema(avsc)
+    assert [f.field_id for f in sch.fields] == [0, 7]
+
+
+def test_timestamp_micros_exact_far_from_epoch():
+    """Exact integer micros: the float path lost 1 µs past ~year 2255."""
+    sch = Schema([S.NestedField(1, "ts", S.TimestampType(with_zone=False))])
+    vals = [datetime(2400, 1, 1, 0, 0, 0, 1),
+            datetime(2400, 1, 1, 0, 0, 0, 999999),
+            datetime(1, 1, 1, 0, 0, 0, 1),
+            datetime(9999, 12, 31, 23, 59, 59, 999999)]
+    buf = io.BytesIO()
+    AV.write_container(buf, [vals], sch)
+    out, n = AV.read_container(buf.getvalue(), sch)
+    assert n == len(vals) and out[0] == vals
+
+
+def test_metrics_modes_apply_to_avro_tables(warehouse, orders, spark):
+    """The metrics-mode property contract holds for avro files too —
+    modes apply at the manifest layer, format-independent."""
+    t = warehouse.create_table(
+        "db.avro_mmodes", Schema.from_spark(orders.schema),
+        properties={
+            "write.format.default": "avro",
+            "write.metadata.metrics.column.o_orderstatus": "none",
+            "write.metadata.metrics.column.o_custkey": "counts",
+            "write.metadata.metrics.default": "truncate(4)",
+        })
+    t.append(orders.limit(500))
+    entry = t.new_scan().plan_entries_local()[0]
+    lo = entry["lower_bounds"]
+    assert lo.get("o_orderstatus") is None  # none: no bounds
+    assert (entry.get("value_counts") or {}).get("o_orderstatus") is None
+    assert lo.get("o_custkey") is None  # counts: counts but no bounds
+    assert (entry.get("value_counts") or {}).get("o_custkey") is not None
+    # default truncate(4) shortens the 8-char priority strings
+    assert lo.get("o_orderpriority") is not None
+    assert len(lo["o_orderpriority"]) <= 4
+
+
+def test_large_avro_rewrite_warns(warehouse, orders, spark, caplog, monkeypatch):
+    """Compacting a big avro table logs the Python-decode warning; the
+    file_format override migrates the rewrite to parquet instead."""
+    import logging
+    from incubator_iceberg_spark import maintenance as MT
+
+    t = warehouse.create_table(
+        "db.avro_warn", Schema.from_spark(orders.schema),
+        properties={"write.format.default": "avro"})
+    for _ in range(5):
+        t.append(orders.limit(200))
+    monkeypatch.setattr(MT, "AVRO_REWRITE_WARN_BYTES", 1)  # force-trip
+    with caplog.at_level(logging.WARNING,
+                         logger="incubator_iceberg_spark.maintenance"):
+        MT.rewrite_data_files(t, spark)
+    assert any("avro" in r.message for r in caplog.records)
+    # escape hatch: rewritten files become parquet
+    for _ in range(5):
+        t.append(orders.limit(200))
+    res = MT.rewrite_data_files(t, spark, file_format="parquet")
+    assert res["added_files"] >= 1
+    fmts = {(e.get("file_format") or "").lower()
+            for e in t.new_scan().plan_entries_local()}
+    assert any("parquet" in f for f in fmts)
+    assert t.to_df().count() == 2000
