@@ -1180,6 +1180,54 @@ def q_streaming_sink_replay(spark, sf_dir):
     return t.to_df()
 
 
+def q_streaming_cdc_apply(spark, sf_dir):
+    """S12 CDC-apply sink: micro-batches mixing inserts, updates and
+    DELETES stream through ``cdc_apply_exactly_once`` (single MERGE
+    commit per epoch, epoch marker on the commit).  Epoch 1 is REPLAYED
+    (foreachBatch retry) and must be a no-op; epoch 2 exercises
+    within-batch last-change-wins (delete→re-insert of the same key in
+    one batch lands as the re-insert).  Deletes of absent keys are
+    ignored.  Epoch semantics per spark2/.../StreamingWriter.java:40-67,
+    over a MERGE commit."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import streaming as ST
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer")
+    t = cat.create_table("s.cust_cdc", Schema.from_spark(cust.schema))
+    on = ["c_custkey"]
+    # epoch 0: initial inserts (custkey ≡ 0 mod 3)
+    e0 = cust.filter("c_custkey % 3 = 0").withColumn("op", F.lit("I"))
+    assert ST.cdc_apply_exactly_once(t, e0, epoch_id=0, on=on)
+    # epoch 1: updates (≡0 mod 6: +1000 acctbal), inserts (≡1 mod 3),
+    # deletes (≡9 mod 30 — all were inserted in epoch 0), and deletes of
+    # keys never inserted (≡2 mod 3 — must be ignored); key sets disjoint
+    upd = (cust.filter("c_custkey % 6 = 0")
+           .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+           .withColumn("op", F.lit("U")))
+    ins = cust.filter("c_custkey % 3 = 1").withColumn("op", F.lit("I"))
+    dels = cust.filter("c_custkey % 30 = 9").withColumn("op", F.lit("D"))
+    ghost = (cust.filter("c_custkey % 3 = 2").limit(50)
+             .withColumn("op", F.lit("D")))
+    e1 = upd.unionByName(ins).unionByName(dels).unionByName(ghost)
+    assert ST.cdc_apply_exactly_once(t, e1, epoch_id=1, on=on)
+    assert not ST.cdc_apply_exactly_once(t, e1, epoch_id=1, on=on)  # replay
+    # epoch 2: within-batch last-wins — delete then re-insert (acctbal 0)
+    # for ≡1 mod 21; pure delete for ≡4 mod 21 (both ⊂ the ≡1 mod 3 set)
+    del2 = (cust.filter("c_custkey % 21 IN (1, 4)")
+            .withColumn("op", F.lit("D")).withColumn("seq", F.lit(1)))
+    re_ins = (cust.filter("c_custkey % 21 = 1")
+              .withColumn("c_acctbal", F.lit(0.0))
+              .withColumn("op", F.lit("I")).withColumn("seq", F.lit(2)))
+    assert ST.cdc_apply_exactly_once(t, del2.unionByName(re_ins), epoch_id=2,
+                                     on=on, order_col="seq")
+    return (t.to_df()
+            .select("c_custkey", "c_name",
+                    F.floor(F.col("c_acctbal") * 1e6).cast("long")
+                    .alias("acctbal_micro")))
+
+
 def q_maintenance_scan(spark, sf_dir):
     """C7+C8+J4 post-state: after compaction, manifest rewrite, snapshot
     expiry (retain 1), and orphan-file removal, the table must still read
@@ -2081,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py).
     return {
         # --- r2 hash-fails, oracles env-proofed this round ----------------
+        "streaming_cdc_apply": q_streaming_cdc_apply,
         "snapshots_meta": q_snapshots_meta,
         "events_props_json": q_events_props_json,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -2745,6 +2794,18 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "streaming_dedup": "SELECT text FROM documents",
+        "streaming_cdc_apply": """
+            SELECT c_custkey, c_name,
+                   CAST(floor((CASE WHEN c_custkey % 21 = 1 THEN 0.0
+                                    WHEN c_custkey % 6 = 0
+                                         THEN c_acctbal + 1000.0
+                                    ELSE c_acctbal END) * 1e6) AS BIGINT)
+                       AS acctbal_micro
+            FROM customer
+            WHERE c_custkey % 3 IN (0, 1)
+              AND c_custkey % 30 != 9
+              AND c_custkey % 21 != 4
+        """,
         "split_assign": """
             SELECT CASE
                      WHEN (((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000000) / 1000000.0

@@ -190,3 +190,61 @@ def foreach_batch_upserter(table, on=None, query_id: str = "default"):
                             query_id=query_id, spark=batch_df.sparkSession)
 
     return write
+
+
+def cdc_apply_exactly_once(table, batch_df, epoch_id: int, on=None,
+                           op_col: str = "op", order_col=None,
+                           query_id: str = "default", spark=None) -> bool:
+    """Full CDC-apply sink: one micro-batch may mix inserts, updates and
+    DELETES.  Rows whose ``op_col`` is 'D'/'d'/'delete' remove the
+    matched target row; every other op upserts.  With ``order_col``,
+    same-key rows within a batch resolve LAST-change-wins (highest
+    order value) — a delete followed by a re-insert in one batch lands
+    as the re-insert.  The single MERGE commit carries the epoch marker,
+    so foreachBatch replays are no-ops — epoch semantics per
+    spark2/.../StreamingWriter.java:40-67, applied over a MERGE commit
+    instead of an append."""
+    table.refresh()
+    last = last_committed_epoch(table, query_id)
+    if last is not None and int(epoch_id) <= last:
+        return False
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from incubator_iceberg_spark import row_ops
+    from incubator_iceberg_spark.row_ops import WhenMatched, WhenNotMatched
+    if on is None:
+        schema = table.metadata.schema()
+        on = [schema.field_path(i) for i in schema.identifier_field_ids]
+        if not on:
+            raise ValueError("no identifier fields on table; pass on=[...]")
+    if order_col is not None:
+        w = Window.partitionBy(*[F.col(k) for k in on]) \
+                  .orderBy(F.col(order_col).desc())
+        batch_df = (batch_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn"))
+    else:
+        batch_df = batch_df.dropDuplicates(list(on))
+    is_del = f"s.{op_col} IN ('D', 'd', 'delete')"
+    row_ops.merge_into(
+        table, batch_df, on=on,
+        when_matched=[WhenMatched(condition=is_del, delete=True),
+                      WhenMatched.update_all()],
+        when_not_matched=[WhenNotMatched.insert_all(
+            condition=f"NOT ({is_del})")],
+        spark=spark or batch_df.sparkSession,
+        extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
+    return True
+
+
+def foreach_batch_cdc_applier(table, on=None, op_col: str = "op",
+                              order_col=None, query_id: str = "default"):
+    """Adapter: ``writeStream.foreachBatch(foreach_batch_cdc_applier(t))``."""
+
+    def write(batch_df, epoch_id):
+        cdc_apply_exactly_once(table, batch_df, epoch_id, on=on,
+                               op_col=op_col, order_col=order_col,
+                               query_id=query_id,
+                               spark=batch_df.sparkSession)
+
+    return write

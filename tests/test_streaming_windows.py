@@ -113,6 +113,87 @@ def test_streaming_upsert_sink_exactly_once(warehouse, spark, sf_dir, tmp_path):
     assert t.refresh().metadata.current_snapshot_id == before
 
 
+def test_streaming_cdc_apply_sink(warehouse, spark, sf_dir, tmp_path):
+    """Full CDC sink through a REAL writeStream.foreachBatch: one stream
+    carrying inserts, updates and deletes; deletes remove rows, absent-key
+    deletes are ignored, replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.io import load_table
+    from incubator_iceberg_spark.schema import Schema
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter("o_orderkey % 2 = 0").limit(100)
+    t = warehouse.create_table("db.cdcsink", Schema.from_spark(base.schema))
+    t.append(base)
+    keys = [r["o_orderkey"] for r in
+            base.select("o_orderkey").orderBy("o_orderkey").collect()]
+    upd_keys, del_keys = keys[:20], keys[20:30]
+
+    cdc = (base.filter(F.col("o_orderkey").isin(upd_keys))
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+           .withColumn("op", F.lit("U"))
+           .unionByName(base.filter(F.col("o_orderkey").isin(del_keys))
+                        .withColumn("op", F.lit("D")))
+           .unionByName(base.limit(15)
+                        .withColumn("o_orderkey",
+                                    F.col("o_orderkey") + 9_000_000)
+                        .withColumn("op", F.lit("I")))
+           .unionByName(base.limit(5)
+                        .withColumn("o_orderkey",
+                                    F.col("o_orderkey") + 8_000_000)
+                        .withColumn("op", F.lit("D"))))  # absent keys
+    src_dir = str(tmp_path / "cdc_src")
+    cdc.write.parquet(src_dir)
+    stream = spark.readStream.schema(cdc.schema).parquet(src_dir)
+    q = (stream.writeStream
+         .foreachBatch(STR.foreach_batch_cdc_applier(t, on=["o_orderkey"]))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    t.refresh()
+    got = t.to_df()
+    assert got.count() == 100 - 10 + 15
+    assert got.filter(F.col("o_orderkey").isin(del_keys)).count() == 0
+    assert got.filter("o_orderkey > 8000000 and o_orderkey < 9000000").count() == 0
+    doubled = got.join(
+        base.filter(F.col("o_orderkey").isin(upd_keys))
+        .select("o_orderkey", F.col("o_totalprice").alias("old")),
+        "o_orderkey").filter("abs(o_totalprice - 2*old) < 1e-6")
+    assert doubled.count() == 20
+    # replay: same epoch id again is a no-op commit-wise
+    before = t.metadata.current_snapshot_id
+    assert STR.cdc_apply_exactly_once(t, cdc, epoch_id=0,
+                                      on=["o_orderkey"]) is False
+    assert t.refresh().metadata.current_snapshot_id == before
+
+
+def test_cdc_within_batch_last_wins(warehouse, spark, sf_dir):
+    """order_col resolves same-key ops inside one batch: delete then
+    re-insert lands as the re-insert; insert then delete lands deleted."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table(
+        "db.cdclastwins",
+        Schema.from_spark(spark.createDataFrame([], "k long, v string").schema))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                   "k long, v string"))
+    batch = spark.createDataFrame(
+        [(1, "a", "D", 1), (1, "a2", "I", 2),     # delete → re-insert: wins
+         (2, "b2", "U", 1), (2, "b", "D", 2),     # update → delete: gone
+         (4, "d", "I", 1), (4, "d2", "U", 2)],    # insert → update: v=d2
+        "k long, v string, op string, seq int")
+    assert STR.cdc_apply_exactly_once(t, batch, epoch_id=0, on=["k"],
+                                      order_col="seq")
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got == {1: "a2", 3: "c", 4: "d2"}
+
+
 def test_streaming_exact_dedup_dropduplicates(warehouse, spark, sf_dir, tmp_path):
     """Streaming exact dedup: dropDuplicates on the content hash across
     micro-batches (state-backed) feeding the exactly-once sink — the
