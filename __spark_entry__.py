@@ -2120,27 +2120,100 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING (round 3): the driver's correctness gate samples a 50-entry
+    # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [the 3 r2 hash-fail rows, now env-proofed] + [the round-3 addition]
-    # + [the 44 queries last driver-verified in r1 — re-green them under
-    # r2+r3 code] + [2 r2-green canaries on the snapshot-summary change].
-    # Everything r2-green rotates to the back (re-verifiable locally via
-    # tools/check_correctness.py).
+    # [11 never-driver-verified queries: the round-4 CDC sink + the 10
+    # round-3 additions that landed past the r3 window, incl. SURVEY rows
+    # O1 sorted_write_clustering and P17 metrics_modes]
+    # + [3 rows last driver-verified in r1: rollup/cube/distinct]
+    # + [36 least-recently-verified rows of the r2-green set].
+    # Rotated to the back: the 47 rows re-verified by the r3 driver run,
+    # plus 11 r2-green rows whose code paths are redundantly covered by
+    # prefix rows (q1/q3/q6/filter_pushdown run every bench; merge_upsert/
+    # merge_delete share row_ops.merge with in-prefix delete/update_mor and
+    # r3-green merge_by_source; ann_lsh/ann_ivf are superseded by their
+    # _indexed variants in the prefix; multimodal_audio shares the
+    # mapInPandas plumbing with in-prefix features/frames; minhash_planted
+    # shares dedup.minhash_pairs; skew_salted_join shares skew.py with
+    # skew_salted_agg).  Everything stays locally re-verifiable via
+    # tools/check_correctness.py.
     return {
-        # --- r2 hash-fails, oracles env-proofed this round ----------------
+        # --- never driver-verified (new r4 + late-r3 additions) -----------
         "streaming_cdc_apply": q_streaming_cdc_apply,
+        "sorted_write_clustering": q_sorted_write_clustering,
+        "metrics_modes": q_metrics_modes,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "streaming_windowed_agg": q_streaming_windowed_agg,
+        "streaming_sessionize": q_streaming_sessionize,
+        "chunk_by_tokens": q_chunk_by_tokens,
+        "semantic_dedup": q_semantic_dedup,
+        "split_assign": q_split_assign,
+        "streaming_dedup": q_streaming_dedup,
+        # --- last driver-verified in r1 ------------------------------------
+        "rollup_agg": q_rollup,
+        "cube_agg": q_cube_agg,
+        "distinct_agg": q_distinct_agg,
+        # --- last driver-verified in r2 (36 least-recently-verified) ------
+        "delete_mor": q_delete_mor,
+        "update_mor": q_update_mor,
+        "transaction_multi": q_transaction,
+        "add_files_import": q_add_files_import,
+        "pydatasource_scan": q_pydatasource_scan,
+        "partitions_meta": q_partitions_meta,
+        "files_meta": q_files_meta,
+        "transforms_projection": q_transforms,
+        "bucket_transform": q_bucket_transform,
+        "events_hourly": q_events_hourly,
+        "sessionize_events": q_sessionize,
+        "streaming_consume": q_streaming_consume,
+        "compaction": q_compaction,
+        "maintenance_scan": q_maintenance_scan,
+        "streaming_sink_replay": q_streaming_sink_replay,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_simhash_pairs": q_dedup_simhash,
+        "dedup_ngram_pairs": q_dedup_ngram,
+        "dedup_groups": q_dedup_groups,
+        "vocab_doc_freq": q_vocab_doc_freq,
+        "length_quantiles": q_length_quantiles,
+        "text_stats": q_text_stats,
+        "text_analyze": q_text_analyze,
+        "ann_bruteforce": q_ann_bruteforce,
+        "skew_salted_agg": q_skew_salted_agg,
+        "knn_join": q_knn_join,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
+        "delete_debt_meta": q_delete_debt_meta,
+        "catalog_branch_merge": q_catalog_branch_merge,
+        "catalog_txn_multi_table": q_catalog_txn_multi_table,
+        # ====================== past the 50-row window ====================
+        # --- r2-green, code path redundantly covered by prefix rows -------
+        "q1_pricing_summary": q_q1,
+        "q3_shipping_priority": q_q3,
+        "q6_forecast_revenue": q_q6,
+        "filter_pushdown_scan": q_filter_scan,
+        "merge_upsert": q_merge_upsert,
+        "merge_delete": q_merge_delete,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_audio": q_multimodal_audio,
+        "dedup_minhash_planted": q_dedup_minhash_planted,
+        "skew_salted_join": q_skew_salted_join,
+        # --- driver-green in round 3 (proven; rotate to the back) ---------
         "snapshots_meta": q_snapshots_meta,
         "events_props_json": q_events_props_json,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        # --- new in round 3 ------------------------------------------------
         "ann_append_probe": q_ann_append_probe,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "avro_scan": q_avro_scan,
-        # --- last driver-verified in r1 (least-recently-verified 44) ------
         "merge_by_source": q_merge_by_source,
         "delete_cow": q_delete_cow,
         "delete_metadata": q_delete_metadata,
@@ -2182,73 +2255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q22_global_sales": q_q22_global_sales,
         "q11_value_share": q_q11_value_share,
-        # --- past the 50-row window; ALL of these are r4-prefix
-        # candidates (new this round, builder-verified at sf0.001+sf0.01
-        # via tools/check_correctness.py but no driver row yet) ----------
-        "sorted_write_clustering": q_sorted_write_clustering,
-        "metrics_modes": q_metrics_modes,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "streaming_windowed_agg": q_streaming_windowed_agg,
-        "streaming_sessionize": q_streaming_sessionize,
-        "chunk_by_tokens": q_chunk_by_tokens,
-        "semantic_dedup": q_semantic_dedup,
-        "split_assign": q_split_assign,
-        "streaming_dedup": q_streaming_dedup,
-        # rollup/cube/distinct are pure Spark-delegated aggregates over a
-        # scan path 40+ prefix queries exercise — the least information-
-        # bearing rotation rows, deferred to r4
-        "rollup_agg": q_rollup,
-        "cube_agg": q_cube_agg,
-        "distinct_agg": q_distinct_agg,
-        "delete_mor": q_delete_mor,
-        "update_mor": q_update_mor,
-        # --- driver-green in round 2 (proven; rotate to the back) ---------
-        "transaction_multi": q_transaction,
-        "add_files_import": q_add_files_import,
-        "pydatasource_scan": q_pydatasource_scan,
-        "partitions_meta": q_partitions_meta,
-        "files_meta": q_files_meta,
-        "transforms_projection": q_transforms,
-        "bucket_transform": q_bucket_transform,
-        "events_hourly": q_events_hourly,
-        "sessionize_events": q_sessionize,
-        "streaming_consume": q_streaming_consume,
-        "compaction": q_compaction,
-        "maintenance_scan": q_maintenance_scan,
-        "streaming_sink_replay": q_streaming_sink_replay,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_pairs": q_dedup_minhash,
-        "dedup_minhash_planted": q_dedup_minhash_planted,
-        "dedup_simhash_pairs": q_dedup_simhash,
-        "dedup_ngram_pairs": q_dedup_ngram,
-        "dedup_groups": q_dedup_groups,
-        "vocab_doc_freq": q_vocab_doc_freq,
-        "length_quantiles": q_length_quantiles,
-        "text_stats": q_text_stats,
-        "text_analyze": q_text_analyze,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "skew_salted_agg": q_skew_salted_agg,
-        "knn_join": q_knn_join,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_audio": q_multimodal_audio,
-        "skew_salted_join": q_skew_salted_join,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "ann_ivf_probe": q_ann_ivf_probe,
-        "ann_lsh_indexed": q_ann_lsh_indexed,
-        "delete_debt_meta": q_delete_debt_meta,
-        "catalog_branch_merge": q_catalog_branch_merge,
-        "catalog_txn_multi_table": q_catalog_txn_multi_table,
-        "q1_pricing_summary": q_q1,
-        "q3_shipping_priority": q_q3,
-        "q6_forecast_revenue": q_q6,
-        "filter_pushdown_scan": q_filter_scan,
-        "merge_upsert": q_merge_upsert,
-        "merge_delete": q_merge_delete,
     }
 
 
