@@ -265,7 +265,11 @@ def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None
     table.metadata = SN.overwrite_files(
         table.ops, all_staged, all_deleted, operation="replace",
         base_snapshot_id=md.current_snapshot_id,
-        conflict_detection_filter=lambda e: e.get("file_path") in all_deleted)
+        conflict_detection_filter=lambda e: e.get("file_path") in all_deleted,
+        # compaction APPLIES delete files and re-emits survivors at a new
+        # sequence number — a delete file landing after the read point
+        # must abort the rewrite or its rows would resurrect
+        validate_new_deletes=True)
     return {"rewritten_files": len(all_deleted), "added_files": len(all_staged),
             "groups": len(groups)}
 
@@ -317,7 +321,8 @@ def sort_rewrite(table, sort_by, spark=None,
     table.metadata = SN.overwrite_files(
         table.ops, staged, deleted, operation="replace",
         base_snapshot_id=md.current_snapshot_id,
-        conflict_detection_filter=lambda e: e.get("file_path") in deleted)
+        conflict_detection_filter=lambda e: e.get("file_path") in deleted,
+        validate_new_deletes=True)
     return {"rewritten_files": len(deleted), "added_files": len(staged)}
 
 
@@ -551,7 +556,8 @@ def zorder_rewrite(table, columns: list, spark=None,
     table.metadata = SN.overwrite_files(
         table.ops, staged, old, operation="replace",
         base_snapshot_id=md.current_snapshot_id,
-        conflict_detection_filter=lambda e: e.get("file_path") in old)
+        conflict_detection_filter=lambda e: e.get("file_path") in old,
+        validate_new_deletes=True)
     return {"rewritten_files": len(old), "added_files": len(staged)}
 
 

@@ -40,6 +40,23 @@ _CARDINALITY_MSG = "MERGE_CARDINALITY_VIOLATION: a target row matched more than 
 # python-side inclusive metrics check (conflict validation on entry dicts)
 # ---------------------------------------------------------------------------
 
+def _pos_delete_targets(pos_entries: list, candidate_paths) -> set:
+    """The data-file paths a batch of freshly written position-delete files
+    may reference, narrowed by each delete file's ``file_path`` column
+    bounds (same trick as DeleteFileIndex referenced-data-file stats).
+    Bounds can be truncated prefixes, so upper compares on prefix length;
+    missing bounds fall back to every candidate (conservative)."""
+    req = set()
+    for e in pos_entries:
+        lo = (e.get("lower_bounds") or {}).get("file_path")
+        hi = (e.get("upper_bounds") or {}).get("file_path")
+        if lo is None or hi is None:
+            return set(candidate_paths)
+        req.update(p for p in candidate_paths
+                   if lo <= p and p[:len(hi)] <= hi)
+    return req
+
+
 def entry_might_match(entry: dict, bound: X.Expression) -> bool:
     """InclusiveMetricsEvaluator on a plain manifest-entry dict — used for
     validateNoConflictingAppends during commit retries."""
@@ -222,6 +239,11 @@ def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None
         operation=operation,
         base_snapshot_id=base_snapshot_id,
         conflict_detection_filter=lambda e: entry_might_match(e, bound),
+        # kept rows are carried into new files with a higher sequence
+        # number — a delete file landing after our read point would
+        # silently stop applying to them (validateNoNewDeleteFiles);
+        # metadata-only drops carry nothing forward and skip the check
+        validate_new_deletes=bool(new_entries),
     )
     dropped_rows = sum(r["record_count"] or 0 for r in cand)
     return {
@@ -298,6 +320,12 @@ def delete_where_mor(table, expr: X.Expression, spark=None) -> dict:
         operation="delete",
         base_snapshot_id=base_snapshot_id,
         conflict_detection_filter=lambda e: entry_might_match(e, bound),
+        # the position deletes target (file_path, pos) of files planned at
+        # the read point; if a concurrent commit rewrote one, the delete
+        # would reference a dead path and its rows would resurrect
+        # (BaseRowDelta.validateDataFilesExist)
+        required_data_files=_pos_delete_targets(
+            new_entries, [r["file_path"] for r in mor]),
     )
     return {
         "deleted_files": len(full_drop),
@@ -363,11 +391,17 @@ def update_mor(table, assignments: dict, condition: X.Expression,
                                  file_format=W.table_format(md))
     matched.unpersist()
 
+    touched = {e["file_path"] for e in data}
     table.metadata = SN.overwrite_files(
         table.ops, pos_entries + data_entries, set(),
         operation="overwrite",
         base_snapshot_id=base_snapshot_id,
         conflict_detection_filter=lambda e: entry_might_match(e, bound),
+        # updated copies carry rows forward from the touched files at a new
+        # sequence number → concurrent delete files must conflict; and the
+        # position deletes must still reference live data files
+        validate_new_deletes=touched,
+        required_data_files=_pos_delete_targets(pos_entries, touched),
     )
     return {"delete_files_written": len(pos_entries),
             "staged_files": len(data_entries), "mode": "merge-on-read"}
@@ -415,6 +449,7 @@ def update(table, assignments: dict, condition: X.Expression, spark=None) -> dic
         operation="overwrite",
         base_snapshot_id=base_snapshot_id,
         conflict_detection_filter=lambda e: entry_might_match(e, bound),
+        validate_new_deletes=True,
     )
     return {"rewritten_files": len(data), "staged_files": len(staged)}
 
@@ -646,6 +681,7 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
         extra_summary=extra_summary,
         base_snapshot_id=base_snapshot_id,
         conflict_detection_filter=None,  # serializable: any concurrent append conflicts
+        validate_new_deletes=True,
     )
     return {"touched_files": len(touched), "written_files": len(staged)}
 

@@ -288,20 +288,37 @@ def overwrite_files(ops: TableOperations, added_entries: list, deleted_paths: se
                     extra_summary: Optional[dict] = None,
                     base_snapshot_id: Optional[int] = None,
                     conflict_detection_filter=None,
-                    spec_id: Optional[int] = None) -> TableMetadata:
+                    spec_id: Optional[int] = None,
+                    validate_new_deletes: bool = False,
+                    required_data_files: Optional[set] = None) -> TableMetadata:
     """C3 OverwriteFiles / C5 RewriteFiles / C2 DeleteFiles.
 
     ``base_snapshot_id`` + ``conflict_detection_filter`` implement
     validateNoConflictingAppends (MergingSnapshotProducer.java:246-249): if
     snapshots committed after the read point added files matching the
     filter, fail instead of silently dropping concurrent data.
+
+    ``validate_new_deletes`` implements validateNoNewDeleteFiles
+    (MergingSnapshotProducer.java validateNoNewDeleteFiles /
+    RewriteFiles): commits that carry rows FORWARD into new files
+    (compaction, CoW delete/update/merge) give those files a new, higher
+    data sequence number — a delete file committed after the read point
+    would silently stop applying to the carried-forward rows.  Abort and
+    let the caller retry from a fresh scan instead.
+
+    ``required_data_files`` implements validateDataFilesExist
+    (BaseRowDelta.java:69-100): a RowDelta commit whose position-delete
+    files reference data files must fail if any referenced file was
+    rewritten/removed by a concurrent commit — otherwise the deletes
+    target dead paths and the rows silently resurrect.
     """
     return MD.run_with_retries(
         ops, lambda base: apply_overwrite(
             base, added_entries, deleted_paths, operation=operation,
             extra_summary=extra_summary, base_snapshot_id=base_snapshot_id,
             conflict_detection_filter=conflict_detection_filter,
-            spec_id=spec_id))
+            spec_id=spec_id, validate_new_deletes=validate_new_deletes,
+            required_data_files=required_data_files))
 
 
 def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
@@ -309,19 +326,37 @@ def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
                     extra_summary: Optional[dict] = None,
                     base_snapshot_id: Optional[int] = None,
                     conflict_detection_filter=None,
-                    spec_id: Optional[int] = None) -> TableMetadata:
-    """Pure overwrite application (no commit) — composable."""
+                    spec_id: Optional[int] = None,
+                    validate_new_deletes: bool = False,
+                    required_data_files: Optional[set] = None) -> TableMetadata:
+    """Pure overwrite application (no commit) — composable.  Validations
+    run per retry attempt against the refreshed ``base`` (the reference
+    re-validates inside SnapshotProducer's retry loop the same way)."""
     deleted_paths = set(deleted_paths)
     dropped_acc: list = []
     if base_snapshot_id is not None and base is not None:
         _validate_no_conflicting_appends(base, base_snapshot_id,
                                          conflict_detection_filter)
+        if validate_new_deletes:
+            # True → the dropped files are the carried-forward set; a set →
+            # explicit scope (e.g. MoR UPDATE carries rows from files it
+            # does NOT drop, only masks with position deletes)
+            scope = (validate_new_deletes
+                     if isinstance(validate_new_deletes, (set, frozenset))
+                     else deleted_paths)
+            _validate_no_new_delete_files(base, base_snapshot_id, scope)
 
     def make(base, snapshot_id, seq):
         md_dir = os.path.join(base.location, "metadata")
         rows = []
         remaining = set(deleted_paths)
+        required = set(required_data_files or ()) - deleted_paths
         for row in _manifest_rows(base):
+            if required:
+                for e in M.read_manifest_arrow(
+                        row["manifest_path"]).to_pylist():
+                    if e.get("status") != M.DELETED:
+                        required.discard(e["file_path"])
             new_row, dropped = _rewrite_manifest_without(
                 md_dir, base, row, remaining, snapshot_id, seq)
             dropped_acc.extend(dropped)
@@ -332,6 +367,10 @@ def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
         if remaining:
             raise ValidationException(
                 f"files to delete not found in table: {sorted(remaining)[:5]}")
+        if required:
+            raise ValidationException(
+                "data files referenced by position deletes no longer live "
+                f"(validateDataFilesExist): {sorted(required)[:5]}")
         if added_entries:
             rows.extend(_write_added_manifests(md_dir, base, list(added_entries),
                                                snapshot_id, seq, spec_id))
@@ -380,27 +419,69 @@ def replace_partitions(ops: TableOperations, added_entries: list,
     return MD.run_with_retries(ops, apply)
 
 
+def _newer_snapshots(current: TableMetadata, base_snapshot_id: int) -> list:
+    """Snapshots committed after ``base_snapshot_id`` (by sequence)."""
+    base = current.snapshot_by_id(base_snapshot_id) if base_snapshot_id else None
+    base_seq = base.sequence_number if base else -1
+    return [s for s in current.snapshots if s.snapshot_id != base_snapshot_id
+            and s.sequence_number > base_seq]
+
+
+def _added_entries_of(snap) -> Iterable[dict]:
+    """Yield the normalized entries a snapshot ADDED."""
+    tbl = M.read_manifest_list_arrow(snap.manifest_list)
+    for row in tbl.to_pylist():
+        if row.get("added_snapshot_id") != snap.snapshot_id:
+            continue
+        for e in M.read_manifest_arrow(row["manifest_path"]).to_pylist():
+            if e.get("status") != M.ADDED or e.get("snapshot_id") != snap.snapshot_id:
+                continue
+            M.normalize_entry(e)
+            yield e
+
+
 def _validate_no_conflicting_appends(current: TableMetadata, base_snapshot_id: int,
                                      conflict_filter) -> None:
     """Scan snapshots committed after ``base_snapshot_id``; if any appended
     files that might match ``conflict_filter`` (a callable entry→bool or
     None meaning any append conflicts), raise ValidationException."""
-    newer = [s for s in current.snapshots if s.snapshot_id != base_snapshot_id
-             and s.sequence_number > (current.snapshot_by_id(base_snapshot_id).sequence_number
-                                      if current.snapshot_by_id(base_snapshot_id) else -1)]
-    for snap in newer:
+    for snap in _newer_snapshots(current, base_snapshot_id):
         if snap.operation not in ("append", "overwrite", "replace"):
             continue
-        tbl = M.read_manifest_list_arrow(snap.manifest_list)
-        for row in tbl.to_pylist():
-            if row.get("added_snapshot_id") != snap.snapshot_id:
+        for e in _added_entries_of(snap):
+            if (e.get("content") or M.DATA) != M.DATA:
+                continue  # delete files are validated separately
+            if conflict_filter is None or conflict_filter(e):
+                raise ValidationException(
+                    f"concurrent commit {snap.snapshot_id} added conflicting "
+                    f"file {e['file_path']}")
+
+
+def _validate_no_new_delete_files(current: TableMetadata, base_snapshot_id: int,
+                                  rewritten_paths: set) -> None:
+    """validateNoNewDeleteFiles (MergingSnapshotProducer / RewriteFiles):
+    a commit that carries rows forward (compaction, CoW delete/update/
+    merge) gives the new files a higher data sequence number, so a delete
+    file committed after the read point would silently stop applying to
+    the carried rows — resurrecting them.  Conflict on any newer ADDED
+    delete-file entry unless its metrics prove it cannot reference the
+    rewritten files: position deletes carry ``file_path`` column bounds,
+    so a delete whose path range misses every rewritten path is safe;
+    equality deletes apply by value, so they always conflict."""
+    for snap in _newer_snapshots(current, base_snapshot_id):
+        if snap.operation not in ("delete", "overwrite", "replace"):
+            continue
+        for e in _added_entries_of(snap):
+            content = e.get("content") or M.DATA
+            if content == M.DATA:
                 continue
-            entries = M.read_manifest_arrow(row["manifest_path"]).to_pylist()
-            for e in entries:
-                if e.get("status") != M.ADDED or e.get("snapshot_id") != snap.snapshot_id:
+            if content == M.POSITION_DELETES:
+                lo = (e.get("lower_bounds") or {}).get("file_path")
+                hi = (e.get("upper_bounds") or {}).get("file_path")
+                if lo is not None and hi is not None and not any(
+                        lo <= p <= hi for p in rewritten_paths):
                     continue
-                M.normalize_entry(e)
-                if conflict_filter is None or conflict_filter(e):
-                    raise ValidationException(
-                        f"concurrent commit {snap.snapshot_id} added conflicting "
-                        f"file {e['file_path']}")
+            raise ValidationException(
+                f"concurrent commit {snap.snapshot_id} added delete file "
+                f"{e['file_path']} that may reference rewritten data files "
+                "(validateNoNewDeleteFiles)")

@@ -1,0 +1,155 @@
+"""Commit-time conflict validation under writer races (SURVEY §7 names
+MERGE/rewrite-under-concurrent-commits the hardest correctness surface).
+
+Deterministic interleavings of the two races the reference guards with
+dedicated validations:
+
+- validateNoNewDeleteFiles (MergingSnapshotProducer / RewriteFiles):
+  commits that carry rows forward into new files (compaction, CoW
+  delete/update/merge) must abort when a delete file landed after their
+  read point — the carried rows take a higher data sequence number and
+  would escape the delete (silent resurrection).
+- validateDataFilesExist (BaseRowDelta.java:69-100): a RowDelta commit
+  whose position deletes reference data files must abort when a
+  concurrent commit rewrote one of them — the deletes would target dead
+  paths.
+
+Each test builds the race by holding a STALE table handle while a second
+handle commits, then asserts the stale commit aborts with
+ValidationException and the table is left in the consistent state.
+"""
+
+import pytest
+
+from incubator_iceberg_spark.metadata import ValidationException
+from incubator_iceberg_spark.schema import Schema
+
+
+def _make_table(warehouse, spark, name, n=400, files=4):
+    df = spark.createDataFrame(
+        [(i, i % 8, f"p{i}") for i in range(n)],
+        "id long, grp long, payload string")
+    t = warehouse.create_table(name, Schema.from_spark(df.schema))
+    for f in range(files):
+        t.append(df.filter(df.id % files == f).repartition(1))
+    return t
+
+
+def _reload(warehouse, name):
+    return warehouse.load_table(name)
+
+
+def test_compaction_aborts_on_concurrent_mor_delete(warehouse, spark):
+    t_stale = _make_table(warehouse, spark, "db.c_v_mor")
+    expected_after_delete = t_stale.to_df().filter("grp != 3").count()
+
+    # a second writer lands a merge-on-read delete AFTER t_stale's read point
+    t2 = _reload(warehouse, "db.c_v_mor")
+    res = t2.delete_where("grp = 3", mode="merge-on-read")
+    assert res["delete_files_written"] > 0
+
+    with pytest.raises(ValidationException, match="delete file"):
+        t_stale.rewrite_data_files(min_input_files=2)
+
+    # the abort left the delete intact — no resurrected rows
+    t3 = _reload(warehouse, "db.c_v_mor")
+    assert t3.to_df().count() == expected_after_delete
+    # and a FRESH compaction (which applies the delete) succeeds
+    out = t3.rewrite_data_files(min_input_files=2)
+    assert out["rewritten_files"] > 0
+    assert _reload(warehouse, "db.c_v_mor").to_df().count() == expected_after_delete
+
+
+def test_cow_delete_aborts_on_concurrent_eq_delete(warehouse, spark):
+    t_stale = _make_table(warehouse, spark, "db.cow_v_eq")
+
+    t2 = _reload(warehouse, "db.cow_v_eq")
+    victims = spark.createDataFrame([(7,)], "id long")
+    t2.add_equality_deletes(victims, ["id"])
+
+    # CoW delete of a DIFFERENT predicate still carries kept rows forward —
+    # including id=7's file — so it must abort, not resurrect id=7
+    with pytest.raises(ValidationException, match="delete file"):
+        t_stale.delete_where("grp = 1", mode="copy-on-write")
+
+    t3 = _reload(warehouse, "db.cow_v_eq")
+    assert t3.to_df().filter("id = 7").count() == 0
+    # fresh handle sees the delete and succeeds
+    t3.delete_where("grp = 1", mode="copy-on-write")
+    final = _reload(warehouse, "db.cow_v_eq").to_df()
+    assert final.filter("id = 7").count() == 0
+    assert final.filter("grp = 1").count() == 0
+
+
+def test_mor_delete_aborts_when_targets_compacted(warehouse, spark):
+    t_stale = _make_table(warehouse, spark, "db.mor_v_c")
+
+    t2 = _reload(warehouse, "db.mor_v_c")
+    out = t2.rewrite_data_files(min_input_files=2)
+    assert out["rewritten_files"] > 0
+
+    # position deletes planned against the PRE-compaction file paths would
+    # reference dead files; the commit must abort (either the conflicting-
+    # append check on the compacted files' overlapping bounds, or
+    # validateDataFilesExist on the dead paths — both are correct aborts)
+    with pytest.raises(ValidationException):
+        t_stale.delete_where("grp = 2", mode="merge-on-read")
+
+    t3 = _reload(warehouse, "db.mor_v_c")
+    assert t3.to_df().filter("grp = 2").count() == 50
+    t3.delete_where("grp = 2", mode="merge-on-read")
+    assert _reload(warehouse, "db.mor_v_c").to_df().filter("grp = 2").count() == 0
+
+
+def test_update_mor_aborts_when_targets_compacted(warehouse, spark):
+    t_stale = _make_table(warehouse, spark, "db.umor_v_c")
+    t2 = _reload(warehouse, "db.umor_v_c")
+    t2.rewrite_data_files(min_input_files=2)
+
+    with pytest.raises(ValidationException):
+        t_stale.update({"payload": "'boom'"}, "grp = 4", mode="merge-on-read")
+
+    t3 = _reload(warehouse, "db.umor_v_c")
+    assert t3.to_df().filter("payload = 'boom'").count() == 0
+
+
+def test_append_never_conflicts_with_compaction(warehouse, spark):
+    """Appends add disjoint files — both orders must commit cleanly."""
+    t_stale = _make_table(warehouse, spark, "db.app_v_c")
+    extra = spark.createDataFrame([(10_000 + i, -1, "x") for i in range(10)],
+                                  "id long, grp long, payload string")
+
+    t2 = _reload(warehouse, "db.app_v_c")
+    t2.append(extra.repartition(1))
+
+    out = t_stale.rewrite_data_files(min_input_files=2)
+    assert out["rewritten_files"] > 0
+    assert _reload(warehouse, "db.app_v_c").to_df().count() == 410
+
+
+def test_validate_data_files_exist_direct(warehouse, spark):
+    """validateDataFilesExist in isolation: a commit requiring a data file
+    that is not live in the table must abort regardless of conflict
+    filters (BaseRowDelta.validateDataFilesExist)."""
+    from incubator_iceberg_spark import snapshots as SN
+
+    t = _make_table(warehouse, spark, "db.vdfe", n=40, files=1)
+    with pytest.raises(ValidationException, match="no longer live"):
+        SN.overwrite_files(t.ops, [], set(),
+                           required_data_files={"/w/data/never-existed.parquet"})
+
+
+def test_pos_delete_targets_bounds_pruning():
+    from incubator_iceberg_spark.row_ops import _pos_delete_targets
+
+    cands = ["/w/data/a.parquet", "/w/data/m.parquet", "/w/data/z.parquet"]
+    entries = [{"lower_bounds": {"file_path": "/w/data/a.parquet"},
+                "upper_bounds": {"file_path": "/w/data/m.parquet"}}]
+    assert _pos_delete_targets(entries, cands) == {
+        "/w/data/a.parquet", "/w/data/m.parquet"}
+    # truncated upper bound: prefix compare keeps the covered path
+    entries = [{"lower_bounds": {"file_path": "/w/data/m"},
+                "upper_bounds": {"file_path": "/w/data/m"}}]
+    assert _pos_delete_targets(entries, cands) == {"/w/data/m.parquet"}
+    # missing bounds → conservative: everything
+    assert _pos_delete_targets([{}], cands) == set(cands)
