@@ -589,6 +589,29 @@ def q_partitions_meta(spark, sf_dir):
             .agg(F.sum("record_count").alias("record_count")))
 
 
+def q_partitions_evolved(spark, sf_dir):
+    """`partitions` metadata table over an EVOLVED spec (reference
+    core/.../PartitionsTable.java:49-76 unions the per-spec partition
+    structs): files written under the old spec surface with NULL for the
+    partition field the new spec added, so per-spec partition tuples
+    render distinctly instead of collapsing together."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_pev", Schema.from_spark(orders.schema),
+                         partition_by=["o_orderstatus"])
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    t.update_spec(["o_orderstatus", "year(o_orderdate)"])
+    t.append(orders.filter("o_orderkey % 2 != 0"))
+    df = t.metadata_table("partitions")
+    return (df.select(
+        F.col("partition").getField("o_orderstatus").alias("status"),
+        F.col("partition").getField("o_orderdate_year")
+            .cast("long").alias("year_ord"),
+        F.col("record_count").alias("record_count")))
+
+
 def q_delete_debt_meta(spark, sf_dir):
     """`partitions` metadata table surfacing live DELETE-FILE DEBT
     (DeleteFileIndex exposure): after a MoR delete + an equality delete,
@@ -2140,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-verified (new r4 + late-r3 additions) -----------
         "streaming_cdc_apply": q_streaming_cdc_apply,
+        "partitions_evolved": q_partitions_evolved,
         "sorted_write_clustering": q_sorted_write_clustering,
         "metrics_modes": q_metrics_modes,
         "decontaminate": q_decontaminate,
@@ -2924,6 +2948,15 @@ def oracle_sql() -> dict[str, str]:
                        AS month_ord,
                    count(*) AS record_count
             FROM lineitem GROUP BY 1
+        """,
+        "partitions_evolved": """
+            SELECT o_orderstatus AS status, CAST(NULL AS BIGINT) AS year_ord,
+                   CAST(count(*) AS BIGINT) AS record_count
+            FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+            UNION ALL
+            SELECT o_orderstatus, CAST(year(o_orderdate) - 1970 AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM orders WHERE o_orderkey % 2 <> 0 GROUP BY 1, 2
         """,
         "delete_debt_meta": """
             SELECT count(*) AS record_count,
