@@ -175,6 +175,14 @@ def entry_arrow_schema(table_schema: S.Schema, spec: PartitionSpec) -> pa.schema
         pa.field("nan_counts", pa.map_(pa.string(), pa.int64())),
         # v2 equality deletes: field ids the delete rows match on
         pa.field("equality_ids", pa.list_(pa.int32())),
+        # position-delete entries only: the referenced-data-file path range
+        # (the delete file's file_path column bounds — DeleteFileIndex's
+        # referenced-data-file stat).  The bounds struct below is keyed by
+        # TABLE columns, so without these the path range would be lost on
+        # the manifest round-trip and every pos-delete file would have to
+        # be applied to every data file.
+        pa.field("ref_lower_bound", pa.string()),
+        pa.field("ref_upper_bound", pa.string()),
     ]
     stats_cols = _stats_columns(table_schema)
     if stats_cols:
@@ -219,6 +227,20 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
     names.append("equality_ids")
     arrays.append(pa.array([e.get("equality_ids") for e in entries],
                            type=pa.list_(pa.int32())))
+
+    def ref_bound(e, which):
+        if (e.get("content") or DATA) != POSITION_DELETES:
+            return None
+        v = e.get(f"ref_{which}_bound")
+        if v is not None:
+            return v
+        b = e.get(f"{which}_bounds")
+        return b.get("file_path") if isinstance(b, dict) else None
+
+    for which in ("lower", "upper"):
+        names.append(f"ref_{which}_bound")
+        arrays.append(pa.array([ref_bound(e, which) for e in entries],
+                               type=pa.string()))
     if stats_cols:
         for bname, trunc in (("lower_bounds", truncate_lower), ("upper_bounds", truncate_upper)):
             names.append(bname)
@@ -397,11 +419,23 @@ def write_manifest_list(metadata_dir: str, snapshot_id: int, manifest_rows: list
 
 def normalize_entry(e: dict) -> dict:
     """Arrow map columns come back from ``to_pylist`` as [(k, v), ...];
-    normalize to dicts in place."""
+    normalize to dicts in place.  Position-delete entries get their
+    referenced-path range re-injected as ``bounds["file_path"]`` so
+    delete scoping (deletes.scope_deletes_for_file) and commit
+    validation can prune on it."""
     for k in ("value_counts", "null_counts", "nan_counts"):
         v = e.get(k)
         if isinstance(v, list):
             e[k] = dict(v) if v else None
+    if (e.get("content") or DATA) == POSITION_DELETES:
+        for which in ("lower", "upper"):
+            v = e.get(f"ref_{which}_bound")
+            if v is not None:
+                b = e.get(f"{which}_bounds")
+                if not isinstance(b, dict):
+                    b = {}
+                    e[f"{which}_bounds"] = b
+                b.setdefault("file_path", v)
     return e
 
 

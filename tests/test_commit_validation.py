@@ -153,3 +153,37 @@ def test_pos_delete_targets_bounds_pruning():
     assert _pos_delete_targets(entries, cands) == {"/w/data/m.parquet"}
     # missing bounds → conservative: everything
     assert _pos_delete_targets([{}], cands) == set(cands)
+
+
+def test_pos_delete_path_bounds_survive_manifest(warehouse, spark):
+    """The referenced-path range of a position-delete file must survive
+    the manifest round-trip (ref_lower_bound/ref_upper_bound columns) so
+    delete scoping prunes: a delete that references only file A is never
+    applied when reading file B (DeleteFileIndex referenced-data-file
+    stats).  Without it, at 100 TB every pos-delete file is merge-applied
+    to every data file."""
+    from incubator_iceberg_spark.deletes import scope_deletes_for_file
+    from incubator_iceberg_spark.scan import TableScan
+
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(100)],
+                               "id long, payload string")
+    t = warehouse.create_table("db.scoping", Schema.from_spark(df.schema))
+    t.append(df.filter("id < 50").repartition(1))
+    t.append(df.filter("id >= 50").repartition(1))
+    t.delete_where("id = 10", mode="merge-on-read")
+
+    t = warehouse.load_table("db.scoping")
+    data, dels = TableScan(t, t.spark)._plan_split()
+    assert len(data) == 2 and len(dels) == 1
+    e = dels[0]
+    assert (e.get("lower_bounds") or {}).get("file_path"), \
+        "referenced-path bounds lost on manifest round-trip"
+
+    schema = t.metadata.schema()
+    scoped = {d["file_path"]: scope_deletes_for_file(d, dels, schema)[0]
+              for d in data}
+    n_applied = sum(bool(v) for v in scoped.values())
+    assert n_applied == 1, f"delete applied to {n_applied} files, want 1: {scoped}"
+    # and the result is still correct
+    assert t.to_df().count() == 99
+    assert t.to_df().filter("id = 10").count() == 0
