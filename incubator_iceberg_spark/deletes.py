@@ -45,6 +45,11 @@ def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema) -> l
     stats = [W.footer_stats(p, schema) for p in files]
     entries = []
     for st in stats:
+        if not st["record_count"]:
+            # empty part files delete nothing but would be applied to
+            # every data file (no stats → no bounds to prune on)
+            os.remove(st["file_path"])
+            continue
         entries.append({
             "file_path": st["file_path"],
             "file_format": "parquet",
@@ -124,9 +129,40 @@ def scope_deletes_for_file(data_entry: dict, delete_entries: list,
             cols = tuple(c for c in (table_schema.field_path(i)
                                      for i in e.get("equality_ids") or ())
                          if c is not None)
+            if cols and _eq_bounds_disjoint(data_entry, e, cols):
+                continue  # value ranges can't intersect: no row can match
             if cols:
                 eq_groups.append((e["file_path"], cols))
     return pos_paths, eq_groups
+
+
+def _eq_bounds_disjoint(data_entry: dict, del_entry: dict, cols) -> bool:
+    """True when some equality column's value range in the delete file
+    provably misses the data file's range (both sides' manifest bounds
+    present and non-overlapping) — the DeleteFileIndex.canContainEqDeletes
+    stats check.  Equality-delete bounds ARE table-column bounds, so they
+    ride the ordinary bounds struct through manifests.  Truncated string
+    bounds stay safe: truncation only WIDENS a range (lower rounds down,
+    upper rounds up), so a detected gap is a real gap."""
+    d_lo, d_hi = (data_entry.get("lower_bounds") or {}), (data_entry.get("upper_bounds") or {})
+    e_lo, e_hi = (del_entry.get("lower_bounds") or {}), (del_entry.get("upper_bounds") or {})
+    d_null = data_entry.get("null_counts") or {}
+    e_null = del_entry.get("null_counts") or {}
+    for c in cols:
+        # NULL matches NULL in equality deletes; bounds only cover
+        # non-null values, so a both-sides-nullable column can't prove
+        # a gap by range alone
+        if (d_null.get(c) or 0) > 0 and (e_null.get(c) or 0) > 0:
+            continue
+        dl, dh, el, eh = d_lo.get(c), d_hi.get(c), e_lo.get(c), e_hi.get(c)
+        if dl is None or dh is None or el is None or eh is None:
+            continue  # no stats on this column: can't prove a gap
+        try:
+            if eh < dl or el > dh:
+                return True
+        except TypeError:
+            continue  # cross-type bounds (schema evolution): stay conservative
+    return False
 
 
 def arrow_apply_pos_deletes(tbl, data_file_path: str, pos_paths: list,
@@ -220,6 +256,51 @@ def arrow_apply_eq_deletes(tbl, eq_groups: list):
             tbl = tbl.filter(pc.invert(m))
             data_keys = {f"__k{i}": key_arr(tbl, c) for i, c in enumerate(cols)}
     return tbl
+
+
+def filter_relevant_deletes(data_entries: list, delete_entries: list,
+                            table_schema: S.Schema) -> list:
+    """Driver-side prefilter: drop delete files that cannot affect ANY
+    planned data file (DeleteFileIndex analog, aggregated).  Sequence
+    scoping + position-delete referenced-path ranges (bisect over the
+    sorted planned paths) + equality-delete value-bounds overlap.  Keeps
+    the anti-join in ``apply_delete_files`` proportional to the scan's
+    RELEVANT delete debt instead of the table's total debt — on a
+    filtered scan of a 100 TB MoR table most delete files reference
+    partitions the scan never touches."""
+    import bisect
+
+    if not delete_entries or not data_entries:
+        return delete_entries
+    paths = sorted(e["file_path"] for e in data_entries)
+    min_seq = min(e.get("sequence_number") or 0 for e in data_entries)
+    # the per-pair bounds check is O(#data × #eq-deletes): worth it for
+    # typical plans, skipped when the cross-product would be the cost
+    big = len(delete_entries) * len(data_entries) > 2_000_000
+    out = []
+    for e in delete_entries:
+        seq = e.get("sequence_number") or 0
+        content = e.get("content")
+        if content == MF.POSITION_DELETES:
+            if seq < min_seq:
+                continue
+            lo = (e.get("lower_bounds") or {}).get("file_path")
+            hi = (e.get("upper_bounds") or {}).get("file_path")
+            if lo is not None and hi is not None:
+                i = bisect.bisect_left(paths, lo)
+                if i >= len(paths) or not paths[i][:len(hi)] <= hi:
+                    continue
+        elif content == MF.EQUALITY_DELETES:
+            if seq <= min_seq:
+                continue
+            cols = tuple(c for c in (table_schema.field_path(i)
+                                     for i in e.get("equality_ids") or ())
+                         if c is not None)
+            if cols and not big and all(
+                    _eq_bounds_disjoint(d, e, cols) for d in data_entries):
+                continue
+        out.append(e)
+    return out
 
 
 def apply_delete_files(spark, data_df, data_seq_by_file: dict,

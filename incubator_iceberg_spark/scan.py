@@ -463,6 +463,9 @@ def read_entries(spark, md, data_entries, delete_entries, current_schema,
 
     if delete_entries:
         from incubator_iceberg_spark import deletes as DEL
+        delete_entries = DEL.filter_relevant_deletes(
+            data_entries, delete_entries, current_schema)
+    if delete_entries:
         seq_by_file = {e["file_path"]: e.get("sequence_number") or 0
                        for e in data_entries}
         df = DEL.apply_delete_files(spark, df, seq_by_file, delete_entries,

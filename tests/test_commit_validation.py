@@ -187,3 +187,66 @@ def test_pos_delete_path_bounds_survive_manifest(warehouse, spark):
     # and the result is still correct
     assert t.to_df().count() == 99
     assert t.to_df().filter("id = 10").count() == 0
+
+
+def test_eq_delete_value_bounds_scoping(warehouse, spark):
+    """An equality delete whose value range provably misses a data file's
+    range is never applied to it (DeleteFileIndex canContainEqDeletes
+    stats check) — and NULL=NULL matching keeps both-nullable columns
+    conservative."""
+    from incubator_iceberg_spark.deletes import scope_deletes_for_file
+    from incubator_iceberg_spark.scan import TableScan
+
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(100)],
+                               "id long, payload string")
+    t = warehouse.create_table("db.eqscope", Schema.from_spark(df.schema))
+    t.append(df.filter("id < 50").repartition(1))
+    t.append(df.filter("id >= 50").repartition(1))
+    t.add_equality_deletes(
+        spark.createDataFrame([(90,), (95,)], "id long"), ["id"])
+
+    t = warehouse.load_table("db.eqscope")
+    data, dels = TableScan(t, t.spark)._plan_split()
+    schema = t.metadata.schema()
+    applied = {d["file_path"]: scope_deletes_for_file(d, dels, schema)[1]
+               for d in data}
+    n_applied = sum(bool(v) for v in applied.values())
+    assert n_applied == 1, f"eq delete applied to {n_applied} files, want 1"
+    assert t.to_df().count() == 98
+
+
+def test_filter_relevant_deletes_prefilter():
+    from incubator_iceberg_spark.deletes import filter_relevant_deletes
+    from incubator_iceberg_spark import manifests as MF
+    from incubator_iceberg_spark import schema as S
+
+    schema = S.Schema([S.NestedField(1, "id", S.LongType())])
+    data = [{"file_path": "/d/b.parquet", "sequence_number": 5,
+             "lower_bounds": {"id": 100}, "upper_bounds": {"id": 199},
+             "null_counts": {"id": 0}}]
+    dels = [
+        # pos delete referencing only /d/a.* — path range misses
+        {"content": MF.POSITION_DELETES, "sequence_number": 6,
+         "lower_bounds": {"file_path": "/d/a.parquet"},
+         "upper_bounds": {"file_path": "/d/a.parquet"}},
+        # pos delete older than every data file — seq-scoped out
+        {"content": MF.POSITION_DELETES, "sequence_number": 4,
+         "lower_bounds": {"file_path": "/d/b.parquet"},
+         "upper_bounds": {"file_path": "/d/b.parquet"}},
+        # eq delete with disjoint value range
+        {"content": MF.EQUALITY_DELETES, "sequence_number": 6,
+         "equality_ids": [1], "lower_bounds": {"id": 0},
+         "upper_bounds": {"id": 50}, "null_counts": {"id": 0}},
+        # eq delete overlapping — KEPT
+        {"content": MF.EQUALITY_DELETES, "sequence_number": 6,
+         "equality_ids": [1], "lower_bounds": {"id": 150},
+         "upper_bounds": {"id": 160}, "null_counts": {"id": 0}},
+        # pos delete covering the file — KEPT
+        {"content": MF.POSITION_DELETES, "sequence_number": 6,
+         "lower_bounds": {"file_path": "/d/b.parquet"},
+         "upper_bounds": {"file_path": "/d/b.parquet"}},
+    ]
+    kept = filter_relevant_deletes(data, dels, schema)
+    assert len(kept) == 2
+    assert kept[0]["lower_bounds"].get("id") == 150
+    assert kept[1]["lower_bounds"].get("file_path") == "/d/b.parquet"
