@@ -2142,6 +2142,63 @@ def q_multimodal_features(spark, sf_dir):
         "target_width", "target_height")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-stratum quota sampling (corpus.stratified_sample):
+    deterministic mixture-hash ranking per language, first-N kept.  The
+    oracle replays the identical int64 hash + row_number in SQL."""
+    from incubator_iceberg_spark.functions import corpus as C
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    out = C.stratified_sample(df, {"en": 40, "de": 20, "zh": 15},
+                              strata_col="lang", key_col="doc_id")
+    return out.select("doc_id", "lang")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (text.pii_scrub): emails / dotted-quad IPs / long
+    digit runs replaced by typed placeholders, per-doc hit counts.  The
+    oracle re-runs the same RE2-safe patterns in DuckDB — counts AND the
+    scrubbed text length must agree byte-for-byte."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import text as TX
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    out = TX.pii_scrub(df, "text", "doc_id")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_longnum",
+                      F.length("clean_text").alias("clean_len"))
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Dedup cluster resolution (dedup.exact_dedup_keep_best): after
+    planting a lower-priority duplicate of every 5th document under a
+    'mirror' source, the resolver must keep exactly the copy with the
+    higher source priority per content group (ties: smallest doc_id)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import dedup
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    dup = (df.filter("doc_id % 5 = 0")
+             .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+             .withColumn("source", F.lit("mirror")))
+    allrows = df.unionByName(dup)
+    prio = F.when(F.col("source") == "mirror", 0).otherwise(1)
+    out = dedup.exact_dedup_keep_best(allrows, prio, "text", "doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Continuous-ingest dedup (dedup.incremental_dedup): a batch holding
+    re-crawled copies of corpus documents (new ids, same text) plus fresh
+    documents is deduped against the accepted corpus and within itself —
+    only genuinely new content survives."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import dedup
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    corpus = df.filter("doc_id % 2 = 0")
+    batch = (df.filter("doc_id % 3 = 0")
+               .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+             ).unionByName(df.filter("doc_id % 5 = 1"))
+    out = dedup.incremental_dedup(batch, corpus, "text", "doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
@@ -2164,6 +2221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified (new r4 + late-r3 additions) -----------
         "streaming_cdc_apply": q_streaming_cdc_apply,
         "partitions_evolved": q_partitions_evolved,
+        "stratified_sample": q_stratified_sample,
+        "pii_scrub": q_pii_scrub,
+        "dedup_keep_best": q_dedup_keep_best,
+        "incremental_dedup": q_incremental_dedup,
         "sorted_write_clustering": q_sorted_write_clustering,
         "metrics_modes": q_metrics_modes,
         "decontaminate": q_decontaminate,
@@ -3178,6 +3239,72 @@ def oracle_sql() -> dict[str, str]:
             WHERE (((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000000) / 1000000.0
                   < (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0
             GROUP BY source
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY (((((doc_id % 1000000) + 1000000) % 1000000)
+                             * 2654435761) % 1000000) / 1000000.0 ASC,
+                           doc_id ASC) AS rn
+              FROM documents WHERE lang IN ('en', 'de', 'zh'))
+            WHERE rn <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20
+                                  ELSE 15 END
+        """,
+        "pii_scrub": """
+            WITH s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM documents),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                     regexp_replace(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IPV4>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id,
+                   CAST(n_email AS INT) AS n_email,
+                   CAST(n_ipv4 AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t2, '\\d{9,}')) AS INT)
+                       AS n_longnum,
+                   CAST(length(regexp_replace(t2, '\\d{9,}', '<LONGNUM>', 'g'))
+                       AS INT) AS clean_len
+            FROM s2
+        """,
+        "dedup_keep_best": """
+            WITH allrows AS (
+              SELECT doc_id, text, lang, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang, 'mirror'
+              FROM documents WHERE doc_id % 5 = 0),
+            ranked AS (
+              SELECT doc_id, text, lang, source, row_number() OVER (
+                  PARTITION BY text
+                  ORDER BY (CASE WHEN source = 'mirror' THEN 0 ELSE 1 END)
+                               DESC,
+                           doc_id ASC) AS rn
+              FROM allrows)
+            SELECT doc_id, lang, source FROM ranked WHERE rn = 1
+        """,
+        "incremental_dedup": """
+            WITH batch AS (
+              SELECT doc_id + 1000000 AS doc_id, text, lang, source
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, text, lang, source
+              FROM documents WHERE doc_id % 5 = 1),
+            fresh AS (
+              SELECT * FROM batch b WHERE NOT EXISTS (
+                SELECT 1 FROM documents c
+                WHERE c.doc_id % 2 = 0 AND c.text = b.text))
+            SELECT doc_id, lang, source FROM fresh
+            WHERE doc_id IN (SELECT min(doc_id) FROM fresh GROUP BY text)
         """,
         "tfidf_top_terms": """
             WITH tok AS (

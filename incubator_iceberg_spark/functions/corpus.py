@@ -140,6 +140,33 @@ def mixture_sample(df, rates: dict, strata_col: str, key_col: str):
     return df.filter(mixture_u(key_col) < rate)
 
 
+def stratified_sample(df, quotas: dict, strata_col: str, key_col: str):
+    """Exact per-stratum quotas (the counterpart of rate-based
+    ``mixture_sample``): rank rows within each stratum by the
+    deterministic mixture hash — ties broken on the key — and keep the
+    first ``quotas[stratum]``.  RNG-free, so re-runs select the SAME
+    rows; strata missing from ``quotas`` are dropped.
+
+    Scale shape: one shuffle on ``strata_col`` for the per-stratum
+    window; no driver involvement and no global sort.  A pathologically
+    huge stratum makes its window sort the bottleneck — pre-thin with
+    ``mixture_sample`` at ~2× the quota rate first, then take the exact
+    quota here (both stages use the same hash, so the pre-thinning never
+    drops a row the final ranking would have kept... provided the
+    thinning rate stays comfortably above quota/stratum_size)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    quota = F.lit(None).cast("long")
+    for s, n in quotas.items():
+        quota = F.when(F.col(strata_col) == s, F.lit(int(n))).otherwise(quota)
+    w = Window.partitionBy(strata_col).orderBy(
+        mixture_u(key_col).asc(), F.col(key_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= quota)
+              .drop("__rn"))
+
+
 def mixture_u_sql(key_expr: str) -> str:
     """The ANSI-SQL mirror of mixture_u — exact same int64 arithmetic
     for the FULL int64 key range (key reduced mod M first; the double-%

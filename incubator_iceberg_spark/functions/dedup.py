@@ -401,3 +401,51 @@ def simhash_pairs(df, text_col: str = "text", id_col: str = "doc_id",
            .distinct()
            .filter(F.col("distance") <= max_distance))
     return _materialize_and_release(out, [sh, sizes])
+
+
+def exact_dedup_keep_best(df, score, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Cluster resolution for exact duplicates: keep the BEST copy per
+    content group instead of an arbitrary one — rank within the content
+    hash by ``score`` (a Column, higher wins) with the id as the
+    deterministic tie-break.  The usual final step of a dedup pipeline:
+    duplicates differ in metadata (source, fetch time) even when the text
+    is identical, and the kept copy should be the highest-quality one.
+
+    Scale shape: same single shuffle on the content hash as
+    ``exact_dedup`` — a max_by groupBy (map-side partial agg) + one
+    semi-join; no window, no arrays through the shuffle."""
+    from pyspark.sql import functions as F
+    h = content_hash(text_col).alias("__h")
+    ranked = df.select(h, F.col(id_col).alias("__id"),
+                       score.alias("__score"))
+    # max_by on the (score, -id) pair: highest score, ties → smallest id
+    best = (ranked.groupBy("__h")
+            .agg(F.max_by(F.col("__id"),
+                          F.struct(F.col("__score").alias("s"),
+                                   (-F.col("__id")).alias("i")))
+                 .alias(id_col))
+            .select(id_col))
+    return df.join(best, id_col, "left_semi")
+
+
+def incremental_dedup(batch_df, corpus_df, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Continuous-ingest dedup: drop batch rows whose content already
+    exists in the corpus, then exact-dedup WITHIN the batch (keep min
+    id).  The steady-state shape of a training-data pipeline — each
+    arriving batch is deduped against everything already accepted
+    without ever re-deduping the corpus itself.
+
+    Scale shape: the corpus side is reduced to DISTINCT hashes before
+    the anti-join (shuffle carries 8-byte hashes, not documents); both
+    joins co-partition on the hash, so at 100 TB the corpus hash set
+    can also be maintained as a bucketed table and the shuffle skipped
+    entirely."""
+    from pyspark.sql import functions as F
+    batch_h = batch_df.withColumn("__h", content_hash(text_col))
+    corpus_h = corpus_df.select(content_hash(text_col).alias("__h")).distinct()
+    fresh = batch_h.join(corpus_h, "__h", "left_anti")
+    keep = (fresh.groupBy("__h").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return batch_df.join(keep, id_col, "left_semi")

@@ -282,3 +282,60 @@ def test_mixture_u_full_int64_key_range(spark):
     assert all(0.0 <= u < 1.0 for u in got.values())
     # reduction preserves the original value where no overflow occurred
     assert got[1] == ((1 * 2654435761) % 1_000_000) / 1_000_000
+
+
+def test_stratified_sample_exact_quotas(spark):
+    from incubator_iceberg_spark.functions.corpus import stratified_sample
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, {"en": 10, "de": 7}, "lang", "doc_id")
+    got = {r.lang: 0 for r in out.collect()}
+    counts = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in counts}
+    assert by == {"en": 10, "de": 7}
+    # deterministic: same selection on re-run
+    again = sorted(r.doc_id for r in
+                   stratified_sample(df, {"en": 10, "de": 7}, "lang",
+                                     "doc_id").collect())
+    assert again == sorted(r.doc_id for r in out.collect())
+    # stratum missing from quotas is dropped entirely
+    none_kept = stratified_sample(df, {"en": 5}, "lang", "doc_id")
+    assert none_kept.filter("lang = 'de'").count() == 0
+
+
+def test_pii_scrub_redaction(spark):
+    from incubator_iceberg_spark.functions.text import pii_scrub
+    df = spark.createDataFrame(
+        [(1, "contact a.b+c@ex-ample.org and 192.168.0.1 ref 123456789012"),
+         (2, "clean text, short num 12345, version 1.2.3.4.5")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_longnum) == (1, 1, 1)
+    assert out[1].clean_text == "contact <EMAIL> and <IPV4> ref <LONGNUM>"
+    assert (out[2].n_email, out[2].n_longnum) == (0, 0)
+
+
+def test_exact_dedup_keep_best(spark):
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions.dedup import exact_dedup_keep_best
+    df = spark.createDataFrame(
+        [(1, "same text", 5), (2, "same text", 9), (3, "same text", 9),
+         (4, "other", 1)],
+        "doc_id long, text string, q long")
+    kept = sorted(r.doc_id for r in
+                  exact_dedup_keep_best(df, F.col("q")).collect())
+    # highest q wins; tie between 2 and 3 -> smaller id
+    assert kept == [2, 4]
+
+
+def test_incremental_dedup(spark):
+    from incubator_iceberg_spark.functions.dedup import incremental_dedup
+    corpus = spark.createDataFrame(
+        [(1, "old doc"), (2, "kept doc")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "old doc"),      # already in corpus -> dropped
+         (11, "new doc"), (12, "new doc"),   # intra-batch dup -> keep 11
+         (13, "fresh")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in incremental_dedup(batch, corpus).collect())
+    assert kept == [11, 13]
