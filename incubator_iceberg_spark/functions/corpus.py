@@ -160,6 +160,9 @@ def stratified_sample(df, quotas: dict, strata_col: str, key_col: str):
     quota = F.lit(None).cast("long")
     for s, n in quotas.items():
         quota = F.when(F.col(strata_col) == s, F.lit(int(n))).otherwise(quota)
+    # strata without a quota contribute nothing — drop them BEFORE the
+    # exchange so they never shuffle (the filter pushes into the scan)
+    df = df.filter(F.col(strata_col).isin(*quotas.keys()))
     w = Window.partitionBy(strata_col).orderBy(
         mixture_u(key_col).asc(), F.col(key_col).asc())
     return (df.withColumn("__rn", F.row_number().over(w))

@@ -250,3 +250,59 @@ def test_filter_relevant_deletes_prefilter():
     assert len(kept) == 2
     assert kept[0]["lower_bounds"].get("id") == 150
     assert kept[1]["lower_bounds"].get("file_path") == "/d/b.parquet"
+
+
+def test_scan_prefilters_irrelevant_deletes(warehouse, spark):
+    """On a filtered scan of an UNPARTITIONED MoR table (no partition
+    pruning to lean on), position-delete files whose referenced-path
+    range misses every planned data file are pruned driver-side before
+    the anti-join (filter_relevant_deletes): the shuffled delete set
+    scales with the SCAN's delete debt, not the table's.  (Partitioned
+    tables get this for free earlier — plan-time partition pruning drops
+    foreign-partition delete entries, pinned below.)"""
+    from incubator_iceberg_spark.deletes import filter_relevant_deletes
+    from incubator_iceberg_spark.scan import TableScan, parse_predicate
+
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(400)],
+                               "id long, payload string")
+    t = warehouse.create_table("db.prefilt", Schema.from_spark(df.schema))
+    for lo in (0, 100, 200, 300):
+        t.append(df.filter(f"id >= {lo} AND id < {lo + 100}").repartition(1))
+    # position deletes referencing ONLY the first file's rows
+    t.delete_where("id < 100 AND id % 7 = 0", mode="merge-on-read")
+    t = warehouse.load_table("db.prefilt")
+    schema = t.metadata.schema()
+
+    far = TableScan(t, t.spark, row_filter=parse_predicate("id >= 300"))
+    data, dels = far._plan_split()
+    assert dels, "unpartitioned planning surfaces the table's delete files"
+    assert filter_relevant_deletes(data, dels, schema) == [], \
+        "deletes referencing other files must be prefiltered out"
+
+    near = TableScan(t, t.spark, row_filter=parse_predicate("id < 50"))
+    data1, dels1 = near._plan_split()
+    assert filter_relevant_deletes(data1, dels1, schema), \
+        "the touched file's deletes must survive the prefilter"
+
+    # correctness unchanged
+    assert t.to_df(filter="id >= 300").count() == 100
+    assert t.to_df(filter="id < 100").count() == 100 - 15
+
+
+def test_partition_pruning_drops_foreign_deletes(warehouse, spark):
+    """Partitioned MoR table: plan-time partition pruning already drops
+    delete entries of untouched partitions — the scan of a clean
+    partition plans ZERO delete files."""
+    from incubator_iceberg_spark.scan import TableScan, parse_predicate
+
+    df = spark.createDataFrame([(i, i % 8, f"p{i}") for i in range(400)],
+                               "id long, grp long, payload string")
+    t = warehouse.create_table("db.prefilt_p", Schema.from_spark(df.schema),
+                               partition_by=["grp"])
+    t.append(df)
+    t.delete_where("grp < 2 AND id % 7 = 0", mode="merge-on-read")
+    t = warehouse.load_table("db.prefilt_p")
+    _, dels = TableScan(t, t.spark,
+                        row_filter=parse_predicate("grp = 7"))._plan_split()
+    assert dels == []
+    assert t.to_df(filter="grp = 7").count() == 50
