@@ -185,8 +185,11 @@ def _term_freqs(df, text_col: str, id_col: str):
     ex = df.select(F.col(id_col).alias("__id"),
                    F.explode(TX.tokens(text_col)).alias("term"))
     tf = ex.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (ex.distinct().groupBy("term")
-             .agg(F.count(F.lit(1)).alias("df")))
+    # document frequency DERIVED from tf — tf's key set IS the distinct
+    # (doc, term) pairs, so this tokenizes the corpus once (not twice),
+    # skips the standalone distinct shuffle, and lets Spark reuse the tf
+    # aggregate exchange for both consumers of the join
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return tf, dfreq
 
 
