@@ -2142,6 +2142,24 @@ def q_multimodal_features(spark, sf_dir):
         "target_width", "target_height")
 
 
+def q_position_deletes_meta(spark, sf_dir):
+    """`position_deletes` metadata table (PositionDeletesTable analog):
+    exposes the (file_path, pos) tuples inside live delete files.  The
+    table is built as ONE file in o_orderkey order (global sort +
+    coalesce), so each row's parquet position is derivable in SQL as
+    row_number-1 — the oracle checks the ACTUAL deleted positions, not
+    just counts."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_posmeta", Schema.from_spark(orders.schema))
+    t.append(orders.orderBy("o_orderkey").coalesce(1))
+    t.delete_where("o_orderkey % 41 = 0", mode="merge-on-read")
+    df = t.metadata_table("position_deletes")
+    return df.select(F.col("pos").cast("long").alias("pos"))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact per-stratum quota sampling (corpus.stratified_sample):
     deterministic mixture-hash ranking per language, first-N kept.  The
@@ -2202,11 +2220,16 @@ def q_incremental_dedup(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [11 never-driver-verified queries: the round-4 CDC sink + the 10
-    # round-3 additions that landed past the r3 window, incl. SURVEY rows
-    # O1 sorted_write_clustering and P17 metrics_modes]
+    # [16 never-driver-verified queries: the round-4 additions (CDC sink,
+    # partitions-over-evolved-specs, stratified_sample, pii_scrub,
+    # dedup_keep_best, incremental_dedup) + the 10 round-3 additions that
+    # landed past the r3 window, incl. SURVEY rows O1
+    # sorted_write_clustering and P17 metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [36 least-recently-verified rows of the r2-green set].
+    # + [31 least-recently-verified rows of the r2-green set]. Five more
+    # r2-green rows (ann_ivf_probe..catalog_txn_multi_table) sit just past
+    # the window at 51-55 — displaced by the never-verified round-4
+    # queries, first in line for the r5 refresh.
     # Rotated to the back: the 47 rows re-verified by the r3 driver run,
     # plus 11 r2-green rows whose code paths are redundantly covered by
     # prefix rows (q1/q3/q6/filter_pushdown run every bench; merge_upsert/
@@ -2221,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified (new r4 + late-r3 additions) -----------
         "streaming_cdc_apply": q_streaming_cdc_apply,
         "partitions_evolved": q_partitions_evolved,
+        "position_deletes_meta": q_position_deletes_meta,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3239,6 +3263,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE (((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000000) / 1000000.0
                   < (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0
             GROUP BY source
+        """,
+        "position_deletes_meta": """
+            SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+                       AS pos
+            FROM orders
+            QUALIFY o_orderkey % 41 = 0
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM (

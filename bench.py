@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "decontaminate",
     "semantic_dedup",
     "avro_scan",
+    # round-4 additions: sampling / scrubbing / ingest dedup
+    "stratified_sample",
+    "pii_scrub",
+    "incremental_dedup",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -27,6 +27,7 @@ def metadata_table(table, kind: str, spark):
         "all_manifests": _all_manifests,
         "all_entries": _all_entries,
         "all_data_files": _all_data_files,
+        "position_deletes": _position_deletes,
         "refs": _refs,
     }.get(kind)
     if fn is None:
@@ -128,6 +129,31 @@ def _delete_files(table, spark, snapshot=None):
     if "content" not in df.columns:
         return df.limit(0)
     return df.filter(F.coalesce(F.col("content"), F.lit(0)) != MF.DATA)
+
+
+def _position_deletes(table, spark):
+    """PositionDeletesTable (core/.../PositionDeletesTable.java): the
+    CONTENTS of the live position-delete files — (file_path, pos,
+    delete_file_path) rows — the inspection surface for delete debt and
+    the input RewritePositionDeleteFiles plans over.  Reads the delete
+    parquet files directly as one distributed scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from incubator_iceberg_spark import deletes as DEL
+    from incubator_iceberg_spark.scan import TableScan
+
+    _, dels = TableScan(table, spark)._plan_split()
+    paths = [e["file_path"] for e in dels
+             if (e.get("content") or 0) == MF.POSITION_DELETES]
+    base = DEL.POS_DELETE_SCHEMA.to_spark()
+    if not paths:
+        empty = StructType(list(base.fields)).add("delete_file_path", "string")
+        return spark.createDataFrame([], empty)
+    return (spark.read.schema(base).parquet(*paths)
+            .withColumn("delete_file_path",
+                        F.regexp_replace(F.col("_metadata.file_path"),
+                                         "^file:/*", "/")))
 
 
 def _partitions(table, spark):

@@ -390,3 +390,26 @@ def test_snapshot_summary_separates_delete_content(warehouse, orders, spark):
     assert int(s2["total-equality-deletes"]) == n_victims
     assert int(s2["total-delete-files"]) == (int(s["total-delete-files"])
                                              + int(s2["added-delete-files"]))
+
+
+def test_position_deletes_metadata_table(warehouse, spark):
+    """PositionDeletesTable analog: contents of live delete files, empty
+    before any MoR delete, exact (path, pos) tuples after."""
+    from incubator_iceberg_spark.schema import Schema
+
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(100)],
+                               "id long, payload string")
+    t = warehouse.create_table("db.posmeta", Schema.from_spark(df.schema))
+    t.append(df.orderBy("id").coalesce(1))
+    empty = t.metadata_table("position_deletes")
+    assert empty.columns == ["file_path", "pos", "delete_file_path"]
+    assert empty.count() == 0
+
+    t.delete_where("id % 10 = 3", mode="merge-on-read")
+    rows = t.metadata_table("position_deletes").collect()
+    assert sorted(r.pos for r in rows) == [3, 13, 23, 33, 43, 53, 63, 73, 83, 93]
+    data_paths = {r.file_path for r in rows}
+    data, dels = t.new_scan()._plan_split()
+    live = {e["file_path"] for e in data}
+    assert data_paths <= live
+    assert all(r.delete_file_path not in live for r in rows)
