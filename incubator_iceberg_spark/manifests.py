@@ -296,6 +296,12 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
         "added_snapshot_id": snapshot_id,
         "sequence_number": sequence_number,
         "min_sequence_number": min(seqs),
+        # partition-summary pruning is DATA pruning: a manifest holding
+        # live delete entries (null partition tuples, delete-schema
+        # bounds) must never be summary-pruned or its deletes silently
+        # stop applying to filtered scans.  Planners keep flagged
+        # manifests unconditionally (missing flag → conservative keep).
+        "has_deletes": any((e.get("content") or 0) != DATA for e in live),
         "added_files_count": len(added),
         "existing_files_count": len(existing),
         "deleted_files_count": len(deleted),
@@ -382,6 +388,9 @@ def manifest_list_arrow_schema(specs_by_id: dict) -> pa.schema:
         pa.field("added_rows_count", pa.int64()),
         pa.field("existing_rows_count", pa.int64()),
         pa.field("deleted_rows_count", pa.int64()),
+        # True when the manifest holds live delete-content entries —
+        # exempts it from partition-summary pruning (null → keep)
+        pa.field("has_deletes", pa.bool_()),
     ]
     # union of partition-field summaries across specs (fields keyed by name)
     summary_fields: dict[str, pa.DataType] = {}

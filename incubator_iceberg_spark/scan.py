@@ -159,7 +159,10 @@ class TableScan:
             if not trivial:
                 proj = P.project_inclusive(spec, bound)
                 summaries = row.get("partitions") or {}
-                if summaries and not PE.eval_summary(proj, summaries):
+                # manifests holding delete entries are exempt from summary
+                # pruning (missing flag on old manifests → keep)
+                if (row.get("has_deletes") is False and summaries
+                        and not PE.eval_summary(proj, summaries)):
                     continue
             for e in _read_manifest_pylist(row["manifest_path"]):
                 if e.get("status") == MF.DELETED:
@@ -167,7 +170,13 @@ class TableScan:
                 if inc_ids is not None and not (
                         e.get("status") == MF.ADDED and e.get("snapshot_id") in inc_ids):
                     continue
-                if not trivial:
+                # partition/metrics pruning is DATA-file pruning: delete
+                # entries carry a null partition tuple and delete-schema
+                # bounds, so the same checks would silently drop
+                # APPLICABLE deletes from filtered scans (rows resurrect).
+                # Keep every delete entry; filter_relevant_deletes narrows
+                # them against the planned data set afterwards.
+                if not trivial and (e.get("content") or 0) == MF.DATA:
                     if spec.is_partitioned and not PE.eval_partition_value(
                             proj, e.get("partition") or {}):
                         continue
@@ -198,7 +207,14 @@ class TableScan:
             spec = md.spec_by_id(spec_id)
             sub = mlist_df.filter(F.col("partition_spec_id") == spec_id)
             if not isinstance(bound, X.AlwaysTrue):
-                sub = sub.filter(EV.manifest_summary_filter(spec, bound, mlist_df.schema))
+                # missing flag (pre-flag manifest lists) → conservative
+                # keep: losing list-level pruning on legacy manifests is
+                # a perf cost; losing a delete manifest is wrong results
+                keep_deletes = (F.coalesce(F.col("has_deletes"), F.lit(True))
+                                if "has_deletes" in mlist_df.columns
+                                else F.lit(True))
+                sub = sub.filter(keep_deletes | EV.manifest_summary_filter(
+                    spec, bound, mlist_df.schema))
             # the summary-filtered manifest-path list stays executor-side:
             # entries are decoded distributedly, so the only driver
             # materialization in planning is the final pruned file list
@@ -208,10 +224,16 @@ class TableScan:
                 entries = entries.filter((F.col("status") == MF.ADDED)
                                          & F.col("snapshot_id").isin(list(inc_ids)))
             if not isinstance(bound, X.AlwaysTrue):
+                # data-file pruning only — delete entries always survive
+                # planning (see plan_entries_local); the scan-level
+                # relevance prefilter narrows them later
+                is_delete = (F.coalesce(F.col("content"), F.lit(0))
+                             != F.lit(MF.DATA)) if "content" in \
+                    entries.columns else F.lit(False)
                 entries = entries.filter(
-                    EV.partition_pruning_filter(spec, bound, entries.schema))
-                entries = entries.filter(
-                    EV.inclusive_metrics_filter(bound, entries.schema))
+                    is_delete
+                    | (EV.partition_pruning_filter(spec, bound, entries.schema)
+                       & EV.inclusive_metrics_filter(bound, entries.schema)))
             parts.append(entries)
         if not parts:
             return None

@@ -289,10 +289,14 @@ def test_scan_prefilters_irrelevant_deletes(warehouse, spark):
     assert t.to_df(filter="id < 100").count() == 100 - 15
 
 
-def test_partition_pruning_drops_foreign_deletes(warehouse, spark):
-    """Partitioned MoR table: plan-time partition pruning already drops
-    delete entries of untouched partitions — the scan of a clean
-    partition plans ZERO delete files."""
+def test_partitioned_scan_keeps_and_prefilters_deletes(warehouse, spark):
+    """Partitioned MoR table: delete entries carry NULL partition tuples,
+    so partition pruning must NEVER drop them at plan time (null-handling
+    varies by transform — a month()-range predicate silently dropped
+    applicable deletes before this pin, resurrecting rows on filtered
+    scans).  They survive planning; filter_relevant_deletes then drops
+    the inapplicable ones by referenced-path bounds."""
+    from incubator_iceberg_spark.deletes import filter_relevant_deletes
     from incubator_iceberg_spark.scan import TableScan, parse_predicate
 
     df = spark.createDataFrame([(i, i % 8, f"p{i}") for i in range(400)],
@@ -302,7 +306,35 @@ def test_partition_pruning_drops_foreign_deletes(warehouse, spark):
     t.append(df)
     t.delete_where("grp < 2 AND id % 7 = 0", mode="merge-on-read")
     t = warehouse.load_table("db.prefilt_p")
-    _, dels = TableScan(t, t.spark,
-                        row_filter=parse_predicate("grp = 7"))._plan_split()
-    assert dels == []
+    data, dels = TableScan(t, t.spark,
+                           row_filter=parse_predicate("grp = 7"))._plan_split()
+    assert dels, "delete entries must survive partition pruning"
+    assert filter_relevant_deletes(data, dels, t.metadata.schema()) == []
     assert t.to_df(filter="grp = 7").count() == 50
+    # and the touched partition applies them
+    n_deleted = t.to_df(filter="grp = 1 AND id % 7 = 0").count()
+    assert n_deleted == 0
+    assert t.to_df(filter="grp = 1").count() == 50 - 7
+
+
+def test_range_filtered_scan_applies_mor_deletes(warehouse, spark):
+    """The bug this round's fix closes: a month()-partitioned table with
+    merge-on-read deletes must apply them on a PARTITION-FILTERED scan
+    (the null-partition delete entries were range-pruned away)."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1 + i % 6, 1 + i % 28), f"p{i}")
+         for i in range(600)],
+        "id long, ts timestamp, payload string")
+    t = warehouse.create_table("db.rangemor", Schema.from_spark(df.schema),
+                               partition_by=["month(ts)"])
+    t.append(df)
+    t.delete_where("id % 5 = 0", mode="merge-on-read")
+    t = warehouse.load_table("db.rangemor")
+    got = t.to_df(
+        filter="ts >= TIMESTAMP '2024-03-01' AND ts < TIMESTAMP '2024-04-01'")
+    expect = [r for i in range(600)
+              if (1 + i % 6) == 3 and i % 5 != 0 for r in [i]]
+    assert got.count() == len(expect)
+    assert t.to_df().count() == 480
