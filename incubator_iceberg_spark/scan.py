@@ -129,14 +129,17 @@ class TableScan:
             cur = snap.parent_id
         return set(ids)
 
-    def plan_entries_local(self):
+    def plan_entries_local(self, force: bool = False):
         """Driver-side planning fast path: returns pruned entry dicts, or
         None when metadata is too large / mode=distributed (fall back to
-        plan_entries_df)."""
+        plan_entries_df).  ``force=True`` plans locally regardless — for
+        callers with no SparkSession to fall back to (the Python
+        DataSource planner runs in a session-less worker; returning None
+        there would silently scan zero files)."""
         import os
 
         mode = self.table.metadata.properties.get("read.plan-mode", "auto")
-        if mode == "distributed":
+        if mode == "distributed" and not force:
             return None
         snap = self._snapshot()
         if snap is None:
@@ -146,7 +149,7 @@ class TableScan:
             s.schema_id == snap.schema_id for s in md.schemas) else md.schema()
         bound = self._bound_filter(schema)
         mlist = MF.read_manifest_list_arrow(snap.manifest_list).to_pylist()
-        if mode == "auto":
+        if mode == "auto" and not force:
             total = sum(r.get("manifest_length") or 0 for r in mlist)
             if total > LOCAL_PLAN_MAX_BYTES:
                 return None

@@ -140,7 +140,10 @@ def _plan(md, row_filter=None, snapshot_id=None, incremental=None):
         scan = scan.appends_between(*incremental)
     if row_filter is not None:
         scan = scan.filter(row_filter)
-    entries = scan.plan_entries_local()
+    # force: this planner runs in a session-less DSv2 python worker, so
+    # there is no distributed fallback — a None here would silently plan
+    # an EMPTY scan for any table past the local-plan size threshold
+    entries = scan.plan_entries_local(force=True)
     data = [e for e in (entries or []) if (e.get("content") or 0) == 0]
     dels = [e for e in (entries or []) if (e.get("content") or 0) != 0]
     return data, dels

@@ -275,3 +275,21 @@ def test_ds_read_ref_option(warehouse, orders, spark):
           .option("ref", "v1").load())
     assert df.count() == 70
     assert spark.read.format("iiws").option("path", t.location).load().count() == 100
+
+
+def test_ds_reader_plans_under_distributed_mode(warehouse, spark):
+    """The DSv2 python planner runs in a session-less worker: it must
+    FORCE local planning when read.plan-mode=distributed (or metadata
+    exceeds the local threshold) instead of silently planning an empty
+    scan."""
+    from incubator_iceberg_spark.schema import Schema
+
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(200)],
+                               "id long, payload string")
+    t = warehouse.create_table("db.dsdist", Schema.from_spark(df.schema),
+                               properties={"read.plan-mode": "distributed"})
+    t.append(df)
+    out = (spark.read.format("iiws")
+           .option("path", t.location).load())
+    assert out.count() == 200
+    assert out.filter("id < 50").count() == 50
