@@ -132,7 +132,9 @@ def snapshot_table(catalog, source_name: str, dest_name: str, spark=None):
     src = catalog.load_table(source_name, spark=spark)
     dest = catalog.create_table(dest_name, src.schema(), spark=spark)
     entries = []
-    for e in src.new_scan(spark or catalog.spark).plan_entries_local() or []:
+    # force: a None for over-threshold metadata would silently snapshot
+    # an EMPTY table
+    for e in src.new_scan(spark or catalog.spark).plan_entries_local(force=True):
         entries.append({k: e.get(k) for k in (
             "file_path", "file_format", "record_count", "file_size_bytes",
             "value_counts", "null_counts", "nan_counts",

@@ -360,7 +360,9 @@ class Table:
             scan = scan.use_snapshot(snapshot_id)
         if filter is not None:
             scan = scan.filter(filter)
-        entries = scan.plan_entries_local()
+        # force: no SparkSession in this path — a None for over-threshold
+        # metadata would silently read as an EMPTY table
+        entries = scan.plan_entries_local(force=True)
         if not entries:
             return pa.table({})
         data = [e for e in entries if (e.get("content") or 0) == 0]
