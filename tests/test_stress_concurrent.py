@@ -83,7 +83,20 @@ def test_randomized_concurrent_stress(warehouse, spark):
     def op_compact(r):
         warehouse.load_table(name).rewrite_data_files(min_input_files=2)
 
-    OPS = [op_append, op_append, op_cow_delete, op_mor_delete, op_compact]
+    def op_update_cow(r):
+        # identity assignment: exercises the full CoW rewrite + commit
+        # validation without perturbing the row-set invariants
+        g = r.randrange(6)
+        warehouse.load_table(name).update(
+            {"payload": "payload"}, f"grp = {g}", mode="copy-on-write")
+
+    def op_update_mor(r):
+        g = r.randrange(6)
+        warehouse.load_table(name).update(
+            {"payload": "payload"}, f"grp = {g}", mode="merge-on-read")
+
+    OPS = [op_append, op_append, op_cow_delete, op_mor_delete, op_compact,
+           op_update_cow, op_update_mor]
 
     def run_one(fn, seed):
         r = random.Random(seed)
