@@ -444,6 +444,30 @@ def read_entries(spark, md, data_entries, delete_entries, current_schema,
             sp = sp.add("_file", "string").add("_pos", "long")
         return spark.createDataFrame([], sp)
 
+    if delete_entries:
+        from incubator_iceberg_spark import deletes as DEL
+        delete_entries = DEL.filter_relevant_deletes(
+            data_entries, delete_entries, current_schema)
+    if delete_entries and \
+            len(data_entries) * len(delete_entries) <= 2_000_000:
+        # split CLEAN files (no scoped delete can touch them) from DIRTY
+        # ones: the anti-join then processes only the dirty files' rows
+        # instead of every row of the scan — at 100 TB most files of a
+        # MoR table are clean at any point in time (reference scan tasks
+        # carry per-file delete lists for the same reason)
+        clean, dirty = [], []
+        for e in data_entries:
+            pos, eq = DEL.scope_deletes_for_file(e, delete_entries,
+                                                 current_schema)
+            (dirty if pos or eq else clean).append(e)
+        if clean and dirty:
+            return read_entries(spark, md, clean, [], current_schema,
+                                with_lineage).unionByName(
+                read_entries(spark, md, dirty, delete_entries,
+                             current_schema, with_lineage))
+        if not dirty:
+            delete_entries = []
+
     need_lineage = with_lineage or bool(delete_entries)
     by_group: dict[tuple, list] = {}
     for e in data_entries:
@@ -488,9 +512,6 @@ def read_entries(spark, md, data_entries, delete_entries, current_schema,
 
     if delete_entries:
         from incubator_iceberg_spark import deletes as DEL
-        delete_entries = DEL.filter_relevant_deletes(
-            data_entries, delete_entries, current_schema)
-    if delete_entries:
         seq_by_file = {e["file_path"]: e.get("sequence_number") or 0
                        for e in data_entries}
         df = DEL.apply_delete_files(spark, df, seq_by_file, delete_entries,
