@@ -37,10 +37,41 @@ POS_DELETE_SCHEMA = S.Schema([
 ])
 
 
-def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema) -> list:
-    """Write delete rows as parquet under data/; return raw entry dicts."""
+def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema,
+                          path_partitions: Optional[dict] = None) -> list:
+    """Write delete rows as parquet under data/; return raw entry dicts.
+
+    ``path_partitions`` (file_path → (spec_id, partition dict)) makes the
+    write PARTITION-SCOPED like the reference's delete files: rows are
+    grouped by the referenced data file's partition and each output file
+    belongs to exactly ONE partition, recorded on its entry.  Scoped
+    delete entries participate in plan-time partition pruning (a scan of
+    an untouched partition never even plans them) and are dropped by
+    dynamic partition overwrites together with their data files."""
+    from pyspark.sql import functions as F
+
     staging = os.path.join(table_location, "data", "deletes-" + uuid.uuid4().hex)
-    W.align_to_schema(df, schema).write.mode("errorifexists").parquet(staging)
+    groups = {}
+    if path_partitions:
+        import json
+        gid_of_key, pk_rows = {}, []
+        for p, (sid, part) in path_partitions.items():
+            key = json.dumps([sid, part], sort_keys=True, default=str)
+            gid = gid_of_key.setdefault(key, len(gid_of_key))
+            groups[gid] = (sid, part)
+            pk_rows.append((p, gid))
+        if len(groups) == 1:
+            path_partitions = None  # single partition: plain write + stamp
+        else:
+            map_df = spark.createDataFrame(pk_rows, "file_path string, __pk int")
+            df = (df.join(F.broadcast(map_df), "file_path", "inner")
+                  .repartition("__pk")
+                  .sortWithinPartitions("__pk", *df.columns))
+            (df.write.mode("errorifexists").partitionBy("__pk")
+             .parquet(staging))
+    if path_partitions is None:
+        W.align_to_schema(df.drop("__pk"), schema) \
+            .write.mode("errorifexists").parquet(staging)
     files = W._list_parquet_files(staging)
     stats = [W.footer_stats(p, schema) for p in files]
     entries = []
@@ -50,7 +81,7 @@ def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema) -> l
             # every data file (no stats → no bounds to prune on)
             os.remove(st["file_path"])
             continue
-        entries.append({
+        entry = {
             "file_path": st["file_path"],
             "file_format": "parquet",
             "record_count": st["record_count"],
@@ -59,8 +90,25 @@ def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema) -> l
             "null_counts": st["null_counts"],
             "lower_bounds": st["lower_bounds"],
             "upper_bounds": st["upper_bounds"],
-        })
+        }
+        gid = _gid_from_path(st["file_path"])
+        if groups and len(groups) == 1:
+            (entry["spec_id"], entry["partition"]), = groups.values()
+        elif gid is not None and gid in groups:
+            entry["spec_id"], entry["partition"] = groups[gid]
+        entries.append(entry)
     return entries
+
+
+def _gid_from_path(path: str):
+    """Partition-group id from a ``__pk=N`` path segment, else None."""
+    for seg in path.split(os.sep):
+        if seg.startswith("__pk="):
+            try:
+                return int(seg[5:])
+            except ValueError:
+                return None
+    return None
 
 
 def add_position_deletes(table, pos_df, spark=None):

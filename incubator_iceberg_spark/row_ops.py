@@ -40,6 +40,25 @@ _CARDINALITY_MSG = "MERGE_CARDINALITY_VIOLATION: a target row matched more than 
 # python-side inclusive metrics check (conflict validation on entry dicts)
 # ---------------------------------------------------------------------------
 
+def _partition_scope(entries, md):
+    """file_path → (spec_id, partition dict) for partition-SCOPED delete
+    writes — only when every candidate entry carries its partition tuple
+    (local planning on a partitioned table).  None → deletes stay global
+    (DF-planned subsets don't materialize partition values; unpartitioned
+    tables have nothing to scope)."""
+    out = {}
+    for e in entries:
+        sid = e.get("spec_id", md.default_spec_id)
+        spec = md.spec_by_id(sid)
+        if spec is None or not spec.is_partitioned:
+            return None
+        part = e.get("partition")
+        if not isinstance(part, dict):
+            return None
+        out[e["file_path"]] = (sid, dict(part))
+    return out or None
+
+
 def _pos_delete_targets(pos_entries: list, candidate_paths) -> set:
     """The data-file paths a batch of freshly written position-delete files
     may reference, narrowed by each delete file's ``file_path`` column
@@ -303,8 +322,9 @@ def delete_where_mor(table, expr: X.Expression, spark=None) -> dict:
                # the read path merge-applies deletes per file; sorted
                # positions let it stream instead of hash
                .sortWithinPartitions("file_path", "pos"))
-        new_entries = DEL._write_delete_parquet(spark, md.location, pos,
-                                                DEL.POS_DELETE_SCHEMA)
+        new_entries = DEL._write_delete_parquet(
+            spark, md.location, pos, DEL.POS_DELETE_SCHEMA,
+            path_partitions=_partition_scope([r.entry for r in mor], md))
         # inclusive stats can admit files whose rows don't actually match:
         # don't commit empty delete files
         new_entries = [e for e in new_entries if e["record_count"]]
@@ -366,8 +386,9 @@ def update_mor(table, assignments: dict, condition: X.Expression,
     pos = (matched.select(_norm_file_col().alias("file_path"),
                           F.col("_pos").alias("pos"))
            .sortWithinPartitions("file_path", "pos"))
-    pos_entries = DEL._write_delete_parquet(spark, md.location, pos,
-                                            DEL.POS_DELETE_SCHEMA)
+    pos_entries = DEL._write_delete_parquet(
+        spark, md.location, pos, DEL.POS_DELETE_SCHEMA,
+        path_partitions=_partition_scope(data, md))
     pos_entries = [e for e in pos_entries if e["record_count"]]
     for e in pos_entries:
         e["content"] = MF.POSITION_DELETES

@@ -173,17 +173,26 @@ class TableScan:
                 if inc_ids is not None and not (
                         e.get("status") == MF.ADDED and e.get("snapshot_id") in inc_ids):
                     continue
-                # partition/metrics pruning is DATA-file pruning: delete
-                # entries carry a null partition tuple and delete-schema
-                # bounds, so the same checks would silently drop
-                # APPLICABLE deletes from filtered scans (rows resurrect).
-                # Keep every delete entry; filter_relevant_deletes narrows
-                # them against the planned data set afterwards.
-                if not trivial and (e.get("content") or 0) == MF.DATA:
-                    if spec.is_partitioned and not PE.eval_partition_value(
-                            proj, e.get("partition") or {}):
+                # partition/metrics pruning is DATA-file pruning.  GLOBAL
+                # delete entries (null partition tuple, delete-schema
+                # bounds) must always survive or applicable deletes
+                # silently vanish from filtered scans (rows resurrect);
+                # partition-SCOPED delete files (full tuple recorded at
+                # write, like the reference's) prune by partition exactly
+                # like the data files they reference.  Metrics pruning
+                # stays data-only either way (delete bounds are
+                # delete-schema-keyed).
+                if not trivial:
+                    is_data = (e.get("content") or 0) == MF.DATA
+                    part = e.get("partition") or {}
+                    scoped = is_data or (
+                        spec.is_partitioned and part
+                        and all(part.get(f.name) is not None
+                                for f in spec.partition_type().fields))
+                    if scoped and spec.is_partitioned and \
+                            not PE.eval_partition_value(proj, part):
                         continue
-                    if not PE.eval_inclusive_entry(e, bound):
+                    if is_data and not PE.eval_inclusive_entry(e, bound):
                         continue
                 out.append(dict(e))  # shallow copy: entries are lru-cached
         return out
@@ -227,16 +236,24 @@ class TableScan:
                 entries = entries.filter((F.col("status") == MF.ADDED)
                                          & F.col("snapshot_id").isin(list(inc_ids)))
             if not isinstance(bound, X.AlwaysTrue):
-                # data-file pruning only — delete entries always survive
-                # planning (see plan_entries_local); the scan-level
-                # relevance prefilter narrows them later
+                # GLOBAL delete entries (partition tuple not fully
+                # recorded) always survive planning; partition-SCOPED
+                # delete files prune by partition like their data files;
+                # metrics pruning stays data-only (see plan_entries_local)
                 is_delete = (F.coalesce(F.col("content"), F.lit(0))
                              != F.lit(MF.DATA)) if "content" in \
                     entries.columns else F.lit(False)
+                fully = F.lit(False)
+                if spec.is_partitioned and "partition" in entries.columns:
+                    fully = F.lit(True)
+                    for f in spec.partition_type().fields:
+                        fully = fully & F.col("partition") \
+                            .getField(f.name).isNotNull()
                 entries = entries.filter(
-                    is_delete
+                    (is_delete & ~fully)
                     | (EV.partition_pruning_filter(spec, bound, entries.schema)
-                       & EV.inclusive_metrics_filter(bound, entries.schema)))
+                       & (is_delete
+                          | EV.inclusive_metrics_filter(bound, entries.schema))))
             parts.append(entries)
         if not parts:
             return None

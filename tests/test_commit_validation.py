@@ -289,14 +289,13 @@ def test_scan_prefilters_irrelevant_deletes(warehouse, spark):
     assert t.to_df(filter="id < 100").count() == 100 - 15
 
 
-def test_partitioned_scan_keeps_and_prefilters_deletes(warehouse, spark):
-    """Partitioned MoR table: delete entries carry NULL partition tuples,
-    so partition pruning must NEVER drop them at plan time (null-handling
-    varies by transform — a month()-range predicate silently dropped
-    applicable deletes before this pin, resurrecting rows on filtered
-    scans).  They survive planning; filter_relevant_deletes then drops
-    the inapplicable ones by referenced-path bounds."""
-    from incubator_iceberg_spark.deletes import filter_relevant_deletes
+def test_partition_scoped_deletes_prune_by_partition(warehouse, spark):
+    """Position deletes written by the MoR paths are PARTITION-SCOPED
+    (each delete file belongs to the referenced data files\' partition,
+    like the reference\'s delete files): a scan of an untouched partition
+    never plans them, the touched partition plans exactly its own, and
+    GLOBAL deletes (add_position_deletes API, no partition recorded)
+    always survive planning."""
     from incubator_iceberg_spark.scan import TableScan, parse_predicate
 
     df = spark.createDataFrame([(i, i % 8, f"p{i}") for i in range(400)],
@@ -306,15 +305,34 @@ def test_partitioned_scan_keeps_and_prefilters_deletes(warehouse, spark):
     t.append(df)
     t.delete_where("grp < 2 AND id % 7 = 0", mode="merge-on-read")
     t = warehouse.load_table("db.prefilt_p")
-    data, dels = TableScan(t, t.spark,
-                           row_filter=parse_predicate("grp = 7"))._plan_split()
-    assert dels, "delete entries must survive partition pruning"
-    assert filter_relevant_deletes(data, dels, t.metadata.schema()) == []
+    # scoped: entries carry their partition tuple
+    _, all_dels = t.new_scan()._plan_split()
+    assert all_dels and all(
+        (e.get("partition") or {}).get("grp") is not None for e in all_dels)
+    # untouched partition: pruned at PLAN time
+    _, dels7 = TableScan(t, t.spark,
+                         row_filter=parse_predicate("grp = 7"))._plan_split()
+    assert dels7 == []
+    # touched partition: only its own delete files planned
+    _, dels1 = TableScan(t, t.spark,
+                         row_filter=parse_predicate("grp = 1"))._plan_split()
+    assert dels1 and all(e["partition"]["grp"] == 1 for e in dels1)
     assert t.to_df(filter="grp = 7").count() == 50
-    # and the touched partition applies them
-    n_deleted = t.to_df(filter="grp = 1 AND id % 7 = 0").count()
-    assert n_deleted == 0
+    assert t.to_df(filter="grp = 1 AND id % 7 = 0").count() == 0
     assert t.to_df(filter="grp = 1").count() == 50 - 7
+
+    # a GLOBAL delete (no partition scope) must survive every scan\'s plan
+    victim = t.new_scan().plan_entries_local(force=True)
+    dfile = [e for e in victim if (e.get("content") or 0) == 0
+             and e["partition"]["grp"] == 7][0]
+    t.add_position_deletes(spark.createDataFrame(
+        [(dfile["file_path"], 0)], "file_path string, pos long"))
+    t = warehouse.load_table("db.prefilt_p")
+    _, dels3 = TableScan(t, t.spark,
+                         row_filter=parse_predicate("grp = 3"))._plan_split()
+    assert any((e.get("partition") or {}).get("grp") is None for e in dels3), \
+        "global position deletes must never be partition-pruned"
+    assert t.to_df(filter="grp = 7").count() == 49
 
 
 def test_range_filtered_scan_applies_mor_deletes(warehouse, spark):
