@@ -462,15 +462,25 @@ def rewrite_position_deletes(table, spark=None) -> dict:
     old_paths = {e["file_path"] for e in pos}
     added = []
     if n_kept:
-        # range-partition by referenced path: each consolidated file covers
-        # a DISJOINT path slice, so its persisted ref bounds prune tightly
-        # and a 100 TB delete-debt rewrite parallelizes instead of
-        # funnelling into one task (~5M tuples ≈ 50 MB per output file)
-        n_out = max(1, -(-n_kept // 5_000_000))
-        out = (kept.repartitionByRange(n_out, "file_path", "pos")
-               .sortWithinPartitions("file_path", "pos"))
-        added = DEL._write_delete_parquet(
-            spark, table.metadata.location, out, DEL.POS_DELETE_SCHEMA)
+        from incubator_iceberg_spark.row_ops import _partition_scope
+        scope = _partition_scope(data, table.metadata)
+        if scope:
+            # partition-scoped consolidation: the rewrite preserves the
+            # per-partition delete-file layout the MoR writes produce
+            out = kept.sortWithinPartitions("file_path", "pos")
+            added = DEL._write_delete_parquet(
+                spark, table.metadata.location, out, DEL.POS_DELETE_SCHEMA,
+                path_partitions=scope)
+        else:
+            # global fallback: range-partition by referenced path — each
+            # consolidated file covers a DISJOINT path slice, so its
+            # persisted ref bounds prune tightly and a 100 TB debt
+            # rewrite parallelizes (~5M tuples ≈ 50 MB per output file)
+            n_out = max(1, -(-n_kept // 5_000_000))
+            out = (kept.repartitionByRange(n_out, "file_path", "pos")
+                   .sortWithinPartitions("file_path", "pos"))
+            added = DEL._write_delete_parquet(
+                spark, table.metadata.location, out, DEL.POS_DELETE_SCHEMA)
         for e in added:
             e["content"] = MF.POSITION_DELETES
     table.metadata = SN2.overwrite_files(table.ops, added, old_paths,

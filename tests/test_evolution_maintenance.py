@@ -323,3 +323,33 @@ def test_column_stats_materialize_and_staleness(warehouse, orders, spark):
     out = PR.call(warehouse, "CALL system.compute_column_stats('db.colstats')")
     assert out["written"]
     assert t.refresh().column_stats() is not None
+
+
+def test_rewrite_position_deletes_preserves_partition_scope(warehouse, spark):
+    """Consolidating position deletes on a partitioned table keeps the
+    per-partition delete-file layout: consolidated entries carry their
+    partition tuple, untouched partitions still plan zero delete files,
+    and results are unchanged."""
+    from incubator_iceberg_spark.scan import TableScan, parse_predicate
+    from incubator_iceberg_spark.schema import Schema
+
+    df = spark.createDataFrame([(i, i % 4, f"p{i}") for i in range(400)],
+                               "id long, grp long, payload string")
+    t = warehouse.create_table("db.posrw", Schema.from_spark(df.schema),
+                               partition_by=["grp"])
+    t.append(df)
+    t.delete_where("grp < 2 AND id % 9 = 0", mode="merge-on-read")
+    t.delete_where("grp < 2 AND id % 9 = 1", mode="merge-on-read")
+    before = t.to_df().count()
+
+    out = t.rewrite_position_deletes()
+    assert out["rewritten_delete_files"] > 0
+    t = warehouse.load_table("db.posrw")
+    assert t.to_df().count() == before
+
+    _, dels = t.new_scan()._plan_split()
+    assert dels and all(
+        (e.get("partition") or {}).get("grp") in (0, 1) for e in dels)
+    _, dels3 = TableScan(t, t.spark,
+                         row_filter=parse_predicate("grp = 3"))._plan_split()
+    assert dels3 == []
