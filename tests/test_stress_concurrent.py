@@ -39,13 +39,21 @@ N_OPS = int(os.environ.get("SPARK_GRAFT_STRESS_OPS", "100"))
 SEED = int(os.environ.get("SPARK_GRAFT_STRESS_SEED", "20260814"))
 
 
-def test_randomized_concurrent_stress(warehouse, spark):
+import pytest
+
+
+@pytest.mark.parametrize("partition_by", [None, ["grp"]],
+                         ids=["unpartitioned", "partitioned"])
+def test_randomized_concurrent_stress(warehouse, spark, partition_by):
+    # the partitioned variant drives PARTITION-SCOPED position deletes
+    # (and their plan-time pruning) through the same randomized races
     rng = random.Random(SEED)
     name = "db.stress"
     df0 = spark.createDataFrame(
         [(i, i % 6, f"seed{i}") for i in range(60)],
         "id long, grp long, payload string")
-    warehouse.create_table(name, Schema.from_spark(df0.schema)).append(df0)
+    warehouse.create_table(name, Schema.from_spark(df0.schema),
+                           partition_by=partition_by).append(df0)
 
     lock = threading.Lock()
     state = {"next_id": 1000, "aborts": 0}
