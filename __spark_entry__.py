@@ -2160,6 +2160,35 @@ def q_position_deletes_meta(spark, sf_dir):
     return df.select(F.col("pos").cast("long").alias("pos"))
 
 
+def q_corpus_quality_gate(spark, sf_dir):
+    """Composite Gopher-style corpus gate: repetition signals
+    (duplicate-line fraction, top-word dominance) + PII hit counts in
+    ONE pipeline; docs failing any threshold are dropped.  Planted
+    spam (one line repeated) and PII docs must be rejected alongside
+    the corpus's natural high-dominance docs."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import corpus as C
+    from incubator_iceberg_spark.functions import text as TX
+    docs = (_table(spark, sf_dir, "documents_ice").to_df()
+            .select("doc_id", "text", "lang"))
+    planted = spark.createDataFrame(
+        [(2_000_000 + i, "all spam no signal\nall spam no signal\n"
+          "all spam no signal\nall spam no signal", "xx") for i in range(3)]
+        + [(2_100_000 + i, "contact bob@example.com or 10.0.0.1 today "
+            "about item number 123456789012", "xx") for i in range(2)],
+        "doc_id long, text string, lang string")
+    alldocs = docs.unionByName(planted)
+    rep = C.repetition_stats(alldocs)
+    pii = TX.pii_scrub(alldocs).select(
+        "doc_id", (F.col("n_email") + F.col("n_ipv4")
+                   + F.col("n_longnum")).alias("pii_hits"))
+    return (alldocs.join(rep, "doc_id").join(pii, "doc_id")
+            .filter((F.col("dup_line_micro") < 250000)
+                    & (F.col("top_word_micro") < 200000)
+                    & (F.col("pii_hits") == 0))
+            .select("doc_id", "lang"))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact per-stratum quota sampling (corpus.stratified_sample):
     deterministic mixture-hash ranking per language, first-N kept.  The
@@ -2245,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc_apply": q_streaming_cdc_apply,
         "partitions_evolved": q_partitions_evolved,
         "position_deletes_meta": q_position_deletes_meta,
+        "corpus_quality_gate": q_corpus_quality_gate,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3269,6 +3299,63 @@ def oracle_sql() -> dict[str, str]:
                        AS pos
             FROM orders
             QUALIFY o_orderkey % 41 = 0
+        """,
+        "corpus_quality_gate": r"""
+            WITH alldocs AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT 2000000 + i, 'all spam no signal' || chr(10) ||
+                     'all spam no signal' || chr(10) ||
+                     'all spam no signal' || chr(10) ||
+                     'all spam no signal', 'xx'
+              FROM range(3) t(i)
+              UNION ALL
+              SELECT 2100000 + i, 'contact bob@example.com or 10.0.0.1 ' ||
+                     'today about item number 123456789012', 'xx'
+              FROM range(2) t(i)),
+            base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                s -> trim(s)),
+                                 s -> s != '') AS ls,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x != '') AS t
+              FROM alldocs),
+            lines AS (
+              SELECT doc_id,
+                     CASE WHEN len(ls) > 0
+                          THEN CAST(floor((1.0 - len(list_distinct(ls))::DOUBLE
+                                           / len(ls)) * 1000000.0) AS BIGINT)
+                          ELSE 0 END AS dl
+              FROM base),
+            tok AS (SELECT doc_id, unnest(t) AS w FROM base),
+            tw AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+            tops AS (SELECT doc_id,
+                            CAST(floor(max(c) * 1000000.0 / sum(c)) AS BIGINT)
+                                AS tm
+                     FROM tw GROUP BY 1),
+            pii AS (SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     + len(regexp_extract_all(regexp_replace(regexp_replace(
+                         text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                         '<IPV4>', 'g'), '\d{9,}')) AS hits
+                    FROM alldocs)
+            SELECT a.doc_id, a.lang
+            FROM alldocs a
+            JOIN lines l ON a.doc_id = l.doc_id
+            LEFT JOIN tops tp ON a.doc_id = tp.doc_id
+            JOIN pii p ON a.doc_id = p.doc_id
+            WHERE l.dl < 250000 AND COALESCE(tp.tm, 0) < 200000
+              AND p.hits = 0
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM (
