@@ -2249,16 +2249,17 @@ def q_incremental_dedup(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [16 never-driver-verified queries: the round-4 additions (CDC sink,
-    # partitions-over-evolved-specs, stratified_sample, pii_scrub,
-    # dedup_keep_best, incremental_dedup) + the 10 round-3 additions that
-    # landed past the r3 window, incl. SURVEY rows O1
-    # sorted_write_clustering and P17 metrics_modes]
+    # [18 never-driver-verified queries: the round-4 additions (CDC sink,
+    # partitions-over-evolved-specs, position_deletes_meta,
+    # corpus_quality_gate, stratified_sample, pii_scrub, dedup_keep_best,
+    # incremental_dedup) + the 10 round-3 additions that landed past the
+    # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
+    # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [31 least-recently-verified rows of the r2-green set]. Five more
-    # r2-green rows (ann_ivf_probe..catalog_txn_multi_table) sit just past
-    # the window at 51-55 — displaced by the never-verified round-4
-    # queries, first in line for the r5 refresh.
+    # + [29 least-recently-verified rows of the r2-green set].  Seven more
+    # r2-green rows (multimodal_frames..catalog_txn_multi_table) sit just
+    # past the window — displaced by the never-verified round-4 queries,
+    # first in line for the r5 refresh.
     # Rotated to the back: the 47 rows re-verified by the r3 driver run,
     # plus 11 r2-green rows whose code paths are redundantly covered by
     # prefix rows (q1/q3/q6/filter_pushdown run every bench; merge_upsert/
