@@ -2246,20 +2246,50 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_duplicated_spans(spark, sf_dir):
+    """Substring-level duplication coverage (corpus.duplicated_spans —
+    the Lee-et-al span-dedup signal as fixed-width 8-token window
+    grams): per doc, how many window starts are shared with >= 2
+    distinct docs and what token fraction those windows cover
+    (interval-union, exact DIV-micro units).  One gram aggregate + one
+    join back + a sparse per-doc window — nothing all-pairs."""
+    from incubator_iceberg_spark.functions import corpus as C
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    return C.duplicated_spans(df, n=8, min_docs=2)
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget mixture construction (corpus.token_budget_sample):
+    per-source TOKEN budgets (how pretraining mixtures are actually
+    specified), filled in deterministic mixture-hash order — keep a doc
+    iff the running token total including it stays within the budget.
+    The oracle replays the identical int64 hash + running-sum window."""
+    from incubator_iceberg_spark.functions import corpus as C
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    out = C.token_budget_sample(
+        df, {"src0": 400, "src1": 300, "src2": 200},
+        strata_col="source", key_col="doc_id")
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [18 never-driver-verified queries: the round-4 additions (CDC sink,
+    # [20 never-driver-verified queries: the round-4 additions (CDC sink,
     # partitions-over-evolved-specs, position_deletes_meta,
     # corpus_quality_gate, stratified_sample, pii_scrub, dedup_keep_best,
-    # incremental_dedup) + the 10 round-3 additions that landed past the
-    # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
-    # metrics_modes]
+    # incremental_dedup, duplicated_spans, token_budget_sample) + the 10
+    # round-3 additions that landed past the r3 window, incl. SURVEY rows
+    # O1 sorted_write_clustering and P17 metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [29 least-recently-verified rows of the r2-green set].  Seven more
-    # r2-green rows (multimodal_frames..catalog_txn_multi_table) sit just
-    # past the window — displaced by the never-verified round-4 queries,
-    # first in line for the r5 refresh.
+    # + [27 least-recently-verified rows of the r2-green set].  To make
+    # room for the two newest queries, knn_join and text_stats moved to
+    # the redundant block (knn_join shares the brute-force cosine path
+    # with in-prefix ann_bruteforce; text_stats is a subset of in-prefix
+    # text_analyze).  Seven more r2-green rows
+    # (multimodal_frames..catalog_txn_multi_table) sit just past the
+    # window — displaced by the never-verified round-4 queries, first in
+    # line for the r5 refresh.
     # Rotated to the back: the 47 rows re-verified by the r3 driver run,
     # plus 11 r2-green rows whose code paths are redundantly covered by
     # prefix rows (q1/q3/q6/filter_pushdown run every bench; merge_upsert/
@@ -2272,6 +2302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py.
     return {
         # --- never driver-verified (new r4 + late-r3 additions) -----------
+        "duplicated_spans": q_duplicated_spans,
+        "token_budget_sample": q_token_budget_sample,
         "streaming_cdc_apply": q_streaming_cdc_apply,
         "partitions_evolved": q_partitions_evolved,
         "position_deletes_meta": q_position_deletes_meta,
@@ -2317,11 +2349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "vocab_doc_freq": q_vocab_doc_freq,
         "length_quantiles": q_length_quantiles,
-        "text_stats": q_text_stats,
         "text_analyze": q_text_analyze,
         "ann_bruteforce": q_ann_bruteforce,
         "skew_salted_agg": q_skew_salted_agg,
-        "knn_join": q_knn_join,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -2344,6 +2374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "dedup_minhash_planted": q_dedup_minhash_planted,
         "skew_salted_join": q_skew_salted_join,
+        "knn_join": q_knn_join,
+        "text_stats": q_text_stats,
         # --- driver-green in round 3 (proven; rotate to the back) ---------
         "snapshots_meta": q_snapshots_meta,
         "events_props_json": q_events_props_json,
@@ -3423,6 +3455,61 @@ def oracle_sql() -> dict[str, str]:
                 WHERE c.doc_id % 2 = 0 AND c.text = b.text))
             SELECT doc_id, lang, source FROM fresh
             WHERE doc_id IN (SELECT min(doc_id) FROM fresh GROUP BY text)
+        """,
+        "duplicated_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS p, array_to_string(t[i:i+7], ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(t) - 7, 0))) AS i)),
+            dup AS (SELECT g FROM g GROUP BY g
+                    HAVING count(DISTINCT doc_id) >= 2),
+            ds AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (g)),
+            lagd AS (SELECT doc_id, p,
+                            lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+                     FROM ds),
+            cov AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS dup_windows,
+                           CAST(sum(CASE WHEN pp IS NULL THEN 8
+                                    ELSE least(8, p - pp) END) AS BIGINT)
+                               AS covered
+                    FROM lagd GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(len(t.t) AS INT) AS n_tokens,
+                   CAST(COALESCE(c.dup_windows, 0) AS BIGINT) AS dup_windows,
+                   CAST(COALESCE(c.covered, 0) AS BIGINT) AS dup_cover_tokens,
+                   CAST(CASE WHEN len(t.t) > 0
+                        THEN (COALESCE(c.covered, 0) * 1000000) // len(t.t)
+                        ELSE 0 END AS BIGINT) AS dup_cover_micro
+            FROM toks t LEFT JOIN cov c USING (doc_id)
+        """,
+        "token_budget_sample": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+            w AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                         PARTITION BY source
+                         ORDER BY (((((doc_id % 1000000) + 1000000)
+                                     % 1000000) * 2654435761) % 1000000)
+                                  / 1000000.0 ASC,
+                                  doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum_tokens
+              FROM d)
+            SELECT doc_id, source, n_tokens, cum_tokens FROM w
+            WHERE cum_tokens <= CASE source WHEN 'src0' THEN 400
+                                            WHEN 'src1' THEN 300
+                                            ELSE 200 END
         """,
         "tfidf_top_terms": """
             WITH tok AS (

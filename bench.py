@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pii_scrub",
     "incremental_dedup",
+    "duplicated_spans",
+    "token_budget_sample",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

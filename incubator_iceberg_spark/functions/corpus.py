@@ -376,3 +376,105 @@ def split_assign(df, weights: dict, key_col: str,
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 8, min_docs: int = 2):
+    """Substring-level duplication coverage (the span-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — suffix-array spans recast Spark-first as
+    fixed-width token-window grams): a token position counts as
+    duplicated when some ``n``-token window covering it occurs in at
+    least ``min_docs`` DISTINCT documents.  Within-doc self-repetition is
+    deliberately excluded (that signal is ``repetition_stats``).
+
+    Returns one row per input doc:
+    (id, n_tokens, dup_windows, dup_cover_tokens, dup_cover_micro) where
+    dup_windows is the number of duplicated window STARTS, dup_cover_*
+    the interval-union size of those windows (exact integer arithmetic:
+    micro = tokens*1e6 DIV n_tokens, so results hash identically across
+    engines).  Docs with < n tokens have no windows and report zeros.
+
+    Scale shape: tokenize+explode (codegen, no shuffle) -> one hash
+    aggregate on the gram for the distinct-doc count -> one join back on
+    the gram -> a per-doc window over DUPLICATED starts only (sparse) ->
+    one per-doc aggregate.  Nothing is all-pairs; the gram aggregate is
+    the only corpus-wide shuffle.  At 100 TB you would group on
+    xxhash64(gram) instead of the gram string to cut shuffle width
+    (collisions only over-mark spans, acceptable for a dedup signal);
+    the string form is kept here for bit-exact cross-engine oracles.
+    Interval-union trick: windows all have length n and starts are
+    sorted, so union = sum(least(n, start - prev_start)) with the first
+    window contributing n."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(id_col).alias("__id"),
+                     TX.tokens(text_col).alias("__t"))
+    pos = toks.select("__id", F.posexplode("__t").alias("__p", "__w"))
+    w_doc = Window.partitionBy("__id").orderBy("__p")
+    leads = [F.col("__w")] + [F.lead("__w", k).over(w_doc)
+                              for k in range(1, n)]
+    grams = (pos.select("__id", "__p",
+                        *[c.alias(f"__w{k}") for k, c in enumerate(leads)])
+             .filter(F.col(f"__w{n-1}").isNotNull())
+             .select("__id", "__p",
+                     F.concat_ws(" ", *[F.col(f"__w{k}")
+                                        for k in range(n)]).alias("__g")))
+    dup = (grams.groupBy("__g")
+           .agg(F.count_distinct("__id").alias("__nd"))
+           .filter(F.col("__nd") >= min_docs)
+           .select("__g"))
+    starts = grams.join(dup, "__g").select("__id", "__p")
+    prev = F.lag("__p").over(Window.partitionBy("__id").orderBy("__p"))
+    cover = (starts.withColumn(
+                 "__c",
+                 F.when(prev.isNull(), F.lit(n))
+                 .otherwise(F.least(F.lit(n), F.col("__p") - prev)))
+             .groupBy("__id")
+             .agg(F.count(F.lit(1)).alias("dup_windows"),
+                  F.sum("__c").alias("dup_cover_tokens")))
+    base = toks.select("__id", F.size("__t").alias("n_tokens"))
+    out = (base.join(cover, "__id", "left")
+           .select(F.col("__id").alias(id_col), "n_tokens",
+                   F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+                   F.coalesce("dup_cover_tokens", F.lit(0))
+                   .alias("dup_cover_tokens")))
+    return out.withColumn(
+        "dup_cover_micro",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("dup_cover_tokens * 1000000 DIV n_tokens"))
+        .otherwise(F.lit(0)).cast("long"))
+
+
+def token_budget_sample(df, budgets: dict, strata_col: str, key_col: str,
+                        text_col: str = "text"):
+    """Token-BUDGET mixture construction (the counterpart of doc-count
+    ``stratified_sample``): within each stratum, order docs by the
+    deterministic mixture hash (ties on the key) and keep the prefix
+    whose cumulative whitespace-token count stays within
+    ``budgets[stratum]`` — i.e. a doc is kept iff the running total
+    INCLUDING it is <= the budget.  This is how pretraining mixtures are
+    actually specified (tokens per source, not docs per source).
+    RNG-free: re-runs and re-partitions select the same rows, and a
+    kept doc stays kept when OTHER strata change.  Strata without a
+    budget are dropped before the exchange.
+
+    Returns df columns + n_tokens + cum_tokens.  Scale shape: one
+    shuffle on the stratum for the running-sum window; a pathologically
+    huge stratum can be pre-thinned with ``mixture_sample`` exactly as
+    documented on ``stratified_sample``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    budget = F.lit(None).cast("long")
+    for s, b in budgets.items():
+        budget = F.when(F.col(strata_col) == s,
+                        F.lit(int(b))).otherwise(budget)
+    df = df.filter(F.col(strata_col).isin(*budgets.keys()))
+    df = df.withColumn("n_tokens", TX.token_count(text_col).cast("long"))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(mixture_u(key_col).asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+              .filter(F.col("cum_tokens") <= budget))

@@ -339,3 +339,75 @@ def test_incremental_dedup(spark):
         "doc_id long, text string")
     kept = sorted(r.doc_id for r in incremental_dedup(batch, corpus).collect())
     assert kept == [11, 13]
+
+
+def test_duplicated_spans_cross_doc_only(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three four five six"),
+         (1, "zero one two three four nine"),
+         (2, "totally unrelated words here"),
+         (3, ""),
+         # within-doc repetition only: must NOT count (min_docs=2 DISTINCT)
+         (4, "alpha beta gamma delta alpha beta gamma")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           corpus.duplicated_spans(df, n=3, min_docs=2).collect()}
+    # docs 0/1 share 3-grams "one two three" + "two three four":
+    # starts {0,1} -> union = 3 + min(3, 1) = 4 covered tokens of 6
+    for d in (0, 1):
+        assert out[d].n_tokens == 6
+        assert out[d].dup_windows == 2
+        assert out[d].dup_cover_tokens == 4
+        assert out[d].dup_cover_micro == 4 * 1_000_000 // 6
+    assert (out[2].dup_windows, out[2].dup_cover_tokens) == (0, 0)
+    assert (out[3].n_tokens, out[3].dup_cover_micro) == (0, 0)
+    assert (out[4].dup_windows, out[4].dup_cover_tokens) == (0, 0)
+    # deterministic under repartitioning
+    out2 = {r.doc_id: r for r in
+            corpus.duplicated_spans(df.repartition(5), n=3, min_docs=2)
+            .collect()}
+    assert {d: (r.dup_windows, r.dup_cover_micro) for d, r in out.items()} \
+        == {d: (r.dup_windows, r.dup_cover_micro) for d, r in out2.items()}
+
+
+def test_duplicated_spans_interval_union_disjoint(spark):
+    # two SEPARATED shared spans in one doc: union adds n per disjoint run
+    a = "common one span xx yy zz common two span"
+    b = "common one span aa bb cc common two span"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           corpus.duplicated_spans(df, n=3, min_docs=2).collect()}
+    # shared 3-grams per doc start at 0 ("common one span") and 6
+    # ("common two span") -> disjoint -> 6 covered tokens of 9
+    for d in (0, 1):
+        assert out[d].dup_windows == 2
+        assert out[d].dup_cover_tokens == 6
+        assert out[d].n_tokens == 9
+
+
+def test_token_budget_sample_prefix_by_hash(spark):
+    rows = [(i, "tok " * 10, "s0") for i in range(6)] + \
+           [(100, "w w w", "s1"), (101, "w w", "s1"), (200, "x", "nope")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus.token_budget_sample(
+        df, {"s0": 25, "s1": 100}, strata_col="source", key_col="doc_id",
+        text_col="text")
+    got = {r.doc_id: r for r in out.collect()}
+    # unbudgeted stratum dropped entirely
+    assert 200 not in got
+    # s1: both docs fit (5 tokens total <= 100), cum follows hash order
+    assert {100, 101} <= set(got)
+    # s0: each doc is 10 tokens; budget 25 -> exactly the first 2 docs in
+    # deterministic hash order are kept (3rd would make cum 30 > 25)
+    s0_kept = [d for d in got if got[d].source == "s0"]
+    assert len(s0_kept) == 2
+    expect = sorted(range(6),
+                    key=lambda k: ((k % 1_000_000) * 2654435761 % 1_000_000,
+                                   k))[:2]
+    assert sorted(s0_kept) == sorted(expect)
+    assert sorted(got[d].cum_tokens for d in s0_kept) == [10, 20]
+    # deterministic under repartitioning
+    out2 = corpus.token_budget_sample(
+        df.repartition(7), {"s0": 25, "s1": 100}, "source", "doc_id", "text")
+    assert {(r.doc_id, r.cum_tokens) for r in out2.collect()} \
+        == {(r.doc_id, r.cum_tokens) for r in out.collect()}
