@@ -405,7 +405,16 @@ def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
     the string form is kept here for bit-exact cross-engine oracles.
     Interval-union trick: windows all have length n and starts are
     sorted, so union = sum(least(n, start - prev_start)) with the first
-    window contributing n."""
+    window contributing n.
+
+    The gram relation feeds two consumers (the distinct-doc aggregate
+    and the join back) and is DELIBERATELY computed twice rather than
+    persisted: the aggregate subtree prunes positions and partially
+    aggregates map-side (its shuffle carries ~one row per distinct gram
+    per partition), so the duplicated work is pure codegen map CPU —
+    cheaper at 100 TB than caching O(corpus x n) gram rows or switching
+    to a window-based distinct count that would shuffle every gram row
+    full-width."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

@@ -129,6 +129,32 @@ class TableScan:
             cur = snap.parent_id
         return set(ids)
 
+    def _incremental_manifest_rows(self, inc_ids: set) -> list:
+        """Manifest-list rows for an incremental scan: the union, over the
+        append snapshots in range, of the manifests EACH snapshot added
+        (added_snapshot_id == that snapshot), read from that snapshot's
+        OWN manifest list.  Planning from the final snapshot's manifest
+        list is wrong: a compaction (or any rewrite) committed after an
+        append REPLACES the appended entries in the current list, and the
+        ADDED-status rows the incremental filter looks for silently
+        vanish — the scan returned zero rows for those appends.  Old
+        manifests are immutable and stay referenced from their snapshot's
+        manifest list until expire_snapshots, exactly what the reference
+        plans from (IncrementalDataTableScan.planFiles walks each append
+        snapshot; core/.../IncrementalDataTableScan.java:96-118)."""
+        md = self.table.metadata
+        rows, seen = [], set()
+        for sid in inc_ids:
+            s = md.snapshot_by_id(sid)
+            if s is None:
+                continue
+            for row in MF.read_manifest_list_arrow(s.manifest_list).to_pylist():
+                if row.get("added_snapshot_id") == sid and \
+                        row["manifest_path"] not in seen:
+                    seen.add(row["manifest_path"])
+                    rows.append(row)
+        return rows
+
     def plan_entries_local(self, force: bool = False):
         """Driver-side planning fast path: returns pruned entry dicts, or
         None when metadata is too large / mode=distributed (fall back to
@@ -148,12 +174,15 @@ class TableScan:
         schema = md.schema_by_id(snap.schema_id) if any(
             s.schema_id == snap.schema_id for s in md.schemas) else md.schema()
         bound = self._bound_filter(schema)
-        mlist = MF.read_manifest_list_arrow(snap.manifest_list).to_pylist()
+        inc_ids = self._incremental_snapshot_ids()
+        if inc_ids is not None:
+            mlist = self._incremental_manifest_rows(inc_ids)
+        else:
+            mlist = MF.read_manifest_list_arrow(snap.manifest_list).to_pylist()
         if mode == "auto" and not force:
             total = sum(r.get("manifest_length") or 0 for r in mlist)
             if total > LOCAL_PLAN_MAX_BYTES:
                 return None
-        inc_ids = self._incremental_snapshot_ids()
         trivial = isinstance(bound, X.AlwaysTrue)
         out = []
         for row in mlist:
@@ -209,11 +238,29 @@ class TableScan:
             s.schema_id == snap.schema_id for s in md.schemas) else md.schema()
         bound = self._bound_filter(schema)
 
-        mlist_df = MF.read_manifest_list_df(self.spark, snap.manifest_list)
+        inc_ids = self._incremental_snapshot_ids()
+        if inc_ids is not None:
+            # incremental: plan from each append snapshot's OWN manifest
+            # list (see _incremental_manifest_rows — the final snapshot's
+            # list loses appends a later rewrite replaced)
+            sub_lists = []
+            for sid in inc_ids:
+                s = md.snapshot_by_id(sid)
+                if s is None:
+                    continue
+                sub_lists.append(
+                    MF.read_manifest_list_df(self.spark, s.manifest_list)
+                    .filter(F.col("added_snapshot_id") == sid))
+            if not sub_lists:
+                return None
+            mlist_df = sub_lists[0]
+            for d in sub_lists[1:]:
+                mlist_df = mlist_df.unionByName(d, allowMissingColumns=True)
+            mlist_df = mlist_df.dropDuplicates(["manifest_path"])
+        else:
+            mlist_df = MF.read_manifest_list_df(self.spark, snap.manifest_list)
         spec_ids = [r["partition_spec_id"]
                     for r in mlist_df.select("partition_spec_id").distinct().collect()]
-
-        inc_ids = self._incremental_snapshot_ids()
         parts = []
         for spec_id in spec_ids:
             spec = md.spec_by_id(spec_id)

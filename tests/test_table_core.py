@@ -70,6 +70,32 @@ def test_time_travel_and_incremental(warehouse, orders):
     assert t.to_df(as_of_timestamp_ms=snap1.timestamp_ms).count() == evens
 
 
+def test_incremental_read_survives_later_compaction(warehouse, spark):
+    """Regression: appends_between must plan from each append snapshot's
+    OWN manifest list.  Planning from the final snapshot's list silently
+    returned ZERO rows once a compaction rewrote the appended files (the
+    ADDED entries the incremental filter looks for are replaced by the
+    rewrite's) — data loss for incremental consumers AND the streaming
+    micro-batch source, which shares this path."""
+    df = spark.range(0, 100).selectExpr("id", "id % 7 as v")
+    t = _ingest(warehouse, "db.inc_compact", df.filter("id < 50"))
+    s1 = t.metadata.current_snapshot_id
+    t.append(df.filter("id >= 50").repartition(4))
+    res = t.rewrite_data_files(min_input_files=2)
+    assert res["rewritten_files"] >= 2  # the compaction really rewrote
+    t.refresh()
+    s3 = t.metadata.current_snapshot_id
+    got = t.new_scan().appends_between(s1, s3).to_df()
+    assert got.count() == 50
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(50, 100))
+    # distributed planning path takes the same per-snapshot manifests
+    t.update_properties({"read.plan-mode": "distributed"})
+    t.refresh()
+    assert t.new_scan().appends_between(s1, s3).to_df().count() == 50
+    # a range holding ONLY the compaction yields no rows
+    assert t.new_scan().appends_between(s3, s3).to_df().count() == 0
+
+
 def test_overwrite_by_filter(warehouse, orders, spark):
     t = _ingest(warehouse, "db.ow", orders)
     repl = orders.filter("o_orderstatus = 'F'").withColumn(
