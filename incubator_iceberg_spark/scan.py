@@ -127,6 +127,20 @@ class TableScan:
             if snap.operation == "append":
                 ids.append(snap.snapshot_id)
             cur = snap.parent_id
+        # the walk must TERMINATE at from_exclusive (from=None means
+        # "from the beginning" and walks to the root).  Exhausting the
+        # chain without reaching it — from expired deeper than the
+        # retained ancestry, or never an ancestor of to_inclusive —
+        # used to silently return a wrong range (reference
+        # SnapshotUtil.snapshotIdsBetween throws on broken ancestry;
+        # changelog() already raises the same way).
+        if self.from_snapshot_exclusive is not None and \
+                cur != self.from_snapshot_exclusive:
+            raise ValueError(
+                f"snapshot {self.from_snapshot_exclusive} is not a "
+                f"reconstructable ancestor of {self.to_snapshot_inclusive}: "
+                "it was expired past the retained chain or belongs to "
+                "another lineage")
         return set(ids)
 
     def _incremental_manifest_rows(self, inc_ids: set) -> list:

@@ -96,6 +96,33 @@ def test_incremental_read_survives_later_compaction(warehouse, spark):
     assert t.new_scan().appends_between(s3, s3).to_df().count() == 0
 
 
+def test_incremental_range_validates_ancestry(warehouse, spark):
+    """appends_between must refuse a range it cannot reconstruct: a
+    `from` expired past the retained chain, or one that was never an
+    ancestor, silently returned a WRONG range before (reference
+    SnapshotUtil.snapshotIdsBetween throws on broken ancestry).  The
+    boundary case — `from` is the (expired) parent of the oldest
+    retained snapshot — stays valid: the walk terminates AT it."""
+    df = spark.range(0, 40).selectExpr("id")
+    t = _ingest(warehouse, "db.inc_exp", df.filter("id < 10"))
+    s1 = t.metadata.current_snapshot_id
+    t.append(df.filter("id >= 10 and id < 20"))
+    s2 = t.metadata.current_snapshot_id
+    t.append(df.filter("id >= 20 and id < 30"))
+    t.append(df.filter("id >= 30"))
+    s4 = t.metadata.current_snapshot_id
+    t.expire_snapshots(older_than_ms=None, retain_last=2)
+    t.refresh()
+    assert t.new_scan().appends_between(s2, s4).to_df().count() == 20
+    with pytest.raises(ValueError, match="reconstructable ancestor"):
+        t.new_scan().appends_between(s1, s4).to_df()
+    with pytest.raises(ValueError, match="reconstructable ancestor"):
+        t.new_scan().appends_between(123456789, s4).to_df()
+    # from=None = "from the beginning": after expiry that is the oldest
+    # RETAINED ancestry (what a fresh streaming consumer can still read)
+    assert t.new_scan().appends_between(None, s4).to_df().count() == 20
+
+
 def test_overwrite_by_filter(warehouse, orders, spark):
     t = _ingest(warehouse, "db.ow", orders)
     repl = orders.filter("o_orderstatus = 'F'").withColumn(
