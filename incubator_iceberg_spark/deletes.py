@@ -264,16 +264,23 @@ def arrow_apply_eq_deletes(tbl, eq_groups: list):
             for p in parts[1:]:
                 arr = pc.struct_field(arr, p)
             return arr
-        # delete parquet columns are flat, named by the LEAF field name
-        # (add_equality_deletes writes Schema([leaf fields])); the data side
-        # addresses the same key by its dotted path
+        # delete parquet columns are flat, the equality columns in
+        # equality_ids order under their WRITE-TIME names
+        # (add_equality_deletes writes Schema([leaf fields])).  Resolve
+        # by POSITION so renamed equality columns keep deleting; fall
+        # back to current leaf names for foreign files (the data side
+        # addresses the same key by its dotted path either way)
         leaves = [c.split(".")[-1] for c in cols]
         try:
-            dt = pq.read_table(path, columns=leaves)
+            dt = pq.read_table(path)
         except FileNotFoundError:
             continue
-        del_keys = pa.table({f"__k{i}": dt[leaf].cast(
-            key_arr(tbl, c).type) for i, (c, leaf) in enumerate(zip(cols, leaves))})
+        if dt.num_columns == len(cols):
+            series = [dt.column(i) for i in range(len(cols))]
+        else:
+            series = [dt[leaf] for leaf in leaves]
+        del_keys = pa.table({f"__k{i}": series[i].cast(
+            key_arr(tbl, c).type) for i, c in enumerate(cols)})
         has_null = pc.is_null(del_keys["__k0"])
         for i in range(1, len(cols)):
             has_null = pc.or_(has_null, pc.is_null(del_keys[f"__k{i}"]))
@@ -394,11 +401,27 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
                 continue
             fields = [table_schema.find_field(i) for i in ids]
             del_schema = S.Schema([f for f in fields if f is not None])
+            tgt = del_schema.to_spark()
             eq_df = None
             for e in group:
-                part = spark.read.schema(del_schema.to_spark()) \
-                    .parquet(e["file_path"]) \
-                    .withColumn("___del_seq", F.lit(e.get("sequence_number") or 0))
+                raw = spark.read.parquet(e["file_path"])
+                if len(raw.columns) == len(tgt.fields):
+                    # the delete parquet holds exactly the equality
+                    # columns in equality_ids order under their
+                    # WRITE-TIME names: resolve by POSITION to the
+                    # current names/types, so a renamed equality column
+                    # keeps deleting (field-id semantics — the data-side
+                    # analog is _project_to_current; reading by current
+                    # NAME returned all-NULL keys after a rename, which
+                    # resurrected the deleted rows and dropped NULL-keyed
+                    # ones instead)
+                    part = raw.select(*[
+                        F.col(raw.columns[i]).cast(f.dataType).alias(f.name)
+                        for i, f in enumerate(tgt.fields)])
+                else:  # foreign/imported delete file: name-based
+                    part = spark.read.schema(tgt).parquet(e["file_path"])
+                part = part.withColumn(
+                    "___del_seq", F.lit(e.get("sequence_number") or 0))
                 eq_df = part if eq_df is None else eq_df.unionByName(part)
             cond = None
             for c in cols:

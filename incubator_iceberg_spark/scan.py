@@ -115,6 +115,20 @@ class TableScan:
     def _bound_filter(self, schema: S.Schema) -> X.Expression:
         return X.bind(schema, self.row_filter, self.case_sensitive)
 
+    def _scan_schema(self, md, snap) -> S.Schema:
+        """Schema the scan binds filters against AND projects to.  An
+        EXPLICIT snapshot pin (time travel / branch read) uses the
+        schema logged with that snapshot — "as of" semantics.  Unpinned
+        scans and incremental ranges (whose pin is just the range end)
+        use the table's CURRENT schema: DDL (rename/add/promote) does
+        not create a snapshot, so snap.schema_id goes stale the moment
+        DDL lands, and binding against it rejected filters on renamed
+        columns for every ordinary scan."""
+        if self.snapshot_id is not None and not self.incremental and any(
+                s.schema_id == snap.schema_id for s in md.schemas):
+            return md.schema_by_id(snap.schema_id)
+        return md.schema()
+
     def _incremental_snapshot_ids(self) -> Optional[set]:
         if not self.incremental:
             return None
@@ -185,8 +199,7 @@ class TableScan:
         if snap is None:
             return []
         md = self.table.metadata
-        schema = md.schema_by_id(snap.schema_id) if any(
-            s.schema_id == snap.schema_id for s in md.schemas) else md.schema()
+        schema = self._scan_schema(md, snap)
         bound = self._bound_filter(schema)
         inc_ids = self._incremental_snapshot_ids()
         if inc_ids is not None:
@@ -248,8 +261,7 @@ class TableScan:
         if snap is None:
             return None
         md = self.table.metadata
-        schema = md.schema_by_id(snap.schema_id) if any(
-            s.schema_id == snap.schema_id for s in md.schemas) else md.schema()
+        schema = self._scan_schema(md, snap)
         bound = self._bound_filter(schema)
 
         inc_ids = self._incremental_snapshot_ids()
@@ -430,7 +442,13 @@ class TableScan:
 
         snap = self._snapshot()
         md = self.table.metadata
-        current_schema = md.schema()
+        # ONE schema for the whole scan — plan-time binding, row-level
+        # residuals, and the output projection must agree.  to_df used
+        # to bind against md.schema() while planning bound against the
+        # snapshot schema; after a rename the two disagreed and every
+        # filtered scan failed on one side or the other.
+        current_schema = self._scan_schema(md, snap) if snap is not None \
+            else md.schema()
 
         data, dels = self._plan_split() if snap is not None else ([], [])
         bound = self._bound_filter(current_schema)

@@ -167,6 +167,35 @@ def _as_sort_order(schema: Schema, sort_by, order_id: int = 1) -> MD.SortOrder:
     return MD.SortOrder(order_id, tuple(fields))
 
 
+def _arrow_project_to_schema(tbl, file_schema: Schema, current: Schema):
+    """Arrow-side field-ID projection (scan._project_to_current analog
+    for the JVM-free path): map a file's top-level columns to the
+    current schema by field id — renames resolve to the file's old
+    name, added columns become NULL, type promotions cast.  Nested
+    (struct-internal) renames are out of scope for the local path."""
+    if file_schema.schema_id == current.schema_id:
+        return tbl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    tgt = to_arrow_schema(current.to_spark())
+    cols, names = [], []
+    for f in current.fields:
+        path = file_schema.field_path(f.field_id)
+        want = tgt.field(f.name).type
+        top = path.split(".")[0] if path else None
+        if top is None or top not in tbl.column_names:
+            cols.append(pa.nulls(tbl.num_rows, type=want))
+        else:
+            arr = tbl[top]
+            if arr.type != want:
+                arr = pc.cast(arr, want)
+            cols.append(arr)
+        names.append(f.name)
+    return pa.table(dict(zip(names, cols)))
+
+
 class Table:
     def __init__(self, name: str, ops: TableOperations, spark=None):
         self.name = name
@@ -367,16 +396,28 @@ class Table:
             return pa.table({})
         data = [e for e in entries if (e.get("content") or 0) == 0]
         dels = [e for e in entries if (e.get("content") or 0) != 0]
+        cur = self.metadata.schema()
         tables = []
         for e in data:
             if (e.get("file_format") or "parquet") == "avro":
                 tbl = self._read_avro_local(e)
             else:
                 tbl = pq.read_table(e["file_path"])
+            # field-ID projection to the current schema BEFORE deletes
+            # (scan._project_to_current analog): files written before a
+            # rename carry the old column name — without this, to_arrow
+            # surfaced stale names and equality deletes (keyed by
+            # current names) missed their rows
+            sid = e.get("schema_id")
+            fsch = (self.metadata.schema_by_id(sid)
+                    if sid is not None and any(s.schema_id == sid
+                                               for s in self.metadata.schemas)
+                    else cur)
+            tbl = _arrow_project_to_schema(tbl, fsch, cur)
             if dels:
                 from incubator_iceberg_spark import deletes as DEL
                 pos_paths, eq_groups = DEL.scope_deletes_for_file(
-                    e, dels, self.metadata.schema())
+                    e, dels, cur)
                 tbl = DEL.arrow_apply_pos_deletes(tbl, e["file_path"], pos_paths)
                 tbl = DEL.arrow_apply_eq_deletes(tbl, eq_groups)
             tables.append(tbl)

@@ -413,3 +413,50 @@ def test_position_deletes_metadata_table(warehouse, spark):
     live = {e["file_path"] for e in data}
     assert data_paths <= live
     assert all(r.delete_file_path not in live for r in rows)
+
+
+def test_equality_deletes_survive_column_rename(warehouse, spark):
+    """Regression: eq-delete parquets hold WRITE-TIME column names; the
+    readers resolved them by CURRENT name, so after rename_column the
+    key column read as all-NULL — deleted rows resurrected (and
+    NULL-keyed rows vanished instead).  Both readers now resolve the
+    delete columns by POSITION in equality_ids order (field-id
+    semantics, like the data side's _project_to_current)."""
+    from incubator_iceberg_spark import deletes as DEL
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.range(0, 20).selectExpr("id", "cast(id % 5 as long) as v")
+    t = warehouse.create_table("db.eq_ren", Schema.from_spark(df.schema))
+    t.append(df)
+    DEL.add_equality_deletes(
+        t, spark.createDataFrame([(2,)], "v long"), ["v"], spark)
+    t.refresh()
+    t.update_schema().rename_column("v", "w").commit()
+    t.refresh()
+    got = t.to_df()
+    assert got.count() == 16
+    assert got.filter("w = 2").count() == 0
+    # filter binding on the renamed name goes through the engine scan
+    assert t.to_df(filter="w = 3").count() == 4
+    # the JVM-free local path projects to current names and applies the
+    # same deletes
+    arr = t.to_arrow()
+    assert arr.column_names == ["id", "w"]
+    assert arr.num_rows == 16
+    import pyarrow.compute as pc
+    assert (pc.sum(pc.equal(arr["w"], 2)).as_py() or 0) == 0
+
+
+def test_time_travel_uses_snapshot_schema_for_binding(warehouse, spark):
+    """Time travel to a pre-rename snapshot binds filters against (and
+    renders) THAT snapshot's schema; the current-snapshot scan uses the
+    current schema even though DDL doesn't create snapshots."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.range(0, 10).selectExpr("id", "cast(id % 5 as long) as v")
+    t = warehouse.create_table("db.tt_ren", Schema.from_spark(df.schema))
+    t.append(df)
+    s_old = t.metadata.current_snapshot_id
+    t.update_schema().rename_column("v", "w").commit()
+    t.refresh()
+    tt = t.to_df(snapshot_id=s_old, filter="v = 2")
+    assert tt.columns == ["id", "v"] and tt.count() == 2
+    assert t.to_df(filter="w = 2").count() == 2
