@@ -94,6 +94,29 @@ class UpdateSchema:
                     fields.append(S.NestedField(next_id, name, col_type,
                                                 required=False, doc=doc))
                 elif kind == "delete":
+                    fid = fields[idx(op[1])].field_id
+                    # reference SchemaUpdate rejects deleting fields
+                    # other metadata still references; silently dropping
+                    # them corrupts reads (a partition source breaks
+                    # spec re-rooting; an equality-delete key makes the
+                    # delete unapplicable and RESURRECTS deleted rows)
+                    for sp in base.specs:
+                        for pf in sp.fields:
+                            if pf.source_id == fid:
+                                raise ValueError(
+                                    f"cannot delete column '{op[1]}': it is "
+                                    f"the source of partition field "
+                                    f"'{pf.name}' (spec {sp.spec_id})")
+                    if fid in (base.schema().identifier_field_ids or ()):
+                        raise ValueError(
+                            f"cannot delete column '{op[1]}': it is an "
+                            "identifier field")
+                    if fid in _live_equality_ids(base):
+                        raise ValueError(
+                            f"cannot delete column '{op[1]}': live equality-"
+                            "delete files key on it and would stop applying "
+                            "(deleted rows would resurrect); rewrite the "
+                            "delete debt first (compact / rewrite row ops)")
                     fields.pop(idx(op[1]))
                 elif kind == "rename":
                     i = idx(op[1])
@@ -128,6 +151,27 @@ class UpdateSchema:
 
         table.metadata = MD.run_with_retries(table.ops, apply)
         return table
+
+
+def _live_equality_ids(md) -> set:
+    """Field ids referenced by LIVE equality-delete entries of the
+    current snapshot (delete-manifest walk only; has_deletes=False
+    manifests are skipped).  Used to block delete_column on fields
+    whose eq deletes would silently stop applying."""
+    from incubator_iceberg_spark import manifests as MF
+    snap = md.current_snapshot()
+    if snap is None:
+        return set()
+    ids: set = set()
+    for row in MF.read_manifest_list_arrow(snap.manifest_list).to_pylist():
+        if row.get("has_deletes") is False:
+            continue
+        for e in MF.read_manifest_arrow(row["manifest_path"]).to_pylist():
+            if e.get("status") == MF.DELETED:
+                continue
+            if (e.get("content") or 0) == MF.EQUALITY_DELETES:
+                ids.update(e.get("equality_ids") or ())
+    return ids
 
 
 def update_partition_spec(table, partition_by) -> None:

@@ -353,3 +353,28 @@ def test_rewrite_position_deletes_preserves_partition_scope(warehouse, spark):
     _, dels3 = TableScan(t, t.spark,
                          row_filter=parse_predicate("grp = 3"))._plan_split()
     assert dels3 == []
+
+
+def test_delete_column_guards_referenced_fields(warehouse, spark):
+    """delete_column must refuse fields other metadata still references
+    (reference SchemaUpdate rejects these): a partition source would
+    break spec re-rooting, an identifier field breaks row identity, and
+    an equality-delete key would make live deletes unapplicable —
+    deleted rows silently resurrected."""
+    from incubator_iceberg_spark import deletes as DEL
+    df = spark.createDataFrame(
+        [(i, i % 5, str(i)) for i in range(20)],
+        "id long, k long, x string")
+    t = _ingest(warehouse, "db.drop_guard", df, partition_by=["k"])
+    DEL.add_equality_deletes(
+        t, spark.createDataFrame([("3",)], "x string"), ["x"], spark)
+    t.refresh()
+    with pytest.raises(ValueError, match="partition field"):
+        t.update_schema().delete_column("k").commit()
+    with pytest.raises(ValueError, match="equality-"):
+        t.update_schema().delete_column("x").commit()
+    # unreferenced columns still drop, and the eq delete keeps applying
+    t.update_schema().delete_column("id").commit()
+    t.refresh()
+    assert [f.name for f in t.metadata.schema().fields] == ["k", "x"]
+    assert t.to_df().count() == 19
