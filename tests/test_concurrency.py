@@ -115,3 +115,26 @@ def test_reader_never_sees_partial_state(warehouse, spark):
     wt.join(); rt.join()
     assert not errors, errors[0]
     assert t.refresh().to_df().count() == 600
+
+
+def test_append_racing_rename_keeps_staging_schema(warehouse, spark):
+    """Regression: staged entries record the schema their files were
+    PHYSICALLY written under.  The commit-time default stamped the
+    refreshed base's schema instead, so an append whose commit retried
+    past a concurrent rename_column had its files projected under the
+    NEW name — the renamed column read as all-NULL for those rows."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.range(0, 10).selectExpr("id", "cast(id % 5 as long) as v")
+    t = warehouse.create_table("db.ddl_race", Schema.from_spark(df.schema))
+    t.append(df)
+    writer = warehouse.load_table("db.ddl_race")
+    ddl = warehouse.load_table("db.ddl_race")
+    ddl.update_schema().rename_column("v", "w").commit()
+    # stale handle: stages under the old schema, commit rebases past the
+    # rename
+    writer.append(spark.range(100, 105).selectExpr(
+        "id", "cast(1 as long) as v"))
+    t.refresh()
+    got = t.to_df()
+    assert got.count() == 15
+    assert got.filter("w = 1").count() == 7  # 2 original + 5 raced-in
