@@ -402,22 +402,33 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
             fields = [table_schema.find_field(i) for i in ids]
             del_schema = S.Schema([f for f in fields if f is not None])
             tgt = del_schema.to_spark()
+            tgt_names = [f.name for f in tgt.fields]
             eq_df = None
             for e in group:
-                raw = spark.read.parquet(e["file_path"])
-                if len(raw.columns) == len(tgt.fields):
-                    # the delete parquet holds exactly the equality
-                    # columns in equality_ids order under their
-                    # WRITE-TIME names: resolve by POSITION to the
-                    # current names/types, so a renamed equality column
-                    # keeps deleting (field-id semantics — the data-side
-                    # analog is _project_to_current; reading by current
-                    # NAME returned all-NULL keys after a rename, which
-                    # resurrected the deleted rows and dropped NULL-keyed
-                    # ones instead)
-                    part = raw.select(*[
-                        F.col(raw.columns[i]).cast(f.dataType).alias(f.name)
-                        for i, f in enumerate(tgt.fields)])
+                # the delete parquet holds exactly the equality columns
+                # in equality_ids order under their WRITE-TIME names:
+                # resolve by POSITION to the current names/types, so a
+                # renamed equality column keeps deleting (field-id
+                # semantics — the data-side analog is
+                # _project_to_current; reading by current NAME returned
+                # all-NULL keys after a rename, which resurrected the
+                # deleted rows and dropped NULL-keyed ones instead).
+                # The footer is read driver-local via pyarrow — a
+                # schema-less spark.read.parquet would run one
+                # inference job per delete file.
+                import pyarrow.parquet as _pq
+                from pyspark.sql.pandas.types import from_arrow_schema
+                fnames = _pq.read_schema(e["file_path"]).names
+                if fnames == tgt_names:
+                    part = spark.read.schema(tgt).parquet(e["file_path"])
+                elif len(fnames) == len(tgt.fields):
+                    fsp = from_arrow_schema(
+                        _pq.read_schema(e["file_path"]))
+                    part = (spark.read.schema(fsp)
+                            .parquet(e["file_path"])
+                            .select(*[F.col(fnames[i]).cast(f.dataType)
+                                      .alias(f.name)
+                                      for i, f in enumerate(tgt.fields)]))
                 else:  # foreign/imported delete file: name-based
                     part = spark.read.schema(tgt).parquet(e["file_path"])
                 part = part.withColumn(
