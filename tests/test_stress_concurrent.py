@@ -4,10 +4,13 @@ MergingSnapshotProducer.validateAddedDataFiles:246-249 and
 BaseRowDelta.validateDataFilesExist).
 
 N threads fire randomized batches of {append, CoW delete, MoR delete,
-compaction} at ONE table through independent catalog handles (each op
-loads fresh metadata, as independent writers would).  Every op either
-commits atomically or aborts with ValidationException /
+compaction, schema DDL} at ONE table through independent catalog
+handles (each op loads fresh metadata, as independent writers would).
+Every op either commits atomically or aborts with ValidationException /
 CommitFailedException — never anything else, and never a torn state.
+The DDL op toggles a VALUES-CARRYING column's name (note <-> note2):
+appends that race a rename must still surface their values under the
+renamed name (staging-time schema_id stamping — invariant 5).
 
 Afterwards the FULL history is checked, not just the final snapshot:
 
@@ -50,14 +53,15 @@ def test_randomized_concurrent_stress(warehouse, spark, partition_by):
     rng = random.Random(SEED)
     name = "db.stress"
     df0 = spark.createDataFrame(
-        [(i, i % 6, f"seed{i}") for i in range(60)],
-        "id long, grp long, payload string")
+        [(i, i % 6, f"seed{i}", f"n{i}") for i in range(60)],
+        "id long, grp long, payload string, note string")
     warehouse.create_table(name, Schema.from_spark(df0.schema),
                            partition_by=partition_by).append(df0)
 
     lock = threading.Lock()
     state = {"next_id": 1000, "aborts": 0}
     ok_appends = []   # rows of successful append commits
+    note_of = {i: f"n{i}" for i in range(60)}  # id → expected note value
     errors = []
 
     def alloc_ids(n):
@@ -73,10 +77,28 @@ def test_randomized_concurrent_stress(warehouse, spark, partition_by):
         rows = [(i, -1 if k < 8 else k % 6, f"p{i}")
                 for k, i in enumerate(ids)]
         t = warehouse.load_table(name)
+        # the note column under whatever name THIS handle sees (a rename
+        # may land between here and the commit — values must survive)
+        note_name = t.metadata.schema().fields[3].name
+        full = [(i, g, p, f"n{i}") for i, g, p in rows]
         t.append(spark.createDataFrame(
-            rows, "id long, grp long, payload string").repartition(1))
+            full, f"id long, grp long, payload string, {note_name} string")
+            .repartition(1))
         with lock:
             ok_appends.extend(rows)
+            note_of.update({i: f"n{i}" for i, _, _ in rows})
+
+    def op_rename_ddl(r):
+        # toggle the scratch column name; a concurrent toggle winning the
+        # CAS makes OUR direction invalid → ValueError = legitimate loss
+        t = warehouse.load_table(name)
+        cur = t.metadata.schema().fields[3].name
+        new = "note2" if cur == "note" else "note"
+        try:
+            t.update_schema().rename_column(cur, new).commit()
+        except ValueError:
+            with lock:
+                state["aborts"] += 1
 
     def op_cow_delete(r):
         g = r.randrange(6)
@@ -104,7 +126,7 @@ def test_randomized_concurrent_stress(warehouse, spark, partition_by):
             {"payload": "payload"}, f"grp = {g}", mode="merge-on-read")
 
     OPS = [op_append, op_append, op_cow_delete, op_mor_delete, op_compact,
-           op_update_cow, op_update_mor]
+           op_update_cow, op_update_mor, op_rename_ddl]
 
     def run_one(fn, seed):
         r = random.Random(seed)
@@ -188,7 +210,20 @@ def test_randomized_concurrent_stress(warehouse, spark, partition_by):
         f"changelog replay mismatch: {len(live)} replayed vs {len(final)} "
         f"scanned; sample diff {sorted((live ^ final))[:5]}")
 
+    # 5. schema-DDL races never lose column values: every surviving row's
+    # note value (under the column's FINAL name) matches what its append
+    # wrote — an append whose commit rebased past a rename must still
+    # project its files under the staging-time schema
+    note_name = t.metadata.schema().fields[3].name
+    assert note_name in ("note", "note2")
+    got_notes = {r.id: r[note_name]
+                 for r in t.to_df().select("id", note_name).collect()}
+    wrong = {i: v for i, v in got_notes.items() if v != note_of.get(i)}
+    assert not wrong, f"note values lost/corrupted across renames: " \
+                      f"{sorted(wrong.items())[:5]}"
+
     # the race must actually have raced: at tiny scale with 100 mixed ops
     # we expect at least one optimistic abort (not an invariant — log it)
     print(f"stress: {N_OPS} ops, {state['aborts']} optimistic aborts, "
-          f"{len(snaps)} snapshots, {len(final)} final rows")
+          f"{len(snaps)} snapshots, {len(final)} final rows, "
+          f"note column ended as '{note_name}'")
