@@ -114,8 +114,26 @@ def _write_added_manifests(md_dir: str, base: TableMetadata, entries: list,
                            spec_id: Optional[int] = None) -> list:
     """Write the added-entries manifest(s); returns manifest-list rows
     (one for small commits; several, written distributedly, for huge ones)."""
+    if spec_id is None:
+        # staged entries carry the spec they were PHYSICALLY partitioned
+        # under (stage_write stamps it); defaulting to the refreshed
+        # base's current spec mis-serializes the partition tuple when a
+        # spec evolution landed between staging and commit
+        stamped = {e.get("spec_id") for e in entries
+                   if e.get("spec_id") is not None}
+        if len(stamped) == 1:
+            spec_id = stamped.pop()
     spec = base.spec_by_id(spec_id) if spec_id is not None else base.spec()
     schema = base.schema()
+    stamped_schemas = {e.get("schema_id") for e in entries
+                       if e.get("schema_id") is not None}
+    if len(stamped_schemas) == 1:
+        sid = stamped_schemas.pop()
+        if any(s.schema_id == sid for s in base.schemas):
+            # serialize bounds under the schema the stats were collected
+            # with — after a raced rename the bounds dict is keyed by the
+            # write-time names
+            schema = base.schema_by_id(sid)
     for e in entries:
         e.setdefault("status", M.ADDED)
         e.setdefault("snapshot_id", snapshot_id)
@@ -382,9 +400,17 @@ def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
 
 def replace_partitions(ops: TableOperations, added_entries: list,
                        partition_tuples: Iterable[tuple],
-                       extra_summary: Optional[dict] = None) -> TableMetadata:
+                       extra_summary: Optional[dict] = None,
+                       spec_id: Optional[int] = None) -> TableMetadata:
     """C4 dynamic partition overwrite (BaseReplacePartitions.java): drop
-    every live file whose partition tuple ∈ written set, then append."""
+    every live file whose partition tuple ∈ written set, then append.
+
+    ``spec_id`` is the spec the caller computed the tuples under (the
+    write-time spec).  Matching is restricted to manifests of THAT spec:
+    tuples are positional values, so matching them against a different
+    spec's fields can collide across specs — a dynamic overwrite racing
+    a spec evolution could drop an unrelated partition's files (old
+    ``grp=1`` tuple (1,) == new ``bucket(id)=1`` tuple (1,))."""
     written = {tuple(t) for t in partition_tuples}
     dropped_acc: list = []
 
@@ -393,10 +419,15 @@ def replace_partitions(ops: TableOperations, added_entries: list,
 
         def make(base, snapshot_id, seq):
             md_dir = os.path.join(base.location, "metadata")
-            spec = base.spec()
+            sid = spec_id if spec_id is not None else base.spec().spec_id
+            spec = base.spec_by_id(sid) if any(
+                s.spec_id == sid for s in base.specs) else base.spec()
             part_names = [f.name for f in spec.partition_type().fields]
             rows = []
             for row in _manifest_rows(base):
+                if row.get("partition_spec_id") != spec.spec_id:
+                    rows.append(row)  # other-spec manifests untouched
+                    continue
                 tbl = M.read_manifest_arrow(row["manifest_path"])
                 drop = set()
                 for e in tbl.to_pylist():

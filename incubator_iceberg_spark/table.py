@@ -314,12 +314,16 @@ class Table:
 
     def dynamic_overwrite(self, df, spark=None) -> "Table":
         """S10 INSERT OVERWRITE dynamic partitions (SparkWrite.java:264-273)."""
+        spec = self.metadata.spec()
         entries = self._stage(df, spark)
-        pt = self.metadata.spec().partition_type()
-        names = [f.name for f in pt.fields]
+        names = [f.name for f in spec.partition_type().fields]
         tuples = {tuple((e.get("partition") or {}).get(n) for n in names)
                   for e in entries}
-        self.metadata = SN.replace_partitions(self.ops, entries, tuples)
+        # pass the WRITE-TIME spec: the commit may rebase past a
+        # concurrent spec evolution and the tuples only mean anything
+        # under the spec they were computed with
+        self.metadata = SN.replace_partitions(self.ops, entries, tuples,
+                                              spec_id=spec.spec_id)
         return self
 
     # -- row-level ops (§2.8) ----------------------------------------------

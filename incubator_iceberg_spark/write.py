@@ -162,13 +162,16 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
             "nan_counts": st.get("nan_counts"),
             "lower_bounds": st["lower_bounds"],
             "upper_bounds": st["upper_bounds"],
-            # the schema the files were PHYSICALLY written under.  The
-            # commit-time setdefault would stamp the refreshed base's
-            # current schema — wrong when a rename/add lands between
-            # staging and commit (the retry loop rebases): field-ID
-            # projection then looks for the NEW name in files holding
-            # the OLD one and reads the column as all-NULL.
+            # the schema AND spec the files were PHYSICALLY written
+            # under.  The commit-time setdefault would stamp the
+            # refreshed base's current ones — wrong when DDL lands
+            # between staging and commit (the retry loop rebases):
+            # a rename made field-ID projection read the renamed column
+            # as all-NULL, and a spec evolution serialized the staged
+            # partition tuple under the NEW spec's struct — the tuple
+            # nulled out and partition pruning then dropped live files.
             "schema_id": schema.schema_id,
+            "spec_id": spec.spec_id,
         }
         if spec.is_partitioned:
             e["partition"] = partition

@@ -138,3 +138,55 @@ def test_append_racing_rename_keeps_staging_schema(warehouse, spark):
     got = t.to_df()
     assert got.count() == 15
     assert got.filter("w = 1").count() == 7  # 2 original + 5 raced-in
+
+
+def test_append_racing_spec_evolution_keeps_staging_spec(warehouse, spark):
+    """Regression: staged entries carry the spec their files were
+    PHYSICALLY partitioned under.  Defaulting to the refreshed base's
+    spec serialized the staged partition tuple under the NEW spec's
+    struct — the tuple nulled out, and bucket pruning then silently
+    dropped the raced-in file from filtered scans."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.range(0, 40).selectExpr("id", "cast(id % 4 as long) as grp")
+    t = warehouse.create_table("db.spec_race", Schema.from_spark(df.schema),
+                               partition_by=["grp"])
+    t.append(df)
+    writer = warehouse.load_table("db.spec_race")
+    warehouse.load_table("db.spec_race").update_spec(["bucket(4, id)"])
+    writer.append(spark.range(100, 110).selectExpr(
+        "id", "cast(1 as long) as grp"))
+    t.refresh()
+    raced = [e for e in t.new_scan().plan_entries_local(force=True)
+             if (e.get("partition") or {}).get("grp") == 1
+             and e.get("spec_id") == 0]
+    assert len(raced) == 2  # original grp=1 file + the raced-in one
+    assert t.to_df(filter="id = 105").count() == 1
+    assert t.to_df(filter="grp = 1").count() == 20
+
+
+def test_dynamic_overwrite_racing_spec_evolution_is_spec_scoped(
+        warehouse, spark):
+    """Regression: replace_partitions matched positional tuples against
+    the REBASED base's spec, so a dynamic overwrite racing a spec
+    evolution could collide tuples across specs (old grp=1 == new
+    bucket=1) and drop an unrelated partition's files.  Matching is now
+    scoped to the write-time spec's manifests (reference
+    BaseReplacePartitions keys replaced partitions by (spec_id, tuple))."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.range(0, 40).selectExpr("id", "cast(id % 4 as long) as grp")
+    t = warehouse.create_table("db.dyn_race", Schema.from_spark(df.schema),
+                               partition_by=["grp"])
+    t.append(df)
+    writer = warehouse.load_table("db.dyn_race")
+    warehouse.load_table("db.dyn_race").update_spec(["bucket(4, id)"])
+    other = warehouse.load_table("db.dyn_race")
+    other.append(spark.range(1000, 1040).selectExpr(
+        "id", "cast(9 as long) as grp"))  # new-spec files, bucket tuples
+    # stale writer replaces grp=1 under the OLD spec; bucket partitions
+    # whose tuple value collides (bucket==1) must be untouched
+    writer.dynamic_overwrite(spark.range(500, 505).selectExpr(
+        "id", "cast(1 as long) as grp"))
+    t.refresh()
+    assert t.to_df(filter="grp = 1").count() == 5      # replaced
+    assert t.to_df(filter="grp = 9").count() == 40     # untouched
+    assert t.to_df().count() == 30 + 5 + 40
