@@ -411,3 +411,71 @@ def test_token_budget_sample_prefix_by_hash(spark):
         df.repartition(7), {"s0": 25, "s1": 100}, "source", "doc_id", "text")
     assert {(r.doc_id, r.cum_tokens) for r in out2.collect()} \
         == {(r.doc_id, r.cum_tokens) for r in out.collect()}
+
+
+def test_duplicated_spans_matches_python_reference(spark):
+    """Randomized cross-check against a brute-force python reference:
+    tiny alphabet forces real cross-doc collisions, per-doc interval
+    union computed naively via a position set."""
+    import random
+    n, min_docs = 3, 2
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        docs = []
+        for d in range(30):
+            toks = [rng.choice("abcdef") for _ in range(rng.randrange(0, 15))]
+            docs.append((d, " ".join(toks)))
+        # reference
+        grams = {}
+        tok_of = {}
+        for d, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            tok_of[d] = toks
+            for p in range(len(toks) - n + 1):
+                grams.setdefault(" ".join(toks[p:p + n]), set()).add(d)
+        dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+        expect = {}
+        for d, _ in docs:
+            toks = tok_of[d]
+            starts = [p for p in range(len(toks) - n + 1)
+                      if " ".join(toks[p:p + n]) in dup]
+            covered = set()
+            for p in starts:
+                covered.update(range(p, p + n))
+            micro = (len(covered) * 1_000_000) // len(toks) if toks else 0
+            expect[d] = (len(toks), len(starts), len(covered), micro)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.dup_windows, r.dup_cover_tokens,
+                          r.dup_cover_micro)
+               for r in corpus.duplicated_spans(df, n=n,
+                                                min_docs=min_docs).collect()}
+        assert got == expect, f"seed {seed}: {got} != {expect}"
+
+
+def test_token_budget_sample_matches_python_reference(spark):
+    import random
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = [(i, "w " * rng.randrange(1, 12), f"s{i % 3}")
+                for i in range(40)]
+        budgets = {"s0": 30, "s1": 15}
+        # reference: per-stratum hash order; the running total INCLUDING
+        # the current doc must stay within budget, and it accumulates
+        # unconditionally — after the first overflow no later (smaller)
+        # doc can slip back in
+        def u(k):
+            return ((k % 1_000_000) * 2654435761 % 1_000_000, k)
+        expect = set()
+        for s, b in budgets.items():
+            cum = 0
+            for i, text, src in sorted(rows, key=lambda r: u(r[0])):
+                if src != s:
+                    continue
+                ntok = len(text.split())
+                cum += ntok
+                if cum <= b:
+                    expect.add(i)
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r.doc_id for r in corpus.token_budget_sample(
+            df, budgets, "source", "doc_id").collect()}
+        assert got == expect, f"seed {seed}"
