@@ -268,21 +268,23 @@ class TableScan:
         if inc_ids is not None:
             # incremental: plan from each append snapshot's OWN manifest
             # list (see _incremental_manifest_rows — the final snapshot's
-            # list loses appends a later rewrite replaced)
-            sub_lists = []
-            for sid in inc_ids:
-                s = md.snapshot_by_id(sid)
-                if s is None:
-                    continue
-                sub_lists.append(
-                    MF.read_manifest_list_df(self.spark, s.manifest_list)
-                    .filter(F.col("added_snapshot_id") == sid))
-            if not sub_lists:
+            # list loses appends a later rewrite replaced).  ONE
+            # multi-path read + a broadcast semi-join on the id set: a
+            # manifest added by snapshot X carries added_snapshot_id=X
+            # in EVERY list that references it, so filtering the in-range
+            # lists on membership is equivalent to the per-list loop —
+            # without a per-snapshot DataFrame union (O(range) plan
+            # nodes) or an O(range) isin literal in the plan tree.
+            paths = [s.manifest_list
+                     for sid in inc_ids
+                     for s in (md.snapshot_by_id(sid),) if s is not None]
+            if not paths:
                 return None
-            mlist_df = sub_lists[0]
-            for d in sub_lists[1:]:
-                mlist_df = mlist_df.unionByName(d, allowMissingColumns=True)
-            mlist_df = mlist_df.dropDuplicates(["manifest_path"])
+            ids_df = self.spark.createDataFrame(
+                [(i,) for i in inc_ids], "added_snapshot_id long")
+            mlist_df = (self.spark.read.parquet(*paths)
+                        .join(F.broadcast(ids_df), "added_snapshot_id")
+                        .dropDuplicates(["manifest_path"]))
         else:
             mlist_df = MF.read_manifest_list_df(self.spark, snap.manifest_list)
         spec_ids = [r["partition_spec_id"]
