@@ -208,7 +208,16 @@ def _merge_small_manifests(base: TableMetadata, manifest_rows: list,
                     v = e.get(k)
                     if isinstance(v, list):
                         e[k] = dict(v) if v else None
-                if e.get("status") == M.ADDED:
+                # only PREVIOUSLY-committed entries become EXISTING —
+                # the merging commit's own entries stay ADDED (reference
+                # ManifestMergeManager: writer.add vs writer.existing).
+                # Flipping them too made the merging snapshot's append
+                # invisible to incremental scans and the streaming
+                # source (status==ADDED filter), silently dropping one
+                # commit's rows whenever fast-append pressure crossed
+                # the merge threshold.
+                if e.get("status") == M.ADDED and \
+                        e.get("snapshot_id") != snapshot_id:
                     e["status"] = M.EXISTING
                 entries.append(e)
         spec = base.spec_by_id(spec_id)

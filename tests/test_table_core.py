@@ -480,3 +480,26 @@ def test_plan_tasks_splits_large_files_and_packs_lookback(warehouse, orders, spa
     for g in tasks:
         if len(g) > 1:
             assert sum(max(s["length"], 1024) for s in g) <= 4096
+
+
+def test_incremental_read_survives_manifest_merge(warehouse, spark):
+    """Regression: when fast-append pressure triggers the small-manifest
+    merge, the merging commit's OWN entries must stay status=ADDED in
+    the combined manifest (only previously-committed entries flip to
+    EXISTING) — flipping them all made that commit's rows invisible to
+    incremental scans and the streaming source."""
+    df = spark.range(0, 10).selectExpr("id")
+    t = _ingest(warehouse, "db.inc_merge", df.limit(0),
+                properties={"commit.manifest.min-count-to-merge": "4"})
+    s0 = t.metadata.current_snapshot_id
+    for i in range(6):  # crosses the merge threshold more than once
+        t.append(spark.range(i * 10, i * 10 + 10).selectExpr("id")
+                 .coalesce(1))
+    t.refresh()
+    cur = t.metadata.current_snapshot_id
+    got = t.new_scan().appends_between(s0, cur).to_df()
+    assert got.count() == 60
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(60))
+    t.update_properties({"read.plan-mode": "distributed"})
+    t.refresh()
+    assert t.new_scan().appends_between(s0, cur).to_df().count() == 60
