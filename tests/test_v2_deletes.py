@@ -460,3 +460,38 @@ def test_time_travel_uses_snapshot_schema_for_binding(warehouse, spark):
     tt = t.to_df(snapshot_id=s_old, filter="v = 2")
     assert tt.columns == ["id", "v"] and tt.count() == 2
     assert t.to_df(filter="w = 2").count() == 2
+
+
+def test_randomized_filtered_scans_with_mor_debt(warehouse, spark):
+    """Fuzz the delete-application stack: after a sequence of
+    merge-on-read deletes, every filtered scan must equal raw Spark
+    applied to (base minus deleted) — deleted rows may never resurrect
+    under any filter (the r4 partition-pruning resurrection class), and
+    live rows may never vanish."""
+    import random
+    from incubator_iceberg_spark.schema import Schema
+    rng = random.Random(7)
+    rows = [(i, i % 12, ["red", "blue", "green"][i % 3],
+             float(i % 50)) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, m long, c string, v double")
+    t = warehouse.create_table("db.fuzz_mor", Schema.from_spark(df.schema),
+                               partition_by=["m"])
+    t.append(df.repartition(4))
+
+    deletes = ["c = 'red' AND m = 3", "v >= 40", "id % 97 = 5", "m = 7"]
+    live = df
+    for p in deletes:
+        t.delete_where(p, mode="merge-on-read")
+        live = live.where(f"NOT coalesce(({p}), false)")
+    t.refresh()
+
+    filters = ["m = 3", "m >= 6", "c = 'red'", "v < 10", "id BETWEEN 100 AND 300",
+               "m = 7 OR c = 'blue'", "v >= 40 OR id < 50", None]
+    for q in filters:
+        want = {r.id for r in (live.filter(q) if q else live).collect()}
+        got = {r.id for r in (t.to_df(filter=q) if q else t.to_df()).collect()}
+        assert got == want, (f"filter {q!r}: {len(got)} vs {len(want)}; "
+                             f"diff {sorted(got ^ want)[:6]}")
+    # and the local (pyarrow) path agrees on the full table
+    arr_ids = set(t.to_arrow()["id"].to_pylist())
+    assert arr_ids == {r.id for r in live.collect()}
