@@ -556,3 +556,39 @@ def test_randomized_predicates_match_raw_spark(warehouse, spark):
                 f"raw spark {len(want)}; diff sample "
                 f"{sorted(got ^ want)[:5]}")
         assert total_files >= 4  # the fuzz actually spans multiple files
+
+
+def test_randomized_timestamp_partition_predicates(warehouse, spark):
+    """Seeded timestamp fuzz over month()/day() partition transforms:
+    boundary-sensitive range predicates (µs extremes included) must
+    match raw Spark exactly — the transform-ordinal projection and
+    bounds pruning may only skip files with no matching rows."""
+    import datetime
+    import random
+    rng = random.Random(123)
+    rows = []
+    for i in range(300):
+        ts = datetime.datetime(1996 + rng.randrange(0, 3),
+                               rng.randrange(1, 13), rng.randrange(1, 28),
+                               rng.randrange(0, 24), 30, 15,
+                               rng.choice([0, 1, 999999]))
+        rows.append((i, ts, rng.uniform(-100, 100)))
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    preds = []
+    for _ in range(8):
+        y, m, d = (1996 + rng.randrange(0, 3), rng.randrange(1, 13),
+                   rng.randrange(1, 28))
+        lit = f"TIMESTAMP '{y:04d}-{m:02d}-{d:02d} 12:00:00'"
+        preds.append(rng.choice([
+            f"ts >= {lit}", f"ts < {lit}", f"ts = {lit}",
+            f"ts >= {lit} OR v > 50",
+        ]))
+    for variant, part in (("month", ["month(ts)"]), ("day", ["day(ts)"])):
+        t = warehouse.create_table(f"db.tsfuzz_{variant}",
+                                   Schema.from_spark(df.schema),
+                                   partition_by=part)
+        t.append(df.repartition(4))
+        for p in preds:
+            want = {r.id for r in df.filter(p).collect()}
+            got = {r.id for r in t.to_df(filter=p).collect()}
+            assert got == want, f"{variant}: {p!r}: diff {sorted(got ^ want)[:4]}"
