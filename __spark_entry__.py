@@ -2272,22 +2272,71 @@ def q_token_budget_sample(spark, sf_dir):
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (temporal.asof_join): every click gets the latest
+    purchase at-or-before it per user — the union + ordered-window form
+    (ONE shuffle, no inequality-join explosion).  The oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN, an independent implementation of the same
+    semantics; the right side is deduped per (user, ts) so tie handling
+    can't differ between engines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from incubator_iceberg_spark.functions import temporal
+    ev = _table(spark, sf_dir, "events_stream").to_df()
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", "value", "event_id")
+                   .withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn", "event_id"))
+    out = temporal.asof_join(clicks, purchases, on="user_id",
+                             left_ts="ts", right_ts="ts",
+                             value_cols=["value"])
+    return out.select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle (corpus.shuffle_shards):
+    pseudo-random global permutation materialized as N independently
+    ordered shards (shard = hash(key) % N, pos = rank by hash within the
+    shard) — RNG-free so re-runs are identical; the oracle replays the
+    exact int64 hash + window in SQL."""
+    from incubator_iceberg_spark.functions import corpus as C
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    out = C.shuffle_shards(df, n_shards=8, key_col="doc_id")
+    return out.select("doc_id", "shard", "pos")
+
+
+def q_sq8_probe(spark, sf_dir):
+    """Scalar-quantized ANN (similarity.sq8_topk): per-dim int8 codes
+    (4x memory vs float32 — the memory-bound scale path for brute-force
+    probes), approximate inner-product scores in EXACT int64 micro^2
+    units, so the SQL oracle replays train + encode + score bit-for-bit
+    with zero float-order ambiguity."""
+    from incubator_iceberg_spark.functions import similarity
+    df = _table(spark, sf_dir, "embeddings_ice").to_df()
+    qv = _query_vector(sf_dir)
+    return similarity.sq8_topk(df, qv, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [20 never-driver-verified queries: the round-4 additions (CDC sink,
-    # partitions-over-evolved-specs, position_deletes_meta,
-    # corpus_quality_gate, stratified_sample, pii_scrub, dedup_keep_best,
-    # incremental_dedup, duplicated_spans, token_budget_sample) + the 10
-    # round-3 additions that landed past the r3 window, incl. SURVEY rows
-    # O1 sorted_write_clustering and P17 metrics_modes]
+    # [23 never-driver-verified queries: the round-4 additions (asof join,
+    # shuffle_shards, SQ8 ANN, CDC sink, partitions-over-evolved-specs,
+    # position_deletes_meta, corpus_quality_gate, stratified_sample,
+    # pii_scrub, dedup_keep_best, incremental_dedup, duplicated_spans,
+    # token_budget_sample) + the 10 round-3 additions that landed past the
+    # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
+    # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [27 least-recently-verified rows of the r2-green set].  To make
-    # room for the two newest queries, knn_join and text_stats moved to
+    # + [24 least-recently-verified rows of the r2-green set].  To make
+    # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
     # with in-prefix ann_bruteforce; text_stats is a subset of in-prefix
-    # text_analyze).  Seven more r2-green rows
-    # (multimodal_frames..catalog_txn_multi_table) sit just past the
+    # text_analyze).  Ten more r2-green rows
+    # (skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
     # Rotated to the back: the 47 rows re-verified by the r3 driver run,
@@ -2302,6 +2351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py.
     return {
         # --- never driver-verified (new r4 + late-r3 additions) -----------
+        "asof_join_events": q_asof_join_events,
+        "shuffle_shards": q_shuffle_shards,
+        "sq8_probe": q_sq8_probe,
         "duplicated_spans": q_duplicated_spans,
         "token_budget_sample": q_token_budget_sample,
         "streaming_cdc_apply": q_streaming_cdc_apply,
@@ -2538,6 +2590,71 @@ def _pipeline_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_join_events": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), purchases AS (
+                SELECT user_id, ts, value FROM (
+                    SELECT user_id, ts, value,
+                           row_number() OVER (PARTITION BY user_id, ts
+                                              ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'purchase')
+                WHERE rn = 1
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.ts AS asof_ts, p.value AS asof_value
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "shuffle_shards": """
+            WITH h AS (
+                SELECT doc_id,
+                       ((((doc_id % 1000000) + 1000000) % 1000000)
+                        * 2654435761) % 1000000 AS hh
+                FROM documents
+            )
+            SELECT doc_id, hh % 8 AS shard,
+                   CAST(row_number() OVER (PARTITION BY hh % 8
+                                           ORDER BY hh, doc_id) - 1 AS INT)
+                       AS pos
+            FROM h
+        """,
+        "sq8_probe": """
+            WITH dims AS (
+                SELECT t.d,
+                       CAST(floor(min(embedding[t.d]::DOUBLE) * 1000000)
+                            AS BIGINT) AS mn,
+                       CAST(floor(max(embedding[t.d]::DOUBLE) * 1000000)
+                            AS BIGINT) -
+                       CAST(floor(min(embedding[t.d]::DOUBLE) * 1000000)
+                            AS BIGINT) AS su
+                FROM embeddings, range(1, 65) t(d)
+                GROUP BY t.d
+            ), q_u AS (
+                SELECT t.d,
+                       CAST(floor(v.embedding[t.d]::DOUBLE * 1000000)
+                            AS BIGINT) AS qv
+                FROM (SELECT embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 1) v, range(1, 65) t(d)
+            ), codes AS (
+                SELECT e.vec_id, d.d, d.mn, d.su,
+                       CASE WHEN d.su <= 0 THEN 0
+                            ELSE least(255, greatest(0,
+                                (CAST(floor(e.embedding[d.d]::DOUBLE
+                                            * 1000000) AS BIGINT) - d.mn)
+                                * 255 // d.su))
+                       END AS c
+                FROM embeddings e, dims d
+            )
+            SELECT c.vec_id,
+                   CAST(sum((c.mn + (c.su * c.c) // 255) * q.qv)
+                        AS BIGINT) AS sq8_score
+            FROM codes c JOIN q_u q ON c.d = q.d
+            GROUP BY c.vec_id
+            ORDER BY sq8_score DESC, c.vec_id LIMIT 10
+        """,
         "text_analyze": _text_analyze_oracle(),
         "pipeline_clean_corpus": _pipeline_oracle(),
         "q1_pricing_summary": """

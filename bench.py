@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "duplicated_spans",
     "token_budget_sample",
+    # round-4 late additions: as-of join, training shuffle, SQ8 ANN
+    "asof_join_events",
+    "shuffle_shards",
+    "sq8_probe",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -487,3 +487,39 @@ def token_budget_sample(df, budgets: dict, strata_col: str, key_col: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (df.withColumn("cum_tokens", F.sum("n_tokens").over(w))
               .filter(F.col("cum_tokens") <= budget))
+
+
+def mixture_h(key_col):
+    """The integer form of ``mixture_u``: deterministic pseudo-uniform
+    int64 in ``[0, 1e6)`` — same value in every engine (exact int64
+    arithmetic, key reduced mod M before the multiply)."""
+    from pyspark.sql import functions as F
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.pmod(c, F.lit(_MIX_M)) * F.lit(_MIX_K), F.lit(_MIX_M))
+
+
+def shuffle_shards(df, n_shards: int, key_col: str = "doc_id"):
+    """Deterministic global training-data shuffle + shard assignment.
+
+    Every row gets ``(shard, pos)``: ``shard = h(key) % n_shards`` and
+    ``pos`` = rank within the shard by ``(h(key), key)`` — i.e. a
+    pseudo-random global permutation materialized as N independently
+    ordered shards, the layout a trainer streams (read shards in any
+    order, each shard internally shuffled).  RNG-free: re-runs — and
+    incremental re-runs after appends — place unchanged keys in the same
+    relative order.
+
+    Scale shape: one hash exchange on ``shard`` + a per-shard window
+    sort.  Parallelism == ``n_shards`` and per-task memory is one shard,
+    so choose ``n_shards`` ≈ corpus_size / target_shard_rows (a shard is
+    a training file: 100 TB at 100 MB shards -> 10^6 shards, far wider
+    than any cluster).  No global sort, no driver state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    h = mixture_h(key_col)
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(),
+                                            F.col(key_col).asc())
+    return (df.withColumn("__h", h)
+              .withColumn("shard", F.pmod(F.col("__h"), F.lit(int(n_shards))))
+              .withColumn("pos", F.row_number().over(w) - F.lit(1))
+              .drop("__h"))

@@ -1,0 +1,88 @@
+"""Time-series as-of joins — an operator family the reference lacks but a
+training-data / event pipeline needs constantly (attach the latest prior
+fact to every observation: last purchase before a click, last model
+checkpoint before a run, last price before a trade).
+
+Spark has no ASOF JOIN; the naive encoding is an inequality join
+(``l.ts >= r.ts``) whose range-join explosion is O(|L|·|R|) per key.  The
+scale-correct shape used here is the UNION + ORDERED WINDOW form:
+
+  1. tag both sides and union them (no join at all),
+  2. one hash exchange on the key,
+  3. per-key ordered window with ``last(value, ignorenulls=True)`` carries
+     the most recent right-side row forward onto every left row.
+
+Cost: ONE shuffle of |L|+|R| rows and a per-key sort — the same price as
+a plain equi-join, independent of how many right rows precede each left
+row.  Skew note: a hot key sorts in one task; per-key cardinality bounds
+task size (salting is inapplicable — order within the key is the
+semantics), so pre-filter the right side to the columns/rows needed.
+
+Semantics match pandas ``merge_asof(direction='backward')`` with
+``allow_exact_matches=True``: at equal timestamps the right row counts
+(right rows sort before left rows at the same instant).  Deterministic
+tiebreak: among right rows sharing a timestamp the one with the largest
+ordering key wins (documented, stable across engines).
+"""
+
+from __future__ import annotations
+
+
+def asof_join(left, right, on, left_ts: str, right_ts: str,
+              value_cols, direction: str = "backward",
+              tiebreak: str | None = None, prefix: str = "asof_"):
+    """For every ``left`` row, attach the most recent ``right`` row at or
+    before (``backward``) / the earliest at or after (``forward``) its
+    timestamp, per ``on`` key.  Returns ``left`` plus ``{prefix}{right_ts}``
+    and ``{prefix}{c}`` for each value column (NULL when no right row
+    qualifies).
+
+    ``tiebreak``: right-side column ordering simultaneous right rows (the
+    max wins for backward, min for forward); defaults to ``right_ts``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    tiebreak = tiebreak or right_ts
+
+    carried = F.struct(F.col(right_ts).alias("__ts"),
+                       F.col(tiebreak).alias("__tb"),
+                       *[F.col(c).alias(c) for c in value_cols])
+    r = right.select(*on,
+                     F.col(right_ts).alias("__ats"),
+                     F.lit(0).alias("__side"),
+                     carried.alias("__carry"))
+    left_cols = left.columns
+    l = left.select(*left_cols,  # noqa: E741
+                    F.col(left_ts).alias("__ats"),
+                    F.lit(1).alias("__side"),
+                    F.lit(None).cast(r.schema["__carry"].dataType).alias("__carry"))
+    # union by name: pad the right side with NULLs for left-only columns
+    for c in left_cols:
+        if c not in on:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.unionByName(r.select(l.columns))
+
+    if direction == "backward":
+        # at equal ts the right row sorts first => "at-or-before" includes it;
+        # among simultaneous right rows the LAST in (__ts, __tb) order wins
+        order = [F.col("__ats").asc(), F.col("__side").asc(),
+                 F.col("__carry.__tb").asc_nulls_first()]
+    else:
+        order = [F.col("__ats").desc(), F.col("__side").asc(),
+                 F.col("__carry.__tb").desc_nulls_first()]
+    w = (Window.partitionBy(*on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last("__carry", ignorenulls=True).over(w)
+
+    out = (u.withColumn("__m", matched)
+            .filter(F.col("__side") == 1)
+            .select(*left_cols,
+                    F.col(f"__m.__ts").alias(f"{prefix}{right_ts}"),
+                    *[F.col(f"__m.{c}").alias(f"{prefix}{c}")
+                      for c in value_cols]))
+    return out

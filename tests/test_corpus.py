@@ -479,3 +479,37 @@ def test_token_budget_sample_matches_python_reference(spark):
         got = {r.doc_id for r in corpus.token_budget_sample(
             df, budgets, "source", "doc_id").collect()}
         assert got == expect, f"seed {seed}"
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = corpus.shuffle_shards(df, n_shards=7, key_col="doc_id").toPandas()
+    # every input row appears exactly once
+    assert sorted(out["doc_id"]) == list(range(1000))
+    # positions are dense 0..n_i-1 within every shard
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    assert set(out["shard"]) <= set(range(7))
+
+
+def test_shuffle_shards_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = corpus.shuffle_shards(df, n_shards=4).toPandas()
+    b = corpus.shuffle_shards(df.repartition(13), n_shards=4).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_shuffle_shards_incremental_order_stable(spark):
+    """Appending new keys must not reorder surviving keys relative to each
+    other within a shard (the hash order is a property of the key alone)."""
+    base = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    grown = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    a = corpus.shuffle_shards(base, n_shards=4).toPandas()
+    b = corpus.shuffle_shards(grown, n_shards=4).toPandas()
+    b = b[b["doc_id"] < 300]
+    for s in range(4):
+        order_a = a[a["shard"] == s].sort_values("pos")["doc_id"].tolist()
+        order_b = b[b["shard"] == s].sort_values("pos")["doc_id"].tolist()
+        assert order_a == order_b

@@ -426,3 +426,70 @@ def test_ann_index_append_maintenance(spark, warehouse, sf_dir):
     entries = TableScan(t, spark).plan_entries_local()
     assert all((e.get("partition") or {}).get("__ann_cell") is not None
                for e in entries if (e.get("content") or 0) == 0)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def _sq8_fixture(spark, n=200, dim=16, seed=3):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    vecs[:, 0] = 0.5  # a constant dimension: su == 0 must not divide by zero
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def test_sq8_codes_bounded_and_int(spark):
+    from incubator_iceberg_spark.functions import similarity as S
+    df, _ = _sq8_fixture(spark)
+    mn, su = S.sq8_params(df)
+    assert su[0] == 0  # the constant dim
+    codes = df.select(S.sq8_codes_col(mn, su).alias("c")).toPandas()["c"]
+    for arr in codes:
+        assert all(0 <= c <= 255 for c in arr)
+
+
+def test_sq8_scores_match_integer_reference(spark):
+    """The whole path (params -> codes -> score) replayed in plain Python
+    int arithmetic must be bit-identical — that is the oracle contract."""
+    import math
+    from incubator_iceberg_spark.functions import similarity as S
+    df, vecs = _sq8_fixture(spark)
+    q = [float(x) for x in vecs[7]]
+    mn, su = S.sq8_params(df)
+    got = {r["vec_id"]: r["sq8_score"]
+           for r in df.select(
+               "vec_id",
+               S.sq8_score_col(S.sq8_codes_col(mn, su), mn, su, q)
+               .alias("sq8_score")).collect()}
+
+    q_u = [math.floor(float(x) * 1_000_000) for x in q]
+    for i, v in enumerate(vecs):
+        s = 0
+        for d in range(len(v)):
+            v_u = math.floor(float(v[d]) * 1_000_000)
+            if su[d] <= 0:
+                c = 0
+            else:
+                c = max(0, min(255, (v_u - mn[d]) * 255 // su[d]))
+            recon = mn[d] + su[d] * c // 255
+            s += recon * q_u[d]
+        assert got[i] == s, f"vec {i}: spark {got[i]} != ref {s}"
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    from incubator_iceberg_spark.functions import similarity as S
+    df, vecs = _sq8_fixture(spark, n=300, dim=32, seed=11)
+    q = [float(x) for x in vecs[5]]
+    approx = {r["vec_id"] for r in S.sq8_topk(df, q, k=10).collect()}
+    # exact ranking by raw inner product (what sq8 approximates)
+    import numpy as np
+    V = np.asarray(vecs, dtype="float64")
+    qv = np.asarray(q, dtype="float64")
+    exact = set(np.argsort(-(V @ qv))[:10].tolist())
+    assert 5 in approx  # the query itself must surface
+    assert len(approx & exact) >= 6

@@ -1,0 +1,199 @@
+"""Randomized schema-evolution fuzz gate: a seeded interleaving of schema
+DDL (add / rename / drop / int->long promote), appends, CoW + MoR deletes,
+updates, and equality deletes must keep the engine scan identical to a
+pure-Python model replaying the same operations.
+
+This systematizes the round-4 bug class found by hand (renames breaking
+equality deletes and filter binding; staged writes racing DDL): instead of
+one pinned interleaving per bug, every CI run walks a random-but-seeded
+sequence and diffs full table contents after EVERY commit.
+
+Tunables: SPARK_GRAFT_EVO_OPS (default 24 ops per layout)."""
+
+import os
+
+import pytest
+
+N_OPS = int(os.environ.get("SPARK_GRAFT_EVO_OPS", "24"))
+
+
+def _gen_rows(rng, cols, n, next_rid):
+    rows = []
+    for i in range(n):
+        r = {"rid": next_rid + i}
+        for name, typ in cols.items():
+            if name == "rid":
+                continue
+            if rng.random() < 0.15:
+                r[name] = None
+            elif typ in ("int", "long"):
+                r[name] = rng.randrange(-50, 50)
+            elif typ == "double":
+                r[name] = round(rng.uniform(-10, 10), 3)
+            else:
+                r[name] = rng.choice(["alpha", "beta", "", "Zeta", "be"])
+        rows.append(r)
+    return rows
+
+
+def _spark_df(spark, cols, rows):
+    schema = ", ".join(f"{n} {t}" for n, t in cols.items())
+    data = [tuple(r.get(n) for n in cols) for r in rows]
+    return spark.createDataFrame(data, schema)
+
+
+def _predicate(rng, cols):
+    """(sql, python) pair over the CURRENT columns, NULL-semantics aligned
+    (SQL NULL comparisons don't match; the lambda mirrors that)."""
+    numeric = [n for n, t in cols.items()
+               if t in ("int", "long", "double") and n != "rid"]
+    choice = rng.randrange(0, 4 if numeric else 2)
+    if choice == 0:
+        m, j = rng.choice([(3, 0), (5, 2), (7, 4)])
+        return f"rid % {m} = {j}", lambda r: r["rid"] % m == j
+    if choice == 1:
+        lo = rng.randrange(0, 120)
+        hi = lo + rng.randrange(5, 40)
+        return (f"rid >= {lo} AND rid < {hi}",
+                lambda r: lo <= r["rid"] < hi)
+    c = rng.choice(numeric)
+    if choice == 2:
+        v = rng.randrange(-30, 30)
+        return (f"{c} > {v}",
+                lambda r, c=c, v=v: r[c] is not None and r[c] > v)
+    return f"{c} IS NULL", lambda r, c=c: r[c] is None
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _check(t, cols, model, step, op_desc):
+    got = {}
+    for row in t.to_df().collect():
+        d = row.asDict()
+        got[d["rid"]] = tuple(_norm(d.get(c)) for c in cols)
+    want = {r["rid"]: tuple(_norm(r.get(c)) for c in cols) for r in model}
+    assert set(got) == set(want), (
+        f"step {step} ({op_desc}): rid sets differ; "
+        f"missing={sorted(set(want) - set(got))[:5]} "
+        f"extra={sorted(set(got) - set(want))[:5]}")
+    for rid in want:
+        assert got[rid] == want[rid], (
+            f"step {step} ({op_desc}): rid {rid}: engine {got[rid]} "
+            f"vs model {want[rid]} (cols {list(cols)})")
+
+
+@pytest.mark.parametrize("seed,partitioned", [(1721, False), (2202, True)])
+def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
+                                              partitioned):
+    import random
+    from incubator_iceberg_spark.schema import Schema
+
+    rng = random.Random(seed)
+    # rid is the immutable identity; k is the partition source in the
+    # partitioned layout (never dropped there); ci starts int to give the
+    # promote op a target.
+    cols = {"rid": "long", "k": "int", "s": "string", "d": "double",
+            "ci": "int"}
+    protected = {"rid"} | ({"k"} if partitioned else set())
+    next_rid = 0
+    next_col = 0
+    model: list[dict] = []
+
+    boot = _gen_rows(rng, cols, 40, next_rid)
+    next_rid += 40
+    df = _spark_df(spark, cols, boot)
+    t = warehouse.create_table(
+        f"db.evofuzz_{seed}", Schema.from_spark(df.schema),
+        partition_by=(["k"] if partitioned else None))
+    t.append(df)
+    model.extend(boot)
+
+    mutable = [n for n, ty in cols.items()
+               if n not in protected and ty in ("int", "long", "double")]
+    ops_run = []
+    for step in range(N_OPS):
+        kind = rng.choice(
+            ["append", "append", "add_col", "rename", "drop", "promote",
+             "delete_cow", "delete_mor", "update_cow", "update_mor",
+             "eq_delete"])
+        if kind == "append":
+            rows = _gen_rows(rng, cols, rng.randrange(10, 30), next_rid)
+            next_rid += len(rows)
+            t.append(_spark_df(spark, cols, rows))
+            model.extend(rows)
+        elif kind == "add_col":
+            name = f"c{next_col}"
+            next_col += 1
+            typ = rng.choice(["long", "string", "double"])
+            t.update_schema().add_column(name, typ).commit()
+            cols[name] = typ
+            for r in model:
+                r[name] = None
+        elif kind == "rename":
+            cands = [n for n in cols if n not in protected]
+            if not cands:
+                continue
+            old = rng.choice(cands)
+            new = f"{old}_r{step}"
+            t.update_schema().rename_column(old, new).commit()
+            cols = {new if n == old else n: ty for n, ty in cols.items()}
+            for r in model:
+                r[new] = r.pop(old, None)
+        elif kind == "drop":
+            cands = [n for n in cols if n not in protected]
+            if len(cands) < 2:
+                continue
+            victim = rng.choice(cands)
+            try:
+                t.update_schema().delete_column(victim).commit()
+            except ValueError:
+                continue  # guarded (eq-delete key / partition source)
+            cols.pop(victim)
+            for r in model:
+                r.pop(victim, None)
+        elif kind == "promote":
+            ints = [n for n, ty in cols.items()
+                    if ty == "int" and n not in protected]
+            if not ints:
+                continue
+            c = rng.choice(ints)
+            t.update_schema().update_column_type(c, "long").commit()
+            cols[c] = "long"
+        elif kind in ("delete_cow", "delete_mor"):
+            sql, fn = _predicate(rng, cols)
+            mode = "merge-on-read" if kind == "delete_mor" else "copy-on-write"
+            t.delete_where(sql, mode=mode)
+            model = [r for r in model if not fn(r)]
+        elif kind in ("update_cow", "update_mor"):
+            numeric = [n for n, ty in cols.items()
+                       if ty in ("long", "double") and n not in protected]
+            if not numeric:
+                continue
+            c = rng.choice(numeric)
+            v = rng.randrange(100, 200)
+            sql, fn = _predicate(rng, cols)
+            mode = "merge-on-read" if kind == "update_mor" else "copy-on-write"
+            t.update({c: str(v)}, sql, mode=mode)
+            for r in model:
+                if fn(r):
+                    r[c] = float(v) if cols[c] == "double" else v
+        elif kind == "eq_delete":
+            live = [r["rid"] for r in model]
+            if not live:
+                continue
+            victims = rng.sample(live, min(len(live), rng.randrange(1, 6)))
+            t.add_equality_deletes(
+                spark.createDataFrame([(v,) for v in victims], "rid long"),
+                ["rid"])
+            model = [r for r in model if r["rid"] not in victims]
+        ops_run.append(kind)
+        _check(t, cols, model, step, kind)
+
+    # the sequence must have actually exercised DDL + row ops + appends
+    assert len([o for o in ops_run if o.startswith("a")]) >= 2
+    assert any(o in ("rename", "drop", "add_col", "promote")
+               for o in ops_run), ops_run

@@ -1,0 +1,106 @@
+"""As-of join (functions/temporal.py) — semantics vs pandas merge_asof,
+tie handling, and the union+window shape (no inequality join)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _asof(spark, left_rows, right_rows, **kw):
+    from incubator_iceberg_spark.functions import temporal
+    left = spark.createDataFrame(left_rows, "id long, k long, ts long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, v double")
+    out = temporal.asof_join(left, right, on="k", left_ts="ts",
+                             right_ts="ts", value_cols=["v"], **kw)
+    return {r["id"]: (r["asof_ts"], r["asof_v"]) for r in out.collect()}
+
+
+def test_backward_basic(spark):
+    got = _asof(spark,
+                [(1, 1, 10), (2, 1, 25), (3, 1, 5), (4, 2, 10)],
+                [(1, 10, 1.0), (1, 20, 2.0), (2, 50, 9.0)])
+    # id=1 at ts=10: right row at exactly 10 counts (at-or-before)
+    assert got[1] == (10, 1.0)
+    assert got[2] == (20, 2.0)
+    assert got[3] == (None, None)   # nothing at or before ts=5
+    assert got[4] == (None, None)   # key 2's only right row is later
+
+
+def test_forward_basic(spark):
+    from incubator_iceberg_spark.functions import temporal
+    left = spark.createDataFrame([(1, 1, 10), (2, 1, 25)],
+                                 "id long, k long, ts long")
+    right = spark.createDataFrame([(1, 10, 1.0), (1, 20, 2.0)],
+                                  "k long, ts long, v double")
+    out = temporal.asof_join(left, right, on="k", left_ts="ts",
+                             right_ts="ts", value_cols=["v"],
+                             direction="forward")
+    got = {r["id"]: (r["asof_ts"], r["asof_v"]) for r in out.collect()}
+    assert got[1] == (10, 1.0)      # at-or-after includes the equal row
+    assert got[2] == (None, None)
+
+
+def test_tiebreak_among_simultaneous_right_rows(spark):
+    from incubator_iceberg_spark.functions import temporal
+    left = spark.createDataFrame([(1, 1, 10)], "id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, 100), (1, 10, 2.0, 200), (1, 10, 3.0, 150)],
+        "k long, ts long, v double, seq long")
+    out = temporal.asof_join(left, right, on="k", left_ts="ts",
+                             right_ts="ts", value_cols=["v"],
+                             tiebreak="seq")
+    row = out.collect()[0]
+    assert row["asof_v"] == 2.0     # max tiebreak wins for backward
+
+
+def test_matches_pandas_merge_asof_randomized(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame({
+        "id": np.arange(n_l),
+        "k": rng.integers(0, 12, n_l),
+        "ts": rng.integers(0, 1000, n_l).astype("int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 12, n_r),
+        "ts": rng.integers(0, 1000, n_r).astype("int64"),
+        "v": rng.random(n_r),
+    })
+    # dedupe right per (k, ts) so pandas/engine tie rules can't differ
+    right = right.sort_values(["k", "ts"]).drop_duplicates(["k", "ts"])
+    right["rts"] = right["ts"]
+
+    from incubator_iceberg_spark.functions import temporal
+    out = temporal.asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", left_ts="ts", right_ts="ts", value_cols=["rts", "v"])
+    got = (out.toPandas().sort_values("id").reset_index(drop=True))
+
+    exp = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                        on="ts", by="k", direction="backward")
+    exp = exp.sort_values("id").reset_index(drop=True)
+    assert (got["asof_rts"].fillna(-1).to_numpy()
+            == exp["rts"].fillna(-1).to_numpy()).all()
+    pd.testing.assert_series_equal(
+        got["asof_v"].rename("v"), exp["v"], check_exact=True)
+
+
+def test_no_join_node_in_plan(spark):
+    """The scale contract: asof is union+window, never an inequality join."""
+    from incubator_iceberg_spark.functions import temporal
+    left = spark.createDataFrame([(1, 1, 10)], "id long, k long, ts long")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, v double")
+    out = temporal.asof_join(left, right, on="k", left_ts="ts",
+                             right_ts="ts", value_cols=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_bad_direction_raises(spark):
+    from incubator_iceberg_spark.functions import temporal
+    left = spark.createDataFrame([(1, 1, 10)], "id long, k long, ts long")
+    with pytest.raises(ValueError):
+        temporal.asof_join(left, left, on="k", left_ts="ts", right_ts="ts",
+                           value_cols=["id"], direction="sideways")
