@@ -460,11 +460,33 @@ def replace_partitions(ops: TableOperations, added_entries: list,
 
 
 def _newer_snapshots(current: TableMetadata, base_snapshot_id: int) -> list:
-    """Snapshots committed after ``base_snapshot_id`` (by sequence)."""
-    base = current.snapshot_by_id(base_snapshot_id) if base_snapshot_id else None
-    base_seq = base.sequence_number if base else -1
-    return [s for s in current.snapshots if s.snapshot_id != base_snapshot_id
-            and s.sequence_number > base_seq]
+    """Snapshots in the CURRENT ANCESTRY committed after
+    ``base_snapshot_id`` (reference: MergingSnapshotProducer's validation
+    history via SnapshotUtil.ancestorsBetween).  The walk follows parent
+    pointers from the head, NOT the flat log: snapshots orphaned by a
+    rollback are not concurrent commits — their files are not live in the
+    rebased state — and ordering by sequence number made every row-op
+    after a rollback spuriously conflict with the rolled-back-past
+    snapshots (found by the lifecycle fuzz gate).  If the base snapshot is
+    no longer an ancestor (history rewritten past the operation's read
+    point, e.g. a concurrent rollback), raise: conflict-freedom can't be
+    proven, matching the reference's "cannot determine history" error."""
+    chain = []
+    sid = current.current_snapshot_id
+    while sid is not None:
+        if sid == base_snapshot_id:
+            return list(reversed(chain))
+        snap = current.snapshot_by_id(sid)
+        if snap is None:
+            break
+        chain.append(snap)
+        sid = snap.parent_id
+    if base_snapshot_id:
+        raise ValidationException(
+            f"cannot determine history between read snapshot "
+            f"{base_snapshot_id} and current {current.current_snapshot_id}: "
+            f"the read point is no longer in the table's ancestry")
+    return list(reversed(chain))
 
 
 def _added_entries_of(snap) -> Iterable[dict]:

@@ -356,3 +356,45 @@ def test_range_filtered_scan_applies_mor_deletes(warehouse, spark):
               if (1 + i % 6) == 3 and i % 5 != 0 for r in [i]]
     assert got.count() == len(expect)
     assert t.to_df().count() == 480
+
+
+def test_row_ops_after_rollback_do_not_spuriously_conflict(warehouse, spark):
+    """Found by the lifecycle fuzz gate: conflict validation must walk the
+    CURRENT ANCESTRY, not the flat snapshot log.  After a rollback, the
+    rolled-back-past snapshots still sit in the log with higher sequence
+    numbers — but they are orphans, not concurrent commits, and a fresh
+    CoW/MoR op reading at the rolled-back head must succeed."""
+    t = _make_table(warehouse, spark, "db.rb_noconflict", n=200, files=2)
+    s1 = t.metadata.current_snapshot_id
+    df2 = spark.createDataFrame([(10_000 + i, i % 8, "x") for i in range(50)],
+                                "id long, grp long, payload string")
+    t.append(df2)
+    t.set_current_snapshot(s1)
+
+    # all three carried-rows commit paths must go through cleanly
+    t.delete_where("grp = 1")                       # CoW
+    t.delete_where("grp = 2", mode="merge-on-read")  # RowDelta
+    out = t.rewrite_data_files(min_input_files=1)    # RewriteFiles
+    assert out.get("rewritten_files", 0) >= 0
+    got = t.to_df().filter("grp IN (1, 2)").count()
+    assert got == 0
+    assert t.to_df().filter("id >= 10000").count() == 0  # rollback held
+
+
+def test_stale_op_aborts_when_base_rolled_back_past(warehouse, spark):
+    """The conservative side of the ancestry walk: an op whose READ POINT
+    was rolled back past by a concurrent writer cannot prove conflict-
+    freedom (its base is no longer an ancestor) and must abort, matching
+    the reference's cannot-determine-history error."""
+    t_stale = _make_table(warehouse, spark, "db.rb_stale", n=200, files=2)
+    s1 = t_stale.metadata.current_snapshot_id
+    t2 = _reload(warehouse, "db.rb_stale")
+    df2 = spark.createDataFrame([(10_000, 0, "x")],
+                                "id long, grp long, payload string")
+    t2.append(df2)
+    s2 = t2.metadata.current_snapshot_id
+    t_stale.metadata = t_stale.ops.refresh()  # read point = s2
+    t2.set_current_snapshot(s1)               # concurrent rollback past s2
+
+    with pytest.raises(ValidationException, match="ancestry|history"):
+        t_stale.delete_where("grp = 3")
