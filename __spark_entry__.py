@@ -138,6 +138,9 @@ def _ensure_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     t = cat.create_table("db.embeddings_ivf", Schema.from_spark(embeddings.schema))
     t.append(embeddings)
     _SIM.add_ann_index(t, kind="ivf", n_cells=16, sample=2048)
+    # SQ8 codes layered on the IVF layout: probes partition-prune by cell
+    # and rank on stored compressed codes (sq8_indexed_probe query)
+    _SIM.add_sq8_index(t)
 
     events = _load(spark, sf_dir, "events")
     t = cat.create_table("db.events_stream", Schema.from_spark(events.schema))
@@ -2320,23 +2323,39 @@ def q_sq8_probe(spark, sf_dir):
     return similarity.sq8_topk(df, qv, k=10)
 
 
+def q_sq8_indexed_probe(spark, sf_dir):
+    """SQ8 probe against the PERSISTED index (similarity.sq8_topk_stored):
+    params live in table properties, codes in a stored array<int> column —
+    the probe scans only (vec_id, codes), never the raw floats, and the
+    scores must round-trip the parquet + schema-evolution path exactly
+    (the oracle recomputes train+encode+score from the raw table in pure
+    int64 SQL).  The warehouse table also carries the IVF cell layout —
+    the combined file-pruned probe (ivf_sq8_topk_indexed) is pinned in
+    tests/test_functions.py."""
+    from incubator_iceberg_spark.functions import similarity
+    t = _table(spark, sf_dir, "embeddings_ivf")
+    qv = _query_vector(sf_dir)
+    return similarity.sq8_topk_stored(t, qv, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [23 never-driver-verified queries: the round-4 additions (asof join,
-    # shuffle_shards, SQ8 ANN, CDC sink, partitions-over-evolved-specs,
+    # [24 never-driver-verified queries: the round-4 additions (asof join,
+    # shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
+    # partitions-over-evolved-specs,
     # position_deletes_meta, corpus_quality_gate, stratified_sample,
     # pii_scrub, dedup_keep_best, incremental_dedup, duplicated_spans,
     # token_budget_sample) + the 10 round-3 additions that landed past the
     # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
     # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [24 least-recently-verified rows of the r2-green set].  To make
+    # + [23 least-recently-verified rows of the r2-green set].  To make
     # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
     # with in-prefix ann_bruteforce; text_stats is a subset of in-prefix
-    # text_analyze).  Ten more r2-green rows
-    # (skew_salted_agg..catalog_txn_multi_table) sit just past the
+    # text_analyze).  Eleven more r2-green rows
+    # (ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
     # Rotated to the back: the 47 rows re-verified by the r3 driver run,
@@ -2354,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "shuffle_shards": q_shuffle_shards,
         "sq8_probe": q_sq8_probe,
+        "sq8_indexed_probe": q_sq8_indexed_probe,
         "duplicated_spans": q_duplicated_spans,
         "token_budget_sample": q_token_budget_sample,
         "streaming_cdc_apply": q_streaming_cdc_apply,
@@ -2622,6 +2642,40 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "sq8_probe": """
+            WITH dims AS (
+                SELECT t.d,
+                       CAST(floor(min(embedding[t.d]::DOUBLE) * 1000000)
+                            AS BIGINT) AS mn,
+                       CAST(floor(max(embedding[t.d]::DOUBLE) * 1000000)
+                            AS BIGINT) -
+                       CAST(floor(min(embedding[t.d]::DOUBLE) * 1000000)
+                            AS BIGINT) AS su
+                FROM embeddings, range(1, 65) t(d)
+                GROUP BY t.d
+            ), q_u AS (
+                SELECT t.d,
+                       CAST(floor(v.embedding[t.d]::DOUBLE * 1000000)
+                            AS BIGINT) AS qv
+                FROM (SELECT embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 1) v, range(1, 65) t(d)
+            ), codes AS (
+                SELECT e.vec_id, d.d, d.mn, d.su,
+                       CASE WHEN d.su <= 0 THEN 0
+                            ELSE least(255, greatest(0,
+                                (CAST(floor(e.embedding[d.d]::DOUBLE
+                                            * 1000000) AS BIGINT) - d.mn)
+                                * 255 // d.su))
+                       END AS c
+                FROM embeddings e, dims d
+            )
+            SELECT c.vec_id,
+                   CAST(sum((c.mn + (c.su * c.c) // 255) * q.qv)
+                        AS BIGINT) AS sq8_score
+            FROM codes c JOIN q_u q ON c.d = q.d
+            GROUP BY c.vec_id
+            ORDER BY sq8_score DESC, c.vec_id LIMIT 10
+        """,
+        "sq8_indexed_probe": """
             WITH dims AS (
                 SELECT t.d,
                        CAST(floor(min(embedding[t.d]::DOUBLE) * 1000000)

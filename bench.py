@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "asof_join_events",
     "shuffle_shards",
     "sq8_probe",
+    "sq8_indexed_probe",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -91,7 +91,15 @@ class UpdateSchema:
                     if any(f.name == name for f in fields):
                         raise ValueError(f"column exists: {name}")
                     next_id += 1
-                    fields.append(S.NestedField(next_id, name, col_type,
+                    fid = next_id
+
+                    def alloc():
+                        nonlocal next_id
+                        next_id += 1
+                        return next_id
+
+                    col_type = _with_fresh_nested_ids(col_type, alloc)
+                    fields.append(S.NestedField(fid, name, col_type,
                                                 required=False, doc=doc))
                 elif kind == "delete":
                     fid = fields[idx(op[1])].field_id
@@ -151,6 +159,29 @@ class UpdateSchema:
 
         table.metadata = MD.run_with_retries(table.ops, apply)
         return table
+
+
+def _with_fresh_nested_ids(t, alloc):
+    """Assign fresh field-ids to every nested field of an ADDED column's
+    type (the AssignFreshIds analog for nested adds — type strings parse
+    with placeholder ids)."""
+    if isinstance(t, S.ListType):
+        el = t.element_field
+        return S.ListType(dataclasses.replace(
+            el, field_id=alloc(), type=_with_fresh_nested_ids(el.type, alloc)))
+    if isinstance(t, S.MapType):
+        k, v = t.key_field, t.value_field
+        return S.MapType(
+            dataclasses.replace(k, field_id=alloc(),
+                                type=_with_fresh_nested_ids(k.type, alloc)),
+            dataclasses.replace(v, field_id=alloc(),
+                                type=_with_fresh_nested_ids(v.type, alloc)))
+    if isinstance(t, S.StructType):
+        return S.StructType([
+            dataclasses.replace(f, field_id=alloc(),
+                                type=_with_fresh_nested_ids(f.type, alloc))
+            for f in t.fields])
+    return t
 
 
 def _live_equality_ids(md) -> set:

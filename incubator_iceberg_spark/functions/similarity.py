@@ -576,3 +576,90 @@ def sq8_topk(df, query_vec, k: int = 10, vec_col: str = "embedding",
                        sq8_score_col(codes, mn_u, su_u, query_vec)
                        .alias("sq8_score"))
     return scored.orderBy(F.desc("sq8_score"), F.col(id_col)).limit(k)
+
+
+SQ8_PROP = "ann.sq8."
+SQ8_CODES_COL = "__sq8_codes"
+
+
+def add_sq8_index(table, vec_col: str = "embedding", spark=None):
+    """Persist an SQ8 index on a table: per-dim params go to table
+    properties, codes go to a stored ``__sq8_codes`` ``array<int>``
+    column via one overwrite.  Probes (``sq8_topk_stored``) then scan
+    ONLY (id, codes) — column pruning never touches the raw float
+    vectors, which is the compressed read path at scale (codes are
+    0..255, parquet bit-packs them to ~1 byte vs 4 for float32).
+
+    Composes with ``add_ann_index``: an IVF-indexed table keeps its cell
+    partition field, so ``ivf_sq8_topk_indexed`` prunes FILES by cell and
+    scores the survivors on codes — the IVF+SQ layout (coarse quantizer +
+    scalar-compressed residuals) used for 100 TB vector corpora.
+
+    Appends must attach codes with ``with_sq8_codes_col`` (same index-
+    maintenance contract as ``with_ann_index_col``); params are frozen at
+    build time — retrain by re-running ``add_sq8_index``."""
+    import json
+    from incubator_iceberg_spark import expressions as X
+
+    spark = spark or table.spark
+    df = table.to_df(spark=spark)
+    mn_u, su_u = sq8_params(df, vec_col)
+    if SQ8_CODES_COL not in [f.name for f in table.metadata.schema().fields]:
+        table.update_schema().add_column(SQ8_CODES_COL, "array<int>").commit()
+    out = table.to_df(spark=spark).withColumn(
+        SQ8_CODES_COL, sq8_codes_col(mn_u, su_u, vec_col))
+    table.overwrite(out, X.always_true(), spark=spark)
+    table.update_properties({
+        SQ8_PROP + "vec-col": vec_col,
+        SQ8_PROP + "mn": json.dumps(mn_u),
+        SQ8_PROP + "su": json.dumps(su_u)})
+    return table
+
+
+def sq8_stored_params(table):
+    import json
+    p = table.metadata.properties
+    if SQ8_PROP + "mn" not in p:
+        raise ValueError("table has no SQ8 index; run add_sq8_index first")
+    return (json.loads(p[SQ8_PROP + "mn"]), json.loads(p[SQ8_PROP + "su"]),
+            p[SQ8_PROP + "vec-col"])
+
+
+def with_sq8_codes_col(table, df):
+    """``df`` + the codes column encoded with the table's FROZEN params —
+    use before appending to an SQ8-indexed table."""
+    mn_u, su_u, vec_col = sq8_stored_params(table)
+    return df.withColumn(SQ8_CODES_COL, sq8_codes_col(mn_u, su_u, vec_col))
+
+
+def sq8_topk_stored(table, query_vec, k: int = 10, id_col: str = "vec_id",
+                    spark=None, filter=None):
+    """Top-k by SQ8 score against the STORED codes column: the scan reads
+    (id, codes) only — the raw vector column is column-pruned away."""
+    from pyspark.sql import functions as F
+    mn_u, su_u, _ = sq8_stored_params(table)
+    cand = table.to_df(spark=spark, filter=filter,
+                       select=[id_col, SQ8_CODES_COL])
+    scored = cand.select(
+        F.col(id_col),
+        sq8_score_col(F.col(SQ8_CODES_COL), mn_u, su_u, query_vec)
+        .alias("sq8_score"))
+    return scored.orderBy(F.desc("sq8_score"), F.col(id_col)).limit(k)
+
+
+def ivf_sq8_topk_indexed(table, query_vec, k: int = 10,
+                         id_col: str = "vec_id", nprobe: int = 4,
+                         spark=None):
+    """The combined IVF+SQ8 probe: partition-prune to the ``nprobe``
+    nearest cells via the stored IVF index, then rank the survivors on
+    stored SQ8 codes — files read ~ nprobe/n_cells of the table AND the
+    read columns are the compressed codes, not the floats."""
+    import json
+    import numpy as np
+    p = _ann_props(table)
+    assert p[ANN_PROP + "kind"] == "ivf", "stored coarse index is not IVF"
+    cent = np.array(json.loads(p[ANN_PROP + "centroids"]))
+    probe = ivf_probe_cells(cent, query_vec, nprobe)
+    in_list = ", ".join(str(c) for c in probe)
+    return sq8_topk_stored(table, query_vec, k, id_col, spark=spark,
+                           filter=f"__ann_cell IN ({in_list})")

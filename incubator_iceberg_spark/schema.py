@@ -463,6 +463,17 @@ def type_from_string(s: str) -> Type:
     if s.startswith("decimal("):
         p, sc = s[len("decimal("):-1].split(",")
         return DecimalType(int(p), int(sc))
+    for prefix in ("array<", "list<"):
+        if s.startswith(prefix) and s.endswith(">"):
+            # placeholder element id -1: UpdateSchema.add_column assigns a
+            # fresh id at commit (like AssignFreshIds for nested adds)
+            return ListType.of(-1, type_from_string(s[len(prefix):-1]))
+    if s.startswith("map<") and s.endswith(">"):
+        # split on the FIRST top-level comma (keys are primitive here)
+        inner = s[len("map<"):-1]
+        k, _, v = inner.partition(",")
+        return MapType.of(-1, type_from_string(k.strip()),
+                          -2, type_from_string(v.strip()))
     raise ValueError(f"unknown type string: {s}")
 
 

@@ -493,3 +493,52 @@ def test_sq8_topk_recall_vs_exact(spark):
     exact = set(np.argsort(-(V @ qv))[:10].tolist())
     assert 5 in approx  # the query itself must surface
     assert len(approx & exact) >= 6
+
+
+def test_sq8_index_stored_roundtrip_and_ivf_composition(warehouse, spark):
+    """add_sq8_index persists params + codes; stored-probe scores equal
+    the on-the-fly path; appends maintained via with_sq8_codes_col keep
+    probing; the combined IVF+SQ8 probe partition-prunes files."""
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.functions import similarity as S
+
+    df, vecs = _sq8_fixture(spark, n=240, dim=16, seed=21)
+    t = warehouse.create_table("db.sq8ix", Schema.from_spark(df.schema))
+    # several files so IVF cell pruning has something to skip
+    for i in range(4):
+        t.append(df.filter(f"vec_id % 4 = {i}").repartition(1))
+
+    S.add_ann_index(t, kind="ivf", n_cells=8, sample=240)
+    S.add_sq8_index(t)
+    q = [float(x) for x in vecs[3]]
+
+    # stored-codes probe == on-the-fly sq8 ranking over the same data
+    mn, su, _ = S.sq8_stored_params(t)
+    fly = {r["vec_id"]: r["sq8_score"]
+           for r in S.sq8_topk(df, q, k=10, params=(mn, su)).collect()}
+    stored = {r["vec_id"]: r["sq8_score"]
+              for r in S.sq8_topk_stored(t, q, k=10).collect()}
+    assert stored == fly
+
+    # append maintenance: a twin of vecs[3] with codes attached must win
+    twin = spark.createDataFrame(
+        [(9_000, [float(x) for x in vecs[3]])],
+        "vec_id long, embedding array<float>")
+    t.append(S.with_sq8_codes_col(t, S.with_ann_index_col(t, twin)))
+    top = S.sq8_topk_stored(t, q, k=2).collect()
+    assert {r["vec_id"] for r in top} == {3, 9_000}
+
+    # combined probe prunes files AND finds the twin
+    total = len(TableScan(t, spark).plan_files())
+    res = S.ivf_sq8_topk_indexed(t, q, k=2, nprobe=2)
+    assert {r["vec_id"] for r in res.collect()} == {3, 9_000}
+    # pruning check via the probe's own plan: scan with the cell filter
+    import json
+    import numpy as np
+    cent = np.array(json.loads(
+        t.metadata.properties["ann.index.centroids"]))
+    cells = S.ivf_probe_cells(cent, q, 2)
+    in_list = ", ".join(str(c) for c in cells)
+    probed = len(t.new_scan().filter(f"__ann_cell IN ({in_list})").plan_files())
+    assert probed < total

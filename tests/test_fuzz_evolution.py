@@ -193,6 +193,16 @@ def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
         ops_run.append(kind)
         _check(t, cols, model, step, kind)
 
+        # filtered scans must bind + prune correctly against the CURRENT
+        # schema after every DDL (the rename-broke-filter-binding class)
+        sql, fn = _predicate(rng, cols)
+        got_f = {r["rid"] for r in t.to_df(filter=sql).collect()}
+        want_f = {r["rid"] for r in model if fn(r)}
+        assert got_f == want_f, (
+            f"step {step} ({kind}): filtered scan {sql!r} mismatch; "
+            f"missing={sorted(want_f - got_f)[:5]} "
+            f"extra={sorted(got_f - want_f)[:5]}")
+
     # the sequence must have actually exercised DDL + row ops + appends
     assert len([o for o in ops_run if o.startswith("a")]) >= 2
     assert any(o in ("rename", "drop", "add_col", "promote")
