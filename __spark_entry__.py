@@ -2323,6 +2323,22 @@ def q_sq8_probe(spark, sf_dir):
     return similarity.sq8_topk(df, qv, k=10)
 
 
+def q_rolling_features(spark, sf_dir):
+    """Trailing-window per-user features as-of every event
+    (temporal.rolling_features): counts + exact micro-unit value sums
+    over 1h and 24h RANGE frames — one exchange + one ordered window
+    regardless of span; the oracle replays the identical frames over
+    epoch-microsecond integers in SQL."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import temporal
+    ev = _table(spark, sf_dir, "events_stream").to_df()
+    out = temporal.rolling_features(
+        ev, on="user_id", ts_col="ts", value_col="value",
+        windows={"1h": 3_600_000_000, "24h": 86_400_000_000})
+    return out.select("event_id", "user_id", "ts",
+                      "n_1h", "sum_1h_micro", "n_24h", "sum_24h_micro")
+
+
 def q_sq8_indexed_probe(spark, sf_dir):
     """SQ8 probe against the PERSISTED index (similarity.sq8_topk_stored):
     params live in table properties, codes in a stored array<int> column —
@@ -2341,8 +2357,8 @@ def q_sq8_indexed_probe(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [24 never-driver-verified queries: the round-4 additions (asof join,
-    # shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
+    # [25 never-driver-verified queries: the round-4 additions (asof join,
+    # rolling window features, shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
     # partitions-over-evolved-specs,
     # position_deletes_meta, corpus_quality_gate, stratified_sample,
     # pii_scrub, dedup_keep_best, incremental_dedup, duplicated_spans,
@@ -2350,12 +2366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
     # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [23 least-recently-verified rows of the r2-green set].  To make
+    # + [22 least-recently-verified rows of the r2-green set].  To make
     # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
-    # with in-prefix ann_bruteforce; text_stats is a subset of in-prefix
-    # text_analyze).  Eleven more r2-green rows
-    # (ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
+    # with ann_bruteforce; text_stats is a subset of text_analyze).
+    # Twelve more r2-green rows (text_analyze, ann_bruteforce,
+    # skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
     # Rotated to the back: the 47 rows re-verified by the r3 driver run,
@@ -2374,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "sq8_probe": q_sq8_probe,
         "sq8_indexed_probe": q_sq8_indexed_probe,
+        "rolling_features": q_rolling_features,
         "duplicated_spans": q_duplicated_spans,
         "token_budget_sample": q_token_budget_sample,
         "streaming_cdc_apply": q_streaming_cdc_apply,
@@ -2708,6 +2725,22 @@ def oracle_sql() -> dict[str, str]:
             FROM codes c JOIN q_u q ON c.d = q.d
             GROUP BY c.vec_id
             ORDER BY sq8_score DESC, c.vec_id LIMIT 10
+        """,
+        "rolling_features": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER w1 AS n_1h,
+                   CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+                        OVER w1 AS BIGINT) AS sum_1h_micro,
+                   count(*) OVER w24 AS n_24h,
+                   CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+                        OVER w24 AS BIGINT) AS sum_24h_micro
+            FROM events
+            WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING
+                                    AND CURRENT ROW),
+                   w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 86400000000 PRECEDING
+                                     AND CURRENT ROW)
         """,
         "text_analyze": _text_analyze_oracle(),
         "pipeline_clean_corpus": _pipeline_oracle(),

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "shuffle_shards",
     "sq8_probe",
     "sq8_indexed_probe",
+    "rolling_features",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -104,3 +104,38 @@ def test_bad_direction_raises(spark):
     with pytest.raises(ValueError):
         temporal.asof_join(left, left, on="k", left_ts="ts", right_ts="ts",
                            value_cols=["id"], direction="sideways")
+
+
+def test_rolling_features_vs_bruteforce(spark):
+    import datetime
+    import numpy as np
+    rng = np.random.default_rng(13)
+    n = 300
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        rows.append((i, int(rng.integers(0, 6)),
+                     base + datetime.timedelta(
+                         seconds=int(rng.integers(0, 7200)),
+                         microseconds=int(rng.integers(0, 1_000_000))),
+                     float(np.round(rng.uniform(-5, 5), 4))))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+
+    from incubator_iceberg_spark.functions import temporal
+    out = temporal.rolling_features(
+        df, on="user_id", ts_col="ts", value_col="value",
+        windows={"30m": 1_800_000_000}).collect()
+    got = {r["event_id"]: (r["n_30m"], r["sum_30m_micro"]) for r in out}
+
+    import math
+    by_user = {}
+    for eid, u, ts, v in rows:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    for eid, u, ts, v in rows:
+        lo = ts - datetime.timedelta(microseconds=1_800_000_000)
+        in_win = [(t2, e2, v2) for t2, e2, v2 in by_user[u]
+                  if lo <= t2 <= ts]
+        n_w = len(in_win)
+        s_w = sum(math.floor(v2 * 1_000_000) for _, _, v2 in in_win)
+        assert got[eid] == (n_w, s_w), (eid, got[eid], (n_w, s_w))
