@@ -1,6 +1,7 @@
 """Randomized schema-evolution fuzz gate: a seeded interleaving of schema
-DDL (add / rename / drop / int->long promote), appends, CoW + MoR deletes,
-updates, and equality deletes must keep the engine scan identical to a
+DDL (add / rename / drop / int->long promote), partition-spec evolution,
+appends, CoW + MoR deletes, updates, and equality deletes must keep the
+engine scan (full AND filtered) identical to a
 pure-Python model replaying the same operations.
 
 This systematizes the round-4 bug class found by hand (renames breaking
@@ -119,7 +120,7 @@ def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
         kind = rng.choice(
             ["append", "append", "add_col", "rename", "drop", "promote",
              "delete_cow", "delete_mor", "update_cow", "update_mor",
-             "eq_delete"])
+             "eq_delete", "respec"])
         if kind == "append":
             rows = _gen_rows(rng, cols, rng.randrange(10, 30), next_rid)
             next_rid += len(rows)
@@ -181,6 +182,18 @@ def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
             for r in model:
                 if fn(r):
                     r[c] = float(v) if cols[c] == "double" else v
+        elif kind == "respec":
+            # spec evolution mid-walk: old files keep their spec, new
+            # writes land under the new one; scans must union both eras
+            choice = rng.choice(["ident", "bucket_rid", "none"])
+            if choice == "ident":
+                src_cands = [n for n, ty in cols.items()
+                             if ty in ("int", "long")]
+                t.update_spec([rng.choice(src_cands)])
+            elif choice == "bucket_rid":
+                t.update_spec([("rid", f"bucket[{rng.choice([4, 8])}]")])
+            else:
+                t.update_spec([])
         elif kind == "eq_delete":
             live = [r["rid"] for r in model]
             if not live:
