@@ -2323,6 +2323,18 @@ def q_sq8_probe(spark, sf_dir):
     return similarity.sq8_topk(df, qv, k=10)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Certified-exact top-k terms WITHOUT a full-vocabulary shuffle
+    (corpus.heavy_hitters): per-partition Misra-Gries sketches with an
+    exact undercount ledger -> bounded candidate set -> exact verify pass;
+    returns only when the k-th exact count provably beats the total
+    undercount (else retries at 4x capacity).  The oracle is the naive
+    exact top-k the sketch must equal."""
+    from incubator_iceberg_spark.functions import corpus as C
+    df = _table(spark, sf_dir, "documents_ice").to_df()
+    return C.heavy_hitters(df, k=20, capacity=256)
+
+
 def q_rolling_features(spark, sf_dir):
     """Trailing-window per-user features as-of every event
     (temporal.rolling_features): counts + exact micro-unit value sums
@@ -2357,8 +2369,9 @@ def q_sq8_indexed_probe(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [25 never-driver-verified queries: the round-4 additions (asof join,
-    # rolling window features, shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
+    # [26 never-driver-verified queries: the round-4 additions (asof join,
+    # rolling window features, certified heavy hitters, shuffle_shards,
+    # SQ8 ANN raw + stored-index, CDC sink,
     # partitions-over-evolved-specs,
     # position_deletes_meta, corpus_quality_gate, stratified_sample,
     # pii_scrub, dedup_keep_best, incremental_dedup, duplicated_spans,
@@ -2366,12 +2379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
     # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [22 least-recently-verified rows of the r2-green set].  To make
+    # + [21 least-recently-verified rows of the r2-green set].  To make
     # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
     # with ann_bruteforce; text_stats is a subset of text_analyze).
-    # Twelve more r2-green rows (text_analyze, ann_bruteforce,
-    # skew_salted_agg..catalog_txn_multi_table) sit just past the
+    # Thirteen more r2-green rows (length_quantiles, text_analyze,
+    # ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
     # Rotated to the back: the 47 rows re-verified by the r3 driver run,
@@ -2391,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_probe": q_sq8_probe,
         "sq8_indexed_probe": q_sq8_indexed_probe,
         "rolling_features": q_rolling_features,
+        "heavy_hitters": q_heavy_hitters,
         "duplicated_spans": q_duplicated_spans,
         "token_budget_sample": q_token_budget_sample,
         "streaming_cdc_apply": q_streaming_cdc_apply,
@@ -2741,6 +2755,16 @@ def oracle_sql() -> dict[str, str]:
                    w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                            RANGE BETWEEN 86400000000 PRECEDING
                                      AND CURRENT ROW)
+        """,
+        "heavy_hitters": r"""
+            WITH tok AS (
+              SELECT unnest(list_filter(
+                         regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                         x -> x != '')) AS term
+              FROM documents)
+            SELECT term, count(*) AS cnt
+            FROM tok GROUP BY term
+            ORDER BY cnt DESC, term LIMIT 20
         """,
         "text_analyze": _text_analyze_oracle(),
         "pipeline_clean_corpus": _pipeline_oracle(),

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "sq8_probe",
     "sq8_indexed_probe",
     "rolling_features",
+    "heavy_hitters",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

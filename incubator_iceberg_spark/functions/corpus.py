@@ -523,3 +523,86 @@ def shuffle_shards(df, n_shards: int, key_col: str = "doc_id"):
               .withColumn("shard", F.pmod(F.col("__h"), F.lit(int(n_shards))))
               .withColumn("pos", F.row_number().over(w) - F.lit(1))
               .drop("__h"))
+
+
+class HeavyHitterCertificationError(RuntimeError):
+    """The sketch could not PROVE the top-k is exact at this capacity."""
+
+
+def heavy_hitters(df, text_col: str = "text", k: int = 20,
+                  capacity: int = 512, max_retries: int = 3):
+    """CERTIFIED-exact global top-k terms by total occurrences, without
+    ever shuffling the full vocabulary — the two-pass sketch pattern:
+
+    1. **Sketch pass**: per-partition Misra-Gries summaries (Arrow-batched
+       ``mapInPandas``; counting is pandas ``value_counts``, not a Python
+       token loop).  Each partition tracks its exact total undercount
+       ``u_p`` (the sum of prune decrements), so any term whose TRUE
+       partition count exceeds ``u_p`` provably survives — hence any term
+       with global count > U = Σ u_p appears in the candidate union.
+    2. **Verify pass**: exact counts of the (bounded) candidate set via a
+       broadcast semi-join, then top-k.
+
+    **Certificate**: if the k-th best exact count > U, no non-candidate
+    can outrank it — the result is exactly the true top-k.  Otherwise the
+    capacity was too small for this distribution: retry with 4x capacity
+    (up to ``max_retries``), then raise ``HeavyHitterCertificationError``
+    rather than return a silently-approximate answer.
+
+    Scale shape: pass 1 shuffles nothing (narrow map); candidate set is
+    ≤ partitions × capacity rows (driver-side metadata, like any sketch
+    merge); pass 2 shuffles only candidate-term rows.  Compare the naive
+    exact form: a full-vocabulary groupBy, whose shuffle at 100 TB is the
+    whole token stream."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import text as TX
+
+    toks = df.select(F.explode(TX.tokens(text_col)).alias("term"))
+
+    cap = int(capacity)
+    for attempt in range(max_retries):
+        def sketch(batches, cap=cap):
+            counts: dict = {}
+            u = 0
+            for pdf in batches:
+                add = pdf["term"].value_counts()
+                for t, c in add.items():
+                    counts[t] = counts.get(t, 0) + int(c)
+                if len(counts) > cap:
+                    vals = sorted(counts.values(), reverse=True)
+                    d = vals[cap]  # (cap+1)-th largest
+                    u += d
+                    counts = {t: c - d for t, c in counts.items() if c > d}
+            yield pd.DataFrame({"term": list(counts.keys()) + [None],
+                                "u": [0] * len(counts) + [u]})
+
+        summary = toks.mapInPandas(sketch, "term string, u long")
+        agg = summary.agg(
+            F.sum("u").alias("U"),
+            F.collect_set("term").alias("cands")).collect()[0]
+        total_undercount = agg["U"] or 0
+        cands = agg["cands"]
+
+        exact = (toks.join(F.broadcast(
+                     toks.sparkSession.createDataFrame(
+                         [(c,) for c in cands], "term string")),
+                     "term", "left_semi")
+                 .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+                 .orderBy(F.desc("cnt"), F.col("term")).limit(k))
+        rows = exact.collect()
+        # certified when the k-th exact count beats the total possible
+        # undercount, OR no pruning ever happened (U == 0 -> the candidate
+        # set IS the full vocabulary).  Fewer-than-k candidates alone is
+        # NOT a certificate: pruned-away terms could fill the top-k.
+        certified = (total_undercount == 0
+                     or (len(rows) == k and rows[-1]["cnt"] > total_undercount))
+        if certified:
+            return toks.sparkSession.createDataFrame(
+                [(r["term"], r["cnt"]) for r in rows], "term string, cnt long")
+        cap *= 4
+    kth = rows[-1]["cnt"] if len(rows) == k else "n/a"
+    raise HeavyHitterCertificationError(
+        f"top-{k} not certifiable at capacity {cap // 4} "
+        f"(k-th count {kth} vs undercount bound {total_undercount}, "
+        f"{len(rows)} candidates); distribution too flat — raise capacity")

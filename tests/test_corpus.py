@@ -513,3 +513,36 @@ def test_shuffle_shards_incremental_order_stable(spark):
         order_a = a[a["shard"] == s].sort_values("pos")["doc_id"].tolist()
         order_b = b[b["shard"] == s].sort_values("pos")["doc_id"].tolist()
         assert order_a == order_b
+
+
+def test_heavy_hitters_certified_exact(spark):
+    import random
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    weights = [1] * 400
+    for i in range(25):  # skewed head
+        weights[i] = 200 - 7 * i
+    docs = []
+    for d in range(120):
+        words = rng.choices(vocab, weights=weights, k=80)
+        docs.append((d, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(6)
+
+    got = corpus.heavy_hitters(df, k=15, capacity=64).collect()
+
+    from incubator_iceberg_spark.functions import text as TX
+    exact = (df.select(F.explode(TX.tokens("text")).alias("term"))
+             .groupBy("term").count()
+             .orderBy(F.desc("count"), F.col("term")).limit(15).collect())
+    assert [(r["term"], r["cnt"]) for r in got] == \
+        [(r["term"], r["count"]) for r in exact]
+
+
+def test_heavy_hitters_flat_distribution_refuses(spark):
+    # every term unique -> nothing is a heavy hitter; the sketch must
+    # refuse to certify rather than return an arbitrary k
+    docs = [(i, " ".join(f"u{i}_{j}" for j in range(40))) for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    import pytest as _pytest
+    with _pytest.raises(corpus.HeavyHitterCertificationError):
+        corpus.heavy_hitters(df, k=5, capacity=8, max_retries=1)
