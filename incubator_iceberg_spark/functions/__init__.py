@@ -1,14 +1,34 @@
 """Training-data pipeline functions (SURVEY.md §2.9 / M9 extensions):
 
-- text      — language-ID, quality scoring, token counting, fingerprinting
-- dedup     — exact, minhash-LSH, simhash, n-gram jaccard
-- similarity — brute-force cosine top-k + LSH-bucketed ANN
+- text       — language-ID, quality scoring, token counting, fingerprinting,
+               PII scrubbing
+- dedup      — exact (+keep-best, incremental), minhash-LSH, simhash,
+               n-gram jaccard, connected components
+- similarity — brute-force cosine top-k, LSH/IVF ANN (+persistent stored
+               indexes), SQ8 scalar quantization, semantic dedup
+- corpus     — chunking, packing, mixture/stratified/token-budget
+               sampling, tf-idf, decontamination, repetition stats,
+               splits, span dedup, shuffle-shards, certified heavy hitters
+- temporal   — as-of joins, trailing rolling-window features
+- sessions   — gap sessionization (batch + streaming)
 - multimodal — binary media columns with typed metadata, decode stubs
+- skew       — salted aggregation/join helpers
 
 Everything stays JVM-side (built-in ``pyspark.sql.functions`` higher-order
-functions) except clearly-marked media decode stubs.
+functions) except clearly-marked media decode stubs and the documented
+Arrow-batched sketch/pack/verify stages.
 """
 
-from incubator_iceberg_spark.functions import text, dedup, similarity, multimodal, skew
+from incubator_iceberg_spark.functions import (
+    corpus,
+    dedup,
+    multimodal,
+    sessions,
+    similarity,
+    skew,
+    temporal,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "skew"]
+__all__ = ["corpus", "dedup", "multimodal", "sessions", "similarity",
+           "skew", "temporal", "text"]

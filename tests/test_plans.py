@@ -103,3 +103,52 @@ def test_mixture_sample_is_pure_filter(docs_df):
     plan = _final_plan(out)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sq8_stored_probe_prunes_raw_vectors(spark, tmp_path_factory):
+    """The compressed-read contract: a stored-codes probe must never read
+    the raw float vector column — ReadSchema carries only (id, codes)."""
+    from incubator_iceberg_spark import Catalog
+    from incubator_iceberg_spark.functions import similarity as S
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cat = Catalog(str(tmp_path_factory.mktemp("sq8wh")), spark)
+    t = cat.create_table("db.sq8plan", Schema.from_spark(df.schema))
+    t.append(df)
+    S.add_sq8_index(t)
+
+    probe = S.sq8_topk_stored(t, [float(x) for x in rng.standard_normal(8)],
+                              k=5)
+    plan = _final_plan(probe)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "embedding" not in " ".join(scan), " ".join(scan)
+    assert "__sq8_codes" in " ".join(scan)
+
+
+def test_rolling_features_single_exchange(spark):
+    """Both RANGE frames share one partitioning+ordering: Spark must plan
+    ONE shuffle (plus AQE reads), not one per window."""
+    import datetime
+    from incubator_iceberg_spark.functions import temporal
+    rows = [(i, i % 4, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(seconds=i), float(i)) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = temporal.rolling_features(
+        df, on="user_id", ts_col="ts", value_col="value",
+        windows={"1m": 60_000_000, "5m": 300_000_000})
+    plan = _final_plan(out).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_shuffle_shards_single_exchange(spark):
+    from incubator_iceberg_spark.functions import corpus
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = corpus.shuffle_shards(df, n_shards=8)
+    plan = _final_plan(out).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
