@@ -52,10 +52,14 @@ def asof_join(left, right, on, left_ts: str, right_ts: str,
     carried = F.struct(F.col(right_ts).alias("__ts"),
                        F.col(tiebreak).alias("__tb"),
                        *[F.col(c).alias(c) for c in value_cols])
-    r = right.select(*on,
-                     F.col(right_ts).alias("__ats"),
-                     F.lit(0).alias("__side"),
-                     carried.alias("__carry"))
+    # a NULL-timestamp fact has no position on the time axis: drop it
+    # (pandas merge_asof rejects NaT outright); a NULL-ts LEFT row keeps
+    # flowing through and simply matches nothing (NULLs sort first).
+    r = right.filter(F.col(right_ts).isNotNull()).select(
+        *on,
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        carried.alias("__carry"))
     left_cols = left.columns
     l = left.select(*left_cols,  # noqa: E741
                     F.col(left_ts).alias("__ats"),

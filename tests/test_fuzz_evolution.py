@@ -87,7 +87,12 @@ def _check(t, cols, model, step, op_desc):
             f"vs model {want[rid]} (cols {list(cols)})")
 
 
-@pytest.mark.parametrize("seed,partitioned", [(1721, False), (2202, True)])
+_SEED_OVERRIDE = os.environ.get("SPARK_GRAFT_FUZZ_SEED")
+_EVO_PARAMS = ([(int(_SEED_OVERRIDE), False), (int(_SEED_OVERRIDE) + 1, True)]
+               if _SEED_OVERRIDE else [(1721, False), (2202, True)])
+
+
+@pytest.mark.parametrize("seed,partitioned", _EVO_PARAMS)
 def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
                                               partitioned):
     import random

@@ -22,7 +22,7 @@ def test_randomized_incremental_reads_vs_model(warehouse, spark):
     from incubator_iceberg_spark.schema import Schema
     from incubator_iceberg_spark.scan import TableScan
 
-    rng = random.Random(6033)
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "6033")))
     df0 = spark.createDataFrame([(0, 0)], "rid long, v long")
     t = warehouse.create_table(
         "db.incfuzz", Schema.from_spark(df0.schema),
@@ -63,7 +63,8 @@ def test_randomized_incremental_reads_vs_model(warehouse, spark):
                 t.set_current_snapshot(ancestry[len(ancestry) // 2])
                 rolled_back = True
 
-    assert rolled_back, "seed must exercise the rollback+continue branch"
+    if not os.environ.get("SPARK_GRAFT_FUZZ_SEED"):
+        assert rolled_back, "default seed must exercise rollback+continue"
     ancestry = _ancestry(t)  # oldest -> newest, current chain only
     in_chain = set(ancestry)
 

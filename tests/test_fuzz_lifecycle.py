@@ -29,7 +29,11 @@ def _model_rows(rows):
 import pytest
 
 
-@pytest.mark.parametrize("seed", [4111, 777])
+_SEED_OVERRIDE = os.environ.get("SPARK_GRAFT_FUZZ_SEED")
+_LIFE_SEEDS = ([int(_SEED_OVERRIDE)] if _SEED_OVERRIDE else [4111, 777])
+
+
+@pytest.mark.parametrize("seed", _LIFE_SEEDS)
 def test_randomized_snapshot_lifecycle_vs_model(warehouse, spark, seed):
     from incubator_iceberg_spark.schema import Schema
 
@@ -145,7 +149,9 @@ def test_randomized_snapshot_lifecycle_vs_model(warehouse, spark, seed):
                     f"step {step} ({kind}): tag {name} diverged")
 
     # the walk must have exercised the history ops, not just appends
-    assert {"rollback", "expire"} & set(ops_run), ops_run
+    # (skip the mix assertion under an override seed — coverage varies)
+    if not _SEED_OVERRIDE:
+        assert {"rollback", "expire"} & set(ops_run), ops_run
     seqs = [s.sequence_number for s in
             sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)]
     assert seqs == sorted(set(seqs)), "sequence numbers not strictly unique"

@@ -139,3 +139,18 @@ def test_rolling_features_vs_bruteforce(spark):
         n_w = len(in_win)
         s_w = sum(math.floor(v2 * 1_000_000) for _, _, v2 in in_win)
         assert got[eid] == (n_w, s_w), (eid, got[eid], (n_w, s_w))
+
+
+def test_null_timestamps(spark):
+    """NULL-ts right rows are dropped facts (pandas rejects NaT); NULL-ts
+    left rows match nothing instead of 'everything before time'."""
+    from incubator_iceberg_spark.functions import temporal
+    left = spark.createDataFrame([(1, 1, 10), (2, 1, None)],
+                                 "id long, k long, ts long")
+    right = spark.createDataFrame([(1, None, 99.0), (1, 5, 1.0)],
+                                  "k long, ts long, v double")
+    out = temporal.asof_join(left, right, on="k", left_ts="ts",
+                             right_ts="ts", value_cols=["v"])
+    got = {r["id"]: (r["asof_ts"], r["asof_v"]) for r in out.collect()}
+    assert got[1] == (5, 1.0)       # the NULL-ts fact never matches
+    assert got[2] == (None, None)   # NULL-ts query matches nothing
