@@ -200,3 +200,34 @@ def test_truncated_binary_bounds_still_bound(b, length):
         assert up >= b
     else:
         assert all(x == 0xFF for x in b[:length])
+
+
+def test_list_column_roundtrips_every_read_path(warehouse, spark):
+    """array<T> columns (e.g. SQ8 codes) through all four read paths:
+    engine scan, to_arrow, the python DataSource, and the avro format —
+    including field-ID projection across a rename."""
+    from incubator_iceberg_spark import sources
+    from incubator_iceberg_spark.schema import Schema
+
+    df = spark.createDataFrame([(1, [1, 2, 3]), (2, None), (3, [])],
+                               "id long, codes array<int>")
+    t = warehouse.create_table("db.listcol", Schema.from_spark(df.schema))
+    t.append(df)
+    want = {1: [1, 2, 3], 2: None, 3: []}
+
+    assert {r["id"]: r["codes"] for r in t.to_df().collect()} == want
+    at = t.to_arrow()
+    assert {i: c for i, c in zip(at.column("id").to_pylist(),
+                                 at.column("codes").to_pylist())} == want
+    sources.register(spark)
+    got = spark.read.format("iiws").option("path", t.location).load()
+    assert {r["id"]: r["codes"] for r in got.collect()} == want
+
+    t.update_schema().rename_column("codes", "codes2").commit()
+    assert {r["id"]: r["codes2"] for r in t.to_df().collect()} == want
+
+    ta = warehouse.create_table(
+        "db.listcol_avro", Schema.from_spark(df.schema),
+        properties={"write.format.default": "avro"})
+    ta.append(df)
+    assert {r["id"]: r["codes"] for r in ta.to_df().collect()} == want
