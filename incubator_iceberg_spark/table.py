@@ -509,6 +509,15 @@ class Table:
                         if isinstance(e.get(k), list):
                             e[k] = dict(e[k]) if e[k] else None
                     e["status"] = MF.ADDED
+                    # the re-applied files belong to the NEW commit: strip
+                    # the source commit's stamps so the manifest writer
+                    # re-stamps snapshot id AND sequence number (stale ids
+                    # made cherry-picked rows invisible to incremental/
+                    # streaming reads; a stale sequence would let newer
+                    # delete files apply to the re-added rows).  Physical
+                    # write-time stamps (spec_id, schema_id) are kept.
+                    e.pop("snapshot_id", None)
+                    e.pop("sequence_number", None)
                     entries.append(e)
         published = {"published-wap-id": snap.summary.get("wap.id")} \
             if snap.summary.get("wap.id") else None

@@ -142,3 +142,90 @@ def test_branch_reads_after_schema_evolution(warehouse, orders):
     got = t.to_df(ref="b")
     assert got.count() == 110
     assert got.filter("o_channel = 'b-era'").count() == 10
+
+
+def test_cherry_pick_across_schema_rename(warehouse, spark):
+    """An orphaned (rolled-back-past) append written under the OLD schema
+    cherry-picks cleanly onto a table that renamed a column since: the
+    entries keep their write-schema id, field-ID projection renders them
+    under the new name, and filtered scans on the new name see them."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    t = warehouse.create_table("db.cp_rename", Schema.from_spark(df.schema))
+    t.append(df)
+    s1 = t.metadata.current_snapshot_id
+    t.append(spark.createDataFrame([(10, "x"), (11, "y")],
+                                   "id long, name string"))
+    s2 = t.metadata.current_snapshot_id
+    t.set_current_snapshot(s1)
+    t.update_schema().rename_column("name", "label").commit()
+    t.append(spark.createDataFrame([(3, "c")], "id long, label string"))
+    t.cherry_pick(s2)
+    rows = {r["id"]: r["label"] for r in t.to_df().collect()}
+    assert rows == {1: "a", 2: "b", 3: "c", 10: "x", 11: "y"}
+    assert t.to_df(filter="label = 'x'").count() == 1
+
+
+def test_cherry_pick_across_spec_evolution(warehouse, spark):
+    """Cherry-picked old-spec entries keep their partition tuples; scans
+    union both eras and prune each under its own spec."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(i, i % 4) for i in range(20)],
+                               "id long, grp long")
+    t = warehouse.create_table("db.cp_spec", Schema.from_spark(df.schema),
+                               partition_by=["grp"])
+    t.append(df)
+    s1 = t.metadata.current_snapshot_id
+    t.append(spark.createDataFrame([(100 + i, i % 4) for i in range(8)],
+                                   "id long, grp long"))
+    s2 = t.metadata.current_snapshot_id
+    t.set_current_snapshot(s1)
+    t.update_spec([("id", "bucket[4]")])
+    t.cherry_pick(s2)
+    assert t.to_df().count() == 28
+    assert t.to_df(filter="grp = 2").count() == 7
+    assert t.to_df(filter="id >= 100").count() == 8
+
+
+def test_cherry_pick_visible_to_incremental_reads(warehouse, spark):
+    """Found by probing: cherry-picked entries kept the SOURCE commit's
+    snapshot-id stamp, so the incremental filter (status=ADDED AND
+    snapshot_id=committing id) never matched them — WAP-published rows
+    silently vanished from appends_between and the streaming source.
+    The entries must be re-stamped with the new commit."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    t = warehouse.create_table("db.cp_inc", Schema.from_spark(df.schema))
+    t.append(df)
+    s1 = t.metadata.current_snapshot_id
+    t.append(spark.createDataFrame([(10, "x")], "id long, s string"))
+    s2 = t.metadata.current_snapshot_id
+    t.set_current_snapshot(s1)
+    t.append(spark.createDataFrame([(2, "b")], "id long, s string"))
+    s3 = t.metadata.current_snapshot_id
+    t.cherry_pick(s2)
+    s4 = t.metadata.current_snapshot_id
+    assert sorted(r["id"] for r in
+                  t.new_scan().appends_between(s3, s4).to_df().collect()) \
+        == [10]
+    assert sorted(r["id"] for r in
+                  t.new_scan().appends_between(s1, s4).to_df().collect()) \
+        == [2, 10]
+
+
+def test_cherry_pick_takes_new_sequence_number(warehouse, spark):
+    """Re-applied files take the NEW commit's data sequence: an equality
+    delete committed before the cherry-pick must NOT kill the re-added
+    rows (the reference's sequence-number semantics for re-commits)."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    t = warehouse.create_table("db.cp_seq", Schema.from_spark(df.schema))
+    t.append(df)
+    s1 = t.metadata.current_snapshot_id
+    t.append(spark.createDataFrame([(10, "x")], "id long, s string"))
+    s2 = t.metadata.current_snapshot_id
+    t.set_current_snapshot(s1)
+    # an eq delete on id=10 lands BEFORE the cherry-pick re-applies it
+    t.add_equality_deletes(spark.createDataFrame([(10,)], "id long"), ["id"])
+    t.cherry_pick(s2)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 10]
