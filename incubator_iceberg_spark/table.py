@@ -499,6 +499,17 @@ class Table:
         if snap.operation != "append":
             raise MD.ValidationException(
                 f"cherry-pick supports append snapshots only, got {snap.operation}")
+        # re-applying a snapshot that is already in the current ancestry
+        # would silently DUPLICATE its rows (SnapshotManager's already-
+        # applied guard): cherry-pick targets are orphaned/staged commits
+        sid = md.current_snapshot_id
+        while sid is not None:
+            if sid == snapshot_id:
+                raise MD.ValidationException(
+                    f"snapshot {snapshot_id} is already an ancestor of the "
+                    f"current state; cherry-picking it would duplicate rows")
+            cur = md.snapshot_by_id(sid)
+            sid = cur.parent_id if cur is not None else None
         entries = []
         for row in MF.read_manifest_list_arrow(snap.manifest_list).to_pylist():
             if row.get("added_snapshot_id") != snapshot_id:

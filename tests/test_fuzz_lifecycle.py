@@ -93,8 +93,15 @@ def test_randomized_snapshot_lifecycle_vs_model(warehouse, spark, seed):
             current = copy.deepcopy(frozen[sid])
         elif kind == "cherry_pick":
             cur_rids = {r["rid"] for r in current}
+            ancestors = set()
+            asid = t.metadata.current_snapshot_id
+            while asid is not None:
+                ancestors.add(asid)
+                snap = t.metadata.snapshot_by_id(asid)
+                asid = snap.parent_id if snap is not None else None
             cands = [sid for sid, rows in batches.items()
                      if t.metadata.snapshot_by_id(sid) is not None
+                     and sid not in ancestors  # guard refuses ancestors
                      and not ({r["rid"] for r in rows} & cur_rids)]
             if not cands:
                 continue

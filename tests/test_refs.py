@@ -229,3 +229,18 @@ def test_cherry_pick_takes_new_sequence_number(warehouse, spark):
     t.add_equality_deletes(spark.createDataFrame([(10,)], "id long"), ["id"])
     t.cherry_pick(s2)
     assert sorted(r["id"] for r in t.to_df().collect()) == [1, 10]
+
+
+def test_cherry_pick_of_ancestor_refuses(warehouse, spark):
+    """Re-applying an already-published snapshot silently DUPLICATED its
+    rows; the already-applied ancestor guard must refuse instead."""
+    from incubator_iceberg_spark.metadata import ValidationException
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    t = warehouse.create_table("db.cp_dup", Schema.from_spark(df.schema))
+    t.append(df)
+    t.append(spark.createDataFrame([(2, "b")], "id long, s string"))
+    s2 = t.metadata.current_snapshot_id
+    with pytest.raises(ValidationException, match="ancestor"):
+        t.cherry_pick(s2)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2]
