@@ -43,11 +43,26 @@ def test_randomized_incremental_reads_vs_model(warehouse, spark):
 
     do_append()
     rolled_back = False
+    picked: set = set()  # orphans already re-applied (re-pick = dup rows)
     for step in range(N_OPS):
         kind = rng.choice(["append", "append", "append", "delete_cow",
-                           "delete_mor", "compact", "rollback"])
+                           "delete_mor", "compact", "rollback",
+                           "cherry_pick"])
         if kind == "append":
             do_append()
+        elif kind == "cherry_pick":
+            # re-apply an orphaned append: its rows must surface in the
+            # NEW commit's incremental slice (the restamping contract)
+            chain = set(_ancestry(t))
+            cands = [sid for sid in append_batch
+                     if sid not in chain and sid not in picked
+                     and t.metadata.snapshot_by_id(sid) is not None]
+            if not cands:
+                continue
+            src = rng.choice(cands)
+            t.cherry_pick(src)
+            picked.add(src)
+            append_batch[t.metadata.current_snapshot_id] = append_batch[src]
         elif kind == "delete_cow":
             t.delete_where(f"rid % 5 = {rng.randrange(5)}")
         elif kind == "delete_mor":
