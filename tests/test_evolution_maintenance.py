@@ -378,3 +378,26 @@ def test_delete_column_guards_referenced_fields(warehouse, spark):
     t.refresh()
     assert [f.name for f in t.metadata.schema().fields] == ["k", "x"]
     assert t.to_df().count() == 19
+
+
+@pytest.mark.parametrize("fmt", ["avro", "orc"])
+def test_rename_with_eq_deletes_per_format(warehouse, spark, fmt):
+    """Renames + pre-rename equality deletes over the avro and ORC data
+    paths: old files render under new names, the deletes keep applying,
+    filtered scans bind on the new names, new-era appends union in."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(i, f"n{i}", float(i)) for i in range(10)],
+                               "id long, name string, v double")
+    t = warehouse.create_table(f"db.renfmt_{fmt}", Schema.from_spark(df.schema),
+                               properties={"write.format.default": fmt})
+    t.append(df)
+    t.add_equality_deletes(spark.createDataFrame([(3,), (7,)], "id long"),
+                           ["id"])
+    t.update_schema().rename_column("name", "label").commit()
+    t.update_schema().rename_column("id", "ident").commit()
+    assert sorted(r["ident"] for r in t.to_df().collect()) == \
+        [0, 1, 2, 4, 5, 6, 8, 9]
+    assert t.to_df(filter="ident >= 5 AND label = 'n8'").count() == 1
+    t.append(spark.createDataFrame([(100, "x", 1.0)],
+                                   "ident long, label string, v double"))
+    assert t.to_df().count() == 9
