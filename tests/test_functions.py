@@ -542,3 +542,46 @@ def test_sq8_index_stored_roundtrip_and_ivf_composition(warehouse, spark):
     in_list = ", ".join(str(c) for c in cells)
     probed = len(t.new_scan().filter(f"__ann_cell IN ({in_list})").plan_files())
     assert probed < total
+
+
+def test_sq8_integer_reference_properties():
+    """Hypothesis properties of the SQ8 integer arithmetic (pure Python —
+    the same formulas the Spark columns and the SQL oracle compute):
+    monotonicity per dim (order-preservation), code bounds, and bounded
+    reconstruction error (<= one quantization step + 1 micro)."""
+    import math
+    from hypothesis import given, settings, strategies as st
+
+    def encode(v, mn, su):
+        v_u = math.floor(v * 1_000_000)
+        if su <= 0:
+            return 0
+        return max(0, min(255, (v_u - mn) * 255 // su))
+
+    def recon(c, mn, su):
+        return mn + su * c // 255
+
+    finite = st.floats(min_value=-1000, max_value=1000,
+                       allow_nan=False, width=32)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(finite, min_size=2, max_size=40))
+    def prop(values):
+        mn = math.floor(min(values) * 1_000_000)
+        mx = math.floor(max(values) * 1_000_000)
+        su = mx - mn
+        codes = [encode(v, mn, su) for v in values]
+        assert all(0 <= c <= 255 for c in codes)
+        # monotone: bigger value never gets a smaller code
+        order = sorted(range(len(values)), key=lambda i: values[i])
+        for a, b in zip(order, order[1:]):
+            assert codes[a] <= codes[b]
+        # reconstruction stays inside the trained range and within one
+        # quantization step (+1 micro for the floor) of the input
+        step = su // 255 + 1
+        for v, c in zip(values, codes):
+            r = recon(c, mn, su)
+            assert mn <= r <= mx + 1
+            assert abs(r - math.floor(v * 1_000_000)) <= step + 1
+
+    prop()
