@@ -140,6 +140,10 @@ class TableMetadata:
     # {"snapshot-id": int, "type": "branch"|"tag"}; legacy plain-int values
     # are read as tags
     refs: dict = dc_field(default_factory=dict)
+    # [{"timestamp-ms", "metadata-file"}] — previous metadata versions,
+    # truncated to write.metadata.previous-versions-max (reference:
+    # TableProperties.java:128-129, default 100)
+    metadata_log: list = dc_field(default_factory=list)
     format_version: int = FORMAT_VERSION
 
     # -- accessors ---------------------------------------------------------
@@ -263,6 +267,7 @@ class TableMetadata:
             "current-snapshot-id": self.current_snapshot_id,
             "snapshots": [s.to_json() for s in self.snapshots],
             "snapshot-log": self.snapshot_log,
+            "metadata-log": self.metadata_log,
             "refs": self.refs,
         }
 
@@ -289,6 +294,7 @@ class TableMetadata:
             current_snapshot_id=obj.get("current-snapshot-id"),
             snapshots=[Snapshot.from_json(s) for s in obj.get("snapshots", [])],
             snapshot_log=obj.get("snapshot-log", []),
+            metadata_log=obj.get("metadata-log", []),
             refs=obj.get("refs", {}),
             format_version=obj.get("format-version", FORMAT_VERSION),
         )
@@ -350,6 +356,19 @@ class TableOperations:
         while os.path.exists(self.metadata_path(probe)):
             found = probe
             probe += 1
+        if found is None and os.path.isdir(self.metadata_dir):
+            # cold start with a lost hint AND expired early versions
+            # (write.metadata cleanup unlinks old files): fall back to a
+            # directory listing instead of reporting the table empty
+            versions = []
+            for name in os.listdir(self.metadata_dir):
+                if name.startswith("v") and name.endswith(".metadata.json"):
+                    try:
+                        versions.append(int(name[1:-len(".metadata.json")]))
+                    except ValueError:
+                        pass
+            if versions:
+                found = max(versions)
         return found
 
     def refresh(self) -> Optional[TableMetadata]:
@@ -363,9 +382,26 @@ class TableOperations:
 
     def commit(self, base_version: Optional[int], metadata: TableMetadata) -> int:
         """Atomically install ``metadata`` as version ``base_version+1``.
-        Raises CommitFailedException if that version already exists."""
+        Raises CommitFailedException if that version already exists.
+
+        Maintains the reference's metadata-log contract
+        (TableMetadata.previousFiles + TableProperties.java:128-133):
+        the log records previous metadata files, truncated to
+        ``write.metadata.previous-versions-max`` (default 100); with
+        ``write.metadata.delete-after-commit.enabled=true`` the files
+        dropped from the log are unlinked after a successful commit —
+        without it, a commit-heavy table accumulates one full metadata
+        JSON per commit forever (the 600-commit rehearsal left 135 MB)."""
         os.makedirs(self.metadata_dir, exist_ok=True)
         new_version = (base_version or 0) + 1
+        max_prev = int(metadata.properties.get(
+            "write.metadata.previous-versions-max", "100"))
+        delete_old = str(metadata.properties.get(
+            "write.metadata.delete-after-commit.enabled", "false")).lower() == "true"
+        if base_version:
+            entry = {"timestamp-ms": now_ms(),
+                     "metadata-file": self.metadata_path(base_version)}
+            metadata.metadata_log = (list(metadata.metadata_log) + [entry])[-max_prev:]
         final = self.metadata_path(new_version)
         tmp = os.path.join(self.metadata_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -384,6 +420,16 @@ class TableOperations:
         with open(hint_tmp, "w") as f:
             f.write(str(new_version))
         os.replace(hint_tmp, self.version_hint_path())
+        if delete_old:
+            # unlink versions dropped off the metadata log (best-effort;
+            # concurrent stale readers are why the flag defaults false,
+            # exactly as in the reference)
+            for old in range(max(1, new_version - max_prev - 50),
+                             new_version - max_prev):
+                try:
+                    os.unlink(self.metadata_path(old))
+                except FileNotFoundError:
+                    pass
         return new_version
 
 

@@ -64,3 +64,44 @@ def test_future_orphan_metadata_version_wins_probe(warehouse, orders, spark):
     t2 = warehouse.load_table("db.ft4", spark=spark)
     assert t2.ops.current_version() == v + 1
     assert t2.to_df().count() == 50
+
+
+def test_metadata_previous_versions_cleanup(warehouse, spark):
+    """write.metadata.previous-versions-max + delete-after-commit
+    (TableProperties.java:128-133): commit-heavy tables must not
+    accumulate one superseded metadata JSON per commit forever."""
+    import glob
+    import os
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(1,)], "id long")
+    t = warehouse.create_table(
+        "db.mdclean", Schema.from_spark(df.schema),
+        properties={"write.metadata.previous-versions-max": "5",
+                    "write.metadata.delete-after-commit.enabled": "true"})
+    for i in range(15):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    mdir = os.path.join(t.location, "metadata")
+    files = sorted(glob.glob(os.path.join(mdir, "v*.metadata.json")))
+    assert len(files) <= 6, files  # current + 5 previous
+    # the metadata log tracks exactly the retained previous versions
+    assert len(t.metadata.metadata_log) <= 5
+    # table stays fully readable, and a COLD reader with no hint file
+    # still finds the head even though v1..vN were unlinked
+    assert t.to_df().count() == 15
+    os.unlink(os.path.join(mdir, "version-hint.text"))
+    t2 = warehouse.load_table("db.mdclean")
+    assert t2.to_df().count() == 15
+
+
+def test_metadata_retained_by_default(warehouse, spark):
+    """Without the opt-in flag every version stays on disk (stale readers
+    are why the reference defaults deletion off)."""
+    import glob
+    import os
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(1,)], "id long")
+    t = warehouse.create_table("db.mdkeep", Schema.from_spark(df.schema))
+    for i in range(8):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    files = glob.glob(os.path.join(t.location, "metadata", "v*.metadata.json"))
+    assert len(files) == 9  # create + 8 appends, all retained
