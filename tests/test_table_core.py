@@ -540,12 +540,16 @@ def test_randomized_predicates_match_raw_spark(warehouse, spark):
             ]))
         preds.append(f" {rng.choice(['AND', 'OR'])} ".join(c))
 
-    for variant, part in (("plain", None), ("ident", ["k"]),
-                          ("bucket", [("id", "bucket[4]")])):
+    for variant, part, props in (
+            ("plain", None, None), ("ident", ["k"], None),
+            ("bucket", [("id", "bucket[4]")], None),
+            # same predicates through the DISTRIBUTED planner path
+            ("ident_dist", ["k"], {"read.plan-mode": "distributed"})):
         from incubator_iceberg_spark.schema import Schema
         t = warehouse.create_table(f"db.fuzz_{variant}",
                                    Schema.from_spark(df.schema),
-                                   partition_by=part)
+                                   partition_by=part,
+                                   properties=props)
         t.append(df.repartition(6))
         total_files = len(t.new_scan().plan_files())
         for p in preds:
