@@ -462,7 +462,8 @@ def test_time_travel_uses_snapshot_schema_for_binding(warehouse, spark):
     assert t.to_df(filter="w = 2").count() == 2
 
 
-def test_randomized_filtered_scans_with_mor_debt(warehouse, spark):
+@pytest.mark.parametrize("plan_mode", ["auto", "distributed"])
+def test_randomized_filtered_scans_with_mor_debt(warehouse, spark, plan_mode):
     """Fuzz the delete-application stack: after a sequence of
     merge-on-read deletes, every filtered scan must equal raw Spark
     applied to (base minus deleted) — deleted rows may never resurrect
@@ -474,8 +475,10 @@ def test_randomized_filtered_scans_with_mor_debt(warehouse, spark):
     rows = [(i, i % 12, ["red", "blue", "green"][i % 3],
              float(i % 50)) for i in range(600)]
     df = spark.createDataFrame(rows, "id long, m long, c string, v double")
-    t = warehouse.create_table("db.fuzz_mor", Schema.from_spark(df.schema),
-                               partition_by=["m"])
+    props = ({"read.plan-mode": plan_mode} if plan_mode != "auto" else None)
+    t = warehouse.create_table(f"db.fuzz_mor_{plan_mode}",
+                               Schema.from_spark(df.schema),
+                               partition_by=["m"], properties=props)
     t.append(df.repartition(4))
 
     deletes = ["c = 'red' AND m = 3", "v >= 40", "id % 97 = 5", "m = 7"]
