@@ -587,10 +587,13 @@ def test_randomized_timestamp_partition_predicates(warehouse, spark):
             f"ts >= {lit}", f"ts < {lit}", f"ts = {lit}",
             f"ts >= {lit} OR v > 50",
         ]))
-    for variant, part in (("month", ["month(ts)"]), ("day", ["day(ts)"])):
+    for variant, part, props in (("month", ["month(ts)"], None),
+                                 ("day", ["day(ts)"], None),
+                                 ("month_dist", ["month(ts)"],
+                                  {"read.plan-mode": "distributed"})):
         t = warehouse.create_table(f"db.tsfuzz_{variant}",
                                    Schema.from_spark(df.schema),
-                                   partition_by=part)
+                                   partition_by=part, properties=props)
         t.append(df.repartition(4))
         for p in preds:
             want = {r.id for r in df.filter(p).collect()}
