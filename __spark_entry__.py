@@ -2323,6 +2323,31 @@ def q_sq8_probe(spark, sf_dir):
     return similarity.sq8_topk(df, qv, k=10)
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """NEAR-duplicate eval decontamination (dedup.fuzzy_decontaminate):
+    the eval set is derived IN-QUERY from corpus docs (truncated tails —
+    reworded-benchmark stand-ins) plus clean decoys; the broadcast
+    MinHash band probe + exact-jaccard verify must recover exactly the
+    pairs whose true shingle jaccard >= 0.8, which the oracle computes
+    brute-force in SQL (corpus x eval is small on the eval side)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import dedup as D
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    derived = (docs.filter((F.col("doc_id") % 100 == 7)
+                           & (F.length("text") >= 200))
+               .select((F.col("doc_id") + 5000000).alias("eval_id"),
+                       F.expr("substr(text, 1, length(text) - 10)")
+                       .alias("text")))
+    # the eval set is tiny by nature: materialize it once (bounded
+    # sample) instead of re-scanning the corpus inside the eval branch
+    ev_rows = [(r["eval_id"], r["text"]) for r in derived.collect()]
+    ev_rows += [(9000001, "a completely clean benchmark question about nothing"),
+                (9000002, "another clean evaluation prompt with no overlap")]
+    eval_df = spark.createDataFrame(ev_rows, "eval_id long, text string")
+    out = D.fuzzy_decontaminate(docs, eval_df, jaccard_threshold=0.8)
+    return out.select("doc_id", "eval_id", "jaccard")
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Certified-exact top-k terms WITHOUT a full-vocabulary shuffle
     (corpus.heavy_hitters): per-partition Misra-Gries sketches with an
@@ -2369,9 +2394,9 @@ def q_sq8_indexed_probe(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [26 never-driver-verified queries: the round-4 additions (asof join,
-    # rolling window features, certified heavy hitters, shuffle_shards,
-    # SQ8 ANN raw + stored-index, CDC sink,
+    # [27 never-driver-verified queries: the round-4 additions (asof join,
+    # rolling window features, certified heavy hitters, fuzzy
+    # decontamination, shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
     # partitions-over-evolved-specs,
     # position_deletes_meta, corpus_quality_gate, stratified_sample,
     # pii_scrub, dedup_keep_best, incremental_dedup, duplicated_spans,
@@ -2379,12 +2404,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
     # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [21 least-recently-verified rows of the r2-green set].  To make
+    # + [20 least-recently-verified rows of the r2-green set].  To make
     # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
     # with ann_bruteforce; text_stats is a subset of text_analyze).
-    # Thirteen more r2-green rows (length_quantiles, text_analyze,
-    # ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
+    # Fourteen more r2-green rows (vocab_doc_freq, length_quantiles,
+    # text_analyze, ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
     # Rotated to the back: the 47 rows re-verified by the r3 driver run,
@@ -2405,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_indexed_probe": q_sq8_indexed_probe,
         "rolling_features": q_rolling_features,
         "heavy_hitters": q_heavy_hitters,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "duplicated_spans": q_duplicated_spans,
         "token_budget_sample": q_token_budget_sample,
         "streaming_cdc_apply": q_streaming_cdc_apply,
@@ -2765,6 +2791,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS cnt
             FROM tok GROUP BY term
             ORDER BY cnt DESC, term LIMIT 20
+        """,
+        "fuzzy_decontaminate": """
+            WITH ev AS (
+              SELECT doc_id + 5000000 AS eval_id,
+                     substr(text, 1, length(text) - 10) AS text
+              FROM documents
+              WHERE doc_id % 100 = 7 AND length(text) >= 200
+              UNION ALL
+              SELECT 9000001,
+                     'a completely clean benchmark question about nothing'
+              UNION ALL
+              SELECT 9000002,
+                     'another clean evaluation prompt with no overlap'
+            ), shc AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                                    FOR i IN range(1, length(text) - 3)]) AS s
+              FROM documents WHERE length(text) >= 5
+            ), she AS (
+              SELECT eval_id,
+                     list_distinct([substr(text, i, 5)
+                                    FOR i IN range(1, length(text) - 3)]) AS s
+              FROM ev WHERE length(text) >= 5
+            ), exc AS (SELECT doc_id, unnest(s) AS g FROM shc),
+            exe AS (SELECT eval_id, unnest(s) AS g FROM she),
+            inter AS (
+              SELECT c.doc_id, e.eval_id, count(*) AS i
+              FROM exc c JOIN exe e ON c.g = e.g
+              GROUP BY 1, 2)
+            SELECT i.doc_id, i.eval_id,
+                   round(i.i * 1.0 / (nc.n + ne.n - i.i), 6) AS jaccard
+            FROM inter i
+            JOIN (SELECT doc_id, len(s) AS n FROM shc) nc USING (doc_id)
+            JOIN (SELECT eval_id, len(s) AS n FROM she) ne USING (eval_id)
+            WHERE i.i * 1.0 / (nc.n + ne.n - i.i) >= 0.8
         """,
         "text_analyze": _text_analyze_oracle(),
         "pipeline_clean_corpus": _pipeline_oracle(),

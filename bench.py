@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "sq8_indexed_probe",
     "rolling_features",
     "heavy_hitters",
+    "fuzzy_decontaminate",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

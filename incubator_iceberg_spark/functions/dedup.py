@@ -449,3 +449,85 @@ def incremental_dedup(batch_df, corpus_df, text_col: str = "text",
     keep = (fresh.groupBy("__h").agg(F.min(id_col).alias(id_col))
             .select(id_col))
     return batch_df.join(keep, id_col, "left_semi")
+
+
+def fuzzy_decontaminate(corpus_df, eval_df, text_col: str = "text",
+                        id_col: str = "doc_id", eval_text_col: str = "text",
+                        eval_id_col: str = "eval_id", num_hashes: int = 32,
+                        bands: int = 8, shingle_size: int = 5,
+                        jaccard_threshold: float = 0.8):
+    """NEAR-duplicate eval-set decontamination — the fuzzy complement of
+    ``corpus.ngram_contamination`` (which catches verbatim gram overlap):
+    a lightly-reworded benchmark document still contaminates, and this
+    finds it by MinHash similarity instead of exact grams.
+
+    Scale shape exploits the asymmetry: the eval set is SMALL (benchmark
+    suites are thousands of docs), so its signatures, band buckets, and
+    shingle sets are BROADCAST.  The corpus side pays one shingle
+    explode + map-side-combined min-hash aggregate (shuffle scales with
+    docs, not shingles), then a broadcast band-bucket join and a
+    broadcast exact-jaccard verify — the corpus never self-joins and
+    never shuffles on bucket keys.  Returns ``(id, eval_id, jaccard)``
+    for every corpus doc whose verified shingle jaccard with an eval doc
+    meets the threshold."""
+    from pyspark.sql import functions as F
+
+    rows_per_band = num_hashes // bands
+
+    def sig_of(df, idc, txc, out_id, wide):
+        base = df.select(F.col(idc).alias(out_id),
+                         TX.char_ngrams(txc, shingle_size).alias("__sh"))
+        if wide:
+            # CPU-bound signature hashing must not be gated on input file
+            # count, and base feeds two consumers (explode + join-back) —
+            # persist or the substring explosion runs twice
+            par = df.sparkSession.sparkContext.defaultParallelism
+            base = base.repartition(par).persist()
+        ex = base.select(out_id, F.explode_outer("__sh").alias("__s"))
+        mins = ex.groupBy(out_id).agg(
+            *[F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__h{i}")
+              for i in range(num_hashes)])
+        sig = base.join(mins, out_id).select(
+            out_id, "__sh",
+            F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
+            .alias("__sig"))
+        return sig, (base if wide else None)
+
+    def banded_of(sig, out_id):
+        bb = sig.select(
+            out_id,
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(
+                        ",", F.transform(
+                            F.slice(F.col("__sig"), b * rows_per_band + 1,
+                                    rows_per_band),
+                            lambda v: v.cast("string")))).alias("bucket")),
+            )).alias("bb"))
+        return bb.select(out_id, F.col("bb.band").alias("band"),
+                         F.col("bb.bucket").alias("bucket"))
+
+    corpus_sig, corpus_base = sig_of(corpus_df, id_col, text_col, "__cid",
+                                     wide=True)
+    corpus_sig = corpus_sig.persist()
+    corpus_sig.count()  # eager: banded probe + verify both read it
+    corpus_base.unpersist()
+    eval_sig, _ = sig_of(eval_df, eval_id_col, eval_text_col, "__eid",
+                         wide=False)
+
+    cand = (banded_of(corpus_sig, "__cid")
+            .join(F.broadcast(banded_of(eval_sig, "__eid")),
+                  ["band", "bucket"])
+            .select("__cid", "__eid").distinct())
+    verified = (corpus_sig.select("__cid", F.col("__sh").alias("sh_c"))
+                .join(F.broadcast(cand), "__cid")
+                .join(F.broadcast(eval_sig.select(
+                    "__eid", F.col("__sh").alias("sh_e"))), "__eid")
+                .withColumn("jaccard", _jaccard(F.col("sh_c"), F.col("sh_e")))
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select(F.col("__cid").alias(id_col),
+                        F.col("__eid").alias(eval_id_col),
+                        F.round("jaccard", 6).alias("jaccard")))
+    return _materialize_and_release(verified, [corpus_sig])

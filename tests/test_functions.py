@@ -585,3 +585,22 @@ def test_sq8_integer_reference_properties():
             assert abs(r - math.floor(v * 1_000_000)) <= step + 1
 
     prop()
+
+
+def test_fuzzy_decontaminate_finds_reworded_eval_docs(spark):
+    from incubator_iceberg_spark.functions import dedup as D
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 8),
+         (2, "completely unrelated corpus text about databases " * 8),
+         (3, "another unrelated document about query engines " * 8)],
+        "doc_id long, text string")
+    # eval doc = lightly reworded copy of doc 1 (prefix truncated)
+    ev = spark.createDataFrame(
+        [(100, ("the quick brown fox jumps over the lazy dog " * 8)[10:]),
+         (200, "a clean benchmark question with zero overlap")],
+        "eval_id long, text string")
+    got = {(r["doc_id"], r["eval_id"]): r["jaccard"]
+           for r in D.fuzzy_decontaminate(corpus, ev).collect()}
+    assert (1, 100) in got and got[(1, 100)] >= 0.8
+    assert all(e != 200 for _, e in got)
+    assert all(d == 1 for d, _ in got)
