@@ -2391,10 +2391,115 @@ def q_sq8_indexed_probe(spark, sf_dir):
     return similarity.sq8_topk_stored(t, qv, k=10)
 
 
+def q_range_join_events(spark, sf_dir):
+    """Interval (range) join (temporal.range_join): every click landing
+    inside a 30-minute post-purchase window, per user — the GRID-BUCKETED
+    equi-join decomposition (point cell = floor(us/G); interval explodes
+    into its covered cells) instead of Spark's native plan for the
+    inequality predicate, a BroadcastNestedLoopJoin that is O(|P|·|I|)
+    per key.  A point lives in exactly one cell so no dedup pass is
+    needed; the no-BNLJ shape is pinned in tests/test_temporal.py.  The
+    oracle is DuckDB's native inequality join (IEJoin) — an independent
+    implementation of the same containment semantics.  Sums are exact
+    int64 micro-units so no float-order ambiguity."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import temporal
+    ev = _table(spark, sf_dir, "events_stream").to_df()
+    pts = (ev.filter(F.col("event_type") == "click")
+             .select("event_id", "user_id", "ts", "value"))
+    iv = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("pid"), "user_id",
+                    F.col("ts").alias("s"),
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e")))
+    j = temporal.range_join(pts, iv, on="user_id", point_ts="ts",
+                            start_ts="s", end_ts="e",
+                            grid_micros=30 * 60 * 1_000_000,
+                            iv_cols=["pid"])
+    return (j.groupBy(F.col("iv_pid").alias("iv_id"))
+             .agg(F.count(F.lit(1)).alias("n_pts"),
+                  F.min("event_id").alias("min_pt"),
+                  F.max("event_id").alias("max_pt"),
+                  F.sum(F.floor(F.col("value") * 1_000_000).cast("long"))
+                   .alias("val_micro")))
+
+
+def q_runtime_filter_join(spark, sf_dir):
+    """Runtime filtering (runtime_filter.runtime_filtered_join): the
+    selective dim side of a star join is evaluated FIRST and its distinct
+    keys become a planning predicate on the fact scan — the IN set
+    projects through the bucket(32, l_orderkey) partition transform, so
+    non-matching fact files are pruned before any bytes are read (the
+    later SupportsRuntimeFiltering evolution of reference
+    SparkBatchScan.java:66).  The query body asserts files were actually
+    pruned; the broadcast join makes the result independent of pruning
+    (oracle = the plain SQL join)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.runtime_filter import (
+        runtime_filtered_join, runtime_key_filter)
+    cat = _scratch_catalog(spark)
+    li = _load(spark, sf_dir, "lineitem")
+    t = cat.create_table("s.li_bucket", Schema.from_spark(li.schema),
+                         partition_by=["bucket(32, l_orderkey)"])
+    t.append(li)
+    orders = _load(spark, sf_dir, "orders")
+    # fixed key RANGE, not a proportional sample: the dim stays 21 keys /
+    # 15 of 32 buckets at EVERY scale, so the pruning assert is
+    # deterministic from sf0.001 through sf1
+    dim = (orders.filter("o_orderkey % 50 = 0 AND o_orderkey <= 1000")
+                 .select("o_orderkey", "o_orderpriority"))
+    flt, nd = runtime_key_filter(dim, "o_orderkey", "l_orderkey")
+    total = len(t.new_scan(spark).plan_files())
+    pruned = len(t.new_scan(spark).filter(flt).plan_files())
+    assert 0 < pruned < total, (pruned, total)
+    out = runtime_filtered_join(t, dim, "l_orderkey", "o_orderkey", spark)
+    return (out.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.floor(F.col("l_extendedprice") * 100)
+                          .cast("long")).alias("price_cents"),
+                    F.min("l_orderkey").alias("min_ok"),
+                    F.max("l_orderkey").alias("max_ok")))
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (corpus.kmv_distinct): mergeable
+    cardinality estimation that — unlike approx_count_distinct — is
+    engine-reproducible: exact-int64 multiplicative hash, min-k of the
+    DISTINCT hash set, integer-division estimate, so the SQL oracle
+    replays the sketch bit-for-bit.  Two sketches in one result (event
+    users + lineitem orderkeys) to cover different cardinality regimes;
+    per-partition min-k runs in bounded memory with no shuffle and the
+    global min-k is a TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import corpus as C
+    ev = _table(spark, sf_dir, "events_stream").to_df()
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    a = (C.kmv_distinct(ev, "user_id", k=64)
+         .withColumn("key", F.lit("events_users")))
+    b = (C.kmv_distinct(li, "l_orderkey", k=64)
+         .withColumn("key", F.lit("lineitem_orders")))
+    return a.unionByName(b).select("key", "k_used", "kth_hash",
+                                   "est_distinct")
+
+
+def q_inverted_postings(spark, sf_dir):
+    """Inverted-index build (corpus.inverted_postings): top-20
+    document-frequency terms with their ascending doc-id posting lists
+    (CSV-serialized, capped at 100 — the head shard; true doc_freq
+    counted before the cap).  Tokenizes once, broadcast-joins the tiny
+    top-term set before any list building, bounds every list with a
+    per-term window so no task materializes an uncapped array."""
+    from incubator_iceberg_spark.functions import corpus as C
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    return C.inverted_postings(docs, top_n=20, max_postings=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [27 never-driver-verified queries: the round-4 additions (asof join,
+    # [31 never-driver-verified queries: the round-4 additions (grid-
+    # bucketed range join, runtime-filtered star join, KMV distinct
+    # sketch, inverted-postings build, asof join,
     # rolling window features, certified heavy hitters, fuzzy
     # decontamination, shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
     # partitions-over-evolved-specs,
@@ -2404,11 +2509,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
     # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [20 least-recently-verified rows of the r2-green set].  To make
+    # + [16 least-recently-verified rows of the r2-green set].  To make
     # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
     # with ann_bruteforce; text_stats is a subset of text_analyze).
-    # Fourteen more r2-green rows (vocab_doc_freq, length_quantiles,
+    # Eighteen more r2-green rows (vocab_doc_freq, length_quantiles,
     # text_analyze, ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
@@ -2424,6 +2529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py.
     return {
         # --- never driver-verified (new r4 + late-r3 additions) -----------
+        "range_join_events": q_range_join_events,
+        "runtime_filter_join": q_runtime_filter_join,
+        "kmv_distinct": q_kmv_distinct,
+        "inverted_postings": q_inverted_postings,
         "asof_join_events": q_asof_join_events,
         "shuffle_shards": q_shuffle_shards,
         "sq8_probe": q_sq8_probe,
@@ -2666,7 +2775,68 @@ def _pipeline_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from incubator_iceberg_spark.functions.corpus import kmv_distinct_sql
     return {
+        "kmv_distinct": (
+            "SELECT 'events_users' AS key, s1.* FROM ("
+            + kmv_distinct_sql("user_id", "events", k=64) + ") s1 "
+            "UNION ALL "
+            "SELECT 'lineitem_orders' AS key, s2.* FROM ("
+            + kmv_distinct_sql("l_orderkey", "lineitem", k=64) + ") s2"
+        ),
+        "inverted_postings": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         regexp_split_to_array(lower(text),
+                                               '[^\\p{L}\\p{N}]+'),
+                         x -> x != '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+            top AS (SELECT term, doc_freq FROM dfreq
+                    ORDER BY doc_freq DESC, term ASC LIMIT 20),
+            capped AS (
+              SELECT tf.term, tf.doc_id,
+                     row_number() OVER (PARTITION BY tf.term
+                                        ORDER BY tf.doc_id ASC) AS rn
+              FROM tf JOIN top USING (term))
+            SELECT t.term, CAST(t.doc_freq AS BIGINT) AS doc_freq,
+                   string_agg(c.doc_id::VARCHAR, ','
+                              ORDER BY c.doc_id) AS postings
+            FROM capped c JOIN top t USING (term)
+            WHERE c.rn <= 100
+            GROUP BY 1, 2
+        """,
+        "range_join_events": """
+            WITH pts AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            ), iv AS (
+                SELECT event_id AS iv_id, user_id, ts AS s,
+                       ts + INTERVAL 30 MINUTE AS e
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT iv.iv_id, count(*) AS n_pts,
+                   min(p.event_id) AS min_pt, max(p.event_id) AS max_pt,
+                   CAST(sum(CAST(floor(p.value * 1000000) AS BIGINT))
+                        AS BIGINT) AS val_micro
+            FROM iv JOIN pts p
+              ON iv.user_id = p.user_id AND p.ts >= iv.s AND p.ts <= iv.e
+            GROUP BY iv.iv_id
+        """,
+        "runtime_filter_join": """
+            WITH dim AS (
+                SELECT o_orderkey, o_orderpriority FROM orders
+                WHERE o_orderkey % 50 = 0 AND o_orderkey <= 1000
+            )
+            SELECT d.o_orderpriority, count(*) AS n_rows,
+                   CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents,
+                   min(l.l_orderkey) AS min_ok, max(l.l_orderkey) AS max_ok
+            FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
+            GROUP BY d.o_orderpriority
+        """,
         "asof_join_events": """
             WITH clicks AS (
                 SELECT event_id, user_id, ts FROM events

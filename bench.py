@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "rolling_features",
     "heavy_hitters",
     "fuzzy_decontaminate",
+    # round-4 final additions: grid-bucketed interval join + runtime
+    # file-pruned star join (timed body includes the scratch fact build)
+    "range_join_events",
+    "runtime_filter_join",
+    "kmv_distinct",
+    "inverted_postings",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

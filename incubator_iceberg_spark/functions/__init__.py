@@ -9,7 +9,7 @@
 - corpus     — chunking, packing, mixture/stratified/token-budget
                sampling, tf-idf, decontamination, repetition stats,
                splits, span dedup, shuffle-shards, certified heavy hitters
-- temporal   — as-of joins, trailing rolling-window features
+- temporal   — as-of joins, grid-bucketed interval joins, rolling windows
 - sessions   — gap sessionization (batch + streaming)
 - multimodal — binary media columns with typed metadata, decode stubs
 - skew       — salted aggregation/join helpers

@@ -606,3 +606,131 @@ def heavy_hitters(df, text_col: str = "text", k: int = 20,
         f"top-{k} not certifiable at capacity {cap // 4} "
         f"(k-th count {kth} vs undercount bound {total_undercount}, "
         f"{len(rows)} candidates); distribution too flat — raise capacity")
+
+
+# KMV hash domain: a coarser modulus than int64 so the product with the
+# Knuth multiplier stays exactly representable in EVERY engine's int64
+# ((M-1)·K ≈ 5.7e18 < 2^63); 2^31-1 keeps collision mass negligible for
+# sketch-sized inputs (k ≪ √M)
+_KMV_M = 2_147_483_647
+
+
+def kmv_hash(key_col):
+    """Deterministic pseudo-uniform hash of an integer key into
+    [0, 2^31-1) — the same exact-int64 multiplicative scheme as
+    ``mixture_u`` but on a 2^31 domain (a 10^6 domain would collide
+    sketch slots).  Bit-identical in any engine's int64 SQL."""
+    from pyspark.sql import functions as F
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    r = F.pmod(c, F.lit(_KMV_M))
+    return F.pmod(r * F.lit(_MIX_K), F.lit(_KMV_M))
+
+
+def kmv_distinct(df, key_col: str, k: int = 64):
+    """KMV (k-minimum-values) distinct-count sketch over an integer key
+    column — the classic mergeable cardinality estimator (Bar-Yossef et
+    al.): keep the k smallest DISTINCT hash values; if the k-th smallest
+    is ``h_k``, the hashes are uniform on [0, M) and the estimate is
+    ``(k-1) · M / h_k``.  Unlike HyperLogLog-style sketches this is
+    RNG-free AND engine-reproducible: the hash is exact int64
+    arithmetic, the min-k set is a pure function of the key set, and the
+    estimate uses integer division — so a SQL oracle replays it
+    bit-for-bit (approx_count_distinct can never be oracle-checked).
+
+    Returns ONE row: (k_used, kth_hash, est_distinct).  When fewer than
+    ``k`` distinct hashes exist the sketch IS the distinct set and the
+    exact count is returned (kth_hash NULL) — the estimator's standard
+    small-cardinality exact mode.
+
+    Scale shape: a narrow single-column scan; each partition contributes
+    its own ≤ k smallest distinct hashes via an Arrow-batched
+    ``mapInPandas`` running min-k (bounded memory, no shuffle), and the
+    global min-k over those ≤ k·partitions candidates is a
+    TakeOrderedAndProject — nothing resembling the full distinct set is
+    ever shuffled or collected (the exact ``count_distinct`` it replaces
+    shuffles every distinct key).  Sketches merge by unioning candidate
+    rows — the same path incremental maintenance would use.
+    Accuracy: relative σ ≈ 1/√(k-2) (~13% at k=64); pick k for the
+    precision you need."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if k < 2:
+        raise ValueError(f"kmv_distinct needs k >= 2, got {k}")
+    hashed = df.select(kmv_hash(key_col).alias("hh"))
+
+    def part_mink(batches, k=int(k)):
+        best = None
+        for pdf in batches:
+            vals = pdf["hh"].to_numpy()
+            cand = np.unique(vals if best is None
+                             else np.concatenate([best, vals]))
+            best = cand[:k] if len(cand) > k else cand
+        yield pd.DataFrame({"hh": best if best is not None else
+                            np.array([], dtype="int64")})
+
+    cand = hashed.mapInPandas(part_mink, "hh long")
+    mink = cand.distinct().orderBy("hh").limit(int(k))
+    s = mink.agg(F.count(F.lit(1)).alias("c"), F.max("hh").alias("hk"))
+    kk, m = F.lit(int(k)), F.lit(_KMV_M)
+    return s.select(
+        kk.alias("k_used"),
+        F.when(F.col("c") >= kk, F.col("hk")).cast("long").alias("kth_hash"),
+        F.when(F.col("c") < kk, F.col("c"))
+         .otherwise(F.expr(f"({int(k)} - 1) * {_KMV_M}L div hk"))
+         .cast("long").alias("est_distinct"))
+
+
+def kmv_distinct_sql(key_expr: str, table: str, k: int = 64,
+                     where: str = "") -> str:
+    """The exact ANSI-SQL mirror of ``kmv_distinct`` for oracle checks."""
+    m, kk = _KMV_M, int(k)
+    w = f"WHERE {where}" if where else ""
+    kexpr = f"CAST({key_expr} AS BIGINT)"  # pre-widen: % M + M overflows int32
+    return f"""
+        WITH h AS (
+            SELECT DISTINCT ((({kexpr} % {m}) + {m}) % {m}
+                             * {_MIX_K}) % {m} AS hh
+            FROM {table} {w}),
+        mink AS (SELECT hh FROM h ORDER BY hh LIMIT {kk}),
+        s AS (SELECT count(*) AS c, max(hh) AS hk FROM mink)
+        SELECT CAST({kk} AS INT) AS k_used,
+               CAST(CASE WHEN c >= {kk} THEN hk END AS BIGINT) AS kth_hash,
+               CAST(CASE WHEN c < {kk} THEN c
+                    ELSE ({kk} - 1) * CAST({m} AS BIGINT) // hk
+               END AS BIGINT) AS est_distinct
+        FROM s"""
+
+
+def inverted_postings(df, text_col: str = "text", id_col: str = "doc_id",
+                      top_n: int = 100, max_postings: int = 1000):
+    """Inverted-index build for the ``top_n`` highest-document-frequency
+    terms: (term, doc_freq, postings) where ``postings`` is the
+    ascending doc-id list serialized as CSV (capped at ``max_postings``
+    entries — the head shard of the posting list; full lists for hot
+    terms are unbounded at corpus scale and real indexes shard them).
+
+    Scale shape: tokenize once (``_term_freqs`` derives doc-frequency
+    from the tf aggregate), broadcast-join the small top-N term set to
+    filter BEFORE any list building, bound each list with a per-term
+    window (row_number ≤ cap) so no task ever materializes an uncapped
+    array, then one groupBy builds the capped lists.  ``doc_freq`` is
+    the TRUE document frequency (counted before capping)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tf, dfreq = _term_freqs(df, text_col, id_col)
+    top = (dfreq.orderBy(F.desc("df"), F.col("term").asc())
+                .limit(int(top_n)))
+    pairs = tf.join(F.broadcast(top), "term")
+    w = Window.partitionBy("term").orderBy(F.col("__id").asc())
+    capped = (pairs.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") <= int(max_postings)))
+    return (capped.groupBy("term", "df")
+            .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list("__id")),
+                                 lambda x: x.cast("string")),
+                     ",").alias("postings"))
+            .select(F.col("term"), F.col("df").alias("doc_freq"),
+                    F.col("postings")))

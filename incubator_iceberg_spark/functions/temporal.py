@@ -123,3 +123,92 @@ def rolling_features(df, on, ts_col: str, value_col: str, windows: dict):
                               F.count(F.lit(1)).over(w))
                   .withColumn(f"sum_{name}_micro", F.sum(v_u).over(w)))
     return out
+
+
+def range_join(points, intervals, on, point_ts: str,
+               start_ts: str, end_ts: str,
+               grid_micros: int, iv_cols=None, prefix: str = "iv_",
+               max_cells_per_interval: int = 4096):
+    """Point-in-interval join: every ``points`` row paired with every
+    ``intervals`` row (same ``on`` key) whose ``[start_ts, end_ts]`` span
+    contains ``point_ts`` (both bounds inclusive).  INNER semantics: a
+    point matching k intervals appears k times, unmatched rows on either
+    side are absent.
+
+    Spark's native plan for the inequality predicate is a broadcast
+    nested-loop (or cartesian) join — O(|P|·|I|) per key and a
+    non-starter at scale.  This uses the standard GRID-BUCKETED
+    decomposition instead (the same trick behind Databricks' range-join
+    hint and GeoSpark's 1-D grid partitioning):
+
+      1. cell(point)    = floor(epoch_micros / G)                (1 row)
+      2. cells(interval)= sequence(floor(s/G), floor(e/G))     (explode)
+      3. EQUI-join on (key..., cell), then the exact containment filter.
+
+    A point lives in exactly ONE cell, so each (point, interval) pair
+    meets at most once — no dedup pass.  Cost: one hash-partitioned
+    equi-join whose left side is |P| and right side is |I| · (span/G + 1);
+    pick ``grid_micros`` ≈ the typical interval span so the replication
+    factor stays ~2.  Intervals longer than ``max_cells_per_interval``
+    cells raise (a silent explode there would be an accidental
+    cross-join); widen the grid instead.  NULL timestamps and empty
+    intervals (end < start) match nothing, like the inequality form.
+
+    Returns ``points.*`` + each of ``iv_cols`` (default: all interval
+    columns not in ``on``) under ``{prefix}{col}``.
+
+    Skew: a hot (key, cell) pair hash-joins in one task; unlike
+    ``asof_join`` there is no per-key ordering semantics, so standard
+    salting of the POINT side (replicating the interval side per salt)
+    applies if a key×cell gets pathological.
+    """
+    from pyspark.sql import functions as F
+    from .sessions import _require_utc_for_ntz
+
+    on = [on] if isinstance(on, str) else list(on)
+    iv_cols = list(iv_cols) if iv_cols is not None else \
+        [c for c in intervals.columns if c not in on]
+    g = int(grid_micros)
+    if g <= 0:
+        raise ValueError(f"grid_micros must be positive, got {grid_micros}")
+
+    # NTZ inputs are mapped to the instant line via the session tz; require
+    # UTC so grid cells and containment agree with the SQL mirror
+    _require_utc_for_ntz(points, point_ts)
+    for c in (start_ts, end_ts):
+        _require_utc_for_ntz(intervals, c)
+
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    p = (points.filter(F.col(point_ts).isNotNull())
+               .withColumn("__cell", F.floor(_us(point_ts) / g)))
+
+    s_us = _us(start_ts)
+    e_us = _us(end_ts)
+    c0, c1 = F.floor(s_us / g), F.floor(e_us / g)
+    n_cells = c1 - c0 + 1
+    # guard: an over-long interval must raise, not silently explode into
+    # a near-cross-join; assert_true feeds the sequence bound so codegen
+    # cannot prune it, and it only fires on the offending rows
+    ok = n_cells <= F.lit(int(max_cells_per_interval))
+    c1_guarded = F.when(ok, c1).otherwise(
+        F.assert_true(ok, F.concat(
+            F.lit("range_join: interval spans "), n_cells.cast("string"),
+            F.lit(f" grid cells (> {max_cells_per_interval}); "
+                  f"widen grid_micros"))).cast("long"))
+    iv = (intervals
+          .filter(F.col(start_ts).isNotNull() & F.col(end_ts).isNotNull()
+                  & (e_us >= s_us))
+          .select(*on,
+                  s_us.alias("__s_us"), e_us.alias("__e_us"),
+                  *[F.col(c).alias(f"__iv_{c}") for c in iv_cols],
+                  F.explode(F.sequence(c0, c1_guarded)).alias("__cell")))
+
+    pt_us = _us(point_ts)
+    out = (p.join(iv, on=on + ["__cell"], how="inner")
+            .filter((pt_us >= F.col("__s_us")) & (pt_us <= F.col("__e_us")))
+            .drop("__cell", "__s_us", "__e_us"))
+    for c in iv_cols:
+        out = out.withColumnRenamed(f"__iv_{c}", f"{prefix}{c}")
+    return out

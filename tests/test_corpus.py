@@ -546,3 +546,79 @@ def test_heavy_hitters_flat_distribution_refuses(spark):
     import pytest as _pytest
     with _pytest.raises(corpus.HeavyHitterCertificationError):
         corpus.heavy_hitters(df, k=5, capacity=8, max_retries=1)
+
+
+# ------------------------------------------------------------ kmv_distinct
+
+def test_kmv_distinct_matches_sql_mirror_and_python_reference(spark):
+    import duckdb
+    keys = [(i * 37 % 5000,) for i in range(20000)]   # dup-heavy
+    df = spark.createDataFrame(keys, "k long").repartition(7)
+    got = corpus.kmv_distinct(df, "k", k=64).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({k[0]})" for k in set(keys)) + ") v(k)")
+    orc = con.execute(corpus.kmv_distinct_sql("k", "t", k=64)).fetchall()[0]
+    assert tuple(got) == orc
+    # python reference replay of the whole sketch
+    M, K = 2_147_483_647, 2654435761
+    hs = sorted({(k[0] % M) * K % M for k in keys})
+    mink = hs[:64]
+    est = len(mink) if len(mink) < 64 else (64 - 1) * M // mink[-1]
+    assert got["est_distinct"] == est
+    # accuracy: sigma ~ n/sqrt(k-2); allow 4 sigma on this fixed input
+    true = len({k[0] for k in keys})
+    assert abs(est - true) < 4 * true / (62 ** 0.5)
+
+
+def test_kmv_distinct_exact_below_k_and_partition_invariant(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(1000)], "k long")
+    got = corpus.kmv_distinct(df, "k", k=64).collect()[0]
+    assert got["est_distinct"] == 10 and got["kth_hash"] is None
+    for nparts in (1, 13):
+        again = corpus.kmv_distinct(df.repartition(nparts), "k",
+                                    k=64).collect()[0]
+        assert tuple(again) == tuple(got)
+
+
+def test_kmv_distinct_negative_keys_agree_with_sql(spark):
+    import duckdb
+    keys = [(-i * 613,) for i in range(500)]
+    df = spark.createDataFrame(keys, "k long")
+    got = corpus.kmv_distinct(df, "k", k=16).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({k[0]})" for k in keys) + ") v(k)")
+    orc = con.execute(corpus.kmv_distinct_sql("k", "t", k=16)).fetchall()[0]
+    assert tuple(got) == orc
+
+
+# -------------------------------------------------------- inverted_postings
+
+def test_inverted_postings_matches_python_reference(spark):
+    import re
+    rows = [(i, f"alpha beta w{i % 7} gamma" + (" alpha" if i % 2 else ""))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    got = {r["term"]: (r["doc_freq"], r["postings"])
+           for r in corpus.inverted_postings(df, top_n=5,
+                                             max_postings=8).collect()}
+    # python reference
+    post = {}
+    for i, txt in rows:
+        for t in set(x for x in re.split(r"[^\w]+", txt.lower()) if x):
+            post.setdefault(t, set()).add(i)
+    top = sorted(post, key=lambda t: (-len(post[t]), t))[:5]
+    assert set(got) == set(top)
+    for t in top:
+        ids = sorted(post[t])
+        assert got[t][0] == len(ids)                      # true doc_freq
+        assert got[t][1] == ",".join(map(str, ids[:8]))   # capped ascending
+
+
+def test_inverted_postings_cap_bounds_list_not_docfreq(spark):
+    rows = [(i, "common") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = corpus.inverted_postings(df, top_n=1, max_postings=4).collect()[0]
+    assert r["doc_freq"] == 30
+    assert r["postings"] == "0,1,2,3"

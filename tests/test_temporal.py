@@ -154,3 +154,116 @@ def test_null_timestamps(spark):
     got = {r["id"]: (r["asof_ts"], r["asof_v"]) for r in out.collect()}
     assert got[1] == (5, 1.0)       # the NULL-ts fact never matches
     assert got[2] == (None, None)   # NULL-ts query matches nothing
+
+
+# ---------------------------------------------------------------- range_join
+
+def _ts(s):
+    import datetime as dt
+    return dt.datetime.fromisoformat(s)
+
+
+def _naive_range_join(pts, ivs):
+    """Reference semantics: all (point, interval) pairs with containment."""
+    out = []
+    for pid, k, t in pts:
+        for iid, ik, s, e in ivs:
+            if k == ik and s <= t <= e:
+                out.append((pid, iid))
+    return sorted(out)
+
+
+def _run_range_join(spark, pts, ivs, **kw):
+    from incubator_iceberg_spark.functions import temporal
+    p = spark.createDataFrame(
+        [(a, b, _ts(c)) for a, b, c in pts], "pid long, k long, ts timestamp")
+    i = spark.createDataFrame(
+        [(a, b, _ts(c), _ts(d)) for a, b, c, d in ivs],
+        "iid long, k long, s timestamp, e timestamp")
+    out = temporal.range_join(p, i, on="k", point_ts="ts",
+                              start_ts="s", end_ts="e", **kw)
+    return sorted((r["pid"], r["iv_iid"]) for r in out.collect())
+
+
+def test_range_join_containment_and_bounds_inclusive(spark):
+    pts = [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 11:00:00"),
+           (3, 1, "2024-01-01 12:00:00"), (4, 2, "2024-01-01 10:30:00")]
+    ivs = [(10, 1, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+           (11, 1, "2024-01-01 10:30:00", "2024-01-01 12:30:00"),
+           (12, 2, "2024-01-01 09:00:00", "2024-01-01 10:00:00"),
+           (13, 3, "2024-01-01 00:00:00", "2024-01-02 00:00:00")]
+    expect = _naive_range_join(
+        [(p, k, _ts(t)) for p, k, t in pts],
+        [(i, k, _ts(s), _ts(e)) for i, k, s, e in ivs])
+    # both bounds inclusive: pid=1 matches iv 10 at its start, pid=2 at its end
+    assert (1, 10) in expect and (2, 10) in expect
+    got = _run_range_join(spark, pts, ivs, grid_micros=3600 * 1_000_000)
+    assert got == expect
+
+
+def test_range_join_grid_size_invariant_randomized(spark):
+    import random
+    rnd = random.Random(7)
+    base = _ts("2024-03-01 00:00:00")
+    import datetime as dt
+    pts, ivs = [], []
+    for pid in range(120):
+        pts.append((pid, rnd.randrange(4),
+                    (base + dt.timedelta(seconds=rnd.randrange(86400))
+                     ).isoformat(sep=" ")))
+    for iid in range(60):
+        s = base + dt.timedelta(seconds=rnd.randrange(86400))
+        e = s + dt.timedelta(seconds=rnd.randrange(14400))
+        ivs.append((iid, rnd.randrange(4), s.isoformat(sep=" "),
+                    e.isoformat(sep=" ")))
+    expect = _naive_range_join(
+        [(p, k, _ts(t)) for p, k, t in pts],
+        [(i, k, _ts(s), _ts(e)) for i, k, s, e in ivs])
+    for grid in (60_000_000, 3_600_000_000, 86_400_000_000):
+        assert _run_range_join(spark, pts, ivs, grid_micros=grid) == expect
+
+
+def test_range_join_empty_and_null_intervals_drop(spark):
+    # end < start and NULL bounds match nothing (like the inequality form)
+    from incubator_iceberg_spark.functions import temporal
+    p = spark.createDataFrame([(1, 1, _ts("2024-01-01 10:00:00"))],
+                              "pid long, k long, ts timestamp")
+    i = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 09:00:00")),
+         (11, 1, None, _ts("2024-01-01 12:00:00")),
+         (12, 1, _ts("2024-01-01 09:00:00"), None)],
+        "iid long, k long, s timestamp, e timestamp")
+    out = temporal.range_join(p, i, on="k", point_ts="ts",
+                              start_ts="s", end_ts="e",
+                              grid_micros=3_600_000_000)
+    assert out.count() == 0
+
+
+def test_range_join_overlong_interval_raises(spark):
+    from incubator_iceberg_spark.functions import temporal
+    p = spark.createDataFrame([(1, 1, _ts("2024-01-01 10:00:00"))],
+                              "pid long, k long, ts timestamp")
+    i = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01 00:00:00"), _ts("2025-01-01 00:00:00"))],
+        "iid long, k long, s timestamp, e timestamp")
+    out = temporal.range_join(p, i, on="k", point_ts="ts",
+                              start_ts="s", end_ts="e",
+                              grid_micros=3_600_000_000,
+                              max_cells_per_interval=100)
+    with pytest.raises(Exception, match="range_join|ASSERT"):
+        out.count()
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    from incubator_iceberg_spark.functions import temporal
+    p = spark.createDataFrame([(1, 1, _ts("2024-01-01 10:00:00"))],
+                              "pid long, k long, ts timestamp")
+    i = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01 09:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iid long, k long, s timestamp, e timestamp")
+    out = temporal.range_join(p, i, on="k", point_ts="ts",
+                              start_ts="s", end_ts="e",
+                              grid_micros=3_600_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
