@@ -2494,12 +2494,23 @@ def q_inverted_postings(spark, sf_dir):
     return C.inverted_postings(docs, top_n=20, max_postings=100)
 
 
+def q_search_topk(spark, sf_dir):
+    """Ranked boolean retrieval (corpus.search_topk): top-15 docs for a
+    3-term query by exact integer tf-idf (the ln-free idf surrogate —
+    floor(1e6·(N+1)/(df+1)) per term, Σ tf·w per doc).  The tf aggregate
+    only shuffles rows whose term is in the broadcast query set; the
+    top-k is a TakeOrderedAndProject, never a global sort."""
+    from incubator_iceberg_spark.functions import corpus as C
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    return C.search_topk(docs, ["spark", "merge", "vector"], k=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [31 never-driver-verified queries: the round-4 additions (grid-
+    # [32 never-driver-verified queries: the round-4 additions (grid-
     # bucketed range join, runtime-filtered star join, KMV distinct
-    # sketch, inverted-postings build, asof join,
+    # sketch, inverted-postings build, search_topk retrieval, asof join,
     # rolling window features, certified heavy hitters, fuzzy
     # decontamination, shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
     # partitions-over-evolved-specs,
@@ -2509,11 +2520,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
     # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [16 least-recently-verified rows of the r2-green set].  To make
+    # + [15 least-recently-verified rows of the r2-green set].  To make
     # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
     # with ann_bruteforce; text_stats is a subset of text_analyze).
-    # Eighteen more r2-green rows (vocab_doc_freq, length_quantiles,
+    # Nineteen more r2-green rows (vocab_doc_freq, length_quantiles,
     # text_analyze, ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
@@ -2533,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_filter_join": q_runtime_filter_join,
         "kmv_distinct": q_kmv_distinct,
         "inverted_postings": q_inverted_postings,
+        "search_topk": q_search_topk,
         "asof_join_events": q_asof_join_events,
         "shuffle_shards": q_shuffle_shards,
         "sq8_probe": q_sq8_probe,
@@ -2784,6 +2796,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'lineitem_orders' AS key, s2.* FROM ("
             + kmv_distinct_sql("l_orderkey", "lineitem", k=64) + ") s2"
         ),
+        "search_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         regexp_split_to_array(lower(text),
+                                               '[^\\p{L}\\p{N}]+'),
+                         x -> x != '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IN ('spark', 'merge', 'vector')
+                   GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            w AS (SELECT tf.doc_id, tf.tf,
+                         CAST(floor(1000000 * (n.n + 1) / (df + 1))
+                              AS BIGINT) AS w
+                  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            sc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
+                          CAST(sum(tf * w) AS BIGINT) AS score_micro
+                   FROM w GROUP BY 1)
+            SELECT doc_id, n_hit_terms, score_micro FROM sc
+            ORDER BY score_micro DESC, doc_id ASC LIMIT 15
+        """,
         "inverted_postings": """
             WITH tok AS (
               SELECT doc_id,

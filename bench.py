@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "runtime_filter_join",
     "kmv_distinct",
     "inverted_postings",
+    "search_topk",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

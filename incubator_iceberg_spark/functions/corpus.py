@@ -743,3 +743,59 @@ def inverted_postings(df, text_col: str = "text", id_col: str = "doc_id",
                      ",").alias("postings"))
             .select(F.col("term"), F.col("df").alias("doc_freq"),
                     F.col("postings")))
+
+
+def search_topk(df, query_terms, k: int = 10,
+                text_col: str = "text", id_col: str = "doc_id",
+                mode: str = "any"):
+    """Ranked boolean retrieval over the corpus: score each document
+    against a bag of query terms by integer tf-idf and return the top
+    ``k`` as (doc_id, n_hit_terms, score_micro) — the serving-side
+    counterpart of ``inverted_postings``.
+
+    Scoring is EXACT integer arithmetic so any engine reproduces it
+    bit-for-bit: per term, weight = floor(1e6 · (N + 1) / (df + 1))
+    (the same ln-free idf surrogate the tf_idf operator uses — ln is
+    engine-ambiguous at ulp level), and score = Σ tf · weight over the
+    matched query terms.  Ties break on doc_id ascending.  ``mode``:
+    ``"any"`` ranks every doc matching ≥ 1 term (OR), ``"all"`` keeps
+    only docs matching every query term (AND) — the conjunctive filter
+    runs BEFORE ranking via a per-doc distinct-term count.
+
+    Scale shape: the tf aggregate shuffles only rows whose term is in
+    the (broadcast) query set — everything else dies in the map-side
+    semi-join; doc_freq for the query terms comes from the same
+    pre-filtered aggregate; the final top-k is a TakeOrderedAndProject,
+    never a global sort."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import text as TX
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("search_topk needs at least one query term")
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be any|all, got {mode!r}")
+    spark = df.sparkSession
+    n_docs = df.count()
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    ex = df.select(F.col(id_col).alias("__id"),
+                   F.explode(TX.tokens(text_col)).alias("term"))
+    tf = (ex.join(F.broadcast(qdf), "term")
+            .groupBy("__id", "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weighted = tf.join(F.broadcast(dfreq), "term").select(
+        "__id", "tf",
+        F.expr(f"floor(1000000 * ({n_docs} + 1) / (df + 1))")
+         .cast("long").alias("w"))
+    scored = (weighted.groupBy("__id")
+              .agg(F.count(F.lit(1)).alias("n_hit_terms"),
+                   F.sum(F.col("tf") * F.col("w")).alias("score_micro")))
+    if mode == "all":
+        scored = scored.filter(F.col("n_hit_terms") == len(terms))
+    return (scored.orderBy(F.desc("score_micro"), F.col("__id").asc())
+            .limit(int(k))
+            .select(F.col("__id").alias(id_col),
+                    F.col("n_hit_terms").cast("int").alias("n_hit_terms"),
+                    F.col("score_micro").cast("long").alias("score_micro")))

@@ -622,3 +622,43 @@ def test_inverted_postings_cap_bounds_list_not_docfreq(spark):
     r = corpus.inverted_postings(df, top_n=1, max_postings=4).collect()[0]
     assert r["doc_freq"] == 30
     assert r["postings"] == "0,1,2,3"
+
+
+# ---------------------------------------------------------------- search_topk
+
+def test_search_topk_matches_python_reference(spark):
+    import re
+    rows = [(i, f"alpha beta w{i % 7}" + (" alpha alpha" if i % 3 == 0 else "")
+             + (" beta" if i % 5 == 0 else "")) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    terms = ["alpha", "beta", "w0"]
+    got = [tuple(r) for r in corpus.search_topk(df, terms, k=8).collect()]
+
+    tf, docs_of = {}, {}
+    for i, txt in rows:
+        for t in re.split(r"[^\w]+", txt.lower()):
+            if t in terms:
+                tf[(i, t)] = tf.get((i, t), 0) + 1
+                docs_of.setdefault(t, set()).add(i)
+    n = len(rows)
+    import math
+    w = {t: math.floor(1_000_000 * (n + 1) / (len(docs_of[t]) + 1))
+         for t in docs_of}
+    scores = {}
+    for (i, t), c in tf.items():
+        scores.setdefault(i, [0, 0])
+        scores[i][0] += 1
+        scores[i][1] += c * w[t]
+    expect = sorted(((i, h, s) for i, (h, s) in scores.items()),
+                    key=lambda x: (-x[2], x[0]))[:8]
+    assert got == expect
+
+
+def test_search_topk_all_mode_is_conjunctive(spark):
+    rows = [(1, "alpha beta"), (2, "alpha"), (3, "beta alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = corpus.search_topk(df, ["alpha", "beta"], k=10,
+                             mode="all").collect()
+    assert {r["doc_id"] for r in got} == {1, 3}
+    any_ = corpus.search_topk(df, ["alpha", "beta"], k=10).collect()
+    assert {r["doc_id"] for r in any_} == {1, 2, 3}

@@ -88,13 +88,21 @@ def _check(t, cols, model, step, op_desc):
 
 
 _SEED_OVERRIDE = os.environ.get("SPARK_GRAFT_FUZZ_SEED")
-_EVO_PARAMS = ([(int(_SEED_OVERRIDE), False), (int(_SEED_OVERRIDE) + 1, True)]
-               if _SEED_OVERRIDE else [(1721, False), (2202, True)])
+# third element = table file format: the avro layout walks the SAME gate
+# over the python-codec data path (decode by per-file writer schema,
+# field-id projection, eq-delete positional resolution) — renames and
+# eq-deletes over avro were only pinned by hand before
+_EVO_PARAMS = ([(int(_SEED_OVERRIDE), False, "parquet"),
+                (int(_SEED_OVERRIDE) + 1, True, "parquet"),
+                (int(_SEED_OVERRIDE) + 2, False, "avro")]
+               if _SEED_OVERRIDE else [(1721, False, "parquet"),
+                                       (2202, True, "parquet"),
+                                       (3303, False, "avro")])
 
 
-@pytest.mark.parametrize("seed,partitioned", _EVO_PARAMS)
+@pytest.mark.parametrize("seed,partitioned,fmt", _EVO_PARAMS)
 def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
-                                              partitioned):
+                                              partitioned, fmt):
     import random
     from incubator_iceberg_spark.schema import Schema
 
@@ -114,7 +122,9 @@ def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
     df = _spark_df(spark, cols, boot)
     t = warehouse.create_table(
         f"db.evofuzz_{seed}", Schema.from_spark(df.schema),
-        partition_by=(["k"] if partitioned else None))
+        partition_by=(["k"] if partitioned else None),
+        properties=({"write.format.default": fmt}
+                    if fmt != "parquet" else None))
     t.append(df)
     model.extend(boot)
 
