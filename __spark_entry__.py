@@ -2494,6 +2494,19 @@ def q_inverted_postings(spark, sf_dir):
     return C.inverted_postings(docs, top_n=20, max_postings=100)
 
 
+def q_kmeans_micro(spark, sf_dir):
+    """Distributed Lloyd's k-means in EXACT int64 micro arithmetic
+    (similarity.kmeans_assign_micro): quantized vectors, exact squared-L2
+    distances, floor-division centroid means — so the unrolled-CTE SQL
+    oracle replays every iteration bit-for-bit, which no floating-point
+    k-means can promise.  Per iteration: a codegen projection against k
+    broadcast centroid literals (no join) + ONE map-side-combined
+    groupBy; only k centroid rows reach the driver."""
+    from incubator_iceberg_spark.functions import similarity
+    emb = _table(spark, sf_dir, "embeddings_ice").to_df()
+    return similarity.kmeans_assign_micro(emb, k=4, iters=2)
+
+
 def q_search_topk(spark, sf_dir):
     """Ranked boolean retrieval (corpus.search_topk): top-15 docs for a
     3-term query by exact integer tf-idf (the ln-free idf surrogate —
@@ -2508,9 +2521,10 @@ def q_search_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [32 never-driver-verified queries: the round-4 additions (grid-
+    # [33 never-driver-verified queries: the round-4 additions (grid-
     # bucketed range join, runtime-filtered star join, KMV distinct
-    # sketch, inverted-postings build, search_topk retrieval, asof join,
+    # sketch, inverted-postings build, search_topk retrieval, exact-int
+    # kmeans, asof join,
     # rolling window features, certified heavy hitters, fuzzy
     # decontamination, shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
     # partitions-over-evolved-specs,
@@ -2520,11 +2534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
     # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [15 least-recently-verified rows of the r2-green set].  To make
+    # + [14 least-recently-verified rows of the r2-green set].  To make
     # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
     # with ann_bruteforce; text_stats is a subset of text_analyze).
-    # Nineteen more r2-green rows (vocab_doc_freq, length_quantiles,
+    # Twenty more r2-green rows (vocab_doc_freq, length_quantiles,
     # text_analyze, ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
@@ -2545,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "inverted_postings": q_inverted_postings,
         "search_topk": q_search_topk,
+        "kmeans_micro": q_kmeans_micro,
         "asof_join_events": q_asof_join_events,
         "shuffle_shards": q_shuffle_shards,
         "sq8_probe": q_sq8_probe,
@@ -2788,7 +2803,9 @@ def _pipeline_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from incubator_iceberg_spark.functions.corpus import kmv_distinct_sql
+    from incubator_iceberg_spark.functions.similarity import kmeans_oracle_sql
     return {
+        "kmeans_micro": kmeans_oracle_sql(k=4, iters=2),
         "kmv_distinct": (
             "SELECT 'events_users' AS key, s1.* FROM ("
             + kmv_distinct_sql("user_id", "events", k=64) + ") s1 "

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "inverted_postings",
     "search_topk",
+    "kmeans_micro",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -663,3 +663,136 @@ def ivf_sq8_topk_indexed(table, query_vec, k: int = 10,
     in_list = ", ".join(str(c) for c in probe)
     return sq8_topk_stored(table, query_vec, k, id_col, spark=spark,
                            filter=f"__ann_cell IN ({in_list})")
+
+
+def _micro_vec(vec_col):
+    from pyspark.sql import functions as F
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * 1_000_000)
+                       .cast("long"))
+
+
+def kmeans_assign_micro(df, vec_col: str = "embedding",
+                        id_col: str = "vec_id", k: int = 4,
+                        iters: int = 2):
+    """Distributed Lloyd's k-means with EXACT integer arithmetic — the
+    full-corpus clustering counterpart of the sample-based
+    ``spherical_kmeans`` blocking helper.  Everything an engine could
+    float-order-diverge on is pinned to int64: vectors quantize to
+    micro-units (floor(x·1e6), the SQ8 convention), distances are exact
+    squared-L2 in micro² (64 dims × (2e6)² ≈ 2.6e14 ≪ 2^63), and the
+    centroid update is an exact element-wise FLOOR-division mean
+    ((s − pmod(s, n)) / n) — so two engines (or a SQL oracle) replay
+    every iteration bit-for-bit, which no floating k-means can promise.
+
+    Deterministic contract: init centroids are the vectors of the ``k``
+    smallest ids; argmin ties break on the lower centroid index; an
+    emptied cluster keeps its previous centroid.  Returns (id, cluster)
+    after ``iters`` assignment/update rounds (the returned assignment is
+    the one computed against the LAST updated centroids).
+
+    Scale shape per iteration: assignment is a narrow whole-stage-codegen
+    projection against k broadcast centroid literals (no join, no
+    shuffle); the update is ONE map-side-combined groupBy producing
+    k×(dim+1) partial sums; only the k centroid rows ever reach the
+    driver.  iters × 2 jobs total — the classic Lloyd's loop with
+    driver-side state bounded by k·dim ints."""
+    from pyspark.sql import functions as F
+
+    if k < 1 or iters < 1:
+        raise ValueError("kmeans_assign_micro needs k >= 1 and iters >= 1")
+    dim = vector_dim(df, vec_col)
+    base = (df.select(F.col(id_col).alias("__id"),
+                      _micro_vec(vec_col).alias("__vm")))
+
+    init = base.orderBy("__id").limit(int(k)).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    centroids = [list(r["__vm"]) for r in init]
+
+    def assign_col(cents):
+        dists = [
+            F.aggregate(
+                F.zip_with(F.col("__vm"),
+                           F.array(*[F.lit(v) for v in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            for c in cents]
+        best = F.lit(0)
+        best_d = dists[0]
+        for ci in range(1, len(cents)):
+            better = dists[ci] < best_d
+            best = F.when(better, F.lit(ci)).otherwise(best)
+            best_d = F.when(better, dists[ci]).otherwise(best_d)
+        return best.cast("int")
+
+    assigned = None
+    for _ in range(int(iters)):
+        assigned = base.withColumn("cluster", assign_col(centroids))
+        sums = (assigned.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.element_at("__vm", d)).alias(f"s{d}")
+                       for d in range(1, dim + 1)])
+                .collect())
+        new_cents = list(centroids)          # emptied cluster keeps old
+        for r in sums:
+            n = r["n"]
+            new_cents[r["cluster"]] = [
+                (r[f"s{d}"] - (r[f"s{d}"] % n + n) % n) // n
+                for d in range(1, dim + 1)]
+        centroids = new_cents
+    # final assignment against the last UPDATED centroids
+    out = base.withColumn("cluster", assign_col(centroids))
+    return out.select(F.col("__id").alias(id_col), "cluster")
+
+
+_KM_ASSIGN_SQL = """
+{a} AS (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, {c}.c,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum([(v.vm[d] - {c}.vm[d])
+                                                 * (v.vm[d] - {c}.vm[d])
+                                                 FOR d IN range(1, {dp1})]),
+                                       {c}.c) AS rn
+    FROM v CROSS JOIN {c})
+  WHERE rn = 1)"""
+
+_KM_UPDATE_SQL = """
+{s} AS (
+  SELECT {a}.c, t.d, CAST(sum(v.vm[t.d]) AS BIGINT) AS s, count(*) AS n
+  FROM {a} JOIN v USING (vec_id) CROSS JOIN range(1, {dp1}) t(d)
+  GROUP BY 1, 2),
+{cn} AS (
+  SELECT {cp}.c, coalesce(u.vm2, {cp}.vm) AS vm
+  FROM {cp} LEFT JOIN (
+    SELECT c, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT)
+                   ORDER BY d) AS vm2
+    FROM {s} GROUP BY c) u USING (c))"""
+
+
+def kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64,
+                      table: str = "embeddings") -> str:
+    """The exact ANSI-SQL mirror of ``kmeans_assign_micro`` (unrolled
+    Lloyd's iterations as CTEs) for oracle checks — possible only
+    because every step is integer arithmetic."""
+    dp1 = dim + 1
+    parts = [f"""v AS (
+  SELECT vec_id,
+         [CAST(floor(embedding[d]::DOUBLE * 1000000) AS BIGINT)
+          FOR d IN range(1, {dp1})] AS vm
+  FROM {table}),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, vm
+  FROM (SELECT vec_id, vm FROM v ORDER BY vec_id LIMIT {int(k)}))"""]
+    for i in range(int(iters)):
+        parts.append(_KM_ASSIGN_SQL.format(a=f"a{i + 1}", c=f"c{i}",
+                                           dp1=dp1))
+        parts.append(_KM_UPDATE_SQL.format(s=f"s{i + 1}", a=f"a{i + 1}",
+                                           cn=f"c{i + 1}", cp=f"c{i}",
+                                           dp1=dp1))
+    parts.append(_KM_ASSIGN_SQL.format(a=f"a{int(iters) + 1}",
+                                       c=f"c{int(iters)}", dp1=dp1))
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT vec_id, CAST(c AS INT) AS cluster"
+              f" FROM a{int(iters) + 1}")

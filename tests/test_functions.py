@@ -604,3 +604,57 @@ def test_fuzzy_decontaminate_finds_reworded_eval_docs(spark):
     assert (1, 100) in got and got[(1, 100)] >= 0.8
     assert all(e != 200 for _, e in got)
     assert all(d == 1 for d, _ in got)
+
+
+# ---------------------------------------------------------- kmeans (exact)
+
+def test_kmeans_micro_matches_integer_reference_and_is_invariant(spark):
+    import math
+    import numpy as np
+    from incubator_iceberg_spark.functions.similarity import (
+        kmeans_assign_micro)
+    rng = np.random.RandomState(11)
+    data = [(i, [float(x) for x in rng.randn(8)]) for i in range(120)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign_micro(df, k=3, iters=2).collect()}
+
+    # pure-python integer replay (floats go through float32 like the df)
+    V = np.array([[math.floor(float(np.float32(x)) * 1_000_000)
+                   for x in vec] for _, vec in data], dtype=np.int64)
+    cents = [V[i].copy() for i in range(3)]
+
+    def assign(c):
+        D = np.stack([((V - ci) ** 2).sum(axis=1) for ci in c], axis=1)
+        return D.argmin(axis=1)
+
+    for _ in range(2):
+        a = assign(cents)
+        for ci in range(3):
+            m = a == ci
+            if m.sum():
+                s, n = V[m].sum(axis=0), int(m.sum())
+                cents[ci] = np.array(
+                    [(int(x) - (int(x) % n + n) % n) // n for x in s],
+                    dtype=np.int64)
+    a = assign(cents)
+    ref = {i: int(a[i]) for i in range(len(data))}
+    assert got == ref
+    again = {r["vec_id"]: r["cluster"]
+             for r in kmeans_assign_micro(df.repartition(7), k=3,
+                                          iters=2).collect()}
+    assert again == got
+
+
+def test_kmeans_micro_empty_cluster_keeps_centroid(spark):
+    # two far groups + k=3 where one centroid starts inside a group that
+    # fully migrates away: the emptied cluster must keep its centroid
+    # (not crash / NaN), and the final assignment stays a partition
+    from incubator_iceberg_spark.functions.similarity import (
+        kmeans_assign_micro)
+    pts = ([(i, [0.0, 0.0]) for i in range(3)]
+           + [(10 + i, [100.0, 100.0]) for i in range(5)])
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = kmeans_assign_micro(df, k=3, iters=2).collect()
+    assert len(out) == len(pts)
+    assert set(r["cluster"] for r in out) <= {0, 1, 2}
