@@ -106,3 +106,27 @@ def test_left_join_keeps_unmatched_fact_rows_unpruned(
     with pytest.raises(ValueError, match="inner|semi"):
         runtime_filtered_join(t, dim, "l_orderkey", "o_orderkey", spark,
                               how="left")
+
+
+def test_runtime_filter_applies_mor_deletes_on_pruned_scan(
+        spark, warehouse, lineitem, orders):
+    """The planning predicate prunes fact FILES; delete application must
+    still run on the surviving files (a pruned scan that skips the
+    delete-relevance pass would resurrect rows)."""
+    t = warehouse.create_table("db.li_rf6", Schema.from_spark(lineitem.schema),
+                               partition_by=["bucket(16, l_orderkey)"])
+    t.append(lineitem)
+    # MoR-delete a slice of rows that the dim WILL select
+    t.delete_where("l_orderkey % 100 = 0 AND l_linenumber = 1",
+                   mode="merge-on-read")
+    dim = _dim(orders)
+    out = runtime_filtered_join(t, dim, "l_orderkey", "o_orderkey", spark)
+    got = sorted(map(tuple,
+                     out.groupBy("o_orderpriority")
+                        .agg(F.count("*").alias("n"),
+                             F.sum(F.floor(F.col("l_extendedprice") * 100)
+                                   .cast("long")).alias("cents"))
+                        .collect()))
+    li_after = lineitem.filter(
+        "NOT (l_orderkey % 100 = 0 AND l_linenumber = 1)")
+    assert got == _ref(li_after, dim)
