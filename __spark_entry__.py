@@ -2494,6 +2494,30 @@ def q_inverted_postings(spark, sf_dir):
     return C.inverted_postings(docs, top_n=20, max_postings=100)
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Ordered funnel analysis (sessions.funnel_steps): users reaching
+    view -> click -> purchase with each step within 12h of the previous
+    reach time, earliest-completion semantics (each step pins to its
+    earliest qualifying event — the classic funnel definition, and what
+    the SQL mirror replays step by step).  One conditional min-aggregate
+    per step, all user-keyed and map-side combined; no windows."""
+    from incubator_iceberg_spark.functions import sessions as S
+    ev = _table(spark, sf_dir, "events_stream").to_df()
+    return S.funnel_steps(ev, ["view", "click", "purchase"],
+                          max_gap_micros=720 * 60 * 1_000_000)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention (sessions.cohort_retention): users bucketed by
+    the week of their first event, counted in each later week they were
+    active — the standard growth-analytics rollup.  One user-keyed
+    min-aggregate + join (exchange reused) + a tiny (cohort, offset)
+    distinct-count."""
+    from incubator_iceberg_spark.functions import sessions as S
+    ev = _table(spark, sf_dir, "events_stream").to_df()
+    return S.cohort_retention(ev)
+
+
 def q_kmeans_micro(spark, sf_dir):
     """Distributed Lloyd's k-means in EXACT int64 micro arithmetic
     (similarity.kmeans_assign_micro): quantized vectors, exact squared-L2
@@ -2521,10 +2545,10 @@ def q_search_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [33 never-driver-verified queries: the round-4 additions (grid-
+    # [35 never-driver-verified queries: the round-4 additions (grid-
     # bucketed range join, runtime-filtered star join, KMV distinct
     # sketch, inverted-postings build, search_topk retrieval, exact-int
-    # kmeans, asof join,
+    # kmeans, funnel + cohort analytics, asof join,
     # rolling window features, certified heavy hitters, fuzzy
     # decontamination, shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
     # partitions-over-evolved-specs,
@@ -2534,11 +2558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
     # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [14 least-recently-verified rows of the r2-green set].  To make
+    # + [12 least-recently-verified rows of the r2-green set].  To make
     # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
     # with ann_bruteforce; text_stats is a subset of text_analyze).
-    # Twenty more r2-green rows (vocab_doc_freq, length_quantiles,
+    # Twenty-two more r2-green rows (vocab_doc_freq, length_quantiles,
     # text_analyze, ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
@@ -2560,6 +2584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "search_topk": q_search_topk,
         "kmeans_micro": q_kmeans_micro,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
         "asof_join_events": q_asof_join_events,
         "shuffle_shards": q_shuffle_shards,
         "sq8_probe": q_sq8_probe,
@@ -2805,6 +2831,39 @@ def oracle_sql() -> dict[str, str]:
     from incubator_iceberg_spark.functions.corpus import kmv_distinct_sql
     from incubator_iceberg_spark.functions.similarity import kmeans_oracle_sql
     return {
+        "funnel_steps": """
+            WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s0.t
+                     AND e.ts <= s0.t + INTERVAL 720 MINUTE GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+                     AND e.ts <= s1.t + INTERVAL 720 MINUTE GROUP BY 1)
+            SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+                   CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(1 AS INT), 'click',
+                   CAST((SELECT count(*) FROM s1) AS BIGINT)
+            UNION ALL
+            SELECT CAST(2 AS INT), 'purchase',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
+        """,
+        "cohort_retention": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT)
+                           AS p
+                FROM events),
+            f AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY 1)
+            SELECT f.cohort, CAST(ev.p - f.cohort AS BIGINT)
+                       AS period_offset,
+                   CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+            FROM ev JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
         "kmeans_micro": kmeans_oracle_sql(k=4, iters=2),
         "kmv_distinct": (
             "SELECT 'events_users' AS key, s1.* FROM ("

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "inverted_postings",
     "search_topk",
     "kmeans_micro",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

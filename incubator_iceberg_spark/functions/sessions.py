@@ -124,3 +124,73 @@ def sessionize_stream(sdf, user_col: str = "user_id", ts_col: str = "ts",
     return (sdf.groupBy(user_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def funnel_steps(df, steps, user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type", max_gap_micros: int = None):
+    """Ordered funnel analysis with the standard earliest-completion
+    semantics: a user reaches step i when an event of ``steps[i]``
+    occurs AT OR AFTER their step-(i-1) reach time (optionally within
+    ``max_gap_micros`` of it).  Returns one row per step:
+    (step_idx, step, n_users) — monotone non-increasing.
+
+    Greedy earliest-completion is the classic funnel definition (each
+    step pins to its EARLIEST qualifying event); it is deterministic,
+    engine-reproducible, and what the SQL mirror replays.
+
+    Scale shape: one conditional min-aggregate per step, each keyed on
+    the user — len(steps) hash aggregates + (len(steps)-1) user-keyed
+    joins, all map-side combinable; no windows, no per-user sort.  The
+    step count is small and fixed, so the pass count is too; the event
+    stream itself is only scanned once per step with the type filter
+    pushed to the scan."""
+    from pyspark.sql import functions as F
+
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    _require_utc_for_ntz(df, ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(F.col(user_col).alias("__u"),
+                   F.col(type_col).alias("__ty"), us.alias("__us"))
+
+    reach = (ev.filter(F.col("__ty") == steps[0])
+               .groupBy("__u").agg(F.min("__us").alias("__t")))
+    counts = [reach.count()]
+    for i in range(1, len(steps)):
+        nxt = ev.filter(F.col("__ty") == steps[i])
+        j = nxt.join(reach, "__u").filter(F.col("__us") >= F.col("__t"))
+        if max_gap_micros is not None:
+            j = j.filter(F.col("__us") <= F.col("__t") + int(max_gap_micros))
+        reach = j.groupBy("__u").agg(F.min("__us").alias("__t"))
+        counts.append(reach.count())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, s, int(c)) for i, (s, c) in enumerate(zip(steps, counts))],
+        "step_idx int, step string, n_users long")
+
+
+def cohort_retention(df, user_col: str = "user_id", ts_col: str = "ts",
+                     period_micros: int = 7 * 86_400_000_000):
+    """Cohort retention: users grouped by the period of their FIRST
+    event (the cohort), counted in each later period they were active.
+    Returns (cohort, period_offset, n_users) where cohort is the epoch
+    period index and offset 0 is the cohort period itself.
+
+    Scale shape: one user-keyed min-aggregate (first activity), one
+    user-keyed join to stamp the cohort, then a distinct-user count per
+    (cohort, offset) — the user-keyed exchange is reused by Spark for
+    the aggregate and the join, and the final aggregate's key space is
+    tiny (periods²)."""
+    from pyspark.sql import functions as F
+
+    _require_utc_for_ntz(df, ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    p = int(period_micros)
+    ev = df.select(F.col(user_col).alias("__u"),
+                   F.floor(us / p).cast("long").alias("__p"))
+    first = ev.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    return (ev.join(first, "__u")
+            .groupBy(F.col("__cohort").alias("cohort"),
+                     (F.col("__p") - F.col("__cohort"))
+                     .cast("long").alias("period_offset"))
+            .agg(F.count_distinct(F.col("__u")).alias("n_users")))

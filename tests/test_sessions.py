@@ -57,3 +57,75 @@ def test_streaming_sessionize_matches_batch_closed_sessions(
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# ------------------------------------------------------ funnel / cohort
+
+def test_funnel_steps_earliest_completion_and_gap(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    m = lambda minutes: base + dt.timedelta(minutes=minutes)
+    rows = [
+        # user 1 completes: view@0 -> click@10 -> purchase@20
+        (1, m(0), "view"), (1, m(10), "click"), (1, m(20), "purchase"),
+        # user 2: click BEFORE view never counts; re-click after view does
+        (2, m(5), "click"), (2, m(10), "view"), (2, m(30), "click"),
+        # user 3: completes but the purchase exceeds the 60-min gap
+        (3, m(0), "view"), (3, m(10), "click"), (3, m(200), "purchase"),
+        # user 4: never views
+        (4, m(0), "click"), (4, m(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    from incubator_iceberg_spark.functions import sessions as S
+    got = {r["step_idx"]: r["n_users"]
+           for r in S.funnel_steps(df, ["view", "click", "purchase"],
+                                   max_gap_micros=60 * 60 * 1_000_000
+                                   ).collect()}
+    # step 1 = users 1, 2 (the re-click after the view), 3; step 2 only
+    # user 1 (user 3's purchase exceeds the gap from their click)
+    assert got == {0: 3, 1: 3, 2: 1}
+    # ungated: user 3's late purchase now counts
+    ungated = {r["step_idx"]: r["n_users"]
+               for r in S.funnel_steps(df, ["view", "click", "purchase"]
+                                       ).collect()}
+    assert ungated == {0: 3, 1: 3, 2: 2}
+
+
+def test_funnel_greedy_earliest_not_optimal(spark):
+    """Earliest-completion pins step i to its EARLIEST qualifying event
+    even when a later choice would let step i+1 succeed — the documented
+    (and industry-standard) greedy semantics."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    m = lambda minutes: base + dt.timedelta(minutes=minutes)
+    rows = [(1, m(0), "view"), (1, m(1), "click"),   # greedy click@1
+            (1, m(100), "click"),                    # optimal would be @100
+            (1, m(105), "purchase")]                 # within 10m of click#2
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    from incubator_iceberg_spark.functions import sessions as S
+    got = {r["step_idx"]: r["n_users"]
+           for r in S.funnel_steps(df, ["view", "click", "purchase"],
+                                   max_gap_micros=10 * 60 * 1_000_000
+                                   ).collect()}
+    assert got == {0: 1, 1: 1, 2: 0}     # greedy: purchase misses
+
+
+def test_cohort_retention_offsets(spark):
+    import datetime as dt
+    wk = 7 * 86_400_000_000
+    base = dt.datetime(2024, 1, 4)       # mid-week, any anchor works
+    d = lambda days: base + dt.timedelta(days=days)
+    rows = [(1, d(0)), (1, d(7)), (1, d(21)),      # cohort c, offsets 0,1,3
+            (2, d(7)), (2, d(8)),                  # cohort c+1, offset 0 twice
+            (3, d(0))]                             # cohort c, offset 0
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from incubator_iceberg_spark.functions import sessions as S
+    got = {(r["cohort"], r["period_offset"]): r["n_users"]
+           for r in S.cohort_retention(df, period_micros=wk).collect()}
+    c = min(k[0] for k in got)
+    assert got[(c, 0)] == 2              # users 1 and 3
+    assert got[(c, 1)] == 1 and got[(c, 3)] == 1
+    assert got[(c + 1, 0)] == 1          # user 2 counted once
+    assert (c + 1, 1) not in got
