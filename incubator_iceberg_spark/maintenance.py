@@ -81,21 +81,44 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
         if s.timestamp_ms >= cutoff:
             keep_ids.add(s.snapshot_id)
     # branch/tag refs are GC roots: a tag pins its snapshot, a branch pins
-    # its whole ancestry chain (SnapshotRef retention analog)
-    for name in (md.refs or {}):
+    # its ancestry chain.  Per-ref SnapshotRef retention (the reference's
+    # maxRefAgeMs / minSnapshotsToKeep / maxSnapshotAgeMs): an aged-out
+    # ref is DROPPED here; a branch with ancestry retention keeps only its
+    # newest min-snapshots-to-keep plus young-enough ancestors.  With no
+    # retention set the whole chain is kept — the conservative default
+    # (the reference defaults to 1 snapshot / 5 days; a stale reader of a
+    # local-FS table has no lock to protect it, so we keep everything
+    # until told otherwise).
+    now = MD.now_ms()
+    dropped_refs = []
+    for name in list(md.refs or {}):
         r = md.ref(name)
-        cur = md.snapshot_by_id(r["snapshot-id"])
-        if r["type"] == "tag":
-            if cur is not None:
-                keep_ids.add(cur.snapshot_id)
+        head = md.snapshot_by_id(r["snapshot-id"])
+        age_cap = r.get("max-ref-age-ms")
+        if (age_cap is not None and head is not None
+                and now - head.timestamp_ms > age_cap):
+            dropped_refs.append(name)
             continue
+        if r["type"] == "tag":
+            if head is not None:
+                keep_ids.add(head.snapshot_id)
+            continue
+        min_keep = r.get("min-snapshots-to-keep")
+        snap_age_cap = r.get("max-snapshot-age-ms")
+        bounded = min_keep is not None or snap_age_cap is not None
+        cur, depth = head, 0
         while cur is not None:
+            depth += 1
+            if bounded and depth > max(min_keep or 1, 1) \
+                    and (snap_age_cap is None
+                         or now - cur.timestamp_ms > snap_age_cap):
+                break
             keep_ids.add(cur.snapshot_id)
             cur = md.snapshot_by_id(cur.parent_id) if cur.parent_id is not None else None
 
     kept = [s for s in md.snapshots if s.snapshot_id in keep_ids]
     expired = [s for s in md.snapshots if s.snapshot_id not in keep_ids]
-    if not expired:
+    if not expired and not dropped_refs:
         return {"expired_snapshots": 0, "deleted_data_files": 0, "deleted_metadata_files": 0}
 
     before_data, before_meta = _reachable_paths(md, md.snapshots)
@@ -108,6 +131,9 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
         new = dataclasses.replace(base)
         new.snapshots = [s for s in base.snapshots if s.snapshot_id in keep_ids]
         new.snapshot_log = [h for h in base.snapshot_log if h["snapshot-id"] in keep_ids]
+        if dropped_refs:
+            new.refs = {k: v for k, v in base.refs.items()
+                        if k not in dropped_refs}
         new.last_updated_ms = MD.now_ms()
         return new
 
@@ -124,6 +150,7 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     return {"expired_snapshots": len(expired),
             "deleted_data_files": len(dead_data),
             "deleted_metadata_files": len(dead_meta),
+            "dropped_refs": dropped_refs,
             "deleted_total": deleted}
 
 

@@ -194,7 +194,12 @@ class TableMetadata:
         if v is None:
             return None
         if isinstance(v, dict):
-            return {"snapshot-id": v["snapshot-id"], "type": v.get("type", "tag")}
+            out = {"snapshot-id": v["snapshot-id"], "type": v.get("type", "tag")}
+            for k in ("max-ref-age-ms", "min-snapshots-to-keep",
+                      "max-snapshot-age-ms"):
+                if v.get(k) is not None:
+                    out[k] = v[k]
+            return out
         return {"snapshot-id": v, "type": "tag"}  # legacy flat form
 
     def property(self, key: str, default):
@@ -217,14 +222,27 @@ class TableMetadata:
                 {"timestamp-ms": snapshot.timestamp_ms, "snapshot-id": snapshot.snapshot_id}]
         return md
 
-    def with_ref(self, name: str, snapshot_id: int, ref_type: str = "branch") -> "TableMetadata":
+    def with_ref(self, name: str, snapshot_id: int, ref_type: str = "branch",
+                 retention: Optional[dict] = None) -> "TableMetadata":
+        """``retention`` may carry the SnapshotRef retention fields
+        (max-ref-age-ms / min-snapshots-to-keep / max-snapshot-age-ms).
+        When None, an EXISTING ref's retention is preserved — re-pointing
+        a branch (fast-forward, retry rebase) must not erase its policy."""
         if name == "main":
             return self.with_current(snapshot_id)
         if self.snapshot_by_id(snapshot_id) is None:
             raise ValidationException(f"unknown snapshot: {snapshot_id}")
         md = replace(self)
         md.refs = dict(self.refs)
-        md.refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+        entry = {"snapshot-id": snapshot_id, "type": ref_type}
+        prev = self.refs.get(name)
+        carry = retention if retention is not None else \
+            (prev if isinstance(prev, dict) else {})
+        for k in ("max-ref-age-ms", "min-snapshots-to-keep",
+                  "max-snapshot-age-ms"):
+            if carry.get(k) is not None:
+                entry[k] = int(carry[k])
+        md.refs[name] = entry
         md.last_updated_ms = now_ms()
         return md
 

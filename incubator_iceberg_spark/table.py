@@ -536,24 +536,39 @@ class Table:
         return self
 
     # -- branch/tag refs (SnapshotRef analog beyond WAP) -------------------
-    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> "Table":
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None,
+                      max_ref_age_ms: Optional[int] = None,
+                      min_snapshots_to_keep: Optional[int] = None,
+                      max_snapshot_age_ms: Optional[int] = None) -> "Table":
         """Named branch starting at ``snapshot_id`` (default: current head);
         writable via ``append(df, branch=name)``, readable via
-        ``to_df(ref=name)``."""
+        ``to_df(ref=name)``.  Optional SnapshotRef retention (the
+        reference's maxRefAgeMs / minSnapshotsToKeep / maxSnapshotAgeMs):
+        an aged-out ref is dropped by expire_snapshots, and a branch with
+        ancestry retention set keeps only its newest N / young-enough
+        ancestry instead of the whole chain (the conservative default)."""
         sid = snapshot_id if snapshot_id is not None else self.metadata.current_snapshot_id
         if sid is None:
             raise ValueError("cannot branch an empty table")
+        retention = {"max-ref-age-ms": max_ref_age_ms,
+                     "min-snapshots-to-keep": min_snapshots_to_keep,
+                     "max-snapshot-age-ms": max_snapshot_age_ms}
         self.metadata = MD.run_with_retries(
-            self.ops, lambda base: base.with_ref(name, sid, "branch"))
+            self.ops, lambda base: base.with_ref(name, sid, "branch",
+                                                 retention=retention))
         return self
 
-    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> "Table":
-        """Immutable named snapshot pointer."""
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None,
+                   max_ref_age_ms: Optional[int] = None) -> "Table":
+        """Immutable named snapshot pointer; ``max_ref_age_ms`` lets
+        expire_snapshots drop the tag once aged out."""
         sid = snapshot_id if snapshot_id is not None else self.metadata.current_snapshot_id
         if sid is None:
             raise ValueError("cannot tag an empty table")
         self.metadata = MD.run_with_retries(
-            self.ops, lambda base: base.with_ref(name, sid, "tag"))
+            self.ops, lambda base: base.with_ref(
+                name, sid, "tag",
+                retention={"max-ref-age-ms": max_ref_age_ms}))
         return self
 
     def drop_ref(self, name: str) -> "Table":

@@ -401,3 +401,88 @@ def test_rename_with_eq_deletes_per_format(warehouse, spark, fmt):
     t.append(spark.createDataFrame([(100, "x", 1.0)],
                                    "ident long, label string, v double"))
     assert t.to_df().count() == 9
+
+
+# ------------------------------------------------- per-ref retention (C8+)
+
+def _mini(spark, warehouse, name):
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(1, 10)], "rid long, v long")
+    t = warehouse.create_table(name, Schema.from_spark(df.schema))
+    t.append(df)
+    return t
+
+
+def test_expire_drops_aged_out_refs(spark, warehouse):
+    from pyspark.sql import functions as F
+    t = _mini(spark, warehouse, "db.refret1")
+    t.create_tag("old_tag", max_ref_age_ms=1)       # ages out immediately
+    t.create_branch("old_branch", max_ref_age_ms=1)
+    t.create_tag("keep_tag")                         # no retention: kept
+    t.append(spark.createDataFrame([(2, 20)], "rid long, v long"))
+    import time
+    time.sleep(0.005)
+    res = t.expire_snapshots(retain_last=1)
+    assert set(res["dropped_refs"]) == {"old_tag", "old_branch"}
+    assert t.metadata.ref("old_tag") is None
+    assert t.metadata.ref("keep_tag") is not None
+    # the keep_tag target must survive expiry (GC root), reads still work
+    assert t.to_df(ref="keep_tag").count() == 1
+
+
+def test_branch_ancestry_retention_bounds_kept_chain(spark, warehouse):
+    t = _mini(spark, warehouse, "db.refret2")
+    for i in range(2, 6):
+        t.append(spark.createDataFrame([(i, i * 10)], "rid long, v long"))
+    # branch at head with a 2-snapshot ancestry budget (and aggressive
+    # snapshot age), then advance main away and expire hard
+    t.create_branch("b", min_snapshots_to_keep=2, max_snapshot_age_ms=1)
+    head = t.metadata.ref("b")["snapshot-id"]
+    t.append(spark.createDataFrame([(9, 90)], "rid long, v long"))
+    import time
+    time.sleep(0.005)
+    before = len(t.metadata.snapshots)
+    t.expire_snapshots(retain_last=1)
+    after = {s.snapshot_id for s in t.metadata.snapshots}
+    assert len(after) < before
+    # branch head + one parent kept (min 2), head still readable in full
+    assert head in after
+    chain = []
+    cur = t.metadata.snapshot_by_id(head)
+    while cur is not None:
+        chain.append(cur.snapshot_id)
+        cur = (t.metadata.snapshot_by_id(cur.parent_id)
+               if cur.parent_id is not None else None)
+    assert len(chain) == 2                 # ancestry truncated to min-keep
+    assert t.to_df(ref="b").count() == 5   # full contents via head manifest
+
+
+def test_default_branch_retention_keeps_whole_chain(spark, warehouse):
+    t = _mini(spark, warehouse, "db.refret3")
+    for i in range(2, 5):
+        t.append(spark.createDataFrame([(i, i * 10)], "rid long, v long"))
+    t.create_branch("b")                    # no retention: whole chain
+    t.append(spark.createDataFrame([(9, 90)], "rid long, v long"))
+    import time
+    time.sleep(0.005)
+    t.expire_snapshots(retain_last=1)
+    head = t.metadata.ref("b")["snapshot-id"]
+    chain = 0
+    cur = t.metadata.snapshot_by_id(head)
+    while cur is not None:
+        chain += 1
+        cur = (t.metadata.snapshot_by_id(cur.parent_id)
+               if cur.parent_id is not None else None)
+    assert chain == 4                       # all four branch ancestors kept
+
+
+def test_fast_forward_preserves_retention(spark, warehouse):
+    from incubator_iceberg_spark import metadata as MD
+    t = _mini(spark, warehouse, "db.refret4")
+    t.create_branch("b", min_snapshots_to_keep=3, max_ref_age_ms=10 ** 12)
+    t.append(spark.createDataFrame([(2, 20)], "rid long, v long"),
+             branch="b")
+    t.fast_forward("main", "b")
+    r = t.metadata.ref("b")
+    assert r["min-snapshots-to-keep"] == 3
+    assert r["max-ref-age-ms"] == 10 ** 12
