@@ -55,6 +55,9 @@ def __getattr__(name):  # lazy: table pulls in pyspark-heavy modules
     if name == "register_data_source":
         from incubator_iceberg_spark.sources import register
         return register
+    if name in ("runtime_filtered_join", "runtime_key_filter"):
+        from incubator_iceberg_spark import runtime_filter as _rf
+        return getattr(_rf, name)
     if name == "events":
         import importlib
         return importlib.import_module("incubator_iceberg_spark.events")

@@ -8,9 +8,13 @@
                indexes), SQ8 scalar quantization, semantic dedup
 - corpus     — chunking, packing, mixture/stratified/token-budget
                sampling, tf-idf, decontamination, repetition stats,
-               splits, span dedup, shuffle-shards, certified heavy hitters
+               splits, span dedup, shuffle-shards, certified heavy
+               hitters, KMV distinct sketch, inverted postings, ranked
+               retrieval (search_topk)
+- similarity — (also) exact-integer distributed k-means
 - temporal   — as-of joins, grid-bucketed interval joins, rolling windows
-- sessions   — gap sessionization (batch + streaming)
+- sessions   — gap sessionization (batch + streaming), funnel analysis,
+               cohort retention
 - multimodal — binary media columns with typed metadata, decode stubs
 - skew       — salted aggregation/join helpers
 
