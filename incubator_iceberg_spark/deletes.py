@@ -358,6 +358,55 @@ def filter_relevant_deletes(data_entries: list, delete_entries: list,
     return out
 
 
+def load_eq_delete_groups(spark, eq_entries: list, table_schema: S.Schema):
+    """Yield (current_cols, eq_df) per equality-ids group, with
+    ``___del_seq`` stamped per row.  The delete parquet holds exactly the
+    equality columns in equality_ids order under their WRITE-TIME names:
+    resolve by POSITION to the current names/types, so a renamed equality
+    column keeps deleting (field-id semantics — the data-side analog is
+    _project_to_current; reading by current NAME returned all-NULL keys
+    after a rename, which resurrected the deleted rows and dropped
+    NULL-keyed ones instead).  The footer is read driver-local via
+    pyarrow — a schema-less spark.read.parquet would run one inference
+    job per delete file.  Shared by the read-side anti-join and the
+    eq→pos conversion rewrite."""
+    from pyspark.sql import functions as F
+
+    by_ids: dict = {}
+    for e in eq_entries:
+        by_ids.setdefault(tuple(e.get("equality_ids") or ()), []).append(e)
+    for ids, group in by_ids.items():
+        cols = [table_schema.field_path(i) for i in ids]
+        cols = [c for c in cols if c is not None]
+        if not cols:
+            continue
+        fields = [table_schema.find_field(i) for i in ids]
+        del_schema = S.Schema([f for f in fields if f is not None])
+        tgt = del_schema.to_spark()
+        tgt_names = [f.name for f in tgt.fields]
+        eq_df = None
+        for e in group:
+            import pyarrow.parquet as _pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+            fnames = _pq.read_schema(e["file_path"]).names
+            if fnames == tgt_names:
+                part = spark.read.schema(tgt).parquet(e["file_path"])
+            elif len(fnames) == len(tgt.fields):
+                fsp = from_arrow_schema(
+                    _pq.read_schema(e["file_path"]))
+                part = (spark.read.schema(fsp)
+                        .parquet(e["file_path"])
+                        .select(*[F.col(fnames[i]).cast(f.dataType)
+                                  .alias(f.name)
+                                  for i, f in enumerate(tgt.fields)]))
+            else:  # foreign/imported delete file: name-based
+                part = spark.read.schema(tgt).parquet(e["file_path"])
+            part = part.withColumn(
+                "___del_seq", F.lit(e.get("sequence_number") or 0))
+            eq_df = part if eq_df is None else eq_df.unionByName(part)
+        yield cols, eq_df
+
+
 def apply_delete_files(spark, data_df, data_seq_by_file: dict,
                        delete_entries: list, table_schema: S.Schema):
     """J3: anti-join pos/eq delete files onto a data DataFrame that carries
@@ -391,49 +440,8 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
         df = df.join(F.broadcast(pos_df), cond, "left_anti")
 
     if eq_entries:
-        by_ids: dict = {}
-        for e in eq_entries:
-            by_ids.setdefault(tuple(e.get("equality_ids") or ()), []).append(e)
-        for ids, group in by_ids.items():
-            cols = [table_schema.field_path(i) for i in ids]
-            cols = [c for c in cols if c is not None]
-            if not cols:
-                continue
-            fields = [table_schema.find_field(i) for i in ids]
-            del_schema = S.Schema([f for f in fields if f is not None])
-            tgt = del_schema.to_spark()
-            tgt_names = [f.name for f in tgt.fields]
-            eq_df = None
-            for e in group:
-                # the delete parquet holds exactly the equality columns
-                # in equality_ids order under their WRITE-TIME names:
-                # resolve by POSITION to the current names/types, so a
-                # renamed equality column keeps deleting (field-id
-                # semantics — the data-side analog is
-                # _project_to_current; reading by current NAME returned
-                # all-NULL keys after a rename, which resurrected the
-                # deleted rows and dropped NULL-keyed ones instead).
-                # The footer is read driver-local via pyarrow — a
-                # schema-less spark.read.parquet would run one
-                # inference job per delete file.
-                import pyarrow.parquet as _pq
-                from pyspark.sql.pandas.types import from_arrow_schema
-                fnames = _pq.read_schema(e["file_path"]).names
-                if fnames == tgt_names:
-                    part = spark.read.schema(tgt).parquet(e["file_path"])
-                elif len(fnames) == len(tgt.fields):
-                    fsp = from_arrow_schema(
-                        _pq.read_schema(e["file_path"]))
-                    part = (spark.read.schema(fsp)
-                            .parquet(e["file_path"])
-                            .select(*[F.col(fnames[i]).cast(f.dataType)
-                                      .alias(f.name)
-                                      for i, f in enumerate(tgt.fields)]))
-                else:  # foreign/imported delete file: name-based
-                    part = spark.read.schema(tgt).parquet(e["file_path"])
-                part = part.withColumn(
-                    "___del_seq", F.lit(e.get("sequence_number") or 0))
-                eq_df = part if eq_df is None else eq_df.unionByName(part)
+        for cols, eq_df in load_eq_delete_groups(spark, eq_entries,
+                                                 table_schema):
             cond = None
             for c in cols:
                 piece = df[c].eqNullSafe(eq_df[c])

@@ -787,7 +787,9 @@ def search_topk(df, query_terms, k: int = 10,
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     weighted = tf.join(F.broadcast(dfreq), "term").select(
         "__id", "tf",
-        F.expr(f"floor(1000000 * ({n_docs} + 1) / (df + 1))")
+        # 1000000L: the int32 product 1e6·(N+1) overflows past N ≈ 2146
+        # (ANSI mode raises; non-ANSI silently wraps — both wrong)
+        F.expr(f"floor(1000000L * ({int(n_docs)} + 1) / (df + 1))")
          .cast("long").alias("w"))
     scored = (weighted.groupBy("__id")
               .agg(F.count(F.lit(1)).alias("n_hit_terms"),

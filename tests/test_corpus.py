@@ -662,3 +662,14 @@ def test_search_topk_all_mode_is_conjunctive(spark):
     assert {r["doc_id"] for r in got} == {1, 3}
     any_ = corpus.search_topk(df, ["alpha", "beta"], k=10).collect()
     assert {r["doc_id"] for r in any_} == {1, 2, 3}
+
+
+def test_search_topk_survives_large_corpus_idf_product(spark):
+    # 1e6 * (N+1) overflows int32 past N ~ 2146; the idf weight must be
+    # computed in long (ANSI mode raised, non-ANSI silently wrapped)
+    rows = [(i, "alpha beta") for i in range(2500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = corpus.search_topk(df, ["alpha"], k=3).collect()
+    assert len(got) == 3
+    w = 1_000_000 * 2501 // 2501          # df == N for 'alpha'
+    assert got[0]["score_micro"] == w
