@@ -2494,6 +2494,37 @@ def q_inverted_postings(spark, sf_dir):
     return C.inverted_postings(docs, top_n=20, max_postings=100)
 
 
+def q_convert_eq_deletes(spark, sf_dir):
+    """Equality→position delete conversion (maintenance.
+    convert_equality_deletes): materialize each eq predicate's matches
+    as (file, pos) tuples against exactly the files it sequence-scopes
+    to, swap the eq files for partition-scoped pos deletes in one
+    replace commit — the MoR maintenance step that moves the predicate
+    anti-join out of every subsequent read.  Rows appended AFTER the eq
+    delete must survive (strict sequence scoping); the query asserts no
+    equality files remain, then returns the full post-conversion scan
+    (oracle = base minus deleted plus the post-delete appends)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.scan import TableScan
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_cv", Schema.from_spark(orders.schema),
+                         partition_by=["month(o_orderdate)"])
+    t.append(orders)
+    t.add_equality_deletes(orders.filter("o_orderkey % 37 = 0")
+                           .select("o_orderkey"), ["o_orderkey"])
+    t.append(orders.filter("o_orderkey % 37 = 0 AND o_orderkey % 2 = 0"))
+    res = t.convert_equality_deletes()
+    assert res["converted_eq_files"] == 1 and res["converted_tuples"] > 0
+    _d, dels = TableScan(t, spark)._plan_split()
+    assert all((e.get("content") or 0) == 1 for e in dels), "eq remains"
+    return (t.to_df()
+            .select("o_orderkey", "o_orderpriority",
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    .alias("cents")))
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered funnel analysis (sessions.funnel_steps): users reaching
     view -> click -> purchase with each step within 12h of the previous
@@ -2545,10 +2576,11 @@ def q_search_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [35 never-driver-verified queries: the round-4 additions (grid-
+    # [36 never-driver-verified queries: the round-4 additions (grid-
     # bucketed range join, runtime-filtered star join, KMV distinct
     # sketch, inverted-postings build, search_topk retrieval, exact-int
-    # kmeans, funnel + cohort analytics, asof join,
+    # kmeans, eq->pos delete conversion, funnel + cohort analytics,
+    # asof join,
     # rolling window features, certified heavy hitters, fuzzy
     # decontamination, shuffle_shards, SQ8 ANN raw + stored-index, CDC sink,
     # partitions-over-evolved-specs,
@@ -2558,11 +2590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3 window, incl. SURVEY rows O1 sorted_write_clustering and P17
     # metrics_modes]
     # + [3 rows last driver-verified in r1: rollup/cube/distinct]
-    # + [12 least-recently-verified rows of the r2-green set].  To make
+    # + [11 least-recently-verified rows of the r2-green set].  To make
     # room for the newest queries, knn_join and text_stats moved to
     # the redundant block (knn_join shares the brute-force cosine path
     # with ann_bruteforce; text_stats is a subset of text_analyze).
-    # Twenty-two more r2-green rows (vocab_doc_freq, length_quantiles,
+    # Twenty-three more r2-green rows (vocab_doc_freq, length_quantiles,
     # text_analyze, ann_bruteforce, skew_salted_agg..catalog_txn_multi_table) sit just past the
     # window — displaced by the never-verified round-4 queries, first in
     # line for the r5 refresh.
@@ -2584,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "search_topk": q_search_topk,
         "kmeans_micro": q_kmeans_micro,
+        "convert_eq_deletes": q_convert_eq_deletes,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "asof_join_events": q_asof_join_events,
@@ -2831,6 +2864,16 @@ def oracle_sql() -> dict[str, str]:
     from incubator_iceberg_spark.functions.corpus import kmv_distinct_sql
     from incubator_iceberg_spark.functions.similarity import kmeans_oracle_sql
     return {
+        "convert_eq_deletes": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 37 != 0
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey % 37 = 0 AND o_orderkey % 2 = 0
+        """,
         "funnel_steps": """
             WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
                         WHERE event_type = 'view' GROUP BY 1),

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "kmeans_micro",
     "funnel_steps",
     "cohort_retention",
+    "convert_eq_deletes",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

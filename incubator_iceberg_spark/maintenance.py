@@ -516,6 +516,105 @@ def rewrite_position_deletes(table, spark=None) -> dict:
             "kept_tuples": n_kept, "dropped_tuples": total - n_kept}
 
 
+def convert_equality_deletes(table, spark=None) -> dict:
+    """Convert live v2 EQUALITY delete files into POSITION delete files
+    (the convert-deletes compaction step; same family as
+    RewritePositionDeleteFiles): materialize each equality predicate's
+    matches as (file_path, pos) tuples against the data files it scopes
+    to, write them as partition-scoped position deletes, and swap the
+    equality files out in one replace commit.
+
+    Why: every subsequent read of an eq-delete table pays the predicate
+    anti-join on the scoped files' full rows; position deletes prune by
+    persisted referenced-path range and anti-join on two int columns.
+    Converting once moves that cost out of the read path — the standard
+    MoR maintenance step between ingest (eq deletes are cheap to WRITE)
+    and serving (pos deletes are cheap to READ).
+
+    Sequence semantics: an equality delete with sequence S applies to
+    data rows with sequence < S (strict); the produced tuples are
+    computed against exactly those files, so re-committing them as
+    position deletes at the new, higher sequence (pos applies at <=)
+    deletes exactly the same rows.  Files appended after S were never
+    subject to the eq delete and are untouched — positions name explicit
+    (path, pos).  A concurrent compaction can strand tuples on dead
+    paths; they are inert (paths are never reused), and the rows they
+    named were already carried forward WITH deletes applied — the same
+    argument rewrite_position_deletes documents.
+
+    Scale shape: reads only the files each equality predicate scopes to
+    (clean files never load), one broadcast semi-join per equality-ids
+    group, one partition-scoped delete write."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import deletes as DEL
+    from incubator_iceberg_spark import snapshots as SN2
+    from incubator_iceberg_spark.scan import TableScan, read_entries
+
+    spark = spark or table.spark
+    md = table.metadata
+    schema = md.schema()
+    data, dels = TableScan(table, spark)._plan_split()
+    eqs = [e for e in dels if (e.get("content") or 0) == MF.EQUALITY_DELETES]
+    if not eqs:
+        return {"converted_eq_files": 0, "added_pos_files": 0,
+                "converted_tuples": 0}
+
+    # only data files at least one eq delete scopes to ever load
+    dirty = []
+    for e in data:
+        _pos, eq_scoped = DEL.scope_deletes_for_file(e, eqs, schema)
+        if eq_scoped:
+            dirty.append(e)
+    matches = None
+    if dirty:
+        rows = read_entries(spark, md, dirty, [], schema, with_lineage=True)
+        seq_rows = [(e["file_path"], e.get("sequence_number") or 0)
+                    for e in dirty]
+        seq_df = spark.createDataFrame(seq_rows,
+                                       "___path string, ___seq long")
+        rows = (rows.withColumn(
+                    "___path",
+                    F.regexp_replace(F.col("_file"), "^file:/*", "/"))
+                .join(F.broadcast(seq_df), "___path"))
+        for cols, eq_df in DEL.load_eq_delete_groups(spark, eqs, schema):
+            cond = None
+            for c in cols:
+                piece = rows[c].eqNullSafe(eq_df[c])
+                cond = piece if cond is None else (cond & piece)
+            cond = cond & (eq_df["___del_seq"] > rows["___seq"])
+            m = (rows.join(F.broadcast(eq_df), cond, "left_semi")
+                     .select(F.col("___path").alias("file_path"),
+                             F.col("_pos").alias("pos")))
+            matches = m if matches is None else matches.unionByName(m)
+    n_tuples = 0
+    added = []
+    if matches is not None:
+        matches = matches.distinct()
+        n_tuples = matches.count()
+    if n_tuples:
+        from incubator_iceberg_spark.row_ops import _partition_scope
+        scope = _partition_scope(dirty, md)
+        if scope:
+            out = matches.sortWithinPartitions("file_path", "pos")
+            added = DEL._write_delete_parquet(
+                spark, md.location, out, DEL.POS_DELETE_SCHEMA,
+                path_partitions=scope)
+        else:
+            n_out = max(1, -(-n_tuples // 5_000_000))
+            out = (matches.repartitionByRange(n_out, "file_path", "pos")
+                   .sortWithinPartitions("file_path", "pos"))
+            added = DEL._write_delete_parquet(
+                spark, md.location, out, DEL.POS_DELETE_SCHEMA)
+        for e in added:
+            e["content"] = MF.POSITION_DELETES
+    table.metadata = SN2.overwrite_files(
+        table.ops, added, {e["file_path"] for e in eqs},
+        operation="replace")
+    return {"converted_eq_files": len(eqs), "added_pos_files": len(added),
+            "converted_tuples": n_tuples}
+
+
 def zorder_rewrite(table, columns: list, spark=None,
                    target_file_size: Optional[int] = None, bits: int = 16) -> dict:
     """Z-order clustering rewrite (later-Iceberg RewriteDataFiles

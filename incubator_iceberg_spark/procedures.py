@@ -161,6 +161,7 @@ PROCEDURES = {
     "add_files": lambda t, source_dir, **kw: add_files(t, source_dir),
     "remove_dangling_deletes": lambda t, **kw: t.remove_dangling_deletes(),
     "rewrite_position_deletes": lambda t, **kw: t.rewrite_position_deletes(),
+    "convert_equality_deletes": lambda t, **kw: t.convert_equality_deletes(),
     "rewrite_data_files_zorder": lambda t, *cols, **kw: t.zorder_rewrite(
         list(cols), target_file_size=int(kw["target_file_size"])
         if "target_file_size" in kw else None),

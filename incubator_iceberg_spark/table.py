@@ -680,6 +680,10 @@ class Table:
         from incubator_iceberg_spark import maintenance
         return maintenance.rewrite_position_deletes(self, spark=spark or self.spark)
 
+    def convert_equality_deletes(self, spark=None) -> dict:
+        from incubator_iceberg_spark import maintenance
+        return maintenance.convert_equality_deletes(self, spark=spark or self.spark)
+
     def run_maintenance(self, spark=None, **kw) -> dict:
         """Composite housekeeping (compact → delete-file cleanup →
         manifest rewrite → expire → orphans)."""

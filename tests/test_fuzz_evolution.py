@@ -135,7 +135,7 @@ def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
         kind = rng.choice(
             ["append", "append", "add_col", "rename", "drop", "promote",
              "delete_cow", "delete_mor", "update_cow", "update_mor",
-             "eq_delete", "respec"])
+             "eq_delete", "respec", "convert_eq"])
         if kind == "append":
             rows = _gen_rows(rng, cols, rng.randrange(10, 30), next_rid)
             next_rid += len(rows)
@@ -218,6 +218,10 @@ def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
                 spark.createDataFrame([(v,) for v in victims], "rid long"),
                 ["rid"])
             model = [r for r in model if r["rid"] not in victims]
+        elif kind == "convert_eq":
+            # eq -> pos conversion must be invisible to every later scan,
+            # across whatever renames/spec evolution preceded it
+            t.convert_equality_deletes()
         ops_run.append(kind)
         _check(t, cols, model, step, kind)
 

@@ -498,3 +498,64 @@ def test_randomized_filtered_scans_with_mor_debt(warehouse, spark, plan_mode):
     # and the local (pyarrow) path agrees on the full table
     arr_ids = set(t.to_arrow()["id"].to_pylist())
     assert arr_ids == {r.id for r in live.collect()}
+
+
+# ------------------------------------------------- eq -> pos conversion
+
+def test_convert_equality_deletes_preserves_scan(spark, warehouse, orders):
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.cv1", Schema.from_spark(orders.schema),
+                               partition_by=["month(o_orderdate)"])
+    t.append(orders)
+    t.add_equality_deletes(orders.filter("o_orderkey % 37 = 0")
+                           .select("o_orderkey"), ["o_orderkey"])
+    # rows appended AFTER the eq delete must survive conversion (the eq
+    # delete never applied to them: strict sequence scoping)
+    survivors = orders.filter("o_orderkey % 37 = 0").limit(5)
+    t.append(survivors)
+    before = sorted(r["o_orderkey"]
+                    for r in t.to_df().select("o_orderkey").collect())
+    res = t.convert_equality_deletes()
+    assert res["converted_eq_files"] == 1 and res["converted_tuples"] > 0
+    after = sorted(r["o_orderkey"]
+                   for r in t.to_df().select("o_orderkey").collect())
+    assert after == before
+    _d, dels = TableScan(t, spark)._plan_split()
+    assert all((e.get("content") or 0) == 1 for e in dels)  # pos only
+    # arrow path agrees
+    import collections
+    assert (collections.Counter(t.to_arrow().column("o_orderkey").to_pylist())
+            == collections.Counter(after))
+
+
+def test_convert_equality_deletes_across_rename(spark, warehouse, orders):
+    """Eq-delete parquets hold WRITE-TIME column names; conversion after a
+    rename must still resolve them positionally (field-id semantics) or
+    the deleted rows resurrect as positions are computed against NULLs."""
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.cv2", Schema.from_spark(orders.schema))
+    t.append(orders)
+    t.add_equality_deletes(orders.filter("o_orderkey % 37 = 0")
+                           .select("o_orderkey"), ["o_orderkey"])
+    t.update_schema().rename_column("o_orderkey", "order_key").commit()
+    before = sorted(r["order_key"]
+                    for r in t.to_df().select("order_key").collect())
+    assert not any(k % 37 == 0 for k in before)
+    res = t.convert_equality_deletes()
+    assert res["converted_tuples"] > 0
+    after = sorted(r["order_key"]
+                   for r in t.to_df().select("order_key").collect())
+    assert after == before
+
+
+def test_convert_equality_deletes_noop_without_eq_files(spark, warehouse,
+                                                        orders):
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.cv3", Schema.from_spark(orders.schema))
+    t.append(orders)
+    snap = t.metadata.current_snapshot_id
+    res = t.convert_equality_deletes()
+    assert res == {"converted_eq_files": 0, "added_pos_files": 0,
+                   "converted_tuples": 0}
+    assert t.metadata.current_snapshot_id == snap  # no empty commit
