@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "avro_scan",
     # round-4 additions: sampling / scrubbing / ingest dedup
+    "bloom_point_lookup",
     "stratified_sample",
     "pii_scrub",
     "incremental_dedup",

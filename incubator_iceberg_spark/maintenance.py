@@ -285,7 +285,8 @@ def rewrite_data_files(table, spark=None, target_file_size: Optional[int] = None
         df = df.coalesce(int(n_out))
         staged = W.stage_write(spark, md.location, df, schema, md.spec(),
                                target_file_size=target,
-                               file_format=out_format)
+                               file_format=out_format,
+                               properties=md.properties)
         all_staged.extend(staged)
         all_deleted.update(group)
 
@@ -343,7 +344,8 @@ def sort_rewrite(table, sort_by, spark=None,
     # distribution_mode none: keep the range clustering we just created
     staged = W.stage_write(spark, md.location, df, schema, md.spec(),
                            distribution_mode="none", target_file_size=target,
-                           file_format=W.table_format(md))
+                           file_format=W.table_format(md),
+                           properties=md.properties)
     deleted = {e["file_path"] for e in data}
     table.metadata = SN.overwrite_files(
         table.ops, staged, deleted, operation="replace",
@@ -699,7 +701,8 @@ def zorder_rewrite(table, columns: list, spark=None,
     # the default hash-by-partition redistribution would destroy it
     staged = W.stage_write(spark, md.location, out, schema, md.spec(),
                            target_file_size=target, distribution_mode="none",
-                           file_format=W.table_format(md))
+                           file_format=W.table_format(md),
+                           properties=md.properties)
     old = {e["file_path"] for e in data}
     table.metadata = SN.overwrite_files(
         table.ops, staged, old, operation="replace",

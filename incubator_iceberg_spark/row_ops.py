@@ -245,7 +245,8 @@ def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None
         kept = kept.filter(~F.coalesce(cond, F.lit(False)))
         staged = W.stage_write(spark, md.location, kept, schema, md.spec(),
                                sort_order=md.sort_order(),
-                               file_format=W.table_format(md))
+                               file_format=W.table_format(md),
+                               properties=md.properties)
         kept_records = sum(e["record_count"] for e in staged)
         new_entries.extend(staged)
 
@@ -409,7 +410,8 @@ def update_mor(table, assignments: dict, condition: X.Expression,
         for f in schema.fields])
     data_entries = W.stage_write(spark, md.location, updated, schema,
                                  md.spec(), sort_order=md.sort_order(),
-                                 file_format=W.table_format(md))
+                                 file_format=W.table_format(md),
+                                 properties=md.properties)
     matched.unpersist()
 
     touched = {e["file_path"] for e in data}
@@ -464,7 +466,8 @@ def update(table, assignments: dict, condition: X.Expression, spark=None) -> dic
 
     staged = W.stage_write(spark, md.location, out, schema, md.spec(),
                            sort_order=md.sort_order(),
-                           file_format=W.table_format(md))
+                           file_format=W.table_format(md),
+                           properties=md.properties)
     table.metadata = SN.overwrite_files(
         table.ops, staged, {e["file_path"] for e in data},
         operation="overwrite",
@@ -685,7 +688,8 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
     try:
         staged = W.stage_write(spark, md.location, result, schema, md.spec(),
                                sort_order=md.sort_order(),
-                               file_format=W.table_format(md))
+                               file_format=W.table_format(md),
+                               properties=md.properties)
     except Exception as e:
         if _CARDINALITY_MSG in str(e):
             raise MergeCardinalityError(

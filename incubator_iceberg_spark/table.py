@@ -291,7 +291,8 @@ class Table:
                              sort_order=md.sort_order(), distribution_mode=mode,
                              target_file_size=target, file_format=fmt,
                              nan_counts=nan,
-                             distribution_partitions=int(dist_n) if dist_n else None)
+                             distribution_partitions=int(dist_n) if dist_n else None,
+                             properties=md.properties)
 
     def append(self, df, spark=None, extra_summary: Optional[dict] = None,
                branch: Optional[str] = None) -> "Table":

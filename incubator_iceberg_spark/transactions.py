@@ -101,7 +101,8 @@ class Transaction:
                                 dels, schema)
             kept = kept.filter(~F.coalesce(X.to_column(bound), F.lit(False)))
             new_entries = W.stage_write(self.spark, md.location, kept, schema,
-                                        md.spec(), sort_order=md.sort_order())
+                                        md.spec(), sort_order=md.sort_order(),
+                                        properties=md.properties)
         deleted = {c["file_path"] for c in cand}
         if not deleted and not new_entries:
             return self
