@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "avro_scan",
     # round-4 additions: sampling / scrubbing / ingest dedup
     "bloom_point_lookup",
+    "ngram_lm_score",
     "stratified_sample",
     "pii_scrub",
     "incremental_dedup",

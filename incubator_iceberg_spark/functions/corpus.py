@@ -801,3 +801,66 @@ def search_topk(df, query_terms, k: int = 10,
             .select(F.col("__id").alias(id_col),
                     F.col("n_hit_terms").cast("int").alias("n_hit_terms"),
                     F.col("score_micro").cast("long").alias("score_micro")))
+
+
+def _bigram_rows(df, text_col: str, id_col: str):
+    """All (doc, w1, w2) word-bigram OCCURRENCES (not distinct) via
+    posexplode + one ordered window lead — same plan shape as
+    word_ngram_rows, minus the distinct."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.posexplode_outer(TX.tokens(text_col))
+                     .alias("__p", "__t"))
+    w = Window.partitionBy("__id").orderBy("__p")
+    return (toks.select("__id", F.col("__t").alias("w1"),
+                        F.lead("__t", 1).over(w).alias("w2"))
+            .filter(F.col("w2").isNotNull()))
+
+
+def ngram_lm_score(df, text_col: str = "text", id_col: str = "doc_id",
+                   ref_df=None):
+    """Bigram language-model quality score — the model-based filtering
+    step of a CCNet/KenLM-style pipeline (reference-corpus LM perplexity
+    gates pretraining docs), in engine-exact integer arithmetic.
+
+    Trains bigram conditional frequencies on ``ref_df`` (default: the
+    corpus itself) and scores every document by the mean conditional
+    probability of its word bigrams in floor-micro units::
+
+        p_micro(w2|w1)  = (1_000_000 * c(w1,w2)) DIV c(w1,·)
+        lm_score_micro  = SUM(k * p_micro) DIV SUM(k)     per doc
+
+    where c(w1,·) = SUM_w2 c(w1,w2) (bigram-start count, derived from
+    the bigram aggregate so the corpus tokenizes once) and k is the
+    doc's occurrence count of that bigram.  Bigrams unseen in the
+    reference score 0 (the self-trained default never hits this).
+    Monotone in the same ordering as mean log-prob for ranking within a
+    doc-length class; exact integers make the score bit-identical across
+    engines — an oracle-checkable stand-in for float perplexity.
+
+    Plan: two map-side-combined hash aggregates for the model, one
+    per-doc bigram aggregate, one shuffle join on (w1, w2), one final
+    doc aggregate.  Nothing is all-pairs; the model tables scale with
+    vocabulary, not corpus size.  Docs with < 2 tokens are dropped
+    (no bigrams to score).
+
+    Returns (id_col, n_bigrams, lm_score_micro).
+    """
+    from pyspark.sql import functions as F
+    big = _bigram_rows(df, text_col, id_col)
+    ref = big if ref_df is None else _bigram_rows(ref_df, text_col, id_col)
+    c2 = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = (c2.join(c1, "w1")
+             .select("w1", "w2",
+                     F.expr("(1000000 * c2) DIV c1").alias("p_micro")))
+    doc_b = big.groupBy("__id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    scored = (doc_b.join(model, ["w1", "w2"], "left")
+              .withColumn("p_micro", F.coalesce(F.col("p_micro"), F.lit(0))))
+    return (scored.groupBy("__id")
+            .agg(F.sum("k").alias("n_bigrams"),
+                 F.expr("SUM(k * p_micro) DIV SUM(k)")
+                 .alias("lm_score_micro"))
+            .select(F.col("__id").alias(id_col), "n_bigrams",
+                    "lm_score_micro"))

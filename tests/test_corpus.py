@@ -673,3 +673,49 @@ def test_search_topk_survives_large_corpus_idf_product(spark):
     assert len(got) == 3
     w = 1_000_000 * 2501 // 2501          # df == N for 'alpha'
     assert got[0]["score_micro"] == w
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    from incubator_iceberg_spark.functions import corpus
+    # corpus: "a b a b" + "a c".  bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    # c(a,.)=3, c(b,.)=1 -> p(b|a)=666666, p(a|b)=1000000, p(c|a)=333333
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in corpus.ngram_lm_score(df).collect()}
+    # doc 1: k=2 of p=666666 + k=1 of p=1000000 -> (2*666666+1000000)//3
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["lm_score_micro"] == (2 * 666666 + 1000000) // 3
+    # doc 2: single bigram (a,c) -> 333333
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["lm_score_micro"] == 333333
+
+
+def test_ngram_lm_score_reference_corpus(spark):
+    from incubator_iceberg_spark.functions import corpus
+    ref = spark.createDataFrame([(10, "the cat sat")],
+                                "doc_id int, text string")
+    # "the cat" seen (p=1000000 among the-starts: c(the,.)=1),
+    # "cat flew" unseen -> 0; doc with 1 token dropped entirely
+    df = spark.createDataFrame(
+        [(1, "the cat flew"), (2, "the")], "doc_id int, text string")
+    rows = {r["doc_id"]: r
+            for r in corpus.ngram_lm_score(df, ref_df=ref).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["lm_score_micro"] == (1_000_000 + 0) // 2
+
+
+def test_ngram_lm_score_ranks_degenerate_text_low(spark):
+    from incubator_iceberg_spark.functions import corpus
+    # repeated-token spam scores HIGH self-probability; normal varied
+    # text scores lower — the signal is relative to the reference, so
+    # score AGAINST a clean reference: spam bigrams are unseen -> 0
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i)
+         for i in range(20)], "doc_id int, text string")
+    df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"),
+         (200, "buy buy buy buy buy")], "doc_id int, text string")
+    rows = {r["doc_id"]: r["lm_score_micro"]
+            for r in corpus.ngram_lm_score(df, ref_df=ref).collect()}
+    assert rows[100] > rows[200] == 0
