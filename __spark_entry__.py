@@ -816,6 +816,21 @@ def q_ngram_lm_score(spark, sf_dir):
     return corpus.ngram_lm_score(docs)
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training on the corpus (Sennrich et al. vocabulary
+    induction, the tokenizer-prep step of a pretraining pipeline):
+    distributed word-frequency table + per-round pair counting with the
+    deterministic argmax; merges applied via the wrapped-string
+    replace() trick that makes greedy BPE application bit-identical
+    across engines (corpus.bpe_train).  The oracle unrolls all 16 merge
+    rounds as MATERIALIZED CTEs and must reproduce the merge list
+    exactly — an iterative-algorithm correctness check like
+    kmeans_micro's."""
+    from incubator_iceberg_spark.functions import corpus
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    return corpus.bpe_train(docs, n_merges=16)
+
+
 def q_streaming_windowed_agg(spark, sf_dir):
     """Structured Streaming, event-time tumbling windows with a
     watermark, feeding the exactly-once engine sink (the full
@@ -2641,8 +2656,9 @@ def q_search_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [38 never-driver-verified queries: the round-4 additions (parquet
-    # bloom-filter point lookup, bigram-LM quality scoring, grid-
+    # [39 never-driver-verified queries: the round-4 additions (parquet
+    # bloom-filter point lookup, bigram-LM quality scoring, BPE
+    # tokenizer training, grid-
     # bucketed range join, runtime-filtered star join, KMV distinct
     # sketch, inverted-postings build, search_topk retrieval, exact-int
     # kmeans, eq->pos delete conversion, funnel + cohort analytics,
@@ -2678,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified (new r4 + late-r3 additions) -----------
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
+        "bpe_train": q_bpe_train,
         "range_join_events": q_range_join_events,
         "runtime_filter_join": q_runtime_filter_join,
         "kmv_distinct": q_kmv_distinct,
@@ -3640,6 +3657,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
         "avro_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
+        "bpe_train": __import__("incubator_iceberg_spark.functions.corpus",
+                                 fromlist=["bpe_oracle_sql"]
+                                 ).bpe_oracle_sql(16),
         "ngram_lm_score": """
             WITH tok AS (
               SELECT doc_id,

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     # round-4 additions: sampling / scrubbing / ingest dedup
     "bloom_point_lookup",
     "ngram_lm_score",
+    "bpe_train",
     "stratified_sample",
     "pii_scrub",
     "incremental_dedup",

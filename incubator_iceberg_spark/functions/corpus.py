@@ -864,3 +864,113 @@ def ngram_lm_score(df, text_col: str = "text", id_col: str = "doc_id",
                  .alias("lm_score_micro"))
             .select(F.col("__id").alias(id_col), "n_bigrams",
                     "lm_score_micro"))
+
+
+def bpe_train(df, n_merges: int = 20, text_col: str = "text",
+              id_col: str = "doc_id", checkpoint_every: int = 8):
+    """Byte-pair-encoding tokenizer training on the corpus — the
+    vocabulary-induction step of a pretraining pipeline, distributed and
+    engine-exact.
+
+    The classic algorithm (Sennrich et al.) runs on the WORD-FREQUENCY
+    table, not the raw corpus: one corpus tokenize + count produces
+    (word, cnt); every merge round then touches only the vocabulary.
+    Each word's symbol sequence is encoded as a fully-wrapped string
+    (``"ab" -> "⟨a⟩⟨b⟩"``) so that applying a merge is a plain
+    ``replace(seq, '⟨l⟩⟨r⟩', '⟨lr⟩')`` — adjacent matches share no
+    characters, so single-pass leftmost-nonoverlapping replace (the
+    semantics of both Spark's and DuckDB's ``replace``) IS greedy BPE
+    application, bit-identically across engines.
+
+    Per round: symbol pairs via ``regexp_extract_all`` + list slicing
+    (no shuffle), ONE map-side-combined weighted count over the
+    vocabulary, and a LIMIT-1 argmax with the deterministic tie-break
+    (count DESC, left ASC, right ASC) fetched to the driver — the same
+    driver-loop shape as kmeans_assign_micro, O(n_merges) tiny
+    round-trips.  The vocabulary table scales with distinct words (not
+    corpus size); lineage is localCheckpoint-ed every
+    ``checkpoint_every`` rounds so the plan stays bounded.
+
+    Raises if the corpus runs dry before ``n_merges`` productive pairs
+    (the SQL mirror unrolls exactly n_merges rounds).
+
+    Returns (rank, lhs, rhs, merged, pair_count) — the ordered merge
+    list, i.e. the tokenizer.
+    """
+    from pyspark.sql import functions as F
+    words = (df.select(F.explode(TX.tokens(text_col)).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("seq", F.regexp_replace(F.col("w"), "(.)",
+                                                 "⟨$1⟩"))
+             .select("seq", "cnt"))
+    words = words.localCheckpoint()
+    merges = []
+    for rank in range(1, int(n_merges) + 1):
+        syms = F.expr("regexp_extract_all(seq, '⟨([^⟩]*)⟩', 1)")
+        pairs = (words
+                 .select("cnt", F.explode(F.arrays_zip(
+                     F.slice(syms, 1, F.size(syms) - 1).alias("l"),
+                     F.slice(syms, 2, F.size(syms) - 1).alias("r")))
+                     .alias("p"))
+                 .select("cnt", F.col("p.l").alias("l"),
+                         F.col("p.r").alias("r")))
+        best = (pairs.groupBy("l", "r").agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1).collect())
+        if not best:
+            raise ValueError(
+                f"corpus exhausted after {rank - 1} merges; "
+                f"asked for {n_merges}")
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, l, r, l + r, c))
+        words = words.withColumn(
+            "seq", F.expr(
+                f"replace(seq, '⟨{l}⟩⟨{r}⟩', '⟨{l}{r}⟩')"))
+        if rank % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, "
+                "pair_count bigint")
+
+
+def bpe_oracle_sql(n_merges: int = 20, table: str = "documents",
+                   text_col: str = "text") -> str:
+    """ANSI-SQL mirror of ``bpe_train`` — each merge round unrolled as
+    (pairs -> argmax -> replace) CTEs; possible because the wrapped-
+    string representation makes merge application a plain replace()."""
+    # every CTE MATERIALIZED: the per-round scalar subqueries reference
+    # b{{i}} four times; without materialization DuckDB re-inlines the
+    # whole prefix chain per reference (4^n blow-up)
+    parts = [f"""w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '⟨\\1⟩', 'g') AS seq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(
+            regexp_split_to_array(lower({text_col}),
+                                  '[^\\p{{L}}\\p{{N}}]+'),
+            x -> x != '')) AS w
+        FROM {table}) t
+  GROUP BY w)"""]
+    for i in range(1, int(n_merges) + 1):
+        prev, cur = f"w{i - 1}", f"w{i}"
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT u.g['l'] AS l, u.g['r'] AS r, SUM(cnt) AS c
+  FROM (SELECT regexp_extract_all(seq, '⟨([^⟩]*)⟩', 1) AS s, cnt
+        FROM {prev}) t,
+       unnest([{{'l': s[j], 'r': s[j+1]}} FOR j IN range(1, len(s))])
+           AS u(g)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i}
+         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+{cur} AS MATERIALIZED (
+  SELECT replace(seq,
+                 '⟨' || (SELECT l FROM b{i}) || '⟩⟨' ||
+                     (SELECT r FROM b{i}) || '⟩',
+                 '⟨' || (SELECT l FROM b{i}) ||
+                     (SELECT r FROM b{i}) || '⟩') AS seq, cnt
+  FROM {prev})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS lhs, r AS rhs, l || r AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, int(n_merges) + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + sel

@@ -719,3 +719,56 @@ def test_ngram_lm_score_ranks_degenerate_text_low(spark):
     rows = {r["doc_id"]: r["lm_score_micro"]
             for r in corpus.ngram_lm_score(df, ref_df=ref).collect()}
     assert rows[100] > rows[200] == 0
+
+
+def _py_bpe(texts, n_merges):
+    import re
+    from collections import Counter
+    words = Counter()
+    for t in texts:
+        for w in [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]:
+            words[tuple(w)] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in words.items():
+            for i in range(len(w) - 1):
+                pc[(w[i], w[i + 1])] += c
+        if not pc:
+            break
+        (l, r), c = sorted(pc.items(),
+                           key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((rank, l, r, l + r, c))
+        new = {}
+        for w, cnt in words.items():
+            out, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == l and w[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + cnt
+        words = new
+    return merges
+
+
+def test_bpe_train_matches_reference_greedy_bpe(spark):
+    from incubator_iceberg_spark.functions import corpus
+    texts = ["the cat sat on the mat", "the cats eat the fish",
+             "a cat and a mat", "fish eat fish",
+             "aaa aaa aa a"]  # overlap case: greedy leftmost (a,a)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = [(r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+           for r in corpus.bpe_train(df, n_merges=8).orderBy("rank").collect()]
+    assert got == _py_bpe(texts, 8)
+
+
+def test_bpe_train_raises_when_corpus_exhausted(spark):
+    import pytest as _pytest
+    from incubator_iceberg_spark.functions import corpus
+    df = spark.createDataFrame([(1, "ab")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match="exhausted"):
+        corpus.bpe_train(df, n_merges=5)
