@@ -831,6 +831,18 @@ def q_bpe_train(spark, sf_dir):
     return corpus.bpe_train(docs, n_merges=16)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION: train 16 merges on the corpus
+    (q_bpe_train's loop), then encode every document as one codegen
+    projection — wrapped-string replace chain per word, no shuffle, no
+    UDF (corpus.bpe_encode).  The oracle replays training AND encoding
+    end-to-end in SQL, so the full tokenize path is hash-checked."""
+    from incubator_iceberg_spark.functions import corpus
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    merges = corpus.bpe_train(docs, n_merges=16)
+    return corpus.bpe_encode(docs, merges)
+
+
 def q_streaming_windowed_agg(spark, sf_dir):
     """Structured Streaming, event-time tumbling windows with a
     watermark, feeding the exactly-once engine sink (the full
@@ -2656,7 +2668,7 @@ def q_search_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [39 never-driver-verified queries: the round-4 additions (parquet
+    # [40 never-driver-verified queries: the round-4 additions (parquet
     # bloom-filter point lookup, bigram-LM quality scoring, BPE
     # tokenizer training, grid-
     # bucketed range join, runtime-filtered star join, KMV distinct
@@ -2695,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "range_join_events": q_range_join_events,
         "runtime_filter_join": q_runtime_filter_join,
         "kmv_distinct": q_kmv_distinct,
@@ -3660,6 +3673,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": __import__("incubator_iceberg_spark.functions.corpus",
                                  fromlist=["bpe_oracle_sql"]
                                  ).bpe_oracle_sql(16),
+        "bpe_encode": __import__("incubator_iceberg_spark.functions.corpus",
+                                 fromlist=["bpe_encode_oracle_sql"]
+                                 ).bpe_encode_oracle_sql(16),
         "ngram_lm_score": """
             WITH tok AS (
               SELECT doc_id,

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "bloom_point_lookup",
     "ngram_lm_score",
     "bpe_train",
+    "bpe_encode",
     "stratified_sample",
     "pii_scrub",
     "incremental_dedup",

@@ -974,3 +974,73 @@ b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i}
         f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, int(n_merges) + 1))
     return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def bpe_encode(df, merges, text_col: str = "text", id_col: str = "doc_id"):
+    """Apply a trained BPE merge list (from ``bpe_train``) to the
+    corpus: each word is wrapped (``"ab" -> "⟨a⟩⟨b⟩"``) and the merges
+    replay IN RANK ORDER as chained ``replace`` calls — the same
+    wrapped-string trick as training, so application is greedy BPE,
+    engine-exact.
+
+    The whole encode is one codegen projection (array transform over
+    the word list, no shuffle, no UDF).  The replace chain is
+    O(n_merges) passes per word, fine for the inline-expression sizes
+    Catalyst handles (hundreds); for production-size merge lists (30k+)
+    encode the DISTINCT-word table once and join it back — same
+    functions, one extra aggregate + join — rather than inlining a
+    30k-deep expression.
+
+    Returns (id_col, n_tokens, encoded) where ``encoded`` is the
+    space-joined token sequence.
+    """
+    from pyspark.sql import functions as F
+    if hasattr(merges, "collect"):
+        merges = [(r["lhs"], r["rhs"])
+                  for r in merges.orderBy("rank").collect()]
+
+    def enc(w):
+        s = F.regexp_replace(w, "(.)", "⟨$1⟩")
+        for l, r in merges:
+            s = F.replace(s, F.lit(f"⟨{l}⟩⟨{r}⟩"), F.lit(f"⟨{l}{r}⟩"))
+        return F.regexp_extract_all(s, F.lit("⟨([^⟩]*)⟩"), 1)
+
+    toks = F.flatten(F.transform(TX.tokens(text_col), enc))
+    return df.select(F.col(id_col),
+                     F.size(toks).alias("n_tokens"),
+                     F.concat_ws(" ", toks).alias("encoded"))
+
+
+def bpe_encode_oracle_sql(n_merges: int = 16, table: str = "documents",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """ANSI-SQL mirror of ``bpe_train(n_merges)`` + ``bpe_encode`` over
+    the same corpus: the unrolled training CTEs produce the merge list,
+    a one-row CTE pivots the 2·n_merges merge sides into columns, and
+    the encode lambda replays the replace chain per word."""
+    # reuse the train SQL's WITH chain, dropping its final SELECT
+    train = bpe_oracle_sql(n_merges, table=table, text_col=text_col)
+    with_sql = train[:train.index("SELECT 1 AS rank")].rstrip() + ","
+    m_cols = ", ".join(
+        f"(SELECT l FROM b{i}) AS l{i}, (SELECT r FROM b{i}) AS r{i}"
+        for i in range(1, int(n_merges) + 1))
+    chain = "regexp_replace(w, '(.)', '⟨\\1⟩', 'g')"
+    for i in range(1, int(n_merges) + 1):
+        chain = (f"replace({chain}, "
+                 f"'⟨' || l{i} || '⟩⟨' || r{i} || '⟩', "
+                 f"'⟨' || l{i} || r{i} || '⟩')")
+    return f"""{with_sql}
+m AS MATERIALIZED (SELECT {m_cols}),
+src AS (
+  SELECT {id_col}, list_filter(
+      regexp_split_to_array(lower({text_col}), '[^\\p{{L}}\\p{{N}}]+'),
+      x -> x != '') AS words
+  FROM {table}),
+enc AS (
+  SELECT {id_col},
+         flatten(list_transform(words,
+             w -> regexp_extract_all({chain}, '⟨([^⟩]*)⟩', 1))) AS toks
+  FROM src, m)
+SELECT {id_col}, CAST(len(toks) AS INT) AS n_tokens,
+       array_to_string(toks, ' ') AS encoded
+FROM enc"""

@@ -772,3 +772,33 @@ def test_bpe_train_raises_when_corpus_exhausted(spark):
     df = spark.createDataFrame([(1, "ab")], "doc_id int, text string")
     with _pytest.raises(ValueError, match="exhausted"):
         corpus.bpe_train(df, n_merges=5)
+
+
+def test_bpe_encode_applies_merges_greedily(spark):
+    from incubator_iceberg_spark.functions import corpus
+    texts = ["the cat sat on the mat", "fish eat fish", "aaa baaa"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    merges = corpus.bpe_train(df, n_merges=5)
+    got = {r["doc_id"]: (r["n_tokens"], r["encoded"])
+           for r in corpus.bpe_encode(df, merges).collect()}
+
+    # python reference: re-apply the merge list greedily per word
+    ms = [(r["lhs"], r["rhs"]) for r in merges.orderBy("rank").collect()]
+    import re
+    for i, t in enumerate(texts):
+        toks = []
+        for w in [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]:
+            seq = list(w)
+            for l, r in ms:
+                out, j = [], 0
+                while j < len(seq):
+                    if j < len(seq) - 1 and seq[j] == l and seq[j + 1] == r:
+                        out.append(l + r)
+                        j += 2
+                    else:
+                        out.append(seq[j])
+                        j += 1
+                seq = out
+            toks.extend(seq)
+        assert got[i] == (len(toks), " ".join(toks)), (i, got[i], toks)
