@@ -892,6 +892,57 @@ def q_streaming_windowed_agg(spark, sf_dir):
             .appends_between(final.parent_id, final.snapshot_id).to_df())
 
 
+def q_streaming_stream_join(spark, sf_dir):
+    """Stream-STREAM inner join (the one streaming join shape the suite
+    lacked): view events joined to purchase events of the same user
+    within 24h, both sides availableNow micro-batch streams over the
+    same file source, event-time range condition + watermarks (sized
+    past the data's full span so no match is ever dropped as late —
+    state stays bounded by the watermark in production), appended
+    exactly-once into an engine sink per epoch.  The final table must
+    equal the batch join the oracle runs."""
+    import os
+    import uuid as _u
+
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import streaming as STR
+    cat = _scratch_catalog(spark)
+    events = _load(spark, sf_dir, "events")
+    base = os.path.join(SCRATCH_ROOT, "ssjoin-" + _u.uuid4().hex)
+    src = os.path.join(base, "src")
+    for i in range(3):
+        (events.filter(f"event_id % 3 = {i}").coalesce(1)
+         .write.mode("append").parquet(src))
+
+    def side(tp, alias):
+        return (spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .filter(F.col("event_type") == tp)
+                .withWatermark("ts", "90 days").alias(alias))
+
+    joined = (side("view", "v").join(
+        side("purchase", "p"),
+        F.expr("v.user_id = p.user_id AND p.ts >= v.ts "
+               "AND p.ts <= v.ts + interval 24 hours"))
+        .select(F.col("v.event_id").alias("view_id"),
+                F.col("p.event_id").alias("purchase_id"),
+                F.col("v.user_id").alias("user_id")))
+
+    sink = cat.create_table(
+        "s.ssjoin_sink", "view_id long, purchase_id long, user_id long")
+
+    def write_batch(bdf, eid):
+        STR.append_exactly_once(sink, bdf, eid, query_id="ssj")
+
+    q = (joined.writeStream.outputMode("append").foreachBatch(write_batch)
+         .option("checkpointLocation", os.path.join(base, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    sink.refresh()
+    return sink.to_df()
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test split (8/1/1) by the doc_id hash
     uniform — reproducible, incremental-safe (a row's split never
@@ -2668,7 +2719,7 @@ def q_search_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [40 never-driver-verified queries: the round-4 additions (parquet
+    # [41 never-driver-verified queries: the round-4 additions (parquet
     # bloom-filter point lookup, bigram-LM quality scoring, BPE
     # tokenizer training, grid-
     # bucketed range join, runtime-filtered star join, KMV distinct
@@ -2708,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "streaming_stream_join": q_streaming_stream_join,
         "range_join_events": q_range_join_events,
         "runtime_filter_join": q_runtime_filter_join,
         "kmv_distinct": q_kmv_distinct,
@@ -3670,6 +3722,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
         "avro_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
+        "streaming_stream_join": """
+            SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+                   v.user_id AS user_id
+            FROM events v JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+        """,
         "bpe_train": __import__("incubator_iceberg_spark.functions.corpus",
                                  fromlist=["bpe_oracle_sql"]
                                  ).bpe_oracle_sql(16),
