@@ -892,6 +892,24 @@ def q_streaming_windowed_agg(spark, sf_dir):
             .appends_between(final.parent_id, final.snapshot_id).to_df())
 
 
+def q_pivot_agg(spark, sf_dir):
+    """Pivoted aggregation (delegated relational-op coverage alongside
+    rollup/cube): order counts and exact cent-unit revenue per month,
+    pivoted across the order-status domain with an explicit value list
+    (deterministic columns; Catalyst rewrites to one conditional
+    aggregate pass — no per-status scans)."""
+    from pyspark.sql import functions as F
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    return (orders
+            .withColumn("month", F.month("o_orderdate"))
+            .groupBy("month")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("cents"))
+            .orderBy("month"))
+
+
 def q_streaming_stream_join(spark, sf_dir):
     """Stream-STREAM inner join (the one streaming join shape the suite
     lacked): view events joined to purchase events of the same user
@@ -2719,7 +2737,7 @@ def q_search_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [41 never-driver-verified queries: the round-4 additions (parquet
+    # [42 never-driver-verified queries: the round-4 additions (parquet
     # bloom-filter point lookup, bigram-LM quality scoring, BPE
     # tokenizer training, grid-
     # bucketed range join, runtime-filtered star join, KMV distinct
@@ -2760,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "streaming_stream_join": q_streaming_stream_join,
+        "pivot_agg": q_pivot_agg,
         "range_join_events": q_range_join_events,
         "runtime_filter_join": q_runtime_filter_join,
         "kmv_distinct": q_kmv_distinct,
@@ -3722,6 +3741,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
         "avro_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
+        "pivot_agg": """
+            SELECT month(o_orderdate) AS month,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS F_n,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                        END) AS BIGINT) AS F_cents,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS O_n,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                        END) AS BIGINT) AS O_cents,
+                   COUNT(*) FILTER (o_orderstatus = 'P') AS P_n,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                        END) AS BIGINT) AS P_cents
+            FROM orders GROUP BY 1
+        """,
         "streaming_stream_join": """
             SELECT v.event_id AS view_id, p.event_id AS purchase_id,
                    v.user_id AS user_id
