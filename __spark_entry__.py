@@ -892,6 +892,27 @@ def q_streaming_windowed_agg(spark, sf_dir):
             .appends_between(final.parent_id, final.snapshot_id).to_df())
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4-style global line dedup (corpus.dedup_lines): repeated lines
+    survive only at their first (doc, ordinal) occurrence corpus-wide;
+    docs reassemble from surviving lines.  The corpus has no newlines,
+    so the query re-lines each doc deterministically (8-word groups) —
+    a transformation the oracle replays verbatim — then drives the
+    operator end-to-end."""
+    from pyspark.sql import functions as F
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    words = F.split(F.col("text"), " ", -1)
+    n_lines = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.transform(
+            F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, (i - 1) * 8 + 1, 8))))
+        .alias("text"))
+    from incubator_iceberg_spark.functions import corpus
+    return corpus.dedup_lines(lined)
+
+
 def q_pivot_agg(spark, sf_dir):
     """Pivoted aggregation (delegated relational-op coverage alongside
     rollup/cube): order counts and exact cent-unit revenue per month,
@@ -2737,7 +2758,7 @@ def q_search_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Prefix =
-    # [42 never-driver-verified queries: the round-4 additions (parquet
+    # [43 never-driver-verified queries: the round-4 additions (parquet
     # bloom-filter point lookup, bigram-LM quality scoring, BPE
     # tokenizer training, grid-
     # bucketed range join, runtime-filtered star join, KMV distinct
@@ -2779,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "streaming_stream_join": q_streaming_stream_join,
         "pivot_agg": q_pivot_agg,
+        "dedup_lines": q_dedup_lines,
         "range_join_events": q_range_join_events,
         "runtime_filter_join": q_runtime_filter_join,
         "kmv_distinct": q_kmv_distinct,
@@ -3741,6 +3763,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
         "avro_scan": "SELECT * FROM customer WHERE c_acctbal > 1000",
+        "dedup_lines": """
+            WITH src AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            lined AS (
+              SELECT doc_id,
+                     [array_to_string(list_slice(w, (i-1)*8 + 1,
+                                                 least(i*8, len(w))), ' ')
+                      FOR i IN range(1, greatest(CAST(ceil(len(w)/8.0)
+                                                      AS BIGINT), 1) + 1)]
+                         AS lines
+              FROM src),
+            l AS (
+              SELECT doc_id, g.ln, g.line
+              FROM lined,
+                   unnest([{'ln': i - 1, 'line': lines[i]}
+                           FOR i IN range(1, len(lines) + 1)]) AS u(g)),
+            rk AS (
+              SELECT doc_id, ln, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, ln) AS rk
+              FROM l)
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN rk = 1 THEN line END,
+                                       chr(10) ORDER BY ln), '')
+                       AS text_deduped,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept
+            FROM rk GROUP BY doc_id
+        """,
         "pivot_agg": """
             SELECT month(o_orderdate) AS month,
                    COUNT(*) FILTER (o_orderstatus = 'F') AS F_n,

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "ngram_lm_score",
     "bpe_train",
     "bpe_encode",
+    "dedup_lines",
     "stratified_sample",
     "pii_scrub",
     "incremental_dedup",

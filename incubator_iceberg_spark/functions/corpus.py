@@ -1044,3 +1044,44 @@ enc AS (
 SELECT {id_col}, CAST(len(toks) AS INT) AS n_tokens,
        array_to_string(toks, ' ') AS encoded
 FROM enc"""
+
+
+def dedup_lines(df, text_col: str = "text", id_col: str = "doc_id",
+                sep: str = "\n"):
+    """C4-style GLOBAL line-level deduplication: every line that occurs
+    more than once across the whole corpus is kept only at its first
+    occurrence (ordered by (doc, line ordinal) — the deterministic
+    total order), all other occurrences are dropped, and each document
+    is reassembled from its surviving lines in order.
+
+    The line-removal step of the C4 cleaning recipe (boilerplate,
+    navigation chrome, repeated disclaimers vanish corpus-wide while
+    the first copy survives).
+
+    Scale shape: one shuffle partitioned by the line text for the
+    first-occurrence window, one shuffle back on the doc id for
+    reassembly — both map-side-combinable aggregating shapes; nothing
+    is all-pairs.  (At 100 TB pre-hash the line to a 128-bit key so the
+    exchange carries hashes, not text — same plan, smaller shuffle.)
+
+    Returns (id_col, text_deduped, n_lines, n_kept).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1))
+        .alias("__ln", "__line"))
+    w = Window.partitionBy("__line").orderBy("__id", "__ln")
+    kept = (lines.withColumn("__rk", F.row_number().over(w))
+            .withColumn("__keep", F.col("__rk") == 1))
+    return (kept.groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                 F.concat_ws(sep, F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("__keep"),
+                                F.struct("__ln", "__line")))),
+                     lambda s: s["__line"])).alias("text_deduped"))
+            .select(F.col("__id").alias(id_col), "text_deduped",
+                    "n_lines", "n_kept"))

@@ -802,3 +802,23 @@ def test_bpe_encode_applies_merges_greedily(spark):
                 seq = out
             toks.extend(seq)
         assert got[i] == (len(toks), " ".join(toks)), (i, got[i], toks)
+
+
+def test_dedup_lines_keeps_first_occurrence_globally(spark):
+    from incubator_iceberg_spark.functions import corpus
+    df = spark.createDataFrame([
+        (1, "unique one\nshared line\nunique two"),
+        (2, "shared line\nother text\nshared line"),
+        (3, "other text"),
+    ], "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in corpus.dedup_lines(df).collect()}
+    # doc 1 is first for "shared line": keeps everything
+    assert rows[1]["text_deduped"] == "unique one\nshared line\nunique two"
+    assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (3, 3)
+    # doc 2 loses both copies of "shared line" (doc 1 owns it) but is
+    # first for "other text"
+    assert rows[2]["text_deduped"] == "other text"
+    assert (rows[2]["n_lines"], rows[2]["n_kept"]) == (3, 1)
+    # doc 3's only line was claimed by doc 2
+    assert rows[3]["text_deduped"] == ""
+    assert (rows[3]["n_lines"], rows[3]["n_kept"]) == (1, 0)
