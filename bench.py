@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "funnel_steps",
     "cohort_retention",
     "convert_eq_deletes",
+    # round-4 continuation: exact-integer graph analytics
+    "pagerank",
+    "triangle_count",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -12,6 +12,7 @@
                hitters, KMV distinct sketch, inverted postings, ranked
                retrieval (search_topk)
 - similarity — (also) exact-integer distributed k-means
+- graph      — exact-integer PageRank, degree-oriented triangle count
 - temporal   — as-of joins, grid-bucketed interval joins, rolling windows
 - sessions   — gap sessionization (batch + streaming), funnel analysis,
                cohort retention
@@ -26,6 +27,7 @@ Arrow-batched sketch/pack/verify stages.
 from incubator_iceberg_spark.functions import (
     corpus,
     dedup,
+    graph,
     multimodal,
     sessions,
     similarity,
@@ -34,5 +36,5 @@ from incubator_iceberg_spark.functions import (
     text,
 )
 
-__all__ = ["corpus", "dedup", "multimodal", "sessions", "similarity",
-           "skew", "temporal", "text"]
+__all__ = ["corpus", "dedup", "graph", "multimodal", "sessions",
+           "similarity", "skew", "temporal", "text"]
