@@ -2755,6 +2755,76 @@ def q_search_topk(spark, sf_dir):
     return C.search_topk(docs, ["spark", "merge", "vector"], k=15)
 
 
+def q_refs_history_meta(spark, sf_dir):
+    """`refs` + `history` metadata tables (SnapshotRefsTable /
+    HistoryTable analogs) driven end-to-end: three appends with known
+    row deltas, a tag at commit 2 and a branch at commit 1 that then
+    diverges.  Each ref row is joined with the row count of a scan AT
+    that ref, and history ordinals carry their ancestry flag — all
+    replayable in SQL from the mod-class row counts."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_refs", Schema.from_spark(orders.schema))
+    t.append(orders.filter("o_orderkey % 3 = 0"))
+    t.create_branch("dev")
+    t.append(orders.filter("o_orderkey % 3 = 1"))
+    t.create_tag("v2")
+    t.append(orders.filter("o_orderkey % 3 = 2"))
+    t.append(orders.filter("o_orderkey % 3 = 2"), branch="dev")
+
+    hist = t.metadata_table("history")
+    n_hist = hist.count()
+    n_anc = hist.filter("is_current_ancestor").count()
+    refs = t.metadata_table("refs")
+    counts = []
+    for r in refs.collect():
+        n = t.to_df(snapshot_id=r["snapshot_id"]).count()
+        counts.append((r["name"], r["type"], n))
+    out = spark.createDataFrame(counts, "ref_name string, ref_type string,"
+                                        " n_rows long")
+    return out.withColumn("n_history", F.lit(n_hist).cast("long")) \
+              .withColumn("n_ancestors", F.lit(n_anc).cast("long"))
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation (delegated W1 family, completing
+    rollup/cube/pivot): three explicit sets over lineitem with
+    GROUPING() flags so superaggregate NULLs are distinguishable from
+    data NULLs — one shuffle, Expand feeds a single hash aggregate."""
+    from pyspark.sql import functions as F
+    df = _table(spark, sf_dir, "lineitem_part").to_df()
+    return (df.groupingSets(
+                [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+                "l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("int").alias("g_rf"),
+                 F.grouping("l_linestatus").cast("int").alias("g_ls"),
+                 F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+def q_merge_schema_append(spark, sf_dir):
+    """Write-time schema evolution (Table.append(merge_schema=True) —
+    UnionByNameVisitor.java analog, the engine flavor of Spark's
+    ``mergeSchema`` write option): batch 2 carries a NEW column; the
+    append union-by-names the schema (new optional column), old rows
+    render NULL for it, and a batch-3 append WITHOUT the column writes
+    NULL there via align_to_schema.  Type promotion + the
+    incompatible-type guard are pinned in tests/test_evolution_maintenance.py."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_msa", Schema.from_spark(orders.schema))
+    t.append(orders.filter("o_orderkey % 3 = 0"))
+    second = (orders.filter("o_orderkey % 3 = 1")
+              .withColumn("o_channel", F.lit("web")))
+    t.append(second, merge_schema=True)
+    t.append(orders.filter("o_orderkey % 3 = 2"), merge_schema=True)
+    return t.to_df().select("o_orderkey", "o_orderpriority", "o_channel")
+
+
 def q_pagerank(spark, sf_dir):
     """Exact-integer PageRank (graph.pagerank) over the co-purchase part
     graph (parts bought in the same order link both ways).  Every
@@ -2822,6 +2892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified (new r4 + late-r3 additions) -----------
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
+        "merge_schema_append": q_merge_schema_append,
+        "grouping_sets_agg": q_grouping_sets,
+        "refs_history_meta": q_refs_history_meta,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
@@ -3090,6 +3163,38 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": pagerank_sql(copurchase_edge_sql(order_mod=4), iters=3),
         "triangle_count": triangle_count_sql(copurchase_edge_sql(order_mod=4)),
+        "merge_schema_append": """
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderkey % 3 = 1 THEN 'web' END AS o_channel
+            FROM orders
+        """,
+        "refs_history_meta": """
+            WITH n0 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 0),
+                 n1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 1),
+                 n2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 2)
+            SELECT 'main' AS ref_name, 'branch' AS ref_type,
+                   CAST(n0.n + n1.n + n2.n AS BIGINT) AS n_rows,
+                   CAST(3 AS BIGINT) AS n_history,
+                   CAST(3 AS BIGINT) AS n_ancestors
+            FROM n0, n1, n2
+            UNION ALL
+            SELECT 'dev', 'branch', CAST(n0.n + n2.n AS BIGINT),
+                   CAST(3 AS BIGINT), CAST(3 AS BIGINT)
+            FROM n0, n2
+            UNION ALL
+            SELECT 'v2', 'tag', CAST(n0.n + n1.n AS BIGINT),
+                   CAST(3 AS BIGINT), CAST(3 AS BIGINT)
+            FROM n0, n1
+        """,
+        "grouping_sets_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+                   count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_linestatus), ())
+        """,
         "convert_eq_deletes": """
             SELECT o_orderkey, o_orderpriority,
                    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents

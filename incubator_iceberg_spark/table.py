@@ -282,6 +282,13 @@ class Table:
     def _stage(self, df, spark=None):
         spark = spark or self.spark or df.sparkSession
         md = self.metadata
+        known = {f.name.lower() for f in md.schema().fields}
+        extra = [c for c in df.columns if c.lower() not in known]
+        if extra:
+            raise ValueError(
+                f"input has columns not in the table schema: {extra}; "
+                f"use append(df, merge_schema=True) to evolve the schema, "
+                f"or drop them")
         mode = md.properties.get(MD.WRITE_DISTRIBUTION_MODE)
         target = md.property(MD.WRITE_TARGET_FILE_SIZE, MD.WRITE_TARGET_FILE_SIZE_DEFAULT)
         fmt = md.properties.get("write.format.default", "parquet")
@@ -295,7 +302,40 @@ class Table:
                              properties=md.properties)
 
     def append(self, df, spark=None, extra_summary: Optional[dict] = None,
-               branch: Optional[str] = None) -> "Table":
+               branch: Optional[str] = None,
+               merge_schema: bool = False) -> "Table":
+        """S9 batch append.  ``merge_schema=True`` union-by-names the
+        input's schema into the table first (new columns added as
+        optional, legal type promotions applied — UnionByNameVisitor.java
+        analog, the write-time flavor of Spark's ``mergeSchema`` /
+        ``write.spark.accept-any-schema``); existing rows render NULL for
+        the new columns, and inputs missing existing optional columns
+        write NULL there (align_to_schema)."""
+        if merge_schema:
+            from incubator_iceberg_spark import schema as S
+
+            cur = self.metadata.schema()
+            src = S.Schema.from_spark(df.schema)
+
+            def needs(f):
+                mine = cur.find_field(f.name)
+                if mine is None:
+                    return True
+                if mine.type == f.type:
+                    return False
+                if S.is_promotion_allowed(mine.type, f.type):
+                    return True
+                # narrower input (int into long etc.) upcasts in
+                # align_to_schema; anything else would silently
+                # cast-corrupt (string→int = NULLs), so refuse
+                if S.is_promotion_allowed(f.type, mine.type):
+                    return False
+                raise ValueError(
+                    f"merge_schema: column {f.name!r} has incompatible "
+                    f"type {f.type} (table: {mine.type})")
+
+            if any(needs(f) for f in src.fields):
+                self.update_schema().union_by_name(src).commit()
         entries = self._stage(df, spark)
         self.metadata = SN.append_files(self.ops, entries,
                                         extra_summary=extra_summary,

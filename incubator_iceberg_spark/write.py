@@ -44,7 +44,10 @@ DRIVER_STATS_MAX_FILES = 128
 
 def align_to_schema(df, schema: S.Schema):
     """Project + cast the input DataFrame to the table schema by name.
-    Missing optional columns become NULL; extra columns are rejected."""
+    Missing optional columns become NULL; extra columns are silently
+    projected away (internal callers pass engine-built frames with
+    helper columns — the user-facing unknown-column guard lives in
+    Table._stage)."""
     from pyspark.sql import functions as F
 
     have = {c.lower(): c for c in df.columns}

@@ -486,3 +486,35 @@ def test_fast_forward_preserves_retention(spark, warehouse):
     r = t.metadata.ref("b")
     assert r["min-snapshots-to-keep"] == 3
     assert r["max-ref-age-ms"] == 10 ** 12
+
+
+def test_merge_schema_append_evolves_and_aligns(warehouse, spark):
+    """append(merge_schema=True): new columns union in as optional,
+    int→long promotion applies, old rows render NULL for new columns,
+    later batches missing the column write NULL, and a non-promotable
+    type mismatch raises instead of cast-corrupting."""
+    base = spark.createDataFrame([(1, 10)], "id long, v int")
+    t = _ingest(warehouse, "db.msa", base)
+
+    nxt = spark.createDataFrame([(2, 2_000_000_000_000, "web")],
+                                "id long, v long, tag string")
+    t.append(nxt, merge_schema=True)
+    fields = {f.name: str(f.type) for f in t.metadata.schema().fields}
+    assert fields["v"] == "long" and "tag" in fields
+
+    # batch 3 lacks the evolved column — align writes NULL
+    t.append(spark.createDataFrame([(3, 7)], "id long, v int"),
+             merge_schema=True)
+    rows = {r["id"]: (r["v"], r["tag"]) for r in t.to_df().collect()}
+    assert rows == {1: (10, None), 2: (2_000_000_000_000, "web"),
+                    3: (7, None)}
+
+    with pytest.raises(ValueError, match="incompatible"):
+        t.append(spark.createDataFrame([("x",)], "v string")
+                 .withColumn("id", F.lit(9).cast("long")),
+                 merge_schema=True)
+
+    # plain append (merge_schema unset) still rejects extra columns
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([(4, 1, "a", "b")],
+                                       "id long, v int, tag string, extra string"))
