@@ -2755,6 +2755,17 @@ def q_search_topk(spark, sf_dir):
     return C.search_topk(docs, ["spark", "merge", "vector"], k=15)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram overlap matrix (corpus.source_overlap): which
+    provenance sources share content (mirrors, boilerplate, leakage)
+    before mixture weights are chosen.  One (source, gram) distinct +
+    a gram equi-self-join whose fan-out is bounded by the (small) source
+    count per gram; jaccard_micro in exact int64 floor division."""
+    from incubator_iceberg_spark.functions import corpus
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    return corpus.source_overlap(docs, n=3)
+
+
 def q_refs_history_meta(spark, sf_dir):
     """`refs` + `history` metadata tables (SnapshotRefsTable /
     HistoryTable analogs) driven end-to-end: three appends with known
@@ -2895,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_schema_append": q_merge_schema_append,
         "grouping_sets_agg": q_grouping_sets,
         "refs_history_meta": q_refs_history_meta,
+        "source_overlap": q_source_overlap,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
@@ -3167,6 +3179,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderpriority,
                    CASE WHEN o_orderkey % 3 = 1 THEN 'web' END AS o_channel
             FROM orders
+        """,
+        "source_overlap": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            grams AS (
+              SELECT source,
+                     list_distinct([array_to_string(t[i:i+2], ' ')
+                                    FOR i IN range(1, len(t) - 1)]) AS g
+              FROM toks WHERE len(t) >= 3),
+            sg AS (SELECT DISTINCT source, unnest(g) AS gram FROM grams),
+            per AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY 1),
+            shared AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     count(*) AS shared_grams
+              FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT pa.source AS src_a, pb.source AS src_b,
+                   pa.n_grams AS grams_a, pb.n_grams AS grams_b,
+                   COALESCE(s.shared_grams, 0) AS shared_grams,
+                   CAST(COALESCE(s.shared_grams, 0) * 1000000
+                        // (pa.n_grams + pb.n_grams
+                            - COALESCE(s.shared_grams, 0)) AS BIGINT)
+                     AS jaccard_micro
+            FROM per pa JOIN per pb ON pa.source < pb.source
+            LEFT JOIN shared s ON s.src_a = pa.source AND s.src_b = pb.source
         """,
         "refs_history_meta": """
             WITH n0 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 0),

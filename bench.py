@@ -93,9 +93,10 @@ BENCH_QUERIES = [
     "funnel_steps",
     "cohort_retention",
     "convert_eq_deletes",
-    # round-4 continuation: exact-integer graph analytics
+    # round-4 continuation: exact-integer graph analytics + corpus matrix
     "pagerank",
     "triangle_count",
+    "source_overlap",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -1085,3 +1085,51 @@ def dedup_lines(df, text_col: str = "text", id_col: str = "doc_id",
                      lambda s: s["__line"])).alias("text_deduped"))
             .select(F.col("__id").alias(id_col), "text_deduped",
                     "n_lines", "n_kept"))
+
+
+def source_overlap(df, text_col: str = "text", id_col: str = "doc_id",
+                   group_col: str = "source", n: int = 3):
+    """Pairwise cross-source n-gram overlap matrix — the corpus-hygiene
+    view of which provenance sources share content (mirror sites, common
+    boilerplate, cross-source leakage) before mixing weights are chosen.
+
+    Returns one row per unordered source pair (src_a < src_b):
+    (src_a, src_b, grams_a, grams_b, shared_grams, jaccard_micro) with
+    jaccard_micro = floor(shared / (a + b - shared) · 1e6) in exact
+    int64 — engine-replayable, no float division.
+
+    Scale shape: per-doc distinct grams (word_ngram_rows: posexplode +
+    window leads, no arrays through shuffles) → ONE distinct on
+    (source, gram) → a self-equi-join on gram.  A gram present in k
+    sources contributes C(k,2) pair rows, and k is bounded by the
+    number of sources — a corpus-provenance dimension that is small by
+    nature — so the join fan-out is bounded per gram; nothing is
+    all-pairs in the document dimension.  Pairs with zero shared grams
+    still appear (cross join of the tiny per-source summary)."""
+    from pyspark.sql import functions as F
+
+    grams = word_ngram_rows(df, text_col, id_col, n)
+    src = df.select(F.col(id_col).alias("__id"),
+                    F.col(group_col).alias("__src"))
+    sg = grams.join(src, "__id").select("__src", "g").distinct()
+    per = sg.groupBy("__src").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (sg.alias("a").join(sg.alias("b"), "g")
+              .filter(F.col("a.__src") < F.col("b.__src"))
+              .groupBy(F.col("a.__src").alias("src_a"),
+                       F.col("b.__src").alias("src_b"))
+              .agg(F.count(F.lit(1)).alias("shared_grams")))
+    pa = per.select(F.col("__src").alias("src_a"),
+                    F.col("n_grams").alias("grams_a"))
+    pb = per.select(F.col("__src").alias("src_b"),
+                    F.col("n_grams").alias("grams_b"))
+    allp = pa.join(pb, pa.src_a < pb.src_b)
+    out = (allp.join(shared, ["src_a", "src_b"], "left")
+           .withColumn("shared_grams",
+                       F.coalesce(F.col("shared_grams"),
+                                  F.lit(0).cast("long")))
+           .withColumn(
+               "jaccard_micro",
+               F.expr("(shared_grams * 1000000) div "
+                      "(grams_a + grams_b - shared_grams)")))
+    return out.select("src_a", "src_b", "grams_a", "grams_b",
+                      "shared_grams", "jaccard_micro")

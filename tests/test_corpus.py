@@ -822,3 +822,20 @@ def test_dedup_lines_keeps_first_occurrence_globally(spark):
     # doc 3's only line was claimed by doc 2
     assert rows[3]["text_deduped"] == ""
     assert (rows[3]["n_lines"], rows[3]["n_kept"]) == (1, 0)
+
+
+def test_source_overlap_hand_values(spark):
+    from incubator_iceberg_spark.functions import corpus
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "A"), (2, "a b c", "A"), (3, "b c d e", "B"),
+         (4, "zz yy xx", "C")],
+        "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]):
+           (r["grams_a"], r["grams_b"], r["shared_grams"],
+            r["jaccard_micro"])
+           for r in corpus.source_overlap(docs, n=3).collect()}
+    # A: {"a b c", "b c d"}; B: {"b c d", "c d e"}; C: {"zz yy xx"}
+    assert out[("A", "B")] == (2, 2, 1, 1_000_000 // 3)
+    assert out[("A", "C")] == (2, 1, 0, 0)
+    assert out[("B", "C")] == (2, 1, 0, 0)
+    assert len(out) == 3

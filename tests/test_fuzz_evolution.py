@@ -135,12 +135,35 @@ def test_randomized_schema_evolution_vs_model(warehouse, spark, seed,
         kind = rng.choice(
             ["append", "append", "add_col", "rename", "drop", "promote",
              "delete_cow", "delete_mor", "update_cow", "update_mor",
-             "eq_delete", "respec", "convert_eq"])
+             "eq_delete", "respec", "convert_eq", "merge_append"])
         if kind == "append":
             rows = _gen_rows(rng, cols, rng.randrange(10, 30), next_rid)
             next_rid += len(rows)
             t.append(_spark_df(spark, cols, rows))
             model.extend(rows)
+        elif kind == "merge_append":
+            # write-time schema evolution (append(merge_schema=True)):
+            # the batch carries a NEW column and may omit an existing
+            # optional one — old rows must render NULL for the new
+            # column, the batch NULL for the omitted one
+            name = f"m{next_col}"
+            next_col += 1
+            typ = rng.choice(["long", "string", "double"])
+            droppable = [n for n in cols if n not in protected]
+            omit = (rng.choice(droppable)
+                    if droppable and rng.random() < 0.5 else None)
+            gcols = {n: ty for n, ty in cols.items() if n != omit}
+            gcols[name] = typ
+            rows = _gen_rows(rng, gcols, rng.randrange(10, 30), next_rid)
+            next_rid += len(rows)
+            t.append(_spark_df(spark, gcols, rows), merge_schema=True)
+            cols[name] = typ
+            for r in model:
+                r[name] = None
+            for r in rows:
+                if omit is not None:
+                    r[omit] = None
+                model.append(r)
         elif kind == "add_col":
             name = f"c{next_col}"
             next_col += 1
