@@ -2755,6 +2755,22 @@ def q_search_topk(spark, sf_dir):
     return C.search_topk(docs, ["spark", "merge", "vector"], k=15)
 
 
+def q_gap_fill_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (temporal.rollup_gap_fill):
+    hourly time-bucket rollup of a sparse event stream (every-97th user)
+    with gap buckets materialized (n_events=0, filled=1) and LOCF
+    carrying the last observed bucket mean forward — time_bucket +
+    gapfill + locf composed from one groupBy, a bounded per-key sequence
+    explode, and one running last(ignorenulls) window over BUCKETED rows
+    (O(span/bucket), not O(events)).  Means in exact int64 micro units."""
+    from incubator_iceberg_spark.functions import temporal
+    ev = _table(spark, sf_dir, "events_stream").to_df() \
+        .filter("user_id % 97 = 0")
+    return temporal.rollup_gap_fill(ev, ts_col="ts", key_col="event_type",
+                                    value_col="value",
+                                    bucket_micros=3_600_000_000)
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source n-gram overlap matrix (corpus.source_overlap): which
     provenance sources share content (mirrors, boilerplate, leakage)
@@ -2864,7 +2880,13 @@ def q_triangle_count(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
-    # prefix of this dict, so ordering = verification recency.  Prefix =
+    # prefix of this dict, so ordering = verification recency.  The
+    # round-4 window is now ENTIRELY never-driver-verified material (the
+    # 6 continuation additions pagerank/triangle_count/
+    # merge_schema_append/grouping_sets_agg/refs_history_meta/
+    # source_overlap + the 43 below + rollup_agg at 50); cube_agg /
+    # distinct_agg (r1-stale) and the r2-green delete_mor..add_files_import
+    # block sit just past it, first in line for r5.  Original prefix =
     # [43 never-driver-verified queries: the round-4 additions (parquet
     # bloom-filter point lookup, bigram-LM quality scoring, BPE
     # tokenizer training, grid-
@@ -2907,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_agg": q_grouping_sets,
         "refs_history_meta": q_refs_history_meta,
         "source_overlap": q_source_overlap,
+        "gap_fill_rollup": q_gap_fill_rollup,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
@@ -3179,6 +3202,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderpriority,
                    CASE WHEN o_orderkey % 3 = 1 THEN 'web' END AS o_channel
             FROM orders
+        """,
+        "gap_fill_rollup": """
+            WITH base AS (
+              SELECT event_type AS key,
+                     epoch_us(ts) // 3600000000 AS b,
+                     CAST(floor(value * 1000000) AS BIGINT) AS vm
+              FROM events WHERE user_id % 97 = 0),
+            roll AS (
+              SELECT key, b, count(*) AS n_events,
+                     CAST(sum(vm) AS BIGINT) AS s
+              FROM base GROUP BY 1, 2),
+            span AS (SELECT key, min(b) AS mn, max(b) AS mx
+                     FROM roll GROUP BY 1),
+            grid AS (SELECT key, unnest(range(mn, mx + 1)) AS b FROM span),
+            j AS (
+              SELECT g.key, g.b,
+                     COALESCE(r.n_events, 0) AS n_events,
+                     CASE WHEN r.n_events IS NOT NULL
+                          THEN r.s // r.n_events END AS mean_micro,
+                     r.n_events IS NULL AS miss
+              FROM grid g LEFT JOIN roll r USING (key, b))
+            SELECT key, make_timestamp(b * 3600000000) AS bucket_start,
+                   n_events, mean_micro,
+                   last_value(mean_micro IGNORE NULLS)
+                     OVER (PARTITION BY key ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS locf_mean_micro,
+                   CAST(miss AS INTEGER) AS filled
+            FROM j
         """,
         "source_overlap": r"""
             WITH toks AS (

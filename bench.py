@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "pagerank",
     "triangle_count",
     "source_overlap",
+    "gap_fill_rollup",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -212,3 +212,61 @@ def range_join(points, intervals, on, point_ts: str,
     for c in iv_cols:
         out = out.withColumnRenamed(f"__iv_{c}", f"{prefix}{c}")
     return out
+
+
+def rollup_gap_fill(df, ts_col: str, key_col: str, value_col: str,
+                    bucket_micros: int = 3_600_000_000,
+                    max_buckets_per_key: int = 1_000_000):
+    """Hypertable-style time-bucket rollup with gap filling and LOCF
+    (last-observation-carried-forward) — the continuous-aggregate shape
+    time-series stores expose (time_bucket + gapfill + locf), composed
+    from Spark primitives.
+
+    Per (key, bucket): n_events + the bucket mean in exact micro units
+    (sum of floor(value·1e6) div n — int64 floor division, so a SQL
+    oracle replays it bit-for-bit).  Missing buckets between each key's
+    first and last observation materialize with n_events = 0,
+    mean_micro NULL, filled = 1, and locf_mean_micro carrying the last
+    observed bucket's mean forward.
+
+    Scale shape: ONE groupBy on (key, bucket) rolls raw events up
+    before anything else (the only pass over the big table); the gap
+    grid is a per-key ``sequence`` explode bounded by
+    ``max_buckets_per_key`` (assert_true feeds the sequence bound — a
+    runaway span raises instead of exploding); LOCF is one running
+    ``last(ignorenulls)`` window per key over the BUCKETED rows
+    (O(span/bucket) per key, not O(events))."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    roll = (df.withColumn("__us", us)
+            .withColumn("__b", F.expr(f"__us div {int(bucket_micros)}"))
+            .groupBy(F.col(key_col).alias("key"), "__b")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.floor(F.col(value_col) * 1e6).cast("long"))
+                 .alias("__sum_vmicro"))
+            .withColumn("mean_micro", F.expr("__sum_vmicro div n_events")))
+    ok = F.col("__mx") - F.col("__mn") < F.lit(int(max_buckets_per_key))
+    guard = F.when(
+        F.assert_true(ok, F.concat(
+            F.lit("rollup_gap_fill: key "), F.col("key").cast("string"),
+            F.lit(f" spans more than {max_buckets_per_key} buckets"),
+        )).isNull(), F.col("__mx"))
+    grid = (roll.groupBy("key")
+            .agg(F.min("__b").alias("__mn"), F.max("__b").alias("__mx"))
+            .select("key", F.explode(F.sequence(F.col("__mn"), guard))
+                    .alias("__b")))
+    w = (Window.partitionBy("key").orderBy("__b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(roll, ["key", "__b"], "left")
+            .select("key",
+                    F.timestamp_micros(F.col("__b")
+                                       * F.lit(int(bucket_micros)))
+                    .alias("bucket_start"),
+                    F.coalesce(F.col("n_events"),
+                               F.lit(0).cast("long")).alias("n_events"),
+                    "mean_micro",
+                    F.last("mean_micro", ignorenulls=True).over(w)
+                    .alias("locf_mean_micro"),
+                    F.col("n_events").isNull().cast("int").alias("filled")))

@@ -267,3 +267,48 @@ def test_range_join_plan_has_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_gap_fill_hand_values(spark):
+    """Hourly buckets with a 2-bucket gap: gap rows appear with
+    n_events=0/filled=1, LOCF carries the last observed mean, and the
+    mean is exact int64 floor division."""
+    from incubator_iceberg_spark.functions import temporal
+
+    h = 3_600_000_000
+    rows = [
+        ("k", 0 * h + 5, 1.5),       # bucket 0
+        ("k", 0 * h + 9, 2.0),       # bucket 0 → mean (1.5+2.0)/2 = 1.75
+        ("k", 3 * h + 1, 7.25),      # bucket 3 (buckets 1-2 are gaps)
+        ("z", 10 * h, 4.0),          # independent key, single bucket
+    ]
+    df = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in rows],
+        "key string, us long, value double"
+    ).selectExpr("key", "timestamp_micros(us) AS ts", "value")
+    out = temporal.rollup_gap_fill(df, "ts", "key", "value",
+                                   bucket_micros=h)
+    got = {(r["key"], r["bucket_start"].hour):
+           (r["n_events"], r["mean_micro"], r["locf_mean_micro"],
+            r["filled"]) for r in out.collect()}
+    assert got[("k", 0)] == (2, 1_750_000, 1_750_000, 0)
+    assert got[("k", 1)] == (0, None, 1_750_000, 1)
+    assert got[("k", 2)] == (0, None, 1_750_000, 1)
+    assert got[("k", 3)] == (1, 7_250_000, 7_250_000, 0)
+    assert got[("z", 10)] == (1, 4_000_000, 4_000_000, 0)
+    assert len(got) == 5
+
+
+def test_rollup_gap_fill_span_guard_raises(spark):
+    from incubator_iceberg_spark.functions import temporal
+    from py4j.protocol import Py4JJavaError
+    import pytest
+
+    df = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 10**15, 2.0)],
+        "key string, us long, value double"
+    ).selectExpr("key", "timestamp_micros(us) AS ts", "value")
+    with pytest.raises(Exception, match="spans more than"):
+        temporal.rollup_gap_fill(df, "ts", "key", "value",
+                                 bucket_micros=3_600_000_000,
+                                 max_buckets_per_key=1000).collect()
