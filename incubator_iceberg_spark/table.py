@@ -314,10 +314,9 @@ class Table:
         if merge_schema:
             from incubator_iceberg_spark import schema as S
 
-            cur = self.metadata.schema()
             src = S.Schema.from_spark(df.schema)
 
-            def needs(f):
+            def needs(f, cur):
                 mine = cur.find_field(f.name)
                 if mine is None:
                     return True
@@ -334,8 +333,26 @@ class Table:
                     f"merge_schema: column {f.name!r} has incompatible "
                     f"type {f.type} (table: {mine.type})")
 
-            if any(needs(f) for f in src.fields):
-                self.update_schema().union_by_name(src).commit()
+            # retry loop: a CONCURRENT writer may union the same columns
+            # in first — the schema commit then aborts with "column
+            # exists" against the refreshed base.  Refresh and
+            # re-evaluate: an identical concurrent add leaves nothing to
+            # do; a conflicting type still raises via needs().
+            for _ in range(5):
+                cur = self.metadata.schema()
+                if not any(needs(f, cur) for f in src.fields):
+                    break
+                try:
+                    self.update_schema().union_by_name(src).commit()
+                    break
+                except ValueError as e:
+                    if "exists" not in str(e):
+                        raise
+                    self.refresh()
+            else:
+                raise ValueError(
+                    "merge_schema: schema union kept conflicting with "
+                    "concurrent evolution after 5 attempts")
         entries = self._stage(df, spark)
         self.metadata = SN.append_files(self.ops, entries,
                                         extra_summary=extra_summary,

@@ -518,3 +518,29 @@ def test_merge_schema_append_evolves_and_aligns(warehouse, spark):
     with pytest.raises(ValueError):
         t.append(spark.createDataFrame([(4, 1, "a", "b")],
                                        "id long, v int, tag string, extra string"))
+
+
+def test_merge_schema_append_survives_concurrent_identical_union(warehouse, spark):
+    """Two writers with independent handles both merge-append the same
+    new column: the second's schema union hits 'column exists' against
+    the refreshed base and must re-evaluate instead of aborting the
+    append (identical concurrent add → nothing left to do)."""
+    base = spark.createDataFrame([(1, 10)], "id long, v int")
+    t1 = _ingest(warehouse, "db.msa_race", base)
+    t2 = warehouse.load_table("db.msa_race")
+
+    t1.append(spark.createDataFrame([(2, 20, "a")],
+                                    "id long, v int, tag string"),
+              merge_schema=True)
+    # t2 still has the pre-union schema cached
+    t2.append(spark.createDataFrame([(3, 30, "b")],
+                                    "id long, v int, tag string"),
+              merge_schema=True)
+    rows = {r["id"]: r["tag"] for r in t2.refresh().to_df().collect()}
+    assert rows == {1: None, 2: "a", 3: "b"}
+
+    # conflicting concurrent type still raises
+    t3 = warehouse.load_table("db.msa_race")
+    with pytest.raises(ValueError, match="incompatible"):
+        t3.append(spark.createDataFrame([(4, 5)], "id long, tag int"),
+                  merge_schema=True)
