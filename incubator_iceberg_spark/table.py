@@ -314,8 +314,6 @@ class Table:
         if merge_schema:
             from incubator_iceberg_spark import schema as S
 
-            src = S.Schema.from_spark(df.schema)
-
             def needs(f, cur):
                 mine = cur.find_field(f.name)
                 if mine is None:
@@ -333,13 +331,34 @@ class Table:
                     f"merge_schema: column {f.name!r} has incompatible "
                     f"type {f.type} (table: {mine.type})")
 
-            # retry loop: a CONCURRENT writer may union the same columns
-            # in first — the schema commit then aborts with "column
-            # exists" against the refreshed base.  Refresh and
-            # re-evaluate: an identical concurrent add leaves nothing to
-            # do; a conflicting type still raises via needs().
+            # Retry loop against concurrent schema evolution.  Two races
+            # are handled, both found by the stress gate's op mix:
+            # - a concurrent IDENTICAL union: the schema commit aborts
+            #   with "column exists" against the refreshed base →
+            #   refresh and re-evaluate (nothing left to do);
+            # - a concurrent RENAME: a batch column named for the
+            #   call-time schema (cur0) that the current schema knows
+            #   under a new name is an existing field, not a new one —
+            #   remap it by FIELD-ID before deciding what to union
+            #   (treating it as new both forks the column and silently
+            #   NULLs the renamed one).
+            cur0 = self.metadata.schema()  # schema the batch was built for
+
+            def remap(df):
+                cur = self.metadata.schema()
+                for c in df.columns:
+                    if cur.find_field(c) is None:
+                        f0 = cur0.find_field(c)
+                        fn = (cur.find_field(f0.field_id)
+                              if f0 is not None else None)
+                        if fn is not None:
+                            df = df.withColumnRenamed(c, fn.name)
+                return df
+
             for _ in range(5):
                 cur = self.metadata.schema()
+                df = remap(df)
+                src = S.Schema.from_spark(df.schema)
                 if not any(needs(f, cur) for f in src.fields):
                     break
                 try:
@@ -353,6 +372,9 @@ class Table:
                 raise ValueError(
                     "merge_schema: schema union kept conflicting with "
                     "concurrent evolution after 5 attempts")
+            # a successful union commit may itself have rebased past a
+            # concurrent rename — remap once more against the final schema
+            df = remap(df)
         entries = self._stage(df, spark)
         self.metadata = SN.append_files(self.ops, entries,
                                         extra_summary=extra_summary,

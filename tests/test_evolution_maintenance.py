@@ -544,3 +544,27 @@ def test_merge_schema_append_survives_concurrent_identical_union(warehouse, spar
     with pytest.raises(ValueError, match="incompatible"):
         t3.append(spark.createDataFrame([(4, 5)], "id long, tag int"),
                   merge_schema=True)
+
+
+def test_merge_schema_append_remaps_columns_across_concurrent_rename(
+        warehouse, spark):
+    """A rename lands between building the batch and the merge-schema
+    union advancing the handle: batch columns named for the call-time
+    schema remap by field-id, so the renamed column's values survive."""
+    base = spark.createDataFrame([(1, "a")], "id long, note string")
+    t1 = _ingest(warehouse, "db.msa_ren", base)
+    t2 = warehouse.load_table("db.msa_ren")
+
+    # t2 builds its batch against (id, note); then BOTH a rename and an
+    # identical union land via t1, forcing t2's union into the
+    # refresh path
+    t1.update_schema().rename_column("note", "note2").commit()
+    t1.append(spark.createDataFrame([(2, "b", 20)],
+                                    "id long, note2 string, extra long"),
+              merge_schema=True)
+    t2.append(spark.createDataFrame([(3, "c", 30)],
+                                    "id long, note string, extra long"),
+              merge_schema=True)
+    rows = {r["id"]: (r["note2"], r["extra"])
+            for r in t2.refresh().to_df().collect()}
+    assert rows == {1: ("a", None), 2: ("b", 20), 3: ("c", 30)}

@@ -125,8 +125,29 @@ def test_randomized_concurrent_stress(warehouse, spark, partition_by):
         warehouse.load_table(name).update(
             {"payload": "payload"}, f"grp = {g}", mode="merge-on-read")
 
+    merge_ids = set()
+
+    def op_merge_append(r):
+        # write-time schema evolution under contention: the first one in
+        # unions an `extra` column; later ones find it present; a racing
+        # identical union must re-evaluate, not abort (invariant 6)
+        ids = alloc_ids(8)
+        rows = [(i, -1 if k < 4 else k % 6, f"p{i}")
+                for k, i in enumerate(ids)]
+        t = warehouse.load_table(name)
+        note_name = t.metadata.schema().fields[3].name
+        full = [(i, g, p, f"n{i}", i * 2) for i, g, p in rows]
+        t.append(spark.createDataFrame(
+            full, f"id long, grp long, payload string, "
+                  f"{note_name} string, extra long")
+            .repartition(1), merge_schema=True)
+        with lock:
+            ok_appends.extend(rows)
+            note_of.update({i: f"n{i}" for i, _, _ in rows})
+            merge_ids.update(i for i, _, _ in rows)
+
     OPS = [op_append, op_append, op_cow_delete, op_mor_delete, op_compact,
-           op_update_cow, op_update_mor, op_rename_ddl]
+           op_update_cow, op_update_mor, op_rename_ddl, op_merge_append]
 
     def run_one(fn, seed):
         r = random.Random(seed)
@@ -221,6 +242,19 @@ def test_randomized_concurrent_stress(warehouse, spark, partition_by):
     wrong = {i: v for i, v in got_notes.items() if v != note_of.get(i)}
     assert not wrong, f"note values lost/corrupted across renames: " \
                       f"{sorted(wrong.items())[:5]}"
+
+    # 6. merge-schema appends under contention: surviving merge-appended
+    # rows keep their extra value through CoW rewrites/compactions;
+    # every other surviving row reads NULL there
+    if merge_ids:
+        got_extra = {r.id: r["extra"]
+                     for r in t.to_df().select("id", "extra").collect()}
+        wrong_extra = {
+            i: v for i, v in got_extra.items()
+            if v != (i * 2 if i in merge_ids else None)}
+        assert not wrong_extra, (
+            f"extra values lost/corrupted across merge-schema races: "
+            f"{sorted(wrong_extra.items())[:5]}")
 
     # the race must actually have raced: at tiny scale with 100 mixed ops
     # we expect at least one optimistic abort (not an invariant — log it)
