@@ -2755,6 +2755,18 @@ def q_search_topk(spark, sf_dir):
     return C.search_topk(docs, ["spark", "merge", "vector"], k=15)
 
 
+def q_robust_stats(spark, sf_dir):
+    """Per-group robust statistics (corpus.robust_stats): exact lower
+    median, MAD, and a 5%-winsorized mean of order totalprice cents per
+    priority — the outlier-aware quality-gate statistics, all integer
+    order statistics under a (value, id) total order so the SQL oracle
+    replays them exactly (no float interpolation anywhere)."""
+    from incubator_iceberg_spark.functions import corpus
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    return corpus.robust_stats(orders, "o_totalprice", "o_orderpriority",
+                               "o_orderkey")
+
+
 def q_gap_fill_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate (temporal.rollup_gap_fill):
     hourly time-bucket rollup of a sparse event stream (every-97th user)
@@ -2930,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refs_history_meta": q_refs_history_meta,
         "source_overlap": q_source_overlap,
         "gap_fill_rollup": q_gap_fill_rollup,
+        "robust_stats": q_robust_stats,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
@@ -3202,6 +3215,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderpriority,
                    CASE WHEN o_orderkey % 3 = 1 THEN 'web' END AS o_channel
             FROM orders
+        """,
+        "robust_stats": """
+            WITH base AS (
+              SELECT o_orderpriority AS k,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+                     o_orderkey AS i
+              FROM orders),
+            r AS (
+              SELECT k, v, i,
+                     row_number() OVER (PARTITION BY k ORDER BY v, i) AS rn,
+                     count(*) OVER (PARTITION BY k) AS n
+              FROM base),
+            med AS (SELECT k, v AS med, n FROM r WHERE rn = (n + 1) // 2),
+            lo AS (SELECT k, v AS lo FROM r
+                   WHERE rn = greatest(1, (5 * n) // 100)),
+            hi AS (SELECT k, v AS hi FROM r
+                   WHERE rn = ((95 * n) + 99) // 100),
+            dev AS (
+              SELECT b.k, abs(b.v - m.med) AS d, b.i, m.n
+              FROM base b JOIN med m USING (k)),
+            dr AS (
+              SELECT k, d, n,
+                     row_number() OVER (PARTITION BY k ORDER BY d, i) AS rn
+              FROM dev),
+            mad AS (SELECT k, d AS mad FROM dr WHERE rn = (n + 1) // 2),
+            wins AS (
+              SELECT b.k,
+                     CAST(sum(greatest(l.lo, least(h.hi, b.v)))
+                          AS BIGINT) AS s,
+                     count(*) AS n2
+              FROM base b JOIN lo l USING (k) JOIN hi h USING (k)
+              GROUP BY b.k)
+            SELECT m.k AS o_orderpriority, m.n AS n_rows,
+                   m.med AS median_scaled, d.mad AS mad_scaled,
+                   CAST(w.s // w.n2 AS BIGINT) AS winsor_mean_scaled
+            FROM med m JOIN mad d USING (k) JOIN wins w USING (k)
         """,
         "gap_fill_rollup": """
             WITH base AS (

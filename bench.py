@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "triangle_count",
     "source_overlap",
     "gap_fill_rollup",
+    "robust_stats",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

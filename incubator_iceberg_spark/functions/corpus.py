@@ -1133,3 +1133,60 @@ def source_overlap(df, text_col: str = "text", id_col: str = "doc_id",
                       "(grams_a + grams_b - shared_grams)")))
     return out.select("src_a", "src_b", "grams_a", "grams_b",
                       "shared_grams", "jaccard_micro")
+
+
+def robust_stats(df, value_col: str, key_col: str, id_col: str,
+                 scale: int = 100, trim_pct: int = 5):
+    """Per-group robust statistics for outlier-aware quality gating:
+    exact lower-median, MAD (median absolute deviation), and a
+    winsorized mean, all in scaled int64 units (floor(value·scale)) so
+    a SQL oracle replays every statistic exactly.
+
+    Deterministic contract (what the oracle mirrors):
+    - ranks order by (scaled value, id) — ties are total-ordered;
+    - median = the ((n+1) div 2)-th smallest (lower median — no
+      float interpolation);
+    - MAD = lower median of |v - median| under the same rank rule;
+    - winsorized mean = sum(clamp(v, lo, hi)) div n with
+      lo = value at rank max(1, (trim·n) div 100) and
+      hi = value at rank (( (100-trim)·n + 99) div 100) (ceil).
+
+    Scale shape: three key-partitioned window passes + broadcast-size
+    per-key joins — everything shuffles on the group key once per pass,
+    no all-pairs anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = df.select(F.col(key_col).alias("k"),
+                     F.floor(F.col(value_col) * scale).cast("long")
+                     .alias("v"),
+                     F.col(id_col).alias("i"))
+    w = Window.partitionBy("k").orderBy("v", "i")
+    wn = Window.partitionBy("k")
+    r = (base.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(wn)))
+    med = (r.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("k", F.col("v").alias("med"), "n"))
+    lo = (r.filter(F.col("rn")
+                   == F.expr(f"greatest(1, ({trim_pct} * n) div 100)"))
+          .select("k", F.col("v").alias("lo")))
+    hi = (r.filter(F.col("rn")
+                   == F.expr(f"(({100 - trim_pct} * n) + 99) div 100"))
+          .select("k", F.col("v").alias("hi")))
+    dev = (base.join(med, "k")
+           .withColumn("d", F.abs(F.col("v") - F.col("med"))))
+    wd = Window.partitionBy("k").orderBy("d", "i")
+    mad = (dev.withColumn("rn", F.row_number().over(wd))
+           .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("k", F.col("d").alias("mad")))
+    wins = (base.join(lo, "k").join(hi, "k")
+            .groupBy("k")
+            .agg(F.sum(F.greatest(F.col("lo"),
+                                  F.least(F.col("hi"), F.col("v"))))
+                 .alias("s"), F.count(F.lit(1)).alias("n2")))
+    return (med.join(mad, "k").join(wins, "k")
+            .select(F.col("k").alias(key_col),
+                    F.col("n").alias("n_rows"),
+                    F.col("med").alias("median_scaled"),
+                    F.col("mad").alias("mad_scaled"),
+                    F.expr("s div n2").alias("winsor_mean_scaled")))

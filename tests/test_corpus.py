@@ -839,3 +839,21 @@ def test_source_overlap_hand_values(spark):
     assert out[("A", "C")] == (2, 1, 0, 0)
     assert out[("B", "C")] == (2, 1, 0, 0)
     assert len(out) == 3
+
+
+def test_robust_stats_hand_values(spark):
+    """Lower-median / MAD / winsorized-mean integer contract on a
+    hand-checkable group with an extreme outlier."""
+    from incubator_iceberg_spark.functions import corpus
+    # values 1..9 and one outlier 1000 (n=10)
+    rows = [("g", float(v), i) for i, v in enumerate([1, 2, 3, 4, 5, 6,
+                                                      7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, "k string, val double, id long")
+    out = corpus.robust_stats(df, "val", "k", "id", scale=1,
+                              trim_pct=10).collect()[0]
+    # n=10: median rank (10+1) div 2 = 5 -> 5; dev = [4,3,2,1,0,1,2,3,4,995]
+    # sorted devs rank5 = 2 -> MAD 2
+    # lo rank = max(1, 100 div 100)=1 -> 1; hi rank = (900+99) div 100 = 9 -> 9
+    # clamped sum = 1+2+..+9 + 9 = 54; mean = 54 div 10 = 5
+    assert (out["n_rows"], out["median_scaled"], out["mad_scaled"],
+            out["winsor_mean_scaled"]) == (10, 5, 2, 5)
