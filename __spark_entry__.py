@@ -2755,6 +2755,35 @@ def q_search_topk(spark, sf_dir):
     return C.search_topk(docs, ["spark", "merge", "vector"], k=15)
 
 
+def q_skyline_orders(spark, sf_dir):
+    """Exact 2-D skyline (analytics.skyline2d): orders on the Pareto
+    frontier of (price cents, recency) — no order both costs more AND is
+    newer.  Salted two-pass: local skylines inside 64 hash groups
+    (window-parallel, superset-preserving), then one global pass over
+    the few survivors; the oracle is the NOT EXISTS dominance
+    definition itself."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.functions import analytics
+    orders = _table(spark, sf_dir, "orders_ice").to_df()
+    base = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("odate_us"))
+    return analytics.skyline2d(base, "cents", "odate_us", "o_orderkey")
+
+
+def q_copurchase_lift(spark, sf_dir):
+    """Market-basket association scores (graph.copurchase_lift): pair
+    support + both direction confidences in exact int64 micro units for
+    part pairs bought together in >= 2 orders.  One bounded-fan-out
+    self-join on the order key, one pair aggregate, two per-part count
+    joins; min-support prunes the tail before the count joins."""
+    from incubator_iceberg_spark.functions import graph as G
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    return G.copurchase_lift(li, min_support=2)
+
+
 def q_robust_stats(spark, sf_dir):
     """Per-group robust statistics (corpus.robust_stats): exact lower
     median, MAD, and a 5%-winsorized mean of order totalprice cents per
@@ -2943,6 +2972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "gap_fill_rollup": q_gap_fill_rollup,
         "robust_stats": q_robust_stats,
+        "copurchase_lift": q_copurchase_lift,
+        "skyline_orders": q_skyline_orders,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
@@ -3204,12 +3235,26 @@ def oracle_sql() -> dict[str, str]:
     from incubator_iceberg_spark.functions.corpus import kmv_distinct_sql
     from incubator_iceberg_spark.functions.graph import (
         copurchase_edge_sql,
+        copurchase_lift_sql,
         pagerank_sql,
         triangle_count_sql,
     )
     from incubator_iceberg_spark.functions.similarity import kmeans_oracle_sql
     return {
         "pagerank": pagerank_sql(copurchase_edge_sql(order_mod=4), iters=3),
+        "copurchase_lift": copurchase_lift_sql(min_support=2),
+        "skyline_orders": """
+            WITH base AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                     epoch_us(o_orderdate) AS odate_us
+              FROM orders)
+            SELECT o_orderkey, cents, odate_us FROM base b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM base d
+              WHERE d.cents >= b.cents AND d.odate_us >= b.odate_us
+                AND (d.cents > b.cents OR d.odate_us > b.odate_us))
+        """,
         "triangle_count": triangle_count_sql(copurchase_edge_sql(order_mod=4)),
         "merge_schema_append": """
             SELECT o_orderkey, o_orderpriority,

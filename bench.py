@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "source_overlap",
     "gap_fill_rollup",
     "robust_stats",
+    "copurchase_lift",
+    "skyline_orders",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

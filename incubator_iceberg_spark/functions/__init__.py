@@ -12,7 +12,9 @@
                hitters, KMV distinct sketch, inverted postings, ranked
                retrieval (search_topk)
 - similarity — (also) exact-integer distributed k-means
-- graph      — exact-integer PageRank, degree-oriented triangle count
+- graph      — exact-integer PageRank, degree-oriented triangle count,
+               market-basket lift/confidence
+- analytics  — exact 2-D skyline (Pareto frontier), salted two-pass
 - temporal   — as-of joins, grid-bucketed interval joins, rolling windows
 - sessions   — gap sessionization (batch + streaming), funnel analysis,
                cohort retention
@@ -25,6 +27,7 @@ Arrow-batched sketch/pack/verify stages.
 """
 
 from incubator_iceberg_spark.functions import (
+    analytics,
     corpus,
     dedup,
     graph,
@@ -36,5 +39,5 @@ from incubator_iceberg_spark.functions import (
     text,
 )
 
-__all__ = ["corpus", "dedup", "graph", "multimodal", "sessions",
-           "similarity", "skew", "temporal", "text"]
+__all__ = ["analytics", "corpus", "dedup", "graph", "multimodal",
+           "sessions", "similarity", "skew", "temporal", "text"]

@@ -200,3 +200,59 @@ o AS (SELECT a AS u, b AS v FROM und WHERE a < b)
 SELECT count(*) AS n_triangles
 FROM o e1 JOIN o e2 ON e2.u = e1.v JOIN o e3
   ON e3.u = e1.u AND e3.v = e2.v"""
+
+
+def copurchase_lift(lineitem, order_mod: int = 1, min_support: int = 2):
+    """Market-basket association scores over the co-purchase pair space:
+    for every unordered part pair bought together in ≥ ``min_support``
+    orders, the support counts and both direction confidences in exact
+    int64 micro units (conf(a→b) = n_co·1e6 div n_a — no float, no
+    overflow: n_co ≤ n_a ≤ n_orders, so the product stays < 2⁶³ for any
+    corpus below ~9·10¹² orders).  Lift derives downstream as
+    conf(a→b)·N div n_b·1e6 if wanted — kept out of the row to stay
+    int64-exact at every scale.
+
+    Scale shape: one self-equi-join on order key (fan-out bounded by
+    per-order line count), one pair-count aggregate, two broadcast-size
+    per-part count joins.  ``min_support`` prunes the long tail before
+    the count joins."""
+    from pyspark.sql import functions as F
+
+    src = lineitem
+    if order_mod > 1:
+        src = src.filter(F.col("l_orderkey") % order_mod == 0)
+    po = (src.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p")).distinct())
+    per = po.groupBy("p").agg(F.count(F.lit(1)).alias("n_ord"))
+    a = po.select("ok", F.col("p").alias("part_a"))
+    b = po.select("ok", F.col("p").alias("part_b"))
+    co = (a.join(b, "ok")
+          .filter(F.col("part_a") < F.col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(F.count(F.lit(1)).alias("n_co"))
+          .filter(F.col("n_co") >= min_support))
+    na = per.select(F.col("p").alias("part_a"), F.col("n_ord").alias("n_a"))
+    nb = per.select(F.col("p").alias("part_b"), F.col("n_ord").alias("n_b"))
+    return (co.join(na, "part_a").join(nb, "part_b")
+            .select("part_a", "part_b", "n_a", "n_b", "n_co",
+                    F.expr("(n_co * 1000000) div n_a").alias("conf_ab_micro"),
+                    F.expr("(n_co * 1000000) div n_b").alias("conf_ba_micro")))
+
+
+def copurchase_lift_sql(order_mod: int = 1, min_support: int = 2) -> str:
+    """SQL mirror of :func:`copurchase_lift`."""
+    gate = (f"WHERE l_orderkey % {int(order_mod)} = 0 "
+            if order_mod > 1 else "")
+    return f"""WITH po AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem {gate}),
+per AS (SELECT p, count(*) AS n_ord FROM po GROUP BY p),
+co AS (
+  SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_co
+  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_support)})
+SELECT co.part_a, co.part_b,
+       pa.n_ord AS n_a, pb.n_ord AS n_b, co.n_co,
+       CAST(co.n_co * 1000000 // pa.n_ord AS BIGINT) AS conf_ab_micro,
+       CAST(co.n_co * 1000000 // pb.n_ord AS BIGINT) AS conf_ba_micro
+FROM co JOIN per pa ON pa.p = co.part_a
+        JOIN per pb ON pb.p = co.part_b"""
