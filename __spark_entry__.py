@@ -2755,6 +2755,35 @@ def q_search_topk(spark, sf_dir):
     return C.search_topk(docs, ["spark", "merge", "vector"], k=15)
 
 
+def q_matview_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance (matview.py —
+    changelog-driven IVM): an aggregate MV (count + exact cents sum per
+    priority) follows its base table through an append, a MoR delete,
+    and a group-moving CoW update via three incremental refreshes, each
+    folding only the changelog delta in with ONE MERGE (O(changed rows),
+    never O(table)).  The oracle recomputes the final aggregate from
+    scratch — incremental must equal rebuild exactly."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import matview
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100).cast("long"))
+    t = cat.create_table("s.orders_mv_base",
+                         Schema.from_spark(orders.schema))
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    mv = matview.create_agg_mv(cat, "s.orders_mv", t,
+                               ["o_orderpriority"], ["cents"])
+    t.append(orders.filter("o_orderkey % 2 != 0"))
+    matview.refresh_agg_mv(mv, t)
+    t.delete_where("o_totalprice > 300000", mode="merge-on-read")
+    matview.refresh_agg_mv(mv, t)
+    t.update({"o_orderpriority": "'9-ZZZ'"}, "o_custkey % 10 = 0",
+             mode="copy-on-write")
+    matview.refresh_agg_mv(mv, t)
+    return mv.to_df()
+
+
 def q_skyline_orders(spark, sf_dir):
     """Exact 2-D skyline (analytics.skyline2d): orders on the Pareto
     frontier of (price cents, recency) — no order both costs more AND is
@@ -2974,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats": q_robust_stats,
         "copurchase_lift": q_copurchase_lift,
         "skyline_orders": q_skyline_orders,
+        "matview_refresh": q_matview_refresh,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
@@ -3243,6 +3273,17 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": pagerank_sql(copurchase_edge_sql(order_mod=4), iters=3),
         "copurchase_lift": copurchase_lift_sql(min_support=2),
+        "matview_refresh": """
+            WITH survivors AS (
+              SELECT CASE WHEN o_custkey % 10 = 0 THEN '9-ZZZ'
+                          ELSE o_orderpriority END AS o_orderpriority,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+              WHERE NOT (o_totalprice > 300000))
+            SELECT o_orderpriority, count(*) AS n_rows,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM survivors GROUP BY 1
+        """,
         "skyline_orders": """
             WITH base AS (
               SELECT o_orderkey,
