@@ -2951,12 +2951,16 @@ def q_triangle_count(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  The
-    # round-4 window is now ENTIRELY never-driver-verified material (the
-    # 6 continuation additions pagerank/triangle_count/
-    # merge_schema_append/grouping_sets_agg/refs_history_meta/
-    # source_overlap + the 43 below + rollup_agg at 50); cube_agg /
-    # distinct_agg (r1-stale) and the r2-green delete_mor..add_files_import
-    # block sit just past it, first in line for r5.  Original prefix =
+    # round-4 window is now ENTIRELY never-driver-verified material: the
+    # 11 continuation additions (pagerank, triangle_count,
+    # merge_schema_append, grouping_sets_agg, refs_history_meta,
+    # source_overlap, gap_fill_rollup, robust_stats, copurchase_lift,
+    # skyline_orders, matview_refresh) + 39 of the earlier
+    # never-verified block.  Displaced just past the window (still
+    # never driver-verified, first in line for r5): chunk_by_tokens,
+    # semantic_dedup, split_assign, streaming_dedup, then the r1-stale
+    # rollup/cube/distinct and the r2-green delete_mor..add_files_import
+    # block.  Original prefix =
     # [43 never-driver-verified queries: the round-4 additions (parquet
     # bloom-filter point lookup, bigram-LM quality scoring, BPE
     # tokenizer training, grid-
