@@ -200,3 +200,44 @@ def test_merge_evolve_schema_adds_source_columns(warehouse, orders):
     assert df.filter("o_channel = 'api'").count() == 10
     assert df.filter("o_channel IS NULL").count() == \
         orders.filter("o_orderkey % 5 != 0").count()
+
+
+def test_count_rows_metadata_pushdown(warehouse, orders, spark):
+    """count_rows serves strict-matching files from manifest stats
+    (zero scanned files for a partition-aligned predicate), scans only
+    partial matches, and disables the metadata path under delete
+    debt."""
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table("db.cnt", Schema.from_spark(orders.schema),
+                               partition_by=["month(o_orderdate)"])
+    t.append(orders)
+
+    # unfiltered: pure metadata
+    r = t.count_rows()
+    assert r["count"] == orders.count() and r["scanned_files"] == 0
+    assert r["metadata_only_files"] > 0
+
+    # month-aligned predicate: every candidate file strictly matches
+    r = t.count_rows("o_orderdate >= TIMESTAMP '1997-06-01'")
+    assert r["count"] == orders.filter(
+        "o_orderdate >= TIMESTAMP '1997-06-01'").count()
+    assert r["scanned_files"] == 0 and r["metadata_only_files"] > 0
+
+    # mid-month predicate: boundary files scan, full months fold in
+    cond = "o_orderdate >= TIMESTAMP '1997-06-15'"
+    r = t.count_rows(cond)
+    assert r["count"] == orders.filter(cond).count()
+    assert r["scanned_files"] > 0
+
+    # impossible predicate: nothing planned at all
+    r = t.count_rows("o_orderkey < -1")
+    assert r == {"count": 0, "metadata_only_files": 0, "scanned_files": 0}
+
+    # MoR delete debt: bounds may lie about hidden rows -> affected
+    # files must scan, and the count stays exact
+    t.delete_where("o_custkey % 7 = 0", mode="merge-on-read")
+    want = orders.filter("NOT (o_custkey % 7 = 0)").count()
+    r = t.count_rows()
+    assert r["count"] == want
+    assert r["metadata_only_files"] == 0 and r["scanned_files"] > 0
