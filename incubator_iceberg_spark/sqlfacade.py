@@ -85,6 +85,25 @@ def execute(catalog, spark, sql: str):
     if head == "MERGE":
         return _merge(catalog, spark, s)
     if head in ("SELECT", "WITH"):
+        # aggregate pushdown: a bare COUNT(*) over one engine table is
+        # served from manifest statistics (Table.count_rows) — the
+        # partition-aligned case reads zero data files
+        m = re.match(r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*"
+                     r"(?:AS\s+(\w+)\s*)?FROM\s+([\w.]+)\s*"
+                     r"(?:WHERE\s+(.*))?$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            try:
+                t = catalog.load_table(m.group(2), spark=spark)
+            except Exception:
+                t = None
+            if t is not None:
+                try:
+                    n = t.count_rows(m.group(3))["count"]
+                    return (spark.createDataFrame([(n,)], "c bigint")
+                            .toDF(m.group(1) or "count(1)"))
+                except ValueError:
+                    pass  # unparseable predicate → full SQL path
         return spark.sql(_register_and_rewrite(catalog, spark, s))
     if head == "INSERT":
         m = _INSERT_RE.match(s)

@@ -311,3 +311,32 @@ def test_sql_alter_replace_partition_field(warehouse, orders, spark):
     # old month-partitioned files still readable (mixed-spec planning)
     t.append(orders.limit(40))
     assert t.to_df().count() == orders.count() + 40
+
+
+def test_select_count_star_pushdown(warehouse, spark, orders):
+    """Bare SELECT COUNT(*) [WHERE p] routes through
+    Table.count_rows (manifest-stat aggregate pushdown) and must agree
+    with the full SQL path, including under MoR delete debt."""
+    from incubator_iceberg_spark import sqlfacade as SQL
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table("db.cntf", Schema.from_spark(orders.schema),
+                               partition_by=["month(o_orderdate)"])
+    t.append(orders)
+    n = SQL.execute(warehouse, spark,
+                    "SELECT count(*) AS n FROM db.cntf").collect()[0]["n"]
+    assert n == orders.count()
+    cond = "o_orderdate >= TIMESTAMP '1997-06-01'"
+    n = SQL.execute(
+        warehouse, spark,
+        f"SELECT count(*) FROM db.cntf WHERE {cond}").collect()[0][0]
+    assert n == orders.filter(cond).count()
+    t.delete_where("o_custkey % 7 = 0", mode="merge-on-read")
+    n = SQL.execute(warehouse, spark,
+                    "SELECT count(*) AS n FROM db.cntf").collect()[0]["n"]
+    assert n == orders.filter("NOT (o_custkey % 7 = 0)").count()
+    # anything fancier falls through to the SQL path untouched
+    df = SQL.execute(warehouse, spark,
+                     "SELECT count(*) AS n, max(o_custkey) AS m FROM db.cntf")
+    assert df.collect()[0]["n"] == orders.filter(
+        "NOT (o_custkey % 7 = 0)").count()
