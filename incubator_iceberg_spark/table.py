@@ -772,6 +772,83 @@ class Table:
         return {"count": int(n), "metadata_only_files": len(meta),
                 "scanned_files": len(partial)}
 
+    def min_max(self, column: str, filter=None, spark=None) -> dict:
+        """MIN/MAX aggregate pushdown from manifest bounds (the
+        companion of :meth:`count_rows`): a file every row of which
+        matches the predicate contributes its exact write-time bounds
+        with zero bytes read; partial matches scan with the residual.
+
+        Restricted to numeric/date/timestamp columns — their bounds are
+        exact values; string bounds under ``truncate(N)`` metrics are
+        PREFIXES (bounds, not attained values) and must scan.  Files
+        with missing bounds (``counts``/``none`` metrics modes) or any
+        relevant delete debt fall back to scanning too.
+        Returns {min, max, metadata_only_files, scanned_files}."""
+        from pyspark.sql import functions as F
+
+        from incubator_iceberg_spark import py_eval as PE
+        from incubator_iceberg_spark import row_ops
+        from incubator_iceberg_spark import schema as S
+        from incubator_iceberg_spark.scan import TableScan, read_entries
+
+        spark = spark or self.spark
+        md = self.metadata
+        f = md.schema().find_field(column)
+        if f is None:
+            raise ValueError(f"no such column: {column}")
+        if not isinstance(f.type, (S.IntegerType, S.LongType, S.FloatType,
+                                   S.DoubleType, S.DateType,
+                                   S.TimestampType)):
+            raise ValueError(
+                f"min_max pushdown unsupported for type of {column!r} "
+                f"(string/binary bounds may be truncated prefixes)")
+        empty = {"min": None, "max": None, "metadata_only_files": 0,
+                 "scanned_files": 0}
+        expr = (parse_predicate(filter) if isinstance(filter, str)
+                else (filter if filter is not None else X.always_true()))
+        if md.current_snapshot() is None:
+            return dict(empty)
+        bound = X.bind(md.schema(), expr)
+        if isinstance(bound, X.AlwaysFalse):
+            return dict(empty)
+        scan = TableScan(self, spark, row_filter=expr)
+        cand, dels = row_ops._plan_delete_candidates(self, scan, bound)
+        if cand is None:
+            return dict(empty)
+        lo = hi = None
+        meta_files = 0
+        partial = []
+        for c in cand:
+            e = c.entry
+            nulls = (e.get("null_counts") or {}).get(column)
+            values = (e.get("value_counts") or {}).get(column)
+            if (c["strict"] and nulls is not None and values is not None
+                    and nulls >= values):
+                meta_files += 1  # all-null column in this file: no value
+                continue
+            elb = (e.get("lower_bounds") or {}).get(column)
+            eub = (e.get("upper_bounds") or {}).get(column)
+            if not c["strict"] or elb is None or eub is None:
+                partial.append(e)
+                continue
+            meta_files += 1
+            elb, eub = PE._norm(elb), PE._norm(eub)
+            lo = elb if lo is None or elb < lo else lo
+            hi = eub if hi is None or eub > hi else hi
+        if partial:
+            df = read_entries(spark, md, partial, dels, md.schema())
+            cond = X.to_column(bound)
+            r = (df.filter(F.coalesce(cond, F.lit(False)))
+                 .agg(F.min(column).alias("mn"),
+                      F.max(column).alias("mx")).collect()[0])
+            smn, smx = PE._norm(r["mn"]), PE._norm(r["mx"])
+            if smn is not None:
+                lo = smn if lo is None or smn < lo else lo
+            if smx is not None:
+                hi = smx if hi is None or smx > hi else hi
+        return {"min": lo, "max": hi, "metadata_only_files": meta_files,
+                "scanned_files": len(partial)}
+
     def metadata_table(self, kind: str, spark=None):
         from incubator_iceberg_spark import metadata_tables
         return metadata_tables.metadata_table(self, kind, spark or self.spark)

@@ -241,3 +241,43 @@ def test_count_rows_metadata_pushdown(warehouse, orders, spark):
     r = t.count_rows()
     assert r["count"] == want
     assert r["metadata_only_files"] == 0 and r["scanned_files"] > 0
+
+
+def test_min_max_metadata_pushdown(warehouse, orders, spark):
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table("db.mm", Schema.from_spark(orders.schema),
+                               partition_by=["month(o_orderdate)"])
+    t.append(orders)
+
+    r = t.min_max("o_custkey")
+    want = orders.agg({"o_custkey": "min"}).collect()[0][0], \
+        orders.agg({"o_custkey": "max"}).collect()[0][0]
+    assert (r["min"], r["max"]) == want and r["scanned_files"] == 0
+
+    cond = "o_orderdate >= TIMESTAMP '1997-06-01'"
+    r = t.min_max("o_totalprice", cond)
+    sub = orders.filter(cond)
+    assert r["min"] == sub.agg({"o_totalprice": "min"}).collect()[0][0]
+    assert r["max"] == sub.agg({"o_totalprice": "max"}).collect()[0][0]
+    assert r["scanned_files"] == 0
+
+    # mid-month boundary: partial files scan, result stays exact
+    cond = "o_orderdate >= TIMESTAMP '1997-06-15'"
+    sub = orders.filter(cond)
+    r = t.min_max("o_totalprice", cond)
+    assert r["min"] == sub.agg({"o_totalprice": "min"}).collect()[0][0]
+    assert r["max"] == sub.agg({"o_totalprice": "max"}).collect()[0][0]
+    assert r["scanned_files"] > 0
+
+    # strings refuse (truncated prefix bounds are not attained values)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported"):
+        t.min_max("o_orderpriority")
+
+    # delete debt: the deleted extremum must disappear from the answer
+    mx = t.min_max("o_totalprice")["max"]
+    t.delete_where(f"o_totalprice = {mx}", mode="merge-on-read")
+    r = t.min_max("o_totalprice")
+    want = t.to_df().agg({"o_totalprice": "max"}).collect()[0][0]
+    assert r["max"] == want and r["max"] != mx
