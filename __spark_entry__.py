@@ -2755,6 +2755,28 @@ def q_search_topk(spark, sf_dir):
     return C.search_topk(docs, ["spark", "merge", "vector"], k=15)
 
 
+def q_metadata_count(spark, sf_dir):
+    """Aggregate pushdown (Table.count_rows / min_max — later-Iceberg
+    SparkScan pushdown analog on P7's strict evaluator): a
+    partition-aligned predicate answers COUNT and MIN/MAX entirely from
+    manifest statistics (the query ASSERTS zero data files were read);
+    a mid-month predicate folds full months in from metadata and scans
+    only the boundary files.  At 100 TB that is a manifest-plane
+    aggregate vs a full table scan."""
+    from pyspark.sql import functions as F
+    t = _table(spark, sf_dir, "lineitem_part")
+    aligned = "l_shipdate >= TIMESTAMP '1997-01-01'"
+    r1 = t.count_rows(aligned)
+    assert r1["scanned_files"] == 0, "aligned count read data files"
+    r2 = t.count_rows("l_shipdate >= TIMESTAMP '1997-06-15'")
+    mm = t.min_max("l_extendedprice", aligned)
+    assert mm["scanned_files"] == 0, "aligned min_max read data files"
+    return spark.createDataFrame(
+        [(r1["count"], r2["count"],
+          int(mm["min"] * 100), int(mm["max"] * 100))],
+        "n_aligned long, n_mid long, min_cents long, max_cents long")
+
+
 def q_matview_refresh(spark, sf_dir):
     """Incremental materialized-view maintenance (matview.py —
     changelog-driven IVM): an aggregate MV (count + exact cents sum per
@@ -3008,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_lift": q_copurchase_lift,
         "skyline_orders": q_skyline_orders,
         "matview_refresh": q_matview_refresh,
+        "metadata_count": q_metadata_count,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
@@ -3277,6 +3300,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": pagerank_sql(copurchase_edge_sql(order_mod=4), iters=3),
         "copurchase_lift": copurchase_lift_sql(min_support=2),
+        "metadata_count": """
+            SELECT
+              (SELECT count(*) FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01') AS n_aligned,
+              (SELECT count(*) FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-06-15') AS n_mid,
+              (SELECT CAST(floor(min(l_extendedprice) * 100) AS BIGINT)
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01') AS min_cents,
+              (SELECT CAST(floor(max(l_extendedprice) * 100) AS BIGINT)
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01') AS max_cents
+        """,
         "matview_refresh": """
             WITH survivors AS (
               SELECT CASE WHEN o_custkey % 10 = 0 THEN '9-ZZZ'

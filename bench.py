@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "robust_stats",
     "copurchase_lift",
     "skyline_orders",
+    "metadata_count",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,
