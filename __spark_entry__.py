@@ -2777,6 +2777,36 @@ def q_metadata_count(spark, sf_dir):
         "n_aligned long, n_mid long, min_cents long, max_cents long")
 
 
+def q_metadata_count_col(spark, sf_dir):
+    """COUNT(col) aggregate pushdown (Table.count_non_null): non-null
+    counts served from the manifests' per-column value/null-count
+    ledger (reference DataFile.java value_counts / null_value_counts) —
+    a partition-aligned predicate answers COUNT(nullable_col) with ZERO
+    data files read (asserted); a mid-month predicate folds whole
+    months from metadata and scans only boundary files.  At 100 TB,
+    `SELECT count(col)` over a petabyte table becomes a manifest-plane
+    sum instead of a full-column read."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "maybe_price",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")))
+    t = cat.create_table("s.cnn_orders", Schema.from_spark(orders.schema),
+                         partition_by=["month(o_orderdate)"])
+    t.append(orders)
+    aligned = "o_orderdate >= TIMESTAMP '1997-01-01'"
+    r1 = t.count_non_null("maybe_price", aligned)
+    assert r1["scanned_files"] == 0, "aligned COUNT(col) read data files"
+    r2 = t.count_non_null("maybe_price",
+                          "o_orderdate >= TIMESTAMP '1997-06-15'")
+    r3 = t.count_non_null("o_custkey", aligned)
+    assert r3["scanned_files"] == 0, "aligned COUNT(col) read data files"
+    return spark.createDataFrame(
+        [(r1["count"], r2["count"], r3["count"])],
+        "n_maybe_aligned long, n_maybe_mid long, n_custkey long")
+
+
 def q_matview_refresh(spark, sf_dir):
     """Incremental materialized-view maintenance (matview.py —
     changelog-driven IVM): an aggregate MV (count + exact cents sum per
@@ -3031,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_orders": q_skyline_orders,
         "matview_refresh": q_matview_refresh,
         "metadata_count": q_metadata_count,
+        "metadata_count_col": q_metadata_count_col,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
@@ -3312,6 +3343,21 @@ def oracle_sql() -> dict[str, str]:
               (SELECT CAST(floor(max(l_extendedprice) * 100) AS BIGINT)
                FROM lineitem
                WHERE l_shipdate >= TIMESTAMP '1997-01-01') AS max_cents
+        """,
+        "metadata_count_col": """
+            SELECT
+              (SELECT count(CASE WHEN o_orderkey % 7 != 0
+                                 THEN o_totalprice END)
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+                AS n_maybe_aligned,
+              (SELECT count(CASE WHEN o_orderkey % 7 != 0
+                                 THEN o_totalprice END)
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-06-15')
+                AS n_maybe_mid,
+              (SELECT count(o_custkey) FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01') AS n_custkey
         """,
         "matview_refresh": """
             WITH survivors AS (

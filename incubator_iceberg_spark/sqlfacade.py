@@ -88,22 +88,28 @@ def execute(catalog, spark, sql: str):
         # aggregate pushdown: a bare COUNT(*) over one engine table is
         # served from manifest statistics (Table.count_rows) — the
         # partition-aligned case reads zero data files
-        m = re.match(r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*"
+        m = re.match(r"^\s*SELECT\s+COUNT\s*\(\s*(\*|\w+)\s*\)\s*"
                      r"(?:AS\s+(\w+)\s*)?FROM\s+([\w.]+)\s*"
                      r"(?:WHERE\s+(.*))?$", s,
                      re.IGNORECASE | re.DOTALL)
         if m:
             try:
-                t = catalog.load_table(m.group(2), spark=spark)
+                t = catalog.load_table(m.group(3), spark=spark)
             except Exception:
                 t = None
             if t is not None:
+                target = m.group(1)
                 try:
-                    n = t.count_rows(m.group(3))["count"]
+                    if target == "*":
+                        n = t.count_rows(m.group(4))["count"]
+                        default_name = "count(1)"
+                    else:
+                        n = t.count_non_null(target, m.group(4))["count"]
+                        default_name = f"count({target})"
                     return (spark.createDataFrame([(n,)], "c bigint")
-                            .toDF(m.group(1) or "count(1)"))
+                            .toDF(m.group(2) or default_name))
                 except ValueError:
-                    pass  # unparseable predicate → full SQL path
+                    pass  # unknown column / unparseable predicate → full SQL
         return spark.sql(_register_and_rewrite(catalog, spark, s))
     if head == "INSERT":
         m = _INSERT_RE.match(s)

@@ -772,6 +772,62 @@ class Table:
         return {"count": int(n), "metadata_only_files": len(meta),
                 "scanned_files": len(partial)}
 
+    def count_non_null(self, column: str, filter=None, spark=None) -> dict:
+        """Aggregate-pushdown COUNT(col): non-null counts served from
+        manifest value/null counts (the COUNT(*) companion; reference
+        keeps both per column — DataFile.java value_counts /
+        null_value_counts).  A strictly-matching file contributes
+        ``value_count - null_count`` with zero bytes read; files with
+        missing counts (metrics mode ``none``) or partial predicate
+        matches scan with the residual.
+        Returns {count, metadata_only_files, scanned_files}."""
+        from pyspark.sql import functions as F
+
+        from incubator_iceberg_spark import row_ops
+        from incubator_iceberg_spark.scan import TableScan, read_entries
+
+        spark = spark or self.spark
+        md = self.metadata
+        if md.schema().find_field(column) is None:
+            raise ValueError(f"no such column: {column}")
+        expr = (parse_predicate(filter) if isinstance(filter, str)
+                else (filter if filter is not None else X.always_true()))
+        if md.current_snapshot() is None:
+            return {"count": 0, "metadata_only_files": 0,
+                    "scanned_files": 0}
+        bound = X.bind(md.schema(), expr)
+        if isinstance(bound, X.AlwaysFalse):
+            return {"count": 0, "metadata_only_files": 0,
+                    "scanned_files": 0}
+        scan = TableScan(self, spark, row_filter=expr)
+        cand, dels = row_ops._plan_delete_candidates(self, scan, bound)
+        if cand is None:
+            return {"count": 0, "metadata_only_files": 0,
+                    "scanned_files": 0}
+        n = 0
+        meta_files = 0
+        partial = []
+        for c in cand:
+            e = c.entry
+            nulls = (e.get("null_counts") or {}).get(column)
+            values = (e.get("value_counts") or {}).get(column)
+            if values is None:
+                # top-level scalar: one value per row
+                values = e.get("record_count")
+            if not c["strict"] or nulls is None or values is None:
+                partial.append(e)
+                continue
+            meta_files += 1
+            n += values - nulls
+        if partial:
+            df = read_entries(spark, md, partial, dels, md.schema())
+            cond = X.to_column(bound)
+            r = (df.filter(F.coalesce(cond, F.lit(False)))
+                 .agg(F.count(column).alias("c")).collect()[0])
+            n += r["c"]
+        return {"count": int(n), "metadata_only_files": meta_files,
+                "scanned_files": len(partial)}
+
     def min_max(self, column: str, filter=None, spark=None) -> dict:
         """MIN/MAX aggregate pushdown from manifest bounds (the
         companion of :meth:`count_rows`): a file every row of which

@@ -351,6 +351,46 @@ def test_fast_count_and_min_max_metadata_only(warehouse, orders, spark):
     assert t.fast_min_max("o_orderkey") is None
 
 
+def test_count_non_null_pushdown(warehouse, orders, spark):
+    """COUNT(col) from manifest value/null counts: aligned predicates
+    fold entirely from metadata; NULLs are excluded exactly; delete
+    debt falls back to scanning but stays exact."""
+    from incubator_iceberg_spark.schema import Schema
+    base = orders.withColumn(
+        "maybe", F.when(F.col("o_orderkey") % 7 == 0,
+                        F.col("o_totalprice")))
+    t = warehouse.create_table("db.cnn", Schema.from_spark(base.schema),
+                               partition_by=["month(o_orderdate)"])
+    t.append(base)
+    want_all = base.filter("maybe IS NOT NULL").count()
+    r = t.count_non_null("maybe")
+    assert r["count"] == want_all and r["scanned_files"] == 0
+    aligned = "o_orderdate >= TIMESTAMP '1997-01-01'"
+    want = base.filter(aligned).filter("maybe IS NOT NULL").count()
+    r = t.count_non_null("maybe", aligned)
+    assert r["count"] == want and r["scanned_files"] == 0
+    # row-level predicate: partial files scan, result still exact
+    want = base.filter("o_totalprice > 100000") \
+               .filter("maybe IS NOT NULL").count()
+    r = t.count_non_null("maybe", "o_totalprice > 100000")
+    assert r["count"] == want and r["scanned_files"] > 0
+    # delete debt: conservative fallback, exact
+    t.delete_where("o_orderkey % 11 = 0", mode="merge-on-read")
+    live = base.filter("NOT (o_orderkey % 11 = 0)")
+    r = t.count_non_null("maybe", aligned)
+    assert r["count"] == live.filter(aligned) \
+        .filter("maybe IS NOT NULL").count()
+    assert r["metadata_only_files"] == 0
+    # SQL facade routes COUNT(col) through the pushdown
+    from incubator_iceberg_spark import sqlfacade
+    got = sqlfacade.execute(
+        warehouse, spark,
+        "SELECT COUNT(maybe) AS c FROM db.cnn").collect()[0]["c"]
+    assert got == live.filter("maybe IS NOT NULL").count()
+    with pytest.raises(ValueError):
+        t.count_non_null("nope")
+
+
 def test_nested_bounds_prune_in_distributed_plan_mode(warehouse, spark):
     """The Spark-job planner resolves dotted bounds-struct field names
     (getField('nested.col1')) the same as the driver-local planner."""
