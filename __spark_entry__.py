@@ -3000,6 +3000,95 @@ def q_triangle_count(spark, sf_dir):
     return G.triangle_count(G.copurchase_edges(li, order_mod=4))
 
 
+def q_scd2_dimension(spark, sf_dir):
+    """SCD Type-2 dimension maintenance (functions/scd.py — the
+    close-and-insert recipe over row_ops.merge_into, the op the
+    reference's MERGE surface exists to serve in warehouses): two change
+    batches against a customer dimension exercise close+insert,
+    brand-new keys, explicit no-op rows (identical attributes commit
+    nothing), and a second batch closing a first-batch version.  The
+    oracle replays both batches as CTEs: history rows, closed rows, and
+    surviving current rows union to the exact final table.  Scale
+    shape: classification is one broadcast join against the CURRENT
+    slice; the MERGE's dynamic file filter rewrites only files holding
+    changed keys."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.functions import scd
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer")
+    base = cust.select(F.col("c_custkey").alias("k"),
+                       F.col("c_mktsegment").alias("seg"),
+                       F.col("c_nationkey").cast("long").alias("nat"))
+    t = cat.create_table(
+        "s.dim_customer",
+        "k long, seg string, nat long, "
+        "effective_from long, effective_to long, is_current boolean")
+    t.append(base.withColumn("effective_from", F.lit(0).cast("long"))
+                 .withColumn("effective_to", F.lit(None).cast("long"))
+                 .withColumn("is_current", F.lit(True)))
+    b1 = (base.filter("k % 5 = 0")
+              .select("k", F.lit("SEG_B1").alias("seg"),
+                      (F.col("nat") + 100).alias("nat"))
+          .unionByName(base.filter("k % 11 = 0 and k % 5 != 0"))  # no-ops
+          .unionByName(base.filter("k % 7 = 0")
+                       .select((F.col("k") + 1000000).alias("k"),
+                               F.lit("NEW").alias("seg"),
+                               F.lit(1).cast("long").alias("nat")))
+          .withColumn("ts", F.lit(100).cast("long")))
+    scd.scd2_apply(t, b1, ["k"], ["seg", "nat"], "ts")
+    b2 = (base.filter("k % 10 = 0")
+              .select("k", F.lit("SEG_B2").alias("seg"),
+                      (F.col("nat") + 200).alias("nat"))
+          .withColumn("ts", F.lit(200).cast("long")))
+    scd.scd2_apply(t, b2, ["k"], ["seg", "nat"], "ts")
+    return t.to_df().select("k", "seg", "nat", "effective_from",
+                            "effective_to", "is_current")
+
+
+SCD2_ORACLE_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(c_nationkey AS BIGINT) AS nat
+  FROM customer
+),
+hist1 AS (  -- batch 1 closes every k%5=0 current row
+  SELECT k, seg, nat, CAST(0 AS BIGINT) AS effective_from,
+         CAST(100 AS BIGINT) AS effective_to, false AS is_current
+  FROM base WHERE k % 5 = 0
+),
+cur1 AS (  -- current set after batch 1
+  SELECT k, 'SEG_B1' AS seg, nat + 100 AS nat,
+         CAST(100 AS BIGINT) AS effective_from
+  FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT k + 1000000, 'NEW', CAST(1 AS BIGINT), CAST(100 AS BIGINT)
+  FROM base WHERE k % 7 = 0
+  UNION ALL  -- untouched (incl. the explicit no-op rows)
+  SELECT k, seg, nat, CAST(0 AS BIGINT) FROM base WHERE k % 5 != 0
+),
+hist2 AS (  -- batch 2 closes every k%10=0 current row (all SEG_B1)
+  SELECT k, seg, nat, effective_from, CAST(200 AS BIGINT) AS effective_to,
+         false AS is_current
+  FROM cur1 WHERE k % 10 = 0 AND k < 1000000
+),
+cur2 AS (
+  SELECT k, 'SEG_B2' AS seg, nat + 200 AS nat,
+         CAST(200 AS BIGINT) AS effective_from
+  FROM base WHERE k % 10 = 0
+  UNION ALL
+  SELECT * FROM cur1 WHERE NOT (k % 10 = 0 AND k < 1000000)
+)
+SELECT k, seg, nat, effective_from, effective_to, is_current FROM hist1
+UNION ALL
+SELECT * FROM hist2
+UNION ALL
+SELECT k, seg, nat, effective_from, CAST(NULL AS BIGINT) AS effective_to,
+       true AS is_current
+FROM cur2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 4): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  The
@@ -3049,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py.
     return {
         # --- never driver-verified (new r4 + late-r3 additions) -----------
+        "scd2_dimension": q_scd2_dimension,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "merge_schema_append": q_merge_schema_append,
@@ -3329,6 +3419,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from incubator_iceberg_spark.functions.similarity import kmeans_oracle_sql
     return {
+        "scd2_dimension": SCD2_ORACLE_SQL,
         "pagerank": pagerank_sql(copurchase_edge_sql(order_mod=4), iters=3),
         "copurchase_lift": copurchase_lift_sql(min_support=2),
         "metadata_count": """

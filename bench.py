@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "copurchase_lift",
     "skyline_orders",
     "metadata_count",
+    # round-4f: SCD2 dimension maintenance (two MERGE batches incl. the
+    # scratch dim build — the MERGE dynamic-file-filter path under load)
+    "scd2_dimension",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

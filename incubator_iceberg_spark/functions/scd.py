@@ -1,0 +1,109 @@
+"""Slowly-changing-dimension (SCD Type 2) maintenance over engine tables.
+
+The reference's MERGE surface (spark3-extensions MERGE INTO, our
+row_ops.merge_into) is the primitive warehouses build SCD2 on; this
+module packages the canonical "close-and-insert" recipe as one
+operator so a dimension table keeps full history:
+
+- each business key has at most ONE current row (``is_current``);
+- applying a change batch CLOSES the current row (sets
+  ``effective_to`` = change ts, ``is_current`` = false) and INSERTS a
+  new current version;
+- brand-new keys insert; no-op changes (attributes identical) commit
+  nothing for that key.
+
+Standard MERGE cannot both update and insert from the same source row,
+so the staged-source pattern is used: every acting change contributes
+an INSERT row (merge keys NULLed, so it can never match) and changes
+to existing keys additionally contribute a CLOSE row carrying the real
+merge key.  One MERGE commit applies the whole batch atomically.
+
+Scale shape (100 TB dimension, small change batch): the differs/new
+classification is one broadcast-able join of the batch against the
+CURRENT slice only; the MERGE's dynamic file filter then rewrites only
+the files holding changed keys, with the staged source broadcast on
+the inner joins.  Nothing is O(history).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+FROM_COL = "effective_from"
+TO_COL = "effective_to"
+CURRENT_COL = "is_current"
+
+
+def scd2_apply(table, changes_df, key_cols: Sequence[str],
+               attr_cols: Sequence[str], ts_col: str,
+               spark=None) -> dict:
+    """Apply one change batch to an SCD2 dimension table.
+
+    ``changes_df`` must carry ``key_cols + attr_cols + [ts_col]`` with
+    at most one row per key (raises otherwise — two versions of one key
+    in a single batch have no defined ordering within one commit).
+    ``table`` must already have the three history columns
+    (``effective_from``/``effective_to`` long, ``is_current`` boolean).
+    NULL attribute values compare null-safely (NULL -> NULL is a no-op,
+    NULL -> value is a change).
+    """
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.row_ops import (WhenMatched, WhenNotMatched,
+                                                 merge_into)
+
+    spark = spark or table.spark
+    key_cols = list(key_cols)
+    attr_cols = list(attr_cols)
+    schema = table.metadata.schema()
+    for c in key_cols + attr_cols + [FROM_COL, TO_COL, CURRENT_COL]:
+        if schema.find_field(c) is None:
+            raise ValueError(f"SCD2 dimension is missing column {c!r}")
+
+    c_df = changes_df.select(*key_cols, *attr_cols,
+                             F.col(ts_col).cast("long").alias("__ts"))
+    dup = (c_df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > 1).limit(1).collect())
+    if dup:
+        raise ValueError("SCD2 batch has multiple rows for one key; "
+                         "apply batches in ts order instead")
+
+    cur = (table.to_df().filter(F.col(CURRENT_COL))
+           .select(*key_cols,
+                   *[F.col(a).alias(f"__d_{a}") for a in attr_cols],
+                   F.lit(True).alias("__d_exists")))
+
+    joined = c_df.join(cur, key_cols, "left")
+    differs = None
+    for a in attr_cols:
+        d = ~F.col(a).eqNullSafe(F.col(f"__d_{a}"))
+        differs = d if differs is None else (differs | d)
+    is_new = F.col("__d_exists").isNull()
+    acting = joined.filter(is_new | differs).select(
+        *key_cols, *attr_cols, "__ts", is_new.alias("__is_new"))
+
+    # staged source: closers carry the real merge key; inserts carry NULL
+    mk = [f"__mk_{k}" for k in key_cols]
+    closers = (acting.filter(~F.col("__is_new"))
+               .select(*[F.col(k).alias(m) for k, m in zip(key_cols, mk)],
+                       *key_cols, *attr_cols, "__ts"))
+    inserts = acting.select(
+        *[F.lit(None).cast(closers.schema[m].dataType).alias(m)
+          for m in mk],
+        *key_cols, *attr_cols, "__ts")
+    staged = closers.unionByName(inserts)
+
+    on = " AND ".join([f"t.{k} <=> s.__mk_{k}" for k in key_cols]
+                      + [f"t.{CURRENT_COL}"])
+    insert_map = {k: f"s.{k}" for k in key_cols}
+    insert_map.update({a: f"s.{a}" for a in attr_cols})
+    insert_map[FROM_COL] = "s.__ts"
+    insert_map[TO_COL] = "CAST(NULL AS LONG)"
+    insert_map[CURRENT_COL] = "true"
+    return merge_into(
+        table, staged, on=on,
+        when_matched=[WhenMatched(update={TO_COL: "s.__ts",
+                                          CURRENT_COL: "false"})],
+        when_not_matched=[WhenNotMatched(insert=insert_map)],
+        check_cardinality=False,  # closers are key-unique by the dup guard;
+                                  # inserts have NULL merge keys (never match)
+    )

@@ -1,0 +1,73 @@
+import pytest
+
+from incubator_iceberg_spark.functions import scd
+from incubator_iceberg_spark.schema import Schema
+
+
+def _dim(warehouse, spark):
+    t = warehouse.create_table(
+        "db.dim", "k long, seg string, score long, "
+                  "effective_from long, effective_to long, is_current boolean")
+    rows = [(1, "A", 10), (2, "B", 20), (3, "C", None)]
+    df = spark.createDataFrame(
+        [(k, s, v, 0, None, True) for k, s, v in rows],
+        t.to_df().schema)
+    t.append(df)
+    return t
+
+
+def _changes(spark, rows, ts):
+    return spark.createDataFrame([(k, s, v, ts) for k, s, v in rows],
+                                 "k long, seg string, score long, ts long")
+
+
+def test_scd2_close_insert_new_and_noop(warehouse, spark):
+    t = _dim(warehouse, spark)
+    batch = _changes(spark, [
+        (1, "A", 11),      # score change -> close + insert
+        (2, "B", 20),      # identical -> no-op
+        (3, "C", 5),       # NULL -> value is a change
+        (9, "Z", 99),      # new key -> insert only
+    ], ts=100)
+    scd.scd2_apply(t, batch, ["k"], ["seg", "score"], "ts")
+    got = {(r["k"], r["effective_from"]): r
+           for r in t.to_df().collect()}
+    assert len(got) == 6  # 3 original + 2 new versions + 1 new key
+    assert got[(1, 0)]["effective_to"] == 100 and not got[(1, 0)]["is_current"]
+    assert got[(1, 100)]["score"] == 11 and got[(1, 100)]["is_current"]
+    assert got[(2, 0)]["effective_to"] is None and got[(2, 0)]["is_current"]
+    assert got[(3, 100)]["score"] == 5
+    assert got[(9, 100)]["seg"] == "Z" and got[(9, 100)]["is_current"]
+    # exactly one current row per key
+    cur = t.to_df().filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_second_batch_closes_first_version(warehouse, spark):
+    t = _dim(warehouse, spark)
+    scd.scd2_apply(t, _changes(spark, [(1, "A", 11)], 100),
+                   ["k"], ["seg", "score"], "ts")
+    scd.scd2_apply(t, _changes(spark, [(1, "A2", 12)], 200),
+                   ["k"], ["seg", "score"], "ts")
+    rows = sorted(t.to_df().filter("k = 1").collect(),
+                  key=lambda r: r["effective_from"])
+    assert [(r["effective_from"], r["effective_to"], r["is_current"])
+            for r in rows] == [(0, 100, False), (100, 200, False),
+                               (200, None, True)]
+
+
+def test_scd2_rejects_duplicate_batch_keys(warehouse, spark):
+    t = _dim(warehouse, spark)
+    batch = _changes(spark, [(1, "A", 11), (1, "A", 12)], 100)
+    with pytest.raises(ValueError, match="multiple rows"):
+        scd.scd2_apply(t, batch, ["k"], ["seg", "score"], "ts")
+
+
+def test_scd2_null_to_null_is_noop(warehouse, spark):
+    t = _dim(warehouse, spark)
+    before = t.metadata.current_snapshot_id
+    scd.scd2_apply(t, _changes(spark, [(3, "C", None)], 100),
+                   ["k"], ["seg", "score"], "ts")
+    # nothing acted: merge commits no rewrite (snapshot may stay put)
+    assert t.to_df().count() == 3
+    assert t.to_df().filter("k = 3 and is_current").first()["score"] is None
