@@ -3046,6 +3046,53 @@ def q_scd2_dimension(spark, sf_dir):
                             "effective_to", "is_current")
 
 
+def q_all_files_meta(spark, sf_dir):
+    """``all_data_files`` / ``all_entries`` metadata tables +
+    FindFiles (A4) driven end-to-end (AllDataFilesTable.java /
+    AllEntriesTable.java / FindFiles.java analogs): two appends into an
+    identity-partitioned table followed by a compaction.  The current
+    ``files`` sum is the table row count; ``all_data_files`` unions
+    every valid snapshot's live files (originals + compacted = exactly
+    2x rows, deduped by path with the compaction's DELETED rows
+    excluded); ``find_files`` on a partition-aligned predicate returns
+    entries whose record sum equals that partition's rows — all three
+    derivable in SQL from orders."""
+    from pyspark.sql import functions as F
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    src = orders.select("o_orderkey", "o_totalprice",
+                        (F.col("o_orderkey") % 4).alias("grp"))
+    t = cat.create_table(
+        "s.orders_allfiles",
+        "o_orderkey long, o_totalprice double, grp long",
+        partition_by=["grp"])
+    t.append(src.filter("o_orderkey % 2 = 0"))
+    t.append(src.filter("o_orderkey % 2 = 1"))
+    t.rewrite_data_files(min_input_files=2)
+    cur = t.metadata_table("files").agg(
+        F.sum("record_count").cast("long").alias("n_cur_records")).first()
+    allf = t.metadata_table("all_data_files").agg(
+        F.sum("record_count").cast("long").alias("n")).first()
+    found = t.find_files("grp = 1")
+    n_find = sum(e["record_count"] for e in found)
+    n_entries_live = (t.metadata_table("all_entries")
+                      .filter("status != 2 and content = 0")
+                      .select("file_path").distinct().count())
+    n_all_files = t.metadata_table("all_data_files").count()
+    assert n_entries_live == n_all_files, (n_entries_live, n_all_files)
+    return spark.createDataFrame(
+        [(cur["n_cur_records"], allf["n"], int(n_find))],
+        "n_cur_records long, n_all_records long, n_find_grp1 long")
+
+
+ALL_FILES_ORACLE_SQL = """
+SELECT (SELECT count(*) FROM orders) AS n_cur_records,
+       2 * (SELECT count(*) FROM orders) AS n_all_records,
+       (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 1)
+         AS n_find_grp1
+"""
+
+
 SCD2_ORACLE_SQL = """
 WITH base AS (
   SELECT c_custkey AS k, c_mktsegment AS seg,
@@ -3139,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-verified (new r4 + late-r3 additions) -----------
         "scd2_dimension": q_scd2_dimension,
+        "all_files_meta": q_all_files_meta,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "merge_schema_append": q_merge_schema_append,
@@ -3420,6 +3468,7 @@ def oracle_sql() -> dict[str, str]:
     from incubator_iceberg_spark.functions.similarity import kmeans_oracle_sql
     return {
         "scd2_dimension": SCD2_ORACLE_SQL,
+        "all_files_meta": ALL_FILES_ORACLE_SQL,
         "pagerank": pagerank_sql(copurchase_edge_sql(order_mod=4), iters=3),
         "copurchase_lift": copurchase_lift_sql(min_support=2),
         "metadata_count": """
