@@ -151,6 +151,15 @@ class SqliteCatalog:
         ops = self._ops(name)
         if ops.refresh() is not None:
             raise TableAlreadyExistsError(name)
+        # a renamed-away table keeps its original (name-derived) directory;
+        # re-creating the old name must NOT share it — interleaved metadata
+        # versions and orphan-file cleanup would corrupt both tables.  Pick
+        # a fresh suffixed location instead (the pointer row, not the path,
+        # is the identity — JdbcCatalog/Nessie location-independence).
+        if os.path.isdir(os.path.join(ops.location, "metadata")):
+            ops = SqliteTableOperations(
+                self.db_path, name,
+                ops.location + "-" + uuid.uuid4().hex[:8])
         schema = _as_schema(schema)
         if identifier_fields:
             ids = []
@@ -198,10 +207,15 @@ class SqliteCatalog:
     def drop_table(self, name: str, purge: bool = True) -> bool:
         import shutil
         with _connect(self.db_path) as con:
+            row = con.execute(
+                "SELECT location FROM iceberg_tables WHERE name = ?",
+                (name,)).fetchone()
             cur = con.execute("DELETE FROM iceberg_tables WHERE name = ?", (name,))
             existed = cur.rowcount > 0
         if existed and purge:
-            shutil.rmtree(self._table_location(name), ignore_errors=True)
+            # purge the POINTER's location — a renamed table lives at its
+            # original directory, not the current-name-derived path
+            shutil.rmtree(row[0], ignore_errors=True)
         return existed
 
     def rename_table(self, name: str, new_name: str) -> None:
