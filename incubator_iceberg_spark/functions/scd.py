@@ -66,6 +66,19 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
     if dup:
         raise ValueError("SCD2 batch has multiple rows for one key; "
                          "apply batches in ts order instead")
+    # NULL business keys are rejected outright: staged INSERT rows carry
+    # NULL merge keys by design, and the MERGE ON uses null-safe equality,
+    # so a NULL-keyed row on either side would cross-match every insert
+    # (silent fan-out with check_cardinality=False).  The ON clause below
+    # also carries an explicit IS NOT NULL guard as defense in depth
+    # against a NULL-keyed *current* row already present in the dimension.
+    null_key = None
+    for k in key_cols:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    if c_df.filter(null_key).limit(1).collect():
+        raise ValueError("SCD2 batch has NULL business key(s); SCD2 keys "
+                         "must be non-null")
 
     cur = (table.to_df().filter(F.col(CURRENT_COL))
            .select(*key_cols,
@@ -92,7 +105,12 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
         *key_cols, *attr_cols, "__ts")
     staged = closers.unionByName(inserts)
 
-    on = " AND ".join([f"t.{k} <=> s.__mk_{k}" for k in key_cols]
+    # s.__mk_k IS NOT NULL keeps staged inserts (NULL merge keys) AND any
+    # NULL-keyed current dimension row out of the match: NULL <=> NULL is
+    # TRUE, so without the guard one NULL-keyed current row would match
+    # every staged insert and silently duplicate/close rows.
+    on = " AND ".join([f"s.__mk_{k} IS NOT NULL" for k in key_cols]
+                      + [f"t.{k} <=> s.__mk_{k}" for k in key_cols]
                       + [f"t.{CURRENT_COL}"])
     insert_map = {k: f"s.{k}" for k in key_cols}
     insert_map.update({a: f"s.{a}" for a in attr_cols})

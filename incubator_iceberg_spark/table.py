@@ -804,6 +804,14 @@ class Table:
         if cand is None:
             return {"count": 0, "metadata_only_files": 0,
                     "scanned_files": 0}
+        # record_count may substitute for a missing value_count ONLY for a
+        # top-level primitive column (exactly one value slot per row); a
+        # nested/repeated column can hold 0..N values per row, so the
+        # substitution would be a silent wrong count — those files scan.
+        from incubator_iceberg_spark import schema as S
+        fld = next((f for f in md.schema().fields if f.name == column), None)
+        top_scalar = fld is not None and not isinstance(
+            fld.type, (S.StructType, S.ListType, S.MapType))
         n = 0
         meta_files = 0
         partial = []
@@ -811,7 +819,7 @@ class Table:
             e = c.entry
             nulls = (e.get("null_counts") or {}).get(column)
             values = (e.get("value_counts") or {}).get(column)
-            if values is None:
+            if values is None and top_scalar:
                 # top-level scalar: one value per row
                 values = e.get("record_count")
             if not c["strict"] or nulls is None or values is None:

@@ -71,3 +71,32 @@ def test_scd2_null_to_null_is_noop(warehouse, spark):
     # nothing acted: merge commits no rewrite (snapshot may stay put)
     assert t.to_df().count() == 3
     assert t.to_df().filter("k = 3 and is_current").first()["score"] is None
+
+def test_scd2_rejects_null_batch_keys(warehouse, spark):
+    t = _dim(warehouse, spark)
+    batch = _changes(spark, [(None, "A", 11)], 100)
+    with pytest.raises(ValueError, match="NULL business key"):
+        scd.scd2_apply(t, batch, ["k"], ["seg", "score"], "ts")
+
+
+def test_scd2_null_keyed_current_row_never_matches_inserts(warehouse, spark):
+    # A NULL-keyed current row already in the dimension must not match the
+    # staged INSERT rows (which carry NULL merge keys): NULL <=> NULL is
+    # TRUE, so without the IS NOT NULL guard in the MERGE ON, every insert
+    # would fan out against it with the cardinality guard off.
+    t = _dim(warehouse, spark)
+    df = spark.createDataFrame([(None, "X", 1, 0, None, True)],
+                               t.to_df().schema)
+    t.append(df)
+    batch = _changes(spark, [(1, "A", 11), (9, "Z", 99)], 100)
+    scd.scd2_apply(t, batch, ["k"], ["seg", "score"], "ts")
+    rows = t.to_df().collect()
+    # 4 original + 1 new version of k=1 + 1 new key = 6; no duplicates
+    assert len(rows) == 6
+    nul = [r for r in rows if r["k"] is None]
+    assert len(nul) == 1 and nul[0]["is_current"] \
+        and nul[0]["effective_to"] is None
+    got = {(r["k"], r["effective_from"]): r for r in rows if r["k"] is not None}
+    assert got[(1, 0)]["effective_to"] == 100 and not got[(1, 0)]["is_current"]
+    assert got[(1, 100)]["score"] == 11 and got[(1, 100)]["is_current"]
+    assert got[(9, 100)]["is_current"]

@@ -391,6 +391,29 @@ def test_count_non_null_pushdown(warehouse, orders, spark):
         t.count_non_null("nope")
 
 
+def test_count_non_null_nested_column_takes_scan_path(warehouse, spark):
+    """record_count may stand in for a missing value_count ONLY for a
+    top-level primitive: an array column holds 0..N values per row, so
+    substituting record_count would silently overcount — those files
+    must take the scan path instead (table.py count_non_null guard)."""
+    from incubator_iceberg_spark.schema import Schema
+    base = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 != 0,
+               F.array(F.col("id"), F.col("id") * 2)).alias("vals"))
+    t = warehouse.create_table("db.cnn_nested", Schema.from_spark(base.schema))
+    t.append(base)
+    want = base.filter("vals IS NOT NULL").count()
+    r = t.count_non_null("vals")
+    assert r["count"] == want == 75
+    # the array column has no per-column value_counts, and record_count
+    # substitution is barred for it: the file must have been scanned
+    assert r["scanned_files"] > 0 and r["metadata_only_files"] == 0
+    # top-level primitive on the same table still folds from metadata
+    r = t.count_non_null("id")
+    assert r["count"] == 100 and r["scanned_files"] == 0
+
+
 def test_nested_bounds_prune_in_distributed_plan_mode(warehouse, spark):
     """The Spark-job planner resolves dotted bounds-struct field names
     (getField('nested.col1')) the same as the driver-local planner."""
