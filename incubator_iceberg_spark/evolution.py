@@ -77,6 +77,8 @@ class UpdateSchema:
             new = dataclasses.replace(base)
             fields = list(base.schema().fields)
             next_id = base.last_column_id
+            renames: dict = {}  # field_id → new name, for mapping update
+            added: list = []
 
             def idx(name):
                 for i, f in enumerate(fields):
@@ -101,6 +103,7 @@ class UpdateSchema:
                     col_type = _with_fresh_nested_ids(col_type, alloc)
                     fields.append(S.NestedField(fid, name, col_type,
                                                 required=False, doc=doc))
+                    added.append(fields[-1])
                 elif kind == "delete":
                     fid = fields[idx(op[1])].field_id
                     # reference SchemaUpdate rejects deleting fields
@@ -128,6 +131,7 @@ class UpdateSchema:
                     fields.pop(idx(op[1]))
                 elif kind == "rename":
                     i = idx(op[1])
+                    renames[fields[i].field_id] = op[2]
                     fields[i] = dataclasses.replace(fields[i], name=op[2])
                 elif kind == "update_type":
                     i = idx(op[1])
@@ -154,6 +158,18 @@ class UpdateSchema:
             # re-root existing specs on the new schema so field paths resolve
             new.specs = [PartitionSpec(new_schema, sp.fields, sp.spec_id)
                          for sp in base.specs]
+            # keep the stored name mapping current (SchemaUpdate.java:404
+            # MappingUtil.update): a renamed field gains the new name as
+            # an alias, added columns extend the mapping — imported
+            # field-ID-less files stay readable across evolution
+            from incubator_iceberg_spark import mapping as NM
+            raw = (base.properties or {}).get(NM.NAME_MAPPING_PROP)
+            if raw and (renames or added):
+                nm = NM.update_mapping(NM.NameMapping.from_json(raw),
+                                       renames, added)
+                props = dict(base.properties)
+                props[NM.NAME_MAPPING_PROP] = nm.to_json()
+                new.properties = props
             new.last_updated_ms = MD.now_ms()
             return new
 

@@ -36,6 +36,8 @@ def add_files(table, source_dir, spark=None,
     directory to walk or an explicit list of file paths; avro imports get
     row counts from block headers (no column bounds → no metrics pruning
     until rewritten)."""
+    from incubator_iceberg_spark import mapping as NM
+
     spark = spark or table.spark
     if isinstance(source_dir, (list, tuple)):
         files = list(source_dir)
@@ -45,8 +47,17 @@ def add_files(table, source_dir, spark=None,
         return {"added_files": 0}
     schema = table.metadata.schema()
     spec = table.metadata.spec()
+    # name-mapped import (schema.name-mapping.default set): the files are
+    # field-ID-less FOREIGN parquet whose physical names may be aliases.
+    # Footer stats re-key alias→canonical so pruning keeps working, and
+    # the entries carry FOREIGN_SCHEMA_ID so the read path resolves their
+    # columns via the mapping instead of a stored write-schema
+    # (core/.../mapping/MappingUtil.java + parquet ApplyNameMapping.java).
+    nm = NM.table_mapping(table.metadata) if file_format != "avro" else None
+    alias_map = NM.alias_to_canonical(nm, schema) if nm is not None else None
     stats = W.collect_file_stats(spark, files, schema,
-                                 file_format=file_format)
+                                 file_format=file_format,
+                                 alias_map=alias_map)
     entries = []
     for st in stats:
         e = {
@@ -59,6 +70,8 @@ def add_files(table, source_dir, spark=None,
             "lower_bounds": st["lower_bounds"],
             "upper_bounds": st["upper_bounds"],
         }
+        if nm is not None:
+            e["schema_id"] = NM.FOREIGN_SCHEMA_ID
         if spec.is_partitioned:
             e["partition"] = _partition_from_bounds(st, spec, schema)
         entries.append(e)

@@ -577,6 +577,30 @@ def read_entries(spark, md, data_entries, delete_entries, current_schema,
 
     parts = []
     for (schema_id, fmt), paths in by_group.items():
+        if schema_id == -1:  # mapping.FOREIGN_SCHEMA_ID
+            # field-ID-less imported files: resolve physical columns via
+            # the stored name mapping (schema.name-mapping.default;
+            # parquet/.../ApplyNameMapping.java analog).  Read with the
+            # files' own physical schema (mergeSchema unions differing
+            # foreign layouts by name), then project each current field
+            # from its first present alias; no alias present → NULL.
+            from incubator_iceberg_spark import mapping as NM
+            nm = NM.table_mapping(md)
+            if nm is not None and fmt in ("parquet", "orc"):
+                reader = spark.read.option("mergeSchema", "true")
+                df = (reader.orc(*paths) if fmt == "orc"
+                      else reader.parquet(*paths))
+                lineage = None
+                if need_lineage:
+                    pos = (F.col("_metadata.row_index") if fmt != "orc"
+                           else F.lit(None).cast("long"))
+                    lineage = [F.col("_metadata.file_path").alias("_file"),
+                               pos.alias("_pos")]
+                parts.append(NM.apply_to_df(df, nm, current_schema,
+                                            extra=lineage))
+                continue
+            # legacy fallback (mapping property since removed): read with
+            # the current schema by name, the pre-mapping behavior
         file_schema = md.schema_by_id(schema_id) if any(
             s.schema_id == schema_id for s in md.schemas) else current_schema
         if fmt == "avro":

@@ -340,7 +340,11 @@ def _list_parquet_files(root: str) -> list:
 # ---------------------------------------------------------------------------
 
 def collect_file_stats(spark, files: list, schema: S.Schema,
-                       file_format: str = "parquet") -> list:
+                       file_format: str = "parquet",
+                       alias_map: Optional[dict] = None) -> list:
+    """``alias_map`` ({physical name → canonical schema name}, from
+    mapping.alias_to_canonical) re-keys foreign footer stats for
+    name-mapped imports; None = physical names already match."""
     if not files:
         return []
     if file_format == "orc":
@@ -366,21 +370,25 @@ def collect_file_stats(spark, files: list, schema: S.Schema,
             # a small thread pool cuts the driver-side stats wall time
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-                return list(ex.map(lambda p: footer_stats(p, schema), files))
-        return [footer_stats(p, schema) for p in files]
+                return list(ex.map(
+                    lambda p: footer_stats(p, schema, alias_map=alias_map),
+                    files))
+        return [footer_stats(p, schema, alias_map=alias_map) for p in files]
     # distributed path: ship paths, read footers on executors, return JSON
     import pandas as pd
 
     schema_json = json.dumps(schema.to_json())
+    alias_json = json.dumps(alias_map) if alias_map is not None else None
 
     def read_footers(batches):
         from incubator_iceberg_spark import write as W
         from incubator_iceberg_spark.schema import Schema as Sch
         sch = Sch.from_json(json.loads(schema_json))
+        amap = json.loads(alias_json) if alias_json is not None else None
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                st = W.footer_stats(p, sch)
+                st = W.footer_stats(p, sch, alias_map=amap)
                 rows.append(json.dumps(st, default=W._stats_json_default))
             yield pd.DataFrame({"stats": rows})
 
@@ -390,13 +398,23 @@ def collect_file_stats(spark, files: list, schema: S.Schema,
     return [_stats_from_json(r["stats"], schema) for r in raw]
 
 
-def footer_stats(path: str, schema: S.Schema) -> dict:
-    """Stats for one file from its Parquet footer (no data read)."""
+def footer_stats(path: str, schema: S.Schema,
+                 alias_map: Optional[dict] = None) -> dict:
+    """Stats for one file from its Parquet footer (no data read).
+    ``alias_map`` re-keys physical column names to canonical schema
+    names (name-mapped foreign imports, mapping.alias_to_canonical)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     ncols = md.num_columns
     names = [md.schema.column(i).path for i in range(ncols)]
+    if alias_map:
+        def _remap(n):
+            if n in alias_map:
+                return alias_map[n]
+            head, dot, rest = n.partition(".")
+            return alias_map.get(head, head) + dot + rest if dot else n
+        names = [_remap(n) for n in names]
     # dotted leaf paths (struct-nested included) — same set the manifest
     # bounds struct is keyed by, so footer stats flow into pruning
     top = {f.name: f for f in MF._stats_columns(schema)}
@@ -424,12 +442,21 @@ def footer_stats(path: str, schema: S.Schema) -> dict:
                 if name not in upper or _lt(upper[name], mx):
                     upper[name] = mx
     value_counts = {n: md.num_rows for n in top}
+    null_counts = {n: nulls.get(n, 0) for n in top}
+    if alias_map is not None:
+        # a schema column none of whose aliases exist in this foreign
+        # file reads as all-NULL: its stats must say so, or IS NULL
+        # predicates would wrongly prune / COUNT(col) would overcount
+        present = set(names)
+        for n in top:
+            if n not in present:
+                null_counts[n] = md.num_rows
     return {
         "file_path": path,
         "record_count": md.num_rows,
         "file_size_bytes": os.path.getsize(path),
         "value_counts": value_counts,
-        "null_counts": {n: nulls.get(n, 0) for n in top},
+        "null_counts": null_counts,
         "nan_counts": None,  # not in footers; conservative (no NaN pruning)
         "lower_bounds": lower,
         "upper_bounds": upper,
