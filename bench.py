@@ -105,6 +105,13 @@ BENCH_QUERIES = [
     # round-4f: SCD2 dimension maintenance (two MERGE batches incl. the
     # scratch dim build — the MERGE dynamic-file-filter path under load)
     "scd2_dimension",
+    # round-5: name-mapped foreign import (footer-stats harvest + mapped
+    # scan), shuffle-free co-bucketed join (timed body includes both
+    # bucketed table builds), stale-handle conflict scenario (append +
+    # MoR delete + aborted-then-refreshed compaction)
+    "name_mapping_import",
+    "bucket_join_agg",
+    "concurrent_committers",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -433,15 +433,23 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
         # lineage path — a per-file read + unionByName built an O(#files)
         # plan tree that made a 100-file MoR-debt scan 3x slower than the
         # single-eq-file table it was converted from
-        pos_df = (spark.read.schema(POS_DELETE_SCHEMA.to_spark())
-                  .parquet(*[e["file_path"] for e in pos_entries])
-                  .withColumn("___dfile",
-                              F.regexp_replace(F.col("_metadata.file_path"),
-                                               "^file:/*", "/")))
-        dseq = spark.createDataFrame(
-            [(e["file_path"], e.get("sequence_number") or 0)
-             for e in pos_entries], "___dfile string, ___del_seq long")
-        pos_df = pos_df.join(F.broadcast(dseq), "___dfile").drop("___dfile")
+        pos_df = spark.read.schema(POS_DELETE_SCHEMA.to_spark()) \
+            .parquet(*[e["file_path"] for e in pos_entries])
+        pos_seqs = {e.get("sequence_number") or 0 for e in pos_entries}
+        if len(pos_seqs) == 1:
+            # single-commit debt (the common single-writer case): a
+            # literal replaces the _metadata read + regexp + broadcast
+            # join the general path pays to stamp per-file sequences
+            pos_df = pos_df.withColumn("___del_seq", F.lit(pos_seqs.pop()))
+        else:
+            pos_df = pos_df.withColumn(
+                "___dfile", F.regexp_replace(F.col("_metadata.file_path"),
+                                             "^file:/*", "/"))
+            dseq = spark.createDataFrame(
+                [(e["file_path"], e.get("sequence_number") or 0)
+                 for e in pos_entries], "___dfile string, ___del_seq long")
+            pos_df = pos_df.join(F.broadcast(dseq), "___dfile") \
+                .drop("___dfile")
         cond = ((df["___path"] == pos_df["file_path"])
                 & (df["_pos"] == pos_df["pos"])
                 & (pos_df["___del_seq"] >= df["___seq"]))

@@ -64,6 +64,21 @@ def _translate_texts(col: pa.ChunkedArray, copy: int) -> pa.Array:
                      for v in col.to_pylist()], type=col.type)
 
 
+def _roll_vectors(col: pa.ChunkedArray, copy: int) -> pa.Array:
+    """Per-copy cyclic component roll: norm-preserving, similarity
+    structure WITHIN a copy identical to the original, directions across
+    copies decorrelated (copy 0 = identity) — the embedding analog of
+    the text translation, keeping cross-copy near-dup pairs from
+    exploding the semantic-dedup rehearsal."""
+    if copy == 0:
+        return col.combine_chunks()
+    vals = col.to_pylist()
+    dim = next((len(v) for v in vals if v), 1)
+    r = copy % dim or 1
+    return pa.array([None if v is None else v[r:] + v[:r] for v in vals],
+                    type=col.type)
+
+
 def scale_dir(src: str, dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
     offs = _family_offsets(src)
@@ -83,6 +98,8 @@ def scale_dir(src: str, dst: str, factor: int) -> None:
                                                 type=col.type))
                 elif tbl == "documents" and name == "text":
                     col = _translate_texts(col, i)
+                elif tbl == "embeddings" and name == "embedding":
+                    col = _roll_vectors(col, i)
                 cols.append(col)
             copies.append(pa.table(cols, schema=t.schema))
         out = pa.concat_tables(copies)
