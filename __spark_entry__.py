@@ -1354,6 +1354,29 @@ def q_streaming_consume(spark, sf_dir):
     return out
 
 
+def q_streaming_rate_limited(spark, sf_dir):
+    """S4 rate limiting: one multi-file append snapshot is consumed in
+    file-bounded micro-batches via (snapshot_id, file_index) offsets
+    (MicroBatches.java:37-53 / SparkMicroBatchStream.java:75-132).  The
+    union of the rate-limited batches must equal the table exactly once
+    — no loss at batch boundaries, no dup on the mid-snapshot resume."""
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_rl", Schema.from_spark(orders.schema))
+    t.append(orders.filter("o_orderkey % 2 = 0").repartition(5))  # 5-file snapshot
+    t.append(orders.filter("o_orderkey % 2 = 1").repartition(3))  # 3-file snapshot
+    rd = STR.MicroBatchReader(t)
+    out, n_batches = None, 0
+    for df, _off in rd.batches(max_snapshots_per_batch=None,
+                               max_files_per_batch=2):
+        out = df if out is None else out.unionByName(df)
+        n_batches += 1
+    assert n_batches == 4, f"expected 4 rate-limited batches, got {n_batches}"
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def q_compaction(spark, sf_dir):
     from incubator_iceberg_spark.schema import Schema
     cat = _scratch_catalog(spark)
@@ -3342,6 +3365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1,
         "q3_shipping_priority": q_q3,
         # ====================== past the 50-row window ====================
+        # --- new in r5 after the prefix froze (r6 prefix candidates) -------
+        "streaming_rate_limited": q_streaming_rate_limited,
         # --- r2-green, code path redundantly covered by window rows -------
         "q6_forecast_revenue": q_q6,
         "filter_pushdown_scan": q_filter_scan,
@@ -4805,6 +4830,8 @@ ORDER BY c_mktsegment
             FROM sess GROUP BY user_id, session_seq
         """,
         "streaming_consume": "SELECT * FROM events",
+        "streaming_rate_limited":
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
         "streaming_windowed_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n

@@ -24,7 +24,7 @@ from typing import Iterator, Optional
 
 from incubator_iceberg_spark import metadata as MD
 from incubator_iceberg_spark import snapshots as SN
-from incubator_iceberg_spark.scan import TableScan
+from incubator_iceberg_spark.scan import TableScan, read_entries
 
 EPOCH_KEY = "streaming.epoch-id"
 QUERY_KEY = "streaming.query-id"
@@ -46,18 +46,27 @@ class MicroBatchReader:
         self.checkpoint_dir = checkpoint_dir
         self.skip_delete = skip_delete_snapshots
         self.skip_overwrite = skip_overwrite_snapshots
-        self.offset = from_snapshot_id  # last consumed snapshot id (None = beginning)
+        # last consumed position: (snapshot id, files consumed within it);
+        # file_index=-1 means the snapshot is fully consumed (the reference
+        # offset is likewise (snapshotId, fileIndex) — MicroBatches.java:37)
+        self.offset = (from_snapshot_id, -1)
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
-            self.offset = self._load_offset() or from_snapshot_id
+            loaded = self._load_offset()
+            if loaded is not None:
+                self.offset = loaded
 
     def _offset_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "offset.json")
 
-    def _load_offset(self) -> Optional[int]:
+    def _load_offset(self):
         try:
             with open(self._offset_path()) as f:
-                return json.load(f).get("snapshot_id")
+                d = json.load(f)
+            if d.get("snapshot_id") is None:
+                return None
+            # pre-file-offset checkpoints carry no file_index: fully consumed
+            return (d["snapshot_id"], d.get("file_index", -1))
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
@@ -65,17 +74,23 @@ class MicroBatchReader:
         if not self.checkpoint_dir:
             return
         tmp = self._offset_path() + ".tmp"
+        sid, idx = self.offset
         with open(tmp, "w") as f:
-            json.dump({"snapshot_id": self.offset}, f)
+            json.dump({"snapshot_id": sid, "file_index": idx}, f)
         os.replace(tmp, self._offset_path())
 
     def _pending_snapshots(self) -> list:
+        """Snapshots with unconsumed rows, oldest first.  A partially
+        consumed snapshot (offset file_index >= 0) is itself pending."""
         md = self.table.refresh().metadata
+        sid, idx = self.offset
         chain = []
         cur = md.current_snapshot()
-        while cur is not None and cur.snapshot_id != self.offset:
+        while cur is not None and cur.snapshot_id != sid:
             chain.append(cur)
             cur = md.snapshot_by_id(cur.parent_id) if cur.parent_id is not None else None
+        if cur is not None and idx >= 0:
+            chain.append(cur)  # mid-snapshot: its tail files are pending
         chain.reverse()  # oldest first
         out = []
         for s in chain:
@@ -91,26 +106,79 @@ class MicroBatchReader:
                     f"enable skip_delete_snapshots/skip_overwrite_snapshots")
         return out
 
-    def next_batch(self, max_snapshots_per_batch: Optional[int] = None):
+    def _added_data_entries(self, snap) -> list:
+        """One snapshot's ADDED data entries in deterministic (file_path)
+        order — the positional basis for file-level offsets."""
+        scan = TableScan(self.table, self.spark).appends_between(
+            snap.parent_id, snap.snapshot_id)
+        data, _dels = scan._plan_split()
+        return sorted(data, key=lambda e: e["file_path"])
+
+    def next_batch(self, max_snapshots_per_batch: Optional[int] = None,
+                   max_files_per_batch: Optional[int] = None):
         """Return (DataFrame, new_offset) or None when caught up.  The
-        DataFrame contains rows appended in the consumed snapshot range."""
+        DataFrame contains rows appended in the consumed range.
+
+        ``max_files_per_batch`` bounds batch size at FILE granularity:
+        one huge append snapshot (10^5 files on a 100 TB table) is split
+        across micro-batches instead of becoming one unboundedly large
+        batch; the offset advances to (snapshot_id, file_index) mid-
+        snapshot, exactly the reference's rate-limited offset
+        (SparkMicroBatchStream.java:75-132, MicroBatches.java:37-53)."""
         pending = self._pending_snapshots()
         if not pending:
             return None
-        take = pending[:max_snapshots_per_batch] if max_snapshots_per_batch else pending
-        to_incl = take[-1].snapshot_id
-        # appends_between(None, x) walks to the root = "from the beginning"
-        df = (TableScan(self.table, self.spark)
-              .appends_between(self.offset, to_incl).to_df())
-        self.offset = to_incl
+        if max_snapshots_per_batch:
+            pending = pending[:max_snapshots_per_batch]
+        if max_files_per_batch is None:
+            to_incl = pending[-1].snapshot_id
+            from_sid, from_idx = self.offset
+            if from_idx >= 0:
+                # resume mid-snapshot: tail of the offset snapshot + rest
+                entries = self._added_data_entries(pending[0])[from_idx:]
+                for s in pending[1:]:
+                    entries.extend(self._added_data_entries(s))
+                df = read_entries(self.spark, self.table.metadata, entries,
+                                  [], self.table.metadata.schema())
+            else:
+                # appends_between(None, x) walks to the root = "beginning"
+                df = (TableScan(self.table, self.spark)
+                      .appends_between(from_sid, to_incl).to_df())
+            self.offset = (to_incl, -1)
+            self._save_offset()
+            return df, to_incl
+
+        budget = max_files_per_batch
+        batch_entries: list = []
+        from_sid, from_idx = self.offset
+        new_offset = self.offset
+        for s in pending:
+            if budget <= 0:
+                break
+            entries = self._added_data_entries(s)
+            start = from_idx if (from_idx >= 0 and s.snapshot_id == from_sid) else 0
+            take = entries[start:start + budget]
+            batch_entries.extend(take)
+            budget -= len(take)
+            consumed = start + len(take)
+            new_offset = ((s.snapshot_id, -1) if consumed >= len(entries)
+                          else (s.snapshot_id, consumed))
+        if not batch_entries:
+            # pending snapshots exist but add no data files (e.g. empty
+            # appends): mark them consumed rather than spinning
+            new_offset = (pending[-1].snapshot_id, -1)
+        df = read_entries(self.spark, self.table.metadata, batch_entries,
+                          [], self.table.metadata.schema())
+        self.offset = new_offset
         self._save_offset()
-        return df, to_incl
+        return df, (new_offset[0] if new_offset[1] < 0 else new_offset)
 
     def batches(self, max_batches: Optional[int] = None,
-                max_snapshots_per_batch: int = 1) -> Iterator:
+                max_snapshots_per_batch: Optional[int] = 1,
+                max_files_per_batch: Optional[int] = None) -> Iterator:
         n = 0
         while max_batches is None or n < max_batches:
-            out = self.next_batch(max_snapshots_per_batch)
+            out = self.next_batch(max_snapshots_per_batch, max_files_per_batch)
             if out is None:
                 return
             yield out

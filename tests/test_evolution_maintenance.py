@@ -568,3 +568,49 @@ def test_merge_schema_append_remaps_columns_across_concurrent_rename(
     rows = {r["id"]: (r["note2"], r["extra"])
             for r in t2.refresh().to_df().collect()}
     assert rows == {1: ("a", None), 2: ("b", 20), 3: ("c", 30)}
+
+
+def test_streaming_file_level_rate_limit(warehouse, orders, tmp_path):
+    """max_files_per_batch splits ONE multi-file append snapshot across
+    micro-batches with (snapshot_id, file_index) offsets — the reference's
+    rate-limited offset (MicroBatches.java:37-53).  A 100 TB table's single
+    append can hold 10^5 files; consumers must chew it in bounded bites."""
+    from incubator_iceberg_spark import streaming as STR
+
+    t = warehouse.create_table("db.rl", Schema.from_spark(orders.schema))
+    # one snapshot, 5 files
+    t.append(orders.limit(100).repartition(5))
+    t.append(orders.limit(10).coalesce(1))  # second snapshot, 1 file
+    n_files = len(t.new_scan().plan_files())
+    assert n_files == 6
+
+    ck = str(tmp_path / "ck_rl")
+    rd = STR.MicroBatchReader(t, checkpoint_dir=ck)
+    sizes, offsets = [], []
+    for df, off in rd.batches(max_snapshots_per_batch=None,
+                              max_files_per_batch=2):
+        sizes.append(df.count())
+        offsets.append(off)
+    # 6 files / 2 per batch = 3 batches; total rows conserved exactly once
+    assert len(sizes) == 3
+    assert sum(sizes) == 110
+    # mid-snapshot offsets are (snapshot_id, file_index) tuples; the final
+    # one collapses back to the plain snapshot id (fully consumed)
+    assert isinstance(offsets[0], tuple) and offsets[0][1] == 2
+    assert isinstance(offsets[-1], int)
+
+    # checkpoint restart mid-snapshot resumes at the file index
+    rd2 = STR.MicroBatchReader(t, checkpoint_dir=str(tmp_path / "ck_rl2"))
+    first = rd2.next_batch(max_files_per_batch=3)
+    assert first[0].count() > 0
+    rd3 = STR.MicroBatchReader(t, checkpoint_dir=str(tmp_path / "ck_rl2"))
+    rest = [df.count() for df, _ in rd3.batches(max_snapshots_per_batch=None,
+                                                max_files_per_batch=100)]
+    assert first[0].count() + sum(rest) == 110
+    assert rd3.next_batch() is None
+
+    # no-limit path is unchanged and equivalent
+    rd4 = STR.MicroBatchReader(t)
+    total = sum(df.count() for df, _ in rd4.batches(
+        max_snapshots_per_batch=None))
+    assert total == 110
