@@ -2900,6 +2900,23 @@ def q_robust_stats(spark, sf_dir):
                                "o_orderkey")
 
 
+def q_percentile_exact(spark, sf_dir):
+    """Exact p50/p90/p99 order statistics of lineitem extendedprice cents
+    via analytics.percentile_exact — distributed selection by multi-pass
+    histogram narrowing (one min/max/count aggregate + one shared 4096-
+    bucket histogram + range-pruned refinement passes), never a global
+    sort.  Type-1 semantics (k = 1 + floor(p*(n-1))), integer ranks via
+    Fraction so the SQL oracle replays them bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark.functions import analytics
+    li = _table(spark, sf_dir, "lineitem_part").to_df()
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    return analytics.percentile_exact_df(
+        spark, cents, "cents", [0.5, 0.9, 0.99])
+
+
 def q_gap_fill_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate (temporal.rollup_gap_fill):
     hourly time-bucket rollup of a sparse event stream (every-97th user)
@@ -3367,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ====================== past the 50-row window ====================
         # --- new in r5 after the prefix froze (r6 prefix candidates) -------
         "streaming_rate_limited": q_streaming_rate_limited,
+        "percentile_exact": q_percentile_exact,
         # --- r2-green, code path redundantly covered by window rows -------
         "q6_forecast_revenue": q_q6,
         "filter_pushdown_scan": q_filter_scan,
@@ -4832,6 +4850,20 @@ ORDER BY c_mktsegment
         "streaming_consume": "SELECT * FROM events",
         "streaming_rate_limited":
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+        "percentile_exact": """
+            WITH v AS (
+              SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem),
+            s AS (
+              SELECT c, row_number() OVER (ORDER BY c) AS rn,
+                     count(*) OVER () AS n
+              FROM v)
+            SELECT CAST(p.p_bp AS BIGINT) AS p_bp,
+                   CAST(s.rn AS BIGINT) AS rank,
+                   s.c AS value
+            FROM (VALUES (5000), (9000), (9900)) AS p(p_bp)
+            JOIN s ON s.rn = 1 + (p.p_bp * (s.n - 1)) // 10000
+        """,
         "streaming_windowed_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n

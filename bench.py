@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "name_mapping_import",
     "bucket_join_agg",
     "concurrent_committers",
+    # round-5b: distributed exact order statistics (histogram narrowing)
+    # + file-rate-limited streaming consumption (4 bounded micro-batches
+    # incl. the scratch 2-snapshot build)
+    "percentile_exact",
+    "streaming_rate_limited",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -52,3 +52,102 @@ def skyline2d(df, x_col: str, y_col: str, id_col: str, salt: int = 64):
     out = _skyline_pass(local, "x", "y", [])
     return out.select(F.col("id").alias(id_col),
                       F.col("x").alias(x_col), F.col("y").alias(y_col))
+
+
+def percentile_exact(df, col: str, ps, buckets: int = 4096,
+                     max_passes: int = 8):
+    """EXACT p-quantiles of an int64 column by multi-pass histogram
+    narrowing — the distributed selection algorithm, no global sort.
+
+    Semantics: type-1 / lower order statistic — the k-th smallest value
+    with k = 1 + floor(p * (n - 1)) over non-null rows (DuckDB
+    ``ORDER BY c LIMIT 1 OFFSET k-1`` equivalent; exact under ties).
+
+    Scale shape (the reason this exists): a global ``orderBy`` of 100 TB
+    shuffles everything to compute one number.  Here pass 1 is a single
+    min/max/count aggregate, pass 2 one map-side-combined histogram
+    aggregate shared by ALL requested percentiles, and each further pass
+    scans only the narrowed value range — a ``BETWEEN`` predicate Spark
+    pushes to parquet row-group stats, so refinement passes read a
+    shrinking fraction of the data.  Each pass divides the candidate
+    domain by ``buckets`` (4096), so int64 resolves in <= 6 passes; the
+    driver holds <= ``buckets`` histogram rows per pass.  Skew-proof: a
+    hot value collapses its bucket to width 1, which resolves exactly.
+
+    ``ps`` are decimal-string-exact fractions (0.5, 0.9, 0.99): ranks are
+    computed with integer arithmetic via Fraction(str(p)) — no float
+    rank-off-by-one at large n.
+
+    Returns a list of dicts {"p_bp": p in basis points, "rank": k,
+    "value": the exact order statistic}.
+    """
+    from fractions import Fraction
+
+    c = F.col(col)
+    base = df.filter(c.isNotNull())
+    head = base.agg(F.count(c).alias("n"), F.min(c).alias("mn"),
+                    F.max(c).alias("mx")).collect()[0]
+    n, mn, mx = head["n"], head["mn"], head["mx"]
+    if n == 0:
+        return []
+
+    fracs = [Fraction(str(p)) for p in ps]
+    ranks = {f: 1 + (f.numerator * (n - 1)) // f.denominator for f in fracs}
+
+    def histogram(lo: int, hi: int, width: int) -> dict:
+        b = F.expr(f"(CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) "
+                   f"div CAST({width} AS BIGINT)")
+        rows = (base.filter((c >= lo) & (c <= hi))
+                .groupBy(b.alias("__b")).count().collect())
+        return {r["__b"]: r["count"] for r in rows}
+
+    def narrow(lo, hi, r, hist, width):
+        """One narrowing step: walk the collected histogram to the bucket
+        holding rank r; returns (lo', hi', r')."""
+        for b in sorted(hist):
+            if r <= hist[b]:
+                return (lo + b * width,
+                        min(hi, lo + (b + 1) * width - 1), r)
+            r -= hist[b]
+        raise AssertionError("rank walked past histogram; concurrent "
+                             "mutation of the input?")
+
+    # pass 2 is shared: every percentile starts from the same full range
+    width0 = max(1, (mx - mn) // buckets + 1)
+    hist0 = histogram(mn, mx, width0) if mx > mn else {0: n}
+
+    out = []
+    for f in fracs:
+        lo, hi, r = narrow(mn, mx, ranks[f], hist0, width0)
+        passes = 1
+        while hi - lo + 1 > buckets:
+            if passes >= max_passes:  # unreachable: domain /= 4096 per pass
+                raise AssertionError("histogram narrowing did not converge")
+            width = max(1, (hi - lo) // buckets + 1)
+            lo, hi, r = narrow(lo, hi, r, histogram(lo, hi, width), width)
+            passes += 1
+        # domain <= buckets distinct values: exact value counting
+        counts = histogram(lo, hi, 1)
+        value = None
+        for b in sorted(counts):
+            if r <= counts[b]:
+                value = lo + b
+                break
+            r -= counts[b]
+        assert value is not None
+        out.append({
+            "p_bp": int(f * 10000) if (f * 10000).denominator == 1
+            else None,
+            "rank": ranks[f],
+            "value": value,
+        })
+    return out
+
+
+def percentile_exact_df(spark, df, col: str, ps, buckets: int = 4096):
+    """percentile_exact as a DataFrame (p_bp, rank, value) for the driver
+    contract; ps must be basis-point-exact (multiples of 0.0001)."""
+    rows = percentile_exact(df, col, ps, buckets=buckets)
+    return spark.createDataFrame(
+        [(r["p_bp"], r["rank"], r["value"]) for r in rows],
+        "p_bp long, rank long, value long")

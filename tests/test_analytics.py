@@ -60,3 +60,35 @@ def test_copurchase_lift_hand_values(spark):
            G.copurchase_lift(li, min_support=2).collect()}
     # only (A,B) reaches support 2: n_a=3, n_b=3, co=2
     assert out == {(1, 2): (3, 3, 2, 666_666, 666_666)}
+
+
+def test_percentile_exact_matches_sorted_oracle(spark):
+    import random
+    rng = random.Random(77)
+    # mixed domain: wide uniform + a hot tie value + negatives + dupes
+    vals = ([rng.randrange(-10**12, 10**12) for _ in range(4000)]
+            + [42] * 1500 + [rng.randrange(-50, 50) for _ in range(1500)])
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(16)
+    ps = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = analytics.percentile_exact(df, "v", ps)
+    svals = sorted(vals)
+    n = len(svals)
+    from fractions import Fraction
+    for p, r in zip(ps, got):
+        f = Fraction(str(p))
+        k = 1 + (f.numerator * (n - 1)) // f.denominator
+        assert r["rank"] == k
+        assert r["value"] == svals[k - 1], (p, r, svals[k - 1])
+
+
+def test_percentile_exact_narrow_domain_and_small_n(spark):
+    # all-equal column resolves in the shared pass; n=1 and n=2 edges
+    df = spark.createDataFrame([(7,)] * 100, "v long")
+    assert [r["value"] for r in
+            analytics.percentile_exact(df, "v", [0.5])] == [7]
+    df1 = spark.createDataFrame([(3,), (None,)], "v long")
+    out = analytics.percentile_exact(df1, "v", [0.0, 1.0])
+    assert [r["value"] for r in out] == [3, 3]  # nulls excluded from n
+    df2 = spark.createDataFrame([(1,), (2,)], "v long")
+    out = analytics.percentile_exact(df2, "v", [0.5, 1.0])
+    assert [r["value"] for r in out] == [1, 2]  # lower order statistic
