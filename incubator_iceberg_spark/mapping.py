@@ -185,10 +185,15 @@ def alias_to_canonical(mapping: NameMapping, schema: S.Schema) -> dict:
 
 def apply_to_df(df, mapping: NameMapping, current: S.Schema, extra=None):
     """ApplyNameMapping in DataFrame terms: project a physically-named
-    DataFrame (read straight from a foreign file, no forced schema) to
-    the current table schema.  Each current field takes the FIRST of
-    its mapped aliases present among the physical columns, cast to the
-    current type; a field with no alias present reads as NULL (the
+    DataFrame (read straight from foreign files, no forced schema) to
+    the current table schema.  The DataFrame may union SEVERAL foreign
+    layouts (mergeSchema) in which different files carry different
+    aliases of the same field — e.g. files imported before and after a
+    rename added an alias — so each current field COALESCES over all of
+    its aliases present among the physical columns, in mapping order
+    (per row only the originating file's alias is populated; picking a
+    single "first present" alias silently nulled every file that used
+    another one).  A field with no alias present reads as NULL (the
     reference's unmapped-column behavior).  ``extra`` appends lineage
     columns untouched."""
     from pyspark.sql import functions as F
@@ -198,13 +203,12 @@ def apply_to_df(df, mapping: NameMapping, current: S.Schema, extra=None):
     for f in current.fields:
         mf = mapping.find_by_id(f.field_id)
         spark_t = S._to_spark_type(f.type)
-        src = None
-        if mf is not None:
-            src = next((n for n in mf.names if n in physical), None)
-        if src is None:
+        srcs = [n for n in mf.names if n in physical] if mf else []
+        if not srcs:
             cols.append(F.lit(None).cast(spark_t).alias(f.name))
         else:
-            cols.append(F.col(src).cast(spark_t).alias(f.name))
+            cols.append(F.coalesce(
+                *[F.col(n).cast(spark_t) for n in srcs]).alias(f.name))
     return df.select(*cols, *(extra or []))
 
 

@@ -158,3 +158,22 @@ def test_mapped_import_partitioned_and_delete(warehouse, spark, tmp_path):
     assert len(sc.plan_files()) == 1  # partition pruning on foreign files
     t.delete_where("k = 2", mode="merge-on-read")
     assert sorted(r["k"] for r in t.to_df().collect()) == [1, 11, 12]
+
+
+def test_mixed_alias_files_coalesce_per_row(warehouse, spark, tmp_path):
+    """Regression pin (found by the fuzz gate): files imported BEFORE and
+    AFTER a rename carry different aliases of the same field; the
+    mergeSchema union holds both physical columns and each row must
+    resolve through ITS file's alias — a single first-present-alias pick
+    silently nulled every file written under the other alias."""
+    t = warehouse.create_table("db.nmap6", "k long, v long")
+    NM.set_default_mapping(t)
+    f1 = _write_foreign(spark, tmp_path, [(1, 10)], "k long, v long", "m0")
+    procedures.add_files(t, f1)
+    t.update_schema().rename_column("v", "val").commit()
+    # foreign producer adopted the new name
+    f2 = _write_foreign(spark, tmp_path, [(2, 20)], "k long, val long", "m1")
+    procedures.add_files(t, f2)
+    got = {r["k"]: r["val"] for r in t.to_df().collect()}
+    assert got == {1: 10, 2: 20}
+    assert t.to_df().filter("val = 20").count() == 1
