@@ -2730,6 +2730,40 @@ def q_convert_eq_deletes(spark, sf_dir):
                     .alias("cents")))
 
 
+def q_delete_maintenance(spark, sf_dir):
+    """MoR delete-debt maintenance (maintenance.rewrite_position_deletes
+    + remove_dangling_deletes): five successive MoR deletes accumulate
+    five small position-delete files whose application cost every scan
+    pays; the rewrite compacts them into one per partition-scope and a
+    data-file compaction then strands them (deletes applied into the
+    rewritten files), so remove_dangling_deletes drops the debt to zero.
+    At 100 TB this is the steady-state loop keeping delete application
+    O(live debt), not O(delete history).  Oracle = base minus the five
+    deleted slices."""
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_dm", Schema.from_spark(orders.schema))
+    t.append(orders)
+    for i in range(5):
+        t.delete_where(f"o_orderkey % 97 = {i}", mode="merge-on-read")
+    n_before = len(TableScan(t, spark)._plan_split()[1])
+    assert n_before >= 5, n_before  # >= 1 per delete; more at larger sf
+    res = t.rewrite_position_deletes()
+    assert res["rewritten_delete_files"] == n_before, res
+    assert res["dropped_tuples"] == 0, res  # all targets still live
+    n_mid = len(TableScan(t, spark)._plan_split()[1])
+    assert n_mid < n_before, (n_mid, n_before)
+    # data compaction applies the deletes into rewritten files ...
+    t.rewrite_data_files(min_input_files=1)
+    # ... stranding the delete files: drop them
+    res2 = t.remove_dangling_deletes()
+    assert res2["removed_delete_files"] == n_mid, res2
+    assert len(TableScan(t, spark)._plan_split()[1]) == 0
+    return t.to_df().select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered funnel analysis (sessions.funnel_steps): users reaching
     view -> click -> purchase with each step within 12h of the previous
@@ -3385,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 after the prefix froze (r6 prefix candidates) -------
         "streaming_rate_limited": q_streaming_rate_limited,
         "percentile_exact": q_percentile_exact,
+        "delete_maintenance": q_delete_maintenance,
         # --- r2-green, code path redundantly covered by window rows -------
         "q6_forecast_revenue": q_q6,
         "filter_pushdown_scan": q_filter_scan,
@@ -4863,6 +4898,11 @@ ORDER BY c_mktsegment
                    s.c AS value
             FROM (VALUES (5000), (9000), (9900)) AS p(p_bp)
             JOIN s ON s.rn = 1 + (p.p_bp * (s.n - 1)) // 10000
+        """,
+        "delete_maintenance": """
+            SELECT o_orderkey, o_custkey, o_orderstatus
+            FROM orders
+            WHERE o_orderkey % 97 NOT IN (0, 1, 2, 3, 4)
         """,
         "streaming_windowed_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     # incl. the scratch 2-snapshot build)
     "percentile_exact",
     "streaming_rate_limited",
+    # round-5b: the MoR debt steady-state loop (5 MoR deletes -> delete
+    # compaction -> data compaction -> dangling-delete drop, incl. the
+    # scratch build)
+    "delete_maintenance",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,
