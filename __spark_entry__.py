@@ -2764,6 +2764,37 @@ def q_delete_maintenance(spark, sf_dir):
     return t.to_df().select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
+def q_pipeline_composite(spark, sf_dir):
+    """End-to-end training-data pipeline COMPOSITION, one oracle-checked
+    dataflow: exact dedup (keep lowest id per text) -> exact 5-gram
+    decontamination against an in-query eval set (every 50th doc) ->
+    token-count quality gate (>= 20) -> deterministic 8/1/1 split ->
+    per-split doc/token totals.  Each stage is the library operator its
+    standalone driver row verifies (dedup.exact_dedup,
+    corpus.ngram_contamination, text.token_count, corpus.split_assign);
+    this row pins that they COMPOSE — schemas, determinism, and exact
+    arithmetic survive chaining, the thing a real pipeline user does."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark.functions import corpus, dedup
+    from incubator_iceberg_spark.functions import text as TX
+    docs = _table(spark, sf_dir, "documents_ice").to_df()
+    dd = dedup.exact_dedup(docs, "text", "doc_id")
+    bench = dd.filter("doc_id % 50 = 0")
+    corp = dd.filter("doc_id % 50 != 0")
+    cont = corpus.ngram_contamination(corp, bench, n=5)
+    clean = (cont.filter(F.col("contaminated_grams") == 0)
+             .select("doc_id").join(dd, "doc_id"))
+    gated = (clean
+             .withColumn("n_tokens", TX.token_count("text").cast("long"))
+             .filter("n_tokens >= 20"))
+    out = corpus.split_assign(gated, {"train": 8, "val": 1, "test": 1},
+                              "doc_id")
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered funnel analysis (sessions.funnel_steps): users reaching
     view -> click -> purchase with each step within 12h of the previous
@@ -3420,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rate_limited": q_streaming_rate_limited,
         "percentile_exact": q_percentile_exact,
         "delete_maintenance": q_delete_maintenance,
+        "pipeline_composite": q_pipeline_composite,
         # --- r2-green, code path redundantly covered by window rows -------
         "q6_forecast_revenue": q_q6,
         "filter_pushdown_scan": q_filter_scan,
@@ -4903,6 +4935,51 @@ ORDER BY c_mktsegment
             SELECT o_orderkey, o_custkey, o_orderstatus
             FROM orders
             WHERE o_orderkey % 97 NOT IN (0, 1, 2, 3, 4)
+        """,
+        "pipeline_composite": r"""
+            WITH dd AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                               GROUP BY text)),
+            toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x != '') AS t
+              FROM dd),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+4], ' ')
+                                    FOR i IN range(1, len(t) - 3)]) AS g
+              FROM toks WHERE len(t) >= 5),
+            ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+            bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0),
+            corp AS (SELECT * FROM ex WHERE doc_id % 50 != 0),
+            hits AS (SELECT DISTINCT c.doc_id
+                     FROM corp c JOIN bench b ON c.gram = b.gram),
+            clean AS (
+              SELECT tk.doc_id, tk.text FROM toks tk
+              WHERE tk.doc_id % 50 != 0 AND len(tk.t) >= 5
+                AND tk.doc_id NOT IN (SELECT doc_id FROM hits)),
+            gated AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\s+')) END
+                         AS n_tokens
+              FROM clean),
+            kept AS (SELECT * FROM gated WHERE n_tokens >= 20)
+            SELECT CASE
+                     WHEN (((((doc_id % 1000000) + 1000000) % 1000000)
+                           * 2654435761) % 1000000) / 1000000.0
+                          < 0.8 THEN 'train'
+                     WHEN (((((doc_id % 1000000) + 1000000) % 1000000)
+                           * 2654435761) % 1000000) / 1000000.0
+                          < 0.9 THEN 'val'
+                     ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM kept GROUP BY 1
         """,
         "streaming_windowed_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

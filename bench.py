@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     # compaction -> data compaction -> dangling-delete drop, incl. the
     # scratch build)
     "delete_maintenance",
+    # round-5b: the four-stage pipeline composition (dedup ->
+    # decontaminate -> quality gate -> split), one dataflow
+    "pipeline_composite",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,
