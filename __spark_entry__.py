@@ -2819,6 +2819,21 @@ def q_cohort_retention(spark, sf_dir):
     return S.cohort_retention(ev)
 
 
+def q_pq_probe(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_train_encode + pq_topk):
+    4 subspace codebooks of 8 centroids trained by the exact-int64
+    Lloyd's loop, corpus encoded to 4 small ints per vector (64x at-rest
+    compression at float dim 64), then an ADC top-10 probe whose m x k
+    distance table is exact python ints embedded as literals — the scan
+    side touches only (id, codes).  The unrolled SQL oracle replays
+    training, encoding, AND the probe bit-for-bit."""
+    from incubator_iceberg_spark.functions import similarity
+    emb = _table(spark, sf_dir, "embeddings_ice").to_df()
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    codes, books = similarity.pq_train_encode(emb, m=4, k=8, iters=2)
+    return similarity.pq_topk(codes, books, qv, topk=10)
+
+
 def q_kmeans_micro(spark, sf_dir):
     """Distributed Lloyd's k-means in EXACT int64 micro arithmetic
     (similarity.kmeans_assign_micro): quantized vectors, exact squared-L2
@@ -3452,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_exact": q_percentile_exact,
         "delete_maintenance": q_delete_maintenance,
         "pipeline_composite": q_pipeline_composite,
+        "pq_probe": q_pq_probe,
         # --- r2-green, code path redundantly covered by window rows -------
         "q6_forecast_revenue": q_q6,
         "filter_pushdown_scan": q_filter_scan,
@@ -3683,7 +3699,8 @@ def oracle_sql() -> dict[str, str]:
         pagerank_sql,
         triangle_count_sql,
     )
-    from incubator_iceberg_spark.functions.similarity import kmeans_oracle_sql
+    from incubator_iceberg_spark.functions.similarity import (
+        kmeans_oracle_sql, pq_oracle_sql)
     return {
         "name_mapping_import": """
 SELECT o_orderstatus, COUNT(*) AS n,
@@ -3944,6 +3961,7 @@ ORDER BY c_mktsegment
             GROUP BY 1, 2
         """,
         "kmeans_micro": kmeans_oracle_sql(k=4, iters=2),
+        "pq_probe": pq_oracle_sql(m=4, k=8, iters=2, dim=64, topk=10),
         "kmv_distinct": (
             "SELECT 'events_users' AS key, s1.* FROM ("
             + kmv_distinct_sql("user_id", "events", k=64) + ") s1 "

@@ -675,6 +675,13 @@ def _micro_vec(vec_col):
 def kmeans_assign_micro(df, vec_col: str = "embedding",
                         id_col: str = "vec_id", k: int = 4,
                         iters: int = 2):
+    out, _cents = kmeans_micro_full(df, vec_col, id_col, k, iters)
+    return out
+
+
+def kmeans_micro_full(df, vec_col: str = "embedding",
+                      id_col: str = "vec_id", k: int = 4,
+                      iters: int = 2):
     """Distributed Lloyd's k-means with EXACT integer arithmetic — the
     full-corpus clustering counterpart of the sample-based
     ``spherical_kmeans`` blocking helper.  Everything an engine could
@@ -743,25 +750,25 @@ def kmeans_assign_micro(df, vec_col: str = "embedding",
         centroids = new_cents
     # final assignment against the last UPDATED centroids
     out = base.withColumn("cluster", assign_col(centroids))
-    return out.select(F.col("__id").alias(id_col), "cluster")
+    return out.select(F.col("__id").alias(id_col), "cluster"), centroids
 
 
 _KM_ASSIGN_SQL = """
 {a} AS (
   SELECT vec_id, c FROM (
-    SELECT v.vec_id, {c}.c,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY list_sum([(v.vm[d] - {c}.vm[d])
-                                                 * (v.vm[d] - {c}.vm[d])
+    SELECT {v}.vec_id, {c}.c,
+           row_number() OVER (PARTITION BY {v}.vec_id
+                              ORDER BY list_sum([({v}.vm[d] - {c}.vm[d])
+                                                 * ({v}.vm[d] - {c}.vm[d])
                                                  FOR d IN range(1, {dp1})]),
                                        {c}.c) AS rn
-    FROM v CROSS JOIN {c})
+    FROM {v} CROSS JOIN {c})
   WHERE rn = 1)"""
 
 _KM_UPDATE_SQL = """
 {s} AS (
-  SELECT {a}.c, t.d, CAST(sum(v.vm[t.d]) AS BIGINT) AS s, count(*) AS n
-  FROM {a} JOIN v USING (vec_id) CROSS JOIN range(1, {dp1}) t(d)
+  SELECT {a}.c, t.d, CAST(sum({v}.vm[t.d]) AS BIGINT) AS s, count(*) AS n
+  FROM {a} JOIN {v} USING (vec_id) CROSS JOIN range(1, {dp1}) t(d)
   GROUP BY 1, 2),
 {cn} AS (
   SELECT {cp}.c, coalesce(u.vm2, {cp}.vm) AS vm
@@ -787,12 +794,172 @@ c0 AS (
   FROM (SELECT vec_id, vm FROM v ORDER BY vec_id LIMIT {int(k)}))"""]
     for i in range(int(iters)):
         parts.append(_KM_ASSIGN_SQL.format(a=f"a{i + 1}", c=f"c{i}",
-                                           dp1=dp1))
+                                           v="v", dp1=dp1))
         parts.append(_KM_UPDATE_SQL.format(s=f"s{i + 1}", a=f"a{i + 1}",
                                            cn=f"c{i + 1}", cp=f"c{i}",
-                                           dp1=dp1))
+                                           v="v", dp1=dp1))
     parts.append(_KM_ASSIGN_SQL.format(a=f"a{int(iters) + 1}",
-                                       c=f"c{int(iters)}", dp1=dp1))
+                                       c=f"c{int(iters)}", v="v", dp1=dp1))
     return ("WITH " + ",".join(parts)
             + f"\nSELECT vec_id, CAST(c AS INT) AS cluster"
               f" FROM a{int(iters) + 1}")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — m subspace codebooks, ADC scoring, exact int
+# ---------------------------------------------------------------------------
+
+def pq_train_encode(df, vec_col: str = "embedding", id_col: str = "vec_id",
+                    m: int = 4, k: int = 8, iters: int = 2):
+    """Train product-quantization codebooks and encode the corpus, all in
+    the exact-int64 micro-unit regime so a SQL oracle replays training
+    AND encoding bit-for-bit (the PQ analog of kmeans_assign_micro).
+
+    The vector splits into ``m`` contiguous subspaces of dim/m
+    components; each subspace independently runs the deterministic
+    integer Lloyd's loop (init = the k smallest ids' slices, argmin ties
+    to the lower index, emptied clusters keep their centroid).  Returns
+    (codes_df with columns [id, code_0..code_{m-1}], codebooks) where
+    codebooks[j][c] is the int64 micro centroid of subspace j.
+
+    Scale shape: codes are m small ints per row (dim 64 float -> 4 bytes
+    at k<=256: 64x compression at rest).  The m subspace Lloyd's loops
+    run FUSED: one projection assigns all m codes (broadcast centroid
+    literals, no join), and one exploded map-side-combined aggregate per
+    iteration produces every subspace's m*k centroid sums together —
+    iters+2 jobs total instead of m independent loops (measured 25 s ->
+    ~3 s at 2k vectors; at 100 TB it is m-fold fewer full scans).
+    Nothing but m*k*(dim/m) centroid sums ever reaches the driver."""
+    from pyspark.sql import functions as F
+
+    dim = vector_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    base = df.select(F.col(id_col).alias("__id"),
+                     _micro_vec(vec_col).alias("__vm"))
+    base = base.select(
+        "__id", *[F.slice("__vm", j * dsub + 1, dsub).alias(f"__s{j}")
+                  for j in range(m)])
+
+    init = base.orderBy("__id").limit(int(k)).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    books = [[list(r[f"__s{j}"]) for r in init] for j in range(m)]
+
+    def assign_col(j, cents):
+        # identical contract to kmeans_micro_full: strict < keeps the
+        # lowest centroid index on ties
+        dists = [
+            F.aggregate(
+                F.zip_with(F.col(f"__s{j}"),
+                           F.array(*[F.lit(v) for v in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            for c in cents]
+        best, best_d = F.lit(0), dists[0]
+        for ci in range(1, len(cents)):
+            better = dists[ci] < best_d
+            best = F.when(better, F.lit(ci)).otherwise(best)
+            best_d = F.when(better, dists[ci]).otherwise(best_d)
+        return best.cast("int")
+
+    for _ in range(int(iters)):
+        assigned = base.select(
+            *[assign_col(j, books[j]).alias(f"__c{j}") for j in range(m)],
+            *[f"__s{j}" for j in range(m)])
+        stacked = assigned.select(F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.col(f"__c{j}").alias("c"),
+                     F.col(f"__s{j}").alias("sl"))
+            for j in range(m)])).alias("e"))
+        sums = (stacked.groupBy(F.col("e.j").alias("j"),
+                                F.col("e.c").alias("c"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.element_at("e.sl", d)).alias(f"s{d}")
+                       for d in range(1, dsub + 1)])
+                .collect())
+        new_books = [list(b) for b in books]  # emptied cluster keeps old
+        for r in sums:
+            n = r["n"]
+            new_books[r["j"]][r["c"]] = [
+                (r[f"s{d}"] - (r[f"s{d}"] % n + n) % n) // n
+                for d in range(1, dsub + 1)]
+        books = new_books
+
+    codes = base.select(
+        F.col("__id").alias(id_col),
+        *[assign_col(j, books[j]).alias(f"code_{j}") for j in range(m)])
+    return codes, books
+
+
+def pq_topk(codes_df, books, query_vec, topk: int = 10,
+            id_col: str = "vec_id"):
+    """Asymmetric-distance (ADC) top-k over PQ codes: the m x k distance
+    table between the micro-quantized query and every codebook centroid
+    is computed driver-side in exact python ints (m*k entries) and
+    embedded as array literals; each row's distance is m element_at
+    lookups summed — a whole-stage-codegen projection over (id, codes)
+    only, never touching the raw vectors.  Ordered by (dist, id)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    m = len(books)
+    q = [int(math.floor(float(x) * 1_000_000)) for x in query_vec]
+    dsub = len(books[0][0])
+    dist = None
+    for j in range(m):
+        qj = q[j * dsub:(j + 1) * dsub]
+        table = [sum((a - b) * (a - b) for a, b in zip(qj, c))
+                 for c in books[j]]
+        term = F.element_at(F.array(*[F.lit(v) for v in table]),
+                            F.col(f"code_{j}") + 1)
+        dist = term if dist is None else dist + term
+    return (codes_df.withColumn("dist", dist.cast("long"))
+            .select(id_col, "dist")
+            .orderBy("dist", id_col).limit(int(topk)))
+
+
+def pq_oracle_sql(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64,
+                  topk: int = 10, table: str = "embeddings") -> str:
+    """The exact ANSI-SQL mirror of pq_train_encode + pq_topk with the
+    query vector = the embedding of the smallest vec_id: per subspace an
+    unrolled integer Lloyd's loop (the kmeans_oracle_sql CTEs, sliced),
+    then ADC distances joined across subspaces."""
+    dsub = dim // m
+    parts = []
+    last = int(iters) + 1
+    for j in range(m):
+        lo = j * dsub + 1
+        parts.append(f"""v{j} AS (
+  SELECT vec_id,
+         [CAST(floor(embedding[d]::DOUBLE * 1000000) AS BIGINT)
+          FOR d IN range({lo}, {lo + dsub})] AS vm
+  FROM {table}),
+c0_{j} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, vm
+  FROM (SELECT vec_id, vm FROM v{j} ORDER BY vec_id LIMIT {int(k)}))""")
+        for i in range(int(iters)):
+            parts.append(_KM_ASSIGN_SQL.format(
+                a=f"a{i + 1}_{j}", c=f"c{i}_{j}", v=f"v{j}", dp1=dsub + 1))
+            parts.append(_KM_UPDATE_SQL.format(
+                s=f"s{i + 1}_{j}", a=f"a{i + 1}_{j}", cn=f"c{i + 1}_{j}",
+                cp=f"c{i}_{j}", v=f"v{j}", dp1=dsub + 1))
+        parts.append(_KM_ASSIGN_SQL.format(
+            a=f"a{last}_{j}", c=f"c{int(iters)}_{j}", v=f"v{j}",
+            dp1=dsub + 1))
+        parts.append(f"""q{j} AS (
+  SELECT vm FROM v{j} ORDER BY vec_id LIMIT 1),
+d{j} AS (
+  SELECT a.vec_id,
+         list_sum([(q.vm[d] - c.vm[d]) * (q.vm[d] - c.vm[d])
+                   FOR d IN range(1, {dsub + 1})]) AS dist
+  FROM a{last}_{j} a JOIN c{int(iters)}_{j} c ON a.c = c.c
+  CROSS JOIN q{j} q)""")
+    dist_sum = " + ".join(f"d{j}.dist" for j in range(m))
+    joins = "d0" + "".join(f" JOIN d{j} USING (vec_id)"
+                           for j in range(1, m))
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT vec_id, CAST({dist_sum} AS BIGINT) AS dist"
+              f" FROM {joins} ORDER BY dist, vec_id LIMIT {int(topk)}")
