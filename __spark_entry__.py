@@ -3263,9 +3263,15 @@ def q_name_mapping_import(spark, sf_dir):
     parquet/.../ApplyNameMapping.java): foreign parquet written with
     ALIAS physical names (okey/ostat/oprice) imports WITHOUT rewrite,
     the key column is then RENAMED, and the scan resolves every column
-    through the stored mapping — never by current name.  Import-time
-    footer stats are re-keyed to canonical names, so the filter here
-    still prunes and plans normally."""
+    through the stored mapping — never by current name.  The mapping is
+    applied at EVERY nesting level (MappingUtil.visit builds nested
+    MappedFields; parquet/.../ApplyNameMapping.java re-keys
+    struct-nested columns): the foreign struct ``om struct<stat,
+    cents>`` resolves to canonical ``o_meta struct<status, cents>`` BY
+    NAME — one aliased leaf, one same-named leaf — and the IS NOT NULL
+    predicate on the mapped leaf must keep rows (the r5-verdict silent
+    row-loss repro shape).  Import-time footer stats are re-keyed to
+    canonical dotted paths, so filters still prune and plan normally."""
     import uuid as _u
     from pyspark.sql import functions as F
     from incubator_iceberg_spark import mapping as NMAP
@@ -3273,10 +3279,18 @@ def q_name_mapping_import(spark, sf_dir):
     from incubator_iceberg_spark.schema import Schema
 
     orders = _load(spark, sf_dir, "orders")
-    canon = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    foreign = canon.select(F.col("o_orderkey").alias("okey"),
-                           F.col("o_orderstatus").alias("ostat"),
-                           F.col("o_totalprice").alias("oprice"))
+    canon = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        ).alias("o_meta"))
+    foreign = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.struct(
+            F.col("o_orderstatus").alias("stat"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        ).alias("om"))
     fdir = os.path.join(SCRATCH_ROOT, "nmimp-" + _u.uuid4().hex)
     foreign.coalesce(4).write.parquet(fdir)
     files = [os.path.join(fdir, f) for f in os.listdir(fdir)
@@ -3284,16 +3298,16 @@ def q_name_mapping_import(spark, sf_dir):
     cat = _scratch_catalog(spark)
     t = cat.create_table("s.orders_foreign", Schema.from_spark(canon.schema))
     NMAP.set_default_mapping(t, aliases={"o_orderkey": "okey",
-                                         "o_orderstatus": "ostat",
-                                         "o_totalprice": "oprice"})
+                                         "o_meta": "om",
+                                         "o_meta.status": "stat"})
     PROC.add_files(t, files)
     t.update_schema().rename_column("o_orderkey", "order_id").commit()
-    return (t.to_df().filter("order_id % 5 = 0")
-            .groupBy("o_orderstatus")
+    return (t.to_df()
+            .filter("order_id % 5 = 0 AND o_meta.status IS NOT NULL")
+            .groupBy(F.col("o_meta.status").alias("status"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
-                 .alias("cents"))
-            .orderBy("o_orderstatus"))
+                 F.sum("o_meta.cents").alias("cents"))
+            .orderBy("status"))
 
 
 def q_concurrent_committers(spark, sf_dir):
@@ -3703,13 +3717,13 @@ def oracle_sql() -> dict[str, str]:
         kmeans_oracle_sql, pq_oracle_sql)
     return {
         "name_mapping_import": """
-SELECT o_orderstatus, COUNT(*) AS n,
+SELECT o_orderstatus AS status, COUNT(*) AS n,
        CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS cents
 FROM orders
-WHERE o_orderkey % 5 = 0
+WHERE o_orderkey % 5 = 0 AND o_orderstatus IS NOT NULL
 GROUP BY o_orderstatus
-ORDER BY o_orderstatus
+ORDER BY status
 """,
         "concurrent_committers": """
 WITH fin AS (

@@ -25,10 +25,18 @@ unmapped columns.  Import-time footer stats are re-keyed from physical
 alias names to canonical field names (:func:`alias_to_canonical`), so
 metrics pruning keeps working over imported files.
 
-Mapping application here is TOP-LEVEL: nested entries parse and
-round-trip (the reference format is preserved verbatim), but alias
-resolution projects whole top-level columns — the engine's stats and
-projection planes are top-level-keyed (see write.footer_stats).
+Mapping application is applied at EVERY nesting level, matching
+MappingUtil.visit / ApplyNameMapping.java: struct leaves resolve by
+NAME through the nested MappedFields (structs are rebuilt with
+``F.struct`` per mapped leaf — never cast positionally), arrays of
+structs resolve their element leaves via ``F.transform``, and a leaf
+none of whose aliases appear in a file reads as NULL.  Footer stats
+re-key nested dotted paths through the same mapping
+(:func:`alias_to_canonical` emits ``m.auth → meta.author``), so the
+read plane and the pruning plane agree on which nested leaves are
+NULL.  Map key/value nested structs keep a positional cast (documented
+divergence; map-typed columns carry no bounds stats, so no pruning
+hazard).
 """
 
 from __future__ import annotations
@@ -170,35 +178,108 @@ def update_mapping(mapping: NameMapping, renames: dict,
 
 
 def alias_to_canonical(mapping: NameMapping, schema: S.Schema) -> dict:
-    """{physical alias name → canonical current-schema name} for every
-    alias of a mapped TOP-LEVEL field.  Used to re-key imported footer
-    stats so metrics pruning sees canonical names."""
+    """{physical alias path → canonical current-schema path} for every
+    alias of a mapped field at EVERY nesting level — nested struct
+    leaves emit dotted paths for every parent-alias × leaf-alias combo
+    (``m.auth → meta.author``).  Used to re-key imported footer stats so
+    metrics pruning sees canonical names for nested predicates too."""
     out: dict = {}
-    for f in schema.fields:
-        mf = mapping.find_by_id(f.field_id)
-        if mf is None:
-            continue
-        for n in mf.names:
-            out[n] = f.name
+
+    def walk(fields, mfs, phys_prefixes, canon_prefix):
+        by_id = {m.field_id: m for m in mfs if m.field_id is not None}
+        for f in fields:
+            mf = by_id.get(f.field_id)
+            if mf is None:
+                continue
+            cpath = canon_prefix + f.name
+            for pp in phys_prefixes:
+                for n in mf.names:
+                    out[pp + n] = cpath
+            if isinstance(f.type, S.StructType) and mf.nested:
+                subs = [pp + n + "." for pp in phys_prefixes
+                        for n in mf.names]
+                walk(f.type.fields, mf.nested, subs, cpath + ".")
+
+    walk(schema.fields, mapping.fields, [""], "")
     return out
+
+
+def _resolve_value(col, phys_t, mf: MappedField, canon_t, spark_t):
+    """One physical Column → canonical type, resolving nested names
+    through the mapping.  Structs rebuild leaf-by-leaf by NAME (never a
+    positional cast — ApplyNameMapping.java re-keys every level);
+    arrays of structs resolve elements via ``transform``; primitives
+    (and map types, documented divergence) cast."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    if (isinstance(canon_t, S.StructType)
+            and isinstance(phys_t, T.StructType) and mf.nested):
+        built = _resolve_struct(col, phys_t, mf.nested, canon_t)
+        # a NULL physical struct must stay NULL, not become a struct of
+        # NULL leaves (and must let coalesce fall through to the next
+        # alias in a multi-layout union)
+        return F.when(col.isNotNull(), built)
+    if (isinstance(canon_t, S.ListType)
+            and isinstance(phys_t, T.ArrayType) and mf.nested):
+        el_mf = next((m for m in mf.nested if "element" in m.names), None)
+        el_t = canon_t.element_field.type
+        if (el_mf is not None and el_mf.nested
+                and isinstance(el_t, S.StructType)
+                and isinstance(phys_t.elementType, T.StructType)):
+            el_spark = S._to_spark_type(el_t)
+            return F.when(col.isNotNull(), F.transform(
+                col, lambda x: F.when(x.isNotNull(), _resolve_struct(
+                    x, phys_t.elementType, el_mf.nested, el_t))
+                .cast(el_spark)))
+    return col.cast(spark_t)
+
+
+def _resolve_struct(parent, phys_struct_t, nested_mfs, struct_t):
+    """Rebuild a canonical struct from a physical struct Column: each
+    canonical leaf coalesces over its present aliases (by name, through
+    the nested mapping); an unmapped/absent leaf reads NULL — exactly
+    the contract import-time stats stamp (write.footer_stats)."""
+    from pyspark.sql import functions as F
+
+    phys = {f.name: f.dataType for f in phys_struct_t.fields}
+    by_id = {m.field_id: m for m in nested_mfs if m.field_id is not None}
+    items = []
+    for cf in struct_t.fields:
+        cmf = by_id.get(cf.field_id)
+        spark_t = S._to_spark_type(cf.type)
+        srcs = [n for n in cmf.names if n in phys] if cmf else []
+        if not srcs:
+            items.append(F.lit(None).cast(spark_t).alias(cf.name))
+        else:
+            items.append(F.coalesce(
+                *[_resolve_value(parent.getField(n), phys[n], cmf,
+                                 cf.type, spark_t)
+                  for n in srcs]).alias(cf.name))
+    return F.struct(*items)
 
 
 def apply_to_df(df, mapping: NameMapping, current: S.Schema, extra=None):
     """ApplyNameMapping in DataFrame terms: project a physically-named
     DataFrame (read straight from foreign files, no forced schema) to
-    the current table schema.  The DataFrame may union SEVERAL foreign
-    layouts (mergeSchema) in which different files carry different
-    aliases of the same field — e.g. files imported before and after a
-    rename added an alias — so each current field COALESCES over all of
-    its aliases present among the physical columns, in mapping order
-    (per row only the originating file's alias is populated; picking a
-    single "first present" alias silently nulled every file that used
-    another one).  A field with no alias present reads as NULL (the
-    reference's unmapped-column behavior).  ``extra`` appends lineage
-    columns untouched."""
+    the current table schema, resolving names at EVERY nesting level.
+    The DataFrame may union SEVERAL foreign layouts (mergeSchema) in
+    which different files carry different aliases of the same field —
+    e.g. files imported before and after a rename added an alias — so
+    each current field COALESCES over all of its aliases present among
+    the physical columns, in mapping order (per row only the
+    originating file's alias is populated; picking a single "first
+    present" alias silently nulled every file that used another one).
+    Divergence note: when ONE file physically carries two alias columns
+    of the same field, the reference reads only the first mapped name
+    (even if NULL) while coalesce falls through a NULL to the other
+    alias — an accepted tradeoff of the unioned-DataFrame read model.
+    A field with no alias present reads as NULL (the reference's
+    unmapped-column behavior).  ``extra`` appends lineage columns
+    untouched."""
     from pyspark.sql import functions as F
 
-    physical = set(df.columns)
+    physical = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for f in current.fields:
         mf = mapping.find_by_id(f.field_id)
@@ -208,7 +289,8 @@ def apply_to_df(df, mapping: NameMapping, current: S.Schema, extra=None):
             cols.append(F.lit(None).cast(spark_t).alias(f.name))
         else:
             cols.append(F.coalesce(
-                *[F.col(n).cast(spark_t) for n in srcs]).alias(f.name))
+                *[_resolve_value(F.col(n), physical[n], mf, f.type, spark_t)
+                  for n in srcs]).alias(f.name))
     return df.select(*cols, *(extra or []))
 
 
@@ -229,17 +311,34 @@ def set_default_mapping(table, mapping: Optional[NameMapping] = None,
     nm = mapping or create_mapping(table.metadata.schema())
     if aliases:
         schema = table.metadata.schema()
-        fields = list(nm.fields)
+        fields = tuple(nm.fields)
         for col, names in aliases.items():
+            # dotted keys register NESTED leaf aliases: "meta.author"
             f = schema.find_field(col)
             if f is None:
                 raise ValueError(f"no such column: {col}")
             names = [names] if isinstance(names, str) else list(names)
-            for i, mf in enumerate(fields):
-                if mf.field_id == f.field_id:
-                    for n in names:
-                        mf = mf.with_name(n)
-                    fields[i] = mf
+            fields, hit = _add_alias(fields, f.field_id, names)
+            if not hit:
+                raise ValueError(f"column not in mapping: {col}")
         nm = NameMapping(fields)
     table.update_properties({NAME_MAPPING_PROP: nm.to_json()})
     return nm
+
+
+def _add_alias(fields: tuple, field_id: int, names) -> tuple:
+    """Add alias names to the MappedField with ``field_id`` anywhere in
+    the mapping tree.  Returns (new fields, found?)."""
+    out, hit = [], False
+    for mf in fields:
+        if mf.field_id == field_id:
+            for n in names:
+                mf = mf.with_name(n)
+            hit = True
+        elif mf.nested:
+            nested, sub = _add_alias(mf.nested, field_id, names)
+            if sub:
+                mf = dataclasses.replace(mf, nested=nested)
+                hit = True
+        out.append(mf)
+    return tuple(out), hit

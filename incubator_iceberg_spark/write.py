@@ -426,7 +426,7 @@ def footer_stats(path: str, schema: S.Schema,
         for i in range(ncols):
             name = names[i]
             if name not in top:
-                continue  # nested leaves: bounds kept top-level-primitive only
+                continue  # list/map leaves: multi-valued, no bounds kept
             col = g.column(i)
             st = col.statistics
             if st is None:

@@ -119,3 +119,73 @@ def test_fuzz_name_mapping_vs_model(warehouse, spark, tmp_path, rnd):
                 want = sorted(v for v in vals if v >= pivot)
                 assert got == want, f"seed={SEED + rnd} pivot={pivot}"
     check()
+
+
+@pytest.mark.parametrize("rnd", range(2))
+def test_fuzz_nested_struct_mapping_vs_model(warehouse, spark, tmp_path, rnd):
+    """Nested edition: foreign files carry a struct column under random
+    parent/leaf aliases, random leaf SUBSETS and random leaf ORDER; the
+    scan must resolve every leaf by name through the nested mapping and
+    absent leaves must read NULL — checked full and filtered against a
+    plain Python model (r5 verdict What's-wrong #1 regression gate)."""
+    rng = random.Random(SEED + 100 + rnd)
+    t = warehouse.create_table(
+        f"db.nmfn{rnd}", "id long, meta struct<x: long, y: string>")
+    NM.set_default_mapping(t, aliases={
+        "meta": ["m", "md"], "meta.x": "xx", "meta.y": "yy"})
+    parent_aliases = ["meta", "m", "md"]
+    leaf_aliases = {"x": ["x", "xx"], "y": ["y", "yy"]}
+    model: list = []  # (id, x, y)
+    nid = [0]
+
+    def check():
+        got = sorted((r["id"], r["meta"]["x"], r["meta"]["y"])
+                     for r in t.to_df().collect())
+        assert got == sorted(model), f"seed={SEED + 100 + rnd}"
+        xs = [x for (_, x, _) in model if x is not None]
+        if xs:
+            pivot = rng.choice(xs)
+            got_f = t.to_df().filter(f"meta.x >= {pivot}").count()
+            assert got_f == sum(1 for x in xs if x >= pivot), \
+                f"seed={SEED + 100 + rnd} pivot={pivot}"
+        n_null = sum(1 for (_, x, _) in model if x is None)
+        assert t.to_df().filter("meta.x IS NULL").count() == n_null
+
+    for step in range(8):
+        op = rng.choice(["foreign", "foreign", "append", "check"])
+        if op == "foreign":
+            leaves = rng.sample(["x", "y"], rng.randrange(1, 3))
+            rng.shuffle(leaves)
+            rows = []
+            for _ in range(rng.randrange(1, 5)):
+                nid[0] += 1
+                x = nid[0] * 10 if "x" in leaves else None
+                y = f"s{nid[0]}" if "y" in leaves else None
+                rows.append((nid[0], x, y))
+            parent = rng.choice(parent_aliases)
+            phys = {lf: rng.choice(leaf_aliases[lf]) for lf in leaves}
+            inner = ", ".join(
+                f"{phys[lf]}: {'long' if lf == 'x' else 'string'}"
+                for lf in leaves)
+            schema_str = f"id long, {parent} struct<{inner}>"
+            data = [(i, tuple((x if lf == "x" else y) for lf in leaves))
+                    for (i, x, y) in rows]
+            df = spark.createDataFrame(data, schema_str)
+            path = str(tmp_path / f"nf{rnd}_{step}")
+            df.coalesce(1).write.parquet(path)
+            files = [os.path.join(path, f) for f in os.listdir(path)
+                     if f.endswith(".parquet")]
+            procedures.add_files(t, files)
+            model.extend(rows)
+        elif op == "append":
+            rows = []
+            for _ in range(rng.randrange(1, 5)):
+                nid[0] += 1
+                rows.append((nid[0], nid[0] * 10, f"s{nid[0]}"))
+            t.append(spark.createDataFrame(
+                [(i, (x, y)) for (i, x, y) in rows],
+                "id long, meta struct<x: long, y: string>"))
+            model.extend(rows)
+        else:
+            check()
+    check()
