@@ -3401,30 +3401,92 @@ def q_bucket_join_agg(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING (round 5): the driver's correctness gate samples a 50-entry
-    # prefix of this dict, so ordering = verification recency.  Round 5
-    # retires the rotation debt the r3 and r4 verdicts both flagged:
-    # prefix = [3 new r5 operators (name mapping import, concurrent
-    # committers, bucket join)] + [the 8 never-driver-verified queries
-    # displaced two rounds running (decontaminate, repetition_stats,
-    # streaming_windowed_agg, streaming_sessionize, chunk_by_tokens,
-    # semantic_dedup, split_assign, streaming_dedup)] + [3 r1-stale:
-    # rollup/cube/distinct] + [ALL 34 r2-stale rows (delete_mor ..
-    # catalog_txn_multi_table)] + [q1/q3 from the redundant block].
-    # With this window green, every query is driver-verified within
-    # r3 U r4 U r5 except 11 redundant-block rows (q6, filter_pushdown,
-    # merge_upsert/delete, ann_lsh/ivf, multimodal_audio,
-    # dedup_minhash_planted, skew_salted_join, knn_join, text_stats) -
-    # each shares its code path with an in-window or r3/r4-green row
-    # and is first in line for r6.  The 50 rows the r4 driver verified
-    # rotate to the back (all remain locally re-verifiable via
+    # ORDERING (round 6): the driver's correctness gate samples a 50-entry
+    # prefix of this dict, so ordering = verification recency.  Round 6
+    # prefix = [the 5 rows added after the r5 prefix froze, never
+    # driver-verified (streaming_rate_limited .. pq_probe)] + [the 11
+    # r2-stale redundant-block rows (q6_forecast_revenue .. text_stats)]
+    # + [name_mapping_import, whose driver row GREW a nested-struct
+    # column this round (r5 verdict What's-wrong #1 fix) and must
+    # re-verify under the new code] + [33 least-recently-verified r3
+    # rows: the 19-query TPC-H block, the 8 delete/time-travel rows
+    # (delete_maintenance's maintenance.py rewrite touches their
+    # engine), and 6 evolution/branch rows].  With this window green,
+    # every registered query is driver-verified within r4 U r5 U r6.
+    # The 17 remaining r3 rows (snapshots_meta .. topk_window) sit
+    # directly after the window, first in line for r7; r5- and r4-green
+    # rows rotate to the back (all remain locally re-verifiable via
     # tools/check_correctness.py).
     return {
-        # --- new r5 operators (first driver rows) --------------------------
+        "streaming_rate_limited": q_streaming_rate_limited,
+        "percentile_exact": q_percentile_exact,
+        "delete_maintenance": q_delete_maintenance,
+        "pipeline_composite": q_pipeline_composite,
+        "pq_probe": q_pq_probe,
+        "q6_forecast_revenue": q_q6,
+        "filter_pushdown_scan": q_filter_scan,
+        "merge_upsert": q_merge_upsert,
+        "merge_delete": q_merge_delete,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_audio": q_multimodal_audio,
+        "dedup_minhash_planted": q_dedup_minhash_planted,
+        "skew_salted_join": q_skew_salted_join,
+        "knn_join": q_knn_join,
+        "text_stats": q_text_stats,
         "name_mapping_import": q_name_mapping_import,
+        "q5_nation_revenue": q_q5_nation_revenue,
+        "q10_returned_items": q_q10_returned_items,
+        "q12_priority_split": q_q12_priority_split,
+        "q14_promo_share": q_q14_promo_share,
+        "q2_top_supplier": q_q2_top_supplier,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q19_disjunctive": q_q19_disjunctive,
+        "q8_market_share": q_q8_market_share,
+        "q9_product_profit": q_q9_product_profit,
+        "q13_cust_distribution": q_q13_cust_distribution,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q21_waiting_supplier": q_q21_waiting_supplier,
+        "q4_order_priority": q_q4_order_priority,
+        "q15_top_supplier": q_q15_top_supplier_revenue,
+        "q20_part_suppliers": q_q20_part_suppliers,
+        "q18_large_orders": q_q18_large_orders,
+        "q22_global_sales": q_q22_global_sales,
+        "q11_value_share": q_q11_value_share,
+        "delete_cow": q_delete_cow,
+        "delete_metadata": q_delete_metadata,
+        "update_cow": q_update_cow,
+        "eq_delete_scan": q_eq_delete_scan,
+        "pos_delete_scan": q_pos_delete_scan,
+        "time_travel": q_time_travel,
+        "incremental_read": q_incremental,
+        "changelog_scan": q_changelog_scan,
+        "spec_evolution": q_spec_evolution,
+        "schema_evolution": q_schema_evolution,
+        "overwrite_dynamic": q_overwrite_dynamic,
+        "overwrite_filter": q_overwrite_filter,
+        "branch_read": q_branch_read,
+        "wap_publish": q_wap_publish,
+        "snapshots_meta": q_snapshots_meta,
+        "events_props_json": q_events_props_json,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "ann_append_probe": q_ann_append_probe,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "avro_scan": q_avro_scan,
+        "merge_by_source": q_merge_by_source,
+        "sql_facade_join": q_sql_facade_join,
+        "sql_ctas": q_sql_ctas,
+        "zorder_scan": q_zorder_scan,
+        "metadata_agg": q_metadata_agg,
+        "orc_scan": q_orc_scan,
+        "call_procedure": q_call_procedure,
+        "topk_window": q_topk_window,
         "concurrent_committers": q_concurrent_committers,
         "bucket_join_agg": q_bucket_join_agg,
-        # --- never driver-verified (displaced past the window twice) ------
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "streaming_windowed_agg": q_streaming_windowed_agg,
@@ -3433,11 +3495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "split_assign": q_split_assign,
         "streaming_dedup": q_streaming_dedup,
-        # --- last driver-verified in r1 ------------------------------------
         "rollup_agg": q_rollup,
         "cube_agg": q_cube_agg,
         "distinct_agg": q_distinct_agg,
-        # --- last driver-verified in r2 (36 least-recently-verified) ------
         "delete_mor": q_delete_mor,
         "update_mor": q_update_mor,
         "transaction_multi": q_transaction,
@@ -3472,80 +3532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_debt_meta": q_delete_debt_meta,
         "catalog_branch_merge": q_catalog_branch_merge,
         "catalog_txn_multi_table": q_catalog_txn_multi_table,
-        # --- r2-green redundant block: two fit in the window ---------------
         "q1_pricing_summary": q_q1,
         "q3_shipping_priority": q_q3,
-        # ====================== past the 50-row window ====================
-        # --- new in r5 after the prefix froze (r6 prefix candidates) -------
-        "streaming_rate_limited": q_streaming_rate_limited,
-        "percentile_exact": q_percentile_exact,
-        "delete_maintenance": q_delete_maintenance,
-        "pipeline_composite": q_pipeline_composite,
-        "pq_probe": q_pq_probe,
-        # --- r2-green, code path redundantly covered by window rows -------
-        "q6_forecast_revenue": q_q6,
-        "filter_pushdown_scan": q_filter_scan,
-        "merge_upsert": q_merge_upsert,
-        "merge_delete": q_merge_delete,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "multimodal_audio": q_multimodal_audio,
-        "dedup_minhash_planted": q_dedup_minhash_planted,
-        "skew_salted_join": q_skew_salted_join,
-        "knn_join": q_knn_join,
-        "text_stats": q_text_stats,
-        # --- driver-green in round 3 (proven; rotate to the back) ---------
-        "snapshots_meta": q_snapshots_meta,
-        "events_props_json": q_events_props_json,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "ann_append_probe": q_ann_append_probe,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "mixture_sample": q_mixture_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "avro_scan": q_avro_scan,
-        "merge_by_source": q_merge_by_source,
-        "delete_cow": q_delete_cow,
-        "delete_metadata": q_delete_metadata,
-        "update_cow": q_update_cow,
-        "eq_delete_scan": q_eq_delete_scan,
-        "pos_delete_scan": q_pos_delete_scan,
-        "time_travel": q_time_travel,
-        "incremental_read": q_incremental,
-        "changelog_scan": q_changelog_scan,
-        "spec_evolution": q_spec_evolution,
-        "schema_evolution": q_schema_evolution,
-        "overwrite_dynamic": q_overwrite_dynamic,
-        "overwrite_filter": q_overwrite_filter,
-        "branch_read": q_branch_read,
-        "wap_publish": q_wap_publish,
-        "sql_facade_join": q_sql_facade_join,
-        "sql_ctas": q_sql_ctas,
-        "zorder_scan": q_zorder_scan,
-        "metadata_agg": q_metadata_agg,
-        "orc_scan": q_orc_scan,
-        "call_procedure": q_call_procedure,
-        "topk_window": q_topk_window,
-        "q5_nation_revenue": q_q5_nation_revenue,
-        "q10_returned_items": q_q10_returned_items,
-        "q12_priority_split": q_q12_priority_split,
-        "q14_promo_share": q_q14_promo_share,
-        "q2_top_supplier": q_q2_top_supplier,
-        "q7_volume_shipping": q_q7_volume_shipping,
-        "q19_disjunctive": q_q19_disjunctive,
-        "q8_market_share": q_q8_market_share,
-        "q9_product_profit": q_q9_product_profit,
-        "q13_cust_distribution": q_q13_cust_distribution,
-        "q16_supplier_cnt": q_q16_supplier_cnt,
-        "q17_small_quantity": q_q17_small_quantity,
-        "q21_waiting_supplier": q_q21_waiting_supplier,
-        "q4_order_priority": q_q4_order_priority,
-        "q15_top_supplier": q_q15_top_supplier_revenue,
-        "q20_part_suppliers": q_q20_part_suppliers,
-        "q18_large_orders": q_q18_large_orders,
-        "q22_global_sales": q_q22_global_sales,
-        "q11_value_share": q_q11_value_share,
-        # --- driver-green in round 4 (proven; rotated to the back) --------
         "scd2_dimension": q_scd2_dimension,
         "all_files_meta": q_all_files_meta,
         "pagerank": q_pagerank,

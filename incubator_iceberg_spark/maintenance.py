@@ -412,43 +412,103 @@ def remove_dangling_deletes(table) -> dict:
     path falls inside the delete file's file_path bounds.  After
     compaction rewrites the data (new, higher sequence numbers), deletes
     become dead weight in every scan plan — this reclaims them.
-    Conservative: unknown bounds keep the delete file."""
+    Conservative: unknown bounds keep the delete file.
+
+    Scale: liveness is computed COLUMNAR — manifests load as arrow
+    column slices (never per-entry Python dicts) and the checks are
+    numpy-vectorized: eq-deletes compare against the single global min
+    data sequence number (one aggregate), pos-deletes binary-search
+    their referenced-path bounds into the path-sorted data entries and
+    take a vectorized range-min of sequence numbers
+    (np.minimum.reduceat) — O((n_data + n_dels) log n_data) total,
+    replacing the O(n_dels × n_data) driver loop that made reclaiming
+    10⁴ stranded deletes over 10⁶ files intractable."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from incubator_iceberg_spark import snapshots as SN2
 
     md = table.metadata
     snap = md.current_snapshot()
     if snap is None:
         return {"removed_delete_files": 0}
-    entries = []
-    for row in MF.read_manifest_list_arrow(snap.manifest_list).to_pylist():
-        for e in MF.read_manifest_arrow(row["manifest_path"]).to_pylist():
-            if e.get("status") != MF.DELETED:
-                entries.append(MF.normalize_entry(e))
-    data = [e for e in entries if (e.get("content") or 0) == MF.DATA]
-    dels = [e for e in entries if (e.get("content") or 0) != MF.DATA]
-    if not dels:
+    mlist = MF.read_manifest_list_arrow(snap.manifest_list)
+    want = ["status", "content", "sequence_number", "file_path",
+            "ref_lower_bound", "ref_upper_bound"]
+    tabs = []
+    for mp in mlist.column("manifest_path").to_pylist():
+        t = MF.read_manifest_arrow(mp)
+        tabs.append(t.select([c for c in want if c in t.column_names]))
+    if not tabs:
         return {"removed_delete_files": 0}
-    dangling = []
-    for d in dels:
-        d_seq = d.get("sequence_number") or 0
-        if (d.get("content") or 0) == MF.EQUALITY_DELETES:
-            alive = any((e.get("sequence_number") or 0) < d_seq for e in data)
-        else:  # position deletes: path-bounded, seq <=
-            lo = (d.get("lower_bounds") or {}).get("file_path")
-            hi = (d.get("upper_bounds") or {}).get("file_path")
-            def in_bounds(p):
-                if lo is None or hi is None:
-                    return True  # unknown → assume referenced
-                return lo <= p <= hi
-            alive = any((e.get("sequence_number") or 0) <= d_seq
-                        and in_bounds(e["file_path"]) for e in data)
-        if not alive:
-            dangling.append(d["file_path"])
-    if not dangling:
+    ents = pa.concat_tables(tabs, promote_options="permissive")
+    if "status" in ents.column_names:
+        ents = ents.filter(
+            pc.not_equal(pc.fill_null(ents.column("status"), 0),
+                         MF.DELETED))
+
+    def col(name, default):
+        if name in ents.column_names:
+            return pc.fill_null(ents.column(name), default)
+        return pa.array([default] * len(ents))
+
+    content = col("content", 0).to_numpy(zero_copy_only=False).astype("int64")
+    seq = col("sequence_number", 0).to_numpy(
+        zero_copy_only=False).astype("int64")
+    paths = np.asarray(ents.column("file_path").to_pylist(), dtype=object)
+    is_data = content == MF.DATA
+    if not (~is_data).any():
+        return {"removed_delete_files": 0}
+    d_content = content[~is_data]
+    d_seq = seq[~is_data]
+    d_paths = paths[~is_data]
+    n_data = int(is_data.sum())
+    dangling_mask = np.zeros(len(d_seq), dtype=bool)
+    is_eq = d_content == MF.EQUALITY_DELETES
+    if n_data == 0:
+        dangling_mask[:] = True  # no live data: every delete is dead weight
+    else:
+        order = np.argsort(paths[is_data], kind="stable")
+        sp = paths[is_data][order]
+        ss = seq[is_data][order]
+        min_seq = int(ss.min())
+        # eq-deletes: alive iff SOME data file has seq strictly lower
+        dangling_mask[is_eq] = ~(min_seq < d_seq[is_eq])
+        # pos-deletes: alive iff some data file with seq <= d_seq has its
+        # path inside [ref_lower_bound, ref_upper_bound]
+        pos_idx = np.flatnonzero(~is_eq)
+        if len(pos_idx):
+            lo_raw = col("ref_lower_bound", "").to_numpy(
+                zero_copy_only=False)[~is_data][pos_idx]
+            hi_raw = col("ref_upper_bound", "").to_numpy(
+                zero_copy_only=False)[~is_data][pos_idx]
+            known = (lo_raw != "") & (hi_raw != "")
+            # unknown bounds → assume it references SOME file: alive iff
+            # any data file at all has seq <= d_seq
+            unk = pos_idx[~known]
+            dangling_mask[unk] = min_seq > d_seq[unk]
+            kidx = pos_idx[known]
+            if len(kidx):
+                lo_i = np.searchsorted(sp, lo_raw[known], side="left")
+                hi_i = np.searchsorted(sp, hi_raw[known], side="right")
+                empty = lo_i >= hi_i
+                dangling_mask[kidx[empty]] = True
+                ne = ~empty
+                if ne.any():
+                    # range-min of data seqs per delete in one reduceat
+                    # (sentinel absorbs hi == n boundary segments)
+                    ss_ext = np.append(ss, np.iinfo("int64").max)
+                    flat = np.column_stack(
+                        [lo_i[ne], hi_i[ne]]).ravel()
+                    rmin = np.minimum.reduceat(ss_ext, flat)[::2]
+                    dangling_mask[kidx[ne]] = rmin > d_seq[kidx[ne]]
+    dangling = d_paths[dangling_mask]
+    if not len(dangling):
         return {"removed_delete_files": 0}
     table.metadata = SN2.overwrite_files(
-        table.ops, [], set(dangling), operation="delete")
-    return {"removed_delete_files": len(dangling)}
+        table.ops, [], set(dangling.tolist()), operation="delete")
+    return {"removed_delete_files": int(len(dangling))}
 
 
 def rewrite_position_deletes(table, spark=None) -> dict:

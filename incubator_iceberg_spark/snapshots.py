@@ -159,7 +159,18 @@ def _rewrite_manifest_without(md_dir: str, base: TableMetadata, manifest_row: di
     """Rewrite one manifest dropping ``drop_paths``.  Returns (new_row|None,
     dropped_entries).  new_row is None when all entries dropped; returns the
     original row when nothing dropped."""
+    if not drop_paths:
+        return manifest_row, []
     tbl = M.read_manifest_arrow(manifest_row["manifest_path"])
+    # columnar pre-check: an untouched manifest passes through without
+    # ever materializing its entries as Python dicts — removal commits
+    # cost O(touched entries), not O(table entries)
+    import pyarrow.compute as pc
+    touched = pc.any(pc.is_in(
+        tbl.column("file_path"),
+        value_set=pa.array(list(drop_paths), type=pa.string()))).as_py()
+    if not touched:
+        return manifest_row, []
     entries = tbl.to_pylist()
     for e in entries:
         if isinstance(e.get("value_counts"), list):  # arrow map → list of tuples
@@ -380,10 +391,12 @@ def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
         required = set(required_data_files or ()) - deleted_paths
         for row in _manifest_rows(base):
             if required:
-                for e in M.read_manifest_arrow(
-                        row["manifest_path"]).to_pylist():
-                    if e.get("status") != M.DELETED:
-                        required.discard(e["file_path"])
+                import pyarrow.compute as pc
+                t_arrow = M.read_manifest_arrow(row["manifest_path"])
+                live = t_arrow.filter(pc.not_equal(
+                    pc.fill_null(t_arrow.column("status"), 0), M.DELETED))
+                required.difference_update(
+                    live.column("file_path").to_pylist())
             new_row, dropped = _rewrite_manifest_without(
                 md_dir, base, row, remaining, snapshot_id, seq)
             dropped_acc.extend(dropped)
