@@ -27,6 +27,22 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+#: default per-branch broadcast build budget (compressed file bytes from
+#: manifest stats — decompressed build rows run larger, so keep this an
+#: order of magnitude under executor memory)
+DEFAULT_BROADCAST_BUDGET = 256 * 1024 * 1024
+#: default cap on union branches — bounds plan size and the driver's
+#: broadcast fan-out at high bucket counts (each branch is one broadcast)
+DEFAULT_MAX_UNION_BRANCHES = 64
+
+
+class BucketBuildOversize(ValueError):
+    """A bucket's build-side slice exceeds the broadcast budget — the
+    per-bucket broadcast join would OOM an executor.  Either raise the
+    budget, re-bucket the build table finer, or pass
+    ``on_oversize='shuffle'`` to let the oversized branches run as
+    bucket-local shuffle joins (still only that bucket's slice moves)."""
+
 
 def _bucket_field(table, key: str):
     """The current-spec bucket partition field sourced from ``key``;
@@ -70,7 +86,10 @@ def _entries_by_bucket(table, spark, bucket_field, filter=None):
 def bucket_join(table_a, table_b, key_a: str, key_b: Optional[str] = None,
                 select_a: Optional[Sequence[str]] = None,
                 select_b: Optional[Sequence[str]] = None,
-                filter_a=None, filter_b=None, spark=None):
+                filter_a=None, filter_b=None, spark=None,
+                broadcast_budget_bytes: int = DEFAULT_BROADCAST_BUDGET,
+                max_union_branches: int = DEFAULT_MAX_UNION_BRANCHES,
+                on_oversize: str = "error"):
     """INNER-join two engine tables bucket-partitioned by the same
     ``bucket[N]`` transform on their join keys, without shuffling
     either side.
@@ -85,9 +104,23 @@ def bucket_join(table_a, table_b, key_a: str, key_b: Optional[str] = None,
     ``select_a`` / ``select_b`` prune columns BEFORE the join (the scan
     reads only those); ``filter_a`` / ``filter_b`` push predicates into
     file planning.  Same-named non-key columns of B are suffixed
-    ``_b`` (plain-join convention)."""
+    ``_b`` (plain-join convention).
+
+    Scale guards: buckets are packed into at most
+    ``max_union_branches`` union branches (LPT by build-side bytes from
+    manifest stats — bounds plan size and driver broadcast fan-out at
+    hundreds of buckets), and every branch's build slice is checked
+    against ``broadcast_budget_bytes`` BEFORE any data is read.  A
+    branch over budget raises :class:`BucketBuildOversize`
+    (``on_oversize='error'``, default) or degrades to a bucket-local
+    shuffle join that still moves only that branch's slices
+    (``on_oversize='shuffle'``)."""
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.scan import read_entries
+
+    if on_oversize not in ("error", "shuffle"):
+        raise ValueError(f"on_oversize must be 'error' or 'shuffle', "
+                         f"got {on_oversize!r}")
 
     spark = spark or table_a.spark
     key_b = key_b or key_a
@@ -111,7 +144,7 @@ def bucket_join(table_a, table_b, key_a: str, key_b: Optional[str] = None,
     rename_b = {c: (c + "_b" if c in cols_a and c != key_b else c)
                 for c in cols_b}
 
-    def one_bucket(entries_a, entries_b):
+    def one_branch(entries_a, entries_b, broadcast: bool):
         da = read_entries(spark, md_a, entries_a, dels_a, sch_a)
         if filter_a is not None:  # residual rows of partially-matching files
             da = da.filter(filter_a)
@@ -120,16 +153,45 @@ def bucket_join(table_a, table_b, key_a: str, key_b: Optional[str] = None,
         if filter_b is not None:
             db = db.filter(filter_b)
         db = db.select(*[F.col(c).alias(rename_b[c]) for c in cols_b])
+        if broadcast:
+            db = F.broadcast(db)
         if rename_b[key_b] == key_a:
             # same key name: USING-style join, key kept once
-            return da.join(F.broadcast(db), [key_a], "inner")
-        return da.join(F.broadcast(db),
-                       da[key_a] == db[rename_b[key_b]], "inner")
+            return da.join(db, [key_a], "inner")
+        return da.join(db, da[key_a] == db[rename_b[key_b]], "inner")
 
     common = sorted(b for b in by_a if b is not None and b in by_b)
-    parts = [one_bucket(by_a[b], by_b[b]) for b in common]
-    if not parts:
-        return one_bucket([], [])  # empty result in the joined schema
+    if not common:
+        return one_branch([], [], True)  # empty result in the joined schema
+
+    # LPT-pack buckets into ≤ max_union_branches branches by build-side
+    # bytes (manifest stats — no data read); joining several buckets in
+    # one branch is correct because key equality implies bucket equality
+    def size_b(bucket):
+        return sum(e.get("file_size_bytes") or 0 for e in by_b[bucket])
+
+    n_groups = max(1, min(len(common), max_union_branches))
+    groups: list[list] = [[] for _ in range(n_groups)]
+    group_sz = [0] * n_groups
+    for b in sorted(common, key=lambda b: (-size_b(b), str(b))):
+        i = group_sz.index(min(group_sz))
+        groups[i].append(b)
+        group_sz[i] += size_b(b)
+    packed = [(g, sz) for g, sz in zip(groups, group_sz) if g]
+
+    parts = []
+    for g, sz in sorted(packed, key=lambda t: str(t[0][0])):
+        oversized = sz > broadcast_budget_bytes
+        if oversized and on_oversize == "error":
+            raise BucketBuildOversize(
+                f"build side of bucket group {sorted(map(str, g))} is "
+                f"~{sz / 1e6:.1f} MB (manifest stats) > budget "
+                f"{broadcast_budget_bytes / 1e6:.1f} MB; raise "
+                f"broadcast_budget_bytes, re-bucket finer, or pass "
+                f"on_oversize='shuffle'")
+        ea = [e for b in g for e in by_a[b]]
+        eb = [e for b in g for e in by_b[b]]
+        parts.append(one_branch(ea, eb, broadcast=not oversized))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
