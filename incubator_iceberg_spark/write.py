@@ -348,10 +348,16 @@ def collect_file_stats(spark, files: list, schema: S.Schema,
     if not files:
         return []
     if file_format == "orc":
-        # pyarrow ORC footers expose row counts but not column bounds:
-        # record counts only → partition pruning works, metrics pruning
-        # degrades to 'might match' (correct, unoptimized)
-        return [orc_stats(p, schema) for p in files]
+        # pyarrow exposes no ORC footer-statistics API: bounds are
+        # harvested with one columnar read per file (orc_stats), then
+        # pruning is metadata-only like parquet imports
+        if len(files) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+                return list(ex.map(
+                    lambda p: orc_stats(p, schema, alias_map=alias_map),
+                    files))
+        return [orc_stats(p, schema, alias_map=alias_map) for p in files]
     if file_format == "avro":
         # import path (add_files) for pre-existing avro: block headers
         # give row counts without decompression; no bounds (engine-written
@@ -463,20 +469,77 @@ def footer_stats(path: str, schema: S.Schema,
     }
 
 
-def orc_stats(path: str, schema: S.Schema) -> dict:
+def orc_stats(path: str, schema: S.Schema,
+              alias_map: Optional[dict] = None) -> dict:
+    """Stats for one ORC file.  pyarrow (16.x) exposes no accessor over
+    the ORC footer's NATIVE column statistics, so bounds/null counts are
+    harvested with ONE vectorized columnar read at import time
+    (pc.min_max per stats leaf) — a one-shot cost that buys the same
+    metadata-only pruning parquet imports get.  ``alias_map`` re-keys
+    physical (possibly nested dotted) paths to canonical names for
+    name-mapped foreign imports (mapping.alias_to_canonical); a
+    canonical leaf absent from the file is stamped all-NULL, matching
+    what the scan returns for it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.orc as po
 
     of = po.ORCFile(path)
-    top = {f.name: f for f in schema.fields if f.type.is_primitive}
+    nrows = of.nrows
+    top = {f.name: f for f in MF._stats_columns(schema)}
+
+    def _remap(n):
+        if not alias_map:
+            return n
+        if n in alias_map:
+            return alias_map[n]
+        head, dot, rest = n.partition(".")
+        return alias_map.get(head, head) + dot + rest if dot else n
+
+    leaves: dict = {}
+
+    def walk(arr, phys_path):
+        if pa.types.is_struct(arr.type):
+            for child, f in zip(arr.flatten(), arr.type):
+                walk(child, phys_path + "." + f.name)
+            return
+        canon = _remap(phys_path)
+        if canon in top:
+            leaves[canon] = arr
+
+    tbl = of.read()
+    for name in tbl.column_names:
+        walk(tbl.column(name), name)
+
+    lower: dict = {}
+    upper: dict = {}
+    null_counts = {}
+    for n in top:
+        arr = leaves.get(n)
+        if arr is None:
+            # no physical column resolves to this leaf: reads are NULL
+            null_counts[n] = nrows
+            continue
+        null_counts[n] = arr.null_count
+        if arr.null_count == len(arr) or nrows == 0:
+            continue
+        try:
+            mm = pc.min_max(arr, skip_nulls=True)
+        except pa.lib.ArrowNotImplementedError:
+            continue
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is None or mx is None or _is_nan(mn) or _is_nan(mx):
+            continue
+        lower[n], upper[n] = mn, mx
     return {
         "file_path": path,
-        "record_count": of.nrows,
+        "record_count": nrows,
         "file_size_bytes": os.path.getsize(path),
-        "value_counts": {n: of.nrows for n in top},
-        "null_counts": None,
+        "value_counts": {n: nrows for n in top},
+        "null_counts": null_counts,
         "nan_counts": None,
-        "lower_bounds": {},
-        "upper_bounds": {},
+        "lower_bounds": lower,
+        "upper_bounds": upper,
     }
 
 

@@ -257,3 +257,53 @@ def test_nested_alias_mixed_layout_coalesce(warehouse, spark, tmp_path):
     got = {r["id"]: r["meta"]["author"] for r in t.to_df().collect()}
     assert got == {1: "alice", 2: "bob"}
     assert t.to_df().filter("meta.author = 'bob'").count() == 1
+
+
+# -- ORC imports: harvested bounds + alias re-keying (r5 verdict item 7) ----
+
+def _write_foreign_orc(spark, tmp_path, rows, schema_str, name):
+    path = str(tmp_path / name)
+    spark.createDataFrame(rows, schema_str).coalesce(1).write.orc(path)
+    return [os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".orc")]
+
+
+def test_orc_import_harvests_bounds_and_prunes(warehouse, spark, tmp_path):
+    """ORC imports harvest real column bounds (one columnar read at
+    import — pyarrow exposes no ORC footer-stats API), so metrics
+    pruning and agg pushdown work exactly like parquet imports."""
+    t = warehouse.create_table("db.orcimp", "k long, v string")
+    f1 = _write_foreign_orc(spark, tmp_path, [(1, "a"), (5, "b")],
+                            "k long, v string", "o1")
+    f2 = _write_foreign_orc(spark, tmp_path, [(100, "c"), (200, "d")],
+                            "k long, v string", "o2")
+    from incubator_iceberg_spark import procedures as P
+    P.add_files(t, f1 + f2, file_format="orc")
+    assert sorted(r["k"] for r in t.to_df().collect()) == [1, 5, 100, 200]
+    # bounds landed: the filter prunes to one file at plan time
+    assert len(t.new_scan().filter("k >= 100").plan_files()) == 1
+    assert len(t.new_scan().filter("k < 0").plan_files()) == 0
+    # value/null counts landed: COUNT is metadata-only
+    r = t.count_non_null("k")
+    assert r["count"] == 4 and r["scanned_files"] == 0
+
+
+def test_orc_import_name_mapped_with_struct(warehouse, spark, tmp_path):
+    """Name-mapped ORC import parity with the parquet path: top-level
+    AND struct-leaf aliases resolve by name, stats re-key to canonical
+    dotted paths, absent leaves stamp all-NULL."""
+    t = warehouse.create_table(
+        "db.orcnm", "id long, meta struct<author: string, n: long>")
+    NM.set_default_mapping(t, aliases={
+        "id": "rid", "meta": "m", "meta.author": "auth"})
+    files = _write_foreign_orc(
+        spark, tmp_path, [(1, ("alice", 7)), (2, (None, 9))],
+        "rid long, m struct<auth: string, n: long>", "onm")
+    from incubator_iceberg_spark import procedures as P
+    P.add_files(t, files, file_format="orc")
+    got = {r["id"]: (r["meta"]["author"], r["meta"]["n"])
+           for r in t.to_df().collect()}
+    assert got == {1: ("alice", 7), 2: (None, 9)}
+    assert t.to_df().filter("meta.author = 'alice'").count() == 1
+    assert t.to_df().filter("meta.author IS NOT NULL").count() == 1
+    assert t.to_df().filter("id = 2").count() == 1
