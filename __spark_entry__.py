@@ -2886,15 +2886,21 @@ def q_metadata_count_col(spark, sf_dir):
     ledger (reference DataFile.java value_counts / null_value_counts) —
     a partition-aligned predicate answers COUNT(nullable_col) with ZERO
     data files read (asserted); a mid-month predicate folds whole
-    months from metadata and scans only boundary files.  At 100 TB,
-    `SELECT count(col)` over a petabyte table becomes a manifest-plane
-    sum instead of a full-column read."""
+    months from metadata and scans only boundary files.  Struct-nested
+    leaves fold the same way (nested dotted-path value/null counts —
+    one slot per row through structs).  At 100 TB, `SELECT count(col)`
+    over a petabyte table becomes a manifest-plane sum instead of a
+    full-column read."""
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.schema import Schema
     cat = _scratch_catalog(spark)
     orders = _load(spark, sf_dir, "orders").withColumn(
         "maybe_price",
-        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")))
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_totalprice"))
+    ).withColumn(
+        "detail",
+        F.struct(F.when(F.col("o_orderkey") % 3 != 0,
+                        F.col("o_custkey")).alias("ck")))
     t = cat.create_table("s.cnn_orders", Schema.from_spark(orders.schema),
                          partition_by=["month(o_orderdate)"])
     t.append(orders)
@@ -2905,9 +2911,12 @@ def q_metadata_count_col(spark, sf_dir):
                           "o_orderdate >= TIMESTAMP '1997-06-15'")
     r3 = t.count_non_null("o_custkey", aligned)
     assert r3["scanned_files"] == 0, "aligned COUNT(col) read data files"
+    r4 = t.count_non_null("detail.ck", aligned)
+    assert r4["scanned_files"] == 0, "nested COUNT(col) read data files"
     return spark.createDataFrame(
-        [(r1["count"], r2["count"], r3["count"])],
-        "n_maybe_aligned long, n_maybe_mid long, n_custkey long")
+        [(r1["count"], r2["count"], r3["count"], r4["count"])],
+        "n_maybe_aligned long, n_maybe_mid long, n_custkey long, "
+        "n_nested long")
 
 
 def q_matview_refresh(spark, sf_dir):
@@ -3408,12 +3417,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2-stale redundant-block rows (q6_forecast_revenue .. text_stats)]
     # + [name_mapping_import, whose driver row GREW a nested-struct
     # column this round (r5 verdict What's-wrong #1 fix) and must
-    # re-verify under the new code] + [33 least-recently-verified r3
-    # rows: the 19-query TPC-H block, the 8 delete/time-travel rows
-    # (delete_maintenance's maintenance.py rewrite touches their
-    # engine), and 6 evolution/branch rows].  With this window green,
-    # every registered query is driver-verified within r4 U r5 U r6.
-    # The 17 remaining r3 rows (snapshots_meta .. topk_window) sit
+    # re-verify under the new code] + [metadata_count_col, which GREW a
+    # struct-nested COUNT column this round (nested metrics)] + [32
+    # least-recently-verified r3 rows: the 19-query TPC-H block, the 8
+    # delete/time-travel rows (delete_maintenance's maintenance.py
+    # rewrite touches their engine), and 5 evolution/branch rows].
+    # With this window green, every registered query is driver-verified
+    # within r4 U r5 U r6.
+    # The 18 remaining r3 rows (wap_publish .. topk_window) sit
     # directly after the window, first in line for r7; r5- and r4-green
     # rows rotate to the back (all remain locally re-verifiable via
     # tools/check_correctness.py).
@@ -3467,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overwrite_dynamic": q_overwrite_dynamic,
         "overwrite_filter": q_overwrite_filter,
         "branch_read": q_branch_read,
+        "metadata_count_col": q_metadata_count_col,
         "wap_publish": q_wap_publish,
         "snapshots_meta": q_snapshots_meta,
         "events_props_json": q_events_props_json,
@@ -3548,7 +3560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_orders": q_skyline_orders,
         "matview_refresh": q_matview_refresh,
         "metadata_count": q_metadata_count,
-        "metadata_count_col": q_metadata_count_col,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_train": q_bpe_train,
@@ -3767,7 +3778,11 @@ ORDER BY c_mktsegment
                WHERE o_orderdate >= TIMESTAMP '1997-06-15')
                 AS n_maybe_mid,
               (SELECT count(o_custkey) FROM orders
-               WHERE o_orderdate >= TIMESTAMP '1997-01-01') AS n_custkey
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01') AS n_custkey,
+              (SELECT count(CASE WHEN o_orderkey % 3 != 0
+                                 THEN o_custkey END)
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01') AS n_nested
         """,
         "matview_refresh": """
             WITH survivors AS (

@@ -112,13 +112,40 @@ def percentile_exact(df, col: str, ps, buckets: int = 4096,
         raise AssertionError("rank walked past histogram; concurrent "
                              "mutation of the input?")
 
-    # pass 2 is shared: every percentile starts from the same full range
-    width0 = max(1, (mx - mn) // buckets + 1)
-    hist0 = histogram(mn, mx, width0) if mx > mn else {0: n}
+    # Overflow guard: the bucket expression computes (col - lo) in
+    # int64; when the column domain spans more than half the int64
+    # range (mx - mn > 2^63-1, e.g. hash-derived keys), non-ANSI Spark
+    # would wrap silently and mis-bucket.  Split the domain at 0 — each
+    # half's width fits int64 by construction — route each rank to its
+    # half with one extra count, and narrow within the half.
+    INT64_MAX = 2 ** 63 - 1
+    split = (mx - mn) > INT64_MAX
+    n_neg = base.filter(c < 0).count() if split else 0
+
+    # pass 2 is shared: percentiles starting in the same range reuse it
+    shared: dict = {}
+
+    def shared_hist(lo, hi, total):
+        key = (lo, hi)
+        if key not in shared:
+            w = max(1, (hi - lo) // buckets + 1)
+            shared[key] = ((histogram(lo, hi, w) if hi > lo else {0: total}),
+                           w)
+        return shared[key]
 
     out = []
     for f in fracs:
-        lo, hi, r = narrow(mn, mx, ranks[f], hist0, width0)
+        r = ranks[f]
+        if split:
+            if r <= n_neg:
+                lo0, hi0, total = mn, -1, n_neg
+            else:
+                lo0, hi0, total = 0, mx, n - n_neg
+                r -= n_neg
+        else:
+            lo0, hi0, total = mn, mx, n
+        hist0, width0 = shared_hist(lo0, hi0, total)
+        lo, hi, r = narrow(lo0, hi0, r, hist0, width0)
         passes = 1
         while hi - lo + 1 > buckets:
             if passes >= max_passes:  # unreachable: domain /= 4096 per pass

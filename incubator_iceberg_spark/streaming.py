@@ -89,6 +89,16 @@ class MicroBatchReader:
         while cur is not None and cur.snapshot_id != sid:
             chain.append(cur)
             cur = md.snapshot_by_id(cur.parent_id) if cur.parent_id is not None else None
+        if sid is not None and cur is None:
+            # the checkpointed snapshot was expired out of the chain:
+            # silently treating the walk-to-root as "from the beginning"
+            # would mis-slice the OLDEST snapshot by file_index (data
+            # loss) or replay a partially-consumed snapshot (duplicates)
+            raise ValueError(
+                f"checkpointed offset snapshot {sid} is no longer in the "
+                f"table's snapshot chain (expired?); delete the checkpoint "
+                f"to restart from the current state, or retain streaming "
+                f"source snapshots longer than the consumer lag")
         if cur is not None and idx >= 0:
             chain.append(cur)  # mid-snapshot: its tail files are pending
         chain.reverse()  # oldest first
@@ -125,6 +135,11 @@ class MicroBatchReader:
         batch; the offset advances to (snapshot_id, file_index) mid-
         snapshot, exactly the reference's rate-limited offset
         (SparkMicroBatchStream.java:75-132, MicroBatches.java:37-53)."""
+        if max_files_per_batch is not None and max_files_per_batch < 1:
+            # 0/negative would take nothing and then mark every pending
+            # snapshot consumed — checkpointed silent data loss from a typo
+            raise ValueError(
+                f"max_files_per_batch must be >= 1, got {max_files_per_batch}")
         pending = self._pending_snapshots()
         if not pending:
             return None

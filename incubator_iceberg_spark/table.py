@@ -805,13 +805,25 @@ class Table:
             return {"count": 0, "metadata_only_files": 0,
                     "scanned_files": 0}
         # record_count may substitute for a missing value_count ONLY for a
-        # top-level primitive column (exactly one value slot per row); a
-        # nested/repeated column can hold 0..N values per row, so the
-        # substitution would be a silent wrong count — those files scan.
+        # column with exactly one value slot per row: a top-level
+        # primitive, or a struct-nested primitive leaf reached through
+        # STRUCTS alone (structs don't repeat).  A leaf under a list/map
+        # can hold 0..N values per row, so the substitution would be a
+        # silent wrong count — those files scan.
         from incubator_iceberg_spark import schema as S
-        fld = next((f for f in md.schema().fields if f.name == column), None)
-        top_scalar = fld is not None and not isinstance(
-            fld.type, (S.StructType, S.ListType, S.MapType))
+
+        def _one_slot_per_row(dotted: str) -> bool:
+            t = md.schema().struct
+            for seg in dotted.split("."):
+                if not isinstance(t, S.StructType):
+                    return False
+                nf = next((f for f in t.fields if f.name == seg), None)
+                if nf is None:
+                    return False
+                t = nf.type
+            return t.is_primitive
+
+        top_scalar = _one_slot_per_row(column)
         n = 0
         meta_files = 0
         partial = []

@@ -81,6 +81,28 @@ def test_percentile_exact_matches_sorted_oracle(spark):
         assert r["value"] == svals[k - 1], (p, r, svals[k - 1])
 
 
+def test_percentile_exact_full_int64_domain(spark):
+    """Overflow guard: a domain spanning more than half the int64 range
+    (hash-derived keys) must split at 0 instead of letting the bucket
+    offset wrap in non-ANSI Spark (silently wrong quantiles)."""
+    import random
+    rng = random.Random(99)
+    lo, hi = -(2 ** 62) - 7, 2 ** 62 + 11   # mx - mn > 2^63 - 1
+    vals = ([lo, hi]
+            + [rng.randrange(-2 ** 62, 2 ** 62) for _ in range(3000)]
+            + [-(2 ** 61)] * 400)           # hot value in the negative half
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(8)
+    ps = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = analytics.percentile_exact(df, "v", ps)
+    svals = sorted(vals)
+    n = len(svals)
+    from fractions import Fraction
+    for p_, r in zip(ps, got):
+        f = Fraction(str(p_))
+        k = 1 + (f.numerator * (n - 1)) // f.denominator
+        assert r["value"] == svals[k - 1], (p_, r, svals[k - 1])
+
+
 def test_percentile_exact_narrow_domain_and_small_n(spark):
     # all-equal column resolves in the shared pass; n=1 and n=2 edges
     df = spark.createDataFrame([(7,)] * 100, "v long")

@@ -37,14 +37,17 @@ def _rows(rng, next_id, n):
             "id": next_id + i,
             "grp": rng.choice(["a", "b", "c", "d"]),
             "v": None if rng.random() < 0.12 else rng.randrange(-1000, 1000),
+            # struct leaves: nullable string + long (nested stats plane)
+            "ms": None if rng.random() < 0.2 else f"s{rng.randrange(50)}",
+            "mw": rng.randrange(-1000, 1000),
         })
     return out
 
 
 def _df(spark, rows):
     return spark.createDataFrame(
-        [(r["id"], r["grp"], r["v"]) for r in rows],
-        "id long, grp string, v long")
+        [(r["id"], r["grp"], r["v"], (r["ms"], r["mw"])) for r in rows],
+        "id long, grp string, v long, m struct<s: string, w: long>")
 
 
 def _predicates(rng):
@@ -62,6 +65,10 @@ def _predicates(rng):
     v = rng.randrange(-500, 500)
     pool.append((f"v > {v}", lambda r, v=v: r["v"] is not None and r["v"] > v))
     pool.append(("v IS NULL", lambda r: r["v"] is None))
+    w = rng.randrange(-500, 500)
+    pool.append((f"m.w > {w}",
+                 lambda r, w=w: r["mw"] is not None and r["mw"] > w))
+    pool.append(("m.s IS NULL", lambda r: r["ms"] is None))
     return pool
 
 
@@ -102,6 +109,13 @@ def _check_fast_paths(t, model, preds, stats, ctx):
         assert gotn["count"] == wantn, \
             f"{ctx}: count_non_null(v, {sql!r}) {gotn} != {wantn}"
         stats["hybrid_meta_files"] += gotn["metadata_only_files"]
+        # struct-nested leaf: COUNT(m.s) folds from nested dotted-path
+        # value/null counts (one slot per row through structs)
+        gotm = t.count_non_null("m.s", sql)
+        wantm = sum(1 for r in model.values() if py(r) and r["ms"] is not None)
+        assert gotm["count"] == wantm, \
+            f"{ctx}: count_non_null(m.s, {sql!r}) {gotm} != {wantm}"
+        stats["nested_meta_files"] += gotm["metadata_only_files"]
     sql, py = preds[0]
     got = t.min_max("v", sql)
     vals = [r["v"] for r in model.values() if py(r) and r["v"] is not None]
@@ -126,7 +140,8 @@ def test_fuzz_agg_pushdown_never_wrong(warehouse, spark, layout_name, part):
     model = {r["id"]: r for r in df0_rows}
     next_id = 40
     preds = _predicates(rng)
-    stats = {"count_hits": 0, "mm_hits": 0, "hybrid_meta_files": 0}
+    stats = {"count_hits": 0, "mm_hits": 0, "hybrid_meta_files": 0,
+             "nested_meta_files": 0}
     _check_fast_paths(t, model, preds, stats, f"{layout_name} init")
 
     for step in range(N_OPS):
@@ -165,3 +180,5 @@ def test_fuzz_agg_pushdown_never_wrong(warehouse, spark, layout_name, part):
     assert stats["count_hits"] >= 5, stats
     assert stats["mm_hits"] >= 2, stats
     assert stats["hybrid_meta_files"] > 0, stats
+    # nested COUNT must actually fold from metadata, not pass by scanning
+    assert stats["nested_meta_files"] > 0, stats

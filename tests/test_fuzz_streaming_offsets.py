@@ -68,3 +68,35 @@ def test_fuzz_rate_limited_stream_exactly_once(warehouse, spark, tmp_path, rnd):
         consumed.extend((r["k"], r["v"]) for r in out[0].collect())
 
     assert sorted(consumed) == sorted(expected), f"seed={SEED + rnd}"
+
+
+def test_reader_rejects_nonpositive_file_budget(warehouse, spark, tmp_path):
+    """max_files_per_batch=0 would take nothing yet mark every pending
+    snapshot consumed — checkpointed silent data loss from a typo."""
+    t = warehouse.create_table("db.so_budget", "k long")
+    t.append(spark.range(5).selectExpr("id AS k"))
+    rd = STR.MicroBatchReader(t, checkpoint_dir=str(tmp_path / "ckb"))
+    with pytest.raises(ValueError, match="max_files_per_batch"):
+        rd.next_batch(max_files_per_batch=0)
+    with pytest.raises(ValueError, match="max_files_per_batch"):
+        rd.next_batch(max_files_per_batch=-3)
+    # the offset did NOT advance: a valid budget still sees all rows
+    df, _ = rd.next_batch(max_files_per_batch=100)
+    assert df.count() == 5
+
+
+def test_reader_detects_expired_offset_snapshot(warehouse, spark, tmp_path):
+    """A checkpointed snapshot expired out of the chain must raise, not
+    silently mis-slice the oldest snapshot (loss) or replay a partially
+    consumed one (duplicates)."""
+    t = warehouse.create_table("db.so_expired", "k long")
+    ck = str(tmp_path / "cke")
+    t.append(spark.range(0, 5).selectExpr("id AS k"))
+    rd = STR.MicroBatchReader(t, checkpoint_dir=ck)
+    assert rd.next_batch() is not None  # consume snapshot 1; checkpoint it
+    t.append(spark.range(5, 9).selectExpr("id AS k"))
+    # expire everything but the current snapshot: the checkpointed one dies
+    t.expire_snapshots(older_than_ms=10**18, retain_last=1)
+    rd2 = STR.MicroBatchReader(t, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="no longer in the table's"):
+        rd2.next_batch()

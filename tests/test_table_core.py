@@ -662,3 +662,23 @@ def test_randomized_timestamp_partition_predicates(warehouse, spark):
             want = {r.id for r in df.filter(p).collect()}
             got = {r.id for r in t.to_df(filter=p).collect()}
             assert got == want, f"{variant}: {p!r}: diff {sorted(got ^ want)[:4]}"
+
+
+def test_count_non_null_struct_leaf_folds_from_metadata(warehouse, spark):
+    """A struct-nested primitive leaf has exactly one value slot per row
+    (structs don't repeat), so COUNT(meta.author) folds from the nested
+    dotted-path value/null counts with zero data files read — while a
+    leaf under a LIST still takes the scan path (0..N values per row)."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame(
+        [(1, ("alice", 7)), (2, (None, 8)), (3, ("bob", 9))],
+        "id long, meta struct<author: string, n: long>")
+    t = warehouse.create_table("db.cnn_struct", Schema.from_spark(df.schema))
+    t.append(df)
+    r = t.count_non_null("meta.author")
+    assert r["count"] == 2 and r["scanned_files"] == 0
+    r = t.count_non_null("meta.n")
+    assert r["count"] == 3 and r["scanned_files"] == 0
+    # filtered variant still folds where the predicate is file-strict
+    r = t.count_non_null("meta.author", "id >= 1")
+    assert r["count"] == 2 and r["scanned_files"] == 0
