@@ -3375,6 +3375,44 @@ def q_concurrent_committers(spark, sf_dir):
             .orderBy("o_orderstatus"))
 
 
+def q_sql_bucket_join(spark, sf_dir):
+    """Storage-partitioned join ROUTED FROM SQL (sqlfacade
+    _try_bucket_join_route; SparkBatchScan.java:89 outputPartitioning —
+    the seam the reference uses to tell Catalyst two scans are
+    co-partitioned): a plain facade equi-join over two engine tables
+    bucket(8) on custkey plans as bucket-local broadcast joins with NO
+    shuffle exchange on the join inputs, qualified refs and GROUP BY
+    rewriting onto the joined frame.  The user writes SQL; the engine
+    notices the co-bucketing from table metadata alone."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import sqlfacade as SQLF
+    from incubator_iceberg_spark.schema import Schema
+
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = _load(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment")
+    ta = cat.create_table("s.sbj_orders", Schema.from_spark(orders.schema),
+                          partition_by=["bucket(8, o_custkey)"])
+    ta.append(orders)
+    tb = cat.create_table("s.sbj_cust", Schema.from_spark(cust.schema),
+                          partition_by=["bucket(8, c_custkey)"])
+    tb.append(cust)
+    df = SQLF.execute(cat, spark, """
+        SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM s.sbj_orders o JOIN s.sbj_cust c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey % 3 != 0
+        GROUP BY c.c_mktsegment
+        ORDER BY c_mktsegment""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, "bucket routing did not engage"
+    return df
+
+
 def q_bucket_join_agg(spark, sf_dir):
     """Storage-partitioned bucket join (bucket_join.py;
     SparkBatchScan.java:89 outputPartitioning seam): orders and
@@ -3412,16 +3450,17 @@ def q_bucket_join_agg(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 6): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Round 6
-    # prefix = [the 5 rows added after the r5 prefix froze, never
-    # driver-verified (streaming_rate_limited .. pq_probe)] + [the 11
-    # r2-stale redundant-block rows (q6_forecast_revenue .. text_stats)]
+    # prefix = [sql_bucket_join, NEW this round (SQL-routed
+    # storage-partitioned join)] + [the 5 rows added after the r5 prefix
+    # froze, never driver-verified (streaming_rate_limited .. pq_probe)]
+    # + [the 11 r2-stale redundant-block rows (q6 .. text_stats)]
     # + [name_mapping_import, whose driver row GREW a nested-struct
     # column this round (r5 verdict What's-wrong #1 fix) and must
     # re-verify under the new code] + [metadata_count_col, which GREW a
     # struct-nested COUNT column this round (nested metrics)] + [32
     # least-recently-verified r3 rows: the 19-query TPC-H block, the 8
     # delete/time-travel rows (delete_maintenance's maintenance.py
-    # rewrite touches their engine), and 5 evolution/branch rows].
+    # rewrite touches their engine), and 4 evolution rows].
     # With this window green, every registered query is driver-verified
     # within r4 U r5 U r6.
     # The 18 remaining r3 rows (wap_publish .. topk_window) sit
@@ -3429,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows rotate to the back (all remain locally re-verifiable via
     # tools/check_correctness.py).
     return {
+        "sql_bucket_join": q_sql_bucket_join,
         "streaming_rate_limited": q_streaming_rate_limited,
         "percentile_exact": q_percentile_exact,
         "delete_maintenance": q_delete_maintenance,
@@ -3477,8 +3517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "overwrite_dynamic": q_overwrite_dynamic,
         "overwrite_filter": q_overwrite_filter,
-        "branch_read": q_branch_read,
         "metadata_count_col": q_metadata_count_col,
+        "branch_read": q_branch_read,
         "wap_publish": q_wap_publish,
         "snapshots_meta": q_snapshots_meta,
         "events_props_json": q_events_props_json,
@@ -3739,6 +3779,15 @@ SELECT o_orderstatus, COUNT(*) AS n,
 FROM fin
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
+""",
+        "sql_bucket_join": """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 3 != 0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """,
         "bucket_join_agg": """
 SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -85,6 +85,13 @@ def execute(catalog, spark, sql: str):
     if head == "MERGE":
         return _merge(catalog, spark, s)
     if head in ("SELECT", "WITH"):
+        # storage-partitioned join routing: a two-table equi-join whose
+        # sides are both bucket-partitioned on their join keys plans as
+        # a union of bucket-local broadcast joins — NO shuffle exchange
+        # (bucket_join.py; SparkBatchScan.java:89 outputPartitioning)
+        routed = _try_bucket_join_route(catalog, spark, s)
+        if routed is not None:
+            return routed
         # aggregate pushdown: a bare COUNT(*) over one engine table is
         # served from manifest statistics (Table.count_rows) — the
         # partition-aligned case reads zero data files
@@ -424,6 +431,70 @@ def _rewrite_time_travel(catalog, spark, s: str) -> str:
         return view
 
     return _TT_RE.sub(repl, s)
+
+
+_BUCKET_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<t1>[\w.]+)\s+(?:AS\s+)?"
+    r"(?P<a>\w+)\s+(?:INNER\s+)?JOIN\s+(?P<t2>[\w.]+)\s+(?:AS\s+)?"
+    r"(?P<b>\w+)\s+ON\s+(?P<lq>\w+)\.(?P<lk>\w+)\s*=\s*"
+    r"(?P<rq>\w+)\.(?P<rk>\w+)\s*(?P<rest>(?:WHERE|GROUP|ORDER|HAVING|"
+    r"LIMIT)\b.*)?$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _try_bucket_join_route(catalog, spark, s: str):
+    """Route ``SELECT ... FROM t1 a JOIN t2 b ON a.k = b.k [...]``
+    through bucket_join when BOTH sides are engine tables
+    bucket-partitioned by the same bucket[N] on their join keys —
+    the facade analog of the reference's storage-partitioned join
+    planning.  Returns the result DataFrame or None (any mismatch →
+    caller falls back to the generic rewrite path, which is always
+    correct).  Restricted shape by design: explicit aliases, single
+    INNER equi-join; qualified column refs rewrite to the joined
+    frame's names (same-named non-key B columns carry the plain-join
+    ``_b`` suffix)."""
+    from incubator_iceberg_spark.bucket_join import bucket_join
+
+    m = _BUCKET_JOIN_RE.match(s)
+    if not m:
+        return None
+    g = m.groupdict()
+    try:
+        ta = catalog.load_table(g["t1"], spark=spark)
+        tb = catalog.load_table(g["t2"], spark=spark)
+    except Exception:
+        return None
+    # map ON-clause qualifiers to sides
+    if g["lq"] == g["a"] and g["rq"] == g["b"]:
+        key_a, key_b = g["lk"], g["rk"]
+    elif g["lq"] == g["b"] and g["rq"] == g["a"]:
+        key_a, key_b = g["rk"], g["lk"]
+    else:
+        return None
+    try:
+        joined = bucket_join(ta, tb, key_a, key_b, spark=spark)
+    except ValueError:
+        return None  # not co-bucketed (or build oversize) → generic path
+    cols_a = {f.name for f in ta.metadata.schema().fields}
+    rename_b = {c: (c + "_b" if c in cols_a and c != key_b else c)
+                for c in (f.name for f in tb.metadata.schema().fields)}
+    same_key = rename_b.get(key_b) == key_a
+
+    def dequalify(txt: str) -> str:
+        def repl(mm):
+            q, col = mm.group(1), mm.group(2)
+            if q == g["a"]:
+                return col
+            if col == key_b and same_key:
+                return key_a  # USING-style join keeps the key once
+            return rename_b.get(col, col)
+        return re.sub(rf"\b({re.escape(g['a'])}|{re.escape(g['b'])})"
+                      r"\.(\w+)", repl, txt)
+
+    view = f"__bucket_join_{abs(hash((g['t1'], g['t2'], key_a, key_b)))}"
+    joined.createOrReplaceTempView(view)
+    rest = " " + dequalify(g["rest"]) if g["rest"] else ""
+    return spark.sql(f"SELECT {dequalify(g['sel'])} FROM {view}{rest}")
 
 
 def _register_and_rewrite(catalog, spark, s: str) -> str:
