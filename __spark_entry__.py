@@ -2795,6 +2795,42 @@ def q_pipeline_composite(spark, sf_dir):
                  F.sum("n_tokens").alias("total_tokens")))
 
 
+def q_dv_delete_scan(spark, sf_dir):
+    """Deletion vectors (delete_vectors.py — the Iceberg-v3 DV shape,
+    format-spec 'Deletion Vectors' + Puffin delete-vector-v1 re-expressed
+    as bitmap rows on the v2 delete plumbing): two MoR deletes on a
+    write.delete.format=dv table each commit ONE bitmap row per touched
+    data file instead of exploded (path, pos) tuples, a consolidation
+    rewrite merges them to the one-DV-per-file steady state, and the
+    scan decodes bitmaps DISTRIBUTED (mapInPandas) into the same
+    broadcast anti-join plain position deletes use.  At 100 TB this
+    turns steady-state MoR debt from O(deleted rows) small-file tuples
+    into O(touched data files) compressed rows.  Oracle = base table
+    minus both deleted slices, with a residual filter on top."""
+    from incubator_iceberg_spark import delete_vectors as DVC
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_dv", Schema.from_spark(orders.schema))
+    t = t.update_properties({"write.delete.format": "dv",
+                             "write.delete.mode": "merge-on-read"})
+    t.append(orders)
+    t.delete_where("o_orderkey % 23 = 0")
+    t.delete_where("o_custkey % 19 = 0")
+    dels = TableScan(t, spark)._plan_split()[1]
+    assert dels and all(DVC.is_dv_entry(e) for e in dels), dels
+    res = t.rewrite_position_deletes()
+    assert res["rewritten_delete_files"] == len(dels), res
+    dels2 = TableScan(t, spark)._plan_split()[1]
+    assert len(dels2) < len(dels) or len(dels) == 1, (dels, dels2)
+    assert all(DVC.is_dv_entry(e) for e in dels2), dels2
+    return (t.to_df()
+            .filter("o_totalprice > 50000")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice"))
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered funnel analysis (sessions.funnel_steps): users reaching
     view -> click -> purchase with each step within 12h of the previous
@@ -3468,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows rotate to the back (all remain locally re-verifiable via
     # tools/check_correctness.py).
     return {
+        "dv_delete_scan": q_dv_delete_scan,
         "sql_bucket_join": q_sql_bucket_join,
         "streaming_rate_limited": q_streaming_rate_limited,
         "percentile_exact": q_percentile_exact,
@@ -3755,6 +3792,12 @@ def oracle_sql() -> dict[str, str]:
     from incubator_iceberg_spark.functions.similarity import (
         kmeans_oracle_sql, pq_oracle_sql)
     return {
+        "dv_delete_scan": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey % 23 != 0 AND o_custkey % 19 != 0
+  AND o_totalprice > 50000
+""",
         "name_mapping_import": """
 SELECT o_orderstatus AS status, COUNT(*) AS n,
        CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     # round-5b: the four-stage pipeline composition (dedup ->
     # decontaminate -> quality gate -> split), one dataflow
     "pipeline_composite",
+    # round-6: deletion vectors (2 MoR DV deletes + consolidation
+    # rewrite + decoded-bitmap scan, incl. the scratch build)
+    "dv_delete_scan",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

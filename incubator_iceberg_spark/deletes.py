@@ -124,6 +124,40 @@ def add_position_deletes(table, pos_df, spark=None):
     return table
 
 
+def add_position_delete_vectors(table, pos_df, spark=None):
+    """Commit position deletes as DELETION VECTORS (delete_vectors.py):
+    one bitmap row per referenced data file instead of exploded
+    (file_path, pos) rows — the compact steady-state delete layout."""
+    from incubator_iceberg_spark import delete_vectors as DV
+
+    spark = spark or table.spark
+    entries = DV.write_dv_files(spark, table.location, pos_df)
+    for e in entries:
+        e["content"] = MF.POSITION_DELETES
+    table.metadata = SN.append_files(table.ops, entries, operation="delete")
+    return table
+
+
+def write_position_deletes(spark, md, pos_df, path_partitions=None) -> list:
+    """Write pos tuples in the table's configured delete layout
+    (``write.delete.format``: 'dv' → deletion vectors, default exploded
+    pos parquet); returns content-stamped entries.  The MoR DELETE /
+    UPDATE write paths route through here so one table property flips a
+    table to DV maintenance."""
+    if md.properties.get("write.delete.format") == "dv":
+        from incubator_iceberg_spark import delete_vectors as DV
+        entries = DV.write_dv_files(spark, md.location, pos_df,
+                                    path_partitions=path_partitions)
+    else:
+        entries = _write_delete_parquet(spark, md.location, pos_df,
+                                        POS_DELETE_SCHEMA,
+                                        path_partitions=path_partitions)
+    entries = [e for e in entries if e.get("record_count")]
+    for e in entries:
+        e["content"] = MF.POSITION_DELETES
+    return entries
+
+
 def add_equality_deletes(table, del_df, equality_cols, spark=None):
     """Commit equality deletes: any data row equal to a delete row on
     ``equality_cols`` (written before the delete) is removed."""
@@ -226,6 +260,14 @@ def arrow_apply_pos_deletes(tbl, data_file_path: str, pos_paths: list,
 
     positions: set = set()
     for p in pos_paths:
+        # DV files carry a 'dv' bitmap column instead of exploded pos
+        # rows — sniff the footer (already needed for the read) and
+        # decode only the matching data file's blob
+        if "dv" in pq.read_schema(p).names:
+            from incubator_iceberg_spark import delete_vectors as DV
+            positions.update(
+                DV.dv_positions_for_file(p, data_file_path).tolist())
+            continue
         # filters push to row groups via the dataset API: a delete file
         # sorted by file_path only decodes the matching stripe
         dt = pq.read_table(p, columns=["file_path", "pos"],
@@ -424,9 +466,13 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
         "___path", F.regexp_replace(F.col("_file"), "^file:/*", "/"))
     df = df.join(F.broadcast(seq_df), "___path", "left")
 
-    pos_entries = [e for e in delete_entries if e.get("content") == MF.POSITION_DELETES]
+    from incubator_iceberg_spark import delete_vectors as DV
+    pos_all = [e for e in delete_entries if e.get("content") == MF.POSITION_DELETES]
+    pos_entries = [e for e in pos_all if not DV.is_dv_entry(e)]
+    dv_entries = [e for e in pos_all if DV.is_dv_entry(e)]
     eq_entries = [e for e in delete_entries if e.get("content") == MF.EQUALITY_DELETES]
 
+    pos_df = None
     if pos_entries:
         # ONE multi-path read for all position-delete files (they share
         # POS_DELETE_SCHEMA), sequence stamped via a broadcast map on the
@@ -450,6 +496,15 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
                  for e in pos_entries], "___dfile string, ___del_seq long")
             pos_df = pos_df.join(F.broadcast(dseq), "___dfile") \
                 .drop("___dfile")
+    if dv_entries:
+        # deletion vectors: decoded tuple view (distributed mapInPandas)
+        # unions into the same anti-join — set-union semantics make DV +
+        # plain pos coexistence correct by construction
+        dv_pos = DV.read_dv_pos_df(spark, dv_entries)
+        pos_df = dv_pos if pos_df is None else \
+            pos_df.select("file_path", "pos", "___del_seq") \
+                  .unionByName(dv_pos)
+    if pos_df is not None:
         cond = ((df["___path"] == pos_df["file_path"])
                 & (df["_pos"] == pos_df["pos"])
                 & (pos_df["___del_seq"] >= df["___seq"]))

@@ -511,11 +511,15 @@ def remove_dangling_deletes(table) -> dict:
     return {"removed_delete_files": int(len(dangling))}
 
 
-def rewrite_position_deletes(table, spark=None) -> dict:
+def rewrite_position_deletes(table, spark=None, fmt: Optional[str] = None) -> dict:
     """Compact v2 position-delete files (RewritePositionDeleteFiles
     analog): drop tuples whose target data file is no longer live (or no
     longer in sequence scope), merge the survivors into one consolidated
     delete file, and swap the old delete entries out in one commit.
+    Deletion-vector files (delete_vectors.py) fold in as inputs, and
+    ``fmt='dv'`` (or table property write.delete.format=dv) writes the
+    consolidated output AS deletion vectors — one bitmap row per data
+    file, the compact steady state for heavy MoR debt.
 
     Safe because data-file paths are never reused: a surviving tuple's
     target is live with seq <= the original delete's seq, so carrying the
@@ -523,11 +527,14 @@ def rewrite_position_deletes(table, spark=None) -> dict:
     same file."""
     from pyspark.sql import functions as F
 
+    from incubator_iceberg_spark import delete_vectors as DV
     from incubator_iceberg_spark import deletes as DEL
     from incubator_iceberg_spark import snapshots as SN2
     from incubator_iceberg_spark.scan import TableScan
 
     spark = spark or table.spark
+    md = table.metadata
+    fmt = fmt or md.properties.get("write.delete.format", "parquet")
     data, dels = TableScan(table, spark)._plan_split()
     pos = [e for e in dels if (e.get("content") or 0) == MF.POSITION_DELETES]
     if not pos:
@@ -536,14 +543,20 @@ def rewrite_position_deletes(table, spark=None) -> dict:
     # live data files in scope of each delete file's sequence number
     live_rows = [(e["file_path"], e.get("sequence_number") or 0) for e in data]
     live_df = spark.createDataFrame(live_rows, "file_path string, ___data_seq long")
+    plain = [e for e in pos if not DV.is_dv_entry(e)]
+    dvs = [e for e in pos if DV.is_dv_entry(e)]
     tuples = None
     total = 0
-    for e in pos:
+    for e in plain:
         part = (spark.read.schema(DEL.POS_DELETE_SCHEMA.to_spark())
                 .parquet(e["file_path"])
                 .withColumn("___del_seq", F.lit(e.get("sequence_number") or 0)))
         tuples = part if tuples is None else tuples.unionByName(part)
         total += e.get("record_count") or 0
+    if dvs:
+        part = DV.read_dv_pos_df(spark, dvs)
+        tuples = part if tuples is None else tuples.unionByName(part)
+        total += sum(e.get("record_count") or 0 for e in dvs)
     kept = (tuples.join(F.broadcast(live_df), "file_path")
             .filter(F.col("___del_seq") >= F.col("___data_seq"))
             .select("file_path", "pos").distinct())
@@ -553,7 +566,10 @@ def rewrite_position_deletes(table, spark=None) -> dict:
     if n_kept:
         from incubator_iceberg_spark.row_ops import _partition_scope
         scope = _partition_scope(data, table.metadata)
-        if scope:
+        if fmt == "dv":
+            added = DV.write_dv_files(spark, md.location, kept,
+                                      path_partitions=scope)
+        elif scope:
             # partition-scoped consolidation: the rewrite preserves the
             # per-partition delete-file layout the MoR writes produce
             out = kept.sortWithinPartitions("file_path", "pos")
@@ -663,7 +679,12 @@ def convert_equality_deletes(table, spark=None) -> dict:
         # 80 per-month files read SLOWER than the eq debt they replaced),
         # so small conversions write the consolidated range-partitioned
         # layout (disjoint referenced-path slices, tight ref bounds)
-        if scope and n_tuples >= 1_000_000:
+        if md.properties.get("write.delete.format") == "dv":
+            from incubator_iceberg_spark import delete_vectors as DV
+            added = DV.write_dv_files(
+                spark, md.location, matches,
+                path_partitions=scope if n_tuples >= 1_000_000 else None)
+        elif scope and n_tuples >= 1_000_000:
             out = matches.sortWithinPartitions("file_path", "pos")
             added = DEL._write_delete_parquet(
                 spark, md.location, out, DEL.POS_DELETE_SCHEMA,

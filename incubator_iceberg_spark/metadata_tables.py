@@ -143,17 +143,30 @@ def _position_deletes(table, spark):
     from incubator_iceberg_spark import deletes as DEL
     from incubator_iceberg_spark.scan import TableScan
 
+    from incubator_iceberg_spark import delete_vectors as DV
+
     _, dels = TableScan(table, spark)._plan_split()
-    paths = [e["file_path"] for e in dels
-             if (e.get("content") or 0) == MF.POSITION_DELETES]
+    pos = [e for e in dels
+           if (e.get("content") or 0) == MF.POSITION_DELETES]
+    paths = [e["file_path"] for e in pos if not DV.is_dv_entry(e)]
+    dvs = [e for e in pos if DV.is_dv_entry(e)]
     base = DEL.POS_DELETE_SCHEMA.to_spark()
-    if not paths:
+    out = None
+    if paths:
+        out = (spark.read.schema(base).parquet(*paths)
+               .withColumn("delete_file_path",
+                           F.regexp_replace(F.col("_metadata.file_path"),
+                                            "^file:/*", "/")))
+    if dvs:
+        # deletion vectors surface DECODED: the contents table is the
+        # inspection/rewrite-planning surface and must show true tuples
+        dv_rows = (DV.read_dv_pos_df(spark, dvs, with_source=True)
+                   .drop("___del_seq"))
+        out = dv_rows if out is None else out.unionByName(dv_rows)
+    if out is None:
         empty = StructType(list(base.fields)).add("delete_file_path", "string")
         return spark.createDataFrame([], empty)
-    return (spark.read.schema(base).parquet(*paths)
-            .withColumn("delete_file_path",
-                        F.regexp_replace(F.col("_metadata.file_path"),
-                                         "^file:/*", "/")))
+    return out
 
 
 def _partitions(table, spark):

@@ -323,14 +323,12 @@ def delete_where_mor(table, expr: X.Expression, spark=None) -> dict:
                # the read path merge-applies deletes per file; sorted
                # positions let it stream instead of hash
                .sortWithinPartitions("file_path", "pos"))
-        new_entries = DEL._write_delete_parquet(
-            spark, md.location, pos, DEL.POS_DELETE_SCHEMA,
+        # inclusive stats can admit files whose rows don't actually
+        # match: write_position_deletes drops empty delete files, and
+        # honors write.delete.format=dv (deletion vectors)
+        new_entries = DEL.write_position_deletes(
+            spark, md, pos,
             path_partitions=_partition_scope([r.entry for r in mor], md))
-        # inclusive stats can admit files whose rows don't actually match:
-        # don't commit empty delete files
-        new_entries = [e for e in new_entries if e["record_count"]]
-        for e in new_entries:
-            e["content"] = MF.POSITION_DELETES
         marked_rows = sum(e["record_count"] for e in new_entries)
 
     deleted_paths = {r["file_path"] for r in full_drop}
@@ -387,12 +385,8 @@ def update_mor(table, assignments: dict, condition: X.Expression,
     pos = (matched.select(_norm_file_col().alias("file_path"),
                           F.col("_pos").alias("pos"))
            .sortWithinPartitions("file_path", "pos"))
-    pos_entries = DEL._write_delete_parquet(
-        spark, md.location, pos, DEL.POS_DELETE_SCHEMA,
-        path_partitions=_partition_scope(data, md))
-    pos_entries = [e for e in pos_entries if e["record_count"]]
-    for e in pos_entries:
-        e["content"] = MF.POSITION_DELETES
+    pos_entries = DEL.write_position_deletes(
+        spark, md, pos, path_partitions=_partition_scope(data, md))
     if not pos_entries:
         # stats admitted files but no row matched: nothing to commit
         matched.unpersist()
