@@ -1459,6 +1459,59 @@ def q_streaming_cdc_apply(spark, sf_dir):
                     .alias("acctbal_micro")))
 
 
+def q_streaming_upsert_mor(spark, sf_dir):
+    """Merge-on-read upsert sink (streaming.upsert_mor_exactly_once) —
+    the reference's Flink upsert-materialize shape (flink sink
+    equality-delete mode over RowDelta, api/.../RowDelta.java): each
+    epoch commits ONE equality-delete file covering the batch's keys
+    plus the batch's data files, and the target table is NEVER read —
+    per-epoch work is O(batch) where the MERGE-based sinks join against
+    the target and rewrite matched files.  Same-commit sequence scoping
+    makes the batch's own rows survive their own delete.  Epoch 0 lands
+    on an empty table (no delete file written), epoch 2 mixes updates
+    with CDC deletes, and a replay of epoch 2 must be a no-op.  The
+    final scan serves base-minus-debt through the eq-delete anti-join."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import streaming as ST
+    from incubator_iceberg_spark.manifests import EQUALITY_DELETES
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer")
+    t = cat.create_table("s.cust_upsert_mor", Schema.from_spark(cust.schema))
+    on = ["c_custkey"]
+    # epoch 0: backfill (custkey ≡ 0 mod 2) on the empty table — the
+    # sink must skip the eq-delete file (no older rows can exist)
+    assert ST.upsert_mor_exactly_once(t, cust.filter("c_custkey % 2 = 0"),
+                                      epoch_id=0, on=on)
+    _, dels0 = TableScan(t, spark)._plan_split()
+    assert dels0 == [], dels0
+    base_paths = {e["file_path"]
+                  for e in TableScan(t, spark)._plan_split()[0]}
+    # epoch 1: plain upserts (≡0 mod 5 — half present, half new keys)
+    e1 = (cust.filter("c_custkey % 5 = 0")
+          .withColumn("c_acctbal", F.col("c_acctbal") + 500.0))
+    assert ST.upsert_mor_exactly_once(t, e1, epoch_id=1, on=on)
+    # epoch 2: CDC batch — updates (≡0 mod 7, not ≡0 mod 11: acctbal→0)
+    # + deletes of EVERY ≡0 mod 11 key (some absent — must be ignored)
+    upd = (cust.filter("c_custkey % 7 = 0 AND c_custkey % 11 != 0")
+           .withColumn("c_acctbal", F.lit(0.0)).withColumn("op", F.lit("U")))
+    dels = cust.filter("c_custkey % 11 = 0").withColumn("op", F.lit("D"))
+    e2 = upd.unionByName(dels)
+    assert ST.upsert_mor_exactly_once(t, e2, epoch_id=2, on=on, op_col="op")
+    assert not ST.upsert_mor_exactly_once(t, e2, epoch_id=2, on=on,
+                                          op_col="op")  # replay: no-op
+    # MoR shape: epoch-0 data files all still live, eq debt = 2 files
+    data, dd = TableScan(t, spark)._plan_split()
+    assert base_paths <= {e["file_path"] for e in data}
+    assert sum(1 for e in dd if e.get("content") == EQUALITY_DELETES) == 2
+    return (t.to_df()
+            .select("c_custkey", "c_name",
+                    F.floor(F.col("c_acctbal") * 1e6).cast("long")
+                    .alias("acctbal_micro")))
+
+
 def q_maintenance_scan(spark, sf_dir):
     """C7+C8+J4 post-state: after compaction, manifest rewrite, snapshot
     expiry (retain 1), and orphan-file removal, the table must still read
@@ -3504,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows rotate to the back (all remain locally re-verifiable via
     # tools/check_correctness.py).
     return {
+        "streaming_upsert_mor": q_streaming_upsert_mor,
         "dv_delete_scan": q_dv_delete_scan,
         "sql_bucket_join": q_sql_bucket_join,
         "streaming_rate_limited": q_streaming_rate_limited,
@@ -3797,6 +3851,16 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
 FROM orders
 WHERE o_orderkey % 23 != 0 AND o_custkey % 19 != 0
   AND o_totalprice > 50000
+""",
+        "streaming_upsert_mor": """
+SELECT c_custkey, c_name,
+       CAST(floor((CASE WHEN c_custkey % 7 = 0 THEN 0.0
+                        WHEN c_custkey % 5 = 0 THEN c_acctbal + 500.0
+                        ELSE c_acctbal END) * 1e6) AS BIGINT)
+           AS acctbal_micro
+FROM customer
+WHERE (c_custkey % 2 = 0 OR c_custkey % 5 = 0 OR c_custkey % 7 = 0)
+  AND c_custkey % 11 != 0
 """,
         "name_mapping_import": """
 SELECT o_orderstatus AS status, COUNT(*) AS n,

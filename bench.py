@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     # round-6: deletion vectors (2 MoR DV deletes + consolidation
     # rewrite + decoded-bitmap scan, incl. the scratch build)
     "dv_delete_scan",
+    # round-6: Flink-style upsert-MoR sink (3 epochs of eq-delete +
+    # append commits, target never read, replay no-op, MoR scan)
+    "streaming_upsert_mor",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -331,3 +331,123 @@ def foreach_batch_cdc_applier(table, on=None, op_col: str = "op",
                                spark=batch_df.sparkSession)
 
     return write
+
+
+def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
+                            op_col: Optional[str] = None, order_col=None,
+                            query_id: str = "default", spark=None) -> bool:
+    """Merge-on-read upsert sink — the reference's Flink upsert-
+    materialize shape (flink/.../sink equality-delete mode; RowDelta
+    api/.../RowDelta.java): ONE commit per epoch carrying (a) an
+    equality-delete file keyed on ``on`` that covers EVERY key in the
+    batch — killing any pre-existing row with that key — plus (b) data
+    files for the batch's surviving rows.
+
+    Why this is the 100 TB CDC-ingest shape: the target table is NEVER
+    read.  ``upsert_exactly_once`` / ``cdc_apply_exactly_once`` MERGE
+    each batch — a join against the target plus a rewrite of every
+    matched file, so per-epoch work grows with table size and hot keys
+    rewrite the same files every epoch.  Here per-epoch work is
+    O(batch): stage the batch's data files, write one key file, commit.
+    The read side pays for it as equality-delete debt, which
+    ``convert_equality_deletes`` folds into position deletes / deletion
+    vectors and ``rewrite_data_files`` retires — the write/maintain
+    split the reference's streaming ingest is designed around.
+
+    Correctness hinges on sequence scoping: the commit's data files and
+    its eq-delete file share one sequence number, and equality deletes
+    apply only to STRICTLY older sequences (scope_deletes_for_file), so
+    the batch's own rows survive their own delete — no read required to
+    distinguish insert from update.
+
+    ``op_col`` marks CDC deletes ('D'/'d'/'delete'): their keys join the
+    equality-delete file but contribute no data row.  ``order_col``
+    resolves same-key rows within a batch LAST-change-wins; without it,
+    same-key duplicates collapse arbitrarily (dropDuplicates).
+    Returns False (no-op) for an already-committed epoch."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import deletes as DEL
+    from incubator_iceberg_spark import manifests as MF
+    from incubator_iceberg_spark import schema as S
+
+    table.refresh()
+    last = last_committed_epoch(table, query_id)
+    if last is not None and int(epoch_id) <= last:
+        return False
+    spark = spark or batch_df.sparkSession
+    md = table.metadata
+    schema = md.schema()
+    if on is None:
+        on = [schema.field_path(i) for i in schema.identifier_field_ids]
+        if not on:
+            raise ValueError("no identifier fields on table; pass on=[...]")
+    key_fields = []
+    for c in on:
+        f = schema.find_field(c)
+        if f is None:
+            raise ValueError(f"upsert key column not in schema: {c}")
+        key_fields.append(f)
+
+    if order_col is not None:
+        from pyspark.sql.window import Window
+        w = Window.partitionBy(*[F.col(k) for k in on]) \
+                  .orderBy(F.col(order_col).desc())
+        batch_df = (batch_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn", order_col))
+    else:
+        batch_df = batch_df.dropDuplicates(list(on))
+    batch_df = batch_df.persist()
+    try:
+        if op_col is not None:
+            is_del = F.lower(F.col(op_col)).isin("d", "delete")
+            upserts = batch_df.filter(~is_del).drop(op_col)
+        else:
+            upserts = batch_df
+
+        entries = table._stage(upserts, spark=spark)
+
+        # the eq-delete file is only needed when older rows can exist;
+        # an empty table (first epochs of a backfill) skips the debt
+        snap = md.current_snapshot()
+        has_prior = bool(
+            snap and int(snap.summary.get("total-data-files") or 0) > 0)
+        if has_prior:
+            del_schema = S.Schema(key_fields)
+            key_df = batch_df.select(*on)
+            # one sorted key file per ~2M keys: every affected read opens
+            # each eq-delete file, so consolidate (vs data-partitioned
+            # output) and sort for tight per-file key bounds — eq-bounds
+            # pruning (scope_deletes_for_file) then skips clean files
+            n_keys = key_df.count()
+            n_out = max(1, -(-n_keys // 2_000_000))
+            key_df = (key_df.repartitionByRange(n_out, *on)
+                      .sortWithinPartitions(*on))
+            eq_entries = DEL._write_delete_parquet(
+                spark, md.location, key_df, del_schema)
+            for e in eq_entries:
+                e["content"] = MF.EQUALITY_DELETES
+                e["equality_ids"] = [f.field_id for f in key_fields]
+            entries = entries + eq_entries
+        if not entries:
+            return False
+        table.metadata = SN.append_files(
+            table.ops, entries, operation="overwrite",
+            extra_summary={EPOCH_KEY: str(int(epoch_id)),
+                           QUERY_KEY: query_id})
+        return True
+    finally:
+        batch_df.unpersist()
+
+
+def foreach_batch_mor_upserter(table, on=None, op_col: Optional[str] = None,
+                               order_col=None, query_id: str = "default"):
+    """Adapter: ``writeStream.foreachBatch(foreach_batch_mor_upserter(t))``."""
+
+    def write(batch_df, epoch_id):
+        upsert_mor_exactly_once(table, batch_df, epoch_id, on=on,
+                                op_col=op_col, order_col=order_col,
+                                query_id=query_id,
+                                spark=batch_df.sparkSession)
+
+    return write
