@@ -230,6 +230,15 @@ def read_dv_pos_df(spark, dv_entries: list, with_source: bool = False):
         if not with_source:
             df = df.drop("___dvfile")
 
+    # decode parallelism is otherwise bounded by DV FILE count — a
+    # consolidated DV file (the steady state rewrite_position_deletes
+    # produces) would decode in one task.  Spread bitmap rows round-robin
+    # first: shuffling compressed blobs is cheap vs the decoded tuples.
+    total_pos = sum(e.get("record_count") or 0 for e in dv_entries)
+    par = spark.sparkContext.defaultParallelism
+    if len(dv_entries) < par and total_pos > 200_000:
+        df = df.repartition(par)
+
     out_cols = ["file_path", "pos", "___del_seq"] + (
         ["delete_file_path"] if with_source else [])
 
