@@ -141,7 +141,10 @@ def write_dv_files(spark, table_location: str, pos_df,
 
     from incubator_iceberg_spark import deletes as DEL
 
-    dv_df = dv_rows_from_pos(pos_df)
+    # persisted: the unscoped branch needs a count BEFORE the write to
+    # size the range partitioning — without caching, the groupBy+encode
+    # would run twice
+    dv_df = dv_rows_from_pos(pos_df).persist()
     staging = os.path.join(table_location, "data", "dv-" + uuid.uuid4().hex)
     groups = {}
     if path_partitions:
@@ -166,11 +169,13 @@ def write_dv_files(spark, table_location: str, pos_df,
         # outputs ~tens of MB even at 10^6 touched files
         cnt = dv_df.count()
         if cnt == 0:
+            dv_df.unpersist()
             return []
         n_out = max(1, -(-cnt // files_per_output))
         (dv_df.repartitionByRange(n_out, "file_path")
          .sortWithinPartitions("file_path")
          .write.mode("errorifexists").parquet(staging))
+    dv_df.unpersist()
     files = sorted(
         os.path.join(dp, f)
         for dp, _dn, fn in os.walk(staging)
