@@ -462,20 +462,24 @@ def test_time_travel_uses_snapshot_schema_for_binding(warehouse, spark):
     assert t.to_df(filter="w = 2").count() == 2
 
 
-@pytest.mark.parametrize("plan_mode", ["auto", "distributed"])
+@pytest.mark.parametrize("plan_mode", ["auto", "distributed", "dv"])
 def test_randomized_filtered_scans_with_mor_debt(warehouse, spark, plan_mode):
     """Fuzz the delete-application stack: after a sequence of
     merge-on-read deletes, every filtered scan must equal raw Spark
     applied to (base minus deleted) — deleted rows may never resurrect
     under any filter (the r4 partition-pruning resurrection class), and
-    live rows may never vanish."""
+    live rows may never vanish.  The 'dv' variant runs the same drive
+    with write.delete.format=dv: every delete lands as deletion-vector
+    bitmaps and both the Spark and pyarrow read paths must agree."""
     import random
     from incubator_iceberg_spark.schema import Schema
     rng = random.Random(7)
     rows = [(i, i % 12, ["red", "blue", "green"][i % 3],
              float(i % 50)) for i in range(600)]
     df = spark.createDataFrame(rows, "id long, m long, c string, v double")
-    props = ({"read.plan-mode": plan_mode} if plan_mode != "auto" else None)
+    props = ({"read.plan-mode": plan_mode} if plan_mode == "distributed"
+             else {"write.delete.format": "dv"} if plan_mode == "dv"
+             else None)
     t = warehouse.create_table(f"db.fuzz_mor_{plan_mode}",
                                Schema.from_spark(df.schema),
                                partition_by=["m"], properties=props)
@@ -487,6 +491,11 @@ def test_randomized_filtered_scans_with_mor_debt(warehouse, spark, plan_mode):
         t.delete_where(p, mode="merge-on-read")
         live = live.where(f"NOT coalesce(({p}), false)")
     t.refresh()
+    if plan_mode == "dv":
+        from incubator_iceberg_spark import delete_vectors as DV
+        from incubator_iceberg_spark.scan import TableScan
+        dels = TableScan(t, spark)._plan_split()[1]
+        assert dels and all(DV.is_dv_entry(e) for e in dels), dels
 
     filters = ["m = 3", "m >= 6", "c = 'red'", "v < 10", "id BETWEEN 100 AND 300",
                "m = 7 OR c = 'blue'", "v >= 40 OR id < 50", None]
