@@ -473,6 +473,39 @@ def q_changelog_scan(spark, sf_dir):
             .drop("_change_snapshot_id", "_change_ordinal"))
 
 
+def q_changelog_updates(spark, sf_dir):
+    """CDC with UPDATE images (changelog.changelog_with_updates — the
+    reference family's create_changelog_view(compute_updates) /
+    ChangelogIterator semantics): within one commit, the delete+insert
+    halves sharing the identifier key re-type to update_preimage /
+    update_postimage; pure deletes (here merge-on-read — exercised
+    through the RowDelta changelog path) and pure inserts keep their
+    types.  Pairing is one window over the range's changed rows — the
+    shuffle never touches unchanged data."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer")
+    t = cat.create_table("s.cust_cdc_upd", Schema.from_spark(cust.schema))
+    t.append(cust)
+    s0 = t.metadata.current_snapshot_id
+    # commit 1: CoW update → pre/post pairs
+    t.update({"c_acctbal": "c_acctbal + 100.0"}, "c_custkey % 7 = 0")
+    # commit 2: MoR delete (disjoint keys → original values)
+    t.delete_where("c_custkey % 5 = 0 AND c_custkey % 7 != 0",
+                   mode="merge-on-read")
+    # commit 3: pure inserts under fresh keys
+    t.append(cust.filter("c_custkey % 13 = 0")
+             .withColumn("c_custkey", F.col("c_custkey") + 9_000_000))
+    return (t.changelog_with_updates(identifier_cols=["c_custkey"],
+                                     from_snapshot_id=s0)
+            .select("c_custkey",
+                    F.floor(F.col("c_acctbal") * 1e6).cast("long")
+                    .alias("acct_micro"),
+                    "_change_type", "_change_ordinal"))
+
+
 def q_sql_facade_join(spark, sf_dir):
     """SQL façade SELECT joining two engine tables (data-source views with
     pushed filters) — plain Spark SQL over the engine surface."""
@@ -3557,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows rotate to the back (all remain locally re-verifiable via
     # tools/check_correctness.py).
     return {
+        "changelog_updates": q_changelog_updates,
         "streaming_upsert_mor": q_streaming_upsert_mor,
         "dv_delete_scan": q_dv_delete_scan,
         "sql_bucket_join": q_sql_bucket_join,
@@ -3851,6 +3885,22 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
 FROM orders
 WHERE o_orderkey % 23 != 0 AND o_custkey % 19 != 0
   AND o_totalprice > 50000
+""",
+        "changelog_updates": """
+SELECT c_custkey, CAST(floor(c_acctbal * 1e6) AS BIGINT) AS acct_micro,
+       'update_preimage' AS _change_type, 0 AS _change_ordinal
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, CAST(floor((c_acctbal + 100.0) * 1e6) AS BIGINT),
+       'update_postimage', 0
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, CAST(floor(c_acctbal * 1e6) AS BIGINT), 'delete', 1
+FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 != 0
+UNION ALL
+SELECT c_custkey + 9000000, CAST(floor(c_acctbal * 1e6) AS BIGINT),
+       'insert', 2
+FROM customer WHERE c_custkey % 13 = 0
 """,
         "streaming_upsert_mor": """
 SELECT c_custkey, c_name,

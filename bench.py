@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     # round-6: Flink-style upsert-MoR sink (3 epochs of eq-delete +
     # append commits, target never read, replay no-op, MoR scan)
     "streaming_upsert_mor",
+    # round-6: CDC with update images (CoW update + MoR delete + append
+    # commits -> pre/post pairing window over the changelog)
+    "changelog_updates",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -127,3 +127,56 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
         out = out.unionByName(step)
         ordinal += 1
     return out
+
+
+def changelog_with_updates(table, spark=None, identifier_cols=None,
+                           from_snapshot_id: Optional[int] = None,
+                           to_snapshot_id: Optional[int] = None):
+    """CDC view with UPDATE images — the semantics of the reference
+    family's create_changelog_view(compute_updates) / ChangelogIterator:
+    within ONE commit, a delete and an insert sharing the identifier
+    columns are the two halves of an update, re-typed
+    ``update_preimage`` / ``update_postimage``; everything else stays
+    insert/delete.  Downstream CDC consumers (matview IVM, audit sinks,
+    Kafka-style emitters) need the pre/post pairing to apply or display
+    changes keyed by row identity.
+
+    ``identifier_cols`` defaults to the table's identifier fields.
+    Pairing is per (key, _change_snapshot_id) via one window — shuffle
+    on the key only, sized by the range's changed rows, never the
+    table.  A key with multiple inserts or deletes in one commit stays
+    insert/delete (identifier uniqueness is the caller's contract;
+    ambiguous pairs are never guessed).  Carryover rows (copy-on-write
+    rewrites of untouched rows) were already cancelled by the base
+    changelog's EXCEPT ALL, matching the reference's
+    remove_carryovers=true default."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    schema = table.metadata.schema()
+    if identifier_cols is None:
+        identifier_cols = [schema.field_path(i)
+                           for i in schema.identifier_field_ids]
+        if not identifier_cols:
+            raise ValueError(
+                "no identifier fields on table; pass identifier_cols=[...]")
+    for c in identifier_cols:
+        if schema.find_field(c) is None:
+            raise ValueError(f"identifier column not in schema: {c}")
+
+    ch = changelog(table, spark=spark, from_snapshot_id=from_snapshot_id,
+                   to_snapshot_id=to_snapshot_id)
+    w = Window.partitionBy("_change_snapshot_id",
+                           *[F.col(c) for c in identifier_cols])
+    n_ins = F.sum(F.when(F.col("_change_type") == "insert", 1)
+                  .otherwise(0)).over(w)
+    n_del = F.sum(F.when(F.col("_change_type") == "delete", 1)
+                  .otherwise(0)).over(w)
+    paired = (n_ins == 1) & (n_del == 1)
+    return ch.withColumn(
+        "_change_type",
+        F.when(paired & (F.col("_change_type") == "delete"),
+               F.lit("update_preimage"))
+        .when(paired & (F.col("_change_type") == "insert"),
+              F.lit("update_postimage"))
+        .otherwise(F.col("_change_type")))

@@ -1017,3 +1017,15 @@ class Table:
         return CL.changelog(self, spark=spark or self.spark,
                             from_snapshot_id=from_snapshot_id,
                             to_snapshot_id=to_snapshot_id)
+
+    def changelog_with_updates(self, identifier_cols=None,
+                               from_snapshot_id=None, to_snapshot_id=None,
+                               spark=None):
+        """CDC diff with update_preimage/update_postimage pairing — see
+        changelog.changelog_with_updates."""
+        from incubator_iceberg_spark import changelog as CL
+        return CL.changelog_with_updates(
+            self, spark=spark or self.spark,
+            identifier_cols=identifier_cols,
+            from_snapshot_id=from_snapshot_id,
+            to_snapshot_id=to_snapshot_id)

@@ -329,6 +329,71 @@ def test_changelog_row_level_diff(warehouse, orders, spark):
     assert full.filter("_change_type = 'insert'").count() == orders.count() + updated
 
 
+def test_changelog_update_images(warehouse, orders, spark):
+    """changelog_with_updates: a CoW UPDATE's delete+insert halves pair
+    into update_preimage/update_postimage per identifier key within one
+    commit; pure deletes/inserts keep their types; MoR deletes pair the
+    same way; ambiguous keys (2 inserts, 1 delete) are left unpaired."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark.schema import Schema
+    t = warehouse.create_table("db.cdc_upd", Schema.from_spark(orders.schema))
+    t.append(orders)
+    s0 = t.metadata.current_snapshot_id
+    # commit 1: CoW update (delete+insert pairs), commit 2: pure delete
+    # (MoR), commit 3: pure insert
+    t.update({"o_totalprice": "o_totalprice * 2"}, "o_orderkey % 7 = 0")
+    t.delete_where("o_orderkey % 5 = 0 AND o_orderkey % 7 != 0",
+                   mode="merge-on-read")
+    fresh = orders.limit(10).withColumn("o_orderkey",
+                                        F.col("o_orderkey") + 7_000_000)
+    t.append(fresh)
+    cl = t.changelog_with_updates(identifier_cols=["o_orderkey"],
+                                  from_snapshot_id=s0)
+    n_upd = orders.filter("o_orderkey % 7 = 0").count()
+    n_del = orders.filter("o_orderkey % 5 = 0 AND o_orderkey % 7 != 0").count()
+    got = {r["_change_type"]: r["n"] for r in
+           cl.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert got == {"update_preimage": n_upd, "update_postimage": n_upd,
+                   "delete": n_del, "insert": 10}, got
+    # pre-images carry the OLD price, post-images the doubled one
+    pre = cl.filter("_change_type = 'update_preimage'")
+    post = cl.filter("_change_type = 'update_postimage'")
+    j = (pre.select("o_orderkey", F.col("o_totalprice").alias("old"))
+         .join(post.select("o_orderkey", F.col("o_totalprice").alias("new")),
+               "o_orderkey"))
+    assert j.filter("abs(new - 2*old) > 1e-6").count() == 0
+    # identifier fields default: set on the table, omit the arg
+    t2 = warehouse.create_table(
+        "db.cdc_upd2", Schema.from_spark(orders.schema),
+        identifier_fields=["o_orderkey"])
+    t2.append(orders.limit(20))
+    s1 = t2.metadata.current_snapshot_id
+    t2.update({"o_orderstatus": "'Z'"}, "o_orderkey % 2 = 0")
+    cl2 = t2.changelog_with_updates(from_snapshot_id=s1)
+    assert cl2.filter("_change_type LIKE 'update_%'").count() > 0
+    assert cl2.filter("_change_type IN ('insert','delete')").count() == 0
+
+
+def test_changelog_update_images_ambiguous_keys(warehouse, spark):
+    """Duplicate identifier keys in one commit must NOT pair: with two
+    inserts and one delete for a key in the same snapshot, all three
+    keep their plain types (never guess which insert is the post-image)."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = warehouse.create_table("db.cdc_amb", Schema.from_spark(df.schema))
+    t.append(df)
+    s0 = t.metadata.current_snapshot_id
+    # one commit: overwrite id=1 with TWO rows sharing the key
+    t.overwrite(spark.createDataFrame([(1, "x"), (1, "y")],
+                                      "id long, v string"), "id = 1")
+    cl = t.changelog_with_updates(identifier_cols=["id"],
+                                  from_snapshot_id=s0)
+    rows = {(r["id"], r["v"], r["_change_type"]) for r in cl.collect()}
+    assert rows == {(1, "a", "delete"), (1, "x", "insert"),
+                    (1, "y", "insert")}, rows
+
+
 def test_fast_count_and_min_max_metadata_only(warehouse, orders, spark):
     from incubator_iceberg_spark.schema import Schema
     t = warehouse.create_table("db.fastagg", Schema.from_spark(orders.schema),
