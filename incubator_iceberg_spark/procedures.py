@@ -173,7 +173,8 @@ PROCEDURES = {
         min_input_files=int(kw.get("min_input_files", 5))),
     "add_files": lambda t, source_dir, **kw: add_files(t, source_dir),
     "remove_dangling_deletes": lambda t, **kw: t.remove_dangling_deletes(),
-    "rewrite_position_deletes": lambda t, **kw: t.rewrite_position_deletes(),
+    "rewrite_position_deletes": lambda t, **kw: t.rewrite_position_deletes(
+        fmt=kw.get("fmt")),
     "convert_equality_deletes": lambda t, **kw: t.convert_equality_deletes(),
     "rewrite_data_files_zorder": lambda t, *cols, **kw: t.zorder_rewrite(
         list(cols), target_file_size=int(kw["target_file_size"])

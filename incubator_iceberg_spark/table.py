@@ -959,9 +959,10 @@ class Table:
         from incubator_iceberg_spark import maintenance
         return maintenance.remove_dangling_deletes(self)
 
-    def rewrite_position_deletes(self, spark=None) -> dict:
+    def rewrite_position_deletes(self, spark=None, fmt=None) -> dict:
         from incubator_iceberg_spark import maintenance
-        return maintenance.rewrite_position_deletes(self, spark=spark or self.spark)
+        return maintenance.rewrite_position_deletes(
+            self, spark=spark or self.spark, fmt=fmt)
 
     def convert_equality_deletes(self, spark=None) -> dict:
         from incubator_iceberg_spark import maintenance

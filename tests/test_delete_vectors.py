@@ -185,3 +185,27 @@ def test_datasource_reader_applies_dv(spark, warehouse, orders):
     df = spark.read.format("iiws").option("path", t.location).load()
     want = orders.filter("o_orderkey % 8 != 0").count()
     assert df.count() == want
+
+
+def test_rewrite_position_deletes_to_dv_via_procedure(warehouse, spark,
+                                                      orders):
+    """CALL system.rewrite_position_deletes(fmt => 'dv') converts a
+    plain exploded-tuple MoR table's debt to deletion vectors without
+    flipping the table property."""
+    from incubator_iceberg_spark import delete_vectors as DV
+    from incubator_iceberg_spark import procedures as PR
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table("db.dvproc", Schema.from_spark(orders.schema))
+    t.append(orders)
+    t.delete_where("o_orderkey % 13 = 0", mode="merge-on-read")
+    dels = TableScan(t, spark)._plan_split()[1]
+    assert dels and not any(DV.is_dv_entry(e) for e in dels)
+    want = t.to_df().count()
+    PR.call(warehouse,
+            "CALL system.rewrite_position_deletes('db.dvproc', fmt => 'dv')")
+    t.refresh()
+    dels2 = TableScan(t, spark)._plan_split()[1]
+    assert dels2 and all(DV.is_dv_entry(e) for e in dels2)
+    assert t.to_df().count() == want
