@@ -408,10 +408,13 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
         entries = table._stage(upserts, spark=spark)
 
         # the eq-delete file is only needed when older rows can exist;
-        # an empty table (first epochs of a backfill) skips the debt
+        # an empty table (first epochs of a backfill) skips the debt.
+        # A snapshot whose summary lacks the count conservatively counts
+        # as having data — skipping the delete file wrongly loses the
+        # upsert semantics, writing it needlessly only costs bytes.
         snap = md.current_snapshot()
-        has_prior = bool(
-            snap and int(snap.summary.get("total-data-files") or 0) > 0)
+        tot = snap.summary.get("total-data-files") if snap else None
+        has_prior = snap is not None and (tot is None or int(tot) > 0)
         if has_prior:
             del_schema = S.Schema(key_fields)
             key_df = batch_df.select(*on)

@@ -146,8 +146,31 @@ def test_randomized_concurrent_stress(warehouse, spark, partition_by):
             note_of.update({i: f"n{i}" for i, _, _ in rows})
             merge_ids.update(i for i, _, _ in rows)
 
+    def op_upsert_mor(r):
+        # upsert-MoR sink under contention: its eq-delete + append commit
+        # is a NEW delete file — concurrent compaction/CoW must abort,
+        # appends must not.  Fresh keys only, so the eq-delete kills
+        # nothing and the row-set invariant stays additive.
+        from incubator_iceberg_spark import streaming as STR
+        ids = alloc_ids(8)
+        rows = [(i, -1 if k < 4 else k % 6, f"p{i}")
+                for k, i in enumerate(ids)]
+        t = warehouse.load_table(name)
+        note_name = t.metadata.schema().fields[3].name
+        full = [(i, g, p, f"n{i}") for i, g, p in rows]
+        committed = STR.upsert_mor_exactly_once(
+            t, spark.createDataFrame(
+                full, f"id long, grp long, payload string, "
+                      f"{note_name} string").repartition(1),
+            epoch_id=ids[0], on=["id"], query_id=f"stress-{ids[0]}")
+        assert committed
+        with lock:
+            ok_appends.extend(rows)
+            note_of.update({i: f"n{i}" for i, _, _ in rows})
+
     OPS = [op_append, op_append, op_cow_delete, op_mor_delete, op_compact,
-           op_update_cow, op_update_mor, op_rename_ddl, op_merge_append]
+           op_update_cow, op_update_mor, op_rename_ddl, op_merge_append,
+           op_upsert_mor]
 
     def run_one(fn, seed):
         r = random.Random(seed)
