@@ -56,6 +56,33 @@ def test_encode_rejects_bad_input():
         DV.encode_dv([-1, 3])
 
 
+def test_prop_codec_roundtrip_any_position_set():
+    """Property gate: ANY non-empty set of int64 row positions — mixed
+    density, adversarial spans, duplicates — roundtrips exactly, and
+    the branch choice never allocates more than the raw encoding would
+    (the pre-compression size rule)."""
+    from hypothesis import given, settings, strategies as st
+
+    pos = st.one_of(
+        st.integers(0, 2 ** 62),                  # anywhere in range
+        st.integers(0, 5000),                     # dense cluster
+        st.builds(lambda b, o: b * 10 ** 6 + o,   # clustered runs
+                  st.integers(0, 50), st.integers(0, 2000)),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(pos, min_size=1, max_size=400))
+    def check(arr):
+        blob = DV.encode_dv(arr)
+        want = np.unique(np.asarray(arr, dtype=np.int64))
+        assert np.array_equal(DV.decode_dv(blob), want)
+        if blob[0] == DV._TAG_BITMAP:
+            span_bytes = (int(want[-1]) - int(want[0])) // 8 + 1
+            assert span_bytes <= 8 * len(want)
+
+    check()
+
+
 # ------------------------------------------------------------- write + scan
 
 def test_mor_delete_writes_dv_and_scans(spark, warehouse, orders):
