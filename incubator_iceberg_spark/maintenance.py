@@ -557,9 +557,11 @@ def rewrite_position_deletes(table, spark=None, fmt: Optional[str] = None) -> di
         part = DV.read_dv_pos_df(spark, dvs)
         tuples = part if tuples is None else tuples.unionByName(part)
         total += sum(e.get("record_count") or 0 for e in dvs)
+    # persisted: counted for the layout decision, then re-read by the
+    # write — without caching the delete-file scan + join runs twice
     kept = (tuples.join(F.broadcast(live_df), "file_path")
             .filter(F.col("___del_seq") >= F.col("___data_seq"))
-            .select("file_path", "pos").distinct())
+            .select("file_path", "pos").distinct().persist())
     n_kept = kept.count()
     old_paths = {e["file_path"] for e in pos}
     added = []
@@ -588,6 +590,7 @@ def rewrite_position_deletes(table, spark=None, fmt: Optional[str] = None) -> di
                 spark, table.metadata.location, out, DEL.POS_DELETE_SCHEMA)
         for e in added:
             e["content"] = MF.POSITION_DELETES
+    kept.unpersist()
     table.metadata = SN2.overwrite_files(table.ops, added, old_paths,
                                          operation="replace")
     return {"rewritten_delete_files": len(pos), "added_delete_files": len(added),
@@ -668,7 +671,10 @@ def convert_equality_deletes(table, spark=None) -> dict:
     n_tuples = 0
     added = []
     if matches is not None:
-        matches = matches.distinct()
+        # persisted: the layout heuristic needs a count BEFORE the write
+        # and the write re-reads — without caching, the dirty-file scan +
+        # semi-join would run twice
+        matches = matches.distinct().persist()
         n_tuples = matches.count()
     if n_tuples:
         from incubator_iceberg_spark.row_ops import _partition_scope
@@ -697,6 +703,8 @@ def convert_equality_deletes(table, spark=None) -> dict:
                 spark, md.location, out, DEL.POS_DELETE_SCHEMA)
         for e in added:
             e["content"] = MF.POSITION_DELETES
+    if matches is not None:
+        matches.unpersist()
     table.metadata = SN2.overwrite_files(
         table.ops, added, {e["file_path"] for e in eqs},
         operation="replace")
