@@ -107,9 +107,12 @@ def refresh_agg_mv(mv, base_table, spark=None) -> dict:
     keep = F.col("d_n") != 0
     for c in sum_cols:
         keep = keep | (F.coalesce(F.col(f"d_sum_{c}"), F.lit(0)) != 0)
-    delta = delta.filter(keep)
+    # persisted: the empty-delta check would otherwise recompute the
+    # whole changelog diff again inside the MERGE
+    delta = delta.filter(keep).persist()
     n_groups = delta.count()
     if n_groups == 0:
+        delta.unpersist()
         mv.update_properties({PROP_BASE_SNAPSHOT: str(cur)})
         return {"refreshed": True, "groups_changed": 0}
 
@@ -128,5 +131,6 @@ def refresh_agg_mv(mv, base_table, spark=None) -> dict:
         ],
         when_not_matched=[row_ops.WhenNotMatched(insert=inserts)],
         spark=spark)
+    delta.unpersist()
     mv.update_properties({PROP_BASE_SNAPSHOT: str(cur)})
     return {"refreshed": True, "groups_changed": n_groups}
