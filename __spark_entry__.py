@@ -1545,6 +1545,64 @@ def q_streaming_upsert_mor(spark, sf_dir):
                     .alias("acctbal_micro")))
 
 
+def q_cdc_replication(spark, sf_dir):
+    """CDC REPLICATION loop — the two round-6 streaming pieces composed:
+    table A takes a CoW update, a MoR delete, and an append; a
+    ChangelogMicroBatchReader streams A's row-level changes WITH update
+    images (per-snapshot offsets, the later-Iceberg changelog read
+    surface) and each batch applies to table B through the upsert-MoR
+    sink (eq-delete + append per epoch, B never read by the writer).
+    B must converge to A.  At 100 TB this is the table-to-table
+    replication shape: per-epoch cost scales with changed rows on the
+    source and batch size on the target, never with table size."""
+    from pyspark.sql import functions as F
+
+    from incubator_iceberg_spark import streaming as ST
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer")
+    base = cust.filter("c_custkey % 2 = 0")
+    src = cat.create_table("s.cdc_src", Schema.from_spark(cust.schema))
+    src.append(base)
+    s0 = src.metadata.current_snapshot_id
+    dst = cat.create_table("s.cdc_dst", Schema.from_spark(cust.schema))
+    dst.append(base)
+    src.update({"c_acctbal": "c_acctbal + 100.0"}, "c_custkey % 7 = 0")
+    src.delete_where("c_custkey % 5 = 0 AND c_custkey % 7 != 0",
+                     mode="merge-on-read")
+    src.append(cust.filter("c_custkey % 13 = 0")
+               .withColumn("c_custkey", F.col("c_custkey") + 9_000_000))
+
+    rd = ST.ChangelogMicroBatchReader(src, spark, from_snapshot_id=s0,
+                                      update_images=True,
+                                      identifier_cols=["c_custkey"])
+    cols = [f.name for f in cust.schema.fields]
+    dst_files_before = {e["file_path"]
+                        for e in TableScan(dst, spark)._plan_split()[0]}
+    n_batches = 0
+    # epoch ids must be MONOTONE per query (snapshot ids are random):
+    # number the batches, exactly as foreachBatch numbers its epochs
+    for ep, (df, _off) in enumerate(rd.batches(max_snapshots_per_batch=1)):
+        batch = (df.filter(F.col("_change_type") != "update_preimage")
+                 .withColumn("op",
+                             F.when(F.col("_change_type") == "delete",
+                                    F.lit("D")).otherwise(F.lit("U")))
+                 .select(*cols, "op"))
+        ST.upsert_mor_exactly_once(dst, batch, epoch_id=ep,
+                                   on=["c_custkey"], op_col="op")
+        n_batches += 1
+    assert n_batches == 3 and rd.next_batch() is None
+    # MoR pin: the writer never rewrote B's pre-existing data files
+    data_after = {e["file_path"]
+                  for e in TableScan(dst, spark)._plan_split()[0]}
+    assert dst_files_before <= data_after
+    return (dst.to_df()
+            .select("c_custkey",
+                    F.floor(F.col("c_acctbal") * 1e6).cast("long")
+                    .alias("acct_micro")))
+
+
 def q_maintenance_scan(spark, sf_dir):
     """C7+C8+J4 post-state: after compaction, manifest rewrite, snapshot
     expiry (retain 1), and orphan-file removal, the table must still read
@@ -3590,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows rotate to the back (all remain locally re-verifiable via
     # tools/check_correctness.py).
     return {
+        "cdc_replication": q_cdc_replication,
         "changelog_updates": q_changelog_updates,
         "streaming_upsert_mor": q_streaming_upsert_mor,
         "dv_delete_scan": q_dv_delete_scan,
@@ -3885,6 +3944,17 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
 FROM orders
 WHERE o_orderkey % 23 != 0 AND o_custkey % 19 != 0
   AND o_totalprice > 50000
+""",
+        "cdc_replication": """
+SELECT c_custkey,
+       CAST(floor((CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                        ELSE c_acctbal END) * 1e6) AS BIGINT) AS acct_micro
+FROM customer
+WHERE c_custkey % 2 = 0
+  AND NOT (c_custkey % 5 = 0 AND c_custkey % 7 != 0)
+UNION ALL
+SELECT c_custkey + 9000000, CAST(floor(c_acctbal * 1e6) AS BIGINT)
+FROM customer WHERE c_custkey % 13 = 0
 """,
         "changelog_updates": """
 SELECT c_custkey, CAST(floor(c_acctbal * 1e6) AS BIGINT) AS acct_micro,

@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     # round-6: CDC with update images (CoW update + MoR delete + append
     # commits -> pre/post pairing window over the changelog)
     "changelog_updates",
+    # round-6: changelog stream -> upsert-MoR replication loop (3
+    # batches, dst never read by the writer, dst == src)
+    "cdc_replication",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

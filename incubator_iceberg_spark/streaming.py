@@ -200,6 +200,105 @@ class MicroBatchReader:
             n += 1
 
 
+class ChangelogMicroBatchReader:
+    """Micro-batch CHANGELOG source — stream row-level changes instead
+    of appended rows (the later-Iceberg changelog/CDC read surface;
+    same family as the `changes` metadata table this engine's batch
+    changelog implements).  Each batch is `changelog(from, to]` —
+    insert/delete rows, or the four CDC types with
+    ``update_images=True`` (changelog_with_updates pairing on
+    identifier columns) — so downstream consumers (matview IVM, audit
+    sinks, replication into the upsert-MoR sink of another table) see
+    EVERY kind of commit: MoR/CoW deletes and updates included, which
+    the append source must skip or reject.
+
+    Offsets are per-SNAPSHOT (a diff has no stable file granularity);
+    checkpoint/resume and the expired-offset guard mirror
+    MicroBatchReader.  Batch cost scales with the range's CHANGED rows
+    only — the changelog reads touched files, never the whole table."""
+
+    def __init__(self, table, spark=None, checkpoint_dir: Optional[str] = None,
+                 from_snapshot_id: Optional[int] = None,
+                 update_images: bool = False, identifier_cols=None):
+        self.table = table
+        self.spark = spark or table.spark
+        self.checkpoint_dir = checkpoint_dir
+        self.update_images = update_images
+        self.identifier_cols = identifier_cols
+        self.offset = from_snapshot_id  # last consumed snapshot id
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            try:
+                with open(os.path.join(checkpoint_dir,
+                                       "changelog-offset.json")) as f:
+                    d = json.load(f)
+                if d.get("snapshot_id") is not None:
+                    self.offset = d["snapshot_id"]
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+
+    def _save_offset(self) -> None:
+        if not self.checkpoint_dir:
+            return
+        path = os.path.join(self.checkpoint_dir, "changelog-offset.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": self.offset}, f)
+        os.replace(tmp, path)
+
+    def _pending_snapshots(self) -> list:
+        """Snapshots after the offset, oldest first (ALL operations —
+        the changelog itself decides what each contributes)."""
+        md = self.table.refresh().metadata
+        chain = []
+        cur = md.current_snapshot()
+        while cur is not None and cur.snapshot_id != self.offset:
+            chain.append(cur)
+            cur = (md.snapshot_by_id(cur.parent_id)
+                   if cur.parent_id is not None else None)
+        if self.offset is not None and cur is None:
+            raise ValueError(
+                f"checkpointed changelog offset snapshot {self.offset} is "
+                f"no longer in the table's snapshot chain (expired?); "
+                f"delete the checkpoint to restart, or retain snapshots "
+                f"longer than the consumer lag")
+        chain.reverse()
+        return chain
+
+    def next_batch(self, max_snapshots_per_batch: Optional[int] = None):
+        """(changelog DataFrame, new_offset) or None when caught up."""
+        from incubator_iceberg_spark import changelog as CL
+
+        pending = self._pending_snapshots()
+        if not pending:
+            return None
+        if max_snapshots_per_batch:
+            pending = pending[:max_snapshots_per_batch]
+        to_incl = pending[-1].snapshot_id
+        if self.update_images:
+            df = CL.changelog_with_updates(
+                self.table, spark=self.spark,
+                identifier_cols=self.identifier_cols,
+                from_snapshot_id=self.offset, to_snapshot_id=to_incl)
+        else:
+            df = CL.changelog(self.table, spark=self.spark,
+                              from_snapshot_id=self.offset,
+                              to_snapshot_id=to_incl)
+        self.offset = to_incl
+        self._save_offset()
+        return df, to_incl
+
+    def batches(self, max_batches: Optional[int] = None,
+                max_snapshots_per_batch: Optional[int] = 1) -> Iterator:
+        n = 0
+        while max_batches is None or n < max_batches:
+            out = self.next_batch(max_snapshots_per_batch)
+            if out is None:
+                return
+            yield out
+            n += 1
+
+
 # ---------------------------------------------------------------------------
 # sink
 # ---------------------------------------------------------------------------

@@ -1,0 +1,116 @@
+"""Changelog micro-batch source (streaming.ChangelogMicroBatchReader):
+row-level CDC streaming with per-snapshot offsets, checkpoint resume,
+update images, and CDC replication into the upsert-MoR sink.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark import streaming as STR
+from incubator_iceberg_spark.io import load_table
+from incubator_iceberg_spark.schema import Schema
+
+
+def _build(warehouse, spark, sf_dir, name):
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.orderBy("o_orderkey").limit(200)
+    t = warehouse.create_table(name, Schema.from_spark(base.schema))
+    t.append(base)
+    s0 = t.metadata.current_snapshot_id
+    t.update({"o_totalprice": "o_totalprice * 2"}, "o_orderkey % 7 = 0")
+    t.delete_where("o_orderkey % 5 = 0 AND o_orderkey % 7 != 0",
+                   mode="merge-on-read")
+    t.append(base.limit(10).withColumn("o_orderkey",
+                                       F.col("o_orderkey") + 8_000_000))
+    return t, base, s0
+
+
+def _rows(df):
+    return sorted((r["o_orderkey"], r["_change_type"],
+                   round(r["o_totalprice"], 2)) for r in df.collect())
+
+
+def test_changelog_batches_equal_full_changelog(warehouse, spark, sf_dir):
+    t, base, s0 = _build(warehouse, spark, sf_dir, "db.cls1")
+    rd = STR.ChangelogMicroBatchReader(t, spark, from_snapshot_id=s0)
+    got = []
+    n_batches = 0
+    for df, _off in rd.batches(max_snapshots_per_batch=1):
+        got.extend(_rows(df))
+        n_batches += 1
+    assert n_batches == 3  # one per commit after s0
+    want = _rows(t.changelog(from_snapshot_id=s0))
+    assert sorted(got) == want
+    assert rd.next_batch() is None  # caught up
+
+
+def test_changelog_stream_checkpoint_resume(warehouse, spark, sf_dir,
+                                            tmp_path):
+    t, base, s0 = _build(warehouse, spark, sf_dir, "db.cls2")
+    ckpt = str(tmp_path / "ck")
+    rd = STR.ChangelogMicroBatchReader(t, spark, checkpoint_dir=ckpt,
+                                       from_snapshot_id=s0)
+    df1, off1 = rd.next_batch(max_snapshots_per_batch=1)
+    first = _rows(df1)
+    # a NEW reader on the same checkpoint resumes after the first commit
+    rd2 = STR.ChangelogMicroBatchReader(t, spark, checkpoint_dir=ckpt)
+    assert rd2.offset == off1
+    rest = []
+    for df, _off in rd2.batches():
+        rest.extend(_rows(df))
+    assert sorted(first + rest) == _rows(t.changelog(from_snapshot_id=s0))
+
+
+def test_changelog_stream_update_images(warehouse, spark, sf_dir):
+    t, base, s0 = _build(warehouse, spark, sf_dir, "db.cls3")
+    rd = STR.ChangelogMicroBatchReader(t, spark, from_snapshot_id=s0,
+                                       update_images=True,
+                                       identifier_cols=["o_orderkey"])
+    types = set()
+    for df, _off in rd.batches(max_snapshots_per_batch=1):
+        types |= {r["_change_type"] for r in
+                  df.select("_change_type").distinct().collect()}
+    assert types == {"update_preimage", "update_postimage",
+                     "delete", "insert"}
+
+
+def test_changelog_stream_expired_offset_raises(warehouse, spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.limit(30)
+    t = warehouse.create_table("db.cls4", Schema.from_spark(base.schema))
+    t.append(base)
+    s0 = t.metadata.current_snapshot_id
+    t.append(base.limit(5))
+    t.append(base.limit(5))
+    t.expire_snapshots(retain_last=1)
+    rd = STR.ChangelogMicroBatchReader(t, spark, from_snapshot_id=s0)
+    with pytest.raises(ValueError, match="no longer in the table's"):
+        rd.next_batch()
+
+
+def test_cdc_replication_changelog_to_upsert_mor(warehouse, spark, sf_dir):
+    """The round-trip the two round-6 streaming pieces exist for:
+    stream table A's changelog WITH update images and apply each batch
+    to table B through the upsert-MoR sink — B must converge to A
+    after every batch, without B ever being read by the writer."""
+    t, base, s0 = _build(warehouse, spark, sf_dir, "db.cls_src")
+    dst = warehouse.create_table("db.cls_dst", Schema.from_spark(base.schema))
+    dst.append(base)  # same starting state as A at s0
+
+    rd = STR.ChangelogMicroBatchReader(t, spark, from_snapshot_id=s0,
+                                       update_images=True,
+                                       identifier_cols=["o_orderkey"])
+    cols = [f.name for f in base.schema.fields]
+    # epoch ids must be MONOTONE per query (snapshot ids are random) —
+    # number the batches like foreachBatch numbers its epochs
+    for ep, (df, _off) in enumerate(rd.batches(max_snapshots_per_batch=1)):
+        batch = (df.filter(F.col("_change_type") != "update_preimage")
+                 .withColumn("op",
+                             F.when(F.col("_change_type") == "delete",
+                                    F.lit("D")).otherwise(F.lit("U")))
+                 .select(*cols, "op"))
+        STR.upsert_mor_exactly_once(dst, batch, epoch_id=ep,
+                                    on=["o_orderkey"], op_col="op")
+    a = sorted(tuple(r) for r in t.to_df().select(*cols).collect())
+    b = sorted(tuple(r) for r in dst.to_df().select(*cols).collect())
+    assert a == b and len(a) > 0
