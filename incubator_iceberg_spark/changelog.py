@@ -172,7 +172,15 @@ def changelog_with_updates(table, spark=None, identifier_cols=None,
                   .otherwise(0)).over(w)
     n_del = F.sum(F.when(F.col("_change_type") == "delete", 1)
                   .otherwise(0)).over(w)
-    paired = (n_ins == 1) & (n_del == 1)
+    # NULL identifiers never pair: the window groups NULL keys together,
+    # but two unrelated rows with NULL keys are not one update (the
+    # reference forbids null identifier fields outright — we keep the
+    # rows and just leave them plain insert/delete)
+    keys_ok = None
+    for c in identifier_cols:
+        nn = F.col(c).isNotNull()
+        keys_ok = nn if keys_ok is None else (keys_ok & nn)
+    paired = (n_ins == 1) & (n_del == 1) & keys_ok
     return ch.withColumn(
         "_change_type",
         F.when(paired & (F.col("_change_type") == "delete"),

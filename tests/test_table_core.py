@@ -394,6 +394,23 @@ def test_changelog_update_images_ambiguous_keys(warehouse, spark):
                     (1, "y", "insert")}, rows
 
 
+def test_changelog_update_images_null_keys_never_pair(warehouse, spark):
+    """A delete and an insert that both carry a NULL identifier are two
+    unrelated rows, not an update — NULL keys stay plain typed."""
+    from incubator_iceberg_spark.schema import Schema
+    df = spark.createDataFrame([(None, "old"), (7, "keep")],
+                               "id long, v string")
+    t = warehouse.create_table("db.cdc_null", Schema.from_spark(df.schema))
+    t.append(df)
+    s0 = t.metadata.current_snapshot_id
+    t.overwrite(spark.createDataFrame([(None, "new")], "id long, v string"),
+                "id IS NULL")
+    cl = t.changelog_with_updates(identifier_cols=["id"],
+                                  from_snapshot_id=s0)
+    rows = {(r["v"], r["_change_type"]) for r in cl.collect()}
+    assert rows == {("old", "delete"), ("new", "insert")}, rows
+
+
 def test_fast_count_and_min_max_metadata_only(warehouse, orders, spark):
     from incubator_iceberg_spark.schema import Schema
     t = warehouse.create_table("db.fastagg", Schema.from_spark(orders.schema),
