@@ -163,6 +163,10 @@ def main() -> int:
     qs = E.queries()
     for name in WARMUP_QUERIES:
         qs[name](spark, sf_dir).count()
+    # Arrow/Python-worker spin-up (mapInPandas daemon + serializer JIT):
+    # otherwise the FIRST timed pandas-path bench (minhash, DV decode)
+    # absorbs ~1-2 s of one-time worker start cost
+    spark.range(100).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     # B4 partitioned append: write sf lineitem partitioned by month(l_shipdate).

@@ -158,11 +158,23 @@ def test_randomized_concurrent_stress(warehouse, spark, partition_by):
         t = warehouse.load_table(name)
         note_name = t.metadata.schema().fields[3].name
         full = [(i, g, p, f"n{i}") for i, g, p in rows]
-        committed = STR.upsert_mor_exactly_once(
-            t, spark.createDataFrame(
-                full, f"id long, grp long, payload string, "
-                      f"{note_name} string").repartition(1),
-            epoch_id=ids[0], on=["id"], query_id=f"stress-{ids[0]}")
+        try:
+            committed = STR.upsert_mor_exactly_once(
+                t, spark.createDataFrame(
+                    full, f"id long, grp long, payload string, "
+                          f"{note_name} string").repartition(1),
+                epoch_id=ids[0], on=["id"], query_id=f"stress-{ids[0]}")
+        except ValueError as e:
+            if "not in the table schema" not in str(e):
+                raise
+            # a rename landed between reading note_name and the sink's
+            # refresh+stage: the batch carries the old column name and
+            # nothing commits — the same legitimate optimistic loss the
+            # rename op itself absorbs (a real stream would rebuild the
+            # batch against the new schema and retry)
+            with lock:
+                state["aborts"] += 1
+            return
         assert committed
         with lock:
             ok_appends.extend(rows)
