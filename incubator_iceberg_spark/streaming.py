@@ -470,6 +470,7 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
     from incubator_iceberg_spark import manifests as MF
     from incubator_iceberg_spark import schema as S
 
+    schema0 = table.metadata.schema()  # schema the batch was built for
     table.refresh()
     last = last_committed_epoch(table, query_id)
     if last is not None and int(epoch_id) <= last:
@@ -477,10 +478,27 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
     spark = spark or batch_df.sparkSession
     md = table.metadata
     schema = md.schema()
+
+    def _remap(name: str) -> str:
+        # a concurrent rename may land between the caller building the
+        # batch and this refresh: resolve stale names by FIELD-ID through
+        # the caller-visible schema (the merge-schema append's remap)
+        if schema.find_field(name) is not None:
+            return name
+        f0 = schema0.find_field(name)
+        fn = schema.find_field(f0.field_id) if f0 is not None else None
+        return fn.name if fn is not None else name
+
+    transport = {c for c in (op_col, order_col) if c is not None}
+    for c in batch_df.columns:
+        if c not in transport and _remap(c) != c:
+            batch_df = batch_df.withColumnRenamed(c, _remap(c))
     if on is None:
         on = [schema.field_path(i) for i in schema.identifier_field_ids]
         if not on:
             raise ValueError("no identifier fields on table; pass on=[...]")
+    else:
+        on = [_remap(c) for c in on]
     key_fields = []
     for c in on:
         f = schema.find_field(c)

@@ -134,3 +134,25 @@ def test_upsert_mor_requires_keys(warehouse, spark, sf_dir):
         STR.upsert_mor_exactly_once(t, base, epoch_id=1)
     with pytest.raises(ValueError, match="not in schema"):
         STR.upsert_mor_exactly_once(t, base, epoch_id=1, on=["nope"])
+
+
+def test_upsert_mor_rebases_across_rename(warehouse, spark, sf_dir):
+    """A batch built before a concurrent rename still lands: stale
+    column names (including the key) resolve by field-id through the
+    caller-visible schema, the recovery the merge-schema append path
+    established."""
+    t, base = _mk(warehouse, spark, sf_dir, "db.um7", n=30)
+    batch = (base.limit(5)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 1.0))
+    # rename lands through a CONCURRENT handle after the batch was
+    # built: the sink's refresh is what picks it up
+    t2 = warehouse.load_table("db.um7")
+    t2.update_schema().rename_column("o_totalprice", "price").commit()
+    assert STR.upsert_mor_exactly_once(t, batch, epoch_id=1,
+                                       on=["o_orderkey"])
+    out = t.to_df()
+    assert "price" in out.columns
+    bumped = (out.join(base.limit(5).select(
+        "o_orderkey", F.col("o_totalprice").alias("old")), "o_orderkey")
+        .filter("abs(price - (old + 1.0)) < 1e-6"))
+    assert bumped.count() == 5
