@@ -13,6 +13,13 @@ from __future__ import annotations
 from incubator_iceberg_spark import manifests as MF
 
 
+METADATA_TABLE_KINDS = frozenset({
+    "snapshots", "history", "manifests", "entries", "files", "data_files",
+    "delete_files", "partitions", "all_manifests", "all_entries",
+    "all_data_files", "position_deletes", "refs",
+})
+
+
 def metadata_table(table, kind: str, spark):
     kind = kind.lower()
     fn = {

@@ -505,13 +505,34 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
     that are not engine tables (column refs like t.col) fail load_table
     and are left untouched."""
     s = _rewrite_time_travel(catalog, spark, s)
-    for name in set(re.findall(r"\b((?:\w+\.)+\w+)\b", s)):
+    # longest dotted names first: `db.t.snapshots` must resolve before a
+    # `db.t` rewrite corrupts it (\b matches at the inner dots)
+    names = sorted(set(re.findall(r"\b((?:\w+\.)+\w+)\b", s)),
+                   key=lambda n: -n.count("."))
+    for name in names:
+        df = None
         try:
-            t = catalog.load_table(name, spark=spark)
+            df = _view_df(catalog.load_table(name, spark=spark), spark)
         except Exception:
+            # `db.t.<metadata_table>` / `db.t.changes`: the inspection
+            # surface of the reference family's Spark integration
+            # (SELECT * FROM db.t.snapshots / .files / .changes)
+            from incubator_iceberg_spark import metadata_tables as MT
+            parts = name.split(".")
+            kind = parts[-1].lower()
+            if len(parts) >= 3 and (kind in MT.METADATA_TABLE_KINDS
+                                    or kind == "changes"):
+                try:
+                    base = catalog.load_table(".".join(parts[:-1]),
+                                              spark=spark)
+                    df = (base.changelog(spark=spark) if kind == "changes"
+                          else MT.metadata_table(base, kind, spark))
+                except Exception:
+                    df = None
+        if df is None:
             continue
         view = name.replace(".", "_")
-        _view_df(t, spark).createOrReplaceTempView(view)
+        df.createOrReplaceTempView(view)
         s = re.sub(rf"\b{re.escape(name)}\b", view, s)
     return s
 

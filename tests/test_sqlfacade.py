@@ -402,3 +402,42 @@ def test_sql_join_falls_back_when_not_cobucketed(warehouse, spark):
     want = fact.join(dim, "k").groupBy("v").count()
     assert {r["v"]: r["n"] for r in df.collect()} == \
         {r["v"]: r["count"] for r in want.collect()}
+
+
+def test_sql_metadata_tables_and_changes(warehouse, orders, spark):
+    """`SELECT ... FROM db.t.<metadata_table>` and `db.t.changes` — the
+    reference family's Spark inspection syntax through the facade.  The
+    base-table name inside the longer dotted name must not be corrupted
+    by the db.t rewrite."""
+    from incubator_iceberg_spark import sqlfacade as SQL
+    from incubator_iceberg_spark.schema import Schema
+
+    t = warehouse.create_table("db.meta_sql", Schema.from_spark(orders.schema))
+    t.append(orders)
+    t.delete_where("o_totalprice > 250000")
+
+    n_snaps = SQL.execute(
+        warehouse, spark,
+        "SELECT count(*) AS n FROM db.meta_sql.snapshots").collect()[0]["n"]
+    assert n_snaps == 2
+
+    paths = [r["file_path"] for r in SQL.execute(
+        warehouse, spark,
+        "SELECT file_path FROM db.meta_sql.files").collect()]
+    assert paths and all(p.endswith(".parquet") for p in paths)
+
+    # joinable with the base table in ONE statement: both names rewrite
+    got = SQL.execute(
+        warehouse, spark,
+        "SELECT count(*) AS n FROM db.meta_sql "
+        "WHERE o_totalprice <= 250000").collect()[0]["n"]
+    want = orders.filter("o_totalprice <= 250000").count()
+    assert got == want
+
+    ch = {r["_change_type"]: r["n"] for r in SQL.execute(
+        warehouse, spark,
+        "SELECT _change_type, count(*) AS n FROM db.meta_sql.changes "
+        "GROUP BY _change_type").collect()}
+    n_orders = orders.count()
+    n_del = orders.filter("o_totalprice > 250000").count()
+    assert ch == {"insert": n_orders, "delete": n_del}, ch
