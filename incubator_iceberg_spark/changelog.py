@@ -16,6 +16,17 @@ of only the changed rows.  `replace` (compaction) snapshots are skipped —
 they don't change table contents.  The shuffle is bounded by the touched
 files of each snapshot, never the whole table.
 
+The METADATA plane is columnar too (round 7): each commit is diffed by
+manifest-list path — manifests shared with the parent cancel exactly and
+are never read for the data diff — and the side-unique manifests load as
+arrow tables whose `file_path` columns diff with numpy set ops.  Entries
+become Python dicts only for the files the commit actually touched, and
+new-delete→carried-file scoping is a searchsorted over path bounds + a
+sequence compare (the maintenance.remove_dangling_deletes pattern), so a
+one-file commit on a 10⁶-entry table costs the one manifest it wrote,
+not the live set.  ChangelogMicroBatchReader, cdc_replication, and
+matview IVM all ride this plane per micro-batch/refresh.
+
 RowDelta (v2 delete-file) commits are handled since round 2: a snapshot
 that ADDS delete files without touching data files still changes the
 visible rows, so the data files those new delete files can affect
@@ -38,23 +49,267 @@ from typing import Optional
 
 from incubator_iceberg_spark import manifests as MF
 
+#: sorts after every code point — appending it to a (possibly
+#: prefix-truncated) upper bound turns the reference's
+#: ``path[:len(hi)] <= hi`` prefix compare into a plain searchsorted key
+_MAXCH = "\U0010ffff"
 
-def _live_entries(snapshot) -> tuple:
-    """(data: path → normalized entry, deletes: [entries]) live at one
-    snapshot."""
-    data: dict = {}
-    dels: list = []
+
+def _mlist_rows(cache: dict, snapshot) -> list:
+    """Manifest-list rows of one snapshot, memoized per changelog() call
+    (each snapshot is read twice: as a commit and as the next commit's
+    parent)."""
     if snapshot is None:
-        return data, dels
-    for row in MF.read_manifest_list_arrow(snapshot.manifest_list).to_pylist():
-        for e in MF.read_manifest_arrow(row["manifest_path"]).to_pylist():
-            if e.get("status") == MF.DELETED:
-                continue
-            if (e.get("content") or 0) != MF.DATA:
-                dels.append(MF.normalize_entry(e))
+        return []
+    rows = cache.get(snapshot.snapshot_id)
+    if rows is None:
+        rows = MF.read_manifest_list_arrow(snapshot.manifest_list).to_pylist()
+        cache[snapshot.snapshot_id] = rows
+    return rows
+
+
+def _live_arrow(manifest_paths):
+    """Live (status != DELETED) entries of the given manifests as ONE
+    arrow table — never per-entry Python dicts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tabs = [MF.read_manifest_arrow(p) for p in manifest_paths]
+    tabs = [t for t in tabs if len(t)]
+    if not tabs:
+        return None
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    if "status" in t.column_names:
+        t = t.filter(pc.not_equal(pc.fill_null(t.column("status"), 0),
+                                  MF.DELETED))
+    return t if len(t) else None
+
+
+def _col_np(t, name, default, dtype="int64"):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if t is None:
+        return np.asarray([], dtype=dtype)
+    if name in t.column_names:
+        return pc.fill_null(t.column(name), default).to_numpy(
+            zero_copy_only=False).astype(dtype)
+    return np.full(len(t), default, dtype=dtype)
+
+
+def _paths_np(t):
+    import numpy as np
+
+    if t is None:
+        return np.asarray([], dtype=object)
+    return np.asarray(t.column("file_path").to_pylist(), dtype=object)
+
+
+def _split_content(t):
+    """(data, deletes) arrow slices of one live-entries table."""
+    import pyarrow.compute as pc
+
+    if t is None:
+        return None, None
+    if "content" not in t.column_names:
+        return t, None
+    is_data = pc.equal(pc.fill_null(t.column("content"), 0), MF.DATA)
+    d = t.filter(is_data)
+    x = t.filter(pc.invert(is_data))
+    return (d if len(d) else None), (x if len(x) else None)
+
+
+def _materialize(tabs, wanted_paths) -> dict:
+    """path → normalized entry dict, ONLY for the wanted paths — the sole
+    place changelog metadata becomes Python objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out: dict = {}
+    if wanted_paths is None or not len(wanted_paths):
+        return out
+    vset = pa.array(list(wanted_paths), type=pa.string())
+    for t in tabs:
+        if t is None:
+            continue
+        hit = t.filter(pc.is_in(t.column("file_path"), value_set=vset))
+        for e in hit.to_pylist():
+            out.setdefault(e["file_path"], MF.normalize_entry(e))
+    return out
+
+
+def _affected_carried(sp, ss, new_dels):
+    """Boolean mask over path-sorted carried data files (paths ``sp``,
+    sequence numbers ``ss``): which ones can a NEW delete file touch.
+    Position deletes: searchsorted into the sorted paths on the delete's
+    referenced-path bounds + seq compare (the maintenance.py dangling-
+    delete pattern).  Equality deletes: sequence compare only — a
+    superset of scope_deletes_for_file's per-column bounds refinement;
+    over-selected files read identically on both sides and cancel in
+    EXCEPT ALL, so this trades bounded extra IO for a columnar plan."""
+    import numpy as np
+
+    mask = np.zeros(len(sp), dtype=bool)
+    for e in new_dels:
+        del_seq = e.get("sequence_number") or 0
+        if (e.get("content") or 0) == MF.POSITION_DELETES:
+            lo = (e.get("lower_bounds") or {}).get("file_path")
+            hi = (e.get("upper_bounds") or {}).get("file_path")
+            if lo is not None and hi is not None:
+                lo_i = int(np.searchsorted(sp, lo, side="left"))
+                hi_i = int(np.searchsorted(sp, hi + _MAXCH, side="right"))
             else:
-                data[e["file_path"]] = MF.normalize_entry(e)
-    return data, dels
+                lo_i, hi_i = 0, len(sp)
+            if lo_i < hi_i:
+                mask[lo_i:hi_i] |= ss[lo_i:hi_i] <= del_seq
+        else:
+            mask |= ss < del_seq
+    return mask
+
+
+def _scope_side_deletes(del_tabs, touched_paths_sorted, touched_min_seq):
+    """Materialize (normalized dicts) only the live delete entries of one
+    side that could affect that side's TOUCHED data files — a columnar
+    superset prefilter (seq compare + referenced-path-bounds searchsorted
+    into the touched paths); read_entries re-scopes precisely per file."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tabs = [t for t in del_tabs if t is not None and len(t)]
+    if not tabs or not len(touched_paths_sorted):
+        return []
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    n = len(t)
+    seq = _col_np(t, "sequence_number", 0)
+    content = _col_np(t, "content", 0)
+    keep = np.zeros(n, dtype=bool)
+    is_eq = content == MF.EQUALITY_DELETES
+    keep[is_eq] = seq[is_eq] > touched_min_seq
+    pos_idx = np.flatnonzero(~is_eq)
+    if len(pos_idx):
+        keep[pos_idx] = seq[pos_idx] >= touched_min_seq
+        if "ref_lower_bound" in t.column_names and \
+                "ref_upper_bound" in t.column_names:
+            lo = pc.fill_null(t.column("ref_lower_bound"), "").to_numpy(
+                zero_copy_only=False)[pos_idx]
+            hi = pc.fill_null(t.column("ref_upper_bound"), "").to_numpy(
+                zero_copy_only=False)[pos_idx]
+            known = (lo != "") & (hi != "")
+            if known.any():
+                kidx = pos_idx[known]
+                lo_i = np.searchsorted(touched_paths_sorted, lo[known],
+                                       side="left")
+                hi_i = np.searchsorted(
+                    touched_paths_sorted,
+                    np.asarray([h + _MAXCH for h in hi[known]],
+                               dtype=object), side="right")
+                keep[kidx] &= hi_i > lo_i
+    if not keep.any():
+        return []
+    return [MF.normalize_entry(e)
+            for e in t.filter(pa.array(keep)).to_pylist()]
+
+
+def _snapshot_changes(md, schema, snap, parent, mlist_cache):
+    """One commit's row-change inputs, computed COLUMNAR: returns
+    (now_entries, before_entries, dels_now, dels_before) — data-file
+    entry dicts materialized ONLY for files the commit touched, plus each
+    side's scoped live delete entries — or None when the commit changes
+    nothing.
+
+    Manifests shared by path between the snapshot and its parent carry
+    identical entries and cancel exactly in the live-set diff, so only
+    the manifests the commit wrote or dropped are read for the data diff
+    (the reference diffs the same way from manifest-list metadata —
+    core/.../IncrementalDataTableScan.java plans per-snapshot manifests).
+    Shared manifests are read at all only when ``has_deletes`` says they
+    may hold delete entries, or when the commit added delete files (MoR)
+    and the carried live data set must be scanned — and even then the
+    scan stays arrow/numpy columnar; entries become Python dicts only for
+    the touched files."""
+    import numpy as np
+
+    rows_now = _mlist_rows(mlist_cache, snap)
+    rows_before = _mlist_rows(mlist_cache, parent)
+    mp_now = {r["manifest_path"]: r for r in rows_now}
+    mp_before = {r["manifest_path"]: r for r in rows_before}
+    uniq_now = [p for p in mp_now if p not in mp_before]
+    uniq_before = [p for p in mp_before if p not in mp_now]
+    shared = [p for p in mp_now if p in mp_before]
+
+    t_now = _live_arrow(uniq_now)
+    t_before = _live_arrow(uniq_before)
+    d_now, del_now = _split_content(t_now)
+    d_before, del_before = _split_content(t_before)
+
+    pn, pb = _paths_np(d_now), _paths_np(d_before)
+    added_paths = np.setdiff1d(pn, pb)
+    removed_paths = np.setdiff1d(pb, pn)
+    carried_uniq = np.intersect1d(pn, pb)
+    new_del_paths = np.setdiff1d(_paths_np(del_now), _paths_np(del_before))
+
+    if not len(added_paths) and not len(removed_paths) and \
+            not len(new_del_paths):
+        return None
+
+    # shared manifests: re-read only those that can hold delete entries
+    # (both sides' live delete sets include them), plus — only when this
+    # commit added delete files — those holding the carried data files
+    # the new deletes must be scoped against
+    shared_del_tabs = []
+    for p in shared:
+        if mp_now[p].get("has_deletes") is not False:
+            shared_del_tabs.append(_split_content(_live_arrow([p]))[1])
+
+    aff_paths = np.asarray([], dtype=object)
+    shared_data_tabs = []
+    if len(new_del_paths):
+        new_dels = list(_materialize([del_now], new_del_paths).values())
+        # carried live data: shared manifests + paths live in BOTH
+        # unique sides (rewritten-manifest carryover)
+        shared_data_tabs = [
+            _split_content(_live_arrow([p]))[0] for p in shared]
+        shared_data_tabs = [t for t in shared_data_tabs if t is not None]
+        cpaths = [_paths_np(t) for t in shared_data_tabs]
+        cseqs = [_col_np(t, "sequence_number", 0) for t in shared_data_tabs]
+        if len(carried_uniq):
+            keep = np.isin(pn, carried_uniq)
+            cpaths.append(pn[keep])
+            cseqs.append(_col_np(d_now, "sequence_number", 0)[keep])
+        if cpaths:
+            cp = np.concatenate(cpaths)
+            cs = np.concatenate(cseqs)
+            order = np.argsort(cp, kind="stable")
+            sp, ss = cp[order], cs[order]
+            aff_paths = np.unique(sp[_affected_carried(sp, ss, new_dels)])
+
+    # carried affected files resolve from d_now/d_before when they live
+    # in rewritten (side-unique) manifests, from shared_data_tabs when
+    # they were carried by manifest path
+    now_ent = _materialize([d_now] + shared_data_tabs,
+                           np.union1d(added_paths, aff_paths))
+    before_ent = _materialize([d_before] + shared_data_tabs,
+                              np.union1d(removed_paths, aff_paths))
+    now_entries = list(now_ent.values())
+    before_entries = list(before_ent.values())
+    if not now_entries and not before_entries:
+        return None
+
+    def touched(entries):
+        paths = np.sort(np.asarray([e["file_path"] for e in entries],
+                                   dtype=object))
+        mseq = min((e.get("sequence_number") or 0) for e in entries) \
+            if entries else 0
+        return paths, mseq
+
+    np_paths, n_min = touched(now_entries)
+    bp_paths, b_min = touched(before_entries)
+    dels_now = _scope_side_deletes([del_now] + shared_del_tabs,
+                                   np_paths, n_min) if now_entries else []
+    dels_before = _scope_side_deletes([del_before] + shared_del_tabs,
+                                      bp_paths, b_min) if before_entries else []
+    return now_entries, before_entries, dels_now, dels_before
 
 
 def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
@@ -63,7 +318,6 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
     means from table creation, to=None means current."""
     from pyspark.sql import functions as F
 
-    from incubator_iceberg_spark import deletes as DEL
     from incubator_iceberg_spark.scan import read_entries
 
     spark = spark or table.spark
@@ -87,32 +341,16 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
     out = spark.createDataFrame([], empty_schema)
 
     ordinal = 0
+    mlist_cache: dict = {}
+    cols = [f.name for f in schema.fields]
     for snap in reversed(chain):  # oldest first
         if snap.operation == "replace":
             continue
         parent = md.snapshot_by_id(snap.parent_id) if snap.parent_id is not None else None
-        data_now, dels_now = _live_entries(snap)
-        data_before, dels_before = _live_entries(parent)
-        added = [e for p, e in data_now.items() if p not in data_before]
-        removed = [e for p, e in data_before.items() if p not in data_now]
-        # RowDelta: data files whose visible rows change because this
-        # commit added delete files that cover them (seq/bounds-scoped)
-        before_del_paths = {e["file_path"] for e in dels_before}
-        new_dels = [e for e in dels_now
-                    if e["file_path"] not in before_del_paths]
-        affected = []
-        if new_dels:
-            for p, e in data_now.items():
-                if p not in data_before:
-                    continue  # added files are diffed anyway
-                pos, eq = DEL.scope_deletes_for_file(e, new_dels, schema)
-                if pos or eq:
-                    affected.append(p)
-        if not added and not removed and not affected:
+        changes = _snapshot_changes(md, schema, snap, parent, mlist_cache)
+        if changes is None:
             continue
-        cols = [f.name for f in schema.fields]
-        now_entries = added + [data_now[p] for p in affected]
-        before_entries = removed + [data_before[p] for p in affected]
+        now_entries, before_entries, dels_now, dels_before = changes
         # each side applies ITS OWN live delete files, so already-deleted
         # rows never resurrect into the diff
         added_df = read_entries(spark, md, now_entries, dels_now,

@@ -101,6 +101,101 @@ def build_table(warehouse: str, spark, n_manifests: int, per_manifest: int):
     return cat.load_table("db.huge", spark)
 
 
+def _extra_entry(t, tag: str, k: int, snapshot_id: int, seq: int) -> dict:
+    base = t.metadata
+    return {
+        "status": M.ADDED,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "content": M.DATA,
+        "file_path": f"{base.location}/data/p=0/extra-{tag}-{k}.parquet",
+        "file_format": "parquet",
+        "spec_id": base.default_spec_id,
+        "schema_id": base.current_schema_id,
+        "record_count": 1000,
+        "file_size_bytes": 64 * 1024 * 1024,
+        "partition": {"p": 0},
+        "value_counts": {"id": 1000, "v": 1000},
+        "null_counts": {"id": 0, "v": 0},
+        "lower_bounds": {"id": k, "v": k},
+        "upper_bounds": {"id": k + 999, "v": k + 999},
+    }
+
+
+def changelog_case(t, total_entries: int):
+    """The round-7 verdict case: changelog metadata-plane cost must be
+    ∝ the files a commit TOUCHED, not the table's live entry count.
+
+    Three small commits land on the ≥10^5-entry table — append 10 files,
+    append 100, delete 10 (a rewritten manifest, the carry-by-EXISTING
+    shape) — and each commit's `_snapshot_changes` diff is timed with a
+    cold manifest-list cache.  The yardstick is a NAIVE full live-set
+    materialization (every manifest `to_pylist()`, what `_live_entries`
+    did through round 6, PER SIDE PER COMMIT): each small diff must beat
+    one side's materialization by >=10x wall and use far less driver
+    memory, or the rehearsal fails."""
+    from incubator_iceberg_spark import changelog as CL
+
+    md = t.metadata
+    schema = md.schema()
+
+    def commit_append(tag, n):
+        entries = [_extra_entry(t, tag, k, 0, 0) for k in range(n)]
+        t.metadata = SN.append_files(t.ops, entries)
+        return t.metadata.current_snapshot()
+
+    snap_a = commit_append("a", 10)
+    snap_b = commit_append("b", 100)
+    del_paths = {e["file_path"]
+                 for e in [_extra_entry(t, "a", k, 0, 0) for k in range(10)]}
+    t.metadata = SN.overwrite_files(t.ops, [], del_paths, operation="delete")
+    snap_c = t.metadata.current_snapshot()
+    md = t.metadata
+
+    def timed_diff(snap):
+        parent = md.snapshot_by_id(snap.parent_id)
+        t0 = time.perf_counter()
+        changes = CL._snapshot_changes(md, schema, snap, parent, {})
+        wall = time.perf_counter() - t0
+        tracemalloc.start()
+        CL._snapshot_changes(md, schema, snap, parent, {})
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        now_e, before_e, _, _ = changes
+        return wall, len(now_e), len(before_e), peak / 1e6
+
+    w_a, na, _, mem_a = timed_diff(snap_a)
+    w_b, nb, _, mem_b = timed_diff(snap_b)
+    w_c, _, nc, mem_c = timed_diff(snap_c)
+    assert na == 10 and nb == 100 and nc == 10, (na, nb, nc)
+
+    # naive r6-style yardstick: one side's full live materialization
+    t0 = time.perf_counter()
+    n_naive = 0
+    for row in M.read_manifest_list_arrow(
+            snap_c.manifest_list).to_pylist():
+        for e in M.read_manifest_arrow(row["manifest_path"]).to_pylist():
+            if e.get("status") != M.DELETED:
+                M.normalize_entry(e)
+                n_naive += 1
+    w_naive = time.perf_counter() - t0
+    assert n_naive >= total_entries, (n_naive, total_entries)
+
+    for w in (w_a, w_b, w_c):
+        assert w * 10 < w_naive, (w, w_naive)
+
+    return {
+        "diff_append10": {"wall_s": round(w_a, 4),
+                          "driver_peak_mb": round(mem_a, 2)},
+        "diff_append100": {"wall_s": round(w_b, 4),
+                           "driver_peak_mb": round(mem_b, 2)},
+        "diff_delete10": {"wall_s": round(w_c, 4),
+                          "driver_peak_mb": round(mem_c, 2)},
+        "naive_live_set_one_side": {"wall_s": round(w_naive, 3),
+                                    "entries": n_naive},
+    }
+
+
 def timed_plan(t, predicate):
     """(wall_s, n_files, driver_peak_mb): wall and memory are measured in
     SEPARATE passes — tracemalloc instruments every Python allocation and
@@ -142,6 +237,8 @@ def main():
         # full scan: the path list itself is the driver materialization
         w_full, n_full, mem_full = timed_plan(t, None)
 
+        changelog = changelog_case(t, total)
+
         expect_sel = 5  # v<5000 keeps j in [0,5) of one partition
         assert n_sel == expect_sel, (n_sel, expect_sel)
         assert n_10 == hi * per_manifest, (n_10, hi * per_manifest)
@@ -160,6 +257,7 @@ def main():
                            "driver_peak_mb": round(mem_10, 2)},
             "plan_full": {"wall_s": round(w_full, 3), "files": n_full,
                           "driver_peak_mb": round(mem_full, 2)},
+            "changelog": changelog,
         }))
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
