@@ -545,6 +545,44 @@ def q_sql_ctas(spark, sf_dir):
     """)
 
 
+def q_sql_inspection(spark, sf_dir):
+    """SQL inspection syntax THROUGH the facade (reference family's
+    SparkCatalog metadata-table resolution: ``SELECT ... FROM
+    db.t.files / .snapshots / .changes``): CTAS + INSERT build two
+    append commits, then one statement unions all three inspection
+    surfaces — file accounting (one file per month partition under hash
+    distribution), the snapshot log's record counters, and the row-level
+    changelog — each derivable from the raw lineitem slices."""
+    from incubator_iceberg_spark import sqlfacade as SQL
+    cat = _scratch_catalog(spark)
+    li = _load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_raw_insp")
+    SQL.execute(cat, spark, """
+        CREATE TABLE s.insp PARTITIONED BY (month(l_shipdate)) AS
+        SELECT * FROM li_raw_insp WHERE l_quantity > 45
+    """)
+    SQL.execute(cat, spark, """
+        INSERT INTO s.insp SELECT * FROM li_raw_insp WHERE l_quantity < 3
+    """)
+    return SQL.execute(cat, spark, """
+        SELECT src, n, recs FROM (
+          SELECT 'files' AS src, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(record_count) AS BIGINT) AS recs
+          FROM s.insp.files
+          UNION ALL
+          SELECT 'snapshots', CAST(count(*) AS BIGINT),
+                 CAST(sum(CAST(element_at(summary, 'added-records')
+                               AS BIGINT)) AS BIGINT)
+          FROM s.insp.snapshots
+          UNION ALL
+          SELECT 'changes', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN _change_type = 'insert'
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM s.insp.changes
+        ) ORDER BY src
+    """)
+
+
 def q_branch_read(spark, sf_dir):
     """Branch refs (SnapshotRef analog): write half to main, branch, write
     the other half to the branch only; read the branch back through the
@@ -3716,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_by_source": q_merge_by_source,
         "sql_facade_join": q_sql_facade_join,
         "sql_ctas": q_sql_ctas,
+        "sql_inspection": q_sql_inspection,
         "zorder_scan": q_zorder_scan,
         "metadata_agg": q_metadata_agg,
         "orc_scan": q_orc_scan,
@@ -4617,6 +4656,26 @@ ORDER BY c_mktsegment
             WHERE (l_quantity > 25 OR l_quantity <= 10)
               AND l_shipdate >= TIMESTAMP '1996-06-01'
             GROUP BY l_returnflag
+        """,
+        "sql_inspection": """
+            WITH a AS (SELECT * FROM lineitem WHERE l_quantity > 45),
+                 b AS (SELECT * FROM lineitem WHERE l_quantity < 3),
+                 s AS (SELECT (SELECT count(*) FROM a) AS ca,
+                              (SELECT count(*) FROM b) AS cb,
+                              (SELECT count(DISTINCT date_trunc('month', l_shipdate))
+                               FROM a) AS ma,
+                              (SELECT count(DISTINCT date_trunc('month', l_shipdate))
+                               FROM b) AS mb)
+            SELECT src, n, recs FROM (
+              SELECT 'changes' AS src, CAST(ca + cb AS BIGINT) AS n,
+                     CAST(ca + cb AS BIGINT) AS recs FROM s
+              UNION ALL
+              SELECT 'files', CAST(ma + mb AS BIGINT),
+                     CAST(ca + cb AS BIGINT) FROM s
+              UNION ALL
+              SELECT 'snapshots', CAST(2 AS BIGINT),
+                     CAST(ca + cb AS BIGINT) FROM s
+            ) ORDER BY src
         """,
         "spec_evolution":
             "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'",

@@ -525,8 +525,17 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
                 try:
                     base = catalog.load_table(".".join(parts[:-1]),
                                               spark=spark)
-                    df = (base.changelog(spark=spark) if kind == "changes"
-                          else MT.metadata_table(base, kind, spark))
+                    # a table COLUMN named files/changes/snapshots/...
+                    # wins over the inspection surface: `db.t.files` in
+                    # that case is a qualified column ref, and the base
+                    # `db.t` rewrite keeps it one (`db_t.files`)
+                    if any(f.name.lower() == kind
+                           for f in base.metadata.schema().fields):
+                        df = None
+                    else:
+                        df = (base.changelog(spark=spark)
+                              if kind == "changes"
+                              else MT.metadata_table(base, kind, spark))
                 except Exception:
                     df = None
         if df is None:

@@ -441,3 +441,38 @@ def test_sql_metadata_tables_and_changes(warehouse, orders, spark):
     n_orders = orders.count()
     n_del = orders.filter("o_totalprice > 250000").count()
     assert ch == {"insert": n_orders, "delete": n_del}, ch
+
+
+def test_sql_column_named_like_metadata_table_wins(warehouse, spark):
+    """A table COLUMN named `files` (or any metadata kind / `changes`)
+    must resolve as a column ref, never as the inspection surface:
+    `SELECT db.t.files FROM db.t` stays a qualified column after the
+    rewrite (ADVICE r6: the interception previously hijacked ANY dotted
+    name ending in a metadata kind anywhere in the statement)."""
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("files"),
+        (F.col("id") * 3).alias("changes"))
+    t = warehouse.create_table("db.colclash", Schema.from_spark(df.schema))
+    t.append(df)
+
+    got = SQL.execute(
+        warehouse, spark,
+        "SELECT db.colclash.files AS files, db.colclash.changes AS ch "
+        "FROM db.colclash ORDER BY k LIMIT 3").collect()
+    assert [(r["files"], r["ch"]) for r in got] == [(0, 0), (2, 3), (4, 6)]
+
+    # unqualified refs keep working too
+    s = SQL.execute(
+        warehouse, spark,
+        "SELECT sum(files) AS sf FROM db.colclash").collect()[0]["sf"]
+    assert s == sum(i * 2 for i in range(10))
+
+    # and a table WITHOUT the clash still serves the inspection surface
+    t2 = warehouse.create_table("db.noclash", Schema.from_spark(
+        spark.range(0, 5).select(F.col("id").alias("k")).schema))
+    t2.append(spark.range(0, 5).select(F.col("id").alias("k")))
+    n = SQL.execute(
+        warehouse, spark,
+        "SELECT count(*) AS n FROM db.noclash.files").collect()[0]["n"]
+    assert n >= 1
