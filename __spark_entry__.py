@@ -545,6 +545,33 @@ def q_sql_ctas(spark, sf_dir):
     """)
 
 
+def q_changelog_net(spark, sf_dir):
+    """Changelog NET-CHANGES mode (create_changelog_view(net_changes)
+    semantics): four commits of churn — append, append, CoW delete,
+    identical-value re-insert — collapse to net row effect.  Rows
+    inserted-then-deleted in range vanish, deleted-then-reinserted rows
+    vanish, so the oracle is two pure predicates over raw lineitem."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    li = _load(spark, sf_dir, "lineitem")
+    a = li.filter("l_quantity > 44")
+    t = cat.create_table("s.netcl", Schema.from_spark(a.schema),
+                         partition_by=["month(l_shipdate)"])
+    t.append(a)
+    s0 = t.metadata.current_snapshot_id
+    t.append(li.filter("l_quantity < 3"))
+    t.delete_where("l_discount > 0.05")
+    t.append(a.filter("l_discount > 0.05 AND l_tax < 0.02"))
+    ch = t.changelog(from_snapshot_id=s0, net_changes=True)
+    return (ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+                 .alias("cents"))
+            .select(F.col("_change_type").alias("change"), "n", "cents")
+            .orderBy("change"))
+
+
 def q_sql_inspection(spark, sf_dir):
     """SQL inspection syntax THROUGH the facade (reference family's
     SparkCatalog metadata-table resolution: ``SELECT ... FROM
@@ -3755,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_facade_join": q_sql_facade_join,
         "sql_ctas": q_sql_ctas,
         "sql_inspection": q_sql_inspection,
+        "changelog_net": q_changelog_net,
         "zorder_scan": q_zorder_scan,
         "metadata_agg": q_metadata_agg,
         "orc_scan": q_orc_scan,
@@ -4656,6 +4684,22 @@ ORDER BY c_mktsegment
             WHERE (l_quantity > 25 OR l_quantity <= 10)
               AND l_shipdate >= TIMESTAMP '1996-06-01'
             GROUP BY l_returnflag
+        """,
+        "changelog_net": """
+            WITH a AS (SELECT * FROM lineitem WHERE l_quantity > 44),
+                 b AS (SELECT * FROM lineitem WHERE l_quantity < 3),
+                 ins AS (SELECT * FROM b WHERE l_discount <= 0.05),
+                 del AS (SELECT * FROM a
+                         WHERE l_discount > 0.05 AND l_tax >= 0.02)
+            SELECT * FROM (
+              SELECT 'delete' AS change, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS cents
+              FROM del
+              UNION ALL
+              SELECT 'insert', CAST(count(*) AS BIGINT),
+                     CAST(sum(floor(l_extendedprice * 100)) AS BIGINT)
+              FROM ins
+            ) ORDER BY change
         """,
         "sql_inspection": """
             WITH a AS (SELECT * FROM lineitem WHERE l_quantity > 45),

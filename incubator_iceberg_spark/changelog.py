@@ -312,10 +312,42 @@ def _snapshot_changes(md, schema, snap, parent, mlist_cache):
     return now_entries, before_entries, dels_now, dels_before
 
 
+def _net_changes(ch, data_cols):
+    """Collapse a multi-commit changelog to its NET row effect (the
+    reference family's create_changelog_view(net_changes=true) /
+    ChangelogIterator.removeNetCarryovers): per distinct row value, net
+    multiplicity = #inserts - #deletes across the range; zero vanishes
+    (insert-then-delete, or delete-then-reinsert of the same row),
+    positive nets emit that many inserts, negative that many deletes —
+    each attributed to the row's LAST change in the range.  One shuffle
+    keyed on row content, sized by the range's changed rows — long
+    replication backfills collapse churn instead of replaying it."""
+    from pyspark.sql import functions as F
+
+    delta = F.when(F.col("_change_type") == "insert", F.lit(1)) \
+        .otherwise(F.lit(-1))
+    agg = (ch.groupBy(*data_cols)
+           .agg(F.sum(delta).alias("_net"),
+                F.max(F.struct("_change_ordinal", "_change_snapshot_id"))
+                .alias("_last")))
+    return (agg.filter(F.col("_net") != 0)
+            .select(*data_cols,
+                    F.when(F.col("_net") > 0, F.lit("insert"))
+                    .otherwise(F.lit("delete")).alias("_change_type"),
+                    F.col("_last._change_snapshot_id")
+                    .alias("_change_snapshot_id"),
+                    F.col("_last._change_ordinal").alias("_change_ordinal"),
+                    F.abs(F.col("_net")).alias("_n"))
+            .withColumn("_dup", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+            .drop("_n", "_dup"))
+
+
 def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
-              to_snapshot_id: Optional[int] = None):
+              to_snapshot_id: Optional[int] = None,
+              net_changes: bool = False):
     """Row-level changes in (from_snapshot_id, to_snapshot_id]; from=None
-    means from table creation, to=None means current."""
+    means from table creation, to=None means current.  ``net_changes``
+    collapses the range to net row effect (see _net_changes)."""
     from pyspark.sql import functions as F
 
     from incubator_iceberg_spark.scan import read_entries
@@ -364,12 +396,15 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
                 .withColumn("_change_ordinal", F.lit(ordinal)))
         out = out.unionByName(step)
         ordinal += 1
+    if net_changes:
+        out = _net_changes(out, cols)
     return out
 
 
 def changelog_with_updates(table, spark=None, identifier_cols=None,
                            from_snapshot_id: Optional[int] = None,
-                           to_snapshot_id: Optional[int] = None):
+                           to_snapshot_id: Optional[int] = None,
+                           net_changes: bool = False):
     """CDC view with UPDATE images — the semantics of the reference
     family's create_changelog_view(compute_updates) / ChangelogIterator:
     within ONE commit, a delete and an insert sharing the identifier
@@ -390,6 +425,13 @@ def changelog_with_updates(table, spark=None, identifier_cols=None,
     remove_carryovers=true default."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+
+    if net_changes:
+        # the reference family rejects the combination too: after the
+        # net collapse a pre/post pair may span commits, so per-commit
+        # pairing would silently mislabel
+        raise ValueError(
+            "net_changes cannot be combined with update images")
 
     schema = table.metadata.schema()
     if identifier_cols is None:

@@ -219,12 +219,17 @@ class ChangelogMicroBatchReader:
 
     def __init__(self, table, spark=None, checkpoint_dir: Optional[str] = None,
                  from_snapshot_id: Optional[int] = None,
-                 update_images: bool = False, identifier_cols=None):
+                 update_images: bool = False, identifier_cols=None,
+                 net_changes: bool = False):
+        if update_images and net_changes:
+            raise ValueError(
+                "net_changes cannot be combined with update images")
         self.table = table
         self.spark = spark or table.spark
         self.checkpoint_dir = checkpoint_dir
         self.update_images = update_images
         self.identifier_cols = identifier_cols
+        self.net_changes = net_changes
         self.offset = from_snapshot_id  # last consumed snapshot id
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
@@ -283,7 +288,8 @@ class ChangelogMicroBatchReader:
         else:
             df = CL.changelog(self.table, spark=self.spark,
                               from_snapshot_id=self.offset,
-                              to_snapshot_id=to_incl)
+                              to_snapshot_id=to_incl,
+                              net_changes=self.net_changes)
         self.offset = to_incl
         self._save_offset()
         return df, to_incl

@@ -1012,16 +1012,18 @@ class Table:
         return maintenance.sort_rewrite(self, sort_by,
                                         spark=spark or self.spark, **kw)
 
-    def changelog(self, from_snapshot_id=None, to_snapshot_id=None, spark=None):
+    def changelog(self, from_snapshot_id=None, to_snapshot_id=None, spark=None,
+                  net_changes=False):
         """Row-level CDC diff in (from, to] — see changelog.changelog."""
         from incubator_iceberg_spark import changelog as CL
         return CL.changelog(self, spark=spark or self.spark,
                             from_snapshot_id=from_snapshot_id,
-                            to_snapshot_id=to_snapshot_id)
+                            to_snapshot_id=to_snapshot_id,
+                            net_changes=net_changes)
 
     def changelog_with_updates(self, identifier_cols=None,
                                from_snapshot_id=None, to_snapshot_id=None,
-                               spark=None):
+                               spark=None, net_changes=False):
         """CDC diff with update_preimage/update_postimage pairing — see
         changelog.changelog_with_updates."""
         from incubator_iceberg_spark import changelog as CL
@@ -1029,4 +1031,5 @@ class Table:
             self, spark=spark or self.spark,
             identifier_cols=identifier_cols,
             from_snapshot_id=from_snapshot_id,
-            to_snapshot_id=to_snapshot_id)
+            to_snapshot_id=to_snapshot_id,
+            net_changes=net_changes)

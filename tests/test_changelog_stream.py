@@ -114,3 +114,69 @@ def test_cdc_replication_changelog_to_upsert_mor(warehouse, spark, sf_dir):
     a = sorted(tuple(r) for r in t.to_df().select(*cols).collect())
     b = sorted(tuple(r) for r in dst.to_df().select(*cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_changelog_net_changes(warehouse, spark, sf_dir):
+    """net_changes collapses a multi-commit range to net row effect:
+    insert-then-delete vanishes, delete-then-reinsert of identical
+    values vanishes, a surviving insert/delete keeps its LAST change's
+    ordinal, and the plain changelog is unaffected."""
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v"))
+    t = warehouse.create_table("db.netc", Schema.from_spark(df.schema))
+    t.append(df)
+    s0 = t.metadata.current_snapshot_id
+    # commit 1: insert 10 new rows (k in [100,110))
+    extra = spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v"))
+    t.append(extra)
+    # commit 2: delete half of them (inserted-then-deleted → net zero)
+    # plus 5 pre-range rows (net delete)
+    t.delete_where("k >= 105 OR k < 5")
+    # commit 3: re-insert 2 of the pre-range deleted rows with IDENTICAL
+    # values (delete-then-reinsert → net zero)
+    t.append(df.filter("k < 2"))
+
+    net = {(r["k"], r["_change_type"], r["_change_ordinal"])
+           for r in t.changelog(from_snapshot_id=s0,
+                                net_changes=True).collect()}
+    # survivors: k in [100,105) net inserts (ordinal of LAST change = 0,
+    # their only change); k in [2,5) net deletes (ordinal 1)
+    assert net == ({(k, "insert", 0) for k in range(100, 105)}
+                   | {(k, "delete", 1) for k in range(2, 5)}), net
+
+    # plain changelog still shows the churn
+    plain = t.changelog(from_snapshot_id=s0)
+    assert plain.count() == 10 + 10 + 2  # inserts+deletes+reinserts
+    # and the stream honors the flag (single batch over the range)
+    rd = STR.ChangelogMicroBatchReader(t, spark, from_snapshot_id=s0,
+                                       net_changes=True)
+    df_all, _off = rd.next_batch(max_snapshots_per_batch=10)
+    got = {(r["k"], r["_change_type"]) for r in df_all.collect()}
+    assert got == {(k, "insert") for k in range(100, 105)} \
+        | {(k, "delete") for k in range(2, 5)}
+
+
+def test_changelog_net_changes_multiplicity(warehouse, spark, sf_dir):
+    """Duplicate full rows net by MULTIPLICITY: inserting the same row
+    twice and deleting one copy nets to one insert."""
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    t = warehouse.create_table("db.netm", Schema.from_spark(df.schema))
+    s0 = t.metadata.current_snapshot_id
+    t.append(df)
+    t.append(df)  # second identical copy
+    net = t.changelog(net_changes=True).collect()
+    assert [(r["k"], r["_change_type"]) for r in net] == \
+        [(1, "insert"), (1, "insert")]
+
+
+def test_changelog_net_changes_rejects_update_images(warehouse, spark,
+                                                     sf_dir):
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    t = warehouse.create_table("db.netr", Schema.from_spark(df.schema))
+    t.append(df)
+    with pytest.raises(ValueError, match="net_changes"):
+        t.changelog_with_updates(identifier_cols=["k"], net_changes=True)
+    with pytest.raises(ValueError, match="net_changes"):
+        STR.ChangelogMicroBatchReader(t, spark, update_images=True,
+                                      net_changes=True)
