@@ -3040,6 +3040,63 @@ def q_dv_delete_scan(spark, sf_dir):
                     "o_totalprice"))
 
 
+def q_dv_steady_state(spark, sf_dir):
+    """DV STEADY-STATE COMPOSITION — the full CDC-ingest maintenance
+    loop on a write.delete.format=dv table, end-to-end in one oracle-
+    checked dataflow: eq-delete debt (upsert-style ingest) + two MoR
+    DELETEs (DV rows) + a post-delete re-insert, then
+    convert_equality_deletes → rewrite_position_deletes(fmt='dv')
+    consolidation → data compaction → remove_dangling_deletes reclaim.
+    The 100 TB claim of the individual DV/maintenance rows is their
+    COMPOSITION: after consolidation the debt is asserted to be one DV
+    row per touched data file (cardinality = touched files, not deleted
+    rows), and after compaction + reclaim the debt is zero while the
+    re-inserted rows survive strict sequence scoping."""
+    import pyarrow.parquet as _pq
+    from incubator_iceberg_spark import delete_vectors as DVC
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.orders_dvss", Schema.from_spark(orders.schema),
+                         partition_by=["month(o_orderdate)"])
+    t = t.update_properties({"write.delete.format": "dv",
+                             "write.delete.mode": "merge-on-read"})
+    t.append(orders)
+    t.add_equality_deletes(orders.filter("o_orderkey % 31 = 0")
+                           .select("o_orderkey"), ["o_orderkey"])
+    t.delete_where("o_custkey % 17 = 0")
+    t.delete_where("o_orderkey % 13 = 1")
+    # re-insert a slice of the eq-deleted keys AFTER all deletes:
+    # strict sequence scoping must keep these visible through the
+    # whole maintenance loop
+    t.append(orders.filter("o_orderkey % 31 = 0 AND o_orderkey % 3 = 0"))
+
+    res1 = t.convert_equality_deletes()
+    assert res1["converted_eq_files"] == 1, res1
+    res2 = t.rewrite_position_deletes(fmt="dv")
+    assert res2["rewritten_delete_files"] >= 2, res2
+    dels = TableScan(t, spark)._plan_split()[1]
+    assert dels and all(DVC.is_dv_entry(e) for e in dels), dels
+    # debt-cardinality pin: ONE DV row per touched data file
+    ref_paths = []
+    for e in dels:
+        ref_paths += _pq.read_table(
+            e["file_path"], columns=["file_path"]) \
+            .column("file_path").to_pylist()
+    assert len(ref_paths) == len(set(ref_paths)), "duplicate DV rows"
+
+    t.rewrite_data_files(min_input_files=1)
+    res3 = t.remove_dangling_deletes()
+    assert res3["removed_delete_files"] == len(dels), res3
+    assert len(TableScan(t, spark)._plan_split()[1]) == 0
+    from pyspark.sql import functions as F
+    return (t.to_df()
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    .alias("cents")))
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered funnel analysis (sessions.funnel_steps): users reaching
     view -> click -> purchase with each step within 12h of the previous
@@ -3783,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_ctas": q_sql_ctas,
         "sql_inspection": q_sql_inspection,
         "changelog_net": q_changelog_net,
+        "dv_steady_state": q_dv_steady_state,
         "zorder_scan": q_zorder_scan,
         "metadata_agg": q_metadata_agg,
         "orc_scan": q_orc_scan,
@@ -4684,6 +4742,18 @@ ORDER BY c_mktsegment
             WHERE (l_quantity > 25 OR l_quantity <= 10)
               AND l_shipdate >= TIMESTAMP '1996-06-01'
             GROUP BY l_returnflag
+        """,
+        "dv_steady_state": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey % 31 != 0 AND o_custkey % 17 != 0
+              AND o_orderkey % 13 != 1
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey % 31 = 0 AND o_orderkey % 3 = 0
         """,
         "changelog_net": """
             WITH a AS (SELECT * FROM lineitem WHERE l_quantity > 44),
