@@ -36,6 +36,11 @@ POS_DELETE_SCHEMA = S.Schema([
     S.NestedField(2147483545, "pos", S.LongType(), required=True),
 ])
 
+#: max decoded (path, pos, seq) tuples the position-delete anti-join
+#: will broadcast (~100 B/tuple in-memory → tens of MB); above this the
+#: join shuffles both sides on the equi keys instead
+BROADCAST_MAX_DELETE_TUPLES = 1_000_000
+
 
 def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema,
                           path_partitions: Optional[dict] = None) -> list:
@@ -508,7 +513,23 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
         cond = ((df["___path"] == pos_df["file_path"])
                 & (df["_pos"] == pos_df["pos"])
                 & (pos_df["___del_seq"] >= df["___seq"]))
-        df = df.join(F.broadcast(pos_df), cond, "left_anti")
+        # broadcast only while the decoded tuple set is small: DV files
+        # are tiny at rest but re-explode to (path, pos, seq) rows, and
+        # the multi-million-position debt DVs exist for would blow the
+        # broadcast.  record_count is tuple cardinality for both kinds
+        # (DV record_count = deleted-position cardinality); unknown
+        # counts are conservatively large → shuffle anti-join, which
+        # hash-partitions both sides on the equi keys instead
+        total_tuples = 0
+        for e in pos_entries + dv_entries:
+            rc = e.get("record_count")
+            if not rc:
+                total_tuples = BROADCAST_MAX_DELETE_TUPLES + 1
+                break
+            total_tuples += int(rc)
+        if total_tuples <= BROADCAST_MAX_DELETE_TUPLES:
+            pos_df = F.broadcast(pos_df)
+        df = df.join(pos_df, cond, "left_anti")
 
     if eq_entries:
         for cols, eq_df in load_eq_delete_groups(spark, eq_entries,

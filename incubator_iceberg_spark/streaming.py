@@ -127,7 +127,11 @@ class MicroBatchReader:
     def next_batch(self, max_snapshots_per_batch: Optional[int] = None,
                    max_files_per_batch: Optional[int] = None):
         """Return (DataFrame, new_offset) or None when caught up.  The
-        DataFrame contains rows appended in the consumed range.
+        DataFrame contains rows appended in the consumed range.  The
+        offset is ALWAYS a (snapshot_id, file_index) tuple — file_index
+        -1 means the snapshot is fully consumed — so callers persisting
+        or comparing offsets handle one type (it was a bare snapshot id
+        on the fully-consumed path before round 7).
 
         ``max_files_per_batch`` bounds batch size at FILE granularity:
         one huge append snapshot (10^5 files on a 100 TB table) is split
@@ -161,7 +165,7 @@ class MicroBatchReader:
                       .appends_between(from_sid, to_incl).to_df())
             self.offset = (to_incl, -1)
             self._save_offset()
-            return df, to_incl
+            return df, self.offset
 
         budget = max_files_per_batch
         batch_entries: list = []
@@ -186,7 +190,7 @@ class MicroBatchReader:
                           [], self.table.metadata.schema())
         self.offset = new_offset
         self._save_offset()
-        return df, (new_offset[0] if new_offset[1] < 0 else new_offset)
+        return df, new_offset
 
     def batches(self, max_batches: Optional[int] = None,
                 max_snapshots_per_batch: Optional[int] = 1,
@@ -309,11 +313,37 @@ class ChangelogMicroBatchReader:
 # sink
 # ---------------------------------------------------------------------------
 
+#: table property carrying the max committed epoch per sink query —
+#: snapshot summaries alone break exactly-once once expire_snapshots
+#: removes the snapshots carrying the markers: a late foreachBatch
+#: replay of an old epoch would pass the scan and commit AGAIN
+EPOCH_PROP_PREFIX = "streaming.max-committed-epoch."
+
+
 def last_committed_epoch(table, query_id: str = "default") -> Optional[int]:
+    """max(persisted property, retained-snapshot scan) — the property
+    survives snapshot expiry, the scan covers the crash window between a
+    sink commit and its property bump."""
+    best = None
+    p = table.metadata.properties.get(EPOCH_PROP_PREFIX + query_id)
+    if p is not None:
+        best = int(p)
     for s in reversed(table.metadata.snapshots):
         if s.summary.get(QUERY_KEY) == query_id and EPOCH_KEY in s.summary:
-            return int(s.summary[EPOCH_KEY])
-    return None
+            sn = int(s.summary[EPOCH_KEY])
+            return sn if best is None else max(best, sn)
+    return best
+
+
+def _record_epoch_property(table, query_id: str, epoch_id: int) -> None:
+    """Bump the per-query max-committed-epoch property (monotone).  Runs
+    AFTER the data commit: a crash in between leaves the snapshot marker
+    in place until the next bump, so the max() in last_committed_epoch
+    stays correct."""
+    key = EPOCH_PROP_PREFIX + query_id
+    cur = table.metadata.properties.get(key)
+    if cur is None or int(cur) < int(epoch_id):
+        table.update_properties({key: str(int(epoch_id))})
 
 
 def append_exactly_once(table, batch_df, epoch_id: int, query_id: str = "default",
@@ -327,6 +357,7 @@ def append_exactly_once(table, batch_df, epoch_id: int, query_id: str = "default
         return False
     table.append(batch_df, spark=spark,
                  extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
+    _record_epoch_property(table, query_id, epoch_id)
     return True
 
 
@@ -367,6 +398,7 @@ def upsert_exactly_once(table, batch_df, epoch_id: int, on=None,
         when_not_matched=[WhenNotMatched.insert_all()],
         spark=spark or batch_df.sparkSession,
         extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
+    _record_epoch_property(table, query_id, epoch_id)
     return True
 
 
@@ -422,6 +454,7 @@ def cdc_apply_exactly_once(table, batch_df, epoch_id: int, on=None,
             condition=f"NOT ({is_del})")],
         spark=spark or batch_df.sparkSession,
         extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
+    _record_epoch_property(table, query_id, epoch_id)
     return True
 
 
@@ -561,6 +594,7 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
             table.ops, entries, operation="overwrite",
             extra_summary={EPOCH_KEY: str(int(epoch_id)),
                            QUERY_KEY: query_id})
+        _record_epoch_property(table, query_id, epoch_id)
         return True
     finally:
         batch_df.unpersist()

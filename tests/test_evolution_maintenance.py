@@ -594,10 +594,10 @@ def test_streaming_file_level_rate_limit(warehouse, orders, tmp_path):
     # 6 files / 2 per batch = 3 batches; total rows conserved exactly once
     assert len(sizes) == 3
     assert sum(sizes) == 110
-    # mid-snapshot offsets are (snapshot_id, file_index) tuples; the final
-    # one collapses back to the plain snapshot id (fully consumed)
+    # offsets are ALWAYS (snapshot_id, file_index) tuples; file_index -1
+    # marks a fully consumed snapshot (one offset type for persisters)
     assert isinstance(offsets[0], tuple) and offsets[0][1] == 2
-    assert isinstance(offsets[-1], int)
+    assert isinstance(offsets[-1], tuple) and offsets[-1][1] == -1
 
     # checkpoint restart mid-snapshot resumes at the file index
     rd2 = STR.MicroBatchReader(t, checkpoint_dir=str(tmp_path / "ck_rl2"))

@@ -156,3 +156,33 @@ def test_upsert_mor_rebases_across_rename(warehouse, spark, sf_dir):
         "o_orderkey", F.col("o_totalprice").alias("old")), "o_orderkey")
         .filter("abs(price - (old + 1.0)) < 1e-6"))
     assert bumped.count() == 5
+
+
+def test_epoch_replay_skipped_after_snapshot_expiry(warehouse, spark):
+    """Exactly-once must survive expire_snapshots: the max committed
+    epoch is persisted per query_id in table properties, so a late
+    foreachBatch replay of an old epoch is a no-op even after the
+    snapshots carrying the streaming.epoch-id markers expired
+    (ADVICE r6: the scan-only check re-committed in that window)."""
+    from incubator_iceberg_spark import streaming as STR
+
+    t = warehouse.create_table("db.exp_once", "k long, v long")
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b1 = spark.createDataFrame([(3, 30)], "k long, v long")
+    assert STR.append_exactly_once(t, b0, 0, query_id="qx") is True
+    assert STR.append_exactly_once(t, b1, 1, query_id="qx") is True
+    assert t.metadata.properties[STR.EPOCH_PROP_PREFIX + "qx"] == "1"
+
+    # expire every marker-carrying snapshot (keep only the property
+    # commit's head state)
+    t.expire_snapshots(older_than_ms=10**18, retain_last=1)
+    assert not any(STR.EPOCH_KEY in s.summary
+                   for s in t.metadata.snapshots[:-1])
+
+    # late replays of both epochs are no-ops
+    assert STR.append_exactly_once(t, b0, 0, query_id="qx") is False
+    assert STR.append_exactly_once(t, b1, 1, query_id="qx") is False
+    assert t.to_df().count() == 3
+    # a genuinely new epoch still commits, and per-query isolation holds
+    assert STR.append_exactly_once(t, b1, 2, query_id="qx") is True
+    assert STR.append_exactly_once(t, b0, 0, query_id="other") is True
