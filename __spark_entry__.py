@@ -3750,34 +3750,78 @@ def q_bucket_join_agg(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING (round 6): the driver's correctness gate samples a 50-entry
-    # prefix of this dict, so ordering = verification recency.  Round 6
-    # prefix = [sql_bucket_join, NEW this round (SQL-routed
-    # storage-partitioned join)] + [the 5 rows added after the r5 prefix
-    # froze, never driver-verified (streaming_rate_limited .. pq_probe)]
-    # + [the 11 r2-stale redundant-block rows (q6 .. text_stats)]
-    # + [name_mapping_import, whose driver row GREW a nested-struct
-    # column this round (r5 verdict What's-wrong #1 fix) and must
-    # re-verify under the new code] + [metadata_count_col, which GREW a
-    # struct-nested COUNT column this round (nested metrics)] + [32
-    # least-recently-verified r3 rows: the 19-query TPC-H block, the 8
-    # delete/time-travel rows (delete_maintenance's maintenance.py
-    # rewrite touches their engine), and 4 evolution rows].
-    # With this window green, every registered query is driver-verified
-    # within r4 U r5 U r6.
-    # The 18 remaining r3 rows (wap_publish .. topk_window) sit
-    # directly after the window, first in line for r7; r5- and r4-green
-    # rows rotate to the back (all remain locally re-verifiable via
-    # tools/check_correctness.py).
+    # ORDERING (round 7): the driver's correctness gate samples a 50-entry
+    # prefix of this dict, so ordering = verification recency.  Round 7
+    # prefix = [3 NEW rows (sql_inspection, changelog_net,
+    # dv_steady_state)] + [the 22 r3-stale rows the r6 verdict queued
+    # first (schema_evolution .. topk_window)] + [17 rows whose engine
+    # code this round TOUCHED and must re-verify: the changelog metadata
+    # plane went columnar (changelog_scan, changelog_updates,
+    # cdc_replication, matview_refresh, incremental_read,
+    # streaming_cdc_apply), the exactly-once sinks grew epoch
+    # properties + the offset type changed (streaming_* rows), and the
+    # pos/DV anti-join grew the broadcast gate (delete rows)] + [8
+    # least-recently-verified r4 rows (scd2_dimension ..
+    # source_overlap)].
+    # With this window green, every row is driver-verified within
+    # r5 U r6 U r7 EXCEPT the r4 rows not yet rotated through (the
+    # next ~41 entries after the window, first in line for r8); r5- and
+    # r6-green rows sit at the back.  All remain locally re-verifiable
+    # via tools/check_correctness.py (which the round-7 session ran
+    # green for every row it touched).
     return {
-        "cdc_replication": q_cdc_replication,
+        "sql_inspection": q_sql_inspection,
+        "changelog_net": q_changelog_net,
+        "dv_steady_state": q_dv_steady_state,
+        "schema_evolution": q_schema_evolution,
+        "overwrite_dynamic": q_overwrite_dynamic,
+        "overwrite_filter": q_overwrite_filter,
+        "branch_read": q_branch_read,
+        "wap_publish": q_wap_publish,
+        "snapshots_meta": q_snapshots_meta,
+        "events_props_json": q_events_props_json,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "ann_append_probe": q_ann_append_probe,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "avro_scan": q_avro_scan,
+        "merge_by_source": q_merge_by_source,
+        "sql_facade_join": q_sql_facade_join,
+        "sql_ctas": q_sql_ctas,
+        "zorder_scan": q_zorder_scan,
+        "metadata_agg": q_metadata_agg,
+        "orc_scan": q_orc_scan,
+        "call_procedure": q_call_procedure,
+        "topk_window": q_topk_window,
+        "changelog_scan": q_changelog_scan,
         "changelog_updates": q_changelog_updates,
+        "cdc_replication": q_cdc_replication,
+        "matview_refresh": q_matview_refresh,
+        "incremental_read": q_incremental,
+        "streaming_cdc_apply": q_streaming_cdc_apply,
+        "streaming_sink_replay": q_streaming_sink_replay,
         "streaming_upsert_mor": q_streaming_upsert_mor,
-        "dv_delete_scan": q_dv_delete_scan,
-        "sql_bucket_join": q_sql_bucket_join,
         "streaming_rate_limited": q_streaming_rate_limited,
-        "percentile_exact": q_percentile_exact,
+        "streaming_consume": q_streaming_consume,
+        "dv_delete_scan": q_dv_delete_scan,
+        "pos_delete_scan": q_pos_delete_scan,
+        "eq_delete_scan": q_eq_delete_scan,
+        "delete_mor": q_delete_mor,
+        "update_mor": q_update_mor,
         "delete_maintenance": q_delete_maintenance,
+        "convert_eq_deletes": q_convert_eq_deletes,
+        "scd2_dimension": q_scd2_dimension,
+        "all_files_meta": q_all_files_meta,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "merge_schema_append": q_merge_schema_append,
+        "grouping_sets_agg": q_grouping_sets,
+        "refs_history_meta": q_refs_history_meta,
+        "source_overlap": q_source_overlap,
+        "sql_bucket_join": q_sql_bucket_join,
+        "percentile_exact": q_percentile_exact,
         "pipeline_composite": q_pipeline_composite,
         "pq_probe": q_pq_probe,
         "q6_forecast_revenue": q_q6,
@@ -3814,38 +3858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_cow": q_delete_cow,
         "delete_metadata": q_delete_metadata,
         "update_cow": q_update_cow,
-        "eq_delete_scan": q_eq_delete_scan,
-        "pos_delete_scan": q_pos_delete_scan,
         "time_travel": q_time_travel,
-        "incremental_read": q_incremental,
-        "changelog_scan": q_changelog_scan,
         "spec_evolution": q_spec_evolution,
-        "schema_evolution": q_schema_evolution,
-        "overwrite_dynamic": q_overwrite_dynamic,
-        "overwrite_filter": q_overwrite_filter,
         "metadata_count_col": q_metadata_count_col,
-        "branch_read": q_branch_read,
-        "wap_publish": q_wap_publish,
-        "snapshots_meta": q_snapshots_meta,
-        "events_props_json": q_events_props_json,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "ann_append_probe": q_ann_append_probe,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "mixture_sample": q_mixture_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "avro_scan": q_avro_scan,
-        "merge_by_source": q_merge_by_source,
-        "sql_facade_join": q_sql_facade_join,
-        "sql_ctas": q_sql_ctas,
-        "sql_inspection": q_sql_inspection,
-        "changelog_net": q_changelog_net,
-        "dv_steady_state": q_dv_steady_state,
-        "zorder_scan": q_zorder_scan,
-        "metadata_agg": q_metadata_agg,
-        "orc_scan": q_orc_scan,
-        "call_procedure": q_call_procedure,
-        "topk_window": q_topk_window,
         "concurrent_committers": q_concurrent_committers,
         "bucket_join_agg": q_bucket_join_agg,
         "decontaminate": q_decontaminate,
@@ -3859,8 +3874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup,
         "cube_agg": q_cube_agg,
         "distinct_agg": q_distinct_agg,
-        "delete_mor": q_delete_mor,
-        "update_mor": q_update_mor,
         "transaction_multi": q_transaction,
         "add_files_import": q_add_files_import,
         "pydatasource_scan": q_pydatasource_scan,
@@ -3870,10 +3883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_transform": q_bucket_transform,
         "events_hourly": q_events_hourly,
         "sessionize_events": q_sessionize,
-        "streaming_consume": q_streaming_consume,
         "compaction": q_compaction,
         "maintenance_scan": q_maintenance_scan,
-        "streaming_sink_replay": q_streaming_sink_replay,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
         "dedup_simhash_pairs": q_dedup_simhash,
@@ -3895,19 +3906,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_txn_multi_table": q_catalog_txn_multi_table,
         "q1_pricing_summary": q_q1,
         "q3_shipping_priority": q_q3,
-        "scd2_dimension": q_scd2_dimension,
-        "all_files_meta": q_all_files_meta,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "merge_schema_append": q_merge_schema_append,
-        "grouping_sets_agg": q_grouping_sets,
-        "refs_history_meta": q_refs_history_meta,
-        "source_overlap": q_source_overlap,
         "gap_fill_rollup": q_gap_fill_rollup,
         "robust_stats": q_robust_stats,
         "copurchase_lift": q_copurchase_lift,
         "skyline_orders": q_skyline_orders,
-        "matview_refresh": q_matview_refresh,
         "metadata_count": q_metadata_count,
         "bloom_point_lookup": q_bloom_point_lookup,
         "ngram_lm_score": q_ngram_lm_score,
@@ -3922,7 +3924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "search_topk": q_search_topk,
         "kmeans_micro": q_kmeans_micro,
-        "convert_eq_deletes": q_convert_eq_deletes,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "asof_join_events": q_asof_join_events,
@@ -3934,7 +3935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "duplicated_spans": q_duplicated_spans,
         "token_budget_sample": q_token_budget_sample,
-        "streaming_cdc_apply": q_streaming_cdc_apply,
         "partitions_evolved": q_partitions_evolved,
         "position_deletes_meta": q_position_deletes_meta,
         "corpus_quality_gate": q_corpus_quality_gate,
