@@ -457,6 +457,18 @@ def footer_stats(path: str, schema: S.Schema,
         for n in top:
             if n not in present:
                 null_counts[n] = md.num_rows
+        # one file physically carrying TWO aliases of the same field
+        # (out-of-contract, but importable): the read coalesces per row,
+        # so the coalesced null count is NOT the sum over aliases — the
+        # sum reaches num_rows while values exist, and the all-null
+        # inclusive check then prunes rows the scan would return.  The
+        # true count (rows where EVERY alias is null) is unknowable from
+        # footers: drop it (unknown → never prunes).  Bounds stay — the
+        # min/max union over aliases covers every coalesce outcome.
+        from collections import Counter
+        dup = {n for n, c in Counter(names).items() if c > 1}
+        for n in dup & set(top):
+            null_counts.pop(n, None)
     return {
         "file_path": path,
         "record_count": md.num_rows,

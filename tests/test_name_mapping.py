@@ -307,3 +307,40 @@ def test_orc_import_name_mapped_with_struct(warehouse, spark, tmp_path):
     assert t.to_df().filter("meta.author = 'alice'").count() == 1
     assert t.to_df().filter("meta.author IS NOT NULL").count() == 1
     assert t.to_df().filter("id = 2").count() == 1
+
+
+def test_single_file_carrying_two_aliases_divergence_is_benign(
+        warehouse, spark, tmp_path):
+    """DOCUMENTED DIVERGENCE pin (mapping._resolve_struct/top-level
+    coalesce vs the reference's per-file ApplyNameMapping): when ONE
+    physical file carries TWO alias columns of the same canonical field
+    — itself out-of-contract metadata (two columns with one field id) —
+    the reference binds the file to a single alias and reads the other
+    as data loss/NULL, while our coalesce resolves per ROW in mapping
+    order.  The divergence is strictly in the benign direction: (a)
+    rows where the primary (first-listed) alias is non-null match the
+    reference bit-for-bit, and (b) rows where the primary is NULL
+    surface the secondary's value instead of NULL — the engine can only
+    ever read MORE non-null data than the reference, never drop or
+    reorder values."""
+    t = warehouse.create_table("db.nmap_2alias", "k long, v long")
+    NM.set_default_mapping(t)
+    vid = t.metadata.schema().find_field("v").field_id
+    nm = NM.update_mapping(
+        NM.NameMapping.from_json(
+            t.metadata.properties[NM.NAME_MAPPING_PROP]),
+        {vid: "v_old"}, [])
+    t.update_properties({NM.NAME_MAPPING_PROP: nm.to_json()})
+    # one file, BOTH aliases physically present: primary 'v' null on k=2
+    files = _write_foreign(
+        spark, tmp_path,
+        [(1, 10, 99), (2, None, 20), (3, None, None)],
+        "k long, v long, v_old long", "two_alias")
+    procedures.add_files(t, files)
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    # k=1: primary alias wins (reference-identical); k=2: secondary
+    # surfaces (reference reads NULL — benign extra data); k=3: NULL
+    assert got == {1: 10, 2: 20, 3: None}, got
+    # filters bind to the coalesced view consistently (no phantom rows)
+    assert t.to_df(filter="v = 99").count() == 0
+    assert t.to_df(filter="v = 20").count() == 1
