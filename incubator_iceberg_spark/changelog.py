@@ -71,14 +71,12 @@ def _mlist_rows(cache: dict, snapshot) -> list:
 def _live_arrow(manifest_paths):
     """Live (status != DELETED) entries of the given manifests as ONE
     arrow table — never per-entry Python dicts."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
-    tabs = [MF.read_manifest_arrow(p) for p in manifest_paths]
-    tabs = [t for t in tabs if len(t)]
-    if not tabs:
+    t = MF.concat_entries_tables(
+        [MF.read_manifest_arrow(p) for p in manifest_paths])
+    if t is None:
         return None
-    t = pa.concat_tables(tabs, promote_options="permissive")
     if "status" in t.column_names:
         t = t.filter(pc.not_equal(pc.fill_null(t.column("status"), 0),
                                   MF.DELETED))
@@ -176,10 +174,11 @@ def _scope_side_deletes(del_tabs, touched_paths_sorted, touched_min_seq):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    tabs = [t for t in del_tabs if t is not None and len(t)]
-    if not tabs or not len(touched_paths_sorted):
+    if not len(touched_paths_sorted):
         return []
-    t = pa.concat_tables(tabs, promote_options="permissive")
+    t = MF.concat_entries_tables(list(del_tabs))
+    if t is None:
+        return []
     n = len(t)
     seq = _col_np(t, "sequence_number", 0)
     content = _col_np(t, "content", 0)

@@ -483,6 +483,62 @@ def _align_arrow(col, target: "pa.DataType"):
     return arr.cast(target)
 
 
+def _unify_types(a: "pa.DataType", b: "pa.DataType") -> "pa.DataType":
+    """Union layout of two manifest column types written under different
+    table-schema versions: structs merge their field sets recursively
+    (bounds/partition structs gain leaves as DDL lands), numerics keep
+    the wider width; otherwise the newer layout wins and _align_arrow
+    casts."""
+    if a.equals(b):
+        return a
+    if pa.types.is_struct(a) and pa.types.is_struct(b):
+        fields: dict = {}
+        order: list = []
+        for src in (a, b):
+            for f in src:
+                if f.name not in fields:
+                    fields[f.name] = f
+                    order.append(f.name)
+                else:
+                    fields[f.name] = pa.field(
+                        f.name, _unify_types(fields[f.name].type, f.type))
+        return pa.struct([fields[n] for n in order])
+    if (pa.types.is_integer(a) and pa.types.is_integer(b)) or \
+            (pa.types.is_floating(a) and pa.types.is_floating(b)):
+        return a if a.bit_width >= b.bit_width else b
+    return b
+
+
+def concat_entries_tables(tabs: list) -> "pa.Table":
+    """Concat manifest-entry arrow tables that may span table-schema
+    versions: pa.concat_tables(promote_options='permissive') refuses
+    struct columns whose field sets differ (bounds structs grow with
+    DDL), so align every table to the unified layout first."""
+    tabs = [t for t in tabs if t is not None and len(t)]
+    if not tabs:
+        return None
+    if len(tabs) == 1:
+        return tabs[0]
+    fields: dict = {}
+    order: list = []
+    for t in tabs:
+        for f in t.schema:
+            if f.name not in fields:
+                fields[f.name] = f
+                order.append(f.name)
+            elif not fields[f.name].type.equals(f.type):
+                fields[f.name] = pa.field(
+                    f.name, _unify_types(fields[f.name].type, f.type))
+    target = pa.schema([fields[n] for n in order])
+    aligned = []
+    for t in tabs:
+        cols = [_align_arrow(t.column(f.name), f.type)
+                if f.name in t.column_names else pa.nulls(len(t), f.type)
+                for f in target]
+        aligned.append(pa.Table.from_arrays(cols, schema=target))
+    return pa.concat_tables(aligned)
+
+
 def read_entries_df_from_mlist(spark, mlist_df, table_schema: S.Schema,
                                spec: PartitionSpec):
     """Distributed manifest-entry scan (SURVEY §3.1 metadata-scale

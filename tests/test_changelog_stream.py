@@ -180,3 +180,35 @@ def test_changelog_net_changes_rejects_update_images(warehouse, spark,
     with pytest.raises(ValueError, match="net_changes"):
         STR.ChangelogMicroBatchReader(t, spark, update_images=True,
                                       net_changes=True)
+
+
+def test_changelog_survives_manifest_merge(warehouse, spark, sf_dir):
+    """Columnar-diff pin: a fast-append that triggers manifest MERGING
+    replaces several carried manifests with one combined manifest, so
+    carried files change manifests while staying live.  The path-set
+    diff must cancel them (they appear in BOTH side-unique manifest
+    sets) and report only the genuinely appended rows — per commit and
+    under net_changes."""
+    t = warehouse.create_table(
+        "db.clmm", "k long, v long",
+        properties={"commit.manifest.min-count-to-merge": "3"})
+    s0 = None
+    for i in range(8):  # several merge waves
+        df = spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id AS k", "id * 2 AS v")
+        t.append(df)
+        if i == 0:
+            s0 = t.metadata.current_snapshot_id
+    ch = t.changelog(from_snapshot_id=s0)
+    rows = [(r["k"], r["_change_type"], r["_change_ordinal"])
+            for r in ch.collect()]
+    assert all(c == "insert" for _, c, _ in rows)
+    assert sorted(k for k, _, _ in rows) == list(range(10, 80))
+    # each commit's slice attributes to its own ordinal
+    by_ord = {}
+    for k, _c, o in rows:
+        by_ord.setdefault(o, []).append(k)
+    assert {o: sorted(ks) for o, ks in by_ord.items()} == {
+        i - 1: list(range(i * 10, i * 10 + 10)) for i in range(1, 8)}
+    net = t.changelog(from_snapshot_id=s0, net_changes=True)
+    assert sorted(r["k"] for r in net.collect()) == list(range(10, 80))
