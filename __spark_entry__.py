@@ -3073,7 +3073,9 @@ def q_dv_steady_state(spark, sf_dir):
     t.append(orders.filter("o_orderkey % 31 = 0 AND o_orderkey % 3 = 0"))
 
     res1 = t.convert_equality_deletes()
-    assert res1["converted_eq_files"] == 1, res1
+    # >= 1: the eq-delete write splits into multiple part files at
+    # larger scale factors
+    assert res1["converted_eq_files"] >= 1, res1
     res2 = t.rewrite_position_deletes(fmt="dv")
     assert res2["rewritten_delete_files"] >= 2, res2
     dels = TableScan(t, spark)._plan_split()[1]
