@@ -193,7 +193,40 @@ PROCEDURES = {
     "add_ann_index": lambda t, **kw: _call_add_ann_index(t, **kw),
     "write_partition_stats": lambda t, **kw: t.write_partition_stats(),
     "compute_column_stats": lambda t, **kw: t.compute_column_stats(**kw),
+    "create_changelog_view": lambda t, **kw: _call_create_changelog_view(
+        t, **kw),
 }
+
+
+def _call_create_changelog_view(t, **kw):
+    """CreateChangelogViewProcedure analog (the reference family's
+    spark procedure surface for CDC reads): registers the table's
+    row-level changelog as a temp view.  Options mirror the procedure:
+    ``changelog_view`` (name; default <table>_changes),
+    ``start_snapshot_id`` / ``end_snapshot_id`` (exclusive/inclusive,
+    like changelog()), ``identifier_columns`` (+ ``compute_updates``)
+    for update pre/post images, ``net_changes`` to collapse the range
+    to net row effect (rejected with compute_updates, as upstream)."""
+    from incubator_iceberg_spark import changelog as CL
+
+    spark = t.spark
+    view = kw.get("changelog_view") or (t.name.split(".")[-1] + "_changes")
+    start = int(kw["start_snapshot_id"]) if "start_snapshot_id" in kw else None
+    end = int(kw["end_snapshot_id"]) if "end_snapshot_id" in kw else None
+    net = bool(kw.get("net_changes", False))
+    ident = kw.get("identifier_columns")
+    if isinstance(ident, str):
+        ident = [c.strip() for c in ident.split(",") if c.strip()]
+    compute_updates = bool(kw.get("compute_updates", bool(ident)))
+    if compute_updates:
+        df = CL.changelog_with_updates(
+            t, spark=spark, identifier_cols=ident,
+            from_snapshot_id=start, to_snapshot_id=end, net_changes=net)
+    else:
+        df = CL.changelog(t, spark=spark, from_snapshot_id=start,
+                          to_snapshot_id=end, net_changes=net)
+    df.createOrReplaceTempView(view)
+    return {"changelog_view": view}
 
 
 def _call_add_ann_index(t, **kw):

@@ -228,3 +228,48 @@ def test_call_add_ann_index(warehouse, spark, sf_dir):
     t = warehouse.load_table("db.emb_proc")
     assert t.metadata.schema().find_field("__ann_cell") is not None
     assert t.metadata.properties.get("ann.index.kind") == "ivf"
+
+
+def test_call_create_changelog_view(warehouse, spark):
+    """CreateChangelogViewProcedure analog: CALL registers the CDC view;
+    identifier_columns pairs update images; net_changes collapses the
+    range; the combination is rejected."""
+    from incubator_iceberg_spark import procedures as PR
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                               "k int, v int")
+    t = warehouse.create_table("db.clv", Schema.from_spark(df.schema))
+    t.append(df)
+    s0 = t.metadata.current_snapshot_id
+    t.update({"v": "v + 1"}, "k = 2")
+    t.delete_where("k = 3")
+
+    res = PR.call(warehouse,
+                  f"CALL system.create_changelog_view('db.clv', "
+                  f"start_snapshot_id => {s0})")
+    assert res["changelog_view"] == "clv_changes"
+    got = {(r["k"], r["_change_type"])
+           for r in spark.sql("SELECT * FROM clv_changes").collect()}
+    assert got == {(2, "delete"), (2, "insert"), (3, "delete")}
+
+    PR.call(warehouse,
+            f"CALL system.create_changelog_view('db.clv', "
+            f"changelog_view => 'clv_upd', start_snapshot_id => {s0}, "
+            f"identifier_columns => 'k')")
+    got = {(r["k"], r["_change_type"])
+           for r in spark.sql("SELECT * FROM clv_upd").collect()}
+    assert got == {(2, "update_preimage"), (2, "update_postimage"),
+                   (3, "delete")}
+
+    # net over the whole history: final state as inserts
+    PR.call(warehouse,
+            "CALL system.create_changelog_view('db.clv', "
+            "changelog_view => 'clv_net', net_changes => true)")
+    got = {(r["k"], r["v"], r["_change_type"])
+           for r in spark.sql("SELECT * FROM clv_net").collect()}
+    assert got == {(1, 10, "insert"), (2, 21, "insert")}
+
+    with pytest.raises(ValueError, match="net_changes"):
+        PR.call(warehouse,
+                "CALL system.create_changelog_view('db.clv', "
+                "net_changes => true, identifier_columns => 'k')")
