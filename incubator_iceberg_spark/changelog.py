@@ -210,7 +210,8 @@ def _scope_side_deletes(del_tabs, touched_paths_sorted, touched_min_seq):
             for e in t.filter(pa.array(keep)).to_pylist()]
 
 
-def _snapshot_changes(md, schema, snap, parent, mlist_cache):
+def _snapshot_changes(md, schema, snap, parent, mlist_cache,
+                      tab_cache=None):
     """One commit's row-change inputs, computed COLUMNAR: returns
     (now_entries, before_entries, dels_now, dels_before) — data-file
     entry dicts materialized ONLY for files the commit touched, plus each
@@ -256,10 +257,18 @@ def _snapshot_changes(md, schema, snap, parent, mlist_cache):
     # (both sides' live delete sets include them), plus — only when this
     # commit added delete files — those holding the carried data files
     # the new deletes must be scoped against
+    # shared delete manifests repeat across the commits of a range
+    # (manifests are immutable) — cache their live delete slices for the
+    # changelog() call's lifetime instead of re-reading per commit
+    if tab_cache is None:
+        tab_cache = {}
     shared_del_tabs = []
     for p in shared:
         if mp_now[p].get("has_deletes") is not False:
-            shared_del_tabs.append(_split_content(_live_arrow([p]))[1])
+            if p not in tab_cache:
+                tab_cache[p] = _split_content(_live_arrow([p]))[1]
+            if tab_cache[p] is not None:
+                shared_del_tabs.append(tab_cache[p])
 
     aff_paths = np.asarray([], dtype=object)
     shared_data_tabs = []
@@ -373,12 +382,14 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
 
     ordinal = 0
     mlist_cache: dict = {}
+    tab_cache: dict = {}
     cols = [f.name for f in schema.fields]
     for snap in reversed(chain):  # oldest first
         if snap.operation == "replace":
             continue
         parent = md.snapshot_by_id(snap.parent_id) if snap.parent_id is not None else None
-        changes = _snapshot_changes(md, schema, snap, parent, mlist_cache)
+        changes = _snapshot_changes(md, schema, snap, parent, mlist_cache,
+                                    tab_cache)
         if changes is None:
             continue
         now_entries, before_entries, dels_now, dels_before = changes
