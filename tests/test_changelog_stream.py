@@ -212,3 +212,29 @@ def test_changelog_survives_manifest_merge(warehouse, spark, sf_dir):
         i - 1: list(range(i * 10, i * 10 + 10)) for i in range(1, 8)}
     net = t.changelog(from_snapshot_id=s0, net_changes=True)
     assert sorted(r["k"] for r in net.collect()) == list(range(10, 80))
+
+
+def test_changelog_across_spec_evolution(warehouse, spark, sf_dir):
+    """Spec evolution changes the partition struct's SHAPE between
+    manifests; the columnar diff must unify layouts (and a CoW delete
+    after the evolution rewrites files written under the old spec)."""
+    df = spark.range(0, 40).selectExpr("id AS k", "id % 10 AS b",
+                                       "id * 3 AS v")
+    t = warehouse.create_table("db.clspec", Schema.from_spark(df.schema))
+    t.append(df.filter("k < 20"))
+    s0 = t.metadata.current_snapshot_id
+    t.update_spec(["bucket(4, b)"])
+    t.append(df.filter("k >= 20"))
+    t.delete_where("k % 10 = 3")  # hits files under BOTH specs
+    ch = t.changelog(from_snapshot_id=s0)
+    got = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    want = {(k, "insert") for k in range(20, 40)} \
+        | {(k, "delete") for k in range(0, 40) if k % 10 == 3}
+    # k>=20 rows with k%10==3 were inserted then deleted in range:
+    # both events show (plain changelog keeps churn)
+    assert got == want, got ^ want
+    net = {(r["k"], r["_change_type"])
+           for r in t.changelog(from_snapshot_id=s0,
+                                net_changes=True).collect()}
+    assert net == {(k, "insert") for k in range(20, 40) if k % 10 != 3} \
+        | {(k, "delete") for k in range(0, 20) if k % 10 == 3}
