@@ -266,6 +266,33 @@ def test_randomized_concurrent_stress(warehouse, spark, partition_by):
         f"changelog replay mismatch: {len(live)} replayed vs {len(final)} "
         f"scanned; sample diff {sorted((live ^ final))[:5]}")
 
+    # 4b. RANGE invariant: for a random intermediate ancestor s,
+    # scan@s ± changelog(s → head) == final — the sub-range diff (and
+    # its net_changes collapse) must agree with time travel, not just
+    # the full-history replay
+    chain = []
+    cur = t.metadata.current_snapshot()
+    while cur is not None:
+        chain.append(cur.snapshot_id)
+        cur = (t.metadata.snapshot_by_id(cur.parent_id)
+               if cur.parent_id is not None else None)
+    if len(chain) > 3:
+        mid = chain[len(chain) // 2]
+        cols = ["id", "grp", "payload"]
+        at_mid = {tuple(r) for r in t.to_df(
+            spark=spark, snapshot_id=mid).select(*cols).collect()}
+        for net in (False, True):
+            ins2, dels2 = Counter(), Counter()
+            for r in changelog(t, spark, from_snapshot_id=mid,
+                               net_changes=net).select(
+                    *cols, "_change_type").collect():
+                (ins2 if r._change_type == "insert" else dels2)[
+                    (r.id, r.grp, r.payload)] += 1
+            replay = (at_mid | set(ins2)) - set(dels2)
+            assert replay == final, (
+                f"range replay (net={net}) from {mid} diverges: "
+                f"{sorted(replay ^ final)[:5]}")
+
     # 5. schema-DDL races never lose column values: every surviving row's
     # note value (under the column's FINAL name) matches what its append
     # wrote — an append whose commit rebased past a rename must still
