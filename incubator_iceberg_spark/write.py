@@ -440,7 +440,30 @@ def footer_stats(path: str, schema: S.Schema,
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if st.has_min_max:
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:
+                    # pyarrow can't CAST some footers' stats to logical
+                    # values (Spark writes decimals as FIXED_LEN_BYTE_ARRAY
+                    # and _cast_statistics raises NotImplemented) — the
+                    # raw form still carries the unscaled integer; decode
+                    # it, else skip bounds for this column (no pruning,
+                    # never a crash)
+                    mn = mx = None
+                    fld = top.get(name)
+                    if fld is not None and isinstance(fld.type,
+                                                      S.DecimalType):
+                        try:
+                            raw_mn, raw_mx = st.min_raw, st.max_raw
+                            if isinstance(raw_mn, int) and \
+                                    isinstance(raw_mx, int):
+                                sc = fld.type.scale
+                                mn = Decimal(raw_mn).scaleb(-sc)
+                                mx = Decimal(raw_mx).scaleb(-sc)
+                        except Exception:
+                            mn = mx = None
+                    if mn is None or mx is None:
+                        continue
                 if _is_nan(mn) or _is_nan(mx):
                     continue  # NaN-polluted bounds are unusable
                 if name not in lower or _lt(mn, lower[name]):

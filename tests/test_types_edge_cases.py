@@ -231,3 +231,22 @@ def test_list_column_roundtrips_every_read_path(warehouse, spark):
         properties={"write.format.default": "avro"})
     ta.append(df)
     assert {r["id"]: r["codes"] for r in ta.to_df().collect()} == want
+
+
+def test_decimal_bounds_decoded_and_prune(warehouse, spark):
+    """Spark writes decimals as FIXED_LEN_BYTE_ARRAY whose footer stats
+    pyarrow cannot cast (ArrowNotImplementedError) — footer_stats used
+    to crash the whole append (found by the types-roundtrip fuzz).  The
+    unscaled integer is recovered from min_raw/max_raw, so decimal
+    columns keep file-level pruning."""
+    df1 = spark.createDataFrame([(1, Decimal("10.25")), (2, Decimal("19.50"))],
+                                "id long, d decimal(12,2)")
+    df2 = spark.createDataFrame([(3, Decimal("100.75")), (4, Decimal("250.00"))],
+                                "id long, d decimal(12,2)")
+    t = warehouse.create_table("db.decprune", Schema.from_spark(df1.schema))
+    t.append(df1.coalesce(1))
+    t.append(df2.coalesce(1))
+    assert len(t.new_scan().plan_files()) == 2
+    pruned = t.new_scan().filter("d > 99").plan_files()
+    assert len(pruned) == 1, "decimal bounds did not prune"
+    assert t.to_df(filter="d > 99").count() == 2
