@@ -126,3 +126,49 @@ def test_random_schema_roundtrip(warehouse, spark, seed, fmt):
                   key=repr)
     want2 = sorted((_norm(r[idx]) for r in rows), key=repr)
     assert got2 == want2, f"seed={seed} fmt={fmt}: rename broke projection"
+
+
+DELETE_SEEDS = [(711, "parquet", "copy-on-write"),
+                (812, "parquet", "merge-on-read"),
+                (913, "avro", "merge-on-read"),
+                (1014, "orc", "copy-on-write")]
+
+
+@pytest.mark.parametrize("seed,fmt,mode", DELETE_SEEDS)
+def test_random_schema_row_delete(warehouse, spark, seed, fmt, mode):
+    """Row-level DELETE over a RANDOM full-type-system schema: pick a
+    comparable primitive column, delete rows above its midpoint in the
+    given mode, and assert the surviving rows equal the Python model —
+    CoW rewrites and MoR delete files must both carry every exotic type
+    through unharmed."""
+    rng = random.Random(seed)
+    comparable = {"bigint", "int", "double", "string"}
+    while True:
+        cols = [(f"c{i}",) + _mk_type(rng, 0)
+                for i in range(rng.randint(3, 6))]
+        pred_cols = [(n, d) for n, d, _g in cols if d in comparable]
+        if pred_cols:
+            break
+    ddl = ", ".join(f"{n} {d}" for n, d, _g in cols)
+    rows = [tuple(None if rng.random() < NULL_P else g(rng)
+                  for _n, _d, g in cols) for _ in range(N_ROWS)]
+    df = spark.createDataFrame(rows, ddl)
+
+    t = warehouse.create_table(
+        f"db.rtd_{seed}", Schema.from_spark(df.schema),
+        properties={"write.format.default": fmt})
+    t.append(df)
+
+    name, d = pred_cols[rng.randrange(len(pred_cols))]
+    idx = [n for n, _d, _g in cols].index(name)
+    vals = sorted((r[idx] for r in rows if r[idx] is not None))
+    assert vals, f"seed={seed}: all-null predicate column"
+    pivot = vals[len(vals) // 2]
+    lit = "'" + str(pivot).replace("'", "''") + "'" \
+        if d == "string" else repr(pivot)
+    t.delete_where(f"{name} > {lit}", mode=mode)
+
+    got = sorted((_norm(tuple(r)) for r in t.to_df().collect()), key=repr)
+    want = sorted((_norm(r) for r in rows
+                   if r[idx] is None or not r[idx] > pivot), key=repr)
+    assert got == want, f"seed={seed} fmt={fmt} mode={mode}"
