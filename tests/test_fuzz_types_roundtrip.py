@@ -172,3 +172,44 @@ def test_random_schema_row_delete(warehouse, spark, seed, fmt, mode):
     want = sorted((_norm(r) for r in rows
                    if r[idx] is None or not r[idx] > pivot), key=repr)
     assert got == want, f"seed={seed} fmt={fmt} mode={mode}"
+
+
+MERGE_SEEDS = [(1115, "parquet"), (1216, "avro")]
+
+
+@pytest.mark.parametrize("seed,fmt", MERGE_SEEDS)
+def test_random_schema_merge_upsert(warehouse, spark, seed, fmt):
+    """MERGE (update_all + insert_all) over a random full-type-system
+    schema keyed on an injected bigint id: every exotic column must ride
+    the CoW rewrite — matched rows take the source's values wholesale,
+    unmatched sources insert, untouched rows survive bit-for-bit."""
+    from incubator_iceberg_spark import row_ops
+    from incubator_iceberg_spark.row_ops import WhenMatched, WhenNotMatched
+
+    rng = random.Random(seed)
+    cols = [(f"c{i}",) + _mk_type(rng, 0) for i in range(rng.randint(2, 4))]
+    ddl = "rid bigint, " + ", ".join(f"{n} {d}" for n, d, _g in cols)
+
+    def mk_rows(ids):
+        return [(i,) + tuple(None if rng.random() < NULL_P else g(rng)
+                             for _n, _d, g in cols) for i in ids]
+
+    target_rows = mk_rows(range(0, 80))
+    source_rows = mk_rows(range(40, 120))  # 40 matched, 40 new
+    tdf = spark.createDataFrame(target_rows, ddl)
+    sdf = spark.createDataFrame(source_rows, ddl)
+
+    t = warehouse.create_table(
+        f"db.rtm_{seed}", Schema.from_spark(tdf.schema),
+        properties={"write.format.default": fmt})
+    t.append(tdf)
+    row_ops.merge_into(t, sdf, on=["rid"],
+                       when_matched=[WhenMatched.update_all()],
+                       when_not_matched=[WhenNotMatched.insert_all()],
+                       spark=spark)
+
+    want_by_id = {r[0]: r for r in target_rows}
+    want_by_id.update({r[0]: r for r in source_rows})
+    got = sorted((_norm(tuple(r)) for r in t.to_df().collect()), key=repr)
+    want = sorted((_norm(r) for r in want_by_id.values()), key=repr)
+    assert got == want, f"seed={seed} fmt={fmt}"
