@@ -545,6 +545,38 @@ def q_sql_ctas(spark, sf_dir):
     """)
 
 
+def q_hive_import(spark, sf_dir):
+    """Hive-layout table migration (AddFilesProcedure partition-from-
+    path / SparkTableUtil importSparkTable analog): Spark's partitionBy
+    writer produces key=value dirs with the partition column ABSENT
+    from the data files; add_files(partition_from_path=True) parses the
+    value from the path, serves the column as a per-file read constant
+    (PartitionUtil.constantsMap), and stamps lower==upper bounds so
+    partition predicates prune imported files — asserted before the
+    aggregate."""
+    import uuid as _uuid
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import procedures as PR
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    src = os.path.join(SCRATCH_ROOT, "hive_src_" + _uuid.uuid4().hex)
+    orders.write.partitionBy("o_orderpriority").parquet(src)
+    t = cat.create_table("s.hive_imp", Schema.from_spark(orders.schema),
+                         partition_by=["o_orderpriority"])
+    PR.add_files(t, src, partition_from_path=True)
+    n_all = len(t.new_scan().plan_files())
+    n_pruned = len(t.new_scan().filter(
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')").plan_files())
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    return (t.to_df(filter="o_orderpriority IN ('1-URGENT', '2-HIGH')")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("cents"))
+            .orderBy("o_orderpriority"))
+
+
 def q_changelog_net(spark, sf_dir):
     """Changelog NET-CHANGES mode (create_changelog_view(net_changes)
     semantics): four commits of churn — append, append, CoW delete,
@@ -3754,17 +3786,17 @@ def q_bucket_join_agg(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 7): the driver's correctness gate samples a 50-entry
     # prefix of this dict, so ordering = verification recency.  Round 7
-    # prefix = [3 NEW rows (sql_inspection, changelog_net,
-    # dv_steady_state)] + [the 22 r3-stale rows the r6 verdict queued
+    # prefix = [4 NEW rows (sql_inspection, changelog_net,
+    # hive_import, dv_steady_state)] + [the 22 r3-stale rows the r6 verdict queued
     # first (schema_evolution .. topk_window)] + [17 rows whose engine
     # code this round TOUCHED and must re-verify: the changelog metadata
     # plane went columnar (changelog_scan, changelog_updates,
     # cdc_replication, matview_refresh, incremental_read,
     # streaming_cdc_apply), the exactly-once sinks grew epoch
     # properties + the offset type changed (streaming_* rows), and the
-    # pos/DV anti-join grew the broadcast gate (delete rows)] + [8
+    # pos/DV anti-join grew the broadcast gate (delete rows)] + [7
     # least-recently-verified r4 rows (scd2_dimension ..
-    # source_overlap)].
+    # refs_history_meta; source_overlap sits at 51, first out)].
     # With this window green, every row is driver-verified within
     # r5 U r6 U r7 EXCEPT the r4 rows not yet rotated through (the
     # next ~41 entries after the window, first in line for r8); r5- and
@@ -3774,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sql_inspection": q_sql_inspection,
         "changelog_net": q_changelog_net,
+        "hive_import": q_hive_import,
         "dv_steady_state": q_dv_steady_state,
         "schema_evolution": q_schema_evolution,
         "overwrite_dynamic": q_overwrite_dynamic,
@@ -4744,6 +4777,14 @@ ORDER BY c_mktsegment
             WHERE (l_quantity > 25 OR l_quantity <= 10)
               AND l_shipdate >= TIMESTAMP '1996-06-01'
             GROUP BY l_returnflag
+        """,
+        "hive_import": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "dv_steady_state": """
             SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     # round-7: SQL facade inspection surface (CTAS + INSERT through the
     # facade, then files/snapshots/changes UNION in one statement)
     "sql_inspection",
+    # round-7: Hive-layout migration (partitionBy source write + footer
+    # harvest + constants-join read + partition-pruned aggregate)
+    "hive_import",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

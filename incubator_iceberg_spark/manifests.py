@@ -39,6 +39,13 @@ from incubator_iceberg_spark.partitioning import PartitionSpec
 
 # entry status (ManifestEntry.Status)
 EXISTING, ADDED, DELETED = 0, 1, 2
+
+#: schema_id sentinel for Hive-layout imports (add_files
+#: partition_from_path=True): the data files do NOT contain the
+#: identity-partition source columns — the read path serves them as
+#: constants from the entry's partition tuple (the reference's
+#: PartitionUtil.constantsMap / Spark import of Hive-partitioned dirs)
+HIVE_IMPORT_SCHEMA_ID = -2
 # file content (api/.../FileContent.java)
 DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
 

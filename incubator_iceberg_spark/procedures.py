@@ -18,13 +18,73 @@ import os
 import re
 from typing import Optional
 
+from incubator_iceberg_spark import manifests as MF
 from incubator_iceberg_spark import snapshots as SN
 from incubator_iceberg_spark import write as W
 from incubator_iceberg_spark.schema import Schema
 
 
+def _hive_path_partition(path: str, spec, schema) -> dict:
+    """Partition tuple parsed from a file's Hive-layout path segments
+    (``.../col=value/...``): every spec field must be identity on a
+    TOP-LEVEL source column whose name appears as a path key.  Values
+    are URL-unquoted and cast to the source type;
+    __HIVE_DEFAULT_PARTITION__ is the null partition."""
+    import datetime as _dt
+    import os as _os
+    from decimal import Decimal as _D
+    from urllib.parse import unquote
+
+    from incubator_iceberg_spark import schema as S2
+    from incubator_iceberg_spark import transforms as T
+
+    segs = {}
+    for seg in _os.path.dirname(path).split(_os.sep):
+        if "=" in seg:
+            k, _e, v = seg.partition("=")
+            segs[k] = unquote(v)
+    out = {}
+    for f in spec.fields:
+        if not isinstance(f.transform, T.IdentityTransform):
+            raise ValueError(
+                f"partition_from_path needs identity transforms; "
+                f"{f.name} is {f.transform}")
+        src_field = schema.find_field(f.source_id)
+        src = schema.field_path(f.source_id)
+        if src is None or "." in src:
+            raise ValueError(
+                f"partition_from_path needs a top-level source column "
+                f"for {f.name}")
+        if src not in segs:
+            raise ValueError(
+                f"file {path} has no '{src}=' path segment for "
+                f"partition field {f.name}")
+        raw = segs[src]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[f.name] = None
+            continue
+        t = src_field.type
+        if isinstance(t, (S2.IntegerType, S2.LongType)):
+            out[f.name] = int(raw)
+        elif isinstance(t, S2.StringType):
+            out[f.name] = raw
+        elif isinstance(t, S2.BooleanType):
+            out[f.name] = raw.lower() == "true"
+        elif isinstance(t, (S2.DoubleType, S2.FloatType)):
+            out[f.name] = float(raw)
+        elif isinstance(t, S2.DateType):
+            out[f.name] = _dt.date.fromisoformat(raw)
+        elif isinstance(t, S2.DecimalType):
+            out[f.name] = _D(raw)
+        else:
+            raise ValueError(
+                f"unsupported path-partition type {t} for {f.name}")
+    return out
+
+
 def add_files(table, source_dir, spark=None,
-              file_format: str = "parquet") -> dict:
+              file_format: str = "parquet",
+              partition_from_path: bool = False) -> dict:
     """Import existing parquet/avro files (no rewrite; AddFilesProcedure
     analog): harvest footer stats → manifest entries → one append commit.
     Partitioned targets derive each file's partition tuple from its
@@ -39,6 +99,9 @@ def add_files(table, source_dir, spark=None,
     from incubator_iceberg_spark import mapping as NM
 
     spark = spark or table.spark
+    if partition_from_path:
+        return _add_files_from_hive_paths(table, source_dir, spark,
+                                          file_format)
     if isinstance(source_dir, (list, tuple)):
         files = list(source_dir)
     else:
@@ -75,6 +138,63 @@ def add_files(table, source_dir, spark=None,
         if spec.is_partitioned:
             e["partition"] = _partition_from_bounds(st, spec, schema)
         entries.append(e)
+    table.metadata = SN.append_files(table.ops, entries)
+    return {"added_files": len(entries),
+            "added_records": sum(e["record_count"] for e in entries)}
+
+
+def _add_files_from_hive_paths(table, source_dir, spark,
+                               file_format: str) -> dict:
+    """Hive-layout import (AddFilesProcedure / SparkTableUtil
+    importSparkTable analog): the partition value comes from the PATH
+    (authoritative) and the identity-partition source columns are
+    typically ABSENT from the files.  Entries carry
+    HIVE_IMPORT_SCHEMA_ID so the read path serves those columns as
+    per-file constants; the constants also become the file's bounds
+    (lower == upper == value), so partition-column predicates prune
+    imported files exactly like engine-written ones."""
+    if file_format not in ("parquet", "orc"):
+        raise ValueError("partition_from_path supports parquet/orc")
+    schema = table.metadata.schema()
+    spec = table.metadata.spec()
+    if not spec.is_partitioned:
+        raise ValueError("partition_from_path needs a partitioned table")
+    if isinstance(source_dir, (list, tuple)):
+        files = list(source_dir)
+    else:
+        files = W._list_data_files(source_dir, "." + file_format)
+    if not files:
+        return {"added_files": 0}
+    part_by_file = {p: _hive_path_partition(p, spec, schema)
+                    for p in files}
+    stats = W.collect_file_stats(spark, files, schema,
+                                 file_format=file_format)
+    entries = []
+    for st in stats:
+        pv = part_by_file[st["file_path"]]
+        for f in spec.fields:
+            src = schema.field_path(f.source_id)
+            v = pv[f.name]
+            if v is None:
+                st["null_counts"][src] = st["record_count"]
+                (st["lower_bounds"] or {}).pop(src, None)
+                (st["upper_bounds"] or {}).pop(src, None)
+            else:
+                st["lower_bounds"][src] = v
+                st["upper_bounds"][src] = v
+                st["null_counts"][src] = 0
+        entries.append({
+            "file_path": st["file_path"],
+            "file_format": file_format,
+            "record_count": st["record_count"],
+            "file_size_bytes": st["file_size_bytes"],
+            "value_counts": st["value_counts"],
+            "null_counts": st["null_counts"],
+            "lower_bounds": st["lower_bounds"],
+            "upper_bounds": st["upper_bounds"],
+            "schema_id": MF.HIVE_IMPORT_SCHEMA_ID,
+            "partition": pv,
+        })
     table.metadata = SN.append_files(table.ops, entries)
     return {"added_files": len(entries),
             "added_records": sum(e["record_count"] for e in entries)}

@@ -577,10 +577,16 @@ def read_entries(spark, md, data_entries, delete_entries, current_schema,
         fmt = e.get("file_format") or "parquet"
         by_group.setdefault(
             (sid if sid is not None else current_schema.schema_id, fmt),
-            []).append(e["file_path"])
+            []).append(e)
 
     parts = []
-    for (schema_id, fmt), paths in by_group.items():
+    for (schema_id, fmt), group_entries in by_group.items():
+        paths = [e["file_path"] for e in group_entries]
+        if schema_id == MF.HIVE_IMPORT_SCHEMA_ID:
+            parts.append(_read_hive_import_group(
+                spark, md, group_entries, fmt, current_schema,
+                need_lineage))
+            continue
         if schema_id == -1:  # mapping.FOREIGN_SCHEMA_ID
             # field-ID-less imported files: resolve physical columns via
             # the stored name mapping (schema.name-mapping.default;
@@ -645,6 +651,75 @@ def read_entries(spark, md, data_entries, delete_entries, current_schema,
     if need_lineage and not with_lineage:
         df = df.drop("_file", "_pos")
     return df
+
+
+def _read_hive_import_group(spark, md, entries, fmt, current_schema,
+                            need_lineage):
+    """Read Hive-layout imported files (add_files partition_from_path):
+    the identity-partition source columns are ABSENT from the data files
+    — the path was authoritative at import — so they are served as
+    per-file constants from the entries' partition tuples (the
+    reference's PartitionUtil.constantsMap contract: identity partition
+    values come from metadata, not the file).  One mergeSchema read +
+    one broadcast join on the file path; every other column resolves by
+    name (absent in a file → NULL)."""
+    from pyspark.sql import functions as F
+
+    paths = [e["file_path"] for e in entries]
+    reader = spark.read.option("mergeSchema", "true")
+    df = reader.orc(*paths) if fmt == "orc" else reader.parquet(*paths)
+    # _metadata.file_path is URI-ESCAPED ("a b" → "a%20b"), and Hive
+    # layouts routinely contain spaces in key=value segments — decode
+    # back to the filesystem path the manifest entries carry (literal
+    # '+' is protected first: url_decode is form-decoding)
+    df = df.withColumn("__hfile", F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        r"\+", "%2B")))
+    if need_lineage:
+        # _metadata is a base-relation pseudo-column: capture _pos here,
+        # before the constants join hides it
+        df = df.withColumn(
+            "__hpos", F.col("_metadata.row_index") if fmt != "orc"
+            else F.lit(None).cast("long"))
+
+    spec = md.spec()
+    part_keys = set((entries[0].get("partition") or {}))
+    const_srcs = {}  # current-schema source path -> spec field name
+    for f in spec.fields:
+        if f.name in part_keys and type(f.transform).__name__ == \
+                "IdentityTransform":
+            src = current_schema.field_path(f.source_id)
+            if src is not None:
+                const_srcs[src] = f.name
+    import pyspark.sql.types as PT
+    c_fields = [PT.StructField("__hfile", PT.StringType())]
+    for src, _fn in const_srcs.items():
+        c_fields.append(PT.StructField(
+            "__hc_" + src,
+            S._to_spark_type(current_schema.find_field(src).type)))
+    rows = []
+    for e in entries:
+        pv = e.get("partition") or {}
+        rows.append(tuple([e["file_path"]] +
+                          [pv.get(fn) for fn in const_srcs.values()]))
+    consts = spark.createDataFrame(rows, PT.StructType(c_fields))
+    df = df.join(F.broadcast(consts), "__hfile")
+
+    phys = set(df.columns)
+    cols = []
+    for f in current_schema.fields:
+        spark_t = S._to_spark_type(f.type)
+        if f.name in const_srcs:
+            cols.append(F.col("__hc_" + f.name).cast(spark_t).alias(f.name))
+        elif f.name in phys:
+            cols.append(F.col(f.name).cast(spark_t).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(spark_t).alias(f.name))
+    extra = []
+    if need_lineage:
+        extra = [F.col("__hfile").alias("_file"),
+                 F.col("__hpos").alias("_pos")]
+    return df.select(*cols, *extra)
 
 
 def _project_to_current(df, file_schema: S.Schema, current: S.Schema, extra=None):

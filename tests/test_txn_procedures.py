@@ -273,3 +273,50 @@ def test_call_create_changelog_view(warehouse, spark):
         PR.call(warehouse,
                 "CALL system.create_changelog_view('db.clv', "
                 "net_changes => true, identifier_columns => 'k')")
+
+
+def test_add_files_hive_partitioned_layout(warehouse, orders, spark,
+                                           tmp_path):
+    """Hive-layout import (AddFilesProcedure partition-from-path case):
+    Spark's partitionBy writer produces key=value dirs with the column
+    ABSENT from the files.  add_files(partition_from_path=True) must (a)
+    parse the partition value from the path, (b) serve the column as a
+    per-file constant on read (PartitionUtil.constantsMap contract), and
+    (c) give the files real bounds so partition predicates prune."""
+    from incubator_iceberg_spark import procedures as PR
+
+    src = str(tmp_path / "hive_src")
+    orders.limit(300).write.partitionBy("o_orderpriority").parquet(src)
+    t = warehouse.create_table(
+        "db.hive_imp", Schema.from_spark(orders.schema),
+        partition_by=["o_orderpriority"])
+    res = PR.add_files(t, src, partition_from_path=True)
+    assert res["added_records"] == 300
+
+    want = orders.limit(300).collect()
+    got = {r["o_orderkey"]: r["o_orderpriority"]
+           for r in t.to_df().collect()}
+    assert got == {r["o_orderkey"]: r["o_orderpriority"] for r in want}
+    # no NULLs leaked from the physically-absent column
+    assert t.to_df(filter="o_orderpriority IS NULL").count() == 0
+
+    # partition predicate prunes to that partition's files only
+    one = want[0]["o_orderpriority"]
+    n_all = len(t.new_scan().plan_files())
+    pruned = t.new_scan().filter(
+        f"o_orderpriority = '{one}'").plan_files()
+    assert 0 < len(pruned) < n_all
+    n_one = sum(1 for r in want if r["o_orderpriority"] == one)
+    assert t.to_df(filter=f"o_orderpriority = '{one}'").count() == n_one
+
+    # a MoR delete applies to imported files (lineage join on _file)
+    t.delete_where("o_orderkey % 2 = 0", mode="merge-on-read")
+    n_odd = sum(1 for r in want if r["o_orderkey"] % 2 == 1)
+    assert t.to_df().count() == n_odd
+
+    # non-identity spec rejects path mode with a clear error
+    t2 = warehouse.create_table(
+        "db.hive_imp2", Schema.from_spark(orders.schema),
+        partition_by=["bucket(4, o_custkey)"])
+    with pytest.raises(ValueError, match="identity"):
+        PR.add_files(t2, src, partition_from_path=True)
