@@ -291,7 +291,10 @@ PROCEDURES = {
     "rewrite_data_files": lambda t, **kw: t.rewrite_data_files(
         target_file_size=int(kw["target_file_size"]) if "target_file_size" in kw else None,
         min_input_files=int(kw.get("min_input_files", 5))),
-    "add_files": lambda t, source_dir, **kw: add_files(t, source_dir),
+    "add_files": lambda t, source_dir, **kw: add_files(
+        t, source_dir,
+        file_format=kw.get("file_format", "parquet"),
+        partition_from_path=bool(kw.get("partition_from_path", False))),
     "remove_dangling_deletes": lambda t, **kw: t.remove_dangling_deletes(),
     "rewrite_position_deletes": lambda t, **kw: t.rewrite_position_deletes(
         fmt=kw.get("fmt")),

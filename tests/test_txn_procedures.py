@@ -320,3 +320,24 @@ def test_add_files_hive_partitioned_layout(warehouse, orders, spark,
         partition_by=["bucket(4, o_custkey)"])
     with pytest.raises(ValueError, match="identity"):
         PR.add_files(t2, src, partition_from_path=True)
+
+
+def test_call_add_files_partition_from_path(warehouse, orders, spark,
+                                            tmp_path):
+    from incubator_iceberg_spark import procedures as PR
+
+    src = str(tmp_path / "hive_src2")
+    orders.limit(50).write.partitionBy("o_orderstatus").parquet(src)
+    t = warehouse.create_table(
+        "db.hive_call", Schema.from_spark(orders.schema),
+        partition_by=["o_orderstatus"])
+    res = PR.call(warehouse,
+                  f"CALL system.add_files('db.hive_call', '{src}', "
+                  f"partition_from_path => true)")
+    assert res["added_records"] == 50
+    t.refresh()
+    want = {(r["o_orderkey"], r["o_orderstatus"])
+            for r in orders.limit(50).collect()}
+    got = {(r["o_orderkey"], r["o_orderstatus"])
+           for r in t.to_df().collect()}
+    assert got == want
