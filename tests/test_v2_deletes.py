@@ -568,3 +568,40 @@ def test_convert_equality_deletes_noop_without_eq_files(spark, warehouse,
     assert res == {"converted_eq_files": 0, "added_pos_files": 0,
                    "converted_tuples": 0}
     assert t.metadata.current_snapshot_id == snap  # no empty commit
+
+
+def test_pos_delete_broadcast_gate_fallback(warehouse, orders, spark,
+                                            monkeypatch):
+    """Above BROADCAST_MAX_DELETE_TUPLES the pos/DV anti-join must stop
+    broadcasting (multi-million-position DV debt would blow broadcast
+    memory) and fall back to a shuffle anti-join — same rows either
+    way.  Pinned by forcing the threshold to 0 and comparing against
+    the broadcast path's result and the expected predicate."""
+    from incubator_iceberg_spark import deletes as DEL
+
+    t = warehouse.create_table("db.bgate", Schema.from_spark(orders.schema))
+    t.append(orders.limit(400))
+    t.delete_where("o_orderkey % 3 = 0", mode="merge-on-read")
+
+    want = sorted(r["o_orderkey"] for r in orders.limit(400)
+                  .filter("o_orderkey % 3 != 0").collect())
+    got_bcast = sorted(r["o_orderkey"] for r in t.to_df().collect())
+    assert got_bcast == want
+
+    # un-gated: the FORCED anti-join broadcast hint is in the plan
+    # (other intentional hints exist, e.g. the per-file seq-stamp map —
+    # count them so only the anti-join's hint is asserted away)
+    hinted = t.to_df()._jdf.queryExecution().analyzed().toString()
+    n_hints = hinted.count("ResolvedHint")
+    assert n_hints >= 1, hinted[:2000]
+
+    monkeypatch.setattr(DEL, "BROADCAST_MAX_DELETE_TUPLES", 0)
+    df = t.to_df()
+    got_shuffle = sorted(r["o_orderkey"] for r in df.collect())
+    assert got_shuffle == want
+    # gated: exactly the anti-join's forced hint is gone — Catalyst
+    # chooses the strategy (at this toy scale it may still broadcast on
+    # its own; at the multi-million-tuple scale the gate exists for, it
+    # picks a shuffle join)
+    ungated = df._jdf.queryExecution().analyzed().toString()
+    assert ungated.count("ResolvedHint") == n_hints - 1, ungated[:2000]
