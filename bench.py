@@ -216,7 +216,7 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(sf_dir)
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "engine bench suite (B1-B10 + extensions) wall seconds",
         "value": total,
         "unit": "sec",
@@ -229,7 +229,17 @@ def main() -> int:
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "tmp_disk_free_gb": round(disk.free / 1e9, 1),
         },
-    }))
+    })
+    print(payload)
+    # the driver captures stdout by TAIL and has truncated the head of
+    # this (long) line two rounds running — persist the full payload to
+    # a file so no per-query number is ever lost from the artifact
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SELF.json"), "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass
     spark.stop()
     return 0
 

@@ -136,15 +136,87 @@ def _materialize(tabs, wanted_paths) -> dict:
     return out
 
 
-def _affected_carried(sp, ss, new_dels):
+def _struct_col(struct_chunked, name):
+    """One field of a struct chunked-array by EXACT name (stats struct
+    field names contain literal dots for nested leaves, so index-based
+    lookup avoids any path-splitting ambiguity)."""
+    import pyarrow.compute as pc
+
+    st = struct_chunked.type
+    for i in range(st.num_fields):
+        if st.field(i).name == name:
+            return pc.struct_field(struct_chunked, [i])
+    return None
+
+
+def _eq_disjoint_mask(ct, del_entry, schema):
+    """Columnar mirror of deletes._eq_bounds_disjoint over the carried
+    entries table ``ct``: True rows provably cannot contain a key the eq
+    delete removes (some equality column's value ranges are disjoint on
+    both sides' manifest bounds).  Bounds truncation only WIDENS a range
+    (lower rounds down, upper rounds up), so a detected gap is real;
+    missing stats, cross-type bounds (schema evolution), and
+    both-sides-nullable columns stay conservative (False)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = np.zeros(len(ct), dtype=bool)
+    if ct is None or schema is None or \
+            "lower_bounds" not in ct.column_names or \
+            "upper_bounds" not in ct.column_names:
+        return out
+    e_lo = del_entry.get("lower_bounds") or {}
+    e_hi = del_entry.get("upper_bounds") or {}
+    e_null = del_entry.get("null_counts") or {}
+    lo_struct = ct.column("lower_bounds")
+    hi_struct = ct.column("upper_bounds")
+    for i in del_entry.get("equality_ids") or ():
+        c = schema.field_path(i)
+        if c is None:
+            continue
+        el, eh = e_lo.get(c), e_hi.get(c)
+        if el is None or eh is None:
+            continue  # delete side has no stats on this column
+        dl, dh = _struct_col(lo_struct, c), _struct_col(hi_struct, c)
+        if dl is None or dh is None:
+            continue
+        try:
+            # null bounds compare to null → fill False: stats-less
+            # carried files stay conservatively affected
+            gap = pc.fill_null(pc.or_kleene(pc.less(dh, pa.scalar(el)),
+                                            pc.greater(dl, pa.scalar(eh))),
+                               False).to_numpy(zero_copy_only=False)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError, TypeError):
+            continue
+        if (e_null.get(c) or 0) > 0:
+            # NULL matches NULL in eq deletes and bounds only cover
+            # non-null values: a gap proves nothing for a carried file
+            # that also holds nulls in this column
+            if "null_counts" not in ct.column_names:
+                continue
+            dn = pc.fill_null(
+                pc.map_lookup(ct.column("null_counts"),
+                              query_key=pa.scalar(c), occurrence="first"),
+                0).to_numpy(zero_copy_only=False)
+            gap = gap & (dn == 0)
+        out |= gap
+    return out
+
+
+def _affected_carried(sp, ss, new_dels, ct=None, schema=None):
     """Boolean mask over path-sorted carried data files (paths ``sp``,
-    sequence numbers ``ss``): which ones can a NEW delete file touch.
-    Position deletes: searchsorted into the sorted paths on the delete's
-    referenced-path bounds + seq compare (the maintenance.py dangling-
-    delete pattern).  Equality deletes: sequence compare only — a
-    superset of scope_deletes_for_file's per-column bounds refinement;
-    over-selected files read identically on both sides and cancel in
-    EXCEPT ALL, so this trades bounded extra IO for a columnar plan."""
+    sequence numbers ``ss``, same-order entries table ``ct``): which ones
+    can a NEW delete file touch.  Position deletes: searchsorted into the
+    sorted paths on the delete's referenced-path bounds + seq compare
+    (the maintenance.py dangling-delete pattern).  Equality deletes:
+    sequence compare refined by the columnar value-bounds overlap check
+    (_eq_disjoint_mask — scope_deletes_for_file's per-column refinement
+    in arrow form), so one small eq commit no longer drags every earlier
+    carried file through both sides of the EXCEPT ALL.  Over-selection
+    stays safe (it cancels in EXCEPT ALL); under-selection is impossible
+    because the bounds check only drops provably-disjoint files."""
     import numpy as np
 
     mask = np.zeros(len(sp), dtype=bool)
@@ -161,7 +233,10 @@ def _affected_carried(sp, ss, new_dels):
             if lo_i < hi_i:
                 mask[lo_i:hi_i] |= ss[lo_i:hi_i] <= del_seq
         else:
-            mask |= ss < del_seq
+            cand = ss < del_seq
+            if cand.any() and ct is not None:
+                cand &= ~_eq_disjoint_mask(ct, e, schema)
+            mask |= cand
     return mask
 
 
@@ -257,18 +332,25 @@ def _snapshot_changes(md, schema, snap, parent, mlist_cache,
     # (both sides' live delete sets include them), plus — only when this
     # commit added delete files — those holding the carried data files
     # the new deletes must be scoped against
-    # shared delete manifests repeat across the commits of a range
-    # (manifests are immutable) — cache their live delete slices for the
-    # changelog() call's lifetime instead of re-reading per commit
+    # shared manifests repeat across the commits of a range (manifests
+    # are immutable) — cache BOTH their live slices (data, deletes) for
+    # the changelog() call's lifetime instead of re-reading per commit:
+    # a K-MoR-commit range over M shared manifests reads each once, not
+    # K times
     if tab_cache is None:
         tab_cache = {}
+
+    def _shared_slices(p):
+        if p not in tab_cache:
+            tab_cache[p] = _split_content(_live_arrow([p]))
+        return tab_cache[p]
+
     shared_del_tabs = []
     for p in shared:
         if mp_now[p].get("has_deletes") is not False:
-            if p not in tab_cache:
-                tab_cache[p] = _split_content(_live_arrow([p]))[1]
-            if tab_cache[p] is not None:
-                shared_del_tabs.append(tab_cache[p])
+            dtab = _shared_slices(p)[1]
+            if dtab is not None:
+                shared_del_tabs.append(dtab)
 
     aff_paths = np.asarray([], dtype=object)
     shared_data_tabs = []
@@ -276,21 +358,23 @@ def _snapshot_changes(md, schema, snap, parent, mlist_cache,
         new_dels = list(_materialize([del_now], new_del_paths).values())
         # carried live data: shared manifests + paths live in BOTH
         # unique sides (rewritten-manifest carryover)
-        shared_data_tabs = [
-            _split_content(_live_arrow([p]))[0] for p in shared]
+        shared_data_tabs = [_shared_slices(p)[0] for p in shared]
         shared_data_tabs = [t for t in shared_data_tabs if t is not None]
-        cpaths = [_paths_np(t) for t in shared_data_tabs]
-        cseqs = [_col_np(t, "sequence_number", 0) for t in shared_data_tabs]
+        ctabs = list(shared_data_tabs)
         if len(carried_uniq):
+            import pyarrow as pa
             keep = np.isin(pn, carried_uniq)
-            cpaths.append(pn[keep])
-            cseqs.append(_col_np(d_now, "sequence_number", 0)[keep])
-        if cpaths:
-            cp = np.concatenate(cpaths)
-            cs = np.concatenate(cseqs)
+            ctabs.append(d_now.filter(pa.array(keep)))
+        ct = MF.concat_entries_tables(ctabs)
+        if ct is not None:
+            import pyarrow as pa
+            cp = _paths_np(ct)
+            cs = _col_np(ct, "sequence_number", 0)
             order = np.argsort(cp, kind="stable")
             sp, ss = cp[order], cs[order]
-            aff_paths = np.unique(sp[_affected_carried(sp, ss, new_dels)])
+            ct = ct.take(pa.array(order))
+            aff_paths = np.unique(
+                sp[_affected_carried(sp, ss, new_dels, ct, schema)])
 
     # carried affected files resolve from d_now/d_before when they live
     # in rewritten (side-unique) manifests, from shared_data_tabs when
@@ -327,18 +411,29 @@ def _net_changes(ch, data_cols):
     multiplicity = #inserts - #deletes across the range; zero vanishes
     (insert-then-delete, or delete-then-reinsert of the same row),
     positive nets emit that many inserts, negative that many deletes —
-    each attributed to the row's LAST change in the range.  One shuffle
-    keyed on row content, sized by the range's changed rows — long
-    replication backfills collapse churn instead of replaying it."""
+    net inserts attributed to the row's LAST 'insert' event in range,
+    net deletes to its LAST 'delete' (a net>0 group always contains an
+    insert and net<0 a delete, so the conditional max is never null;
+    attributing to the last change of EITHER kind mislabeled e.g. 2
+    deletes + 1 later re-insert: the net delete carried the re-insert's
+    snapshot id).  One shuffle keyed on row content, sized by the
+    range's changed rows — long replication backfills collapse churn
+    instead of replaying it."""
     from pyspark.sql import functions as F
 
     delta = F.when(F.col("_change_type") == "insert", F.lit(1)) \
         .otherwise(F.lit(-1))
+    last_of = lambda kind: F.max(
+        F.when(F.col("_change_type") == kind,
+               F.struct("_change_ordinal", "_change_snapshot_id")))
     agg = (ch.groupBy(*data_cols)
            .agg(F.sum(delta).alias("_net"),
-                F.max(F.struct("_change_ordinal", "_change_snapshot_id"))
-                .alias("_last")))
+                last_of("insert").alias("_last_ins"),
+                last_of("delete").alias("_last_del")))
+    last = F.when(F.col("_net") > 0, F.col("_last_ins")) \
+        .otherwise(F.col("_last_del"))
     return (agg.filter(F.col("_net") != 0)
+            .withColumn("_last", last)
             .select(*data_cols,
                     F.when(F.col("_net") > 0, F.lit("insert"))
                     .otherwise(F.lit("delete")).alias("_change_type"),

@@ -406,18 +406,26 @@ def filter_relevant_deletes(data_entries: list, delete_entries: list,
 
 
 def load_eq_delete_groups(spark, eq_entries: list, table_schema: S.Schema):
-    """Yield (current_cols, eq_df) per equality-ids group, with
-    ``___del_seq`` stamped per row.  The delete parquet holds exactly the
-    equality columns in equality_ids order under their WRITE-TIME names:
-    resolve by POSITION to the current names/types, so a renamed equality
-    column keeps deleting (field-id semantics — the data-side analog is
-    _project_to_current; reading by current NAME returned all-NULL keys
-    after a rename, which resurrected the deleted rows and dropped
-    NULL-keyed ones instead).  The footer is read driver-local via
-    pyarrow — a schema-less spark.read.parquet would run one inference
-    job per delete file.  Shared by the read-side anti-join and the
-    eq→pos conversion rewrite."""
+    """Yield (current_cols, eq_df, total_record_count) per equality-ids
+    group, with ``___del_seq`` stamped per row.  The delete parquet holds
+    exactly the equality columns in equality_ids order under their
+    WRITE-TIME names: resolve by POSITION to the current names/types, so a
+    renamed equality column keeps deleting (field-id semantics — the
+    data-side analog is _project_to_current; reading by current NAME
+    returned all-NULL keys after a rename, which resurrected the deleted
+    rows and dropped NULL-keyed ones instead).  The footer is read
+    driver-local via pyarrow — a schema-less spark.read.parquet would run
+    one inference job per delete file.  Files with an identical footer
+    schema collapse into ONE multi-path read (the upsert-MoR sink accrues
+    one eq file per epoch; a per-file read + unionByName built an
+    O(#files) plan tree — same fix the pos side got), with the per-file
+    sequence stamped via a broadcast map on ``_metadata.file_path``.
+    ``total_record_count`` is the summed manifest record_count, or None
+    when any entry lacks it — callers gate broadcast on it.  Shared by
+    the read-side anti-join and the eq→pos conversion rewrite."""
     from pyspark.sql import functions as F
+    import pyarrow.parquet as _pq
+    from pyspark.sql.pandas.types import from_arrow_schema
 
     by_ids: dict = {}
     for e in eq_entries:
@@ -431,27 +439,53 @@ def load_eq_delete_groups(spark, eq_entries: list, table_schema: S.Schema):
         del_schema = S.Schema([f for f in fields if f is not None])
         tgt = del_schema.to_spark()
         tgt_names = [f.name for f in tgt.fields]
-        eq_df = None
+        # bucket by full footer schema (names + types): every bucket is
+        # one multi-path scan with a uniform read schema
+        by_footer: dict = {}
         for e in group:
-            import pyarrow.parquet as _pq
-            from pyspark.sql.pandas.types import from_arrow_schema
-            fnames = _pq.read_schema(e["file_path"]).names
-            if fnames == tgt_names:
-                part = spark.read.schema(tgt).parquet(e["file_path"])
+            fsc = _pq.read_schema(e["file_path"])
+            key = (tuple(fsc.names), tuple(str(t) for t in fsc.types))
+            by_footer.setdefault(key, (fsc, []))[1].append(e)
+        eq_df = None
+        total_rc = 0
+        for (fnames, _ftypes), (fsc, bucket) in by_footer.items():
+            paths = [e["file_path"] for e in bucket]
+            seqs = {e.get("sequence_number") or 0 for e in bucket}
+            if list(fnames) == tgt_names:
+                part = spark.read.schema(tgt).parquet(*paths)
+                keep = [F.col(n) for n in tgt_names]
             elif len(fnames) == len(tgt.fields):
-                fsp = from_arrow_schema(
-                    _pq.read_schema(e["file_path"]))
-                part = (spark.read.schema(fsp)
-                        .parquet(e["file_path"])
-                        .select(*[F.col(fnames[i]).cast(f.dataType)
-                                  .alias(f.name)
-                                  for i, f in enumerate(tgt.fields)]))
+                fsp = from_arrow_schema(fsc)
+                part = spark.read.schema(fsp).parquet(*paths)
+                keep = [F.col(fnames[i]).cast(f.dataType).alias(f.name)
+                        for i, f in enumerate(tgt.fields)]
             else:  # foreign/imported delete file: name-based
-                part = spark.read.schema(tgt).parquet(e["file_path"])
-            part = part.withColumn(
-                "___del_seq", F.lit(e.get("sequence_number") or 0))
+                part = spark.read.schema(tgt).parquet(*paths)
+                keep = [F.col(n) for n in tgt_names]
+            if len(seqs) == 1:
+                # single-commit debt: a literal replaces the _metadata
+                # read + regexp + broadcast join the general path pays
+                part = part.select(*keep,
+                                   F.lit(seqs.pop()).alias("___del_seq"))
+            else:
+                part = part.select(
+                    *keep,
+                    F.regexp_replace(F.col("_metadata.file_path"),
+                                     "^file:/*", "/").alias("___dfile"))
+                dseq = spark.createDataFrame(
+                    [(e["file_path"], e.get("sequence_number") or 0)
+                     for e in bucket], "___dfile string, ___del_seq long")
+                part = part.join(F.broadcast(dseq), "___dfile") \
+                    .drop("___dfile")
             eq_df = part if eq_df is None else eq_df.unionByName(part)
-        yield cols, eq_df
+            if total_rc is not None:
+                for e in bucket:
+                    rc = e.get("record_count")
+                    if not rc:
+                        total_rc = None
+                        break
+                    total_rc += int(rc)
+        yield cols, eq_df, total_rc
 
 
 def apply_delete_files(spark, data_df, data_seq_by_file: dict,
@@ -532,13 +566,20 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
         df = df.join(pos_df, cond, "left_anti")
 
     if eq_entries:
-        for cols, eq_df in load_eq_delete_groups(spark, eq_entries,
-                                                 table_schema):
+        for cols, eq_df, total_rc in load_eq_delete_groups(
+                spark, eq_entries, table_schema):
             cond = None
             for c in cols:
                 piece = df[c].eqNullSafe(eq_df[c])
                 cond = piece if cond is None else (cond & piece)
             cond = cond & (eq_df["___del_seq"] > df["___seq"])
-            df = df.join(F.broadcast(eq_df), cond, "left_anti")
+            # same record_count gate as the pos/DV side: the upsert-MoR
+            # sink accrues ~2M keys per epoch of eq debt — a 100-epoch
+            # backlog would broadcast ~200M keys.  Unknown counts are
+            # conservatively large → shuffle anti-join
+            if total_rc is not None and \
+                    total_rc <= BROADCAST_MAX_DELETE_TUPLES:
+                eq_df = F.broadcast(eq_df)
+            df = df.join(eq_df, cond, "left_anti")
 
     return df.drop("___path", "___seq")

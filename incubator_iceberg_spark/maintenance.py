@@ -658,13 +658,20 @@ def convert_equality_deletes(table, spark=None) -> dict:
                     "___path",
                     F.regexp_replace(F.col("_file"), "^file:/*", "/"))
                 .join(F.broadcast(seq_df), "___path"))
-        for cols, eq_df in DEL.load_eq_delete_groups(spark, eqs, schema):
+        for cols, eq_df, total_rc in DEL.load_eq_delete_groups(
+                spark, eqs, schema):
             cond = None
             for c in cols:
                 piece = rows[c].eqNullSafe(eq_df[c])
                 cond = piece if cond is None else (cond & piece)
             cond = cond & (eq_df["___del_seq"] > rows["___seq"])
-            m = (rows.join(F.broadcast(eq_df), cond, "left_semi")
+            # record_count-gated broadcast, same as the read-side
+            # anti-join — conversion of a large accrued debt must not
+            # broadcast the debt it exists to consolidate
+            if total_rc is not None and \
+                    total_rc <= DEL.BROADCAST_MAX_DELETE_TUPLES:
+                eq_df = F.broadcast(eq_df)
+            m = (rows.join(eq_df, cond, "left_semi")
                      .select(F.col("___path").alias("file_path"),
                              F.col("_pos").alias("pos")))
             matches = m if matches is None else matches.unionByName(m)

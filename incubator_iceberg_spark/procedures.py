@@ -172,13 +172,18 @@ def _add_files_from_hive_paths(table, source_dir, spark,
     entries = []
     for st in stats:
         pv = part_by_file[st["file_path"]]
+        # a stats-less file reports bounds/counts as None — normalize to
+        # {} once so the spec-field loop can assign either branch
+        for k in ("lower_bounds", "upper_bounds", "null_counts"):
+            if st.get(k) is None:
+                st[k] = {}
         for f in spec.fields:
             src = schema.field_path(f.source_id)
             v = pv[f.name]
             if v is None:
                 st["null_counts"][src] = st["record_count"]
-                (st["lower_bounds"] or {}).pop(src, None)
-                (st["upper_bounds"] or {}).pop(src, None)
+                st["lower_bounds"].pop(src, None)
+                st["upper_bounds"].pop(src, None)
             else:
                 st["lower_bounds"][src] = v
                 st["upper_bounds"][src] = v

@@ -692,7 +692,8 @@ def _read_hive_import_group(spark, md, entries, fmt, current_schema,
             if src is not None:
                 const_srcs[src] = f.name
     import pyspark.sql.types as PT
-    c_fields = [PT.StructField("__hfile", PT.StringType())]
+    c_fields = [PT.StructField("__hfile", PT.StringType()),
+                PT.StructField("__hmatch", PT.BooleanType())]
     for src, _fn in const_srcs.items():
         c_fields.append(PT.StructField(
             "__hc_" + src,
@@ -700,21 +701,35 @@ def _read_hive_import_group(spark, md, entries, fmt, current_schema,
     rows = []
     for e in entries:
         pv = e.get("partition") or {}
-        rows.append(tuple([e["file_path"]] +
+        rows.append(tuple([e["file_path"], True] +
                           [pv.get(fn) for fn in const_srcs.values()]))
     consts = spark.createDataFrame(rows, PT.StructType(c_fields))
-    df = df.join(F.broadcast(consts), "__hfile")
+    # LEFT join + per-row guard: an escape/decode mismatch between the
+    # URI-decoded _metadata.file_path and the manifest entry paths must
+    # be an ERROR, not silent row loss (an inner join dropped such rows).
+    # The guard rides the first projected column — a dedicated check
+    # column would be pruned away by the optimizer
+    df = df.join(F.broadcast(consts), "__hfile", "left")
 
     phys = set(df.columns)
     cols = []
     for f in current_schema.fields:
         spark_t = S._to_spark_type(f.type)
         if f.name in const_srcs:
-            cols.append(F.col("__hc_" + f.name).cast(spark_t).alias(f.name))
+            expr = F.col("__hc_" + f.name).cast(spark_t)
         elif f.name in phys:
-            cols.append(F.col(f.name).cast(spark_t).alias(f.name))
+            expr = F.col(f.name).cast(spark_t)
         else:
-            cols.append(F.lit(None).cast(spark_t).alias(f.name))
+            expr = F.lit(None).cast(spark_t)
+        if not cols:
+            expr = F.when(
+                F.col("__hmatch").isNull(),
+                F.raise_error(F.concat(
+                    F.lit("hive-import path decode mismatch "
+                          "(file not in manifest entry set): "),
+                    F.col("__hfile"))).cast(spark_t)) \
+                .otherwise(expr)
+        cols.append(expr.alias(f.name))
     extra = []
     if need_lineage:
         extra = [F.col("__hfile").alias("_file"),

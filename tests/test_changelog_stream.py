@@ -238,3 +238,89 @@ def test_changelog_across_spec_evolution(warehouse, spark, sf_dir):
                                 net_changes=True).collect()}
     assert net == {(k, "insert") for k in range(20, 40) if k % 10 != 3} \
         | {(k, "delete") for k in range(0, 20) if k % 10 == 3}
+
+
+def test_net_changes_attribution_by_kind(warehouse, spark, sf_dir):
+    """Net deletes attribute to the row's LAST 'delete' event and net
+    inserts to its LAST 'insert' event — NOT to the last change of
+    either kind.  Mixed multiplicity pins it: 2 copies deleted, 1
+    re-inserted later nets to one delete that must carry the DELETE
+    commit's ordinal, not the re-insert's."""
+    df = spark.createDataFrame([(1, "a"), (1, "a")], "k int, s string")
+    t = warehouse.create_table("db.netattr", Schema.from_spark(df.schema))
+    t.append(df)  # two identical copies, before the range
+    s0 = t.metadata.current_snapshot_id
+    t.delete_where("k = 1")                    # ordinal 0: -2
+    t.append(df.limit(1))                      # ordinal 1: +1
+    net = t.changelog(from_snapshot_id=s0, net_changes=True).collect()
+    assert [(r["k"], r["_change_type"], r["_change_ordinal"])
+            for r in net] == [(1, "delete", 0)], net
+
+    # mirror case: 1 copy deleted, 2 re-inserted later → one net insert
+    # carrying the INSERT commit's ordinal
+    t2 = warehouse.create_table("db.netattr2", Schema.from_spark(df.schema))
+    t2.append(df.limit(1))
+    s0 = t2.metadata.current_snapshot_id
+    t2.delete_where("k = 1")                   # ordinal 0: -1
+    t2.append(df)                              # ordinal 1: +2
+    net = t2.changelog(from_snapshot_id=s0, net_changes=True).collect()
+    assert [(r["k"], r["_change_type"], r["_change_ordinal"])
+            for r in net] == [(1, "insert", 1)], net
+
+
+def test_changelog_eq_delete_bounds_scoping(warehouse, spark, sf_dir):
+    """An eq-delete commit marks as affected only the carried data files
+    whose value bounds OVERLAP the delete file's key range (columnar
+    mirror of scope_deletes_for_file) — one small eq commit must not
+    drag every earlier carried file through both sides of the diff."""
+    from incubator_iceberg_spark import changelog as CL
+
+    t = warehouse.create_table("db.cleqb", "k long, v long")
+    t.append(spark.range(0, 100).selectExpr("id AS k", "id AS v"))
+    t.append(spark.range(1000, 1100).selectExpr("id AS k", "id AS v"))
+    keys = spark.createDataFrame([(1005,)], "k long")
+    t.add_equality_deletes(keys, ["k"])
+
+    md = t.metadata
+    snap = md.current_snapshot()
+    parent = md.snapshot_by_id(snap.parent_id)
+    ch = CL._snapshot_changes(md, md.schema(), snap, parent, {})
+    assert ch is not None
+    now_entries, before_entries, _dn, _db = ch
+    # only the k∈[1000,1100) file overlaps the delete's bounds
+    assert len(before_entries) == 1, [e["file_path"] for e in before_entries]
+    assert before_entries[0]["lower_bounds"]["k"] >= 1000
+    # and the changelog output is still exactly the one deleted row
+    rows = t.changelog(from_snapshot_id=parent.snapshot_id).collect()
+    assert [(r["k"], r["_change_type"]) for r in rows] == [(1005, "delete")]
+
+
+def test_changelog_shared_manifest_read_once(warehouse, spark, sf_dir,
+                                             monkeypatch):
+    """A K-MoR-commit changelog range over shared manifests reads each
+    manifest's slices ONCE (tab_cache caches BOTH data and delete
+    slices) — each path loads at most twice across the range: once as a
+    side-unique manifest when its commit introduced it, once as a
+    shared manifest thereafter."""
+    from collections import Counter
+    from incubator_iceberg_spark import changelog as CL
+
+    t = warehouse.create_table("db.clro", "k long, v long")
+    t.append(spark.range(0, 400).selectExpr("id AS k", "id AS v"))
+    s0 = t.metadata.current_snapshot_id
+    for m in range(4):  # K=4 MoR delete commits against the same file
+        t.delete_where(f"k % 10 = {m}", mode="merge-on-read")
+
+    calls = Counter()
+    real = CL._live_arrow
+
+    def counting(paths):
+        for p in paths:
+            calls[p] += 1
+        return real(paths)
+
+    monkeypatch.setattr(CL, "_live_arrow", counting)
+    got = t.changelog(from_snapshot_id=s0)
+    n = got.count()
+    assert n == 4 * 40  # 4 commits x 40 deleted rows each
+    assert calls and max(calls.values()) <= 2, calls

@@ -605,3 +605,56 @@ def test_pos_delete_broadcast_gate_fallback(warehouse, orders, spark,
     # picks a shuffle join)
     ungated = df._jdf.queryExecution().analyzed().toString()
     assert ungated.count("ResolvedHint") == n_hints - 1, ungated[:2000]
+
+
+def test_eq_delete_broadcast_gate_fallback(warehouse, orders, spark,
+                                           monkeypatch):
+    """Above BROADCAST_MAX_DELETE_TUPLES the EQUALITY-delete anti-join
+    must stop broadcasting (the upsert-MoR sink accrues ~2M keys per
+    epoch of eq debt; a 100-epoch backlog would broadcast ~200M keys)
+    and fall back to a shuffle anti-join — same rows either way.
+    Mirror of test_pos_delete_broadcast_gate_fallback."""
+    from incubator_iceberg_spark import deletes as DEL
+
+    t = _ingest(warehouse, "db.eqgate", orders.limit(400))
+    victims = orders.limit(400).filter("o_orderkey % 3 = 0") \
+        .select("o_orderkey")
+    t.add_equality_deletes(victims, ["o_orderkey"])
+
+    want = sorted(r["o_orderkey"] for r in orders.limit(400)
+                  .filter("o_orderkey % 3 != 0").collect())
+    got_bcast = sorted(r["o_orderkey"] for r in t.to_df().collect())
+    assert got_bcast == want
+
+    hinted = t.to_df()._jdf.queryExecution().analyzed().toString()
+    n_hints = hinted.count("ResolvedHint")
+    assert n_hints >= 1, hinted[:2000]
+
+    monkeypatch.setattr(DEL, "BROADCAST_MAX_DELETE_TUPLES", 0)
+    df = t.to_df()
+    got_shuffle = sorted(r["o_orderkey"] for r in df.collect())
+    assert got_shuffle == want
+    # gated: exactly the eq anti-join's forced hint is gone
+    ungated = df._jdf.queryExecution().analyzed().toString()
+    assert ungated.count("ResolvedHint") == n_hints - 1, ungated[:2000]
+
+
+def test_eq_delete_multi_commit_single_scan(warehouse, orders, spark):
+    """Multi-epoch eq debt (same equality_ids, same footer schema) must
+    collapse into ONE multi-path scan with per-file sequence stamped via
+    the broadcast map — not an O(#files) unionByName plan tree (mirror
+    of the pos-side fix; the upsert-MoR sink accrues one eq file per
+    epoch, so the read path sees many same-schema eq files)."""
+    t = _ingest(warehouse, "db.eqms", orders.limit(300))
+    for m in (0, 1, 2):
+        victims = orders.limit(300).filter(f"o_orderkey % 5 = {m}") \
+            .select("o_orderkey")
+        t.add_equality_deletes(victims, ["o_orderkey"])
+    want = sorted(r["o_orderkey"] for r in orders.limit(300)
+                  .filter("o_orderkey % 5 >= 3").collect())
+    df = t.to_df()
+    got = sorted(r["o_orderkey"] for r in df.collect())
+    assert got == want
+    # three eq commits, zero Union nodes: one multi-path relation
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan[:3000]
