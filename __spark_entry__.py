@@ -411,6 +411,76 @@ def q_metadata_agg(spark, sf_dir):
         [(cnt, lo, hi)], "cnt long, min_orderkey long, max_orderkey long")
 
 
+def q_merge_cardinality_guard(spark, sf_dir):
+    """J2 driver row (SparkMergeScan cardinality check analog,
+    row_ops.py:590-616): a MERGE whose source matches one target row
+    TWICE must raise MergeCardinalityError and leave the table
+    untouched (the failed job never commits); a deduplicated retry then
+    succeeds.  The raise, the no-commit invariant, and the retry's
+    effect all fold into one oracle-checkable aggregate."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.row_ops import (MergeCardinalityError,
+                                                 WhenMatched)
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.mcard", Schema.from_spark(orders.schema))
+    t.append(orders)
+    snap0 = t.metadata.current_snapshot_id
+    hit = orders.filter("o_orderkey % 500 = 0")
+    dup = hit.unionByName(
+        hit.withColumn("o_totalprice", F.col("o_totalprice") + 1))
+    raised = False
+    try:
+        t.merge(dup, on=["o_orderkey"],
+                when_matched=[WhenMatched.update_all()])
+    except MergeCardinalityError:
+        raised = True
+    assert raised, "ambiguous MERGE did not raise"
+    assert t.metadata.current_snapshot_id == snap0, \
+        "failed MERGE must not commit"
+    t.merge(hit.withColumn("o_orderstatus", F.lit("X")),
+            on=["o_orderkey"], when_matched=[WhenMatched.update_all()])
+    return (t.to_df().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("cents"))
+            .orderBy("o_orderstatus"))
+
+
+def q_manifest_pruning(spark, sf_dir):
+    """P8/A5 driver row: per-manifest partition-field summaries
+    (ManifestEvaluator.java:51-141 over ManifestFile.partitions(), A5)
+    prune whole manifests at PLAN time.  One fast-append per ship YEAR
+    gives manifests with disjoint month-ordinal summary ranges; a
+    one-year filter must plan exactly ONE of them — asserted in-query
+    via TableScan.plan_manifests() with the total cross-checked against
+    the manifests metadata table, then returned alongside the scanned
+    rows so the oracle derives every number from raw lineitem."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.scan import TableScan
+    cat = _scratch_catalog(spark)
+    li = _load(spark, sf_dir, "lineitem")
+    t = cat.create_table("s.mprune", Schema.from_spark(li.schema),
+                         partition_by=["month(l_shipdate)"])
+    years = [r["y"] for r in li.selectExpr("year(l_shipdate) AS y")
+             .distinct().orderBy("y").collect()]
+    for y in years:
+        t.append(li.filter(f"year(l_shipdate) = {y}"))
+    scan = TableScan(t, spark, row_filter=(
+        "l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-01-01'"))
+    kept, total = scan.plan_manifests()
+    assert total == t.metadata_table("manifests").count(), \
+        "manifest-list total disagrees with the manifests metadata table"
+    assert len(kept) == 1 < total, (len(kept), total)
+    n = scan.to_df().count()
+    return spark.createDataFrame(
+        [(total, len(kept), n)],
+        "total_manifests long, kept_manifests long, year_rows long")
+
+
 def q_zorder_scan(spark, sf_dir):
     """Z-order clustering rewrite on (o_custkey, o_totalprice), then a
     selective two-dimension scan over the re-clustered files."""
@@ -3784,77 +3854,131 @@ def q_bucket_join_agg(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING (round 7): the driver's correctness gate samples a 50-entry
-    # prefix of this dict, so ordering = verification recency.  Round 7
-    # prefix = [4 NEW rows (sql_inspection, changelog_net,
-    # hive_import, dv_steady_state)] + [the 22 r3-stale rows the r6 verdict queued
-    # first (schema_evolution .. topk_window)] + [17 rows whose engine
-    # code this round TOUCHED and must re-verify: the changelog metadata
-    # plane went columnar (changelog_scan, changelog_updates,
-    # cdc_replication, matview_refresh, incremental_read,
-    # streaming_cdc_apply), the exactly-once sinks grew epoch
-    # properties + the offset type changed (streaming_* rows), and the
-    # pos/DV anti-join grew the broadcast gate (delete rows)] + [7
-    # least-recently-verified r4 rows (scd2_dimension ..
-    # refs_history_meta; source_overlap sits at 51, first out)].
-    # With this window green, every row is driver-verified within
-    # r5 U r6 U r7 EXCEPT the r4 rows not yet rotated through (the
-    # next ~41 entries after the window, first in line for r8); r5- and
-    # r6-green rows sit at the back.  All remain locally re-verifiable
-    # via tools/check_correctness.py (which the round-7 session ran
-    # green for every row it touched).
+    # ORDERING (round 8): the driver's correctness gate samples a 50-entry
+    # prefix of this dict, so ordering = verification recency.  Round 8
+    # prefix = [2 NEW rows (merge_cardinality_guard - the J2 guard
+    # asserted through a driver row; manifest_pruning - P8/A5 manifest
+    # summary pruning counted via TableScan.plan_manifests)] + [8 rows
+    # whose engine code this round TOUCHED and must re-verify: the
+    # eq-delete anti-join got the record_count broadcast gate + one
+    # multi-path read (eq_delete_scan, convert_eq_deletes,
+    # streaming_upsert_mor, dv_steady_state), the changelog grew
+    # value-bounds eq scoping + the shared-slice cache + net-changes
+    # attribution (changelog_net, cdc_replication), and the Hive import
+    # grew the decode-mismatch guard (hive_import, add_files_import)] +
+    # [ALL 40 r4-stale rows (source_overlap .. metrics_modes) - the
+    # r7 verdict's item 2, last driver-verified in round 4].
+    # With this window green, every registry row is driver-verified
+    # within r5..r8.  Rows 51+ order: the remaining TOUCHED-but-r7-green
+    # rows first (re-verify soonest), then r5-verified (stale next, the
+    # r9 prefix candidates), then r6, then the r7-green balance at the
+    # back.  All rows remain locally re-verifiable via
+    # tools/check_correctness.py (run green for every touched row this
+    # session).
     return {
-        "sql_inspection": q_sql_inspection,
-        "changelog_net": q_changelog_net,
-        "hive_import": q_hive_import,
+        "merge_cardinality_guard": q_merge_cardinality_guard,
+        "manifest_pruning": q_manifest_pruning,
+        "eq_delete_scan": q_eq_delete_scan,
+        "convert_eq_deletes": q_convert_eq_deletes,
+        "streaming_upsert_mor": q_streaming_upsert_mor,
         "dv_steady_state": q_dv_steady_state,
-        "schema_evolution": q_schema_evolution,
-        "overwrite_dynamic": q_overwrite_dynamic,
-        "overwrite_filter": q_overwrite_filter,
-        "branch_read": q_branch_read,
-        "wap_publish": q_wap_publish,
-        "snapshots_meta": q_snapshots_meta,
-        "events_props_json": q_events_props_json,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "ann_append_probe": q_ann_append_probe,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "mixture_sample": q_mixture_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "avro_scan": q_avro_scan,
-        "merge_by_source": q_merge_by_source,
-        "sql_facade_join": q_sql_facade_join,
-        "sql_ctas": q_sql_ctas,
-        "zorder_scan": q_zorder_scan,
-        "metadata_agg": q_metadata_agg,
-        "orc_scan": q_orc_scan,
-        "call_procedure": q_call_procedure,
-        "topk_window": q_topk_window,
+        "changelog_net": q_changelog_net,
+        "cdc_replication": q_cdc_replication,
+        "hive_import": q_hive_import,
+        "add_files_import": q_add_files_import,
+        "source_overlap": q_source_overlap,
+        "metadata_count_col": q_metadata_count_col,
+        "gap_fill_rollup": q_gap_fill_rollup,
+        "robust_stats": q_robust_stats,
+        "copurchase_lift": q_copurchase_lift,
+        "skyline_orders": q_skyline_orders,
+        "metadata_count": q_metadata_count,
+        "bloom_point_lookup": q_bloom_point_lookup,
+        "ngram_lm_score": q_ngram_lm_score,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "streaming_stream_join": q_streaming_stream_join,
+        "pivot_agg": q_pivot_agg,
+        "dedup_lines": q_dedup_lines,
+        "range_join_events": q_range_join_events,
+        "runtime_filter_join": q_runtime_filter_join,
+        "kmv_distinct": q_kmv_distinct,
+        "inverted_postings": q_inverted_postings,
+        "search_topk": q_search_topk,
+        "kmeans_micro": q_kmeans_micro,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "asof_join_events": q_asof_join_events,
+        "shuffle_shards": q_shuffle_shards,
+        "sq8_probe": q_sq8_probe,
+        "sq8_indexed_probe": q_sq8_indexed_probe,
+        "rolling_features": q_rolling_features,
+        "heavy_hitters": q_heavy_hitters,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "duplicated_spans": q_duplicated_spans,
+        "token_budget_sample": q_token_budget_sample,
+        "partitions_evolved": q_partitions_evolved,
+        "position_deletes_meta": q_position_deletes_meta,
+        "corpus_quality_gate": q_corpus_quality_gate,
+        "stratified_sample": q_stratified_sample,
+        "pii_scrub": q_pii_scrub,
+        "dedup_keep_best": q_dedup_keep_best,
+        "incremental_dedup": q_incremental_dedup,
+        "sorted_write_clustering": q_sorted_write_clustering,
+        "metrics_modes": q_metrics_modes,
         "changelog_scan": q_changelog_scan,
         "changelog_updates": q_changelog_updates,
-        "cdc_replication": q_cdc_replication,
         "matview_refresh": q_matview_refresh,
         "incremental_read": q_incremental,
-        "streaming_cdc_apply": q_streaming_cdc_apply,
-        "streaming_sink_replay": q_streaming_sink_replay,
-        "streaming_upsert_mor": q_streaming_upsert_mor,
-        "streaming_rate_limited": q_streaming_rate_limited,
-        "streaming_consume": q_streaming_consume,
-        "dv_delete_scan": q_dv_delete_scan,
-        "pos_delete_scan": q_pos_delete_scan,
-        "eq_delete_scan": q_eq_delete_scan,
         "delete_mor": q_delete_mor,
         "update_mor": q_update_mor,
         "delete_maintenance": q_delete_maintenance,
-        "convert_eq_deletes": q_convert_eq_deletes,
-        "scd2_dimension": q_scd2_dimension,
-        "all_files_meta": q_all_files_meta,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "merge_schema_append": q_merge_schema_append,
-        "grouping_sets_agg": q_grouping_sets,
-        "refs_history_meta": q_refs_history_meta,
-        "source_overlap": q_source_overlap,
+        "pos_delete_scan": q_pos_delete_scan,
+        "sql_inspection": q_sql_inspection,
+        "concurrent_committers": q_concurrent_committers,
+        "bucket_join_agg": q_bucket_join_agg,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "streaming_windowed_agg": q_streaming_windowed_agg,
+        "streaming_sessionize": q_streaming_sessionize,
+        "chunk_by_tokens": q_chunk_by_tokens,
+        "semantic_dedup": q_semantic_dedup,
+        "split_assign": q_split_assign,
+        "streaming_dedup": q_streaming_dedup,
+        "rollup_agg": q_rollup,
+        "cube_agg": q_cube_agg,
+        "distinct_agg": q_distinct_agg,
+        "transaction_multi": q_transaction,
+        "pydatasource_scan": q_pydatasource_scan,
+        "partitions_meta": q_partitions_meta,
+        "files_meta": q_files_meta,
+        "transforms_projection": q_transforms,
+        "bucket_transform": q_bucket_transform,
+        "events_hourly": q_events_hourly,
+        "sessionize_events": q_sessionize,
+        "compaction": q_compaction,
+        "maintenance_scan": q_maintenance_scan,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_simhash_pairs": q_dedup_simhash,
+        "dedup_ngram_pairs": q_dedup_ngram,
+        "dedup_groups": q_dedup_groups,
+        "vocab_doc_freq": q_vocab_doc_freq,
+        "length_quantiles": q_length_quantiles,
+        "text_analyze": q_text_analyze,
+        "ann_bruteforce": q_ann_bruteforce,
+        "skew_salted_agg": q_skew_salted_agg,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
+        "delete_debt_meta": q_delete_debt_meta,
+        "catalog_branch_merge": q_catalog_branch_merge,
+        "catalog_txn_multi_table": q_catalog_txn_multi_table,
+        "q1_pricing_summary": q_q1,
+        "q3_shipping_priority": q_q3,
         "sql_bucket_join": q_sql_bucket_join,
         "percentile_exact": q_percentile_exact,
         "pipeline_composite": q_pipeline_composite,
@@ -3895,90 +4019,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_cow": q_update_cow,
         "time_travel": q_time_travel,
         "spec_evolution": q_spec_evolution,
-        "metadata_count_col": q_metadata_count_col,
-        "concurrent_committers": q_concurrent_committers,
-        "bucket_join_agg": q_bucket_join_agg,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "streaming_windowed_agg": q_streaming_windowed_agg,
-        "streaming_sessionize": q_streaming_sessionize,
-        "chunk_by_tokens": q_chunk_by_tokens,
-        "semantic_dedup": q_semantic_dedup,
-        "split_assign": q_split_assign,
-        "streaming_dedup": q_streaming_dedup,
-        "rollup_agg": q_rollup,
-        "cube_agg": q_cube_agg,
-        "distinct_agg": q_distinct_agg,
-        "transaction_multi": q_transaction,
-        "add_files_import": q_add_files_import,
-        "pydatasource_scan": q_pydatasource_scan,
-        "partitions_meta": q_partitions_meta,
-        "files_meta": q_files_meta,
-        "transforms_projection": q_transforms,
-        "bucket_transform": q_bucket_transform,
-        "events_hourly": q_events_hourly,
-        "sessionize_events": q_sessionize,
-        "compaction": q_compaction,
-        "maintenance_scan": q_maintenance_scan,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_pairs": q_dedup_minhash,
-        "dedup_simhash_pairs": q_dedup_simhash,
-        "dedup_ngram_pairs": q_dedup_ngram,
-        "dedup_groups": q_dedup_groups,
-        "vocab_doc_freq": q_vocab_doc_freq,
-        "length_quantiles": q_length_quantiles,
-        "text_analyze": q_text_analyze,
-        "ann_bruteforce": q_ann_bruteforce,
-        "skew_salted_agg": q_skew_salted_agg,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "ann_ivf_probe": q_ann_ivf_probe,
-        "ann_lsh_indexed": q_ann_lsh_indexed,
-        "delete_debt_meta": q_delete_debt_meta,
-        "catalog_branch_merge": q_catalog_branch_merge,
-        "catalog_txn_multi_table": q_catalog_txn_multi_table,
-        "q1_pricing_summary": q_q1,
-        "q3_shipping_priority": q_q3,
-        "gap_fill_rollup": q_gap_fill_rollup,
-        "robust_stats": q_robust_stats,
-        "copurchase_lift": q_copurchase_lift,
-        "skyline_orders": q_skyline_orders,
-        "metadata_count": q_metadata_count,
-        "bloom_point_lookup": q_bloom_point_lookup,
-        "ngram_lm_score": q_ngram_lm_score,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "streaming_stream_join": q_streaming_stream_join,
-        "pivot_agg": q_pivot_agg,
-        "dedup_lines": q_dedup_lines,
-        "range_join_events": q_range_join_events,
-        "runtime_filter_join": q_runtime_filter_join,
-        "kmv_distinct": q_kmv_distinct,
-        "inverted_postings": q_inverted_postings,
-        "search_topk": q_search_topk,
-        "kmeans_micro": q_kmeans_micro,
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
-        "asof_join_events": q_asof_join_events,
-        "shuffle_shards": q_shuffle_shards,
-        "sq8_probe": q_sq8_probe,
-        "sq8_indexed_probe": q_sq8_indexed_probe,
-        "rolling_features": q_rolling_features,
-        "heavy_hitters": q_heavy_hitters,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "duplicated_spans": q_duplicated_spans,
-        "token_budget_sample": q_token_budget_sample,
-        "partitions_evolved": q_partitions_evolved,
-        "position_deletes_meta": q_position_deletes_meta,
-        "corpus_quality_gate": q_corpus_quality_gate,
-        "stratified_sample": q_stratified_sample,
-        "pii_scrub": q_pii_scrub,
-        "dedup_keep_best": q_dedup_keep_best,
-        "incremental_dedup": q_incremental_dedup,
-        "sorted_write_clustering": q_sorted_write_clustering,
-        "metrics_modes": q_metrics_modes,
+        "schema_evolution": q_schema_evolution,
+        "overwrite_dynamic": q_overwrite_dynamic,
+        "overwrite_filter": q_overwrite_filter,
+        "branch_read": q_branch_read,
+        "wap_publish": q_wap_publish,
+        "snapshots_meta": q_snapshots_meta,
+        "events_props_json": q_events_props_json,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "ann_append_probe": q_ann_append_probe,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "avro_scan": q_avro_scan,
+        "merge_by_source": q_merge_by_source,
+        "sql_facade_join": q_sql_facade_join,
+        "sql_ctas": q_sql_ctas,
+        "zorder_scan": q_zorder_scan,
+        "metadata_agg": q_metadata_agg,
+        "orc_scan": q_orc_scan,
+        "call_procedure": q_call_procedure,
+        "topk_window": q_topk_window,
+        "streaming_cdc_apply": q_streaming_cdc_apply,
+        "streaming_sink_replay": q_streaming_sink_replay,
+        "streaming_rate_limited": q_streaming_rate_limited,
+        "streaming_consume": q_streaming_consume,
+        "dv_delete_scan": q_dv_delete_scan,
+        "scd2_dimension": q_scd2_dimension,
+        "all_files_meta": q_all_files_meta,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "merge_schema_append": q_merge_schema_append,
+        "grouping_sets_agg": q_grouping_sets,
+        "refs_history_meta": q_refs_history_meta,
     }
 
 
@@ -4099,6 +4173,25 @@ def oracle_sql() -> dict[str, str]:
     from incubator_iceberg_spark.functions.similarity import (
         kmeans_oracle_sql, pq_oracle_sql)
     return {
+        "merge_cardinality_guard": """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+FROM (SELECT CASE WHEN o_orderkey % 500 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+        "manifest_pruning": """
+SELECT CAST((SELECT count(DISTINCT year(l_shipdate)) FROM lineitem)
+            AS BIGINT) AS total_manifests,
+       CAST(1 AS BIGINT) AS kept_manifests,
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+               AND l_shipdate < TIMESTAMP '1996-01-01')
+            AS BIGINT) AS year_rows
+""",
         "dv_delete_scan": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
 FROM orders

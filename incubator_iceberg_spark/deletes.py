@@ -488,8 +488,33 @@ def load_eq_delete_groups(spark, eq_entries: list, table_schema: S.Schema):
         yield cols, eq_df, total_rc
 
 
+def _emit_eq_debt_advisory(table_location, total_rc) -> None:
+    """Scan-side maintenance advisory (round-8 stretch): accrued eq
+    debt past the broadcast gate (or of unknown size) still reads
+    correctly via the shuffle path, but every scan repays it — log +
+    emit a MaintenanceAdvisory so an operator (or a scheduler listening
+    on events.register) runs convert_equality_deletes."""
+    import logging
+
+    from incubator_iceberg_spark import events as EVT
+
+    detail = ("equality-delete debt %s exceeds the broadcast gate (%d); "
+              "scans fall back to shuffle anti-joins — run "
+              "convert_equality_deletes (CALL system."
+              "convert_equality_deletes)" % (
+                  "of unknown size" if total_rc is None else
+                  f"({total_rc:,} tuples)", BROADCAST_MAX_DELETE_TUPLES))
+    logging.getLogger(__name__).warning("%s: %s", table_location or
+                                        "<unknown table>", detail)
+    EVT.emit(EVT.MaintenanceAdvisory(
+        table_location=table_location or "",
+        kind="convert_equality_deletes",
+        detail=detail, debt_tuples=total_rc))
+
+
 def apply_delete_files(spark, data_df, data_seq_by_file: dict,
-                       delete_entries: list, table_schema: S.Schema):
+                       delete_entries: list, table_schema: S.Schema,
+                       table_location: str = None):
     """J3: anti-join pos/eq delete files onto a data DataFrame that carries
     ``_file``/``_pos`` lineage columns.  ``data_seq_by_file`` maps plain
     file paths → sequence numbers for scoping."""
@@ -580,6 +605,12 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
             if total_rc is not None and \
                     total_rc <= BROADCAST_MAX_DELETE_TUPLES:
                 eq_df = F.broadcast(eq_df)
+            else:
+                # the scan still completes (shuffle anti-join), but eq
+                # debt past the broadcast gate means reads are paying
+                # for deferred maintenance — surface the advisory that
+                # operationalizes the convert→DV→compact loop
+                _emit_eq_debt_advisory(table_location, total_rc)
             df = df.join(eq_df, cond, "left_anti")
 
     return df.drop("___path", "___seq")

@@ -50,6 +50,19 @@ class ScanEvent:
 
 
 @dataclass(frozen=True)
+class MaintenanceAdvisory:
+    """Emitted when a read observes accrued delete debt past a healthy
+    threshold (e.g. an eq-delete set too large to broadcast) — the scan
+    still completes via the shuffle path, but the table wants the
+    corresponding maintenance action run."""
+    table_location: str
+    kind: str          # e.g. "convert_equality_deletes"
+    detail: str
+    debt_tuples: Optional[int]
+    timestamp_ms: int = field(default_factory=lambda: int(time.time() * 1000))
+
+
+@dataclass(frozen=True)
 class CommitEvent:
     table_location: str
     snapshot_id: int

@@ -183,6 +183,36 @@ class TableScan:
                     rows.append(row)
         return rows
 
+    def plan_manifests(self):
+        """(kept_manifest_rows, total_manifest_count) after partition-
+        summary pruning — the ManifestEvaluator plane (P8) made
+        observable: which manifest-list rows survive this scan's filter
+        judged ONLY from their per-manifest partition-field summaries
+        (A5; reference ManifestEvaluator.java:51-141 over
+        ManifestFile.partitions()).  Manifests that may hold delete
+        entries are exempt (pruning a delete manifest would resurrect
+        rows); a trivial filter keeps everything.  Cost is one
+        manifest-list read — no manifest or data IO."""
+        snap = self._snapshot()
+        if snap is None:
+            return [], 0
+        md = self.table.metadata
+        schema = self._scan_schema(md, snap)
+        bound = self._bound_filter(schema)
+        mlist = MF.read_manifest_list_arrow(snap.manifest_list).to_pylist()
+        if isinstance(bound, X.AlwaysTrue):
+            return mlist, len(mlist)
+        kept = []
+        for row in mlist:
+            spec = md.spec_by_id(row["partition_spec_id"])
+            proj = P.project_inclusive(spec, bound)
+            summaries = row.get("partitions") or {}
+            if (row.get("has_deletes") is False and summaries
+                    and not PE.eval_summary(proj, summaries)):
+                continue
+            kept.append(row)
+        return kept, len(mlist)
+
     def plan_entries_local(self, force: bool = False):
         """Driver-side planning fast path: returns pruned entry dicts, or
         None when metadata is too large / mode=distributed (fall back to
@@ -647,7 +677,8 @@ def read_entries(spark, md, data_entries, delete_entries, current_schema,
         seq_by_file = {e["file_path"]: e.get("sequence_number") or 0
                        for e in data_entries}
         df = DEL.apply_delete_files(spark, df, seq_by_file, delete_entries,
-                                    current_schema)
+                                    current_schema,
+                                    table_location=md.location)
     if need_lineage and not with_lineage:
         df = df.drop("_file", "_pos")
     return df

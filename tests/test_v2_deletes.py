@@ -658,3 +658,39 @@ def test_eq_delete_multi_commit_single_scan(warehouse, orders, spark):
     # three eq commits, zero Union nodes: one multi-path relation
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan, plan[:3000]
+
+
+def test_eq_debt_maintenance_advisory(warehouse, orders, spark, monkeypatch):
+    """Eq debt past the broadcast gate (or of unknown size) surfaces a
+    MaintenanceAdvisory event recommending convert_equality_deletes —
+    the scan itself still completes via the shuffle path.  Below-gate
+    debt emits nothing."""
+    from incubator_iceberg_spark import deletes as DEL
+    from incubator_iceberg_spark import events as EVT
+
+    t = _ingest(warehouse, "db.eqadv", orders.limit(300))
+    t.add_equality_deletes(
+        orders.limit(300).filter("o_orderkey % 3 = 0").select("o_orderkey"),
+        ["o_orderkey"])
+
+    got = []
+    EVT.register(got.append)
+    try:
+        n_ok = t.to_df().count()  # below gate: no advisory
+        advisories = [e for e in got
+                      if isinstance(e, EVT.MaintenanceAdvisory)]
+        assert not advisories
+
+        monkeypatch.setattr(DEL, "BROADCAST_MAX_DELETE_TUPLES", 0)
+        n_shuffle = t.to_df().count()
+        assert n_shuffle == n_ok
+        advisories = [e for e in got
+                      if isinstance(e, EVT.MaintenanceAdvisory)]
+        assert advisories, got
+        adv = advisories[-1]
+        assert adv.kind == "convert_equality_deletes"
+        assert adv.table_location == t.metadata.location
+        assert adv.debt_tuples and adv.debt_tuples > 0
+        assert "convert_equality_deletes" in adv.detail
+    finally:
+        EVT.unregister(got.append)
