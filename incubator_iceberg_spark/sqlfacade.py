@@ -57,6 +57,12 @@ _CTAS_RE = re.compile(
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(PURGE)?\s*$",
     re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+"
+    r"(SELECT\b.*|WITH\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE)
 
 
 def execute(catalog, spark, sql: str):
@@ -139,9 +145,14 @@ def execute(catalog, spark, sql: str):
             t.append(df)
         return t
     if head == "CREATE":
+        mv = _CREATE_VIEW_RE.match(s)
+        if mv:
+            return catalog.create_view(mv.group(2), mv.group(3).strip(),
+                                       spark=spark, replace=bool(mv.group(1)))
         m = _CTAS_RE.match(s)
         if not m:
-            raise ValueError(f"cannot parse CREATE (only CTAS supported): {sql!r}")
+            raise ValueError(
+                f"cannot parse CREATE (only CTAS / CREATE VIEW): {sql!r}")
         from incubator_iceberg_spark.schema import Schema
         df = spark.sql(_register_and_rewrite(catalog, spark, m.group(3)))
         parts = [p.strip() for p in (m.group(2) or "").split(",") if p.strip()]
@@ -150,9 +161,16 @@ def execute(catalog, spark, sql: str):
         t.append(df)
         return t
     if head == "DROP":
+        mv = _DROP_VIEW_RE.match(s)
+        if mv:
+            dropped = catalog.drop_view(mv.group(2))
+            if not dropped and not mv.group(1):
+                from incubator_iceberg_spark.views import NoSuchViewError
+                raise NoSuchViewError(mv.group(2))
+            return dropped
         m = _DROP_RE.match(s)
         if not m:
-            raise ValueError(f"cannot parse DROP TABLE: {sql!r}")
+            raise ValueError(f"cannot parse DROP TABLE/VIEW: {sql!r}")
         return catalog.drop_table(m.group(1), purge=bool(m.group(2)))
     if head == "ALTER":
         return _alter(catalog, spark, s)
@@ -514,6 +532,25 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
         try:
             df = _view_df(catalog.load_table(name, spark=spark), spark)
         except Exception:
+            # engine VIEW: expand its stored SQL recursively through the
+            # facade (views.py — scans under the view keep pruning)
+            from incubator_iceberg_spark import views as V
+            parts = name.split(".")
+            kind = parts[-1].lower()
+            try:
+                if V.view_exists(catalog, name):
+                    df = V.load_view(catalog, name).to_df(catalog, spark)
+                elif (len(parts) >= 3 and kind == "versions"
+                        and V.view_exists(catalog, ".".join(parts[:-1]))):
+                    df = V.versions_df(
+                        V.load_view(catalog, ".".join(parts[:-1])), spark)
+            except ValueError as e:
+                if "view cycle" in str(e):
+                    raise
+                df = None
+            except Exception:
+                df = None
+        if df is None:
             # `db.t.<metadata_table>` / `db.t.changes`: the inspection
             # surface of the reference family's Spark integration
             # (SELECT * FROM db.t.snapshots / .files / .changes)

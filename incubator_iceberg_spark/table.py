@@ -63,6 +63,9 @@ class Catalog:
                 ids.append(f.field_id)
             schema = Schema(schema.fields, schema_id=schema.schema_id,
                             identifier_field_ids=ids)
+        from incubator_iceberg_spark import views as V
+        if V.view_exists(self, name):
+            raise TableAlreadyExistsError(f"{name} exists as a view")
         spec = (PartitionSpec.build(schema, partition_by)
                 if partition_by else PartitionSpec.unpartitioned(schema))
         md = TableMetadata.new(location, schema, spec, properties)
@@ -91,6 +94,8 @@ class Catalog:
         loc = self._table_location(name)
         if not os.path.exists(os.path.join(loc, "metadata")):
             return False
+        if not self.table_exists(name):
+            return False  # e.g. a VIEW lives here — use drop_view
         if purge:
             # follow the metadata graph (DeleteReachableFiles) so files the
             # table owns OUTSIDE its location (add_files imports) go too
@@ -121,9 +126,47 @@ class Catalog:
         root = os.path.join(self.warehouse, *namespace.split(".")) if namespace else self.warehouse
         out = []
         for dirpath, dirs, _files in os.walk(root):
-            if os.path.isdir(os.path.join(dirpath, "metadata")):
+            mdir = os.path.join(dirpath, "metadata")
+            if os.path.isdir(mdir):
                 rel = os.path.relpath(dirpath, self.warehouse)
-                out.append(rel.replace(os.sep, "."))
+                if any(n.endswith(".metadata.json")
+                       and not n.endswith(".view-metadata.json")
+                       for n in os.listdir(mdir)):
+                    out.append(rel.replace(os.sep, "."))
+                dirs.clear()
+        return sorted(out)
+
+    # -- views (views.py: versioned SQL over engine tables) -----------
+
+    def create_view(self, name: str, sql: str, spark=None,
+                    replace: bool = False, properties=None):
+        from incubator_iceberg_spark import views as V
+        return V.create_view(self, name, sql, spark=spark or self.spark,
+                             replace=replace, properties=properties)
+
+    def load_view(self, name: str):
+        from incubator_iceberg_spark import views as V
+        return V.load_view(self, name)
+
+    def view_exists(self, name: str) -> bool:
+        from incubator_iceberg_spark import views as V
+        return V.view_exists(self, name)
+
+    def drop_view(self, name: str) -> bool:
+        from incubator_iceberg_spark import views as V
+        return V.drop_view(self, name)
+
+    def list_views(self, namespace: str = "") -> list:
+        root = (os.path.join(self.warehouse, *namespace.split("."))
+                if namespace else self.warehouse)
+        out = []
+        for dirpath, dirs, _files in os.walk(root):
+            mdir = os.path.join(dirpath, "metadata")
+            if os.path.isdir(mdir):
+                rel = os.path.relpath(dirpath, self.warehouse)
+                if any(n.endswith(".view-metadata.json")
+                       for n in os.listdir(mdir)):
+                    out.append(rel.replace(os.sep, "."))
                 dirs.clear()
         return sorted(out)
 

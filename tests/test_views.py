@@ -1,0 +1,144 @@
+"""Versioned SQL views (views.py): catalog CRUD, facade routing,
+version history / rollback, nesting, and table/view collision guards."""
+
+import threading
+
+import pytest
+
+from incubator_iceberg_spark import sqlfacade
+from incubator_iceberg_spark.schema import Schema
+from incubator_iceberg_spark.table import TableAlreadyExistsError
+from incubator_iceberg_spark.views import (NoSuchViewError,
+                                           ViewAlreadyExistsError)
+
+
+@pytest.fixture()
+def orders_table(warehouse, spark, sf_dir):
+    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select("o_orderkey", "o_custkey", "o_totalprice"))
+    t = warehouse.create_table("db.vo", Schema.from_spark(src.schema))
+    t.append(src)
+    return t, src
+
+
+def test_create_query_replace_rollback(warehouse, spark, orders_table):
+    _, src = orders_table
+    sqlfacade.execute(warehouse, spark,
+                      "CREATE VIEW db.big AS SELECT o_orderkey, o_totalprice "
+                      "FROM db.vo WHERE o_totalprice > 100000")
+    n1 = sqlfacade.execute(
+        warehouse, spark, "SELECT COUNT(*) AS n FROM db.big").collect()[0].n
+    assert n1 == src.filter("o_totalprice > 100000").count()
+
+    sqlfacade.execute(warehouse, spark,
+                      "CREATE OR REPLACE VIEW db.big AS "
+                      "SELECT o_orderkey, o_totalprice FROM db.vo "
+                      "WHERE o_totalprice > 200000")
+    n2 = sqlfacade.execute(
+        warehouse, spark, "SELECT COUNT(*) AS n FROM db.big").collect()[0].n
+    assert n2 == src.filter("o_totalprice > 200000").count()
+
+    v = warehouse.load_view("db.big")
+    assert [x.version_id for x in v.versions()] == [1, 2]
+    assert v.metadata.current_version_id == 2
+    # prior version stays queryable by id (time travel by view version)
+    assert v.to_df(warehouse, spark, version_id=1).count() == n1
+
+    v.rollback_to_version(1)
+    assert sqlfacade.execute(
+        warehouse, spark,
+        "SELECT COUNT(*) AS n FROM db.big").collect()[0].n == n1
+    # version log records create, replace, rollback
+    assert [e["version-id"] for e in v.version_log()] == [1, 2, 1]
+
+
+def test_versions_inspection_and_schema_capture(warehouse, spark,
+                                                orders_table):
+    warehouse.create_view(
+        "db.v1", "SELECT o_custkey, SUM(o_totalprice) AS total "
+                 "FROM db.vo GROUP BY o_custkey", spark=spark)
+    rows = sqlfacade.execute(
+        warehouse, spark,
+        "SELECT version_id, operation, is_current FROM db.v1.versions"
+    ).collect()
+    assert [(r.version_id, r.operation, r.is_current) for r in rows] == \
+        [(1, "create", True)]
+    v = warehouse.load_view("db.v1")
+    fields = {f["name"] for f in
+              v.metadata.current_version().schema_json["fields"]}
+    assert fields == {"o_custkey", "total"}
+
+
+def test_nested_views_and_cycle_guard(warehouse, spark, orders_table):
+    warehouse.create_view(
+        "db.a", "SELECT o_orderkey FROM db.vo WHERE o_orderkey % 2 = 0",
+        spark=spark)
+    warehouse.create_view(
+        "db.b", "SELECT o_orderkey FROM db.a WHERE o_orderkey % 3 = 0",
+        spark=spark)
+    n = sqlfacade.execute(
+        warehouse, spark, "SELECT COUNT(*) AS n FROM db.b").collect()[0].n
+    assert n == orders_table[1].filter("o_orderkey % 6 = 0").count()
+
+    # a -> b -> a: replace without schema capture, then querying raises
+    warehouse.load_view("db.a").replace("SELECT o_orderkey FROM db.b")
+    with pytest.raises(ValueError, match="view cycle"):
+        sqlfacade.execute(warehouse, spark, "SELECT * FROM db.a")
+
+
+def test_collision_and_drop_semantics(warehouse, spark, orders_table):
+    t, src = orders_table
+    warehouse.create_view("db.w", "SELECT o_orderkey FROM db.vo",
+                          spark=spark)
+    with pytest.raises(ViewAlreadyExistsError):
+        warehouse.create_view("db.w", "SELECT 1", spark=spark)
+    with pytest.raises(TableAlreadyExistsError):
+        warehouse.create_table("db.w", Schema.from_spark(src.schema))
+    with pytest.raises(ViewAlreadyExistsError):
+        warehouse.create_view("db.vo", "SELECT 1", spark=spark)
+    assert not warehouse.drop_table("db.w")  # wrong kind: refuses
+    assert warehouse.list_views() == ["db.w"]
+    assert warehouse.list_tables() == ["db.vo"]
+    assert sqlfacade.execute(warehouse, spark, "DROP VIEW db.w") is True
+    assert warehouse.list_views() == []
+    with pytest.raises(NoSuchViewError):
+        sqlfacade.execute(warehouse, spark, "DROP VIEW db.w")
+    assert sqlfacade.execute(
+        warehouse, spark, "DROP VIEW IF EXISTS db.w") is False
+
+
+def test_view_sees_table_updates_and_prunes(warehouse, spark, orders_table):
+    """A view stores SQL, not data: new appends are visible, and the scan
+    under the view keeps metadata pruning (fewer files read)."""
+    t, src = orders_table
+    warehouse.create_view(
+        "db.live", "SELECT COUNT(*) AS n FROM db.vo", spark=spark)
+    before = sqlfacade.execute(
+        warehouse, spark, "SELECT * FROM db.live").collect()[0].n
+    t.append(src.limit(10))
+    after = sqlfacade.execute(
+        warehouse, spark, "SELECT * FROM db.live").collect()[0].n
+    assert after == before + 10
+
+
+def test_concurrent_replace_one_wins(warehouse, spark, orders_table):
+    warehouse.create_view("db.r", "SELECT o_orderkey FROM db.vo",
+                          spark=spark)
+    results = []
+
+    def worker(i):
+        try:
+            warehouse.load_view("db.r").replace(
+                f"SELECT o_orderkey FROM db.vo WHERE o_orderkey % 10 = {i}")
+            results.append(("ok", i))
+        except Exception as e:
+            results.append(("err", type(e).__name__))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    [x.start() for x in ts]
+    [x.join() for x in ts]
+    v = warehouse.load_view("db.r")
+    # every successful replace appended exactly one version
+    oks = [r for r in results if r[0] == "ok"]
+    assert len(v.versions()) == 1 + len(oks)
+    assert v.metadata.current_version_id == len(v.versions())
