@@ -1866,6 +1866,88 @@ def q_cdc_replication(spark, sf_dir):
                     .alias("acct_micro")))
 
 
+def q_streaming_scd2(spark, sf_dir):
+    """STREAMING SCD2 — the CDC-feed-to-dimension composition: a source
+    table takes a CoW update, a MoR delete, and an append; a
+    ChangelogMicroBatchReader streams its row-level changes WITH update
+    images; each micro-batch applies to an SCD Type-2 dimension through
+    scd2_apply with op_col so changelog 'delete' rows CLOSE the key's
+    current version without inserting (functions/scd.py).  The dimension
+    converges to full history: closed v0 rows, updated v1 rows, and
+    appended new keys.  At 100 TB this is the warehouse dimension-feed
+    shape — per-epoch cost is one broadcast classification join against
+    the CURRENT slice plus a dynamic-file-filtered MERGE; nothing is
+    O(history)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import streaming as ST
+    from incubator_iceberg_spark.functions import scd
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    base = (_load(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("k"),
+                    F.col("c_mktsegment").alias("seg"),
+                    F.col("c_nationkey").cast("long").alias("nat")))
+    src = cat.create_table("s.ssd_src", Schema.from_spark(base.schema))
+    src.append(base)
+    s0 = src.metadata.current_snapshot_id
+    dim = cat.create_table(
+        "s.ssd_dim", "k long, seg string, nat long, "
+                     "effective_from long, effective_to long, "
+                     "is_current boolean")
+    dim.append(base.withColumn("effective_from", F.lit(0).cast("long"))
+                   .withColumn("effective_to", F.lit(None).cast("long"))
+                   .withColumn("is_current", F.lit(True)))
+    src.update({"seg": "'U1'", "nat": "nat + 100"}, "k % 5 = 0")
+    src.delete_where("k % 6 = 0 AND k % 5 != 0", mode="merge-on-read")
+    src.append(base.filter("k % 7 = 0")
+               .select((F.col("k") + 1000000).alias("k"),
+                       F.lit("NEW").alias("seg"),
+                       F.lit(1).cast("long").alias("nat")))
+    rd = ST.ChangelogMicroBatchReader(src, spark, from_snapshot_id=s0,
+                                      update_images=True,
+                                      identifier_cols=["k"])
+    n_batches = 0
+    for ep, (df, _off) in enumerate(rd.batches(max_snapshots_per_batch=1)):
+        batch = (df.filter(F.col("_change_type") != "update_preimage")
+                 .withColumn("op",
+                             F.when(F.col("_change_type") == "delete",
+                                    F.lit("D")).otherwise(F.lit("U")))
+                 .withColumn("ts", F.lit(100 * (ep + 1)).cast("long"))
+                 .select("k", "seg", "nat", "ts", "op"))
+        scd.scd2_apply(dim, batch, ["k"], ["seg", "nat"], "ts",
+                       op_col="op")
+        n_batches += 1
+    assert n_batches == 3 and rd.next_batch() is None
+    # exactly one current row per live key
+    over = (dim.to_df().filter("is_current").groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n")).filter("n > 1").count())
+    assert over == 0, "SCD2 invariant broken: key with 2 current rows"
+    return dim.to_df().select("k", "seg", "nat", "effective_from",
+                              "effective_to", "is_current")
+
+
+STREAMING_SCD2_ORACLE_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(c_nationkey AS BIGINT) AS nat
+  FROM customer
+)
+SELECT k, seg, nat, CAST(0 AS BIGINT) AS effective_from,
+       CASE WHEN k % 5 = 0 THEN CAST(100 AS BIGINT)
+            WHEN k % 6 = 0 THEN CAST(200 AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS effective_to,
+       (k % 5 != 0 AND k % 6 != 0) AS is_current
+FROM base
+UNION ALL
+SELECT k, 'U1', nat + 100, CAST(100 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+FROM base WHERE k % 5 = 0
+UNION ALL
+SELECT k + 1000000, 'NEW', CAST(1 AS BIGINT), CAST(300 AS BIGINT),
+       CAST(NULL AS BIGINT), TRUE
+FROM base WHERE k % 7 = 0
+"""
+
+
 def q_maintenance_scan(spark, sf_dir):
     """C7+C8+J4 post-state: after compaction, manifest rewrite, snapshot
     expiry (retain 1), and orphan-file removal, the table must still read
@@ -4028,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_versions": q_view_versions,
         "local_scan": q_local_scan,
         "identifier_upsert": q_identifier_upsert,
+        "streaming_scd2": q_streaming_scd2,
         "changelog_scan": q_changelog_scan,
         "changelog_updates": q_changelog_updates,
         "matview_refresh": q_matview_refresh,
@@ -4308,6 +4391,7 @@ FROM orders
 WHERE o_orderkey % 7 != 0 AND o_custkey % 11 != 0
   AND o_totalprice > 50000
 """,
+        "streaming_scd2": STREAMING_SCD2_ORACLE_SQL,
         "identifier_upsert": """
 SELECT c_custkey,
        CAST(floor((CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0

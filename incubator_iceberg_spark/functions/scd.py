@@ -36,7 +36,8 @@ CURRENT_COL = "is_current"
 
 def scd2_apply(table, changes_df, key_cols: Sequence[str],
                attr_cols: Sequence[str], ts_col: str,
-               spark=None) -> dict:
+               spark=None, op_col: Optional[str] = None,
+               delete_op: str = "D") -> dict:
     """Apply one change batch to an SCD2 dimension table.
 
     ``changes_df`` must carry ``key_cols + attr_cols + [ts_col]`` with
@@ -46,6 +47,12 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
     (``effective_from``/``effective_to`` long, ``is_current`` boolean).
     NULL attribute values compare null-safely (NULL -> NULL is a no-op,
     NULL -> value is a change).
+
+    With ``op_col``, rows whose op equals ``delete_op`` are SOURCE
+    DELETES: they CLOSE the key's current row without inserting a new
+    version (the CDC-feed shape — a changelog 'delete' ends the
+    dimension history until the key reappears).  Deleting an absent
+    key is a no-op.
     """
     from pyspark.sql import functions as F
     from incubator_iceberg_spark.row_ops import (WhenMatched, WhenNotMatched,
@@ -59,8 +66,10 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
         if schema.find_field(c) is None:
             raise ValueError(f"SCD2 dimension is missing column {c!r}")
 
-    c_df = changes_df.select(*key_cols, *attr_cols,
-                             F.col(ts_col).cast("long").alias("__ts"))
+    c_df = changes_df.select(
+        *key_cols, *attr_cols, F.col(ts_col).cast("long").alias("__ts"),
+        (F.col(op_col) == F.lit(delete_op)).alias("__del") if op_col
+        else F.lit(False).alias("__del"))
     dup = (c_df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") > 1).limit(1).collect())
     if dup:
@@ -91,18 +100,23 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
         d = ~F.col(a).eqNullSafe(F.col(f"__d_{a}"))
         differs = d if differs is None else (differs | d)
     is_new = F.col("__d_exists").isNull()
-    acting = joined.filter(is_new | differs).select(
-        *key_cols, *attr_cols, "__ts", is_new.alias("__is_new"))
+    # deletes act only when the key currently exists (close, no insert);
+    # upserts act when the key is new or any attribute differs
+    acting = joined.filter(
+        (F.col("__del") & ~is_new) | (~F.col("__del") & (is_new | differs))
+    ).select(*key_cols, *attr_cols, "__ts", "__del",
+             is_new.alias("__is_new"))
 
     # staged source: closers carry the real merge key; inserts carry NULL
     mk = [f"__mk_{k}" for k in key_cols]
     closers = (acting.filter(~F.col("__is_new"))
                .select(*[F.col(k).alias(m) for k, m in zip(key_cols, mk)],
                        *key_cols, *attr_cols, "__ts"))
-    inserts = acting.select(
-        *[F.lit(None).cast(closers.schema[m].dataType).alias(m)
-          for m in mk],
-        *key_cols, *attr_cols, "__ts")
+    inserts = (acting.filter(~F.col("__del"))
+               .select(*[F.lit(None)
+                         .cast(closers.schema[m].dataType).alias(m)
+                         for m in mk],
+                       *key_cols, *attr_cols, "__ts"))
     staged = closers.unionByName(inserts)
 
     # s.__mk_k IS NOT NULL keeps staged inserts (NULL merge keys) AND any

@@ -100,3 +100,38 @@ def test_scd2_null_keyed_current_row_never_matches_inserts(warehouse, spark):
     assert got[(1, 0)]["effective_to"] == 100 and not got[(1, 0)]["is_current"]
     assert got[(1, 100)]["score"] == 11 and got[(1, 100)]["is_current"]
     assert got[(9, 100)]["is_current"]
+
+
+def _changes_op(spark, rows, ts):
+    return spark.createDataFrame(
+        [(k, s, v, ts, op) for k, s, v, op in rows],
+        "k long, seg string, score long, ts long, op string")
+
+
+def test_scd2_source_deletes_close_without_insert(warehouse, spark):
+    t = _dim(warehouse, spark)
+    batch = _changes_op(spark, [
+        (1, None, None, "D"),   # delete existing -> close only
+        (2, "B2", 21, "U"),     # update -> close + insert
+        (7, None, None, "D"),   # delete absent key -> no-op
+        (9, "Z", 99, "U"),      # new key -> insert
+    ], ts=100)
+    scd.scd2_apply(t, batch, ["k"], ["seg", "score"], "ts", op_col="op")
+    got = {(r["k"], r["effective_from"]): r for r in t.to_df().collect()}
+    assert len(got) == 5  # 3 original + v2 of k=2 + new k=9
+    assert got[(1, 0)]["effective_to"] == 100 and not got[(1, 0)]["is_current"]
+    assert (2, 100) in got and got[(2, 100)]["is_current"]
+    assert (9, 100) in got
+    assert t.to_df().filter("k = 1 AND is_current").count() == 0
+
+
+def test_scd2_deleted_key_can_reappear(warehouse, spark):
+    t = _dim(warehouse, spark)
+    scd.scd2_apply(t, _changes_op(spark, [(1, None, None, "D")], 100),
+                   ["k"], ["seg", "score"], "ts", op_col="op")
+    scd.scd2_apply(t, _changes_op(spark, [(1, "BACK", 50, "U")], 200),
+                   ["k"], ["seg", "score"], "ts", op_col="op")
+    rows = sorted(t.to_df().filter("k = 1").collect(),
+                  key=lambda r: r["effective_from"])
+    assert [(r["effective_from"], r["effective_to"], r["is_current"])
+            for r in rows] == [(0, 100, False), (200, None, True)]
