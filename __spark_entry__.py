@@ -1866,6 +1866,41 @@ def q_cdc_replication(spark, sf_dir):
                     .alias("acct_micro")))
 
 
+def q_merge_file_filter(spark, sf_dir):
+    """R4 driver row: MERGE's DYNAMIC FILE FILTER (row_ops.py pass 1 —
+    the left-semi touched-file probe, the reference's
+    SparkMergeScan/DynamicFileFilterExec shape): four appends cluster
+    the table by c-key group, a MERGE whose source hits ONLY group 0
+    must rewrite group 0's file and leave the other three data files
+    physically untouched — asserted on file paths before/after, then
+    the whole table is oracle-checked."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.row_ops import WhenMatched
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    t = cat.create_table("s.mff", Schema.from_spark(orders.schema))
+    for i in range(4):
+        t.append(orders.filter(f"o_custkey % 4 = {i}"))
+    files_before = {e["file_path"]
+                    for e in TableScan(t, spark)._plan_split()[0]}
+    src = (orders.filter("o_custkey % 4 = 0 AND o_orderkey % 10 = 0")
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1.0))
+    t.merge(src, on=["o_orderkey"],
+            when_matched=[WhenMatched.update_all()])
+    files_after = {e["file_path"]
+                   for e in TableScan(t, spark)._plan_split()[0]}
+    kept = files_before & files_after
+    assert len(files_before - kept) == 1, \
+        f"dynamic file filter rewrote {len(files_before - kept)} files"
+    return (t.to_df()
+            .select("o_orderkey", "o_custkey",
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    .alias("price_cents")))
+
+
 def q_streaming_scd2(spark, sf_dir):
     """STREAMING SCD2 — the CDC-feed-to-dimension composition: a source
     table takes a CoW update, a MoR delete, and an append; a
@@ -4111,6 +4146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_scan": q_local_scan,
         "identifier_upsert": q_identifier_upsert,
         "streaming_scd2": q_streaming_scd2,
+        "merge_file_filter": q_merge_file_filter,
         "changelog_scan": q_changelog_scan,
         "changelog_updates": q_changelog_updates,
         "matview_refresh": q_matview_refresh,
@@ -4392,6 +4428,14 @@ WHERE o_orderkey % 7 != 0 AND o_custkey % 11 != 0
   AND o_totalprice > 50000
 """,
         "streaming_scd2": STREAMING_SCD2_ORACLE_SQL,
+        "merge_file_filter": """
+SELECT o_orderkey, o_custkey,
+       CAST(floor((CASE WHEN o_custkey % 4 = 0 AND o_orderkey % 10 = 0
+                        THEN o_totalprice + 1.0
+                        ELSE o_totalprice END) * 100) AS BIGINT)
+         AS price_cents
+FROM orders
+""",
         "identifier_upsert": """
 SELECT c_custkey,
        CAST(floor((CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
