@@ -149,6 +149,15 @@ BENCH_QUERIES = [
     # round-7: Hive-layout migration (partitionBy source write + footer
     # harvest + constants-join read + partition-pruned aggregate)
     "hive_import",
+    # round-8: versioned views (create + replace + rollback + one facade
+    # SELECT expanding the view and reading the versions inspection)
+    "view_versions",
+    # round-8: changelog stream with update images applied per
+    # micro-batch to an SCD2 dimension (close/insert/close-only deletes)
+    "streaming_scd2",
+    # round-8: MERGE dynamic file filter (left-semi touched-file probe;
+    # 3 of 4 data files must survive the commit untouched)
+    "merge_file_filter",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,
