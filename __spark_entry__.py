@@ -1866,6 +1866,48 @@ def q_cdc_replication(spark, sf_dir):
                     .alias("acct_micro")))
 
 
+def q_auto_maintain(spark, sf_dir):
+    """POLICY-DRIVEN maintenance (maintenance.auto_maintain, also CALL
+    system.auto_maintain): triggers decided from the MANIFEST PLANE
+    only — small-file count, eq/pos delete debt, manifest count,
+    snapshot count — then only the triggered steps run, in dependency
+    order (convert eq → consolidate → compact+reclaim → manifests →
+    expire).  A second call is a fixpoint (nothing fires), asserted
+    in-query; the maintained table's contents are oracle-checked.
+    At a 10⁵-table warehouse the O(metadata) decide cost is what makes
+    routine maintenance schedulable."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import streaming as ST
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    t = cat.create_table("s.amt", Schema.from_spark(cust.schema))
+    for i in range(6):  # six small files
+        t.append(cust.filter(f"c_custkey % 6 = {i}"))
+    for ep in range(9):  # nine epochs of eq-delete debt (gate is 8)
+        b = (cust.filter(f"c_custkey % 40 = {ep}")
+             .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+             .withColumn("op", F.lit("U")))
+        ST.upsert_mor_exactly_once(t, b, epoch_id=ep,
+                                   on=["c_custkey"], op_col="op")
+        t = t.refresh()
+    dry = t.auto_maintain(dry_run=True)
+    assert dry["convert_equality_deletes"]["triggered"], dry
+    assert dry["rewrite_data_files"]["triggered"], dry
+    t.auto_maintain(policy={"max-snapshots": 5})
+    t = t.refresh()
+    again = t.auto_maintain(policy={"max-snapshots": 5})
+    fired = [k for k, v in again.items()
+             if isinstance(v, dict) and v.get("triggered")]
+    assert not fired, f"auto_maintain not a fixpoint: {fired}"
+    assert len(t.metadata.snapshots) <= 5
+    return (t.to_df()
+            .select("c_custkey", "c_mktsegment",
+                    F.floor(F.col("c_acctbal") * 100).cast("long")
+                    .alias("acct_cents")))
+
+
 def q_merge_file_filter(spark, sf_dir):
     """R4 driver row: MERGE's DYNAMIC FILE FILTER (row_ops.py pass 1 —
     the left-semi touched-file probe, the reference's
@@ -4147,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identifier_upsert": q_identifier_upsert,
         "streaming_scd2": q_streaming_scd2,
         "merge_file_filter": q_merge_file_filter,
+        "auto_maintain": q_auto_maintain,
         "changelog_scan": q_changelog_scan,
         "changelog_updates": q_changelog_updates,
         "matview_refresh": q_matview_refresh,
@@ -4428,6 +4471,14 @@ WHERE o_orderkey % 7 != 0 AND o_custkey % 11 != 0
   AND o_totalprice > 50000
 """,
         "streaming_scd2": STREAMING_SCD2_ORACLE_SQL,
+        "auto_maintain": """
+SELECT c_custkey, c_mktsegment,
+       CAST(floor((CASE WHEN c_custkey % 40 < 9
+                        THEN c_acctbal + 100.0
+                        ELSE c_acctbal END) * 100) AS BIGINT)
+         AS acct_cents
+FROM customer
+""",
         "merge_file_filter": """
 SELECT o_orderkey, o_custkey,
        CAST(floor((CASE WHEN o_custkey % 4 = 0 AND o_orderkey % 10 = 0

@@ -830,6 +830,156 @@ def run_maintenance(table, spark=None, target_file_size: Optional[int] = None,
     return out
 
 
+AUTO_POLICY_DEFAULTS = {
+    # compaction: at least this many live data files under the small-
+    # file threshold (default target/2)
+    "min-small-files": 5,
+    "small-file-bytes": 0,            # 0 → target_file_size // 2
+    # eq-delete debt: tuples past the scan broadcast gate, or this many
+    # accrued eq files (the upsert-MoR sink writes one per epoch)
+    "eq-debt-tuples": 0,              # 0 → deletes.BROADCAST_MAX_DELETE_TUPLES
+    "eq-debt-files": 8,
+    # pos/DV debt: deleted positions as a fraction of live data rows,
+    # or raw pos-delete file count (consolidation trigger)
+    "pos-debt-ratio": 0.10,
+    "pos-debt-files": 8,
+    "max-manifests": 8,
+    "max-snapshots": 50,
+    "retain-last": 3,
+}
+
+
+def auto_maintain(table, spark=None, policy: Optional[dict] = None,
+                  dry_run: bool = False) -> dict:
+    """POLICY-driven maintenance: decide each step from the MANIFEST
+    PLANE ONLY (no data IO — one manifest-list read plus per-manifest
+    column slices of status/content/file_size/record_count), then run
+    only the triggered steps in dependency order.  This operationalizes
+    the loop the scan-side MaintenanceAdvisory recommends: a scheduler
+    calls ``auto_maintain`` (or ``CALL system.auto_maintain``) per table
+    and pays O(metadata) when nothing needs doing — at a 10⁵-table
+    warehouse the decide cost is what makes routine maintenance viable.
+
+    Policy keys (AUTO_POLICY_DEFAULTS) are overridable per call and per
+    table via ``maintenance.auto.<key>`` properties.  ``dry_run``
+    reports triggers without mutating.  A second call right after a
+    completed pass triggers nothing (fixpoint) — pinned in tests."""
+    import pyarrow.parquet as _pq
+
+    from incubator_iceberg_spark import deletes as DEL
+
+    spark = spark or table.spark
+    md = table.metadata
+    # precedence: call-site policy > maintenance.auto.<key> property >
+    # default
+    pol = dict(AUTO_POLICY_DEFAULTS)
+    for k in pol:
+        v = md.properties.get(f"maintenance.auto.{k}")
+        if v is not None:
+            pol[k] = type(AUTO_POLICY_DEFAULTS[k])(v)
+    pol.update(policy or {})
+    target = int(md.property(MD.WRITE_TARGET_FILE_SIZE,
+                             MD.WRITE_TARGET_FILE_SIZE_DEFAULT))
+    small_bytes = int(pol["small-file-bytes"]) or target // 2
+    eq_gate = int(pol["eq-debt-tuples"]) or DEL.BROADCAST_MAX_DELETE_TUPLES
+
+    snap = md.current_snapshot()
+    stats = {"data_files": 0, "small_files": 0, "data_rows": 0,
+             "eq_files": 0, "eq_tuples": 0,
+             "pos_files": 0, "pos_tuples": 0, "n_manifests": 0,
+             "n_snapshots": len(md.snapshots)}
+    if snap is not None:
+        mlist = MF.read_manifest_list_arrow(snap.manifest_list)
+        paths = mlist.column("manifest_path").to_pylist()
+        stats["n_manifests"] = len(paths)
+        for mp in paths:
+            t = _pq.read_table(mp, columns=["status", "content",
+                                            "file_size_bytes",
+                                            "record_count"])
+            st = t.column("status").to_pylist()
+            ct = t.column("content").to_pylist()
+            sz = t.column("file_size_bytes").to_pylist()
+            rc = t.column("record_count").to_pylist()
+            for s, c, z, r in zip(st, ct, sz, rc):
+                if s == MF.DELETED:
+                    continue
+                c = c or MF.DATA
+                if c == MF.DATA:
+                    stats["data_files"] += 1
+                    stats["data_rows"] += r or 0
+                    if (z or 0) < small_bytes:
+                        stats["small_files"] += 1
+                elif c == MF.EQUALITY_DELETES:
+                    stats["eq_files"] += 1
+                    stats["eq_tuples"] += r or 0
+                else:
+                    stats["pos_files"] += 1
+                    stats["pos_tuples"] += r or 0
+
+    debt_ratio = (stats["pos_tuples"] / stats["data_rows"]
+                  if stats["data_rows"] else 0.0)
+    triggers = {
+        "convert_equality_deletes": (
+            stats["eq_tuples"] > eq_gate
+            or stats["eq_files"] >= int(pol["eq-debt-files"]),
+            f"eq debt {stats['eq_tuples']:,} tuples / "
+            f"{stats['eq_files']} files (gate {eq_gate:,} / "
+            f"{pol['eq-debt-files']})"),
+        "rewrite_position_deletes": (
+            stats["pos_files"] >= int(pol["pos-debt-files"]),
+            f"{stats['pos_files']} pos-delete files "
+            f"(gate {pol['pos-debt-files']})"),
+        "rewrite_data_files": (
+            stats["small_files"] >= int(pol["min-small-files"])
+            or debt_ratio > float(pol["pos-debt-ratio"]),
+            f"{stats['small_files']} small files "
+            f"(<{small_bytes:,}B, gate {pol['min-small-files']}); "
+            f"pos-debt ratio {debt_ratio:.3f} "
+            f"(gate {pol['pos-debt-ratio']})"),
+        "rewrite_manifests": (
+            stats["n_manifests"] > int(pol["max-manifests"]),
+            f"{stats['n_manifests']} manifests "
+            f"(gate {pol['max-manifests']})"),
+        "expire_snapshots": (
+            stats["n_snapshots"] > int(pol["max-snapshots"]),
+            f"{stats['n_snapshots']} snapshots "
+            f"(gate {pol['max-snapshots']})"),
+    }
+    out: dict = {"stats": stats, "dry_run": dry_run}
+    # conversion first (eq → pos), THEN the ratio-based steps see the
+    # converted debt on the next call; within one pass the declared
+    # triggers run in dependency order
+    order = ["convert_equality_deletes", "rewrite_position_deletes",
+             "rewrite_data_files", "rewrite_manifests",
+             "expire_snapshots"]
+    for step in order:
+        fired, reason = triggers[step]
+        entry: dict = {"triggered": bool(fired), "reason": reason}
+        if fired and not dry_run:
+            if step == "convert_equality_deletes":
+                entry["result"] = convert_equality_deletes(table, spark=spark)
+                table.refresh()
+                # converted tuples land as pos deletes: consolidate them
+                # in the same pass so reads immediately get DV/pruned form
+                entry["consolidate"] = rewrite_position_deletes(
+                    table, spark=spark)
+            elif step == "rewrite_position_deletes":
+                entry["result"] = rewrite_position_deletes(table, spark=spark)
+            elif step == "rewrite_data_files":
+                entry["result"] = rewrite_data_files(
+                    table, spark=spark, target_file_size=target)
+                table.refresh()
+                entry["dangling"] = remove_dangling_deletes(table)
+            elif step == "rewrite_manifests":
+                entry["result"] = rewrite_manifests(table, spark=spark)
+            elif step == "expire_snapshots":
+                entry["result"] = expire_snapshots(
+                    table, retain_last=int(pol["retain-last"]))
+            table.refresh()
+        out[step] = entry
+    return out
+
+
 def write_partition_stats(table, spark=None) -> dict:
     """Materialize the `partitions` metadata aggregate as a stats file
     (the partition-statistics files of the later table-format spec,

@@ -323,6 +323,12 @@ PROCEDURES = {
     "compute_column_stats": lambda t, **kw: t.compute_column_stats(**kw),
     "create_changelog_view": lambda t, **kw: _call_create_changelog_view(
         t, **kw),
+    # policy-driven maintenance: triggers decided from the manifest
+    # plane only; kw overrides AUTO_POLICY_DEFAULTS keys (dashes as
+    # underscores), dry_run reports without mutating
+    "auto_maintain": lambda t, **kw: t.auto_maintain(
+        dry_run=bool(kw.pop("dry_run", False)),
+        policy={k.replace("_", "-"): v for k, v in kw.items()} or None),
 }
 
 

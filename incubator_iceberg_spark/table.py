@@ -1045,6 +1045,13 @@ class Table:
         from incubator_iceberg_spark import agg_pushdown
         return agg_pushdown.fast_min_max(self, column, spark=spark or self.spark)
 
+    def auto_maintain(self, spark=None, policy=None,
+                      dry_run: bool = False) -> dict:
+        """Policy-driven maintenance — maintenance.auto_maintain."""
+        from incubator_iceberg_spark import maintenance
+        return maintenance.auto_maintain(self, spark=spark or self.spark,
+                                         policy=policy, dry_run=dry_run)
+
     def zorder_rewrite(self, columns, spark=None, **kw) -> dict:
         from incubator_iceberg_spark import maintenance
         return maintenance.zorder_rewrite(self, columns,

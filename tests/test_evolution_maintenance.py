@@ -614,3 +614,66 @@ def test_streaming_file_level_rate_limit(warehouse, orders, tmp_path):
     total = sum(df.count() for df, _ in rd4.batches(
         max_snapshots_per_batch=None))
     assert total == 110
+
+
+def test_auto_maintain_triggers_and_fixpoint(warehouse, spark):
+    """auto_maintain decides from the manifest plane only, runs the
+    triggered steps in dependency order, and a second call right after
+    a completed pass triggers nothing."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.schema import Schema
+
+    base = spark.range(20000).select(F.col("id"),
+                                     (F.col("id") % 100).alias("v"))
+    t = warehouse.create_table("db.am", Schema.from_spark(base.schema))
+    for i in range(6):
+        t.append(base.filter(F.col("id") % 6 == i))
+    for ep in range(9):  # eq-debt-files default gate is 8
+        b = (base.filter(F.col("id") % 50 == ep)
+             .withColumn("v", F.lit(999).cast("long"))
+             .withColumn("op", F.lit("U")))
+        STR.upsert_mor_exactly_once(t, b, epoch_id=ep, on=["id"],
+                                    op_col="op")
+        t = t.refresh()
+
+    dry = t.auto_maintain(dry_run=True)
+    assert dry["convert_equality_deletes"]["triggered"]
+    assert dry["rewrite_data_files"]["triggered"]
+    assert dry["rewrite_manifests"]["triggered"]
+    assert not dry["expire_snapshots"]["triggered"]  # default gate 50
+    # dry run mutates nothing
+    assert t.refresh().metadata.current_snapshot_id == \
+        t.metadata.current_snapshot_id
+
+    res = t.auto_maintain(policy={"max-snapshots": 5})
+    t = t.refresh()
+    assert res["convert_equality_deletes"]["triggered"]
+    assert res["expire_snapshots"]["triggered"]
+    assert t.to_df().count() == 20000
+    assert (t.to_df().filter("v = 999").count()
+            == base.filter("id % 50 < 9").count())
+
+    res2 = t.auto_maintain(policy={"max-snapshots": 5})
+    fired = [k for k, v in res2.items()
+             if isinstance(v, dict) and v.get("triggered")]
+    assert not fired, f"not a fixpoint: {fired}"
+
+
+def test_auto_maintain_policy_from_properties(warehouse, spark):
+    """maintenance.auto.<key> table properties override the defaults."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+
+    base = spark.range(1000).select(F.col("id"))
+    t = warehouse.create_table(
+        "db.amp", Schema.from_spark(base.schema),
+        properties={"maintenance.auto.min-small-files": "2"})
+    t.append(base.filter("id % 2 = 0"))
+    t.append(base.filter("id % 2 = 1"))
+    dry = t.auto_maintain(dry_run=True)
+    assert dry["rewrite_data_files"]["triggered"]
+    # call-site policy wins over the property (raise the gate past the
+    # per-append part-file fanout)
+    dry2 = t.auto_maintain(dry_run=True, policy={"min-small-files": 100})
+    assert not dry2["rewrite_data_files"]["triggered"]
