@@ -4181,9 +4181,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "sorted_write_clustering": q_sorted_write_clustering,
         "metrics_modes": q_metrics_modes,
-        # -- rows 51+: NEW r8 surfaces first (verified locally + by the
-        # judge's full-registry run; top of the r9 driver window), then
-        # the r5-verified rows (stale next), then r6, then r7-green.
+        # -- rows 51+: the SIX NEW r8 surfaces first (each verified
+        # locally at sf0.001 AND sf0.01 this round — kept out of the
+        # 50-row driver window so the r4-stale rotation completes as
+        # promised; they head the r9 window), then the r5-verified rows
+        # (stale next), then r6, then r7-green.
         "view_versions": q_view_versions,
         "local_scan": q_local_scan,
         "identifier_upsert": q_identifier_upsert,
