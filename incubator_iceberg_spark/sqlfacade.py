@@ -173,7 +173,38 @@ def execute(catalog, spark, sql: str):
             raise ValueError(f"cannot parse DROP TABLE/VIEW: {sql!r}")
         return catalog.drop_table(m.group(1), purge=bool(m.group(2)))
     if head == "ALTER":
+        mv = re.match(r"^\s*ALTER\s+VIEW\s+([\w.]+)\s+(.*)$", s,
+                      re.IGNORECASE | re.DOTALL)
+        if mv:
+            v = catalog.load_view(mv.group(1))
+            body = mv.group(2).strip()
+            mm = re.match(r"^AS\s+(SELECT\b.*|WITH\b.*)$", body,
+                          re.IGNORECASE | re.DOTALL)
+            if mm:
+                return v.replace(mm.group(1).strip(), catalog=catalog,
+                                 spark=spark)
+            mm = re.match(r"^SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", body,
+                          re.IGNORECASE | re.DOTALL)
+            if mm:
+                props = {}
+                for part in _split_top(mm.group(1), ","):
+                    k, val = part.split("=", 1)
+                    props[k.strip().strip("'\"")] = val.strip().strip("'\"")
+                return v.update_properties(props)
+            raise ValueError(f"cannot parse ALTER VIEW: {sql!r}")
         return _alter(catalog, spark, s)
+    if head == "SHOW":
+        mm = re.match(r"^\s*SHOW\s+(TABLES|VIEWS)\s*(?:IN\s+([\w.]+))?\s*$",
+                      s, re.IGNORECASE)
+        if mm:
+            kind, ns = mm.group(1).upper(), mm.group(2) or ""
+            names = (catalog.list_views(ns) if kind == "VIEWS"
+                     else catalog.list_tables(ns))
+            return spark.createDataFrame(
+                [(n.rsplit(".", 1)[0] if "." in n else "",
+                  n.rsplit(".", 1)[-1]) for n in names],
+                "namespace string, name string")
+        raise ValueError(f"cannot parse SHOW: {sql!r}")
     if head == "TRUNCATE":
         mm = re.match(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", s, re.IGNORECASE)
         if not mm:
@@ -183,7 +214,8 @@ def execute(catalog, spark, sql: str):
                                   spark=spark).delete_where(X.always_true())
     raise ValueError(
         f"unsupported statement: {head} (supported: SELECT, INSERT, "
-        "CREATE TABLE AS, DROP TABLE, ALTER TABLE, DELETE, UPDATE, MERGE, "
+        "CREATE TABLE AS, CREATE [OR REPLACE] VIEW, DROP TABLE/VIEW, "
+        "ALTER TABLE/VIEW, SHOW TABLES/VIEWS, DELETE, UPDATE, MERGE, "
         "CALL)")
 
 

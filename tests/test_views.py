@@ -142,3 +142,30 @@ def test_concurrent_replace_one_wins(warehouse, spark, orders_table):
     oks = [r for r in results if r[0] == "ok"]
     assert len(v.versions()) == 1 + len(oks)
     assert v.metadata.current_version_id == len(v.versions())
+
+
+def test_alter_view_and_show(warehouse, spark, orders_table):
+    _, src = orders_table
+    sqlfacade.execute(warehouse, spark,
+                      "CREATE VIEW db.av AS SELECT o_orderkey FROM db.vo")
+    # ALTER VIEW ... AS appends a version
+    sqlfacade.execute(warehouse, spark,
+                      "ALTER VIEW db.av AS SELECT o_orderkey FROM db.vo "
+                      "WHERE o_orderkey % 2 = 0")
+    v = warehouse.load_view("db.av")
+    assert len(v.versions()) == 2 and v.metadata.current_version_id == 2
+    assert sqlfacade.execute(
+        warehouse, spark, "SELECT COUNT(*) AS n FROM db.av"
+    ).collect()[0].n == src.filter("o_orderkey % 2 = 0").count()
+    # ALTER VIEW ... SET TBLPROPERTIES
+    sqlfacade.execute(warehouse, spark,
+                      "ALTER VIEW db.av SET TBLPROPERTIES "
+                      "('owner'='me', 'comment'='top view')")
+    v = warehouse.load_view("db.av")
+    assert v.metadata.properties["owner"] == "me"
+    assert v.metadata.properties["comment"] == "top view"
+    # SHOW TABLES / SHOW VIEWS
+    rows = sqlfacade.execute(warehouse, spark, "SHOW VIEWS").collect()
+    assert [(r.namespace, r.name) for r in rows] == [("db", "av")]
+    rows = sqlfacade.execute(warehouse, spark, "SHOW TABLES IN db").collect()
+    assert ("db", "vo") in [(r.namespace, r.name) for r in rows]
