@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     # round-8: MERGE dynamic file filter (left-semi touched-file probe;
     # 3 of 4 data files must survive the commit untouched)
     "merge_file_filter",
+    # round-8: policy-driven maintenance (manifest-plane triggers; eq
+    # debt convert + compact + manifests + expire to a fixpoint)
+    "auto_maintain",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

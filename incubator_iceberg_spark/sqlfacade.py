@@ -464,6 +464,22 @@ def _rewrite_time_travel(catalog, spark, s: str) -> str:
         try:
             t = catalog.load_table(name, spark=spark)
         except Exception:
+            # engine VIEW: `v VERSION AS OF <view-version-id>` executes
+            # that immutable version's stored SQL (views.py)
+            try:
+                from incubator_iceberg_spark import views as V
+                if kind == "VERSION" and not val.startswith("'") \
+                        and V.view_exists(catalog, name):
+                    df = V.load_view(catalog, name).to_df(
+                        catalog, spark, version_id=int(val))
+                    view = re.sub(r"\W", "_", f"{name}_V_{val}")
+                    df.createOrReplaceTempView(view)
+                    return view
+            except ValueError as e:
+                if "view cycle" in str(e) or "no view version" in str(e):
+                    raise
+            except Exception:
+                pass
             return m.group(0)
         if kind == "VERSION":
             if val.startswith("'"):

@@ -169,3 +169,23 @@ def test_alter_view_and_show(warehouse, spark, orders_table):
     assert [(r.namespace, r.name) for r in rows] == [("db", "av")]
     rows = sqlfacade.execute(warehouse, spark, "SHOW TABLES IN db").collect()
     assert ("db", "vo") in [(r.namespace, r.name) for r in rows]
+
+
+def test_view_version_time_travel_sql(warehouse, spark, orders_table):
+    _, src = orders_table
+    warehouse.create_view(
+        "db.tt", "SELECT o_orderkey FROM db.vo WHERE o_orderkey % 2 = 0",
+        spark=spark)
+    warehouse.create_view(
+        "db.tt", "SELECT o_orderkey FROM db.vo WHERE o_orderkey % 3 = 0",
+        spark=spark, replace=True)
+    n1 = sqlfacade.execute(
+        warehouse, spark,
+        "SELECT COUNT(*) AS n FROM db.tt VERSION AS OF 1").collect()[0].n
+    assert n1 == src.filter("o_orderkey % 2 = 0").count()
+    n2 = sqlfacade.execute(
+        warehouse, spark, "SELECT COUNT(*) AS n FROM db.tt").collect()[0].n
+    assert n2 == src.filter("o_orderkey % 3 = 0").count()
+    with pytest.raises(ValueError, match="no view version"):
+        sqlfacade.execute(warehouse, spark,
+                          "SELECT * FROM db.tt VERSION AS OF 9")
