@@ -228,13 +228,24 @@ class View:
         finally:
             stack.discard(self.name)
 
-    def _commit(self, mutate) -> "View":
-        base = self.ops.current_version()
-        md = self.ops.refresh()
-        if md is None:
-            raise NoSuchViewError(self.name)
-        self.ops.commit(base, mutate(md))
-        return self.refresh()
+    def _commit(self, mutate, retries: int = 3) -> "View":
+        """Optimistic commit with re-apply on conflict (the table
+        plane's run_with_retries shape): refresh → mutate → atomic
+        install; a concurrent committer forces re-applying ``mutate``
+        to the NEW base, so version ids stay dense and last-writer's
+        intent is preserved rather than failed."""
+        for attempt in range(retries + 1):
+            base = self.ops.current_version()
+            md = self.ops.refresh()
+            if md is None:
+                raise NoSuchViewError(self.name)
+            try:
+                self.ops.commit(base, mutate(md))
+                return self.refresh()
+            except CommitFailedException:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
 
     def replace(self, sql: str, catalog=None, spark=None,
                 properties: Optional[dict] = None) -> "View":

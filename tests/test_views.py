@@ -121,7 +121,9 @@ def test_view_sees_table_updates_and_prunes(warehouse, spark, orders_table):
     assert after == before + 10
 
 
-def test_concurrent_replace_one_wins(warehouse, spark, orders_table):
+def test_concurrent_replace_all_land(warehouse, spark, orders_table):
+    """Conflicting replaces retry against the new base (run_with_retries
+    shape): every committer's version lands, ids stay dense."""
     warehouse.create_view("db.r", "SELECT o_orderkey FROM db.vo",
                           spark=spark)
     results = []
@@ -137,10 +139,11 @@ def test_concurrent_replace_one_wins(warehouse, spark, orders_table):
     ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
     [x.start() for x in ts]
     [x.join() for x in ts]
-    v = warehouse.load_view("db.r")
-    # every successful replace appended exactly one version
     oks = [r for r in results if r[0] == "ok"]
+    v = warehouse.load_view("db.r")
     assert len(v.versions()) == 1 + len(oks)
+    assert [x.version_id for x in v.versions()] == \
+        list(range(1, 2 + len(oks)))
     assert v.metadata.current_version_id == len(v.versions())
 
 
