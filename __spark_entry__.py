@@ -1924,19 +1924,26 @@ def q_merge_file_filter(spark, sf_dir):
     orders = _load(spark, sf_dir, "orders") \
         .select("o_orderkey", "o_custkey", "o_totalprice")
     t = cat.create_table("s.mff", Schema.from_spark(orders.schema))
+    group_files, seen = [], set()
     for i in range(4):
         t.append(orders.filter(f"o_custkey % 4 = {i}"))
-    files_before = {e["file_path"]
-                    for e in TableScan(t, spark)._plan_split()[0]}
+        cur = {e["file_path"] for e in TableScan(t, spark)._plan_split()[0]}
+        group_files.append(cur - seen)
+        seen = cur
     src = (orders.filter("o_custkey % 4 = 0 AND o_orderkey % 10 = 0")
            .withColumn("o_totalprice", F.col("o_totalprice") + 1.0))
     t.merge(src, on=["o_orderkey"],
             when_matched=[WhenMatched.update_all()])
     files_after = {e["file_path"]
                    for e in TableScan(t, spark)._plan_split()[0]}
-    kept = files_before & files_after
-    assert len(files_before - kept) == 1, \
-        f"dynamic file filter rewrote {len(files_before - kept)} files"
+    rewritten = seen - files_after
+    # scale-invariant form of "only the matched file(s) rewrite": every
+    # rewritten file held group-0 rows; groups 1-3 survive PHYSICALLY
+    assert rewritten and rewritten <= group_files[0], \
+        f"file filter rewrote outside the matched group: {rewritten}"
+    for g in (1, 2, 3):
+        assert group_files[g] <= files_after, \
+            f"untouched group {g} was rewritten"
     return (t.to_df()
             .select("o_orderkey", "o_custkey",
                     F.floor(F.col("o_totalprice") * 100).cast("long")
