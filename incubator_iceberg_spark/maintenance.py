@@ -357,7 +357,15 @@ def sort_rewrite(table, sort_by, spark=None,
 
 def rewrite_manifests(table, spark=None) -> dict:
     """C7 (BaseRewriteManifestsSparkAction.java:80-132): cluster manifest
-    entries by partition and rewrite as fresh manifests."""
+    entries by partition and rewrite as fresh manifests, SPLIT at
+    ``commit.manifest.target-size-bytes`` (reference default 8 MB).
+    Entries are partition-sorted BEFORE splitting, so each output
+    manifest covers a tight, near-disjoint partition range — the
+    manifest evaluator (P8) can then prune whole manifests on
+    partition predicates, and manifest reads parallelize instead of
+    funneling through one monolith.  At 10⁶ files one manifest per
+    spec would be a ~100 MB driver read per plan; target-size chunks
+    keep plan IO ∝ pruned manifests."""
     md = table.metadata
     snap = md.current_snapshot()
     if snap is None:
@@ -367,6 +375,7 @@ def rewrite_manifests(table, spark=None) -> dict:
         return {"rewritten_manifests": 0}
 
     by_spec: dict[int, list] = {}
+    n_entries = 0
     for row in rows:
         entries = MF.read_manifest_arrow(row["manifest_path"]).to_pylist()
         for e in entries:
@@ -378,6 +387,15 @@ def rewrite_manifests(table, spark=None) -> dict:
             if e.get("status") == MF.ADDED:
                 e["status"] = MF.EXISTING
             by_spec.setdefault(row["partition_spec_id"], []).append(e)
+            n_entries += 1
+
+    # entries per output manifest from the measured per-entry footprint
+    # of the SOURCE manifests (parquet-encoded), floored defensively
+    target_bytes = int(md.property("commit.manifest.target-size-bytes",
+                                   8 * 1024 * 1024))
+    total_len = sum(int(r.get("manifest_length") or 0) for r in rows)
+    per_entry = max(64, total_len // max(1, n_entries))
+    chunk_entries = max(1, target_bytes // per_entry)
 
     def apply(base):
         snapshot_id = MD.new_snapshot_id()
@@ -389,8 +407,10 @@ def rewrite_manifests(table, spark=None) -> dict:
             part_names = [f.name for f in spec.partition_type().fields]
             entries.sort(key=lambda e: tuple(
                 (v is None, v) for v in ((e.get("partition") or {}).get(n) for n in part_names)))
-            new_rows.append(MF.write_manifest(md_dir, entries, base.schema(), spec,
-                                              snapshot_id, seq))
+            for lo in range(0, len(entries), chunk_entries):
+                new_rows.append(MF.write_manifest(
+                    md_dir, entries[lo:lo + chunk_entries], base.schema(),
+                    spec, snapshot_id, seq))
         specs_by_id = {s.spec_id: s for s in base.specs}
         mlist = MF.write_manifest_list(md_dir, snapshot_id, new_rows, specs_by_id)
         snap2 = MD.Snapshot(
@@ -402,7 +422,9 @@ def rewrite_manifests(table, spark=None) -> dict:
         return base.with_snapshot(snap2)
 
     table.metadata = MD.run_with_retries(table.ops, apply)
-    return {"rewritten_manifests": len(rows), "added_manifests": len(by_spec)}
+    added = sum(-(-len(v) // chunk_entries) for v in by_spec.values())
+    return {"rewritten_manifests": len(rows), "added_manifests": added,
+            "target_size_bytes": target_bytes}
 
 
 def remove_dangling_deletes(table) -> dict:
@@ -844,6 +866,11 @@ AUTO_POLICY_DEFAULTS = {
     "pos-debt-ratio": 0.10,
     "pos-debt-files": 8,
     "max-manifests": 8,
+    # manifests are FRAGMENTED (rewrite-worthy) only when there are many
+    # of them AND they are mostly empty — a big table legitimately needs
+    # many target-size manifests, and rewriting those forever would make
+    # every pass non-idempotent
+    "min-entries-per-manifest": 1024,
     "max-snapshots": 50,
     "retain-last": 3,
 }
@@ -937,9 +964,13 @@ def auto_maintain(table, spark=None, policy: Optional[dict] = None,
             f"pos-debt ratio {debt_ratio:.3f} "
             f"(gate {pol['pos-debt-ratio']})"),
         "rewrite_manifests": (
-            stats["n_manifests"] > int(pol["max-manifests"]),
+            stats["n_manifests"] > int(pol["max-manifests"])
+            and (stats["data_files"] + stats["eq_files"]
+                 + stats["pos_files"])
+            < stats["n_manifests"] * int(pol["min-entries-per-manifest"]),
             f"{stats['n_manifests']} manifests "
-            f"(gate {pol['max-manifests']})"),
+            f"(gate {pol['max-manifests']}), avg fill below "
+            f"{pol['min-entries-per-manifest']} entries"),
         "expire_snapshots": (
             stats["n_snapshots"] > int(pol["max-snapshots"]),
             f"{stats['n_snapshots']} snapshots "

@@ -677,3 +677,33 @@ def test_auto_maintain_policy_from_properties(warehouse, spark):
     # per-append part-file fanout)
     dry2 = t.auto_maintain(dry_run=True, policy={"min-small-files": 100})
     assert not dry2["rewrite_data_files"]["triggered"]
+
+
+def test_rewrite_manifests_target_size_chunks_prune(warehouse, spark,
+                                                    orders):
+    """Partition-sorted entries split at commit.manifest.target-size-bytes
+    give near-disjoint per-manifest partition summaries: a one-partition
+    filter plans a strict subset of manifests."""
+    from incubator_iceberg_spark.scan import TableScan
+    from pyspark.sql import functions as F
+
+    src = orders.select("o_orderkey", "o_totalprice",
+                        (F.col("o_orderkey") % 8).alias("grp"))
+    t = warehouse.create_table(
+        "db.rmc", "o_orderkey long, o_totalprice double, grp long",
+        partition_by=["grp"],
+        properties={"commit.manifest.target-size-bytes": "4096"})
+    for i in range(4):  # interleaved appends: summaries start overlapping
+        t.append(src.filter(f"o_orderkey % 4 = {i}"))
+    res = t.rewrite_manifests()
+    assert res["rewritten_manifests"] == 4
+    assert res["added_manifests"] > 1  # tiny target forces chunking
+    t = t.refresh()
+    assert t.metadata_table("manifests").count() == res["added_manifests"]
+    kept, total = TableScan(t, spark,
+                            row_filter="grp = 3").plan_manifests()
+    assert total == res["added_manifests"]
+    assert len(kept) < total, "chunked summaries should prune"
+    assert t.to_df(filter="grp = 3").count() == \
+        src.filter("grp = 3").count()
+    assert t.to_df().count() == src.count()
