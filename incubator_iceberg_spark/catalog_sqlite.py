@@ -151,6 +151,8 @@ class SqliteCatalog:
         ops = self._ops(name)
         if ops.refresh() is not None:
             raise TableAlreadyExistsError(name)
+        if self.view_exists(name):
+            raise TableAlreadyExistsError(f"{name} exists as a view")
         # a renamed-away table keeps its original (name-derived) directory;
         # re-creating the old name must NOT share it — interleaved metadata
         # versions and orphan-file cleanup would corrupt both tables.  Pick
@@ -245,3 +247,40 @@ class SqliteCatalog:
             args = (namespace + ".%",)
         with _connect(self.db_path) as con:
             return sorted(r[0] for r in con.execute(q, args))
+
+    # -- views (views.py): metadata lives on the filesystem under the
+    # warehouse path; the pointer DB stays tables-only, exactly like the
+    # reference's JdbcCatalog pairing with a ViewCatalog implementation
+
+    def create_view(self, name: str, sql: str, spark=None,
+                    replace: bool = False, properties=None):
+        from incubator_iceberg_spark import views as V
+        return V.create_view(self, name, sql, spark=spark or self.spark,
+                             replace=replace, properties=properties)
+
+    def load_view(self, name: str):
+        from incubator_iceberg_spark import views as V
+        return V.load_view(self, name)
+
+    def view_exists(self, name: str) -> bool:
+        from incubator_iceberg_spark import views as V
+        return V.view_exists(self, name)
+
+    def drop_view(self, name: str) -> bool:
+        from incubator_iceberg_spark import views as V
+        return V.drop_view(self, name)
+
+    def list_views(self, namespace: str = "") -> list:
+        import os as _os
+        root = (_os.path.join(self.warehouse, *namespace.split("."))
+                if namespace else self.warehouse)
+        out = []
+        for dirpath, dirs, _files in _os.walk(root):
+            mdir = _os.path.join(dirpath, "metadata")
+            if _os.path.isdir(mdir):
+                rel = _os.path.relpath(dirpath, self.warehouse)
+                if any(n.endswith(".view-metadata.json")
+                       for n in _os.listdir(mdir)):
+                    out.append(rel.replace(_os.sep, "."))
+                dirs.clear()
+        return sorted(out)

@@ -80,3 +80,31 @@ def test_rename_keeps_location_and_data(scat, orders):
     # further commits through the renamed handle work
     t2.append(orders.limit(10).withColumn("o_orderkey", F.col("o_orderkey") + 999999))
     assert scat.load_table("db.new").to_df().count() == 60
+
+
+def test_sqlite_catalog_views(tmp_path, spark, sf_dir):
+    """Views work on the pointer-store catalog too: metadata on the
+    filesystem, pointer DB stays tables-only; facade routing included."""
+    from incubator_iceberg_spark import sqlfacade
+    from incubator_iceberg_spark.catalog_sqlite import SqliteCatalog
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.table import TableAlreadyExistsError
+    import pytest as _pytest
+
+    cat = SqliteCatalog(str(tmp_path / "cat.db"),
+                        str(tmp_path / "wh"), spark=spark)
+    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select("o_orderkey", "o_totalprice"))
+    t = cat.create_table("db.so", Schema.from_spark(src.schema))
+    t.append(src)
+    sqlfacade.execute(cat, spark,
+                      "CREATE VIEW db.sv AS SELECT o_orderkey FROM db.so "
+                      "WHERE o_totalprice > 100000")
+    n = sqlfacade.execute(cat, spark,
+                          "SELECT COUNT(*) AS n FROM db.sv").collect()[0].n
+    assert n == src.filter("o_totalprice > 100000").count()
+    assert cat.list_views() == ["db.sv"]
+    assert cat.list_tables() == ["db.so"]  # pointer DB untouched by views
+    with _pytest.raises(TableAlreadyExistsError):
+        cat.create_table("db.sv", Schema.from_spark(src.schema))
+    assert cat.drop_view("db.sv") and cat.list_views() == []
