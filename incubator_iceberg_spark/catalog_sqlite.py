@@ -153,6 +153,11 @@ class SqliteCatalog:
             raise TableAlreadyExistsError(name)
         if self.view_exists(name):
             raise TableAlreadyExistsError(f"{name} exists as a view")
+        parts = name.split(".")
+        for j in range(1, len(parts)):
+            if self.view_exists(".".join(parts[:j])):
+                raise TableAlreadyExistsError(
+                    f"{name}: ancestor {'.'.join(parts[:j])} is a view")
         # a renamed-away table keeps its original (name-derived) directory;
         # re-creating the old name must NOT share it — interleaved metadata
         # versions and orphan-file cleanup would corrupt both tables.  Pick
@@ -271,16 +276,5 @@ class SqliteCatalog:
         return V.drop_view(self, name)
 
     def list_views(self, namespace: str = "") -> list:
-        import os as _os
-        root = (_os.path.join(self.warehouse, *namespace.split("."))
-                if namespace else self.warehouse)
-        out = []
-        for dirpath, dirs, _files in _os.walk(root):
-            mdir = _os.path.join(dirpath, "metadata")
-            if _os.path.isdir(mdir):
-                rel = _os.path.relpath(dirpath, self.warehouse)
-                if any(n.endswith(".view-metadata.json")
-                       for n in _os.listdir(mdir)):
-                    out.append(rel.replace(_os.sep, "."))
-                dirs.clear()
-        return sorted(out)
+        from incubator_iceberg_spark import views as V
+        return V.list_views_under(self.warehouse, namespace)

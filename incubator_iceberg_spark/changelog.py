@@ -161,8 +161,10 @@ def _eq_disjoint_mask(ct, del_entry, schema):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if ct is None:
+        return np.zeros(0, dtype=bool)
     out = np.zeros(len(ct), dtype=bool)
-    if ct is None or schema is None or \
+    if schema is None or \
             "lower_bounds" not in ct.column_names or \
             "upper_bounds" not in ct.column_names:
         return out

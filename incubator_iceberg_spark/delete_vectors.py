@@ -220,7 +220,10 @@ def read_dv_pos_df(spark, dv_entries: list, with_source: bool = False):
     schema = DV_SCHEMA.to_spark()
     df = spark.read.schema(schema).parquet(
         *[e["file_path"] for e in dv_entries])
-    src = F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+    # joined against manifest paths below: must be the DECODED
+    # filesystem path (deletes._decoded_meta_path_col rationale)
+    from incubator_iceberg_spark.deletes import _decoded_meta_path_col
+    src = _decoded_meta_path_col()
     seqs = {e.get("sequence_number") or 0 for e in dv_entries}
     if len(seqs) == 1:
         df = df.withColumn("___del_seq", F.lit(seqs.pop()))

@@ -405,6 +405,19 @@ def filter_relevant_deletes(data_entries: list, delete_entries: list,
     return out
 
 
+def _decoded_meta_path_col():
+    """`_metadata.file_path` is URI-ESCAPED ("a b" → "a%20b"); manifest
+    entry paths are raw filesystem paths.  Joining the two without
+    decoding silently matches NOTHING on escaped paths — for delete-seq
+    stamping that would resurrect deleted rows.  Literal '+' is
+    protected first (url_decode is form-decoding); same recipe as
+    scan._read_hive_import_group."""
+    from pyspark.sql import functions as F
+    return F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        r"\+", "%2B"))
+
+
 def load_eq_delete_groups(spark, eq_entries: list, table_schema: S.Schema):
     """Yield (current_cols, eq_df, total_record_count) per equality-ids
     group, with ``___del_seq`` stamped per row.  The delete parquet holds
@@ -469,9 +482,7 @@ def load_eq_delete_groups(spark, eq_entries: list, table_schema: S.Schema):
                                    F.lit(seqs.pop()).alias("___del_seq"))
             else:
                 part = part.select(
-                    *keep,
-                    F.regexp_replace(F.col("_metadata.file_path"),
-                                     "^file:/*", "/").alias("___dfile"))
+                    *keep, _decoded_meta_path_col().alias("___dfile"))
                 dseq = spark.createDataFrame(
                     [(e["file_path"], e.get("sequence_number") or 0)
                      for e in bucket], "___dfile string, ___del_seq long")
@@ -526,8 +537,8 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
     # normalize lineage file uri → manifest-style plain path, attach seq
     seq_rows = [(k, v) for k, v in data_seq_by_file.items()]
     seq_df = spark.createDataFrame(seq_rows, "___path string, ___seq long")
-    df = data_df.withColumn(
-        "___path", F.regexp_replace(F.col("_file"), "^file:/*", "/"))
+    from incubator_iceberg_spark.row_ops import _norm_file_col
+    df = data_df.withColumn("___path", _norm_file_col())
     df = df.join(F.broadcast(seq_df), "___path", "left")
 
     from incubator_iceberg_spark import delete_vectors as DV
@@ -552,9 +563,8 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
             # join the general path pays to stamp per-file sequences
             pos_df = pos_df.withColumn("___del_seq", F.lit(pos_seqs.pop()))
         else:
-            pos_df = pos_df.withColumn(
-                "___dfile", F.regexp_replace(F.col("_metadata.file_path"),
-                                             "^file:/*", "/"))
+            pos_df = pos_df.withColumn("___dfile",
+                                       _decoded_meta_path_col())
             dseq = spark.createDataFrame(
                 [(e["file_path"], e.get("sequence_number") or 0)
                  for e in pos_entries], "___dfile string, ___del_seq long")

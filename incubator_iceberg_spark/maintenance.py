@@ -676,9 +676,8 @@ def convert_equality_deletes(table, spark=None) -> dict:
                     for e in dirty]
         seq_df = spark.createDataFrame(seq_rows,
                                        "___path string, ___seq long")
-        rows = (rows.withColumn(
-                    "___path",
-                    F.regexp_replace(F.col("_file"), "^file:/*", "/"))
+        from incubator_iceberg_spark.row_ops import _norm_file_col
+        rows = (rows.withColumn("___path", _norm_file_col())
                 .join(F.broadcast(seq_df), "___path"))
         for cols, eq_df, total_rc in DEL.load_eq_delete_groups(
                 spark, eqs, schema):

@@ -162,8 +162,7 @@ def _position_deletes(table, spark):
     if paths:
         out = (spark.read.schema(base).parquet(*paths)
                .withColumn("delete_file_path",
-                           F.regexp_replace(F.col("_metadata.file_path"),
-                                            "^file:/*", "/")))
+                           DEL._decoded_meta_path_col()))
     if dvs:
         # deletion vectors surface DECODED: the contents table is the
         # inspection/rewrite-planning surface and must show true tuples

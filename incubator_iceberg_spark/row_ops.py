@@ -274,11 +274,16 @@ def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None
     }
 
 
-def _norm_file_col():
+def _norm_file_col(col: str = "_file"):
     """Column form of normalize_file_uri: ``_metadata.file_path`` URIs
-    (file:/…, file:///…) → the plain paths manifests store."""
+    (file:/…, file:///…, percent-ESCAPED — "a b" → "a%20b") → the plain
+    filesystem paths manifests store.  Skipping the percent-decode
+    silently mismatches every path-keyed join under an escaped character
+    (deletes stop applying, MERGE's touched-file probe finds nothing);
+    literal '+' is protected first because url_decode is form-decoding."""
     from pyspark.sql import functions as F
-    return F.regexp_replace(F.col("_file"), "^file:/+", "/")
+    return F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.col(col), "^file:/+", "/"), r"\+", "%2B"))
 
 
 def delete_where_mor(table, expr: X.Expression, spark=None) -> dict:
@@ -706,10 +711,15 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
 
 
 def normalize_file_uri(p: str) -> str:
-    """``_metadata.file_path`` yields a ``file:/...`` URI (1-3 slashes);
-    manifests store plain paths — normalize for set membership."""
+    """``_metadata.file_path`` yields a ``file:/...`` URI (1-3 slashes,
+    percent-ESCAPED); manifests store plain filesystem paths — normalize
+    for set membership.  urllib.unquote leaves '+' alone (it is not
+    form-decoding), so no protection step is needed here."""
     if p.startswith("file:"):
         p = p[len("file:"):]
         while p.startswith("//"):
             p = p[1:]
+    if "%" in p:
+        from urllib.parse import unquote
+        p = unquote(p)
     return p

@@ -735,12 +735,22 @@ def _read_hive_import_group(spark, md, entries, fmt, current_schema,
         rows.append(tuple([e["file_path"], True] +
                           [pv.get(fn) for fn in const_srcs.values()]))
     consts = spark.createDataFrame(rows, PT.StructType(c_fields))
-    # LEFT join + per-row guard: an escape/decode mismatch between the
-    # URI-decoded _metadata.file_path and the manifest entry paths must
-    # be an ERROR, not silent row loss (an inner join dropped such rows).
-    # The guard rides the first projected column — a dedicated check
-    # column would be pruned away by the optimizer
+    # LEFT join + per-row FILTER guard: an escape/decode mismatch between
+    # the URI-decoded _metadata.file_path and the manifest entry paths
+    # must be an ERROR, not silent row loss (an inner join dropped such
+    # rows).  The guard is a Filter node, not a projected column — a
+    # column-riding guard gets PRUNED whenever the query doesn't select
+    # that column, silently emitting NULL partition constants instead of
+    # raising (same forced-evaluation pattern as the MERGE cardinality
+    # guard in row_ops).
     df = df.join(F.broadcast(consts), "__hfile", "left")
+    df = df.filter(
+        F.when(F.col("__hmatch").isNull(),
+               F.raise_error(F.concat(
+                   F.lit("hive-import path decode mismatch "
+                         "(file not in manifest entry set): "),
+                   F.col("__hfile"))).cast("boolean"))
+        .otherwise(F.lit(True)))
 
     phys = set(df.columns)
     cols = []
@@ -752,14 +762,6 @@ def _read_hive_import_group(spark, md, entries, fmt, current_schema,
             expr = F.col(f.name).cast(spark_t)
         else:
             expr = F.lit(None).cast(spark_t)
-        if not cols:
-            expr = F.when(
-                F.col("__hmatch").isNull(),
-                F.raise_error(F.concat(
-                    F.lit("hive-import path decode mismatch "
-                          "(file not in manifest entry set): "),
-                    F.col("__hfile"))).cast(spark_t)) \
-                .otherwise(expr)
         cols.append(expr.alias(f.name))
     extra = []
     if need_lineage:

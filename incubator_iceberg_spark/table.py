@@ -66,6 +66,11 @@ class Catalog:
         from incubator_iceberg_spark import views as V
         if V.view_exists(self, name):
             raise TableAlreadyExistsError(f"{name} exists as a view")
+        parts = name.split(".")
+        for j in range(1, len(parts)):
+            if V.view_exists(self, ".".join(parts[:j])):
+                raise TableAlreadyExistsError(
+                    f"{name}: ancestor {'.'.join(parts[:j])} is a view")
         spec = (PartitionSpec.build(schema, partition_by)
                 if partition_by else PartitionSpec.unpartitioned(schema))
         md = TableMetadata.new(location, schema, spec, properties)
@@ -157,18 +162,8 @@ class Catalog:
         return V.drop_view(self, name)
 
     def list_views(self, namespace: str = "") -> list:
-        root = (os.path.join(self.warehouse, *namespace.split("."))
-                if namespace else self.warehouse)
-        out = []
-        for dirpath, dirs, _files in os.walk(root):
-            mdir = os.path.join(dirpath, "metadata")
-            if os.path.isdir(mdir):
-                rel = os.path.relpath(dirpath, self.warehouse)
-                if any(n.endswith(".view-metadata.json")
-                       for n in os.listdir(mdir)):
-                    out.append(rel.replace(os.sep, "."))
-                dirs.clear()
-        return sorted(out)
+        from incubator_iceberg_spark import views as V
+        return V.list_views_under(self.warehouse, namespace)
 
     def create_table_as_select(self, name: str, df, partition_by=None,
                                properties: Optional[dict] = None, spark=None) -> "Table":

@@ -293,6 +293,20 @@ def _capture_schema(catalog, spark, sql: str):
     return json.loads(df.schema.json())
 
 
+def _location_holds_table(location: str) -> bool:
+    """True when the name-derived directory already carries TABLE
+    metadata — e.g. a SqliteCatalog rename moved the pointer away but
+    the files stayed put.  Writing view metadata there would interleave
+    two objects' lifecycles (and a later drop could destroy the
+    table's data)."""
+    try:
+        return any(n.endswith(".metadata.json")
+                   and not n.endswith(".view-metadata.json")
+                   for n in os.listdir(os.path.join(location, "metadata")))
+    except FileNotFoundError:
+        return False
+
+
 def create_view(catalog, name: str, sql: str, spark=None,
                 replace: bool = False,
                 properties: Optional[dict] = None) -> View:
@@ -306,6 +320,18 @@ def create_view(catalog, name: str, sql: str, spark=None,
             sql, catalog=catalog, spark=spark, properties=properties)
     if catalog.table_exists(name):
         raise ViewAlreadyExistsError(f"{name} exists as a table")
+    if _location_holds_table(location):
+        raise ViewAlreadyExistsError(
+            f"{name}: location {location} holds table metadata "
+            "(a renamed table keeps its original directory)")
+    # a view nested UNDER an existing table/view would live inside that
+    # object's directory: invisible to listings, destroyed by its drop
+    parts = name.split(".")
+    for j in range(1, len(parts)):
+        prefix = ".".join(parts[:j])
+        if catalog.table_exists(prefix) or view_exists(catalog, prefix):
+            raise ViewAlreadyExistsError(
+                f"{name}: ancestor {prefix} is an existing table/view")
     md = ViewMetadata(
         view_uuid=str(uuid.uuid4()), location=location,
         current_version_id=1,
@@ -334,12 +360,38 @@ def view_exists(catalog, name: str) -> bool:
 
 
 def drop_view(catalog, name: str) -> bool:
-    import shutil
+    """Unlink ONLY the view's own metadata files — never rmtree the
+    location wholesale (a legacy/renamed table sharing the directory
+    must survive a view drop)."""
     ops = ViewOperations(catalog._table_location(name))
     if ops.current_version() is None:
         return False
-    shutil.rmtree(ops.location)
+    for n in os.listdir(ops.metadata_dir):
+        if n.endswith(".view-metadata.json") or n == "view-version-hint.text":
+            os.unlink(os.path.join(ops.metadata_dir, n))
+    for d in (ops.metadata_dir, ops.location):
+        try:
+            os.rmdir(d)  # only if nothing else lives there
+        except OSError:
+            break
     return True
+
+
+def list_views_under(warehouse: str, namespace: str = "") -> list:
+    """Walk the warehouse for view-metadata dirs (shared by the FS and
+    sqlite catalogs so their SHOW VIEWS semantics cannot diverge)."""
+    root = (os.path.join(warehouse, *namespace.split("."))
+            if namespace else warehouse)
+    out = []
+    for dirpath, dirs, _files in os.walk(root):
+        mdir = os.path.join(dirpath, "metadata")
+        if os.path.isdir(mdir):
+            rel = os.path.relpath(dirpath, warehouse)
+            if any(n.endswith(".view-metadata.json")
+                   for n in os.listdir(mdir)):
+                out.append(rel.replace(os.sep, "."))
+            dirs.clear()
+    return sorted(out)
 
 
 def versions_df(view: View, spark):

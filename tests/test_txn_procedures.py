@@ -341,3 +341,23 @@ def test_call_add_files_partition_from_path(warehouse, orders, spark,
     got = {(r["o_orderkey"], r["o_orderstatus"])
            for r in t.to_df().collect()}
     assert got == want
+
+
+def test_hive_import_mismatch_guard_survives_pruning(warehouse, orders,
+                                                     spark, tmp_path):
+    """The decode-mismatch guard is a FILTER node, not a projected
+    column: selecting only a later column must keep raise_error in the
+    optimized plan (a column-riding guard got pruned and silently
+    emitted NULL constants instead of raising)."""
+    from incubator_iceberg_spark import procedures as PR
+
+    src = str(tmp_path / "hive_guard")
+    orders.limit(60).write.partitionBy("o_orderstatus").parquet(src)
+    t = warehouse.create_table(
+        "db.hive_guard", Schema.from_spark(orders.schema),
+        partition_by=["o_orderstatus"])
+    PR.add_files(t, src, partition_from_path=True)
+    df = t.to_df().select("o_totalprice")  # NOT the first schema column
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in plan, "mismatch guard was optimized away"
+    assert df.count() == 60  # and it never false-positives

@@ -192,3 +192,42 @@ def test_view_version_time_travel_sql(warehouse, spark, orders_table):
     with pytest.raises(ValueError, match="no view version"):
         sqlfacade.execute(warehouse, spark,
                           "SELECT * FROM db.tt VERSION AS OF 9")
+
+
+def test_view_over_renamed_table_location_refused(tmp_path, spark):
+    """SqliteCatalog rename moves the pointer but the files stay put: a
+    view created under the OLD name must refuse the still-live directory
+    (writing there, then dropping the view, would have destroyed the
+    renamed table's data)."""
+    from incubator_iceberg_spark.catalog_sqlite import SqliteCatalog
+    cat = SqliteCatalog(str(tmp_path / "cat.db"), str(tmp_path / "wh"),
+                        spark=spark)
+    df = spark.range(10).toDF("id")
+    t = cat.create_table("db.orig", Schema.from_spark(df.schema))
+    t.append(df)
+    cat.rename_table("db.orig", "db.moved")
+    with pytest.raises(ViewAlreadyExistsError, match="table metadata"):
+        cat.create_view("db.orig", "SELECT 1", spark=spark)
+    assert cat.load_table("db.moved").to_df().count() == 10
+
+
+def test_view_location_collision_guards(warehouse, spark, orders_table):
+    """Nesting under an existing object is refused both ways, and
+    drop_view unlinks only the view's own files."""
+    import os
+    # nesting guards, both directions
+    with pytest.raises(ViewAlreadyExistsError, match="ancestor"):
+        warehouse.create_view("db.vo.sub", "SELECT 1", spark=spark)
+    warehouse.create_view("db.topv", "SELECT o_orderkey FROM db.vo",
+                          spark=spark)
+    with pytest.raises(TableAlreadyExistsError, match="ancestor"):
+        warehouse.create_table("db.topv.t",
+                               Schema.from_spark(orders_table[1].schema))
+    # drop_view leaves foreign files in a shared directory intact
+    vloc = warehouse._table_location("db.topv")
+    marker = os.path.join(vloc, "metadata", "unrelated.bin")
+    with open(marker, "wb") as f:
+        f.write(b"x")
+    assert warehouse.drop_view("db.topv")
+    assert os.path.exists(marker)
+    assert warehouse.list_views() == []
