@@ -1866,6 +1866,44 @@ def q_cdc_replication(spark, sf_dir):
                     .alias("acct_micro")))
 
 
+def q_escaped_path_mor(spark, sf_dir):
+    """Path-escaping invariant driven end-to-end (round-8 review fix:
+    `_metadata.file_path` is URI-escaped, manifests store raw
+    filesystem paths — before the decode-at-boundary fix, MoR deletes
+    under a warehouse path containing a space silently stopped applying
+    and scans RESURRECTED deleted rows): a warehouse rooted at
+    'wh space/', two MoR delete commits (multi-sequence stamping), an
+    eq-delete commit, and a MERGE — final contents oracle-checked."""
+    import os
+    import uuid as _uuid
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import Catalog
+    from incubator_iceberg_spark.row_ops import WhenMatched
+    from incubator_iceberg_spark.schema import Schema
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    cat = Catalog(os.path.join(SCRATCH_ROOT, _uuid.uuid4().hex,
+                               "wh space", "x"), spark)
+    orders = _load(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    t = cat.create_table("s.esc", Schema.from_spark(orders.schema))
+    t.append(orders)
+    t.delete_where("o_orderkey % 7 = 0", mode="merge-on-read")
+    t.delete_where("o_orderkey % 11 = 0", mode="merge-on-read")
+    t.add_equality_deletes(
+        orders.filter("o_custkey % 13 = 0").select("o_custkey").distinct(),
+        ["o_custkey"])
+    res = t.merge(
+        orders.filter("o_orderkey % 10 = 0")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0),
+        on=["o_orderkey"], when_matched=[WhenMatched.update_all()])
+    assert res["touched_files"] > 0, \
+        "touched-file probe found nothing under the escaped path"
+    return (t.to_df()
+            .select("o_orderkey", "o_custkey",
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    .alias("price_cents")))
+
+
 def q_auto_maintain(spark, sf_dir):
     """POLICY-DRIVEN maintenance (maintenance.auto_maintain, also CALL
     system.auto_maintain): triggers decided from the MANIFEST PLANE
@@ -4199,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2": q_streaming_scd2,
         "merge_file_filter": q_merge_file_filter,
         "auto_maintain": q_auto_maintain,
+        "escaped_path_mor": q_escaped_path_mor,
         "changelog_scan": q_changelog_scan,
         "changelog_updates": q_changelog_updates,
         "matview_refresh": q_matview_refresh,
@@ -4480,6 +4519,15 @@ WHERE o_orderkey % 7 != 0 AND o_custkey % 11 != 0
   AND o_totalprice > 50000
 """,
         "streaming_scd2": STREAMING_SCD2_ORACLE_SQL,
+        "escaped_path_mor": """
+SELECT o_orderkey, o_custkey,
+       CAST(floor((CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END) * 100) AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE o_orderkey % 7 != 0 AND o_orderkey % 11 != 0
+  AND o_custkey % 13 != 0
+""",
         "auto_maintain": """
 SELECT c_custkey, c_mktsegment,
        CAST(floor((CASE WHEN c_custkey % 40 < 9
