@@ -4226,7 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "sorted_write_clustering": q_sorted_write_clustering,
         "metrics_modes": q_metrics_modes,
-        # -- rows 51+: the SIX NEW r8 surfaces first (each verified
+        # -- rows 51+: the SEVEN NEW r8 surfaces first (each verified
         # locally at sf0.001 AND sf0.01 this round — kept out of the
         # 50-row driver window so the r4-stale rotation completes as
         # promised; they head the r9 window), then the r5-verified rows
