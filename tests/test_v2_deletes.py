@@ -462,17 +462,25 @@ def test_time_travel_uses_snapshot_schema_for_binding(warehouse, spark):
     assert t.to_df(filter="w = 2").count() == 2
 
 
-@pytest.mark.parametrize("plan_mode", ["auto", "distributed", "dv"])
-def test_randomized_filtered_scans_with_mor_debt(warehouse, spark, plan_mode):
+@pytest.mark.parametrize("plan_mode", ["auto", "distributed", "dv",
+                                       "spaced"])
+def test_randomized_filtered_scans_with_mor_debt(warehouse, spark,
+                                                 plan_mode, tmp_path):
     """Fuzz the delete-application stack: after a sequence of
     merge-on-read deletes, every filtered scan must equal raw Spark
     applied to (base minus deleted) — deleted rows may never resurrect
     under any filter (the r4 partition-pruning resurrection class), and
     live rows may never vanish.  The 'dv' variant runs the same drive
     with write.delete.format=dv: every delete lands as deletion-vector
-    bitmaps and both the Spark and pyarrow read paths must agree."""
+    bitmaps and both the Spark and pyarrow read paths must agree.  The
+    'spaced' variant runs the same drive in a warehouse whose path
+    URI-escapes (round-8 resurrection class: escaped `_metadata` paths
+    vs raw manifest paths)."""
     import random
     from incubator_iceberg_spark.schema import Schema
+    if plan_mode == "spaced":
+        from incubator_iceberg_spark import Catalog
+        warehouse = Catalog(str(tmp_path / "wh space" / "x"), spark)
     rng = random.Random(7)
     rows = [(i, i % 12, ["red", "blue", "green"][i % 3],
              float(i % 50)) for i in range(600)]
