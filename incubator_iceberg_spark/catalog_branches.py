@@ -151,7 +151,9 @@ class BranchTableOperations(TableOperations):
 
     def _entry(self, con) -> Optional[dict]:
         _, h = self.catalog._resolve(con)
-        return _tables_at(con, h).get(self.name)
+        e = _tables_at(con, h).get(self.name)
+        # a VIEW entry sharing the name map is invisible to table ops
+        return None if e and e.get("kind") == "view" else e
 
     def current_version(self) -> Optional[int]:
         with closing(_connect(self.catalog.db_path)) as con:
@@ -189,6 +191,11 @@ class BranchTableOperations(TableOperations):
                     f"ref {cat.ref!r} is a {ref_type}; only branches accept commits")
             tables = _tables_at(con, cur_hash)
             entry = tables.get(self.name)
+            if entry and entry.get("kind") == "view":
+                con.rollback()
+                os.unlink(mfile)
+                raise CommitFailedException(
+                    f"{self.name}@{cat.ref} is a view")
             cur_v = entry["version"] if entry else None
             if cur_v != base_version:
                 con.rollback()
@@ -204,6 +211,98 @@ class BranchTableOperations(TableOperations):
                 "INSERT INTO catalog_commits (hash, parent, merge_parent, "
                 "message, tables_json, created_ms) VALUES (?, ?, NULL, ?, ?, ?)",
                 (new_hash, cur_hash, f"commit {self.name} v{new_version}",
+                 json.dumps(tables), int(time.time() * 1000)))
+            cur = con.execute(
+                "UPDATE catalog_refs SET hash = ? WHERE ref = ? AND hash = ?",
+                (new_hash, cat.ref, cur_hash))
+            if cur.rowcount == 0:
+                con.rollback()
+                os.unlink(mfile)
+                raise CommitFailedException(
+                    f"concurrent commit moved ref {cat.ref!r}")
+            con.commit()
+        finally:
+            con.close()
+        return new_version
+
+
+class BranchViewOperations:
+    """views.ViewOperations whose current pointer lives in the branch's
+    commit map (entry ``kind: view``): per-branch view versions, and
+    branch merge/conflict semantics come from the same three-way map
+    merge tables use."""
+
+    def __init__(self, catalog: "NessieLiteCatalog", name: str,
+                 location: str):
+        self.catalog = catalog
+        self.name = name
+        self.location = location
+        self.metadata_dir = os.path.join(location, "metadata")
+
+    def _entry(self, con) -> Optional[dict]:
+        _, h = self.catalog._resolve(con)
+        e = _tables_at(con, h).get(self.name)
+        return e if e and e.get("kind") == "view" else None
+
+    def current_version(self) -> Optional[int]:
+        with closing(_connect(self.catalog.db_path)) as con:
+            e = self._entry(con)
+        return e["version"] if e else None
+
+    def refresh(self):
+        from incubator_iceberg_spark.views import ViewMetadata
+        with closing(_connect(self.catalog.db_path)) as con:
+            e = self._entry(con)
+        if e is None:
+            return None
+        with open(_abs_to(self.catalog.warehouse, e["metadata_file"])) as f:
+            return ViewMetadata.from_json(json.load(f))
+
+    def commit(self, base_version: Optional[int], md) -> int:
+        cat = self.catalog
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        new_version = (base_version or 0) + 1
+        mfile = os.path.join(self.metadata_dir,
+                             f"b-{uuid.uuid4().hex}.view-metadata.json")
+        with open(mfile, "w") as f:
+            json.dump(md.to_json(), f)
+            f.flush()
+            os.fsync(f.fileno())
+        con = _connect(cat.db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            ref_type, cur_hash = cat._resolve(con)
+            if ref_type != "branch":
+                con.rollback()
+                os.unlink(mfile)
+                raise CommitFailedException(
+                    f"ref {cat.ref!r} is a {ref_type}; only branches "
+                    "accept commits")
+            tables = _tables_at(con, cur_hash)
+            entry = tables.get(self.name)
+            if entry and entry.get("kind") != "view":
+                con.rollback()
+                os.unlink(mfile)
+                raise CommitFailedException(
+                    f"{self.name}@{cat.ref} is a table")
+            cur_v = entry["version"] if entry else None
+            if cur_v != base_version:
+                con.rollback()
+                os.unlink(mfile)
+                raise CommitFailedException(
+                    f"{self.name}@{cat.ref}: expected view v{base_version},"
+                    f" found v{cur_v} (concurrent catalog commit)")
+            tables[self.name] = {
+                "kind": "view",
+                "location": _rel_to(cat.warehouse, self.location),
+                "version": new_version,
+                "metadata_file": _rel_to(cat.warehouse, mfile)}
+            new_hash = uuid.uuid4().hex[:16]
+            con.execute(
+                "INSERT INTO catalog_commits (hash, parent, merge_parent, "
+                "message, tables_json, created_ms) VALUES (?, ?, NULL, ?, ?, ?)",
+                (new_hash, cur_hash,
+                 f"commit view {self.name} v{new_version}",
                  json.dumps(tables), int(time.time() * 1000)))
             cur = con.execute(
                 "UPDATE catalog_refs SET hash = ? WHERE ref = ? AND hash = ?",
@@ -623,6 +722,9 @@ class NessieLiteCatalog:
         ops = self._ops(name)
         if ops.refresh() is not None:
             raise TableAlreadyExistsError(f"{name}@{self.ref}")
+        if self.view_exists(name):
+            raise TableAlreadyExistsError(
+                f"{name}@{self.ref} exists as a view")
         schema = _as_schema(schema)
         spec = (PartitionSpec.build(schema, partition_by)
                 if partition_by else PartitionSpec.unpartitioned(schema))
@@ -659,9 +761,10 @@ class NessieLiteCatalog:
             if ref_type != "branch":
                 raise ValueError(f"cannot drop on {ref_type} {self.ref!r}")
             tables = _tables_at(con, cur_hash)
-            if name not in tables:
+            if name not in tables or \
+                    tables[name].get("kind") == "view":
                 con.rollback()
-                return False
+                return False  # absent, or a view (use drop_view)
             del tables[name]
             new_hash = uuid.uuid4().hex[:16]
             con.execute(
@@ -680,7 +783,88 @@ class NessieLiteCatalog:
     def list_tables(self, namespace: str = "") -> list:
         with closing(_connect(self.db_path)) as con:
             _, h = self._resolve(con)
-            names = _tables_at(con, h)
+            entries = _tables_at(con, h)
+        names = [n for n, e in entries.items() if e.get("kind") != "view"]
+        if namespace:
+            return sorted(n for n in names if n.startswith(namespace + "."))
+        return sorted(names)
+
+    # -- view surface (acts on self.ref; views.py metadata, pointer in
+    # the commit map — branch merges/conflicts come from the same
+    # three-way map merge tables use) ---------------------------------
+
+    def _view_ops(self, name: str) -> BranchViewOperations:
+        with closing(_connect(self.db_path)) as con:
+            _, h = self._resolve(con)
+            e = _tables_at(con, h).get(name)
+        loc = (_abs_to(self.warehouse, e["location"])
+               if e and e.get("kind") == "view"
+               else os.path.join(self.warehouse, *name.split("."),
+                                 uuid.uuid4().hex[:8]))
+        return BranchViewOperations(self, name, loc)
+
+    def create_view(self, name: str, sql: str, spark=None,
+                    replace: bool = False, properties=None):
+        from incubator_iceberg_spark import views as V
+        spark = spark or self.spark
+        ops = self._view_ops(name)
+        existing = ops.refresh()
+        if existing is not None:
+            if not replace:
+                raise V.ViewAlreadyExistsError(f"{name}@{self.ref}")
+            return V.View(name, ops, existing).replace(
+                sql, catalog=self, spark=spark, properties=properties)
+        if self.table_exists(name):
+            raise V.ViewAlreadyExistsError(
+                f"{name}@{self.ref} exists as a table")
+        md = V.new_view_metadata(
+            name, ops.location, sql,
+            V._capture_schema(self, spark, sql), properties)
+        ops.commit(None, md)
+        return V.View(name, ops, md)
+
+    def load_view(self, name: str):
+        from incubator_iceberg_spark import views as V
+        ops = self._view_ops(name)
+        md = ops.refresh()
+        if md is None:
+            raise V.NoSuchViewError(f"{name}@{self.ref}")
+        return V.View(name, ops, md)
+
+    def view_exists(self, name: str) -> bool:
+        return self._view_ops(name).current_version() is not None
+
+    def drop_view(self, name: str) -> bool:
+        con = _connect(self.db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            ref_type, cur_hash = _ref_hash(con, self.ref)
+            if ref_type != "branch":
+                raise ValueError(f"cannot drop on {ref_type} {self.ref!r}")
+            tables = _tables_at(con, cur_hash)
+            if name not in tables or tables[name].get("kind") != "view":
+                con.rollback()
+                return False
+            del tables[name]
+            new_hash = uuid.uuid4().hex[:16]
+            con.execute(
+                "INSERT INTO catalog_commits (hash, parent, merge_parent, "
+                "message, tables_json, created_ms) VALUES (?, ?, NULL, ?, ?, ?)",
+                (new_hash, cur_hash, f"drop view {name}",
+                 json.dumps(tables), int(time.time() * 1000)))
+            con.execute(
+                "UPDATE catalog_refs SET hash = ? WHERE ref = ? AND hash = ?",
+                (new_hash, self.ref, cur_hash))
+            con.commit()
+            return True
+        finally:
+            con.close()
+
+    def list_views(self, namespace: str = "") -> list:
+        with closing(_connect(self.db_path)) as con:
+            _, h = self._resolve(con)
+            entries = _tables_at(con, h)
+        names = [n for n, e in entries.items() if e.get("kind") == "view"]
         if namespace:
             return sorted(n for n in names if n.startswith(namespace + "."))
         return sorted(names)

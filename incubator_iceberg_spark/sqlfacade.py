@@ -468,9 +468,13 @@ def _rewrite_time_travel(catalog, spark, s: str) -> str:
             # that immutable version's stored SQL (views.py)
             try:
                 from incubator_iceberg_spark import views as V
+                v_exists = getattr(catalog, "view_exists",
+                                   lambda n: V.view_exists(catalog, n))
+                v_load = getattr(catalog, "load_view",
+                                 lambda n: V.load_view(catalog, n))
                 if kind == "VERSION" and not val.startswith("'") \
-                        and V.view_exists(catalog, name):
-                    df = V.load_view(catalog, name).to_df(
+                        and v_exists(name):
+                    df = v_load(name).to_df(
                         catalog, spark, version_id=int(val))
                     view = re.sub(r"\W", "_", f"{name}_V_{val}")
                     df.createOrReplaceTempView(view)
@@ -581,17 +585,24 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
             df = _view_df(catalog.load_table(name, spark=spark), spark)
         except Exception:
             # engine VIEW: expand its stored SQL recursively through the
-            # facade (views.py — scans under the view keep pruning)
+            # facade (views.py — scans under the view keep pruning).
+            # Resolution goes through the CATALOG's view methods so
+            # branch-scoped views (NessieLite) and pointer-store layouts
+            # resolve; FS-path fallback for bare catalogs
             from incubator_iceberg_spark import views as V
             parts = name.split(".")
             kind = parts[-1].lower()
+            v_exists = getattr(catalog, "view_exists",
+                               lambda n: V.view_exists(catalog, n))
+            v_load = getattr(catalog, "load_view",
+                             lambda n: V.load_view(catalog, n))
             try:
-                if V.view_exists(catalog, name):
-                    df = V.load_view(catalog, name).to_df(catalog, spark)
+                if v_exists(name):
+                    df = v_load(name).to_df(catalog, spark)
                 elif (len(parts) >= 3 and kind == "versions"
-                        and V.view_exists(catalog, ".".join(parts[:-1]))):
+                        and v_exists(".".join(parts[:-1]))):
                     df = V.versions_df(
-                        V.load_view(catalog, ".".join(parts[:-1])), spark)
+                        v_load(".".join(parts[:-1])), spark)
             except ValueError as e:
                 if "view cycle" in str(e):
                     raise

@@ -307,6 +307,21 @@ def _location_holds_table(location: str) -> bool:
         return False
 
 
+def new_view_metadata(name: str, location: str, sql: str, schema_json,
+                      properties: Optional[dict] = None) -> ViewMetadata:
+    """Fresh single-version view metadata (shared by the FS/sqlite path
+    and the NessieLite branch-scoped path)."""
+    return ViewMetadata(
+        view_uuid=str(uuid.uuid4()), location=location,
+        current_version_id=1,
+        versions=[ViewVersion(
+            1, now_ms(), sql, schema_json=schema_json,
+            default_namespace=name.rsplit(".", 1)[0],
+            summary={"operation": "create"})],
+        version_log=[{"timestamp-ms": now_ms(), "version-id": 1}],
+        properties=properties)
+
+
 def create_view(catalog, name: str, sql: str, spark=None,
                 replace: bool = False,
                 properties: Optional[dict] = None) -> View:
@@ -332,16 +347,8 @@ def create_view(catalog, name: str, sql: str, spark=None,
         if catalog.table_exists(prefix) or view_exists(catalog, prefix):
             raise ViewAlreadyExistsError(
                 f"{name}: ancestor {prefix} is an existing table/view")
-    md = ViewMetadata(
-        view_uuid=str(uuid.uuid4()), location=location,
-        current_version_id=1,
-        versions=[ViewVersion(
-            1, now_ms(), sql,
-            schema_json=_capture_schema(catalog, spark, sql),
-            default_namespace=name.rsplit(".", 1)[0],
-            summary={"operation": "create"})],
-        version_log=[{"timestamp-ms": now_ms(), "version-id": 1}],
-        properties=properties)
+    md = new_view_metadata(name, location, sql,
+                           _capture_schema(catalog, spark, sql), properties)
     ops.commit(None, md)
     return View(name, ops, md)
 

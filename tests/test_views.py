@@ -231,3 +231,61 @@ def test_view_location_collision_guards(warehouse, spark, orders_table):
     assert warehouse.drop_view("db.topv")
     assert os.path.exists(marker)
     assert warehouse.list_views() == []
+
+
+def test_branch_scoped_views_nessie(tmp_path, spark):
+    """Views on the NessieLite catalog ride the commit map (kind=view):
+    per-branch version history, branch isolation, fast-forward-able
+    merges, both-modified conflicts, and guards against table/view
+    name collisions."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.catalog_branches import (
+        MergeConflictError, NessieLiteCatalog)
+
+    cat = NessieLiteCatalog(str(tmp_path / "cat.db"),
+                            str(tmp_path / "wh"), spark)
+    df = spark.range(100).select(F.col("id"))
+    t = cat.create_table("db.t", Schema.from_spark(df.schema))
+    t.append(df)
+    sqlfacade.execute(cat, spark,
+                      "CREATE VIEW db.v AS SELECT id FROM db.t "
+                      "WHERE id % 2 = 0")
+
+    dev = cat.create_branch("dev")
+    sqlfacade.execute(dev, spark,
+                      "CREATE OR REPLACE VIEW db.v AS SELECT id FROM db.t "
+                      "WHERE id % 5 = 0")
+    # branch isolation: main still serves v1
+    assert sqlfacade.execute(
+        dev, spark, "SELECT COUNT(*) AS n FROM db.v").collect()[0].n == 20
+    assert sqlfacade.execute(
+        cat, spark, "SELECT COUNT(*) AS n FROM db.v").collect()[0].n == 50
+    assert [x.version_id for x in cat.load_view("db.v").versions()] == [1]
+    assert [x.version_id
+            for x in dev.load_view("db.v").versions()] == [1, 2]
+
+    cat.merge("dev")  # view change merges like a table change
+    assert sqlfacade.execute(
+        cat, spark, "SELECT COUNT(*) AS n FROM db.v").collect()[0].n == 20
+
+    # both-modified view -> MergeConflictError
+    dev2 = cat.create_branch("dev2")
+    sqlfacade.execute(dev2, spark,
+                      "CREATE OR REPLACE VIEW db.v AS SELECT id FROM db.t "
+                      "WHERE id % 3 = 0")
+    sqlfacade.execute(cat, spark,
+                      "CREATE OR REPLACE VIEW db.v AS SELECT id FROM db.t "
+                      "WHERE id % 7 = 0")
+    with pytest.raises(MergeConflictError):
+        cat.merge("dev2")
+
+    # kind guards + listings
+    assert cat.list_tables() == ["db.t"]
+    assert cat.list_views() == ["db.v"]
+    with pytest.raises(TableAlreadyExistsError):
+        cat.create_table("db.v", Schema.from_spark(df.schema))
+    assert cat.drop_table("db.v") is False  # wrong kind
+    assert cat.drop_view("db.v") is True and cat.list_views() == []
+    # the other branch's head still serves its own version
+    assert sqlfacade.execute(
+        dev2, spark, "SELECT COUNT(*) AS n FROM db.v").collect()[0].n == 34
