@@ -647,7 +647,6 @@ def read_avro_files(spark, paths: list, file_schema: S.Schema,
     out_names = [f.name for f in file_schema.fields]
 
     def task(batches):
-        from incubator_iceberg_spark.row_ops import normalize_file_uri
         from incubator_iceberg_spark.schema import Schema as Sch
         expected = Sch.from_json(json.loads(schema_json))
         res_cache: dict = {}  # raw writer-schema bytes -> (wsch, mapping)
@@ -679,8 +678,19 @@ def read_avro_files(spark, paths: list, file_schema: S.Schema,
                 arrays = {name: pa.array(col, type=arrow_schema.field(name).type)
                           for name, col in zip(out_names, cols)}
                 if with_lineage:
+                    # binaryFile's path is the RAW filesystem path behind a
+                    # file: scheme (NOT percent-escaped like
+                    # _metadata.file_path) — strip the scheme WITHOUT
+                    # decoding, then escape literal '%' so the consumers'
+                    # _norm_file_col url_decode is a true inverse for
+                    # directory names like 'a%20b'
+                    fpath = path
+                    if fpath.startswith("file:"):
+                        fpath = fpath[len("file:"):]
+                        while fpath.startswith("//"):
+                            fpath = fpath[1:]
                     arrays["_file"] = pa.array(
-                        [normalize_file_uri(path)] * n, type=pa.string())
+                        [fpath.replace("%", "%25")] * n, type=pa.string())
                     arrays["_pos"] = pa.array(range(n), type=pa.int64())
                 yield pa.RecordBatch.from_pydict(arrays, schema=arrow_schema)
 

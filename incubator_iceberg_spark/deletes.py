@@ -177,9 +177,11 @@ def add_equality_deletes(table, del_df, equality_cols, spark=None):
     del_schema = S.Schema(fields)
     entries = _write_delete_parquet(spark, table.location,
                                     del_df.select(*equality_cols), del_schema)
+    fp = eq_schema_fingerprint(del_schema)
     for e in entries:
         e["content"] = MF.EQUALITY_DELETES
         e["equality_ids"] = [f.field_id for f in fields]
+        e["eq_schema_fp"] = fp
     table.metadata = SN.append_files(table.ops, entries, operation="delete")
     return table
 
@@ -418,6 +420,19 @@ def _decoded_meta_path_col():
         r"\+", "%2B"))
 
 
+def eq_schema_fingerprint(del_schema: S.Schema) -> str:
+    """Write-time schema of an eq-delete parquet, as canonical
+    engine-schema JSON stamped into the file's manifest entry.  The
+    planner buckets files and reconstructs their read schema from this
+    string ALONE — at plan time a lagging maintenance loop can hold
+    thousands of accrued eq files, and one pyarrow footer read per file
+    is one object-store round trip each (the reference plans deletes
+    from manifest metadata alone: core/.../DeleteFileIndex.java:65-123)."""
+    import json as _json
+    return _json.dumps(del_schema.to_json(), sort_keys=True,
+                       separators=(",", ":"))
+
+
 def load_eq_delete_groups(spark, eq_entries: list, table_schema: S.Schema):
     """Yield (current_cols, eq_df, total_record_count) per equality-ids
     group, with ``___del_seq`` stamped per row.  The delete parquet holds
@@ -452,23 +467,39 @@ def load_eq_delete_groups(spark, eq_entries: list, table_schema: S.Schema):
         del_schema = S.Schema([f for f in fields if f is not None])
         tgt = del_schema.to_spark()
         tgt_names = [f.name for f in tgt.fields]
-        # bucket by full footer schema (names + types): every bucket is
-        # one multi-path scan with a uniform read schema
-        by_footer: dict = {}
+        # bucket by write-time schema: the manifest-stamped fingerprint
+        # when present (engine-written files — ZERO footer IO), else one
+        # driver pyarrow footer read (imported/pre-fingerprint files).
+        # Every bucket is one multi-path scan with a uniform read schema.
+        by_key: dict = {}
         for e in group:
-            fsc = _pq.read_schema(e["file_path"])
-            key = (tuple(fsc.names), tuple(str(t) for t in fsc.types))
-            by_footer.setdefault(key, (fsc, []))[1].append(e)
+            fp = e.get("eq_schema_fp")
+            if fp:
+                key = ("fp", fp)
+                src = fp
+            else:
+                fsc = _pq.read_schema(e["file_path"])
+                key = ("footer", tuple(fsc.names),
+                       tuple(str(t) for t in fsc.types))
+                src = fsc
+            by_key.setdefault(key, (src, []))[1].append(e)
         eq_df = None
         total_rc = 0
-        for (fnames, _ftypes), (fsc, bucket) in by_footer.items():
+        for key, (src, bucket) in by_key.items():
+            if key[0] == "fp":
+                import json as _json
+                wsch = S.Schema.from_json(_json.loads(src))
+                fnames = [f.name for f in wsch.fields]
+                fsp = wsch.to_spark()
+            else:
+                fnames = list(src.names)
+                fsp = from_arrow_schema(src)
             paths = [e["file_path"] for e in bucket]
             seqs = {e.get("sequence_number") or 0 for e in bucket}
-            if list(fnames) == tgt_names:
+            if fnames == tgt_names:
                 part = spark.read.schema(tgt).parquet(*paths)
                 keep = [F.col(n) for n in tgt_names]
             elif len(fnames) == len(tgt.fields):
-                fsp = from_arrow_schema(fsc)
                 part = spark.read.schema(fsp).parquet(*paths)
                 keep = [F.col(fnames[i]).cast(f.dataType).alias(f.name)
                         for i, f in enumerate(tgt.fields)]

@@ -66,9 +66,13 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
         if schema.find_field(c) is None:
             raise ValueError(f"SCD2 dimension is missing column {c!r}")
 
+    # eqNullSafe: a NULL op value is an upsert, not a silent drop — a
+    # plain == would yield NULL, and the acting filter below would then
+    # evaluate to NULL for the row (neither close nor insert), losing
+    # data for CDC feeds that leave op NULL on insert/snapshot rows.
     c_df = changes_df.select(
         *key_cols, *attr_cols, F.col(ts_col).cast("long").alias("__ts"),
-        (F.col(op_col) == F.lit(delete_op)).alias("__del") if op_col
+        F.col(op_col).eqNullSafe(F.lit(delete_op)).alias("__del") if op_col
         else F.lit(False).alias("__del"))
     dup = (c_df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") > 1).limit(1).collect())

@@ -902,8 +902,29 @@ def auto_maintain(table, spark=None, policy: Optional[dict] = None,
     for k in pol:
         v = md.properties.get(f"maintenance.auto.{k}")
         if v is not None:
-            pol[k] = type(AUTO_POLICY_DEFAULTS[k])(v)
-    pol.update(policy or {})
+            # float-first so int keys accept '1.5'/'1e6'; name the
+            # offending property instead of a bare ValueError that
+            # fails the whole maintenance pass opaquely
+            try:
+                f = float(v)
+                pol[k] = (int(f) if isinstance(AUTO_POLICY_DEFAULTS[k], int)
+                          else f)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"invalid table property maintenance.auto.{k}={v!r}: "
+                    "expected a number") from None
+    for k, v in (policy or {}).items():
+        if k in AUTO_POLICY_DEFAULTS:
+            try:
+                f = float(v)
+                pol[k] = (int(f) if isinstance(AUTO_POLICY_DEFAULTS[k], int)
+                          else f)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"invalid auto_maintain policy {k}={v!r}: "
+                    "expected a number") from None
+        else:
+            pol[k] = v
     target = int(md.property(MD.WRITE_TARGET_FILE_SIZE,
                              MD.WRITE_TARGET_FILE_SIZE_DEFAULT))
     small_bytes = int(pol["small-file-bytes"]) or target // 2

@@ -182,6 +182,13 @@ def entry_arrow_schema(table_schema: S.Schema, spec: PartitionSpec) -> pa.schema
         pa.field("nan_counts", pa.map_(pa.string(), pa.int64())),
         # v2 equality deletes: field ids the delete rows match on
         pa.field("equality_ids", pa.list_(pa.int32())),
+        # equality-delete entries: the WRITE-TIME schema of the delete
+        # parquet (engine-schema JSON).  Lets the planner bucket + build
+        # read schemas with ZERO footer round trips (the reference's
+        # DeleteFileIndex plans from manifest metadata alone,
+        # core/.../DeleteFileIndex.java:65-123); absent on imported or
+        # pre-r9 files, which fall back to a driver pyarrow footer read.
+        pa.field("eq_schema_fp", pa.string()),
         # position-delete entries only: the referenced-data-file path range
         # (the delete file's file_path column bounds — DeleteFileIndex's
         # referenced-data-file stat).  The bounds struct below is keyed by
@@ -234,6 +241,9 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
     names.append("equality_ids")
     arrays.append(pa.array([e.get("equality_ids") for e in entries],
                            type=pa.list_(pa.int32())))
+    names.append("eq_schema_fp")
+    arrays.append(pa.array([e.get("eq_schema_fp") for e in entries],
+                           type=pa.string()))
 
     def ref_bound(e, which):
         if (e.get("content") or DATA) != POSITION_DELETES:

@@ -765,7 +765,12 @@ def _read_hive_import_group(spark, md, entries, fmt, current_schema,
         cols.append(expr.alias(f.name))
     extra = []
     if need_lineage:
-        extra = [F.col("__hfile").alias("_file"),
+        # __hfile is a DECODED plain path (needed for the consts join),
+        # but every _file consumer decodes again via _norm_file_col —
+        # re-escape literal '%' so that decode is a true inverse for
+        # directory names that legitimately contain %-hex sequences
+        extra = [F.regexp_replace(F.col("__hfile"), "%", "%25")
+                 .alias("_file"),
                  F.col("__hpos").alias("_pos")]
     return df.select(*cols, *extra)
 

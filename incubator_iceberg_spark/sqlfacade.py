@@ -67,7 +67,11 @@ _DROP_VIEW_RE = re.compile(
 
 def execute(catalog, spark, sql: str):
     """Dispatch one SQL statement against engine tables."""
-    s = sql.strip().rstrip(";")
+    import re as _re
+    # leading comments would otherwise defeat head-keyword dispatch
+    # (head becomes '--'); Spark itself tolerates them, so strip here
+    s = _re.sub(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*\s*", "", sql,
+                flags=_re.DOTALL).strip().rstrip(";")
     head = s.split(None, 1)[0].upper() if s else ""
     if head == "CALL":
         from incubator_iceberg_spark import procedures

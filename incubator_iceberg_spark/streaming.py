@@ -584,9 +584,11 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
                       .sortWithinPartitions(*on))
             eq_entries = DEL._write_delete_parquet(
                 spark, md.location, key_df, del_schema)
+            fp = DEL.eq_schema_fingerprint(del_schema)
             for e in eq_entries:
                 e["content"] = MF.EQUALITY_DELETES
                 e["equality_ids"] = [f.field_id for f in key_fields]
+                e["eq_schema_fp"] = fp
             entries = entries + eq_entries
         if not entries:
             return False

@@ -40,6 +40,24 @@ class NoSuchViewError(Exception):
     pass
 
 
+def _require_query(sql: str) -> str:
+    """A view body must be a QUERY.  The facade regex enforces this for
+    SQL-path creation, but the programmatic API accepts arbitrary text —
+    and ``to_df`` re-executes the stored text through full facade
+    dispatch on EVERY read, so a body like 'DROP TABLE t' would run
+    that statement per read.  Reject anything whose first token (after
+    comments) is not SELECT/WITH/VALUES, at create/replace AND read."""
+    import re
+    head = re.sub(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*\s*", "", sql,
+                  flags=re.DOTALL)
+    m = re.match(r"(?i)(SELECT|WITH|VALUES)\b", head)
+    if not m:
+        tok = head.split(None, 1)[0] if head.split() else "<empty>"
+        raise ValueError(
+            f"view SQL must be a query (SELECT/WITH/VALUES), got {tok!r}")
+    return sql
+
+
 class ViewAlreadyExistsError(Exception):
     pass
 
@@ -224,7 +242,8 @@ class View:
             raise ValueError(f"view cycle detected at {self.name}")
         stack.add(self.name)
         try:
-            return sqlfacade.execute(catalog, spark, self.sql(version_id))
+            return sqlfacade.execute(catalog, spark,
+                                     _require_query(self.sql(version_id)))
         finally:
             stack.discard(self.name)
 
@@ -251,6 +270,7 @@ class View:
                 properties: Optional[dict] = None) -> "View":
         """CREATE OR REPLACE: append an immutable version and point
         current-version-id at it (prior versions stay queryable)."""
+        _require_query(sql)
         schema_json = _capture_schema(catalog, spark, sql)
 
         def mutate(md: ViewMetadata) -> ViewMetadata:
@@ -325,6 +345,7 @@ def new_view_metadata(name: str, location: str, sql: str, schema_json,
 def create_view(catalog, name: str, sql: str, spark=None,
                 replace: bool = False,
                 properties: Optional[dict] = None) -> View:
+    _require_query(sql)
     location = catalog._table_location(name)
     ops = ViewOperations(location)
     existing = ops.refresh()
@@ -350,6 +371,16 @@ def create_view(catalog, name: str, sql: str, spark=None,
     md = new_view_metadata(name, location, sql,
                            _capture_schema(catalog, spark, sql), properties)
     ops.commit(None, md)
+    # TOCTOU guard: the table_exists check above has no shared lock with
+    # create_table (NessieLite re-checks kind inside BEGIN IMMEDIATE; the
+    # FS/sqlite path cannot).  Re-check AFTER the atomic link commit —
+    # the view files are now visible, so a concurrent create_table either
+    # saw them (and failed) or raced in first; if a table landed, roll
+    # the view back (unlink our own files only) and surface the clash.
+    if catalog.table_exists(name) or _location_holds_table(location):
+        drop_view(catalog, name)
+        raise ViewAlreadyExistsError(
+            f"{name}: a table was created concurrently with this view")
     return View(name, ops, md)
 
 

@@ -72,3 +72,35 @@ def test_merge_file_filter_under_escaped_path(spaced_catalog, spark, ids):
     assert res["touched_files"] > 0  # the probe must find the files
     assert t.to_df().filter("v = 999").count() == 10
     assert t.to_df().count() == 1000
+
+
+@pytest.fixture()
+def pct_catalog(tmp_path, spark):
+    # a directory whose LITERAL name contains a %-hex sequence: decode
+    # applied twice turns 'a%20b' into 'a b' and breaks path-keyed joins
+    return Catalog(str(tmp_path / "a%20b" / "wh"), spark)
+
+
+def test_avro_mor_deletes_under_literal_percent_path(pct_catalog, spark,
+                                                     ids):
+    """avro lineage stamps _file from raw paths (not _metadata.file_path);
+    consumers url_decode — the emit side must escape literal '%' so the
+    decode is a true inverse (round-9 ADVICE, row_ops.py:717)."""
+    t = pct_catalog.create_table(
+        "db.av", Schema.from_spark(ids.schema),
+        properties={"write.format.default": "avro"})
+    t.append(ids)
+    t.delete_where("id % 7 = 0", mode="merge-on-read")
+    exp = 1000 - len([i for i in range(1000) if i % 7 == 0])
+    assert t.to_df().count() == exp
+
+
+def test_parquet_mor_deletes_under_literal_percent_path(pct_catalog, spark,
+                                                        ids):
+    t = pct_catalog.create_table("db.pq", Schema.from_spark(ids.schema))
+    t.append(ids)
+    t.delete_where("id % 7 = 0", mode="merge-on-read")
+    t.delete_where("id % 11 = 0", mode="merge-on-read")
+    exp = 1000 - len([i for i in range(1000) if i % 7 == 0 or i % 11 == 0])
+    assert t.to_df().count() == exp
+    assert len(t.to_arrow()) == exp

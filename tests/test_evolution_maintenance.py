@@ -679,6 +679,32 @@ def test_auto_maintain_policy_from_properties(warehouse, spark):
     assert not dry2["rewrite_data_files"]["triggered"]
 
 
+def test_auto_maintain_policy_coercion(warehouse, spark):
+    """int-typed policy keys accept float-ish strings ('1.5', '1e6');
+    a non-numeric value raises an error NAMING the property instead of
+    an opaque ValueError, and call-site policy values are coerced too."""
+    import pytest
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+
+    base = spark.range(100).select(F.col("id"))
+    t = warehouse.create_table(
+        "db.amc", Schema.from_spark(base.schema),
+        properties={"maintenance.auto.min-small-files": "1.5",
+                    "maintenance.auto.eq-debt-tuples": "1e6"})
+    t.append(base)
+    dry = t.auto_maintain(dry_run=True)  # no raise: 1.5 -> 1, 1e6 -> 1000000
+    assert isinstance(dry, dict)
+    dry2 = t.auto_maintain(dry_run=True, policy={"min-small-files": "2.5"})
+    assert isinstance(dry2, dict)
+    t2 = warehouse.create_table(
+        "db.amc2", Schema.from_spark(base.schema),
+        properties={"maintenance.auto.min-small-files": "lots"})
+    t2.append(base)
+    with pytest.raises(ValueError, match="maintenance.auto.min-small-files"):
+        t2.auto_maintain(dry_run=True)
+
+
 def test_rewrite_manifests_target_size_chunks_prune(warehouse, spark,
                                                     orders):
     """Partition-sorted entries split at commit.manifest.target-size-bytes

@@ -135,3 +135,21 @@ def test_scd2_deleted_key_can_reappear(warehouse, spark):
                   key=lambda r: r["effective_from"])
     assert [(r["effective_from"], r["effective_to"], r["is_current"])
             for r in rows] == [(0, 100, False), (200, None, True)]
+
+
+def test_scd2_null_op_is_upsert_not_dropped(warehouse, spark):
+    """A change row with op = NULL (CDC insert/snapshot rows often omit
+    op) must act as an upsert — a plain == would make the acting filter
+    NULL and silently drop the row."""
+    t = _dim(warehouse, spark)
+    batch = _changes_op(spark, [
+        (1, "A1", 11, None),   # NULL op on existing key -> close + insert
+        (9, "Z", 99, None),    # NULL op on new key -> insert
+        (2, None, None, "D"),  # real delete still closes
+    ], ts=100)
+    scd.scd2_apply(t, batch, ["k"], ["seg", "score"], "ts", op_col="op")
+    got = {(r["k"], r["effective_from"]): r for r in t.to_df().collect()}
+    assert (1, 100) in got and got[(1, 100)]["seg"] == "A1"
+    assert got[(1, 0)]["effective_to"] == 100 and not got[(1, 0)]["is_current"]
+    assert (9, 100) in got and got[(9, 100)]["is_current"]
+    assert t.to_df().filter("k = 2 AND is_current").count() == 0

@@ -702,3 +702,51 @@ def test_eq_debt_maintenance_advisory(warehouse, orders, spark, monkeypatch):
         assert "convert_equality_deletes" in adv.detail
     finally:
         EVT.unregister(got.append)
+
+
+def test_eq_delete_planning_reads_no_footers(warehouse, spark, monkeypatch):
+    """Engine-written eq-delete files carry a write-time schema
+    fingerprint in their manifest entry (eq_schema_fp) — the planner
+    must build their read schema from manifest metadata ALONE, like the
+    reference's DeleteFileIndex (DeleteFileIndex.java:65-123).  One
+    pyarrow footer read per accrued file is one object-store round trip
+    each at plan time."""
+    import pyarrow.parquet as pq
+    from incubator_iceberg_spark import deletes as DEL
+    from incubator_iceberg_spark import manifests as MF
+    from incubator_iceberg_spark.scan import TableScan
+
+    base = spark.range(2000).select(F.col("id"), (F.col("id") % 10).alias("v"))
+    t = warehouse.create_table("db.eqfp", Schema.from_spark(base.schema))
+    t.append(base)
+    for m in (7, 11):  # two commits, two eq files
+        t.add_equality_deletes(
+            spark.createDataFrame([(i,) for i in range(0, 2000, m)],
+                                  "id long"), ["id"])
+
+    calls = []
+    real = pq.read_schema
+
+    def counting(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pq, "read_schema", counting)
+    exp = 2000 - len([i for i in range(2000) if i % 7 == 0 or i % 11 == 0])
+    assert t.to_df().count() == exp
+    assert calls == [], f"planner read {len(calls)} footers"
+
+    # fallback: entries WITHOUT the fingerprint (imported / pre-r9
+    # manifests) still plan via one footer read per file
+    data, dels = TableScan(t, spark)._plan_split()
+    eq = [dict(e) for e in dels
+          if (e.get("content") or 0) == MF.EQUALITY_DELETES]
+    assert eq and all(e.get("eq_schema_fp") for e in eq)
+    for e in eq:
+        e.pop("eq_schema_fp")
+    groups = list(DEL.load_eq_delete_groups(spark, eq, t.metadata.schema()))
+    assert len(calls) == len(eq)  # footer read per fingerprint-less file
+    (cols, eq_df, total_rc), = groups
+    assert cols == ["id"]
+    assert eq_df.count() == len([i for i in range(2000) if i % 7 == 0]) \
+        + len([i for i in range(2000) if i % 11 == 0])

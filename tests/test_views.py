@@ -289,3 +289,47 @@ def test_branch_scoped_views_nessie(tmp_path, spark):
     # the other branch's head still serves its own version
     assert sqlfacade.execute(
         dev2, spark, "SELECT COUNT(*) AS n FROM db.v").collect()[0].n == 34
+
+
+def test_view_sql_must_be_a_query(warehouse, spark, orders_table):
+    """The programmatic API (unlike the facade regex) accepted arbitrary
+    text, and to_df re-executes the stored text through full facade
+    dispatch on every read — a DDL/DML body would run per read."""
+    from incubator_iceberg_spark import views as V
+    with pytest.raises(ValueError, match="must be a query"):
+        V.create_view(warehouse, "db.evil", "DROP TABLE db.vo", spark=spark)
+    v = V.create_view(warehouse, "db.ok",
+                      "-- leading comment\n  WITH x AS (SELECT 1 AS a) "
+                      "SELECT a FROM x", spark=spark)
+    assert v.to_df(warehouse, spark).count() == 1
+    with pytest.raises(ValueError, match="must be a query"):
+        v.replace("DELETE FROM db.vo WHERE o_orderkey = 1",
+                  catalog=warehouse, spark=spark)
+    # defense in depth: a stored body that is somehow not a query is
+    # refused at READ time too
+    v.metadata.versions[-1].sql = "DROP TABLE db.vo"
+    with pytest.raises(ValueError, match="must be a query"):
+        v.to_df(warehouse, spark)
+    assert warehouse.load_table("db.vo").to_df().count() > 0
+
+
+def test_create_view_rolls_back_on_concurrent_table(warehouse, spark,
+                                                    orders_table,
+                                                    monkeypatch):
+    """TOCTOU guard: table_exists passes pre-commit, a concurrent
+    create_table lands before our post-commit re-check — the view must
+    unlink itself and raise instead of leaving both objects on one name."""
+    from incubator_iceberg_spark import views as V
+    calls = {"n": 0}
+    real = warehouse.table_exists
+
+    def racy(name):
+        if name == "db.race":
+            calls["n"] += 1
+            return calls["n"] >= 2  # pre-check False, post-check True
+        return real(name)
+
+    monkeypatch.setattr(warehouse, "table_exists", racy)
+    with pytest.raises(ViewAlreadyExistsError, match="concurrently"):
+        V.create_view(warehouse, "db.race", "SELECT 1 AS a", spark=spark)
+    assert not V.view_exists(warehouse, "db.race")
