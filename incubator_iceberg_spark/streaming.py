@@ -346,6 +346,34 @@ def _record_epoch_property(table, query_id: str, epoch_id: int) -> None:
         table.update_properties({key: str(int(epoch_id))})
 
 
+#: table property: run auto_maintain after every Nth committed epoch
+#: (0/absent = off).  Closes the debt-accrual loop the upsert-MoR sink
+#: creates (one eq-delete file per epoch) without an external scheduler
+#: — the MaintenanceAdvisory consumer the scan side recommends.
+AUTO_MAINTAIN_EVERY = "maintenance.auto.every-epochs"
+
+
+def _maybe_auto_maintain(table, epoch_id: int, spark):
+    """Post-epoch maintenance hook shared by the exactly-once sinks.
+    Runs AFTER the epoch's commit + marker are durable, so a maintenance
+    failure can never lose the epoch (the replay guard already skips
+    it).  The decide step is O(metadata) — one manifest-list read — so
+    off-cadence epochs pay nothing beyond a property lookup."""
+    n = table.metadata.properties.get(AUTO_MAINTAIN_EVERY)
+    if not n:
+        return None
+    try:
+        n = int(float(n))
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"invalid table property {AUTO_MAINTAIN_EVERY}={n!r}: "
+            "expected a number") from None
+    if n <= 0 or int(epoch_id) % n != 0:
+        return None
+    from incubator_iceberg_spark import maintenance as MT
+    return MT.auto_maintain(table, spark=spark)
+
+
 def append_exactly_once(table, batch_df, epoch_id: int, query_id: str = "default",
                         spark=None) -> bool:
     """S12: append a micro-batch exactly once.  Returns False (no-op) when
@@ -358,6 +386,7 @@ def append_exactly_once(table, batch_df, epoch_id: int, query_id: str = "default
     table.append(batch_df, spark=spark,
                  extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
     _record_epoch_property(table, query_id, epoch_id)
+    _maybe_auto_maintain(table, epoch_id, spark or batch_df.sparkSession)
     return True
 
 
@@ -399,6 +428,7 @@ def upsert_exactly_once(table, batch_df, epoch_id: int, on=None,
         spark=spark or batch_df.sparkSession,
         extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
     _record_epoch_property(table, query_id, epoch_id)
+    _maybe_auto_maintain(table, epoch_id, spark or batch_df.sparkSession)
     return True
 
 
@@ -455,6 +485,7 @@ def cdc_apply_exactly_once(table, batch_df, epoch_id: int, on=None,
         spark=spark or batch_df.sparkSession,
         extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
     _record_epoch_property(table, query_id, epoch_id)
+    _maybe_auto_maintain(table, epoch_id, spark or batch_df.sparkSession)
     return True
 
 
@@ -597,6 +628,7 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
             extra_summary={EPOCH_KEY: str(int(epoch_id)),
                            QUERY_KEY: query_id})
         _record_epoch_property(table, query_id, epoch_id)
+        _maybe_auto_maintain(table, epoch_id, spark)
         return True
     finally:
         batch_df.unpersist()

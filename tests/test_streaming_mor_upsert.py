@@ -186,3 +186,50 @@ def test_epoch_replay_skipped_after_snapshot_expiry(warehouse, spark):
     # a genuinely new epoch still commits, and per-query isolation holds
     assert STR.append_exactly_once(t, b1, 2, query_id="qx") is True
     assert STR.append_exactly_once(t, b0, 0, query_id="other") is True
+
+
+def test_auto_maintain_hook_bounds_eq_debt(warehouse, spark, sf_dir):
+    """maintenance.auto.every-epochs=N: every Nth committed epoch runs
+    the manifest-plane auto_maintain pass from INSIDE the sink loop —
+    accrued eq-delete files stay bounded across many upsert epochs
+    without an external scheduler."""
+    t, base = _mk(warehouse, spark, sf_dir, "db.amh")
+    t.update_properties({"maintenance.auto.every-epochs": "4",
+                         "maintenance.auto.eq-debt-files": "3",
+                         "maintenance.auto.min-small-files": "1000",
+                         "maintenance.auto.max-manifests": "1000",
+                         "maintenance.auto.max-snapshots": "1000"})
+    max_eq_seen = 0
+    for epoch in range(1, 13):
+        batch = (base.limit(20)
+                 .withColumn("o_totalprice",
+                             F.col("o_totalprice") + epoch))
+        assert STR.upsert_mor_exactly_once(t, batch, epoch_id=epoch,
+                                           on=["o_orderkey"], spark=spark)
+        _, dels = _split(t.refresh(), spark)
+        n_eq = len([e for e in dels
+                    if (e.get("content") or 0) == EQUALITY_DELETES])
+        max_eq_seen = max(max_eq_seen, n_eq)
+    # without the hook 12 epochs accrue 12 eq files; the every-4 cadence
+    # converts them, so the high-water mark stays under one cadence + gate
+    assert max_eq_seen <= 7, max_eq_seen
+    _, dels = _split(t.refresh(), spark)
+    n_eq_final = len([e for e in dels
+                      if (e.get("content") or 0) == EQUALITY_DELETES])
+    assert n_eq_final <= 3, n_eq_final
+    # replay guard still intact through maintenance commits
+    assert not STR.upsert_mor_exactly_once(t, base.limit(5), epoch_id=12,
+                                           on=["o_orderkey"], spark=spark)
+    # rows correct: every key upserted once, plus the survivors
+    assert t.refresh().to_df().count() == 120
+
+
+def test_auto_maintain_hook_off_by_default(warehouse, spark, sf_dir):
+    t, base = _mk(warehouse, spark, sf_dir, "db.amh0", n=40)
+    for epoch in range(1, 5):
+        STR.upsert_mor_exactly_once(t, base.limit(10), epoch_id=epoch,
+                                    on=["o_orderkey"], spark=spark)
+    _, dels = _split(t.refresh(), spark)
+    n_eq = len([e for e in dels
+                if (e.get("content") or 0) == EQUALITY_DELETES])
+    assert n_eq == 4  # one per epoch, untouched
