@@ -640,7 +640,21 @@ def q_view_versions(spark, sf_dir):
     v = cat.load_view("s.vv")
     assert [x.version_id for x in v.versions()] == [1, 2]
     assert v.metadata.current_version_id == 2
+    # r9 broadened surfaces: SHOW CREATE VIEW renders the CURRENT
+    # version's stored SQL; non-query bodies are refused at create
+    ddl = SQLF.execute(cat, spark, "SHOW CREATE VIEW s.vv") \
+        .first().createview_stmt
+    assert "CREATE VIEW s.vv AS" in ddl and "o_totalprice > 200000" in ddl
+    try:
+        SQLF.execute(cat, spark,
+                     "CREATE VIEW s.vevil AS DROP TABLE s.vv_orders")
+        raise AssertionError("non-query view body accepted")
+    except ValueError:
+        pass
     v.rollback_to_version(1)  # v1 becomes current; both stay queryable
+    ddl1 = SQLF.execute(cat, spark, "SHOW CREATE VIEW s.vv") \
+        .first().createview_stmt
+    assert "o_totalprice > 100000" in ddl1  # DDL follows the rollback
     df = SQLF.execute(cat, spark, """
         SELECT v.o_orderpriority AS o_orderpriority, v.n AS n,
                v.cents AS cents, m.n_versions AS n_versions,

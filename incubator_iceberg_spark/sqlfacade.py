@@ -208,6 +208,11 @@ def execute(catalog, spark, sql: str):
                 [(n.rsplit(".", 1)[0] if "." in n else "",
                   n.rsplit(".", 1)[-1]) for n in names],
                 "namespace string, name string")
+        mm = re.match(r"^\s*SHOW\s+CREATE\s+(TABLE|VIEW)\s+([\w.]+)\s*$",
+                      s, re.IGNORECASE)
+        if mm:
+            return _show_create(catalog, spark, mm.group(1).upper(),
+                                mm.group(2))
         raise ValueError(f"cannot parse SHOW: {sql!r}")
     if head == "TRUNCATE":
         mm = re.match(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", s, re.IGNORECASE)
@@ -456,6 +461,53 @@ def _merge(catalog, spark, s: str):
 _TT_RE = re.compile(
     r"\b((?:\w+\.)+\w+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
     re.IGNORECASE)
+
+
+def _show_create(catalog, spark, kind: str, name: str):
+    """SHOW CREATE TABLE/VIEW: one-row DDL render (SparkShowCreateTable
+    shape).  Views render the CURRENT version's stored SQL; tables render
+    columns, partition transforms in create syntax, identifier fields and
+    non-default properties."""
+    if kind == "VIEW":
+        from incubator_iceberg_spark import views as V
+        v_load = getattr(catalog, "load_view",
+                         lambda n: V.load_view(catalog, n))
+        v = v_load(name)
+        stmt = f"CREATE VIEW {name} AS\n{v.sql()}"
+        if v.metadata.properties:
+            props = ", ".join(f"'{k}' = '{x}'"
+                              for k, x in sorted(v.metadata.properties.items()))
+            stmt += f"\nTBLPROPERTIES ({props})"
+        return spark.createDataFrame([(stmt,)], "createview_stmt string")
+    t = catalog.load_table(name, spark=spark)
+    md = t.metadata
+    schema = md.schema()
+    cols = ",\n  ".join(
+        f"{f.name} {f.type}{' NOT NULL' if f.required else ''}"
+        for f in schema.fields)
+    stmt = f"CREATE TABLE {name} (\n  {cols})\nUSING iiws"
+    spec = md.spec()
+    if spec.is_partitioned:
+        parts = []
+        for f in spec.fields:
+            src = schema.field_path(f.source_id)
+            ts = str(f.transform).replace("[", "(").rstrip("]")
+            if ts == "identity":
+                parts.append(src)
+            elif "(" in ts:  # bucket(8 / truncate(10 -> bucket(8, col)
+                parts.append(f"{ts}, {src})")
+            else:
+                parts.append(f"{ts}({src})")
+        stmt += "\nPARTITIONED BY (" + ", ".join(parts) + ")"
+    if schema.identifier_field_ids:
+        ids = ", ".join(schema.field_path(i)
+                        for i in schema.identifier_field_ids)
+        stmt += f"\n-- identifier fields: ({ids})"
+    if md.properties:
+        props = ", ".join(f"'{k}' = '{x}'"
+                          for k, x in sorted(md.properties.items()))
+        stmt += f"\nTBLPROPERTIES ({props})"
+    return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
 
 def _rewrite_time_travel(catalog, spark, s: str) -> str:

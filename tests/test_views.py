@@ -333,3 +333,105 @@ def test_create_view_rolls_back_on_concurrent_table(warehouse, spark,
     with pytest.raises(ViewAlreadyExistsError, match="concurrently"):
         V.create_view(warehouse, "db.race", "SELECT 1 AS a", spark=spark)
     assert not V.view_exists(warehouse, "db.race")
+
+
+def test_view_body_over_metadata_table_and_time_travel(warehouse, spark,
+                                                       orders_table):
+    """View bodies are full facade SQL: metadata-table suffixes and
+    VERSION AS OF time travel inside a view body resolve per read."""
+    t, src = orders_table
+    s1 = t.metadata.current_snapshot_id
+    t.append(src.limit(7))
+    sqlfacade.execute(warehouse, spark,
+                      "CREATE VIEW db.vsnap AS "
+                      "SELECT COUNT(*) AS n_snaps FROM db.vo.snapshots")
+    assert sqlfacade.execute(
+        warehouse, spark, "SELECT * FROM db.vsnap").first().n_snaps == 2
+    sqlfacade.execute(warehouse, spark,
+                      f"CREATE VIEW db.vpin AS SELECT COUNT(*) AS n "
+                      f"FROM db.vo VERSION AS OF {s1}")
+    n_v1 = src.count()
+    assert sqlfacade.execute(
+        warehouse, spark, "SELECT * FROM db.vpin").first().n == n_v1
+    # the time-travel pin holds as the base table moves on
+    t.append(src.limit(3))
+    assert sqlfacade.execute(
+        warehouse, spark, "SELECT * FROM db.vpin").first().n == n_v1
+    assert sqlfacade.execute(
+        warehouse, spark, "SELECT * FROM db.vsnap").first().n_snaps == 3
+
+
+def test_show_create_view_and_table(warehouse, spark, orders_table):
+    sqlfacade.execute(warehouse, spark,
+                      "CREATE VIEW db.vshow AS "
+                      "SELECT o_orderkey FROM db.vo WHERE o_totalprice > 1")
+    row = sqlfacade.execute(warehouse, spark,
+                            "SHOW CREATE VIEW db.vshow").first()
+    assert "CREATE VIEW db.vshow AS" in row.createview_stmt
+    assert "o_totalprice > 1" in row.createview_stmt
+    # round-trip: the rendered body re-executes
+    body = row.createview_stmt.split(" AS\n", 1)[1].split("\nTBLPROPERTIES")[0]
+    assert sqlfacade.execute(warehouse, spark, body).count() > 0
+
+    t = warehouse.create_table(
+        "db.shtab", "k long, v string",
+        partition_by=["bucket(8, k)"],
+        properties={"write.format.default": "parquet"})
+    row = sqlfacade.execute(warehouse, spark,
+                            "SHOW CREATE TABLE db.shtab").first()
+    assert "CREATE TABLE db.shtab" in row.createtab_stmt
+    assert "bucket(8, k)" in row.createtab_stmt
+    assert "USING iiws" in row.createtab_stmt
+    assert "write.format.default" in row.createtab_stmt
+
+
+def test_concurrent_replace_with_readers(warehouse, spark, orders_table):
+    """Reader isolation under concurrent REPLACE: every read executes
+    ONE committed version's SQL — results always match some version's
+    expected output, never an error or a torn state."""
+    from incubator_iceberg_spark import views as V
+    V.create_view(warehouse, "db.vrw",
+                  "SELECT COUNT(*) AS n, 0 AS v FROM db.vo", spark=spark)
+    valid = {}
+    valid[0] = tuple(sqlfacade.execute(
+        warehouse, spark, "SELECT COUNT(*) AS n, 0 AS v FROM db.vo")
+        .first())
+    errors, results = [], []
+
+    def replacer():
+        try:
+            v = warehouse.load_view("db.vrw")
+            for i in range(1, 6):
+                cutoff = i * 20000
+                v.replace(f"SELECT COUNT(*) AS n, {i} AS v FROM db.vo "
+                          f"WHERE o_totalprice > {cutoff}",
+                          catalog=warehouse, spark=spark)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(8):
+                v = warehouse.load_view("db.vrw")
+                results.append(tuple(v.to_df(warehouse, spark).first()))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    for i in range(1, 6):
+        valid[i] = tuple(sqlfacade.execute(
+            warehouse, spark,
+            f"SELECT COUNT(*) AS n, {i} AS v FROM db.vo "
+            f"WHERE o_totalprice > {i * 20000}").first())
+    threads = [threading.Thread(target=replacer)] + \
+              [threading.Thread(target=reader) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert results and all(r in set(valid.values()) for r in results), \
+        (results, valid)
+    # after the dust settles: current = the last replace
+    v = warehouse.load_view("db.vrw").refresh()
+    assert tuple(v.to_df(warehouse, spark).first()) == valid[5]
+    assert [x.version_id for x in v.versions()] == [1, 2, 3, 4, 5, 6]
