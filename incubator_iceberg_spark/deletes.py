@@ -565,18 +565,31 @@ def apply_delete_files(spark, data_df, data_seq_by_file: dict,
     if not delete_entries:
         return data_df
 
-    # normalize lineage file uri → manifest-style plain path, attach seq
-    seq_rows = [(k, v) for k, v in data_seq_by_file.items()]
-    seq_df = spark.createDataFrame(seq_rows, "___path string, ___seq long")
-    from incubator_iceberg_spark.row_ops import _norm_file_col
-    df = data_df.withColumn("___path", _norm_file_col())
-    df = df.join(F.broadcast(seq_df), "___path", "left")
-
     from incubator_iceberg_spark import delete_vectors as DV
     pos_all = [e for e in delete_entries if e.get("content") == MF.POSITION_DELETES]
     pos_entries = [e for e in pos_all if not DV.is_dv_entry(e)]
     dv_entries = [e for e in pos_all if DV.is_dv_entry(e)]
     eq_entries = [e for e in delete_entries if e.get("content") == MF.EQUALITY_DELETES]
+
+    # normalize lineage file uri → manifest-style plain path, attach seq.
+    # ___path exists ONLY for the pos/DV (path, pos) joins; when every
+    # data file shares one sequence (the single-writer steady state) the
+    # seq is a literal — the eq-only single-seq scan then pays ZERO
+    # per-row _metadata decode and no seq-map broadcast join
+    data_seqs = set(data_seq_by_file.values())
+    need_path = bool(pos_entries or dv_entries)
+    from incubator_iceberg_spark.row_ops import _norm_file_col
+    df = data_df.withColumn("___path", _norm_file_col()) if need_path \
+        else data_df
+    if len(data_seqs) == 1:
+        df = df.withColumn("___seq", F.lit(data_seqs.pop()))
+    else:
+        if not need_path:
+            df = df.withColumn("___path", _norm_file_col())
+        seq_rows = [(k, v) for k, v in data_seq_by_file.items()]
+        seq_df = spark.createDataFrame(seq_rows,
+                                       "___path string, ___seq long")
+        df = df.join(F.broadcast(seq_df), "___path", "left")
 
     pos_df = None
     if pos_entries:
