@@ -214,6 +214,13 @@ def execute(catalog, spark, sql: str):
             return _show_create(catalog, spark, mm.group(1).upper(),
                                 mm.group(2))
         raise ValueError(f"cannot parse SHOW: {sql!r}")
+    if head in ("DESCRIBE", "DESC"):
+        mm = re.match(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+|VIEW\s+)?"
+                      r"(?:EXTENDED\s+)?([\w.]+)\s*$", s, re.IGNORECASE)
+        if not mm:
+            raise ValueError(f"cannot parse DESCRIBE: {sql!r}")
+        return _describe(catalog, spark, mm.group(1),
+                         extended="EXTENDED" in s.upper())
     if head == "TRUNCATE":
         mm = re.match(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", s, re.IGNORECASE)
         if not mm:
@@ -224,7 +231,8 @@ def execute(catalog, spark, sql: str):
     raise ValueError(
         f"unsupported statement: {head} (supported: SELECT, INSERT, "
         "CREATE TABLE AS, CREATE [OR REPLACE] VIEW, DROP TABLE/VIEW, "
-        "ALTER TABLE/VIEW, SHOW TABLES/VIEWS, DELETE, UPDATE, MERGE, "
+        "ALTER TABLE/VIEW, SHOW TABLES/VIEWS, SHOW CREATE TABLE/VIEW, "
+        "DESCRIBE [EXTENDED], DELETE, UPDATE, MERGE, "
         "CALL)")
 
 
@@ -461,6 +469,62 @@ def _merge(catalog, spark, s: str):
 _TT_RE = re.compile(
     r"\b((?:\w+\.)+\w+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
     re.IGNORECASE)
+
+
+def _describe(catalog, spark, name: str, extended: bool = False):
+    """DESCRIBE [EXTENDED] over engine tables and views: Spark's
+    (col_name, data_type, comment) shape; EXTENDED appends partition
+    spec, identifier fields, location, current snapshot/version and
+    properties as metadata rows (DescribeTableExec analog)."""
+    from incubator_iceberg_spark import views as V
+    v_exists = getattr(catalog, "view_exists",
+                       lambda n: V.view_exists(catalog, n))
+    rows = []
+    if v_exists(name):
+        v_load = getattr(catalog, "load_view",
+                         lambda n: V.load_view(catalog, n))
+        v = v_load(name)
+        sj = v.metadata.current_version().schema_json
+        if sj:
+            for f in sj.get("fields", []):
+                t = f["type"]
+                rows.append((f["name"],
+                             t if isinstance(t, str) else str(t), None))
+        if extended:
+            rows.append(("", "", None))
+            rows.append(("# View Information", "", None))
+            rows.append(("current_version",
+                         str(v.metadata.current_version_id), None))
+            rows.append(("sql", v.sql(), None))
+            for k, x in sorted(v.metadata.properties.items()):
+                rows.append((f"prop:{k}", x, None))
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string")
+    t = catalog.load_table(name, spark=spark)
+    md = t.metadata
+    schema = md.schema()
+    for f in schema.fields:
+        rows.append((f.name, str(f.type),
+                     "required" if f.required else None))
+    if extended:
+        rows.append(("", "", None))
+        rows.append(("# Table Information", "", None))
+        rows.append(("location", md.location, None))
+        spec = md.spec()
+        if spec.is_partitioned:
+            rows.append(("partition_spec", str(spec), None))
+        if schema.identifier_field_ids:
+            rows.append(("identifier_fields",
+                         ", ".join(schema.field_path(i)
+                                   for i in schema.identifier_field_ids),
+                         None))
+        snap = md.current_snapshot()
+        rows.append(("current_snapshot_id",
+                     str(snap.snapshot_id) if snap else "", None))
+        for k, x in sorted(md.properties.items()):
+            rows.append((f"prop:{k}", x, None))
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, comment string")
 
 
 def _show_create(catalog, spark, kind: str, name: str):

@@ -476,3 +476,31 @@ def test_sql_column_named_like_metadata_table_wins(warehouse, spark):
         warehouse, spark,
         "SELECT count(*) AS n FROM db.noclash.files").collect()[0]["n"]
     assert n >= 1
+
+
+def test_describe_table_and_view(warehouse, spark):
+    from incubator_iceberg_spark import sqlfacade as SQLF
+    t = warehouse.create_table(
+        "db.desc_t", "k long, v string",
+        partition_by=["bucket(4, k)"],
+        properties={"write.format.default": "parquet"})
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    rows = {r.col_name: r for r in SQLF.execute(
+        warehouse, spark, "DESCRIBE db.desc_t").collect()}
+    assert rows["k"].data_type == "long" and rows["v"].data_type == "string"
+    ext = {r.col_name: r.data_type for r in SQLF.execute(
+        warehouse, spark, "DESCRIBE EXTENDED db.desc_t").collect()}
+    assert "location" in ext and "current_snapshot_id" in ext
+    assert "bucket" in ext.get("partition_spec", "")
+    assert ext.get("prop:write.format.default") == "parquet"
+
+    SQLF.execute(warehouse, spark,
+                 "CREATE VIEW db.desc_v AS SELECT k, COUNT(*) AS n "
+                 "FROM db.desc_t GROUP BY k")
+    vrows = {r.col_name: r.data_type for r in SQLF.execute(
+        warehouse, spark, "DESC VIEW db.desc_v").collect()}
+    assert "k" in vrows and "n" in vrows
+    vext = {r.col_name: r.data_type for r in SQLF.execute(
+        warehouse, spark, "DESCRIBE EXTENDED db.desc_v").collect()}
+    assert vext.get("current_version") == "1"
+    assert "GROUP BY" in vext.get("sql", "")
