@@ -1,0 +1,530 @@
+"""REST catalog — the catalog-service protocol of the modern Iceberg
+ecosystem (the PUBLIC Iceberg REST catalog OpenAPI spec's table
+surface), re-expressed for the Python engine with stdlib only.
+
+The incubator-era reference predates the REST catalog; its successors
+made it the primary multi-engine protocol: a central HTTP service owns
+the "which metadata version is current" pointer, engines read/write
+data and metadata FILES directly, and a commit is one compare-and-set
+POST against the service.  That split is exactly the engine's existing
+TableOperations seam (metadata.py; HadoopTableOperations /
+JdbcCatalog analogs), so this module adds:
+
+- ``RestCatalogServer`` — an in-process ``http.server`` authority over
+  the pointer map (create-if-absent / CAS-swap / rename / drop), with
+  optional bearer-token auth and optional JSON persistence so a
+  restarted server keeps its pointers.  Endpoints follow the spec's
+  shapes: GET /v1/config, GET/POST /v1/namespaces/{ns}/tables[/{t}],
+  DELETE .../tables/{t}, POST /v1/tables/rename.  A lost CAS answers
+  409 — the spec's CommitFailedException mapping.
+- ``RestTableOperations`` — TableOperations whose current_version is a
+  GET and whose commit is: write the metadata file locally (same
+  atomic hard-link create-if-absent guard every other catalog uses),
+  then POST the pointer swap; 409 unlinks the file and raises
+  CommitFailedException so the engine's run_with_retries re-applies on
+  fresh metadata.
+- ``RestCatalog`` — the ``Catalog`` surface (create/load/exists/drop/
+  rename/list + filesystem-backed views, mirroring SqliteCatalog's
+  table-pointer/FS-view split).
+
+Scale shape: the service holds one tiny row per table and serializes
+only the pointer swap; ALL data/metadata IO stays on the engines, so a
+10^5-table warehouse costs the service a dict and each commit one
+round trip — the property that lets one catalog front a 100 TB lake.
+
+    srv = RestCatalogServer(state_path=...)  # port=0 → ephemeral
+    srv.start()
+    cat = RestCatalog(srv.url, warehouse, spark, token=srv.token)
+    t = cat.create_table("db.t", schema)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import quote, unquote
+from urllib.request import Request, urlopen
+from urllib.error import HTTPError
+
+from incubator_iceberg_spark import metadata as MD
+from incubator_iceberg_spark.metadata import (
+    CommitFailedException,
+    TableMetadata,
+    TableOperations,
+)
+from incubator_iceberg_spark.table import (
+    NoSuchTableError,
+    Table,
+    TableAlreadyExistsError,
+)
+
+
+# ---------------------------------------------------------------------------
+# server
+# ---------------------------------------------------------------------------
+
+class _State:
+    """Pointer map + lock; optionally persisted as one JSON file so a
+    restarted service keeps its catalog (the real service's backing
+    database, reduced to the sandbox)."""
+
+    def __init__(self, state_path: Optional[str] = None):
+        self.lock = threading.Lock()
+        self.state_path = state_path
+        self.tables: dict = {}  # name -> {"location": str, "version": int}
+        if state_path and os.path.exists(state_path):
+            with open(state_path) as f:
+                self.tables = json.load(f)
+
+    def _persist(self) -> None:
+        if not self.state_path:
+            return
+        tmp = self.state_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self.tables, f)
+        os.replace(tmp, self.state_path)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "iiws-rest-catalog/1"
+
+    # quiet the default stderr access log
+    def log_message(self, fmt, *args):  # pragma: no cover
+        pass
+
+    def _send(self, code: int, body: Optional[dict] = None) -> None:
+        data = json.dumps(body or {}).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _authed(self) -> bool:
+        token = self.server.token  # type: ignore[attr-defined]
+        if not token:
+            return True
+        return self.headers.get("Authorization") == f"Bearer {token}"
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(n)) if n else {}
+
+    def _route(self):
+        """(verb, ns, table) from the path, or None."""
+        parts = [unquote(p) for p in self.path.split("?")[0].split("/")
+                 if p]
+        # /v1/config | /v1/tables/rename | /v1/namespaces/{ns}/tables[/{t}]
+        if parts[:2] == ["v1", "config"]:
+            return ("config", None, None)
+        if parts[:3] == ["v1", "tables", "rename"]:
+            return ("rename", None, None)
+        if len(parts) >= 4 and parts[0] == "v1" and parts[1] == "namespaces" \
+                and parts[3] == "tables":
+            ns = parts[2]
+            tbl = parts[4] if len(parts) > 4 else None
+            return ("tables", ns, tbl)
+        return None
+
+    def do_GET(self):  # noqa: N802
+        if not self._authed():
+            return self._send(401, {"error": "bad token"})
+        r = self._route()
+        if r is None:
+            return self._send(404, {"error": "no such route"})
+        verb, ns, tbl = r
+        st: _State = self.server.state  # type: ignore[attr-defined]
+        if verb == "config":
+            return self._send(200, {"defaults": {}, "overrides": {}})
+        if verb == "tables" and tbl is None:  # list
+            with st.lock:
+                names = sorted(n for n in st.tables
+                               if n.startswith(ns + ".") or ns == "")
+            return self._send(200, {"identifiers": [
+                {"namespace": n.rsplit(".", 1)[0].split("."),
+                 "name": n.rsplit(".", 1)[-1]} for n in names]})
+        if verb == "tables":  # load
+            name = f"{ns}.{tbl}"
+            with st.lock:
+                row = st.tables.get(name)
+            if row is None:
+                return self._send(404, {"error": f"no such table {name}"})
+            return self._send(200, {"name": name, **row})
+        return self._send(404, {"error": "no such route"})
+
+    def do_POST(self):  # noqa: N802
+        if not self._authed():
+            return self._send(401, {"error": "bad token"})
+        r = self._route()
+        if r is None:
+            return self._send(404, {"error": "no such route"})
+        verb, ns, tbl = r
+        st: _State = self.server.state  # type: ignore[attr-defined]
+        body = self._body()
+        if verb == "rename":
+            src, dst = body.get("source"), body.get("destination")
+            with st.lock:
+                if dst in st.tables:
+                    return self._send(409, {"error": f"{dst} exists"})
+                row = st.tables.pop(src, None)
+                if row is None:
+                    return self._send(404, {"error": f"no such table {src}"})
+                st.tables[dst] = row
+                st._persist()
+            return self._send(200, {})
+        if verb == "tables" and tbl is None:  # create (register pointer)
+            name = f"{ns}.{body['name']}"
+            with st.lock:
+                if name in st.tables:
+                    return self._send(409, {"error": f"{name} exists"})
+                st.tables[name] = {"location": body["location"],
+                                   "version": int(body["version"])}
+                st._persist()
+            return self._send(200, {"name": name, **st.tables[name]})
+        if verb == "tables":  # commit: CAS pointer swap
+            name = f"{ns}.{tbl}"
+            base = body.get("base-version")
+            new = int(body["version"])
+            with st.lock:
+                row = st.tables.get(name)
+                if base is None:
+                    if row is not None:
+                        return self._send(
+                            409, {"error": f"{name} concurrently created"})
+                    st.tables[name] = {"location": body["location"],
+                                       "version": new}
+                else:
+                    if row is None:
+                        return self._send(404,
+                                          {"error": f"no such table {name}"})
+                    if row["version"] != int(base):
+                        return self._send(409, {
+                            "error": "concurrent commit won the pointer "
+                                     f"swap for {name} (at "
+                                     f"{row['version']}, base {base})"})
+                    row["version"] = new
+                st._persist()
+            return self._send(200, {})
+        return self._send(404, {"error": "no such route"})
+
+    def do_DELETE(self):  # noqa: N802
+        if not self._authed():
+            return self._send(401, {"error": "bad token"})
+        r = self._route()
+        if r is None or r[2] is None:
+            return self._send(404, {"error": "no such route"})
+        _, ns, tbl = r
+        name = f"{ns}.{tbl}"
+        st: _State = self.server.state  # type: ignore[attr-defined]
+        with st.lock:
+            row = st.tables.pop(name, None)
+            st._persist()
+        if row is None:
+            return self._send(404, {"error": f"no such table {name}"})
+        return self._send(200, row)
+
+
+class RestCatalogServer:
+    """In-process catalog service.  ``port=0`` binds an ephemeral port;
+    ``token`` (optional) enables bearer auth; ``state_path`` persists
+    the pointer map across restarts."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 token: Optional[str] = None,
+                 state_path: Optional[str] = None):
+        self.state = _State(state_path)
+        self.token = token
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.state = self.state  # type: ignore[attr-defined]
+        self._httpd.token = token  # type: ignore[attr-defined]
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def url(self) -> str:
+        h, p = self._httpd.server_address[:2]
+        return f"http://{h}:{p}"
+
+    def start(self) -> "RestCatalogServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+class RestError(Exception):
+    def __init__(self, code: int, message: str):
+        super().__init__(f"HTTP {code}: {message}")
+        self.code = code
+
+
+def _call(url: str, method: str = "GET", body: Optional[dict] = None,
+          token: Optional[str] = None, timeout: float = 10.0) -> dict:
+    data = json.dumps(body).encode() if body is not None else None
+    req = Request(url, data=data, method=method,
+                  headers={"Content-Type": "application/json"})
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read() or b"{}")
+    except HTTPError as e:
+        try:
+            msg = json.loads(e.read() or b"{}").get("error", "")
+        except Exception:
+            msg = ""
+        raise RestError(e.code, msg) from None
+
+
+def _split(name: str):
+    if "." not in name:
+        raise ValueError(f"table name needs a namespace: {name!r}")
+    ns, tbl = name.rsplit(".", 1)
+    return quote(ns, safe=""), quote(tbl, safe="")
+
+
+class RestTableOperations(TableOperations):
+    """TableOperations whose authoritative pointer lives behind the REST
+    service.  Metadata files are written locally FIRST (atomic hard-link
+    guard), then the pointer swap POSTs; a 409 unlinks and raises so the
+    engine's retry loop re-applies on fresh metadata — the same
+    optimistic protocol as every other catalog here."""
+
+    def __init__(self, base_url: str, name: str, table_location: str,
+                 token: Optional[str] = None):
+        super().__init__(table_location)
+        self.base_url = base_url.rstrip("/")
+        self.name = name
+        self.token = token
+        self._ns, self._tbl = _split(name)
+
+    def _table_url(self) -> str:
+        return (f"{self.base_url}/v1/namespaces/{self._ns}"
+                f"/tables/{self._tbl}")
+
+    def current_version(self) -> Optional[int]:
+        try:
+            return int(_call(self._table_url(), token=self.token)["version"])
+        except RestError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def server_location(self) -> Optional[str]:
+        try:
+            return _call(self._table_url(), token=self.token)["location"]
+        except RestError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def commit(self, base_version: Optional[int],
+               metadata: TableMetadata) -> int:
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        new_version = (base_version or 0) + 1
+        final = self.metadata_path(new_version)
+        tmp = os.path.join(self.metadata_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(metadata.to_json(), f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # file-level create-if-absent guard
+        except FileExistsError:
+            raise CommitFailedException(
+                f"version {new_version} already written by a "
+                "concurrent writer")
+        finally:
+            os.unlink(tmp)
+        try:
+            if base_version is None:
+                _call(f"{self.base_url}/v1/namespaces/{self._ns}/tables",
+                      method="POST",
+                      body={"name": unquote(self._tbl),
+                            "location": self.location,
+                            "version": new_version},
+                      token=self.token)
+            else:
+                _call(self._table_url(), method="POST",
+                      body={"base-version": base_version,
+                            "version": new_version,
+                            "location": self.location},
+                      token=self.token)
+        except RestError as e:
+            os.unlink(final)
+            if e.code == 409:
+                raise CommitFailedException(str(e)) from None
+            raise
+        return new_version
+
+
+class RestCatalog:
+    """``Catalog`` surface over the REST pointer service; data/metadata
+    files live under ``warehouse`` exactly like the other catalogs, and
+    views stay filesystem-backed (the SqliteCatalog pairing)."""
+
+    def __init__(self, base_url: str, warehouse: str, spark=None,
+                 token: Optional[str] = None):
+        self.base_url = base_url.rstrip("/")
+        self.warehouse = os.path.abspath(warehouse)
+        self.spark = spark
+        self.token = token
+        os.makedirs(self.warehouse, exist_ok=True)
+        _call(f"{self.base_url}/v1/config", token=token)  # fail fast
+
+    def _table_location(self, name: str) -> str:
+        return os.path.join(self.warehouse, *name.split("."))
+
+    def _ops(self, name: str) -> RestTableOperations:
+        ops = RestTableOperations(self.base_url, name,
+                                  self._table_location(name),
+                                  token=self.token)
+        # a renamed table keeps its original directory: trust the
+        # service's location over the name-derived path
+        loc = ops.server_location()
+        if loc and loc != ops.location:
+            ops = RestTableOperations(self.base_url, name, loc,
+                                      token=self.token)
+        return ops
+
+    def create_table(self, name: str, schema, partition_by=None,
+                     properties: Optional[dict] = None, sort_by=None,
+                     identifier_fields=None, spark=None) -> Table:
+        from incubator_iceberg_spark.partitioning import PartitionSpec
+        from incubator_iceberg_spark.schema import Schema
+        from incubator_iceberg_spark.table import _as_schema, _as_sort_order
+
+        ops = self._ops(name)
+        if ops.refresh() is not None:
+            raise TableAlreadyExistsError(name)
+        if self.view_exists(name):
+            raise TableAlreadyExistsError(f"{name} exists as a view")
+        parts = name.split(".")
+        for j in range(1, len(parts)):
+            if self.view_exists(".".join(parts[:j])):
+                raise TableAlreadyExistsError(
+                    f"{name}: ancestor {'.'.join(parts[:j])} is a view")
+        if os.path.isdir(os.path.join(ops.location, "metadata")):
+            # renamed-away table kept the directory: fresh suffixed path
+            ops = RestTableOperations(
+                self.base_url, name,
+                ops.location + "-" + uuid.uuid4().hex[:8],
+                token=self.token)
+        schema = _as_schema(schema)
+        if identifier_fields:
+            ids = []
+            for n in identifier_fields:
+                f = schema.find_field(n)
+                if f is None:
+                    raise ValueError(f"identifier field not in schema: {n}")
+                ids.append(f.field_id)
+            schema = Schema(schema.fields, schema_id=schema.schema_id,
+                            identifier_field_ids=ids)
+        spec = (PartitionSpec.build(schema, partition_by)
+                if partition_by else PartitionSpec.unpartitioned(schema))
+        md = TableMetadata.new(ops.location, schema, spec, properties)
+        if sort_by:
+            md.sort_orders = [_as_sort_order(schema, sort_by, order_id=1)]
+            md.default_sort_order_id = 1
+
+        def apply(base):
+            if base is not None:
+                raise TableAlreadyExistsError(name)
+            return md
+
+        MD.run_with_retries(ops, apply, retries=0)
+        return Table(name, ops, spark or self.spark)
+
+    def create_table_as_select(self, name: str, df, partition_by=None,
+                               properties: Optional[dict] = None,
+                               spark=None) -> Table:
+        from incubator_iceberg_spark.schema import Schema
+        t = self.create_table(name, Schema.from_spark(df.schema),
+                              partition_by=partition_by,
+                              properties=properties, spark=spark)
+        t.append(df)
+        return t
+
+    def load_table(self, name: str, spark=None) -> Table:
+        ops = self._ops(name)
+        if ops.refresh() is None:
+            raise NoSuchTableError(name)
+        return Table(name, ops, spark or self.spark)
+
+    def table_exists(self, name: str) -> bool:
+        try:
+            return self._ops(name).refresh() is not None
+        except ValueError:
+            return False
+
+    def drop_table(self, name: str, purge: bool = True) -> bool:
+        import shutil
+        ns, tbl = _split(name)
+        try:
+            row = _call(f"{self.base_url}/v1/namespaces/{ns}/tables/{tbl}",
+                        method="DELETE", token=self.token)
+        except RestError as e:
+            if e.code == 404:
+                return False
+            raise
+        if purge:
+            shutil.rmtree(row["location"], ignore_errors=True)
+        return True
+
+    def rename_table(self, name: str, new_name: str) -> None:
+        try:
+            _call(f"{self.base_url}/v1/tables/rename", method="POST",
+                  body={"source": name, "destination": new_name},
+                  token=self.token)
+        except RestError as e:
+            if e.code == 404:
+                raise NoSuchTableError(name) from None
+            if e.code == 409:
+                raise TableAlreadyExistsError(new_name) from None
+            raise
+
+    def list_tables(self, namespace: str = "") -> list:
+        ns = quote(namespace, safe="")
+        out = _call(f"{self.base_url}/v1/namespaces/{ns}/tables",
+                    token=self.token)
+        return sorted(".".join(i["namespace"] + [i["name"]])
+                      for i in out["identifiers"])
+
+    # -- views: filesystem-backed under the warehouse (SqliteCatalog
+    # pairing — the pointer service stays tables-only)
+
+    def create_view(self, name: str, sql: str, spark=None,
+                    replace: bool = False,
+                    properties: Optional[dict] = None):
+        from incubator_iceberg_spark import views as V
+        return V.create_view(self, name, sql, spark=spark or self.spark,
+                             replace=replace, properties=properties)
+
+    def load_view(self, name: str):
+        from incubator_iceberg_spark import views as V
+        return V.load_view(self, name)
+
+    def view_exists(self, name: str) -> bool:
+        from incubator_iceberg_spark import views as V
+        return V.view_exists(self, name)
+
+    def drop_view(self, name: str) -> bool:
+        from incubator_iceberg_spark import views as V
+        return V.drop_view(self, name)
+
+    def list_views(self, namespace: str = "") -> list:
+        from incubator_iceberg_spark import views as V
+        return V.list_views_under(self.warehouse, namespace)
