@@ -161,6 +161,18 @@ BENCH_QUERIES = [
     # round-8: policy-driven maintenance (manifest-plane triggers; eq
     # debt convert + compact + manifests + expire to a fixpoint)
     "auto_maintain",
+    # round-9: NOT-rewrite + sentinel folding decide the pruned plan
+    "not_rewrite_pruning",
+    # round-9: residual groups skip row filters on interior partitions
+    "residual_scan",
+    # round-9: sink-loop auto-maintenance (12 upsert-MoR epochs with an
+    # every-4 cadence paying eq debt down inside the sink)
+    "streaming_auto_maintain",
+    # round-9: FindFiles entry-surface stats (O(metadata) plan)
+    "find_files",
+    # round-9: REST pointer-CAS catalog (3 appends + stale-handle 409 +
+    # retry + rename + MoR delete, all through the HTTP service)
+    "rest_catalog_scan",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

@@ -45,13 +45,25 @@ SEED = int(os.environ.get("SPARK_GRAFT_STRESS_SEED", "20260814"))
 import pytest
 
 
-@pytest.mark.parametrize("partition_by", [None, ["grp"]],
-                         ids=["unpartitioned", "partitioned"])
-def test_randomized_concurrent_stress(warehouse, spark, partition_by):
+@pytest.mark.parametrize("partition_by,catalog_kind",
+                         [(None, "fs"), (["grp"], "fs"), (None, "rest")],
+                         ids=["unpartitioned", "partitioned", "rest"])
+def test_randomized_concurrent_stress(warehouse, spark, tmp_path,
+                                      partition_by, catalog_kind,
+                                      request):
     # the partitioned variant drives PARTITION-SCOPED position deletes
-    # (and their plan-time pruning) through the same randomized races
+    # (and their plan-time pruning) through the same randomized races;
+    # the rest variant routes EVERY pointer swap through the REST
+    # catalog's HTTP CAS (409 → CommitFailedException → retry)
     rng = random.Random(SEED)
     name = "db.stress"
+    srv = None
+    if catalog_kind == "rest":
+        from incubator_iceberg_spark.catalog_rest import (RestCatalog,
+                                                          RestCatalogServer)
+        srv = RestCatalogServer().start()
+        request.addfinalizer(srv.stop)
+        warehouse = RestCatalog(srv.url, str(tmp_path / "restwh"), spark)
     df0 = spark.createDataFrame(
         [(i, i % 6, f"seed{i}", f"n{i}") for i in range(60)],
         "id long, grp long, payload string, note string")
