@@ -678,19 +678,14 @@ def read_avro_files(spark, paths: list, file_schema: S.Schema,
                 arrays = {name: pa.array(col, type=arrow_schema.field(name).type)
                           for name, col in zip(out_names, cols)}
                 if with_lineage:
-                    # binaryFile's path is the RAW filesystem path behind a
+                    # binaryFile's path is a RAW filesystem path behind a
                     # file: scheme (NOT percent-escaped like
-                    # _metadata.file_path) — strip the scheme WITHOUT
-                    # decoding, then escape literal '%' so the consumers'
-                    # _norm_file_col url_decode is a true inverse for
-                    # directory names like 'a%20b'
-                    fpath = path
-                    if fpath.startswith("file:"):
-                        fpath = fpath[len("file:"):]
-                        while fpath.startswith("//"):
-                            fpath = fpath[1:]
+                    # _metadata.file_path) — escape_for_lineage makes the
+                    # consumers' url_decode a true inverse
+                    from incubator_iceberg_spark.row_ops import \
+                        escape_for_lineage
                     arrays["_file"] = pa.array(
-                        [fpath.replace("%", "%25")] * n, type=pa.string())
+                        [escape_for_lineage(path)] * n, type=pa.string())
                     arrays["_pos"] = pa.array(range(n), type=pa.int64())
                 yield pa.RecordBatch.from_pydict(arrays, schema=arrow_schema)
 

@@ -115,9 +115,12 @@ class _Handler(BaseHTTPRequestHandler):
         return json.loads(self.rfile.read(n)) if n else {}
 
     def _route(self):
-        """(verb, ns, table) from the path, or None."""
-        parts = [unquote(p) for p in self.path.split("?")[0].split("/")
-                 if p]
+        """(verb, ns, table) from the path, or None.  Empty segments are
+        PRESERVED (not filtered): /v1/namespaces//tables is the list-all
+        route (ns='') — filtering empties made it unreachable and broke
+        the client's default list_tables('')."""
+        parts = [unquote(p)
+                 for p in self.path.split("?")[0].strip("/").split("/")]
         # /v1/config | /v1/tables/rename | /v1/namespaces/{ns}/tables[/{t}]
         if parts[:2] == ["v1", "config"]:
             return ("config", None, None)
@@ -126,7 +129,7 @@ class _Handler(BaseHTTPRequestHandler):
         if len(parts) >= 4 and parts[0] == "v1" and parts[1] == "namespaces" \
                 and parts[3] == "tables":
             ns = parts[2]
-            tbl = parts[4] if len(parts) > 4 else None
+            tbl = parts[4] if len(parts) > 4 and parts[4] else None
             return ("tables", ns, tbl)
         return None
 
@@ -182,7 +185,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if name in st.tables:
                     return self._send(409, {"error": f"{name} exists"})
                 st.tables[name] = {"location": body["location"],
-                                   "version": int(body["version"])}
+                                   "version": int(body["version"]),
+                                   "metadata_file": body.get("metadata_file")}
                 st._persist()
             return self._send(200, {"name": name, **st.tables[name]})
         if verb == "tables":  # commit: CAS pointer swap
@@ -196,7 +200,9 @@ class _Handler(BaseHTTPRequestHandler):
                         return self._send(
                             409, {"error": f"{name} concurrently created"})
                     st.tables[name] = {"location": body["location"],
-                                       "version": new}
+                                       "version": new,
+                                       "metadata_file":
+                                           body.get("metadata_file")}
                 else:
                     if row is None:
                         return self._send(404,
@@ -207,6 +213,7 @@ class _Handler(BaseHTTPRequestHandler):
                                      f"swap for {name} (at "
                                      f"{row['version']}, base {base})"})
                     row["version"] = new
+                    row["metadata_file"] = body.get("metadata_file")
                 st._persist()
             return self._send(200, {})
         return self._send(404, {"error": "no such route"})
@@ -271,6 +278,14 @@ class RestError(Exception):
         self.code = code
 
 
+class CommitStateUnknownError(Exception):
+    """The pointer-swap POST failed in TRANSPORT (timeout / connection
+    drop) and the service could not be re-read to learn whether the
+    swap landed — the commit may or may not have happened.  Surfaced
+    WITHOUT retry (the reference's CommitStateUnknownException:
+    re-applying a possibly-landed mutation would double-apply it)."""
+
+
 def _call(url: str, method: str = "GET", body: Optional[dict] = None,
           token: Optional[str] = None, timeout: float = 10.0) -> dict:
     data = json.dumps(body).encode() if body is not None else None
@@ -310,64 +325,108 @@ class RestTableOperations(TableOperations):
         self.name = name
         self.token = token
         self._ns, self._tbl = _split(name)
+        self._prefetched: Optional[dict] = None  # one-shot row cache
 
     def _table_url(self) -> str:
         return (f"{self.base_url}/v1/namespaces/{self._ns}"
                 f"/tables/{self._tbl}")
 
-    def current_version(self) -> Optional[int]:
+    def _load_row(self) -> Optional[dict]:
+        """One GET carries (location, version, metadata_file) — callers
+        needing several of those must not pay several round trips.  The
+        one-shot prefetch lets RestCatalog._ops seed the row it already
+        fetched for the location decision into the next refresh."""
+        if self._prefetched is not None:
+            row, self._prefetched = self._prefetched, None
+            return row
         try:
-            return int(_call(self._table_url(), token=self.token)["version"])
+            return _call(self._table_url(), token=self.token)
         except RestError as e:
             if e.code == 404:
                 return None
             raise
 
-    def server_location(self) -> Optional[str]:
-        try:
-            return _call(self._table_url(), token=self.token)["location"]
-        except RestError as e:
-            if e.code == 404:
-                return None
-            raise
+    def current_version(self) -> Optional[int]:
+        row = self._load_row()
+        return int(row["version"]) if row else None
+
+    def refresh(self) -> Optional[TableMetadata]:
+        row = self._load_row()
+        if row is None:
+            return None
+        mf = row.get("metadata_file")
+        path = (os.path.join(self.metadata_dir, mf) if mf
+                else self.metadata_path(int(row["version"])))
+        with open(path) as f:
+            md = TableMetadata.from_json(json.load(f))
+        md._version = int(row["version"])  # type: ignore[attr-defined]
+        return md
 
     def commit(self, base_version: Optional[int],
                metadata: TableMetadata) -> int:
+        """Write a UUID-NAMED metadata file, then CAS the pointer.  The
+        uuid name (the REST spec's metadata-location model) is what
+        makes every failure mode safe: the file is invisible until the
+        swap lands, two racing writers can never collide on a filename,
+        and a transport-failed swap leaves at worst a small orphan —
+        never a wedged table (a fixed v{N} name + link guard meant one
+        orphan made every future commit's create-if-absent fail)."""
         os.makedirs(self.metadata_dir, exist_ok=True)
         new_version = (base_version or 0) + 1
-        final = self.metadata_path(new_version)
-        tmp = os.path.join(self.metadata_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
+        fname = f"v{new_version}-{uuid.uuid4().hex[:12]}.metadata.json"
+        final = os.path.join(self.metadata_dir, fname)
+        with open(final, "w") as f:
             json.dump(metadata.to_json(), f)
             f.flush()
             os.fsync(f.fileno())
-        try:
-            os.link(tmp, final)  # file-level create-if-absent guard
-        except FileExistsError:
-            raise CommitFailedException(
-                f"version {new_version} already written by a "
-                "concurrent writer")
-        finally:
-            os.unlink(tmp)
+        body = {"base-version": base_version, "version": new_version,
+                "location": self.location, "metadata_file": fname}
         try:
             if base_version is None:
                 _call(f"{self.base_url}/v1/namespaces/{self._ns}/tables",
                       method="POST",
                       body={"name": unquote(self._tbl),
                             "location": self.location,
-                            "version": new_version},
+                            "version": new_version,
+                            "metadata_file": fname},
                       token=self.token)
             else:
-                _call(self._table_url(), method="POST",
-                      body={"base-version": base_version,
-                            "version": new_version,
-                            "location": self.location},
+                _call(self._table_url(), method="POST", body=body,
                       token=self.token)
         except RestError as e:
             os.unlink(final)
             if e.code == 409:
                 raise CommitFailedException(str(e)) from None
             raise
+        except Exception as e:
+            # TRANSPORT failure: the swap may or may not have landed.
+            # Re-read the pointer once to find out.
+            try:
+                row = _call(self._table_url(), token=self.token)
+            except Exception:
+                row = None
+            if row and int(row["version"]) == new_version \
+                    and row.get("metadata_file") == fname:
+                return new_version  # landed; only the response was lost
+            if row is not None and (
+                    int(row["version"]) < new_version
+                    or (int(row["version"]) == new_version
+                        and row.get("metadata_file") != fname)):
+                # provably NOT landed (pointer behind us, or a racing
+                # writer won our version slot — only one CAS can move
+                # base→new): clean up and let the retry loop re-apply
+                os.unlink(final)
+                raise CommitFailedException(
+                    f"pointer swap failed in transport ({e}); "
+                    "not committed") from None
+            # service unreadable, or the pointer moved PAST our version
+            # (ours may have landed with another commit on top): keep
+            # the file (uuid-named → harmless) and surface WITHOUT
+            # retry — re-applying a possibly-landed mutation would
+            # double-apply it
+            raise CommitStateUnknownError(
+                f"pointer swap outcome unknown for {self.name} "
+                f"v{new_version}: {e}") from None
         return new_version
 
 
@@ -392,12 +451,15 @@ class RestCatalog:
         ops = RestTableOperations(self.base_url, name,
                                   self._table_location(name),
                                   token=self.token)
-        # a renamed table keeps its original directory: trust the
-        # service's location over the name-derived path
-        loc = ops.server_location()
-        if loc and loc != ops.location:
-            ops = RestTableOperations(self.base_url, name, loc,
+        # ONE GET decides the location (a renamed table keeps its
+        # original directory — trust the service over the name-derived
+        # path) AND seeds the ops' next refresh, so load_table costs a
+        # single round trip instead of three
+        row = ops._load_row()
+        if row and row.get("location") and row["location"] != ops.location:
+            ops = RestTableOperations(self.base_url, name, row["location"],
                                       token=self.token)
+        ops._prefetched = row
         return ops
 
     def create_table(self, name: str, schema, partition_by=None,

@@ -898,31 +898,25 @@ def auto_maintain(table, spark=None, policy: Optional[dict] = None,
     md = table.metadata
     # precedence: call-site policy > maintenance.auto.<key> property >
     # default
+    def _coerce(k, v, label):
+        # float-first so int keys accept '1.5'/'1e6'; name the offending
+        # source (full property/policy key) instead of a bare ValueError
+        # that fails the whole maintenance pass opaquely
+        try:
+            f = float(v)
+            return int(f) if isinstance(AUTO_POLICY_DEFAULTS[k], int) else f
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"invalid {label}={v!r}: expected a number") from None
+
     pol = dict(AUTO_POLICY_DEFAULTS)
     for k in pol:
         v = md.properties.get(f"maintenance.auto.{k}")
         if v is not None:
-            # float-first so int keys accept '1.5'/'1e6'; name the
-            # offending property instead of a bare ValueError that
-            # fails the whole maintenance pass opaquely
-            try:
-                f = float(v)
-                pol[k] = (int(f) if isinstance(AUTO_POLICY_DEFAULTS[k], int)
-                          else f)
-            except (TypeError, ValueError):
-                raise ValueError(
-                    f"invalid table property maintenance.auto.{k}={v!r}: "
-                    "expected a number") from None
+            pol[k] = _coerce(k, v, f"table property maintenance.auto.{k}")
     for k, v in (policy or {}).items():
         if k in AUTO_POLICY_DEFAULTS:
-            try:
-                f = float(v)
-                pol[k] = (int(f) if isinstance(AUTO_POLICY_DEFAULTS[k], int)
-                          else f)
-            except (TypeError, ValueError):
-                raise ValueError(
-                    f"invalid auto_maintain policy {k}={v!r}: "
-                    "expected a number") from None
+            pol[k] = _coerce(k, v, f"auto_maintain policy {k}")
         else:
             pol[k] = v
     target = int(md.property(MD.WRITE_TARGET_FILE_SIZE,

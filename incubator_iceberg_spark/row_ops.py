@@ -274,6 +274,22 @@ def delete_where(table, expr: X.Expression, spark=None, extra_added_entries=None
     }
 
 
+def escape_for_lineage(path: str) -> str:
+    """Emit-side counterpart of ``_norm_file_col``: turn a RAW
+    filesystem path (binaryFile's ``path``, a manifest entry path — NOT
+    the percent-escaped ``_metadata.file_path``) into a ``_file`` value
+    whose consumer-side url_decode is a true inverse.  Strips a
+    ``file:`` scheme WITHOUT decoding, then escapes literal '%' so a
+    directory legitimately named 'a%20b' survives the round trip.  The
+    encoding contract lives HERE and in ``_norm_file_col`` only — every
+    emit site must call this rather than re-implementing it."""
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+    return path.replace("%", "%25")
+
+
 def _norm_file_col(col: str = "_file"):
     """Column form of normalize_file_uri: ``_metadata.file_path`` URIs
     (file:/…, file:///…, percent-ESCAPED — "a b" → "a%20b") → the plain

@@ -769,6 +769,8 @@ def _read_hive_import_group(spark, md, entries, fmt, current_schema,
         # but every _file consumer decodes again via _norm_file_col —
         # re-escape literal '%' so that decode is a true inverse for
         # directory names that legitimately contain %-hex sequences
+        # (the Column form of row_ops.escape_for_lineage; the string
+        # form can't apply to a per-row column)
         extra = [F.regexp_replace(F.col("__hfile"), "%", "%25")
                  .alias("_file"),
                  F.col("__hpos").alias("_pos")]

@@ -65,13 +65,18 @@ _DROP_VIEW_RE = re.compile(
     r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE)
 
 
+def strip_leading_comments(sql: str) -> str:
+    """Drop leading ``--`` / ``/* */`` comments: they would defeat
+    head-keyword dispatch here (head becomes '--') and the view layer's
+    query-body validation — ONE implementation for both so the rule
+    cannot drift."""
+    return re.sub(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*\s*", "", sql,
+                  flags=re.DOTALL)
+
+
 def execute(catalog, spark, sql: str):
     """Dispatch one SQL statement against engine tables."""
-    import re as _re
-    # leading comments would otherwise defeat head-keyword dispatch
-    # (head becomes '--'); Spark itself tolerates them, so strip here
-    s = _re.sub(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*\s*", "", sql,
-                flags=_re.DOTALL).strip().rstrip(";")
+    s = strip_leading_comments(sql).strip().rstrip(";")
     head = s.split(None, 1)[0].upper() if s else ""
     if head == "CALL":
         from incubator_iceberg_spark import procedures
@@ -216,11 +221,13 @@ def execute(catalog, spark, sql: str):
         raise ValueError(f"cannot parse SHOW: {sql!r}")
     if head in ("DESCRIBE", "DESC"):
         mm = re.match(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+|VIEW\s+)?"
-                      r"(?:EXTENDED\s+)?([\w.]+)\s*$", s, re.IGNORECASE)
+                      r"(EXTENDED\s+)?([\w.]+)\s*$", s, re.IGNORECASE)
         if not mm:
             raise ValueError(f"cannot parse DESCRIBE: {sql!r}")
-        return _describe(catalog, spark, mm.group(1),
-                         extended="EXTENDED" in s.upper())
+        # keyword CAPTURED, not substring-matched: a table named
+        # db.orders_extended must not trigger the extended output
+        return _describe(catalog, spark, mm.group(2),
+                         extended=bool(mm.group(1)))
     if head == "TRUNCATE":
         mm = re.match(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", s, re.IGNORECASE)
         if not mm:

@@ -48,8 +48,8 @@ def _require_query(sql: str) -> str:
     that statement per read.  Reject anything whose first token (after
     comments) is not SELECT/WITH/VALUES, at create/replace AND read."""
     import re
-    head = re.sub(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*\s*", "", sql,
-                  flags=re.DOTALL)
+    from incubator_iceberg_spark.sqlfacade import strip_leading_comments
+    head = strip_leading_comments(sql)
     m = re.match(r"(?i)(SELECT|WITH|VALUES)\b", head)
     if not m:
         tok = head.split(None, 1)[0] if head.split() else "<empty>"

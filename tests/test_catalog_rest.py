@@ -145,3 +145,70 @@ def test_rest_views_over_rest_tables(rcat, spark):
                  "FROM db.vt GROUP BY v")
     assert SQLF.execute(rcat, spark,
                         "SELECT * FROM db.vv").count() == 7
+
+
+def test_rest_list_all_namespaces_and_show_tables(rcat, spark):
+    """list_tables('') (the default) must hit the list-ALL route — the
+    round-9 review found the empty path segment was filtered out server-
+    side, 404ing SHOW TABLES and facade view registration."""
+    from incubator_iceberg_spark import sqlfacade as SQLF
+    rcat.create_table("db.l1", "k long")
+    rcat.create_table("db2.l2", "k long")
+    assert rcat.list_tables("") == ["db.l1", "db2.l2"]
+    names = {(r.namespace, r.name) for r in SQLF.execute(
+        rcat, spark, "SHOW TABLES").collect()}
+    assert names == {("db", "l1"), ("db2", "l2")}
+
+
+def test_rest_transport_failure_not_landed(rcat, spark, monkeypatch):
+    """A transport-level failure of the pointer-swap POST (server never
+    processed it) must clean up and raise CommitFailedException — the
+    retry loop then re-applies.  Before the round-9 review fix, the
+    orphaned metadata file wedged every future commit."""
+    from incubator_iceberg_spark import catalog_rest as CR
+    base = _ids(spark, 40)
+    t = rcat.create_table("db.tf", Schema.from_spark(base.schema))
+    t.append(base)
+    real = CR._call
+    state = {"drop_next_post": True}
+
+    def flaky(url, method="GET", body=None, token=None, timeout=10.0):
+        if method == "POST" and state["drop_next_post"]:
+            state["drop_next_post"] = False
+            raise OSError("connection reset before send")
+        return real(url, method=method, body=body, token=token,
+                    timeout=timeout)
+
+    monkeypatch.setattr(CR, "_call", flaky)
+    with pytest.raises(CommitFailedException, match="transport"):
+        t.ops.commit(t.ops.current_version(), t.metadata)
+    # NOT wedged: the next commit (fresh handle, same version slot) lands
+    t2 = rcat.load_table("db.tf")
+    t2.append(base.limit(4))
+    assert rcat.load_table("db.tf").to_df().count() == 44
+
+
+def test_rest_transport_failure_landed(rcat, spark, monkeypatch):
+    """If the POST reached the server but the RESPONSE was lost, the
+    commit re-reads the pointer, sees its own metadata file, and reports
+    success instead of double-applying through a retry."""
+    from incubator_iceberg_spark import catalog_rest as CR
+    base = _ids(spark, 30)
+    t = rcat.create_table("db.tl", Schema.from_spark(base.schema))
+    t.append(base)
+    real = CR._call
+    state = {"lose_next_post_response": True}
+
+    def lossy(url, method="GET", body=None, token=None, timeout=10.0):
+        out = real(url, method=method, body=body, token=token,
+                   timeout=timeout)
+        if method == "POST" and state["lose_next_post_response"]:
+            state["lose_next_post_response"] = False
+            raise OSError("response lost after server processed the swap")
+        return out
+
+    monkeypatch.setattr(CR, "_call", lossy)
+    t2 = rcat.load_table("db.tl")
+    t2.append(base.limit(3))  # POST lands, response lost → still success
+    assert rcat.load_table("db.tl").to_df().count() == 33
+    assert len(rcat.load_table("db.tl").metadata.snapshots) == 2
