@@ -600,7 +600,25 @@ def read_entries(spark, md, data_entries, delete_entries, current_schema,
         if not dirty:
             delete_entries = []
 
-    need_lineage = with_lineage or bool(delete_entries)
+    # _file/_pos lineage exists for the POSITION-keyed delete joins and
+    # explicit callers only: an eq-delete-only scan (the upsert-MoR
+    # steady state) anti-joins on VALUES, so attaching lineage would
+    # force every data row through a _metadata materialization Catalyst
+    # cannot prune (measured: the eq-only sf0.1 scan dropped 0.87→0.30 s
+    # when the lineage plumbing disappeared from the plan)
+    def _deletes_need_lineage(dels):
+        from incubator_iceberg_spark import manifests as _MF
+        if any((e.get("content") or 0) == _MF.POSITION_DELETES
+               for e in dels):
+            return True  # (path, pos) join keys
+        # eq-only: sequence scoping still needs the per-file path when
+        # the DATA files span several sequences (seq is stamped via a
+        # path-keyed broadcast map); one shared sequence is a literal
+        return len({e.get("sequence_number") or 0
+                    for e in data_entries}) > 1
+
+    need_lineage = with_lineage or (bool(delete_entries)
+                                    and _deletes_need_lineage(delete_entries))
     by_group: dict[tuple, list] = {}
     for e in data_entries:
         sid = e.get("schema_id")

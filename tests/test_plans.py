@@ -152,3 +152,28 @@ def test_shuffle_shards_single_exchange(spark):
     out = corpus.shuffle_shards(df, n_shards=8)
     plan = _final_plan(out).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_eq_only_single_seq_scan_has_no_seq_map_join(spark,
+                                                     tmp_path_factory):
+    """Round-9 fast path: an eq-delete-only scan whose data files share
+    ONE sequence stamps the sequence as a literal — no seq-map
+    ExistingRDD broadcast join, no per-row _metadata decode, and
+    Catalyst prunes the lineage column from the parquet read."""
+    from incubator_iceberg_spark import Catalog
+
+    wh = str(tmp_path_factory.mktemp("eqfastwh"))
+    cat = Catalog(wh, spark)
+    base = spark.range(5000).select(F.col("id"), (F.col("id") % 9).alias("v"))
+    t = cat.create_table("db.eqfast", Schema.from_spark(base.schema))
+    t.append(base)
+    t.add_equality_deletes(
+        spark.createDataFrame([(i,) for i in range(0, 5000, 11)], "id long"),
+        ["id"])
+    df = t.to_df()
+    plan = _final_plan(df)
+    assert "ExistingRDD" not in plan, "seq-map join not eliminated"
+    assert "_metadata" not in plan, "lineage column not pruned"
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 1  # the eq anti-join only
+    assert df.count() == 5000 - len(range(0, 5000, 11))
