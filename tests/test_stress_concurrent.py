@@ -236,10 +236,21 @@ def test_randomized_concurrent_stress(warehouse, spark, tmp_path,
     assert set(chain) == {s.snapshot_id for s in snaps}, \
         "snapshot chain is not linear over all commits"
     md_dir = os.path.join(t.location, "metadata")
-    versions = sorted(int(f[1:].split(".")[0]) for f in os.listdir(md_dir)
+    # REST metadata files are UUID-suffixed (v16-<uuid12>.metadata.json,
+    # the metadata-location model): parse the version prefix only.  A
+    # transport-failed REST swap may legitimately leave an orphaned
+    # version file, so on the rest variant the pointer chain must be
+    # covered (no holes up to the CURRENT version) but benign orphans
+    # above/alongside it are allowed.
+    versions = sorted(int(f[1:].split(".")[0].split("-")[0])
+                      for f in os.listdir(md_dir)
                       if f.endswith(".metadata.json"))
-    assert versions == list(range(1, len(versions) + 1)), \
-        "metadata version chain has holes"
+    cur_v = t.ops.current_version()
+    assert set(range(1, cur_v + 1)) <= set(versions), \
+        "metadata version chain has holes below the current pointer"
+    if catalog_kind != "rest":
+        assert versions == list(range(1, len(versions) + 1)), \
+            "metadata version chain has holes"
 
     final = {(r.id, r.grp, r.payload)
              for r in t.to_df().select("id", "grp", "payload").collect()}
