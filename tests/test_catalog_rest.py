@@ -212,3 +212,36 @@ def test_rest_transport_failure_landed(rcat, spark, monkeypatch):
     t2.append(base.limit(3))  # POST lands, response lost → still success
     assert rcat.load_table("db.tl").to_df().count() == 33
     assert len(rcat.load_table("db.tl").metadata.snapshots) == 2
+
+
+def test_rest_upsert_mor_with_auto_maintain_hook(rcat, spark):
+    """Composition: the streaming upsert-MoR sink + the every-N-epochs
+    auto_maintain hook, with EVERY commit kind (RowDelta epoch, convert
+    replace, compaction rewrite, manifest rewrite, expire) CASing
+    through the REST pointer service."""
+    from incubator_iceberg_spark import streaming as STR
+    from incubator_iceberg_spark.manifests import EQUALITY_DELETES
+    from incubator_iceberg_spark.scan import TableScan
+
+    base = _ids(spark, 300)
+    t = rcat.create_table(
+        "db.mor", Schema.from_spark(base.schema),
+        properties={"maintenance.auto.every-epochs": "3",
+                    "maintenance.auto.eq-debt-files": "2",
+                    "maintenance.auto.min-small-files": "1000",
+                    "maintenance.auto.max-manifests": "1000",
+                    "maintenance.auto.max-snapshots": "1000"})
+    t.append(base)
+    for ep in range(1, 7):
+        b = (base.limit(40)
+             .withColumn("v", F.col("v") + ep))
+        assert STR.upsert_mor_exactly_once(t, b, epoch_id=ep,
+                                           on=["id"], spark=spark)
+        t = rcat.load_table("db.mor")  # fresh handle each epoch via REST
+    _data, dels = TableScan(t, spark)._plan_split()
+    n_eq = len([e for e in dels
+                if (e.get("content") or 0) == EQUALITY_DELETES])
+    assert n_eq <= 2, n_eq  # hook paid the debt through REST commits
+    assert t.to_df().count() == 300
+    assert t.to_df().filter("id < 40").agg(
+        F.min("v")).first()[0] == 6  # last epoch's update won
