@@ -4455,7 +4455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transaction_multi": q_transaction,
         "transforms_projection": q_transforms,
         "vocab_doc_freq": q_vocab_doc_freq,
-        # -- rows 51+: the four deferred r5 rows FIRST (r10 prefix head),
+        # -- rows 51+: the six deferred r5 rows FIRST (r10 prefix head),
         # then r6-verified, r7, r8-green.
         "rollup_agg": q_rollup,
         "cube_agg": q_cube_agg,

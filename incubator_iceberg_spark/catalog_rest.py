@@ -42,13 +42,14 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import quote, unquote
 from urllib.request import Request, urlopen
-from urllib.error import HTTPError
+from urllib.error import HTTPError, URLError
 
 from incubator_iceberg_spark import metadata as MD
 from incubator_iceberg_spark.metadata import (
@@ -304,6 +305,23 @@ def _call(url: str, method: str = "GET", body: Optional[dict] = None,
         raise RestError(e.code, msg) from None
 
 
+def _failed_before_send(exc: BaseException) -> bool:
+    """True ONLY for transport failures that prove the request never
+    reached the server (TCP connect refused, DNS resolution failure) —
+    the one class where "the pointer didn't move" can be read as
+    "provably not landed".  A timeout or connection reset may leave the
+    POST still in flight server-side: the swap can land AFTER our
+    re-read, so those must stay CommitStateUnknownError (r9 advice:
+    treating a timeout as not-landed deleted a metadata file the server
+    could still come to reference, wedging every future read)."""
+    if isinstance(exc, URLError) and not isinstance(exc, HTTPError):
+        reason = exc.reason
+        if isinstance(reason, BaseException):
+            return _failed_before_send(reason)
+        return False
+    return isinstance(exc, (ConnectionRefusedError, socket.gaierror))
+
+
 def _split(name: str):
     if "." not in name:
         raise ValueError(f"table name needs a namespace: {name!r}")
@@ -355,6 +373,13 @@ class RestTableOperations(TableOperations):
         if row is None:
             return None
         mf = row.get("metadata_file")
+        if mf is not None and (mf != os.path.basename(mf) or "\\" in mf
+                               or mf in ("", ".", "..")):
+            # server-supplied value must stay a bare filename inside the
+            # table's metadata dir — a '../'-bearing pointer from a
+            # compromised/buggy service must not escape it (r9 advice)
+            raise ValueError(
+                f"unsafe metadata_file from catalog service: {mf!r}")
         path = (os.path.join(self.metadata_dir, mf) if mf
                 else self.metadata_path(int(row["version"])))
         with open(path) as f:
@@ -396,6 +421,11 @@ class RestTableOperations(TableOperations):
         except RestError as e:
             os.unlink(final)
             if e.code == 409:
+                if base_version is None:
+                    # create endpoint: the name was concurrently taken —
+                    # surface the same exception the other catalogs'
+                    # create paths raise, not a retryable CAS loss
+                    raise TableAlreadyExistsError(self.name) from None
                 raise CommitFailedException(str(e)) from None
             raise
         except Exception as e:
@@ -408,22 +438,40 @@ class RestTableOperations(TableOperations):
             if row and int(row["version"]) == new_version \
                     and row.get("metadata_file") == fname:
                 return new_version  # landed; only the response was lost
-            if row is not None and (
-                    int(row["version"]) < new_version
-                    or (int(row["version"]) == new_version
-                        and row.get("metadata_file") != fname)):
-                # provably NOT landed (pointer behind us, or a racing
-                # writer won our version slot — only one CAS can move
-                # base→new): clean up and let the retry loop re-apply
+            if _failed_before_send(e):
+                # the failure PROVES the request never reached the
+                # server (connect refused / DNS): not landed, full stop
                 os.unlink(final)
+                if base_version is None and row is not None:
+                    raise TableAlreadyExistsError(self.name) from None
                 raise CommitFailedException(
                     f"pointer swap failed in transport ({e}); "
                     "not committed") from None
-            # service unreadable, or the pointer moved PAST our version
-            # (ours may have landed with another commit on top): keep
-            # the file (uuid-named → harmless) and surface WITHOUT
-            # retry — re-applying a possibly-landed mutation would
-            # double-apply it
+            if base_version is None and row is not None:
+                # create endpoint: the name is held by someone else, so
+                # our create-if-absent (possibly still in flight) can
+                # only ever answer 409 — provably cannot land
+                os.unlink(final)
+                raise TableAlreadyExistsError(self.name) from None
+            if row is not None and int(row["version"]) == new_version \
+                    and row.get("metadata_file") != fname:
+                # a racing writer consumed our version slot: the server
+                # pointer already moved base→new, so our in-flight CAS
+                # (same base) can only ever answer 409 — provably NOT
+                # landed regardless of how the transport failed
+                os.unlink(final)
+                raise CommitFailedException(
+                    f"pointer swap failed in transport ({e}); a "
+                    "concurrent commit won the version slot") from None
+            # NOTE: pointer merely BEHIND us after a timeout/reset is
+            # NOT proof — the POST may still be in flight and could
+            # land after this re-read, so it falls through to UNKNOWN.
+            # service unreadable, the pointer moved PAST our version
+            # (ours may have landed with another commit on top), or the
+            # POST may still be in flight (timeout/reset): keep the
+            # file (uuid-named → harmless orphan if it never lands, the
+            # pointer's target if it does) and surface WITHOUT retry —
+            # re-applying a possibly-landed mutation would double-apply
             raise CommitStateUnknownError(
                 f"pointer swap outcome unknown for {self.name} "
                 f"v{new_version}: {e}") from None
@@ -447,16 +495,29 @@ class RestCatalog:
     def _table_location(self, name: str) -> str:
         return os.path.join(self.warehouse, *name.split("."))
 
+    def _under_warehouse(self, location: str) -> bool:
+        """Server-returned locations are only trusted inside the
+        warehouse root — every location this catalog ever registers is
+        under it, so anything else is a corrupt/hostile pointer (r9
+        advice: drop_table purge rmtree'd whatever the service said)."""
+        wh = os.path.realpath(self.warehouse)
+        loc = os.path.realpath(location)
+        return loc != wh and loc.startswith(wh + os.sep)
+
     def _ops(self, name: str) -> RestTableOperations:
         ops = RestTableOperations(self.base_url, name,
                                   self._table_location(name),
                                   token=self.token)
         # ONE GET decides the location (a renamed table keeps its
         # original directory — trust the service over the name-derived
-        # path) AND seeds the ops' next refresh, so load_table costs a
-        # single round trip instead of three
+        # path, but never outside the warehouse) AND seeds the ops' next
+        # refresh, so load_table costs a single round trip instead of 3
         row = ops._load_row()
         if row and row.get("location") and row["location"] != ops.location:
+            if not self._under_warehouse(row["location"]):
+                raise ValueError(
+                    f"catalog service returned a location outside the "
+                    f"warehouse for {name}: {row['location']!r}")
             ops = RestTableOperations(self.base_url, name, row["location"],
                                       token=self.token)
         ops._prefetched = row
@@ -543,6 +604,11 @@ class RestCatalog:
                 return False
             raise
         if purge:
+            if not self._under_warehouse(row["location"]):
+                raise ValueError(
+                    f"refusing to purge {name}: service-returned "
+                    f"location {row['location']!r} is outside the "
+                    f"warehouse")
             shutil.rmtree(row["location"], ignore_errors=True)
         return True
 

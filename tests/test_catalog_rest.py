@@ -161,10 +161,11 @@ def test_rest_list_all_namespaces_and_show_tables(rcat, spark):
 
 
 def test_rest_transport_failure_not_landed(rcat, spark, monkeypatch):
-    """A transport-level failure of the pointer-swap POST (server never
-    processed it) must clean up and raise CommitFailedException — the
-    retry loop then re-applies.  Before the round-9 review fix, the
-    orphaned metadata file wedged every future commit."""
+    """A PRE-SEND transport failure of the pointer-swap POST (connect
+    refused: the request provably never reached the server) must clean
+    up and raise CommitFailedException — the retry loop then re-applies.
+    Before the round-9 review fix, the orphaned metadata file wedged
+    every future commit."""
     from incubator_iceberg_spark import catalog_rest as CR
     base = _ids(spark, 40)
     t = rcat.create_table("db.tf", Schema.from_spark(base.schema))
@@ -175,7 +176,7 @@ def test_rest_transport_failure_not_landed(rcat, spark, monkeypatch):
     def flaky(url, method="GET", body=None, token=None, timeout=10.0):
         if method == "POST" and state["drop_next_post"]:
             state["drop_next_post"] = False
-            raise OSError("connection reset before send")
+            raise ConnectionRefusedError("connect refused before send")
         return real(url, method=method, body=body, token=token,
                     timeout=timeout)
 
@@ -186,6 +187,101 @@ def test_rest_transport_failure_not_landed(rcat, spark, monkeypatch):
     t2 = rcat.load_table("db.tf")
     t2.append(base.limit(4))
     assert rcat.load_table("db.tf").to_df().count() == 44
+
+
+def test_rest_timeout_with_delayed_landing_is_unknown(rcat, spark,
+                                                      monkeypatch):
+    """A TIMEOUT leaves the POST possibly in flight: even when the
+    re-read still shows the old pointer, the swap can land AFTER the
+    re-read.  The r10 fix classifies this as CommitStateUnknownError and
+    KEEPS the metadata file — the r9 code unlinked it and retried, so a
+    late-landing swap left the server pointing at a deleted file
+    (refresh → FileNotFoundError, table wedged) and the retry
+    double-applied the mutation."""
+    import time
+    from incubator_iceberg_spark import catalog_rest as CR
+    from incubator_iceberg_spark.catalog_rest import CommitStateUnknownError
+    base = _ids(spark, 30)
+    t = rcat.create_table("db.late", Schema.from_spark(base.schema))
+    t.append(base)
+    real = CR._call
+    state = {"delay_next_post": True}
+
+    def delayed(url, method="GET", body=None, token=None, timeout=10.0):
+        if method == "POST" and state["delay_next_post"]:
+            state["delay_next_post"] = False
+            # the request IS in flight: it will land shortly AFTER the
+            # client has timed out and re-read the (still-old) pointer
+            th = threading.Timer(0.4, real, args=(url,),
+                                 kwargs=dict(method=method, body=body,
+                                             token=token, timeout=timeout))
+            th.start()
+            raise TimeoutError("timed out waiting for response")
+        return real(url, method=method, body=body, token=token,
+                    timeout=timeout)
+
+    monkeypatch.setattr(CR, "_call", delayed)
+    meta_dir = t.ops.metadata_dir
+    import os
+    before = set(os.listdir(meta_dir))
+    with pytest.raises(CommitStateUnknownError):
+        t.append(base.limit(3))
+    after = set(os.listdir(meta_dir))
+    # the uuid-named metadata file was KEPT (new files, none removed)
+    assert before <= after and len(after) > len(before)
+    time.sleep(0.8)  # let the in-flight swap land
+    # the late-landing swap references the kept file: reads see the
+    # commit, nothing is wedged, and no retry double-applied it
+    t2 = rcat.load_table("db.late")
+    assert t2.to_df().count() == 33
+    assert len(t2.metadata.snapshots) == 2
+    t2.append(base.limit(2))  # future commits proceed normally
+    assert rcat.load_table("db.late").to_df().count() == 35
+
+
+def test_rest_create_race_maps_409_to_already_exists(rcat, spark):
+    """A 409 from the CREATE endpoint (another client created the table
+    between our existence check and our commit) surfaces as
+    TableAlreadyExistsError — matching the other catalogs' create
+    semantics — not a retryable CommitFailedException."""
+    from incubator_iceberg_spark.catalog_rest import RestTableOperations
+    from incubator_iceberg_spark.metadata import TableMetadata
+    from incubator_iceberg_spark.partitioning import PartitionSpec
+    base = _ids(spark, 10)
+    rcat.create_table("db.race", Schema.from_spark(base.schema))
+    # a second client that already passed its existence check
+    ops = RestTableOperations(rcat.base_url, "db.race",
+                              rcat._table_location("db.race") + "-b")
+    sch = Schema.from_spark(base.schema)
+    md = TableMetadata.new(ops.location, sch,
+                           PartitionSpec.unpartitioned(sch), None)
+    with pytest.raises(TableAlreadyExistsError):
+        ops.commit(None, md)
+
+
+def test_rest_rejects_unsafe_server_values(rcat, spark, server, tmp_path):
+    """Server-supplied metadata_file must stay a bare filename and
+    server-supplied locations must stay under the warehouse — a
+    traversal-bearing pointer must not escape (r9 advice)."""
+    base = _ids(spark, 10)
+    rcat.create_table("db.safe", Schema.from_spark(base.schema)).append(base)
+    with server.state.lock:
+        server.state.tables["db.safe"]["metadata_file"] = \
+            "../../../etc/evil.json"
+    with pytest.raises(ValueError, match="unsafe metadata_file"):
+        rcat.load_table("db.safe")
+    # location outside the warehouse: purge refuses to rmtree it
+    victim = tmp_path / "victim-dir"
+    victim.mkdir()
+    (victim / "keep.txt").write_text("do not delete")
+    with server.state.lock:
+        server.state.tables["db.safe"]["metadata_file"] = None
+        server.state.tables["db.safe"]["location"] = str(victim)
+    with pytest.raises(ValueError, match="outside the warehouse"):
+        rcat.load_table("db.safe")
+    with pytest.raises(ValueError, match="refusing to purge"):
+        rcat.drop_table("db.safe", purge=True)
+    assert (victim / "keep.txt").exists()
 
 
 def test_rest_transport_failure_landed(rcat, spark, monkeypatch):
