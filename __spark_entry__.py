@@ -527,6 +527,71 @@ def q_not_rewrite_pruning(spark, sf_dir):
         "n_rows long, cents long, max_key long")
 
 
+def q_unknown_transform_scan(spark, sf_dir):
+    """T6 driver row (forward-compat READ of unknown transforms;
+    api/.../transforms/UnknownTransform.java, mirror test
+    api/src/test/.../transforms/TestUnknownTransform.java): a table
+    whose metadata names a partition transform written by a NEWER
+    engine stays readable — planning scans ALL partitions of that spec
+    (projections return None) and the row filter does the work; only
+    writes and spec-creating DDL reject.  Built by writing under a
+    known bucket[8] spec, then rewriting the metadata JSON's transform
+    name to future_op[16] (exactly what a cross-version read sees).
+    Asserted in-query: (a) pre-stamp, a mid-range key equality prunes
+    buckets; (b) post-stamp the SAME filter plans ALL files (pruning
+    OFF for that field) and the transform round-trips verbatim;
+    (c) append raises (writes reject); (d) ALTER-to-unknown raises.
+    Output is a plain aggregate over the stamped table — pure data."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import evolution as EV
+    from incubator_iceberg_spark.scan import TableScan
+    from incubator_iceberg_spark.schema import Schema
+    from incubator_iceberg_spark.transforms import UnknownTransform
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table("s.unk", Schema.from_spark(orders.schema),
+                         partition_by=[("o_orderkey", "bucket[8]")])
+    t.append(orders)
+    # median key sits inside every file's column-stats bounds, so only
+    # the bucket projection could prune — isolating the transform axis
+    k = int(orders.approxQuantile("o_orderkey", [0.5], 0.0)[0])
+    total = len(TableScan(t, spark).plan_files())
+    pruned = len(TableScan(t, spark,
+                           row_filter=f"o_orderkey = {k}").plan_files())
+    assert pruned < total, (pruned, total)
+    # stamp the spec with a newer engine's transform name (direct JSON,
+    # the cross-version shape): same spec-id, same values on disk
+    path = t.ops.metadata_path(t.ops.current_version())
+    with open(path) as f:
+        raw = f.read()
+    assert '"bucket[8]"' in raw
+    with open(path, "w") as f:
+        f.write(raw.replace('"bucket[8]"', '"future_op[16]"'))
+    t2 = cat.load_table("s.unk")
+    tr = t2.metadata.spec().fields[0].transform
+    assert isinstance(tr, UnknownTransform) and str(tr) == \
+        "future_op[16]", tr
+    kept = len(TableScan(t2, spark,
+                         row_filter=f"o_orderkey = {k}").plan_files())
+    assert kept == total, (kept, total)  # pruning OFF for that field
+    raised_write = raised_ddl = False
+    try:
+        t2.append(orders.limit(1))
+    except NotImplementedError:
+        raised_write = True
+    try:
+        EV.update_partition_spec(t2, [("o_custkey", "future_op[16]")])
+    except ValueError:
+        raised_ddl = True
+    assert raised_write and raised_ddl, (raised_write, raised_ddl)
+    return (t2.to_df().filter("o_custkey % 10 = 3")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("cents"))
+            .orderBy("o_orderstatus"))
+
+
 def q_residual_scan(spark, sf_dir):
     """P9 driver row (ResidualEvaluator.java / TestResidualEvaluator
     shapes): with read.use-residuals=true the scan groups kept files by
@@ -4412,6 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_file_filter": q_merge_file_filter,
         "auto_maintain": q_auto_maintain,
         "escaped_path_mor": q_escaped_path_mor,
+        "unknown_transform_scan": q_unknown_transform_scan,
         "not_rewrite_pruning": q_not_rewrite_pruning,
         "residual_scan": q_residual_scan,
         "streaming_auto_maintain": q_streaming_auto_maintain,
@@ -4748,6 +4814,14 @@ WHERE o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY 1
 ORDER BY 1
+""",
+        "unknown_transform_scan": """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey % 10 = 3
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
 """,
         "not_rewrite_pruning": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,

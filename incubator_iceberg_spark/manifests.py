@@ -409,10 +409,16 @@ def manifest_list_arrow_schema(specs_by_id: dict) -> pa.schema:
         # exempts it from partition-summary pruning (null → keep)
         pa.field("has_deletes", pa.bool_()),
     ]
-    # union of partition-field summaries across specs (fields keyed by name)
+    # union of partition-field summaries across specs (fields keyed by
+    # name).  UnknownTransform fields are SKIPPED: their declared type
+    # (string fallback) can't serialize the stored values, and pruning
+    # is off for them anyway — a missing summary is a conservative keep.
+    from incubator_iceberg_spark import transforms as TR
     summary_fields: dict[str, pa.DataType] = {}
     for spec in specs_by_id.values():
-        for f in spec.partition_type().fields:
+        for pf, f in zip(spec.fields, spec.partition_type().fields):
+            if isinstance(pf.transform, TR.UnknownTransform):
+                continue
             summary_fields.setdefault(f.name, pa.struct([
                 pa.field("contains_null", pa.bool_()),
                 pa.field("lower", arrow_type(f.type)),

@@ -49,6 +49,11 @@ class PartitionSpec:
                     name = p[2]
                 if isinstance(tr, str):
                     tr = T.parse_transform(tr)
+            if isinstance(tr, T.UnknownTransform):
+                # spec CREATION (DDL / spec evolution) must reject what
+                # this engine can't compute; only metadata READS of a
+                # newer engine's specs tolerate unknown transforms
+                raise ValueError(f"unknown transform: {tr.raw!r}")
             field = schema.find_field(src)
             if field is None:
                 raise ValueError(f"partition source column not found: {src}")

@@ -209,7 +209,13 @@ def _merge_small_manifests(base: TableMetadata, manifest_rows: list,
         by_spec.setdefault(row["partition_spec_id"], []).append(row)
     out = []
     for spec_id, rows in by_spec.items():
-        if len(rows) == 1:
+        spec_obj = base.spec_by_id(spec_id)
+        from incubator_iceberg_spark import transforms as TR
+        if len(rows) == 1 or any(isinstance(f.transform, TR.UnknownTransform)
+                                 for f in spec_obj.fields):
+            # unknown-transform specs pass through unmerged: rewriting
+            # their manifests would re-serialize partition values under
+            # the string fallback type (writes reject on such specs)
             out.extend(rows)
             continue
         entries = []

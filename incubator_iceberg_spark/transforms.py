@@ -420,10 +420,56 @@ class VoidTransform(Transform):
         return None
 
 
+class UnknownTransform(Transform):
+    """Forward-compat placeholder for a transform name this engine
+    version does not implement (api/.../transforms/UnknownTransform.java;
+    mirror test api/src/test/.../transforms/TestUnknownTransform.java).
+
+    A table whose metadata was written by a NEWER engine (or migrated
+    from an engine with more transforms) stays READABLE: projections
+    return None, so planning never prunes on this partition field —
+    every partition of that spec is scanned and the row filter does the
+    work.  Stored partition values pass through untouched (the declared
+    partition type falls back to string, matching the reference's
+    getResultType).  Only WRITE-side use rejects: computing a partition
+    value (``spark_expr``/``apply``) raises, and PartitionSpec.build /
+    spec evolution refuse to create a spec with an unknown transform."""
+
+    def __init__(self, raw: str):
+        self.raw = raw
+        self.name = raw  # str() round-trips metadata JSON verbatim
+
+    def result_type(self, source_type):
+        return S.StringType()
+
+    def can_transform(self, t):
+        return True  # cannot validate a transform we don't know
+
+    def spark_expr(self, col):
+        raise NotImplementedError(
+            f"cannot compute partition values for unknown transform "
+            f"{self.raw!r} (written by a newer engine version): the "
+            f"table is readable, but writes need an engine that "
+            f"implements it")
+
+    def apply(self, value):
+        raise NotImplementedError(
+            f"cannot apply unknown transform {self.raw!r}")
+
+    def project(self, name, pred):
+        return None  # no pruning possible → scan all partitions
+
+    def project_strict(self, name, pred):
+        return None
+
+
 def parse_transform(s: str) -> Transform:
-    """Registry (api/.../transforms/Transforms.java).  Unknown names are
-    rejected at parse with a clear error (UnknownTransform analog)."""
-    s = s.strip().lower()
+    """Registry (api/.../transforms/Transforms.java).  Unknown names
+    parse into ``UnknownTransform`` — readable, never prunable — so
+    metadata written by a newer engine still loads; spec-CREATING
+    surfaces (PartitionSpec.build, spec evolution) reject it."""
+    raw = s.strip()
+    s = raw.lower()
     if s == "identity":
         return IdentityTransform()
     if s in ("year", "month", "day", "hour"):
@@ -439,7 +485,7 @@ def parse_transform(s: str) -> Transform:
         return TruncateTransform(int(s[len("truncate["):-1]))
     if s.startswith("truncate(") and s.endswith(")"):
         return TruncateTransform(int(s[len("truncate("):-1]))
-    raise ValueError(f"unknown transform: {s!r}")
+    return UnknownTransform(raw)
 
 
 def identity() -> Transform:

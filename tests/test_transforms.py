@@ -79,8 +79,39 @@ def test_parse_transform_strings():
     assert isinstance(T.parse_transform("bucket[16]"), T.BucketTransform)
     assert isinstance(T.parse_transform("truncate(4)"), T.TruncateTransform)
     assert isinstance(T.parse_transform("month"), T.MonthTransform)
-    with pytest.raises(ValueError):
-        T.parse_transform("wat[3]")
+    # unknown names PARSE (forward-compat read path, r10); spec-creating
+    # surfaces reject them (see test_unknown_transform_*)
+    assert isinstance(T.parse_transform("wat[3]"), T.UnknownTransform)
+
+
+def test_unknown_transform_semantics():
+    """Mirror of api/src/test/.../transforms/TestUnknownTransform.java:
+    unknown transforms round-trip, never project (no pruning), bind to
+    string, and refuse to compute values."""
+    from incubator_iceberg_spark import schema as S
+    tr = T.parse_transform("future_op[16]")
+    assert isinstance(tr, T.UnknownTransform)
+    assert str(tr) == "future_op[16]"  # metadata JSON round-trips verbatim
+    assert tr == T.parse_transform("future_op[16]")
+    assert isinstance(tr.result_type(S.LongType()), S.StringType)
+    assert tr.can_transform(S.LongType())
+    assert tr.project("p", X.Predicate(X.EQ, X.Reference("x"), (5,))) is None
+    assert tr.project_strict(
+        "p", X.Predicate(X.EQ, X.Reference("x"), (5,))) is None
+    with pytest.raises(NotImplementedError, match="readable"):
+        tr.spark_expr(None)
+    with pytest.raises(NotImplementedError):
+        tr.apply(7)
+
+
+def test_unknown_transform_rejected_by_spec_build():
+    """Spec CREATION (DDL / ALTER / spec evolution) still rejects what
+    the engine cannot compute — only metadata reads tolerate it."""
+    from incubator_iceberg_spark.partitioning import PartitionSpec
+    from incubator_iceberg_spark import schema as S
+    sch = S.Schema([S.NestedField(1, "k", S.LongType(), False)])
+    with pytest.raises(ValueError, match="unknown transform"):
+        PartitionSpec.build(sch, [("k", "future_op[16]")])
 
 
 @pytest.mark.spark

@@ -1,0 +1,94 @@
+"""T6 forward-compat: a table whose metadata names a partition
+transform this engine doesn't implement (written by a NEWER engine
+version) must stay READABLE — no pruning on that field, scan-all-
+partitions planning, row filters still applied — while writes and
+spec-creating DDL reject it.
+
+Reference: api/.../transforms/UnknownTransform.java (project/
+projectStrict return null; getResultType is string; only write-side
+use rejects); mirror test api/src/test/.../TestUnknownTransform.java.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_iceberg_spark import evolution as EV
+from incubator_iceberg_spark.scan import TableScan
+from incubator_iceberg_spark.schema import Schema
+
+
+def _stamp_unknown(t, old: str, new: str):
+    """Rewrite the CURRENT metadata JSON replacing a spec's transform
+    name — simulating metadata written by a newer engine."""
+    ops = t.ops
+    path = ops.metadata_path(ops.current_version())
+    with open(path) as f:
+        raw = f.read()
+    assert f'"{old}"' in raw, raw[:200]
+    with open(path, "w") as f:
+        f.write(raw.replace(f'"{old}"', f'"{new}"'))
+
+
+@pytest.fixture()
+def unk_table(warehouse, orders):
+    t = warehouse.create_table("db.unk", Schema.from_spark(orders.schema),
+                               partition_by=[("o_orderkey", "bucket[4]")])
+    t.append(orders)
+    return t
+
+
+def test_unknown_transform_table_stays_readable(warehouse, orders,
+                                                unk_table, spark):
+    # pick a MID-RANGE key: inside every file's column-stats bounds, so
+    # only bucket-transform projection could prune — isolating the
+    # partition-pruning axis from the metrics evaluator
+    k = orders.approxQuantile("o_orderkey", [0.5], 0.0)[0]
+    k = int(k)
+    # with the KNOWN bucket spec, an equality filter prunes buckets
+    pruned = len(TableScan(unk_table, spark,
+                           row_filter=f"o_orderkey = {k}").plan_files())
+    total = len(TableScan(unk_table, spark).plan_files())
+    assert pruned < total
+
+    _stamp_unknown(unk_table, "bucket[4]", "future_op[16]")
+    t2 = warehouse.load_table("db.unk")
+    tr = t2.metadata.spec().fields[0].transform
+    assert type(tr).__name__ == "UnknownTransform" and str(tr) == \
+        "future_op[16]"
+
+    # pruning is OFF for that field: the same filter plans ALL files...
+    scan = TableScan(t2, spark, row_filter=f"o_orderkey = {k}")
+    assert len(scan.plan_files()) == total
+    # ...and the row filter still applies — results are correct
+    assert scan.to_df().count() == \
+        orders.filter(f"o_orderkey = {k}").count()
+    assert t2.to_df().count() == orders.count()
+
+    # metadata ROUND-TRIPS the unknown name verbatim (a property change
+    # commits fine and the next reader still sees future_op[16])
+    t2.update_properties({"commit.retry.num-retries": "3"})
+    t3 = warehouse.load_table("db.unk")
+    assert str(t3.metadata.spec().fields[0].transform) == "future_op[16]"
+
+
+def test_unknown_transform_rejects_writes_and_ddl(warehouse, orders,
+                                                  unk_table, spark):
+    _stamp_unknown(unk_table, "bucket[4]", "future_op[16]")
+    t2 = warehouse.load_table("db.unk")
+    # WRITES reject: the engine cannot compute the partition value
+    with pytest.raises(NotImplementedError, match="future_op"):
+        t2.append(orders.limit(1))
+    # ALTER-to-unknown rejects at spec build
+    with pytest.raises(ValueError, match="unknown transform"):
+        EV.update_partition_spec(t2, [("o_custkey", "future_op[16]")])
+    # but evolving to a KNOWN spec works — and writes resume under it
+    EV.update_partition_spec(t2, [("o_custkey", "bucket[2]")])
+    t3 = warehouse.load_table("db.unk")
+    t3.append(orders.limit(5))
+    assert t3.to_df().count() == orders.count() + 5
+    # the old unknown-spec files still plan (mixed-spec groups) with no
+    # pruning on the unknown field
+    scan = TableScan(t3, spark, row_filter="o_orderkey = 7")
+    assert scan.to_df().count() == \
+        orders.filter("o_orderkey = 7").count() + orders.limit(5).filter(
+            "o_orderkey = 7").count()
