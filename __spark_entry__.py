@@ -527,6 +527,64 @@ def q_not_rewrite_pruning(spark, sf_dir):
         "n_rows long, cents long, max_key long")
 
 
+def q_sql_describe(spark, sf_dir):
+    """Inspection-surface driver row (r9 verdict #6): DESCRIBE
+    [EXTENDED] and SHOW CREATE TABLE are parsed BACK and asserted
+    in-query so these surfaces can't rot silently.  (a) DESCRIBE
+    EXTENDED's column rows must equal the engine schema (name, type,
+    required), its partition_spec row must name both transforms, and
+    identifier/property rows must be present; (b) SHOW CREATE TABLE
+    round-trips — the rendered DDL is EXECUTED through the facade into
+    a second table whose schema, spec, identifier fields and properties
+    must all equal the original's.  Output: per-column non-null counts
+    over the round-tripped table after an INSERT — pure data, keyed by
+    the described (col_name, data_type) rows."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import sqlfacade as SQLF
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    t = cat.create_table(
+        "s.dsc", Schema.from_spark(orders.schema),
+        partition_by=["month(o_orderdate)", ("o_custkey", "bucket[4]")],
+        identifier_fields=["o_orderkey"],
+        properties={"commit.retry.num-retries": "3"})
+    schema = t.schema()
+    d = {r["col_name"]: r["data_type"]
+         for r in SQLF.execute(cat, spark,
+                               "DESCRIBE EXTENDED s.dsc").collect()}
+    for f in schema.fields:
+        assert d.get(f.name) == str(f.type), (f.name, d.get(f.name))
+    assert "month" in d["partition_spec"] and "bucket" in \
+        d["partition_spec"], d["partition_spec"]
+    assert d["identifier_fields"] == "o_orderkey", d
+    assert d["prop:commit.retry.num-retries"] == "3", d
+    # plain DESCRIBE: column rows only, same (name, type) pairs in order
+    plain = SQLF.execute(cat, spark, "DESCRIBE s.dsc").collect()
+    assert [(r["col_name"], r["data_type"]) for r in plain] == \
+        [(f.name, str(f.type)) for f in schema.fields]
+    # SHOW CREATE round-trip: execute the rendered DDL as a new table
+    ddl = SQLF.execute(cat, spark, "SHOW CREATE TABLE s.dsc").first()[0]
+    assert "PARTITIONED BY" in ddl and "TBLPROPERTIES" in ddl, ddl
+    SQLF.execute(cat, spark, ddl.replace("s.dsc", "s.dsc2"))
+    t2 = cat.load_table("s.dsc2")
+    assert [(f.name, str(f.type), f.required) for f in
+            t2.schema().fields] == \
+        [(f.name, str(f.type), f.required) for f in schema.fields]
+    assert str(t2.metadata.spec()) == str(t.metadata.spec())
+    assert t2.schema().identifier_field_ids == \
+        schema.identifier_field_ids
+    assert t2.metadata.properties.get("commit.retry.num-retries") == "3"
+    t2.append(orders.filter("o_orderkey % 4 = 1"))
+    counts = t2.to_df().agg(
+        *[F.count(F.col(f.name)).alias(f.name)
+          for f in schema.fields]).first()
+    return spark.createDataFrame(
+        sorted((f.name, str(f.type), int(counts[f.name]))
+               for f in schema.fields),
+        "col_name string, data_type string, n_non_null long")
+
+
 def q_unknown_transform_scan(spark, sf_dir):
     """T6 driver row (forward-compat READ of unknown transforms;
     api/.../transforms/UnknownTransform.java, mirror test
@@ -4478,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_maintain": q_auto_maintain,
         "escaped_path_mor": q_escaped_path_mor,
         "unknown_transform_scan": q_unknown_transform_scan,
+        "sql_describe": q_sql_describe,
         "not_rewrite_pruning": q_not_rewrite_pruning,
         "residual_scan": q_residual_scan,
         "streaming_auto_maintain": q_streaming_auto_maintain,
@@ -4814,6 +4873,23 @@ WHERE o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY 1
 ORDER BY 1
+""",
+        "sql_describe": """
+WITH f AS (SELECT * FROM orders WHERE o_orderkey % 4 = 1)
+SELECT * FROM (
+  SELECT 'o_custkey' AS col_name, 'long' AS data_type,
+         CAST(count(o_custkey) AS BIGINT) AS n_non_null FROM f
+  UNION ALL SELECT 'o_orderdate', 'timestamp',
+         CAST(count(o_orderdate) AS BIGINT) FROM f
+  UNION ALL SELECT 'o_orderkey', 'long',
+         CAST(count(o_orderkey) AS BIGINT) FROM f
+  UNION ALL SELECT 'o_orderpriority', 'string',
+         CAST(count(o_orderpriority) AS BIGINT) FROM f
+  UNION ALL SELECT 'o_orderstatus', 'string',
+         CAST(count(o_orderstatus) AS BIGINT) FROM f
+  UNION ALL SELECT 'o_totalprice', 'double',
+         CAST(count(o_totalprice) AS BIGINT) FROM f
+) ORDER BY col_name
 """,
         "unknown_transform_scan": """
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

@@ -54,6 +54,16 @@ _CTAS_RE = re.compile(
     r"(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s*)?"
     r"AS\s+(SELECT\b.*|WITH\b.*)$",
     re.IGNORECASE | re.DOTALL)
+_CREATE_COLS_RE = re.compile(
+    # column-list CREATE TABLE — the SHOW CREATE TABLE render round-trips
+    # through this (USING clause optional/ignored; the identifier-fields
+    # comment line is our own SHOW CREATE dialect, parsed back on purpose)
+    r"^\s*CREATE\s+TABLE\s+([\w.]+)\s*\(((?:[^()]|\([^()]*\))*)\)\s*"
+    r"(?:USING\s+\w+\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"(?:--\s*identifier\s+fields:\s*\(([^)]*)\)\s*)?"
+    r"(?:TBLPROPERTIES\s*\((.*)\)\s*)?$",
+    re.IGNORECASE | re.DOTALL)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(PURGE)?\s*$",
     re.IGNORECASE)
@@ -63,6 +73,24 @@ _CREATE_VIEW_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 _DROP_VIEW_RE = re.compile(
     r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE)
+
+
+def _split_top_level(s: str) -> list:
+    """Split on commas at paren/angle-bracket depth 0 (column lists and
+    partition clauses contain decimal(p,s) / bucket(n, col) / map<k,v>)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]
 
 
 def strip_leading_comments(sql: str) -> str:
@@ -158,10 +186,34 @@ def execute(catalog, spark, sql: str):
         if mv:
             return catalog.create_view(mv.group(2), mv.group(3).strip(),
                                        spark=spark, replace=bool(mv.group(1)))
+        mc = _CREATE_COLS_RE.match(s)
+        if mc:
+            from incubator_iceberg_spark import schema as SCH
+            name, cols_s, parts_s, ids_s, props_s = mc.groups()
+            fields = []
+            for i, c in enumerate(_split_top_level(cols_s), start=1):
+                cm = re.match(r"^(\w+)\s+(.+?)\s*(NOT\s+NULL)?$", c,
+                              re.IGNORECASE | re.DOTALL)
+                if not cm:
+                    raise ValueError(f"cannot parse column def: {c!r}")
+                fields.append(SCH.NestedField(
+                    i, cm.group(1),
+                    SCH.type_from_string(cm.group(2).strip()),
+                    required=bool(cm.group(3))))
+            parts = _split_top_level(parts_s) if parts_s else None
+            ids = ([x.strip() for x in ids_s.split(",") if x.strip()]
+                   if ids_s else None)
+            props = (dict(re.findall(r"'([^']*)'\s*=\s*'([^']*)'", props_s))
+                     if props_s else None)
+            return catalog.create_table(name, SCH.Schema(fields),
+                                        partition_by=parts or None,
+                                        properties=props or None,
+                                        identifier_fields=ids, spark=spark)
         m = _CTAS_RE.match(s)
         if not m:
             raise ValueError(
-                f"cannot parse CREATE (only CTAS / CREATE VIEW): {sql!r}")
+                f"cannot parse CREATE (only column-list / CTAS / "
+                f"CREATE VIEW): {sql!r}")
         from incubator_iceberg_spark.schema import Schema
         df = spark.sql(_register_and_rewrite(catalog, spark, m.group(3)))
         parts = [p.strip() for p in (m.group(2) or "").split(",") if p.strip()]

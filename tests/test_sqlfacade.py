@@ -504,3 +504,55 @@ def test_describe_table_and_view(warehouse, spark):
         warehouse, spark, "DESCRIBE EXTENDED db.desc_v").collect()}
     assert vext.get("current_version") == "1"
     assert "GROUP BY" in vext.get("sql", "")
+
+
+def test_create_table_column_list(warehouse, spark):
+    """Column-list CREATE TABLE (r10): types (incl. decimal / array),
+    NOT NULL, PARTITIONED BY transforms, identifier-fields comment
+    dialect and TBLPROPERTIES all parse into a real engine table."""
+    SQL.execute(warehouse, spark, """CREATE TABLE db.cc (
+      k long NOT NULL,
+      v string,
+      price decimal(12,2),
+      ts timestamp,
+      tags array<string>)
+    USING iiws
+    PARTITIONED BY (month(ts), bucket(4, k))
+    -- identifier fields: (k)
+    TBLPROPERTIES ('commit.retry.num-retries' = '3')""")
+    t = warehouse.load_table("db.cc")
+    assert [(f.name, str(f.type), f.required) for f in t.schema().fields] \
+        == [("k", "long", True), ("v", "string", False),
+            ("price", "decimal(12,2)", False), ("ts", "timestamp", False),
+            ("tags", "list<string>", False)]
+    assert [str(f.transform) for f in t.metadata.spec().fields] == \
+        ["month", "bucket[4]"]
+    assert t.schema().identifier_field_ids == (1,)
+    assert t.metadata.properties["commit.retry.num-retries"] == "3"
+    # bad column defs still raise with a clear message
+    with pytest.raises(ValueError, match="unknown type string"):
+        SQL.execute(warehouse, spark, "CREATE TABLE db.bad (k wat)")
+
+
+def test_show_create_table_round_trips(warehouse, orders, spark):
+    """SHOW CREATE TABLE output is EXECUTABLE: re-running the rendered
+    DDL under a new name recreates the schema, spec, identifier fields
+    and properties exactly (r9 verdict #6)."""
+    warehouse.create_table(
+        "db.rt1", Schema.from_spark(orders.schema),
+        partition_by=["month(o_orderdate)", ("o_custkey", "bucket[4]")],
+        identifier_fields=["o_orderkey"],
+        properties={"write.format.default": "parquet"})
+    ddl = SQL.execute(warehouse, spark,
+                      "SHOW CREATE TABLE db.rt1").first()[0]
+    SQL.execute(warehouse, spark, ddl.replace("db.rt1", "db.rt2"))
+    a = warehouse.load_table("db.rt1")
+    b = warehouse.load_table("db.rt2")
+    assert [(f.name, str(f.type), f.required) for f in a.schema().fields] \
+        == [(f.name, str(f.type), f.required) for f in b.schema().fields]
+    assert str(a.metadata.spec()) == str(b.metadata.spec())
+    assert a.schema().identifier_field_ids == b.schema().identifier_field_ids
+    assert b.metadata.properties["write.format.default"] == "parquet"
+    # the round-tripped table is writable and readable
+    b.append(orders.limit(7))
+    assert b.to_df().count() == 7
