@@ -172,8 +172,8 @@ def write_dv_files(spark, table_location: str, pos_df,
             dv_df.unpersist()
             return []
         n_out = max(1, -(-cnt // files_per_output))
-        (dv_df.repartitionByRange(n_out, "file_path")
-         .sortWithinPartitions("file_path")
+        from incubator_iceberg_spark.deletes import range_layout
+        (range_layout(dv_df, n_out, "file_path")
          .write.mode("errorifexists").parquet(staging))
     dv_df.unpersist()
     files = sorted(

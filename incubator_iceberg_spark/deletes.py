@@ -42,6 +42,19 @@ POS_DELETE_SCHEMA = S.Schema([
 BROADCAST_MAX_DELETE_TUPLES = 1_000_000
 
 
+def range_layout(df, n_out: int, *cols):
+    """Range-partition + in-partition sort for consolidated delete-file
+    layouts, with the ``n_out == 1`` case rewritten as
+    ``coalesce(1) + sort``: one output file needs no range boundaries,
+    so the range partitioner's SAMPLING pass and its shuffle are pure
+    overhead (one extra Spark job per maintenance pass / sink epoch —
+    the r10 per-commit-fixed-cost work).  Callers persist ``df`` first,
+    so the single-task scan reads the cache, not the lineage."""
+    if n_out <= 1:
+        return df.coalesce(1).sortWithinPartitions(*cols)
+    return df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+
+
 def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema,
                           path_partitions: Optional[dict] = None) -> list:
     """Write delete rows as parquet under data/; return raw entry dicts.

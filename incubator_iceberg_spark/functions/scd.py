@@ -33,6 +33,11 @@ FROM_COL = "effective_from"
 TO_COL = "effective_to"
 CURRENT_COL = "is_current"
 
+_DUP_KEY_MSG = ("SCD2 batch has multiple rows for one key; "
+                "apply batches in ts order instead")
+_NULL_KEY_MSG = ("SCD2 batch has NULL business key(s); SCD2 keys "
+                 "must be non-null")
+
 
 def scd2_apply(table, changes_df, key_cols: Sequence[str],
                attr_cols: Sequence[str], ts_col: str,
@@ -74,24 +79,32 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
         *key_cols, *attr_cols, F.col(ts_col).cast("long").alias("__ts"),
         F.col(op_col).eqNullSafe(F.lit(delete_op)).alias("__del") if op_col
         else F.lit(False).alias("__del"))
-    dup = (c_df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
-           .filter(F.col("__n") > 1).limit(1).collect())
-    if dup:
-        raise ValueError("SCD2 batch has multiple rows for one key; "
-                         "apply batches in ts order instead")
-    # NULL business keys are rejected outright: staged INSERT rows carry
-    # NULL merge keys by design, and the MERGE ON uses null-safe equality,
+    # Batch invariants — duplicate business keys, NULL business keys —
+    # are validated INSIDE the merge job itself (the J2 cardinality-
+    # guard pattern: a window count + raise_error evaluated while the
+    # same pass computes the merge output).  r8 ran TWO dedicated
+    # collect jobs per micro-batch for these; r10 fused them to one and
+    # then to zero — pure fixed cost in streaming SCD2 loops.  NULL
+    # business keys must be rejected: staged INSERT rows carry NULL
+    # merge keys by design, and the MERGE ON uses null-safe equality,
     # so a NULL-keyed row on either side would cross-match every insert
-    # (silent fan-out with check_cardinality=False).  The ON clause below
-    # also carries an explicit IS NOT NULL guard as defense in depth
-    # against a NULL-keyed *current* row already present in the dimension.
+    # (silent fan-out with check_cardinality=False).  The ON clause
+    # below also carries an explicit IS NOT NULL guard as defense in
+    # depth against a NULL-keyed *current* row already in the dimension.
+    from pyspark.sql.window import Window
     null_key = None
     for k in key_cols:
         cond = F.col(k).isNull()
         null_key = cond if null_key is None else (null_key | cond)
-    if c_df.filter(null_key).limit(1).collect():
-        raise ValueError("SCD2 batch has NULL business key(s); SCD2 keys "
-                         "must be non-null")
+    key_cnt = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    guard = (F.when(null_key,
+                    F.raise_error(F.lit(_NULL_KEY_MSG)).cast("boolean"))
+             .when(key_cnt > 1,
+                   F.raise_error(F.lit(_DUP_KEY_MSG)).cast("boolean"))
+             .otherwise(F.lit(True)))
+    # the filter forces per-row evaluation (a bare column would be
+    # pruned away by Catalyst and never raise)
+    c_df = c_df.withColumn("__g", guard).filter(F.col("__g")).drop("__g")
 
     cur = (table.to_df().filter(F.col(CURRENT_COL))
            .select(*key_cols,
@@ -121,6 +134,11 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
                          .cast(closers.schema[m].dataType).alias(m)
                          for m in mk],
                        *key_cols, *attr_cols, "__ts"))
+    # NOT persisted: merge_into consumes the staged source twice, but
+    # caching it forces FULL materialization of the classification join
+    # (all columns) during the pass-1 probe, where the un-cached plan
+    # lets Catalyst prune the semi-join side to the key columns only —
+    # measured 1.3x SLOWER with persist at sf0.1 (r10)
     staged = closers.unionByName(inserts)
 
     # s.__mk_k IS NOT NULL keeps staged inserts (NULL merge keys) AND any
@@ -135,11 +153,21 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
     insert_map[FROM_COL] = "s.__ts"
     insert_map[TO_COL] = "CAST(NULL AS LONG)"
     insert_map[CURRENT_COL] = "true"
-    return merge_into(
-        table, staged, on=on,
-        when_matched=[WhenMatched(update={TO_COL: "s.__ts",
-                                          CURRENT_COL: "false"})],
-        when_not_matched=[WhenNotMatched(insert=insert_map)],
-        check_cardinality=False,  # closers are key-unique by the dup guard;
-                                  # inserts have NULL merge keys (never match)
-    )
+    try:
+        return merge_into(
+            table, staged, on=on,
+            when_matched=[WhenMatched(update={TO_COL: "s.__ts",
+                                              CURRENT_COL: "false"})],
+            when_not_matched=[WhenNotMatched(insert=insert_map)],
+            check_cardinality=False,  # closers are key-unique by the dup
+                                      # guard; inserts have NULL merge
+                                      # keys (never match)
+        )
+    except Exception as e:
+        # the fused guard raises inside the Spark job; surface the same
+        # ValueError the eager probes raised (API contract + test pins)
+        if _DUP_KEY_MSG in str(e):
+            raise ValueError(_DUP_KEY_MSG) from None
+        if _NULL_KEY_MSG in str(e):
+            raise ValueError(_NULL_KEY_MSG) from None
+        raise

@@ -606,8 +606,7 @@ def rewrite_position_deletes(table, spark=None, fmt: Optional[str] = None) -> di
             # persisted ref bounds prune tightly and a 100 TB debt
             # rewrite parallelizes (~5M tuples ≈ 50 MB per output file)
             n_out = max(1, -(-n_kept // 5_000_000))
-            out = (kept.repartitionByRange(n_out, "file_path", "pos")
-                   .sortWithinPartitions("file_path", "pos"))
+            out = DEL.range_layout(kept, n_out, "file_path", "pos")
             added = DEL._write_delete_parquet(
                 spark, table.metadata.location, out, DEL.POS_DELETE_SCHEMA)
         for e in added:
@@ -698,13 +697,27 @@ def convert_equality_deletes(table, spark=None) -> dict:
             matches = m if matches is None else matches.unionByName(m)
     n_tuples = 0
     added = []
-    if matches is not None:
+    # layout choice needs a tuple count, but the EXACT count is only
+    # needed when the debt could cross the 1M partition-scoped-layout
+    # threshold.  Each eq-delete key kills at most one live row per
+    # strictly-older sequence, so sum(eq record_count) * (#sequences
+    # scoped) bounds the matches; the common steady-state debt (a few
+    # sink epochs) is far below the threshold — skip the dedicated
+    # count()+persist pass entirely and write in ONE job, reading the
+    # true converted_tuples off the written files' footer stats.
+    est_bound = sum(e.get("record_count") or 0 for e in eqs) * max(
+        1, len({e.get("sequence_number") for e in eqs}))
+    exact_count = matches is not None and est_bound >= 500_000
+    if matches is not None and exact_count:
         # persisted: the layout heuristic needs a count BEFORE the write
         # and the write re-reads — without caching, the dirty-file scan +
         # semi-join would run twice
         matches = matches.distinct().persist()
         n_tuples = matches.count()
-    if n_tuples:
+    elif matches is not None:
+        matches = matches.distinct()
+        n_tuples = None  # unknown; small by bound
+    if n_tuples or n_tuples is None:
         from incubator_iceberg_spark.row_ops import _partition_scope
         scope = _partition_scope(dirty, md)
         # layout heuristic: partition-scoped files prune at plan time but
@@ -717,22 +730,26 @@ def convert_equality_deletes(table, spark=None) -> dict:
             from incubator_iceberg_spark import delete_vectors as DV
             added = DV.write_dv_files(
                 spark, md.location, matches,
-                path_partitions=scope if n_tuples >= 1_000_000 else None)
-        elif scope and n_tuples >= 1_000_000:
+                path_partitions=scope if (n_tuples or 0) >= 1_000_000
+                else None)
+        elif scope and (n_tuples or 0) >= 1_000_000:
             out = matches.sortWithinPartitions("file_path", "pos")
             added = DEL._write_delete_parquet(
                 spark, md.location, out, DEL.POS_DELETE_SCHEMA,
                 path_partitions=scope)
         else:
-            n_out = max(1, -(-n_tuples // 5_000_000))
-            out = (matches.repartitionByRange(n_out, "file_path", "pos")
-                   .sortWithinPartitions("file_path", "pos"))
+            n_out = max(1, -(-(n_tuples or 1) // 5_000_000))
+            out = DEL.range_layout(matches, n_out, "file_path", "pos")
             added = DEL._write_delete_parquet(
                 spark, md.location, out, DEL.POS_DELETE_SCHEMA)
         for e in added:
             e["content"] = MF.POSITION_DELETES
-    if matches is not None:
+    if matches is not None and exact_count:
         matches.unpersist()
+    if n_tuples is None:
+        # the one-job path never counted: the written files' footer
+        # stats carry the exact tuple count for free
+        n_tuples = sum(e.get("record_count") or 0 for e in added)
     table.metadata = SN2.overwrite_files(
         table.ops, added, {e["file_path"] for e in eqs},
         operation="replace")
@@ -1005,9 +1022,17 @@ def auto_maintain(table, spark=None, policy: Optional[dict] = None,
                 entry["result"] = convert_equality_deletes(table, spark=spark)
                 table.refresh()
                 # converted tuples land as pos deletes: consolidate them
-                # in the same pass so reads immediately get DV/pruned form
-                entry["consolidate"] = rewrite_position_deletes(
-                    table, spark=spark)
+                # in the same pass so reads immediately get DV/pruned
+                # form — but ONLY when the post-convert pos-file count
+                # clears the consolidation gate; convert already writes
+                # range-partitioned consolidated output, so re-rewriting
+                # one or two fresh files was a full extra read+write+
+                # commit per maintenance pass for no read-side gain
+                n_pos_after = (stats["pos_files"]
+                               + entry["result"]["added_pos_files"])
+                if n_pos_after >= int(pol["pos-debt-files"]):
+                    entry["consolidate"] = rewrite_position_deletes(
+                        table, spark=spark)
             elif step == "rewrite_position_deletes":
                 entry["result"] = rewrite_position_deletes(table, spark=spark)
             elif step == "rewrite_data_files":

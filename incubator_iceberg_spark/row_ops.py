@@ -544,7 +544,8 @@ class WhenNotMatchedBySource:
 def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
                when_not_matched_by_source=None, spark=None,
                check_cardinality: bool = True, evolve_schema: bool = False,
-               extra_summary: Optional[dict] = None) -> dict:
+               extra_summary: Optional[dict] = None,
+               extra_properties: Optional[dict] = None) -> dict:
     from pyspark.sql import functions as F
 
     spark = spark or table.spark
@@ -712,8 +713,9 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
         raise
     if not touched and not staged:
         if extra_summary:  # e.g. streaming epoch marker must still commit
-            table.metadata = SN.append_files(table.ops, [],
-                                             extra_summary=extra_summary)
+            table.metadata = SN.append_files(
+                table.ops, [], extra_summary=extra_summary,
+                extra_properties=extra_properties)
         return {"touched_files": 0, "written_files": 0}
     table.metadata = SN.overwrite_files(
         table.ops, staged, set(touched),
@@ -722,6 +724,7 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
         base_snapshot_id=base_snapshot_id,
         conflict_detection_filter=None,  # serializable: any concurrent append conflicts
         validate_new_deletes=True,
+        extra_properties=extra_properties,
     )
     return {"touched_files": len(touched), "written_files": len(staged)}
 

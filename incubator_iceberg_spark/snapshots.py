@@ -244,11 +244,36 @@ def _merge_small_manifests(base: TableMetadata, manifest_rows: list,
     return out
 
 
+def _apply_extra_properties(md_out: TableMetadata,
+                            extra_properties: Optional[dict]) -> TableMetadata:
+    """Fold table-property updates into the SAME metadata swap as the
+    snapshot — one commit instead of two (the streaming sinks' epoch
+    markers were a second pointer swap per epoch; at object-store
+    latency that is one extra round trip per micro-batch).  Values under
+    the streaming epoch prefix stay MONOTONE: a retry on a fresh base
+    never regresses a marker a concurrent sink instance bumped higher."""
+    if not extra_properties:
+        return md_out
+    props = dict(md_out.properties)
+    for k, v in extra_properties.items():
+        cur = props.get(k)
+        if cur is not None and k.startswith("streaming.max-committed-epoch."):
+            try:
+                if int(cur) >= int(v):
+                    continue
+            except (TypeError, ValueError):
+                pass
+        props[k] = str(v)
+    md_out.properties = props
+    return md_out
+
+
 def _install_snapshot(base: Optional[TableMetadata], make_manifest_rows: Callable,
                       operation: str, extra_summary: Optional[dict],
                       added_entries: list, deleted_entries: list,
                       schema_id: Optional[int] = None,
-                      branch: Optional[str] = None) -> TableMetadata:
+                      branch: Optional[str] = None,
+                      extra_properties: Optional[dict] = None) -> TableMetadata:
     if base is None:
         raise ValidationException("table does not exist")
     # committing to a branch: plan/summarize against the BRANCH head by
@@ -291,16 +316,20 @@ def _install_snapshot(base: Optional[TableMetadata], make_manifest_rows: Callabl
         table_location=base.location, snapshot_id=snapshot_id,
         operation=operation, sequence_number=seq, summary=dict(summary)))
     if branch is not None and branch != "main":
-        return base.with_snapshot(snap, set_current=False).with_ref(
-            branch, snapshot_id, "branch")
-    return base.with_snapshot(snap, set_current=not stage_only)
+        return _apply_extra_properties(
+            base.with_snapshot(snap, set_current=False).with_ref(
+                branch, snapshot_id, "branch"), extra_properties)
+    return _apply_extra_properties(
+        base.with_snapshot(snap, set_current=not stage_only),
+        extra_properties)
 
 
 def apply_append(base: TableMetadata, new_entries: list,
                  extra_summary: Optional[dict] = None,
                  spec_id: Optional[int] = None,
                  operation: str = "append",
-                 branch: Optional[str] = None) -> TableMetadata:
+                 branch: Optional[str] = None,
+                 extra_properties: Optional[dict] = None) -> TableMetadata:
     """Pure append application (no commit) — composable in Transactions."""
 
     def make(base, snapshot_id, seq):
@@ -312,19 +341,22 @@ def apply_append(base: TableMetadata, new_entries: list,
         return rows
 
     return _install_snapshot(base, make, operation, extra_summary,
-                             new_entries, [], branch=branch)
+                             new_entries, [], branch=branch,
+                             extra_properties=extra_properties)
 
 
 def append_files(ops: TableOperations, new_entries: list,
                  extra_summary: Optional[dict] = None,
                  spec_id: Optional[int] = None,
                  operation: str = "append",
-                 branch: Optional[str] = None) -> TableMetadata:
+                 branch: Optional[str] = None,
+                 extra_properties: Optional[dict] = None) -> TableMetadata:
     """C1 fast append (FastAppend.java); with operation='delete' this is
     the RowDelta delete-file commit (C6)."""
     return MD.run_with_retries(
         ops, lambda base: apply_append(base, new_entries, extra_summary,
-                                       spec_id, operation, branch=branch))
+                                       spec_id, operation, branch=branch,
+                                       extra_properties=extra_properties))
 
 
 def overwrite_files(ops: TableOperations, added_entries: list, deleted_paths: set,
@@ -334,7 +366,8 @@ def overwrite_files(ops: TableOperations, added_entries: list, deleted_paths: se
                     conflict_detection_filter=None,
                     spec_id: Optional[int] = None,
                     validate_new_deletes: bool = False,
-                    required_data_files: Optional[set] = None) -> TableMetadata:
+                    required_data_files: Optional[set] = None,
+                    extra_properties: Optional[dict] = None) -> TableMetadata:
     """C3 OverwriteFiles / C5 RewriteFiles / C2 DeleteFiles.
 
     ``base_snapshot_id`` + ``conflict_detection_filter`` implement
@@ -362,7 +395,8 @@ def overwrite_files(ops: TableOperations, added_entries: list, deleted_paths: se
             extra_summary=extra_summary, base_snapshot_id=base_snapshot_id,
             conflict_detection_filter=conflict_detection_filter,
             spec_id=spec_id, validate_new_deletes=validate_new_deletes,
-            required_data_files=required_data_files))
+            required_data_files=required_data_files,
+            extra_properties=extra_properties))
 
 
 def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
@@ -372,7 +406,8 @@ def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
                     conflict_detection_filter=None,
                     spec_id: Optional[int] = None,
                     validate_new_deletes: bool = False,
-                    required_data_files: Optional[set] = None) -> TableMetadata:
+                    required_data_files: Optional[set] = None,
+                    extra_properties: Optional[dict] = None) -> TableMetadata:
     """Pure overwrite application (no commit) — composable.  Validations
     run per retry attempt against the refreshed ``base`` (the reference
     re-validates inside SnapshotProducer's retry loop the same way)."""
@@ -423,7 +458,8 @@ def apply_overwrite(base: TableMetadata, added_entries: list, deleted_paths,
         return rows
 
     return _install_snapshot(base, make, operation, extra_summary,
-                             added_entries, dropped_acc)
+                             added_entries, dropped_acc,
+                             extra_properties=extra_properties)
 
 
 def replace_partitions(ops: TableOperations, added_entries: list,

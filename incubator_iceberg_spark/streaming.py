@@ -335,6 +335,15 @@ def last_committed_epoch(table, query_id: str = "default") -> Optional[int]:
     return best
 
 
+def _epoch_marker_props(query_id: str, epoch_id: int) -> dict:
+    """Epoch-marker property folded into the SAME commit as the data
+    (extra_properties): one pointer swap per epoch instead of two, and
+    the marker is atomic with its snapshot — no crash window at all on
+    this path.  _record_epoch_property stays as a zero-cost backstop
+    (it only commits when the folded property is somehow behind)."""
+    return {EPOCH_PROP_PREFIX + query_id: str(int(epoch_id))}
+
+
 def _record_epoch_property(table, query_id: str, epoch_id: int) -> None:
     """Bump the per-query max-committed-epoch property (monotone).  Runs
     AFTER the data commit: a crash in between leaves the snapshot marker
@@ -384,7 +393,8 @@ def append_exactly_once(table, batch_df, epoch_id: int, query_id: str = "default
     if last is not None and int(epoch_id) <= last:
         return False
     table.append(batch_df, spark=spark,
-                 extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
+                 extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id},
+                 extra_properties=_epoch_marker_props(query_id, epoch_id))
     _record_epoch_property(table, query_id, epoch_id)
     _maybe_auto_maintain(table, epoch_id, spark or batch_df.sparkSession)
     return True
@@ -419,14 +429,21 @@ def upsert_exactly_once(table, batch_df, epoch_id: int, on=None,
             raise ValueError("no identifier fields on table; pass on=[...]")
     from incubator_iceberg_spark import row_ops
     # dedup within the batch (last-wins is arbitrary for same-key rows in
-    # one epoch; callers needing order pass a pre-deduped frame)
-    batch_df = batch_df.dropDuplicates(on)
-    row_ops.merge_into(
-        table, batch_df, on=on,
-        when_matched=[WhenMatched.update_all()],
-        when_not_matched=[WhenNotMatched.insert_all()],
-        spark=spark or batch_df.sparkSession,
-        extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
+    # one epoch; callers needing order pass a pre-deduped frame).
+    # Persisted: merge_into consumes the source twice (pass-1 probe +
+    # pass-2 rewrite) — caching saves recomputing the dedup shuffle.
+    batch_df = batch_df.dropDuplicates(on).persist()
+    try:
+        row_ops.merge_into(
+            table, batch_df, on=on,
+            when_matched=[WhenMatched.update_all()],
+            when_not_matched=[WhenNotMatched.insert_all()],
+            spark=spark or batch_df.sparkSession,
+            extra_summary={EPOCH_KEY: str(int(epoch_id)),
+                           QUERY_KEY: query_id},
+            extra_properties=_epoch_marker_props(query_id, epoch_id))
+    finally:
+        batch_df.unpersist()
     _record_epoch_property(table, query_id, epoch_id)
     _maybe_auto_maintain(table, epoch_id, spark or batch_df.sparkSession)
     return True
@@ -476,14 +493,20 @@ def cdc_apply_exactly_once(table, batch_df, epoch_id: int, on=None,
     else:
         batch_df = batch_df.dropDuplicates(list(on))
     is_del = f"s.{op_col} IN ('D', 'd', 'delete')"
-    row_ops.merge_into(
-        table, batch_df, on=on,
-        when_matched=[WhenMatched(condition=is_del, delete=True),
-                      WhenMatched.update_all()],
-        when_not_matched=[WhenNotMatched.insert_all(
-            condition=f"NOT ({is_del})")],
-        spark=spark or batch_df.sparkSession,
-        extra_summary={EPOCH_KEY: str(int(epoch_id)), QUERY_KEY: query_id})
+    batch_df = batch_df.persist()  # consumed twice inside merge_into
+    try:
+        row_ops.merge_into(
+            table, batch_df, on=on,
+            when_matched=[WhenMatched(condition=is_del, delete=True),
+                          WhenMatched.update_all()],
+            when_not_matched=[WhenNotMatched.insert_all(
+                condition=f"NOT ({is_del})")],
+            spark=spark or batch_df.sparkSession,
+            extra_summary={EPOCH_KEY: str(int(epoch_id)),
+                           QUERY_KEY: query_id},
+            extra_properties=_epoch_marker_props(query_id, epoch_id))
+    finally:
+        batch_df.unpersist()
     _record_epoch_property(table, query_id, epoch_id)
     _maybe_auto_maintain(table, epoch_id, spark or batch_df.sparkSession)
     return True
@@ -608,11 +631,19 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
             # one sorted key file per ~2M keys: every affected read opens
             # each eq-delete file, so consolidate (vs data-partitioned
             # output) and sort for tight per-file key bounds — eq-bounds
-            # pruning (scope_deletes_for_file) then skips clean files
-            n_keys = key_df.count()
+            # pruning (scope_deletes_for_file) then skips clean files.
+            # The key count is ESTIMATED from the already-staged entries
+            # (the batch is key-deduped, so staged data rows == upsert
+            # keys) instead of a dedicated count() job per epoch; op_col
+            # delete keys are uncounted — they only skew the file-size
+            # heuristic; an all-deletes batch falls back to one count.
+            n_keys = sum(e.get("record_count") or 0 for e in entries)
+            if op_col is not None and n_keys == 0:
+                n_keys = key_df.count()
             n_out = max(1, -(-n_keys // 2_000_000))
-            key_df = (key_df.repartitionByRange(n_out, *on)
-                      .sortWithinPartitions(*on))
+            # the common small-epoch path (n_out == 1) skips the range
+            # partitioner's sampling pass and shuffle — 2 jobs per epoch
+            key_df = DEL.range_layout(key_df, n_out, *on)
             eq_entries = DEL._write_delete_parquet(
                 spark, md.location, key_df, del_schema)
             fp = DEL.eq_schema_fingerprint(del_schema)
@@ -626,7 +657,8 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
         table.metadata = SN.append_files(
             table.ops, entries, operation="overwrite",
             extra_summary={EPOCH_KEY: str(int(epoch_id)),
-                           QUERY_KEY: query_id})
+                           QUERY_KEY: query_id},
+            extra_properties=_epoch_marker_props(query_id, epoch_id))
         _record_epoch_property(table, query_id, epoch_id)
         _maybe_auto_maintain(table, epoch_id, spark)
         return True

@@ -341,7 +341,8 @@ class Table:
 
     def append(self, df, spark=None, extra_summary: Optional[dict] = None,
                branch: Optional[str] = None,
-               merge_schema: bool = False) -> "Table":
+               merge_schema: bool = False,
+               extra_properties: Optional[dict] = None) -> "Table":
         """S9 batch append.  ``merge_schema=True`` union-by-names the
         input's schema into the table first (new columns added as
         optional, legal type promotions applied — UnionByNameVisitor.java
@@ -416,7 +417,8 @@ class Table:
         entries = self._stage(df, spark)
         self.metadata = SN.append_files(self.ops, entries,
                                         extra_summary=extra_summary,
-                                        branch=branch)
+                                        branch=branch,
+                                        extra_properties=extra_properties)
         return self
 
     def overwrite(self, df, overwrite_filter, spark=None) -> "Table":

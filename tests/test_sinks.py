@@ -143,3 +143,38 @@ def test_batch_write_to_branch(warehouse, orders, spark):
     t.refresh()
     assert t.to_df().count() == 60  # main unchanged
     assert t.to_df(ref="dev").count() == 85
+
+
+def test_epoch_marker_folds_into_data_commit(warehouse, orders, spark):
+    """r10: the exactly-once sinks commit the epoch-marker property
+    ATOMICALLY with the data snapshot (extra_properties) — one pointer
+    swap per epoch, not two — and the folded marker is monotone (a
+    lower value never regresses a higher concurrent one)."""
+    from incubator_iceberg_spark import snapshots as SN
+    from incubator_iceberg_spark import streaming as ST
+    t = warehouse.create_table("db.fold", Schema.from_spark(orders.schema))
+    v0 = t.ops.current_version()
+    assert ST.append_exactly_once(t, orders.limit(10), epoch_id=1,
+                                  query_id="q", spark=spark)
+    t.refresh()
+    assert t.ops.current_version() == v0 + 1, \
+        "epoch marker must ride the data commit, not a second swap"
+    key = "streaming.max-committed-epoch.q"
+    assert t.metadata.properties[key] == "1"
+    # upsert-MoR epoch: same single-swap shape
+    v1 = t.ops.current_version()
+    assert ST.upsert_mor_exactly_once(t, orders.limit(5), epoch_id=2,
+                                      on=["o_orderkey"], query_id="q",
+                                      spark=spark)
+    t.refresh()
+    assert t.ops.current_version() == v1 + 1
+    assert t.metadata.properties[key] == "2"
+    # monotone: folding a LOWER epoch (a stale retry racing a faster
+    # sink instance) keeps the higher committed value
+    t.metadata = SN.append_files(t.ops, [], extra_summary={"x": "1"},
+                                 extra_properties={key: "1"})
+    assert t.metadata.properties[key] == "2"
+    # non-epoch keys are plain set
+    t.metadata = SN.append_files(t.ops, [], extra_summary={"x": "2"},
+                                 extra_properties={"my.prop": "v"})
+    assert t.metadata.properties["my.prop"] == "v"
