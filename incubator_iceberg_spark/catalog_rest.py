@@ -69,25 +69,79 @@ from incubator_iceberg_spark.table import (
 # ---------------------------------------------------------------------------
 
 class _State:
-    """Pointer map + lock; optionally persisted as one JSON file so a
-    restarted service keeps its catalog (the real service's backing
-    database, reduced to the sandbox)."""
+    """Pointer map + lock; optionally persisted as a SNAPSHOT file plus
+    an append-only JSONL JOURNAL (the real service's backing database,
+    reduced to the sandbox).  Each mutation appends ONE line — O(1) per
+    pointer swap, where the r9 version rewrote the whole table map per
+    mutation (~MBs and a global serialization point at 10^5 tables).
+    Startup replays snapshot + journal; ``compact()`` (on shutdown and
+    automatically past a line budget) folds the journal back into the
+    snapshot atomically: the snapshot is replaced FIRST, then the
+    journal truncated, so a crash between the two only re-applies
+    idempotent set/del lines."""
+
+    COMPACT_EVERY = 50_000  # journal lines before an automatic compact
 
     def __init__(self, state_path: Optional[str] = None):
         self.lock = threading.Lock()
         self.state_path = state_path
         self.tables: dict = {}  # name -> {"location": str, "version": int}
-        if state_path and os.path.exists(state_path):
-            with open(state_path) as f:
-                self.tables = json.load(f)
+        self._journal = None
+        self._journal_lines = 0
+        if state_path:
+            if os.path.exists(state_path):
+                with open(state_path) as f:
+                    self.tables = json.load(f)
+            jp = state_path + ".journal"
+            if os.path.exists(jp):
+                with open(jp) as f:
+                    for line in f:
+                        line = line.strip()
+                        if line:
+                            self._apply(json.loads(line))
+                            self._journal_lines += 1
+            self._journal = open(jp, "a")
 
-    def _persist(self) -> None:
-        if not self.state_path:
+    def _apply(self, op: dict) -> None:
+        kind = op["op"]
+        if kind == "set":
+            self.tables[op["name"]] = op["row"]
+        elif kind == "del":
+            self.tables.pop(op["name"], None)
+        elif kind == "rename":
+            row = self.tables.pop(op["src"], None)
+            if row is not None:
+                self.tables[op["dst"]] = row
+
+    def _persist(self, op: dict) -> None:
+        """Append one journal line (caller holds the lock, op already
+        applied to the in-memory map)."""
+        if self._journal is None:
             return
+        self._journal.write(json.dumps(op) + "\n")
+        self._journal.flush()
+        os.fsync(self._journal.fileno())
+        self._journal_lines += 1
+        if self._journal_lines >= self.COMPACT_EVERY:
+            self.compact(locked=True)
+
+    def compact(self, locked: bool = False) -> None:
+        """Fold the journal into the snapshot; truncate the journal."""
+        if self.state_path is None:
+            return
+        if not locked:
+            with self.lock:
+                return self.compact(locked=True)
         tmp = self.state_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(self.tables, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self.state_path)
+        if self._journal is not None:
+            self._journal.close()
+        self._journal = open(self.state_path + ".journal", "w")
+        self._journal_lines = 0
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -178,7 +232,7 @@ class _Handler(BaseHTTPRequestHandler):
                 if row is None:
                     return self._send(404, {"error": f"no such table {src}"})
                 st.tables[dst] = row
-                st._persist()
+                st._persist({"op": "rename", "src": src, "dst": dst})
             return self._send(200, {})
         if verb == "tables" and tbl is None:  # create (register pointer)
             name = f"{ns}.{body['name']}"
@@ -188,7 +242,8 @@ class _Handler(BaseHTTPRequestHandler):
                 st.tables[name] = {"location": body["location"],
                                    "version": int(body["version"]),
                                    "metadata_file": body.get("metadata_file")}
-                st._persist()
+                st._persist({"op": "set", "name": name,
+                             "row": st.tables[name]})
             return self._send(200, {"name": name, **st.tables[name]})
         if verb == "tables":  # commit: CAS pointer swap
             name = f"{ns}.{tbl}"
@@ -215,7 +270,8 @@ class _Handler(BaseHTTPRequestHandler):
                                      f"{row['version']}, base {base})"})
                     row["version"] = new
                     row["metadata_file"] = body.get("metadata_file")
-                st._persist()
+                st._persist({"op": "set", "name": name,
+                             "row": st.tables[name]})
             return self._send(200, {})
         return self._send(404, {"error": "no such route"})
 
@@ -230,7 +286,8 @@ class _Handler(BaseHTTPRequestHandler):
         st: _State = self.server.state  # type: ignore[attr-defined]
         with st.lock:
             row = st.tables.pop(name, None)
-            st._persist()
+            if row is not None:
+                st._persist({"op": "del", "name": name})
         if row is None:
             return self._send(404, {"error": f"no such table {name}"})
         return self._send(200, row)
@@ -267,6 +324,7 @@ class RestCatalogServer:
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+        self.state.compact()  # fold the journal into the snapshot
 
 
 # ---------------------------------------------------------------------------

@@ -341,3 +341,42 @@ def test_rest_upsert_mor_with_auto_maintain_hook(rcat, spark):
     assert t.to_df().count() == 300
     assert t.to_df().filter("id < 40").agg(
         F.min("v")).first()[0] == 6  # last epoch's update won
+
+
+def test_rest_journal_replay_without_compaction(tmp_path, spark):
+    """r10 persistence journal: a server that dies WITHOUT compacting
+    (crash) must rebuild the exact pointer map from snapshot + journal
+    replay — including renames and drops; a clean stop() compacts and a
+    subsequent start agrees with zero journal lines."""
+    import os
+    state = str(tmp_path / "cat.json")
+    srv = RestCatalogServer(state_path=state).start()
+    try:
+        cat = RestCatalog(srv.url, str(tmp_path / "wh"), spark)
+        cat.create_table("db.j1", "k long")
+        cat.create_table("db.j2", "k long")
+        cat.rename_table("db.j2", "db.j3")
+        cat.drop_table("db.j1", purge=False)
+    finally:
+        # CRASH: kill the HTTP server without the stop() compaction
+        srv._httpd.shutdown()
+        srv._httpd.server_close()
+    assert os.path.exists(state + ".journal")
+    assert os.path.getsize(state + ".journal") > 0
+    srv2 = RestCatalogServer(state_path=state).start()
+    try:
+        cat2 = RestCatalog(srv2.url, str(tmp_path / "wh"), spark)
+        assert cat2.list_tables("") == ["db.j3"]
+        t = cat2.load_table("db.j3")
+        t.append(spark.range(5).selectExpr("id AS k"))
+        assert t.to_df().count() == 5
+    finally:
+        srv2.stop()  # compacts
+    assert os.path.getsize(state + ".journal") == 0
+    srv3 = RestCatalogServer(state_path=state).start()
+    try:
+        cat3 = RestCatalog(srv3.url, str(tmp_path / "wh"), spark)
+        assert cat3.list_tables("") == ["db.j3"]
+        assert cat3.load_table("db.j3").to_df().count() == 5
+    finally:
+        srv3.stop()
