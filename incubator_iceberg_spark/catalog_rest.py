@@ -95,11 +95,21 @@ class _State:
             jp = state_path + ".journal"
             if os.path.exists(jp):
                 with open(jp) as f:
-                    for line in f:
-                        line = line.strip()
-                        if line:
-                            self._apply(json.loads(line))
-                            self._journal_lines += 1
+                    lines = f.read().splitlines()
+                for i, line in enumerate(lines):
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        op = json.loads(line)
+                    except json.JSONDecodeError:
+                        if i == len(lines) - 1:
+                            # torn FINAL line: the crash happened mid-
+                            # append, so the op never ack'd — drop it
+                            break
+                        raise  # mid-journal corruption is a real error
+                    self._apply(op)
+                    self._journal_lines += 1
             self._journal = open(jp, "a")
 
     def _apply(self, op: dict) -> None:

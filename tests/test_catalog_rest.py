@@ -380,3 +380,35 @@ def test_rest_journal_replay_without_compaction(tmp_path, spark):
         assert cat3.load_table("db.j3").to_df().count() == 5
     finally:
         srv3.stop()
+
+
+def test_rest_journal_torn_final_line(tmp_path, spark):
+    """A crash mid-append leaves a torn final journal line: replay must
+    DROP it (the op never ack'd to any client) and keep every complete
+    line; mid-journal corruption still raises."""
+    import json as _json
+    import os
+    state = str(tmp_path / "cat.json")
+    srv = RestCatalogServer(state_path=state).start()
+    cat = RestCatalog(srv.url, str(tmp_path / "wh"), spark)
+    cat.create_table("db.a", "k long")
+    cat.create_table("db.b", "k long")
+    srv._httpd.shutdown()
+    srv._httpd.server_close()  # crash: no compaction
+    jp = state + ".journal"
+    with open(jp, "a") as f:
+        f.write('{"op": "set", "name": "db.c", "ro')  # torn mid-append
+    srv2 = RestCatalogServer(state_path=state).start()
+    try:
+        cat2 = RestCatalog(srv2.url, str(tmp_path / "wh"), spark)
+        assert cat2.list_tables("") == ["db.a", "db.b"]  # torn op dropped
+    finally:
+        srv2.stop()
+    # mid-journal corruption (not the final line) is a REAL error
+    with open(jp, "w") as f:
+        f.write('{"op": "set", "name": "db.x", "ro\n')
+        f.write(_json.dumps({"op": "set", "name": "db.y",
+                             "row": {"location": "/wh/db/y",
+                                     "version": 1}}) + "\n")
+    with pytest.raises(Exception):
+        RestCatalogServer(state_path=state)
