@@ -820,6 +820,66 @@ def q_rest_catalog_scan(spark, sf_dir):
         srv.stop()
 
 
+def q_rest_catalog_replay(spark, sf_dir):
+    """Round-10 REST durability row: the pointer service's O(1)
+    persistence JOURNAL (catalog_rest._State — one fsync'd JSONL line
+    per mutation; the r9 version rewrote the whole map per swap).  The
+    service CRASHES mid-stream (no compaction) with a TORN final
+    journal line appended; a restarted server must rebuild the exact
+    pointer map from snapshot + complete journal lines, version
+    continuity must hold for subsequent CAS commits, and a clean stop's
+    compaction must fold the journal so a THIRD start agrees.  Asserted
+    in-query: journal non-empty pre-crash, torn op dropped, pointer
+    version continuous across the crash, journal empty post-compaction.
+    Output: the final table contents — pure data."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.catalog_rest import (RestCatalog,
+                                                      RestCatalogServer)
+    from incubator_iceberg_spark.schema import Schema
+    import os as _os
+    import uuid as _uuid
+    wh = _os.path.join(SCRATCH_ROOT, "restj-" + _uuid.uuid4().hex)
+    _os.makedirs(wh, exist_ok=True)
+    state = _os.path.join(wh, "catalog-state.json")
+    orders = _load(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    srv = RestCatalogServer(state_path=state).start()
+    try:
+        cat = RestCatalog(srv.url, wh, spark)
+        t = cat.create_table("db.rj", Schema.from_spark(orders.schema))
+        t.append(orders.filter("o_orderkey % 3 = 0"))
+        t.append(orders.filter("o_orderkey % 3 = 1"))
+        v_pre = t.ops.current_version()
+        assert srv.state._journal_lines > 0, "journal never written"
+    finally:
+        # CRASH: kill the HTTP server, skip the stop() compaction
+        srv._httpd.shutdown()
+        srv._httpd.server_close()
+    with open(state + ".journal", "a") as f:
+        f.write('{"op": "set", "name": "db.torn", "ro')  # torn mid-append
+    srv2 = RestCatalogServer(state_path=state).start()
+    try:
+        cat2 = RestCatalog(srv2.url, wh, spark)
+        assert cat2.list_tables("") == ["db.rj"], "torn op must drop"
+        t2 = cat2.load_table("db.rj")
+        assert t2.ops.current_version() == v_pre, "pointer lost in replay"
+        t2.append(orders.filter("o_orderkey % 3 = 2"))
+        assert t2.ops.current_version() == v_pre + 1, "CAS continuity"
+    finally:
+        srv2.stop()  # compacts
+    assert _os.path.getsize(state + ".journal") == 0, "compaction"
+    srv3 = RestCatalogServer(state_path=state).start()
+    try:
+        out = RestCatalog(srv3.url, wh, spark).load_table("db.rj")
+        return (out.to_df().groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.floor(F.col("o_totalprice") * 100)
+                           .cast("long")).alias("cents"))
+                .orderBy("o_orderstatus"))
+    finally:
+        srv3.stop()
+
+
 def q_view_versions(spark, sf_dir):
     """Versioned SQL views (views.py — the PUBLIC Iceberg view-spec
     shape; not in the incubator-era reference): CREATE VIEW via the
@@ -4516,16 +4576,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verified r5)] + [TWO NEW r10 rows: unknown_transform_scan
     # (T6 forward-compat read of unknown partition transforms — the r9
     # verdict's #2), sql_describe (DESCRIBE EXTENDED parse-back + SHOW
-    # CREATE round-trip — the r9 verdict's #6)] + [the 42 OLDEST
-    # r6-verified rows (sql_bucket_join .. changelog_updates)].
+    # CREATE round-trip — the r9 verdict's #6), rest_catalog_replay
+    # (REST journal crash-replay + compaction durability)] + [the 41
+    # OLDEST r6-verified rows (sql_bucket_join .. changelog_scan)].
     # Rows 51+: the remaining r6/r7/r8-verified rows in verification
-    # order, then the 50 r9-driver-green rows at the very back.  With
-    # this window green, every registry row is driver-verified within
-    # r7-r10 except the r6 block's tail (rows 51+ head), which MUST
-    # head the r11 window: matview_refresh, incremental_read,
-    # delete_mor, update_mor, delete_maintenance, pos_delete_scan, ...
-    # (take the next 40-45 in rows-51+ order).  All rows re-verified
-    # locally via tools/check_correctness.py this round.
+    # order (changelog_updates FIRST), then the 50 r9-driver-green rows
+    # at the very back.  With this window green, every registry row is
+    # driver-verified within r7-r10 except the r6 block's tail (rows
+    # 51+ head), which MUST head the r11 window: changelog_updates,
+    # matview_refresh, incremental_read, delete_mor, update_mor,
+    # delete_maintenance, pos_delete_scan, ... (take the next 40-45 in
+    # rows-51+ order).  All rows re-verified locally via
+    # tools/check_correctness.py this round.
     return {
         "rollup_agg": q_rollup,
         "cube_agg": q_cube_agg,
@@ -4535,6 +4597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "unknown_transform_scan": q_unknown_transform_scan,
         "sql_describe": q_sql_describe,
+        "rest_catalog_replay": q_rest_catalog_replay,
         "sql_bucket_join": q_sql_bucket_join,
         "percentile_exact": q_percentile_exact,
         "pipeline_composite": q_pipeline_composite,
@@ -4887,6 +4950,13 @@ SELECT * FROM (
   UNION ALL SELECT 'o_totalprice', 'double',
          CAST(count(o_totalprice) AS BIGINT) FROM f
 ) ORDER BY col_name
+""",
+        "rest_catalog_replay": """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
 """,
         "unknown_transform_scan": """
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
