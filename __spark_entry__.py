@@ -4573,7 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry comment promised would head this window (rollup_agg,
     # cube_agg, distinct_agg, split_assign, events_hourly,
     # length_quantiles — judge-green in the r9 session, last
-    # driver-verified r5)] + [TWO NEW r10 rows: unknown_transform_scan
+    # driver-verified r5)] + [THREE NEW r10 rows: unknown_transform_scan
     # (T6 forward-compat read of unknown partition transforms — the r9
     # verdict's #2), sql_describe (DESCRIBE EXTENDED parse-back + SHOW
     # CREATE round-trip — the r9 verdict's #6), rest_catalog_replay

@@ -93,15 +93,20 @@ class _State:
                 with open(state_path) as f:
                     self.tables = json.load(f)
             jp = state_path + ".journal"
+            good_bytes = 0
             if os.path.exists(jp):
-                with open(jp) as f:
-                    lines = f.read().splitlines()
+                with open(jp, "rb") as f:
+                    raw = f.read()
+                lines = raw.decode("utf-8", errors="replace").splitlines(
+                    keepends=True)
                 for i, line in enumerate(lines):
-                    line = line.strip()
-                    if not line:
+                    stripped = line.strip()
+                    if not stripped:
+                        good_bytes += len(line.encode("utf-8",
+                                                      errors="replace"))
                         continue
                     try:
-                        op = json.loads(line)
+                        op = json.loads(stripped)
                     except json.JSONDecodeError:
                         if i == len(lines) - 1:
                             # torn FINAL line: the crash happened mid-
@@ -110,6 +115,17 @@ class _State:
                         raise  # mid-journal corruption is a real error
                     self._apply(op)
                     self._journal_lines += 1
+                    good_bytes += len(line.encode("utf-8",
+                                                  errors="replace"))
+                if good_bytes < len(raw):
+                    # TRUNCATE the torn fragment before reopening for
+                    # append — otherwise the next mutation is written
+                    # onto the same line, merging an UNACKED fragment
+                    # with an ACKED op into one unparseable line (a
+                    # second crash would then drop a committed pointer
+                    # swap or wedge startup; r10 review finding #1)
+                    with open(jp, "r+b") as f:
+                        f.truncate(good_bytes)
             self._journal = open(jp, "a")
 
     def _apply(self, op: dict) -> None:
@@ -119,9 +135,16 @@ class _State:
         elif kind == "del":
             self.tables.pop(op["name"], None)
         elif kind == "rename":
-            row = self.tables.pop(op["src"], None)
-            if row is not None:
-                self.tables[op["dst"]] = row
+            # ABSOLUTE rename (carries the moved row): idempotent under
+            # full-journal replay onto an already-folded snapshot — the
+            # relative form re-executed after a crash inside compact()
+            # could pop a RE-CREATED src and clobber dst with its row
+            # (r10 review finding #2).  src is only dropped when it
+            # still holds the row this rename moved.
+            self.tables[op["dst"]] = op["row"]
+            if self.tables.get(op["src"]) == op["row"] \
+                    and op["src"] != op["dst"]:
+                self.tables.pop(op["src"], None)
 
     def _persist(self, op: dict) -> None:
         """Append one journal line (caller holds the lock, op already
@@ -242,7 +265,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if row is None:
                     return self._send(404, {"error": f"no such table {src}"})
                 st.tables[dst] = row
-                st._persist({"op": "rename", "src": src, "dst": dst})
+                st._persist({"op": "rename", "src": src, "dst": dst,
+                             "row": row})
             return self._send(200, {})
         if verb == "tables" and tbl is None:  # create (register pointer)
             name = f"{ns}.{body['name']}"
@@ -516,11 +540,18 @@ class RestTableOperations(TableOperations):
                     f"pointer swap failed in transport ({e}); "
                     "not committed") from None
             if base_version is None and row is not None:
-                # create endpoint: the name is held by someone else, so
-                # our create-if-absent (possibly still in flight) can
-                # only ever answer 409 — provably cannot land
-                os.unlink(final)
-                raise TableAlreadyExistsError(self.name) from None
+                if int(row["version"]) == new_version \
+                        and row.get("metadata_file") != fname:
+                    # the FIRST version slot is held by someone else's
+                    # file: our create-if-absent (possibly still in
+                    # flight) can only ever answer 409 — cannot land
+                    os.unlink(final)
+                    raise TableAlreadyExistsError(self.name) from None
+                # pointer PAST our version: our create may have LANDED
+                # and been built upon by a concurrent commit before the
+                # re-read — claiming "already exists" would tell the
+                # caller its own durable create was a conflict (r10
+                # review finding #4).  Fall through to UNKNOWN.
             if row is not None and int(row["version"]) == new_version \
                     and row.get("metadata_file") != fname:
                 # a racing writer consumed our version slot: the server

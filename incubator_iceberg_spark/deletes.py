@@ -48,8 +48,11 @@ def range_layout(df, n_out: int, *cols):
     ``coalesce(1) + sort``: one output file needs no range boundaries,
     so the range partitioner's SAMPLING pass and its shuffle are pure
     overhead (one extra Spark job per maintenance pass / sink epoch —
-    the r10 per-commit-fixed-cost work).  Callers persist ``df`` first,
-    so the single-task scan reads the cache, not the lineage."""
+    the r10 per-commit-fixed-cost work).  The n_out==1 single task must
+    be cheap to feed: callers either persist ``df`` first or hold a
+    SOUND small bound on its size (convert's dirty-rows bound) — and a
+    shuffle boundary in the lineage (distinct/dropDuplicates) keeps the
+    map side parallel regardless."""
     if n_out <= 1:
         return df.coalesce(1).sortWithinPartitions(*cols)
     return df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)

@@ -699,14 +699,15 @@ def convert_equality_deletes(table, spark=None) -> dict:
     added = []
     # layout choice needs a tuple count, but the EXACT count is only
     # needed when the debt could cross the 1M partition-scoped-layout
-    # threshold.  Each eq-delete key kills at most one live row per
-    # strictly-older sequence, so sum(eq record_count) * (#sequences
-    # scoped) bounds the matches; the common steady-state debt (a few
-    # sink epochs) is far below the threshold — skip the dedicated
-    # count()+persist pass entirely and write in ONE job, reading the
-    # true converted_tuples off the written files' footer stats.
-    est_bound = sum(e.get("record_count") or 0 for e in eqs) * max(
-        1, len({e.get("sequence_number") for e in eqs}))
+    # threshold.  Every converted tuple names a row of a DIRTY file, so
+    # the dirty files' record_count sum is a SOUND upper bound (an
+    # eq-key-based bound is not: duplicate key values in older files
+    # make one delete key match many rows — r10 review finding #3);
+    # the common steady-state debt (a few sink epochs) is far below the
+    # threshold — skip the dedicated count()+persist pass entirely and
+    # write in ONE job, reading the true converted_tuples off the
+    # written files' footer stats.
+    est_bound = sum(e.get("record_count") or 0 for e in dirty)
     exact_count = matches is not None and est_bound >= 500_000
     if matches is not None and exact_count:
         # persisted: the layout heuristic needs a count BEFORE the write

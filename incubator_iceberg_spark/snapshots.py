@@ -244,6 +244,12 @@ def _merge_small_manifests(base: TableMetadata, manifest_rows: list,
     return out
 
 
+#: shared with streaming.py (defined HERE to avoid the import cycle):
+#: property keys under this prefix get monotone-max merge semantics in
+#: _apply_extra_properties — the exactly-once sinks' epoch markers
+EPOCH_PROP_PREFIX = "streaming.max-committed-epoch."
+
+
 def _apply_extra_properties(md_out: TableMetadata,
                             extra_properties: Optional[dict]) -> TableMetadata:
     """Fold table-property updates into the SAME metadata swap as the
@@ -257,7 +263,7 @@ def _apply_extra_properties(md_out: TableMetadata,
     props = dict(md_out.properties)
     for k, v in extra_properties.items():
         cur = props.get(k)
-        if cur is not None and k.startswith("streaming.max-committed-epoch."):
+        if cur is not None and k.startswith(EPOCH_PROP_PREFIX):
             try:
                 if int(cur) >= int(v):
                     continue

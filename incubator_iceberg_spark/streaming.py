@@ -317,7 +317,9 @@ class ChangelogMicroBatchReader:
 #: snapshot summaries alone break exactly-once once expire_snapshots
 #: removes the snapshots carrying the markers: a late foreachBatch
 #: replay of an old epoch would pass the scan and commit AGAIN
-EPOCH_PROP_PREFIX = "streaming.max-committed-epoch."
+# defined in snapshots.py so the commit-side monotone guard
+# (_apply_extra_properties) and the sinks can never drift apart
+EPOCH_PROP_PREFIX = SN.EPOCH_PROP_PREFIX
 
 
 def last_committed_epoch(table, query_id: str = "default") -> Optional[int]:

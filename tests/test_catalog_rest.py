@@ -412,3 +412,66 @@ def test_rest_journal_torn_final_line(tmp_path, spark):
                                      "version": 1}}) + "\n")
     with pytest.raises(Exception):
         RestCatalogServer(state_path=state)
+
+
+def test_rest_journal_torn_line_then_new_ops_survive_second_crash(
+        tmp_path, spark):
+    """r10 review finding #1: after replay drops a torn final line, the
+    fragment must be TRUNCATED before reopening for append — otherwise
+    the next acked mutation merges into the fragment's line and a
+    SECOND crash-replay drops a committed pointer swap."""
+    import os
+    state = str(tmp_path / "cat.json")
+    srv = RestCatalogServer(state_path=state).start()
+    cat = RestCatalog(srv.url, str(tmp_path / "wh"), spark)
+    cat.create_table("db.a", "k long")
+    srv._httpd.shutdown()
+    srv._httpd.server_close()  # crash #1 (no compaction)
+    with open(state + ".journal", "a") as f:
+        f.write('{"op": "set", "name": "db.torn", "ro')
+    srv2 = RestCatalogServer(state_path=state).start()
+    cat2 = RestCatalog(srv2.url, str(tmp_path / "wh"), spark)
+    cat2.create_table("db.b", "k long")  # acked mutation post-replay
+    cat2.load_table("db.b").append(spark.range(3).selectExpr("id AS k"))
+    srv2._httpd.shutdown()
+    srv2._httpd.server_close()  # crash #2 (still no compaction)
+    srv3 = RestCatalogServer(state_path=state).start()
+    try:
+        cat3 = RestCatalog(srv3.url, str(tmp_path / "wh"), spark)
+        # the acked create + append survive the second crash-replay
+        assert cat3.list_tables("") == ["db.a", "db.b"]
+        assert cat3.load_table("db.b").to_df().count() == 3
+    finally:
+        srv3.stop()
+
+
+def test_rest_rename_replay_idempotent_after_recreate(tmp_path, spark):
+    """r10 review finding #2: full-journal replay onto an already-folded
+    snapshot (the compact() crash window) must not let a re-executed
+    rename clobber the destination with a RE-CREATED source's row —
+    renames journal as absolute ops carrying the moved row."""
+    import json as _json
+    state = str(tmp_path / "cat.json")
+    srv = RestCatalogServer(state_path=state).start()
+    cat = RestCatalog(srv.url, str(tmp_path / "wh"), spark)
+    cat.create_table("db.a", "k long")
+    a_loc = srv.state.tables["db.a"]["location"]
+    cat.rename_table("db.a", "db.b")
+    cat.create_table("db.a", "k long")  # re-created under the old name
+    a2_loc = srv.state.tables["db.a"]["location"]
+    assert a2_loc != a_loc
+    # simulate the compact() crash window: snapshot folded, journal NOT
+    # truncated -> the next start replays the FULL journal on top
+    with srv.state.lock:
+        with open(state, "w") as f:
+            _json.dump(srv.state.tables, f)
+    srv._httpd.shutdown()
+    srv._httpd.server_close()
+    srv2 = RestCatalogServer(state_path=state).start()
+    try:
+        tables = srv2.state.tables
+        assert tables["db.b"]["location"] == a_loc, \
+            "rename replay clobbered the destination"
+        assert tables["db.a"]["location"] == a2_loc
+    finally:
+        srv2.stop()
