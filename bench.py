@@ -173,6 +173,13 @@ BENCH_QUERIES = [
     # round-9: REST pointer-CAS catalog (3 appends + stale-handle 409 +
     # retry + rename + MoR delete, all through the HTTP service)
     "rest_catalog_scan",
+    # round-10: T6 forward-compat read (unknown transform stamped into
+    # metadata; pruning off for that field, plan facts asserted)
+    "unknown_transform_scan",
+    # round-10: DESCRIBE parse-back + SHOW CREATE round-trip DDL
+    "sql_describe",
+    # round-10: REST journal crash-replay + compaction durability
+    "rest_catalog_replay",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,
