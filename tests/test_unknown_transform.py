@@ -92,3 +92,16 @@ def test_unknown_transform_rejects_writes_and_ddl(warehouse, orders,
     assert scan.to_df().count() == \
         orders.filter("o_orderkey = 7").count() + orders.limit(5).filter(
             "o_orderkey = 7").count()
+
+
+def test_unknown_transform_metadata_tables_readable(warehouse, orders,
+                                                    unk_table, spark):
+    """Inspection surfaces stay up on a cross-version table: every
+    metadata table serves rows (partition values pass through as
+    stored)."""
+    _stamp_unknown(unk_table, "bucket[4]", "future_op[16]")
+    t2 = warehouse.load_table("db.unk")
+    for mt in ("files", "partitions", "snapshots", "manifests", "entries",
+               "position_deletes", "refs", "history"):
+        assert t2.metadata_table(mt).count() >= 0, mt
+    assert t2.metadata_table("partitions").count() == 4  # 4 buckets
