@@ -86,12 +86,18 @@ class _State:
         self.lock = threading.Lock()
         self.state_path = state_path
         self.tables: dict = {}  # name -> {"location": str, "version": int}
+        self.namespaces: dict = {}  # name -> {properties}
         self._journal = None
         self._journal_lines = 0
         if state_path:
             if os.path.exists(state_path):
                 with open(state_path) as f:
-                    self.tables = json.load(f)
+                    snap = json.load(f)
+                if "tables" in snap or "namespaces" in snap:
+                    self.tables = snap.get("tables", {})
+                    self.namespaces = snap.get("namespaces", {})
+                else:  # pre-r10 snapshot: bare table map
+                    self.tables = snap
             jp = state_path + ".journal"
             good_bytes = 0
             if os.path.exists(jp):
@@ -134,6 +140,10 @@ class _State:
             self.tables[op["name"]] = op["row"]
         elif kind == "del":
             self.tables.pop(op["name"], None)
+        elif kind == "set_ns":
+            self.namespaces[op["name"]] = op.get("properties") or {}
+        elif kind == "del_ns":
+            self.namespaces.pop(op["name"], None)
         elif kind == "rename":
             # ABSOLUTE rename (carries the moved row): idempotent under
             # full-journal replay onto an already-folded snapshot — the
@@ -167,7 +177,8 @@ class _State:
                 return self.compact(locked=True)
         tmp = self.state_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(self.tables, f)
+            json.dump({"tables": self.tables,
+                       "namespaces": self.namespaces}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.state_path)
@@ -219,6 +230,14 @@ class _Handler(BaseHTTPRequestHandler):
             ns = parts[2]
             tbl = parts[4] if len(parts) > 4 and parts[4] else None
             return ("tables", ns, tbl)
+        if parts[:2] == ["v1", "namespaces"]:
+            # /v1/namespaces | /v1/namespaces/{ns} | .../{ns}/properties
+            if len(parts) == 2:
+                return ("namespaces", None, None)
+            if len(parts) == 3 and parts[2]:
+                return ("namespace", parts[2], None)
+            if len(parts) == 4 and parts[3] == "properties":
+                return ("ns_props", parts[2], None)
         return None
 
     def do_GET(self):  # noqa: N802
@@ -245,6 +264,21 @@ class _Handler(BaseHTTPRequestHandler):
             if row is None:
                 return self._send(404, {"error": f"no such table {name}"})
             return self._send(200, {"name": name, **row})
+        if verb == "namespaces":  # list: explicit ∪ implicit-from-tables
+            with st.lock:
+                names = set(st.namespaces) | {
+                    n.rsplit(".", 1)[0] for n in st.tables}
+            return self._send(200, {"namespaces": [
+                n.split(".") for n in sorted(names)]})
+        if verb == "namespace":  # load properties
+            with st.lock:
+                props = st.namespaces.get(ns)
+                implicit = props is None and any(
+                    n.rsplit(".", 1)[0] == ns for n in st.tables)
+            if props is None and not implicit:
+                return self._send(404, {"error": f"no such namespace {ns}"})
+            return self._send(200, {"namespace": ns.split("."),
+                                    "properties": props or {}})
         return self._send(404, {"error": "no such route"})
 
     def do_POST(self):  # noqa: N802
@@ -307,13 +341,55 @@ class _Handler(BaseHTTPRequestHandler):
                 st._persist({"op": "set", "name": name,
                              "row": st.tables[name]})
             return self._send(200, {})
+        if verb == "namespaces":  # create
+            name = ".".join(body.get("namespace") or []) \
+                if isinstance(body.get("namespace"), list) \
+                else (body.get("namespace") or "")
+            if not name:
+                return self._send(400, {"error": "namespace required"})
+            with st.lock:
+                if name in st.namespaces:
+                    return self._send(409, {"error": f"{name} exists"})
+                st.namespaces[name] = dict(body.get("properties") or {})
+                st._persist({"op": "set_ns", "name": name,
+                             "properties": st.namespaces[name]})
+            return self._send(200, {"namespace": name.split("."),
+                                    "properties": st.namespaces[name]})
+        if verb == "ns_props":  # update properties (removals + updates)
+            with st.lock:
+                if ns not in st.namespaces:
+                    return self._send(404,
+                                      {"error": f"no such namespace {ns}"})
+                props = dict(st.namespaces[ns])
+                for k in body.get("removals") or []:
+                    props.pop(k, None)
+                props.update(body.get("updates") or {})
+                st.namespaces[ns] = props
+                st._persist({"op": "set_ns", "name": ns,
+                             "properties": props})
+            return self._send(200, {"updated": sorted(
+                (body.get("updates") or {}).keys()), "removed": sorted(
+                body.get("removals") or [])})
         return self._send(404, {"error": "no such route"})
 
     def do_DELETE(self):  # noqa: N802
         if not self._authed():
             return self._send(401, {"error": "bad token"})
         r = self._route()
-        if r is None or r[2] is None:
+        if r is not None and r[0] == "namespace":
+            ns = r[1]
+            st: _State = self.server.state  # type: ignore[attr-defined]
+            with st.lock:
+                if any(n.rsplit(".", 1)[0] == ns for n in st.tables):
+                    return self._send(
+                        409, {"error": f"namespace {ns} is not empty"})
+                props = st.namespaces.pop(ns, None)
+                if props is not None:
+                    st._persist({"op": "del_ns", "name": ns})
+            if props is None:
+                return self._send(404, {"error": f"no such namespace {ns}"})
+            return self._send(200, {})
+        if r is None or r[0] != "tables" or r[2] is None:
             return self._send(404, {"error": "no such route"})
         _, ns, tbl = r
         name = f"{ns}.{tbl}"
@@ -369,6 +445,18 @@ class RestError(Exception):
     def __init__(self, code: int, message: str):
         super().__init__(f"HTTP {code}: {message}")
         self.code = code
+
+
+class NoSuchNamespaceError(Exception):
+    pass
+
+
+class NamespaceAlreadyExistsError(Exception):
+    pass
+
+
+class NamespaceNotEmptyError(Exception):
+    pass
 
 
 class CommitStateUnknownError(Exception):
@@ -729,6 +817,72 @@ class RestCatalog:
                     token=self.token)
         return sorted(".".join(i["namespace"] + [i["name"]])
                       for i in out["identifiers"])
+
+    # -- namespaces: the spec's namespace endpoints (create/list/load/
+    # update-properties/drop; implicit namespaces — derived from table
+    # names — list and load but cannot be dropped or hold properties)
+
+    def create_namespace(self, name: str,
+                         properties: Optional[dict] = None) -> None:
+        try:
+            _call(f"{self.base_url}/v1/namespaces", method="POST",
+                  body={"namespace": name.split("."),
+                        "properties": dict(properties or {})},
+                  token=self.token)
+        except RestError as e:
+            if e.code == 409:
+                raise NamespaceAlreadyExistsError(name) from None
+            raise
+
+    def list_namespaces(self) -> list:
+        out = _call(f"{self.base_url}/v1/namespaces", token=self.token)
+        return sorted(".".join(n) for n in out["namespaces"])
+
+    def namespace_exists(self, name: str) -> bool:
+        try:
+            self.load_namespace_properties(name)
+            return True
+        except NoSuchNamespaceError:
+            return False
+
+    def load_namespace_properties(self, name: str) -> dict:
+        ns = quote(name, safe="")
+        try:
+            out = _call(f"{self.base_url}/v1/namespaces/{ns}",
+                        token=self.token)
+        except RestError as e:
+            if e.code == 404:
+                raise NoSuchNamespaceError(name) from None
+            raise
+        return dict(out.get("properties") or {})
+
+    def update_namespace_properties(self, name: str,
+                                    updates: Optional[dict] = None,
+                                    removals: Optional[list] = None) -> dict:
+        ns = quote(name, safe="")
+        try:
+            return _call(f"{self.base_url}/v1/namespaces/{ns}/properties",
+                         method="POST",
+                         body={"updates": dict(updates or {}),
+                               "removals": list(removals or [])},
+                         token=self.token)
+        except RestError as e:
+            if e.code == 404:
+                raise NoSuchNamespaceError(name) from None
+            raise
+
+    def drop_namespace(self, name: str) -> bool:
+        ns = quote(name, safe="")
+        try:
+            _call(f"{self.base_url}/v1/namespaces/{ns}", method="DELETE",
+                  token=self.token)
+            return True
+        except RestError as e:
+            if e.code == 404:
+                return False
+            if e.code == 409:
+                raise NamespaceNotEmptyError(name) from None
+            raise
 
     # -- views: filesystem-backed under the warehouse (SqliteCatalog
     # pairing — the pointer service stays tables-only)

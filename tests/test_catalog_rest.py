@@ -475,3 +475,57 @@ def test_rest_rename_replay_idempotent_after_recreate(tmp_path, spark):
         assert tables["db.a"]["location"] == a2_loc
     finally:
         srv2.stop()
+
+
+def test_rest_namespace_endpoints(tmp_path, spark):
+    """r10: the spec's namespace surface — create/list/load properties/
+    update properties/drop; implicit namespaces (derived from table
+    names) list and load but refuse drop-with-tables; all of it
+    journaled and crash-replayable."""
+    from incubator_iceberg_spark.catalog_rest import (
+        NamespaceAlreadyExistsError, NamespaceNotEmptyError,
+        NoSuchNamespaceError)
+    state = str(tmp_path / "cat.json")
+    srv = RestCatalogServer(state_path=state).start()
+    try:
+        cat = RestCatalog(srv.url, str(tmp_path / "wh"), spark)
+        cat.create_namespace("sales", {"owner": "etl"})
+        with pytest.raises(NamespaceAlreadyExistsError):
+            cat.create_namespace("sales")
+        cat.create_table("db.t1", "k long")  # db = implicit namespace
+        assert cat.list_namespaces() == ["db", "sales"]
+        assert cat.load_namespace_properties("sales") == {"owner": "etl"}
+        assert cat.load_namespace_properties("db") == {}  # implicit
+        with pytest.raises(NoSuchNamespaceError):
+            cat.load_namespace_properties("absent")
+        cat.update_namespace_properties("sales",
+                                        updates={"retention": "30d"},
+                                        removals=["owner"])
+        assert cat.load_namespace_properties("sales") == \
+            {"retention": "30d"}
+        # drop: non-empty refuses; explicit empty drops; absent False
+        cat.create_table("sales.s1", "k long")
+        with pytest.raises(NamespaceNotEmptyError):
+            cat.drop_namespace("sales")
+        cat.drop_table("sales.s1")
+        assert cat.drop_namespace("sales")
+        assert not cat.drop_namespace("sales")
+        assert cat.list_namespaces() == ["db"]
+        # journaled: crash (no compaction) replays namespace ops
+        cat.create_namespace("crashy", {"a": "1"})
+    finally:
+        srv._httpd.shutdown()
+        srv._httpd.server_close()
+    srv2 = RestCatalogServer(state_path=state).start()
+    try:
+        cat2 = RestCatalog(srv2.url, str(tmp_path / "wh"), spark)
+        assert cat2.load_namespace_properties("crashy") == {"a": "1"}
+        assert "sales" not in cat2.list_namespaces()
+    finally:
+        srv2.stop()  # compacts {tables, namespaces} snapshot
+    srv3 = RestCatalogServer(state_path=state).start()
+    try:
+        cat3 = RestCatalog(srv3.url, str(tmp_path / "wh"), spark)
+        assert cat3.load_namespace_properties("crashy") == {"a": "1"}
+    finally:
+        srv3.stop()
