@@ -186,6 +186,37 @@ def execute(catalog, spark, sql: str):
         if mv:
             return catalog.create_view(mv.group(2), mv.group(3).strip(),
                                        spark=spark, replace=bool(mv.group(1)))
+        mn = re.match(r"^\s*CREATE\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+                      r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+                      r"(?:WITH\s+(?:DBPROPERTIES|PROPERTIES)\s*"
+                      r"\((.*)\)\s*)?$", s, re.IGNORECASE | re.DOTALL)
+        if mn:
+            if not hasattr(catalog, "create_namespace"):
+                raise ValueError(
+                    "this catalog has no namespace surface (implicit "
+                    "namespaces only); use a RestCatalog")
+            props = (dict(re.findall(r"'([^']*)'\s*=\s*'([^']*)'",
+                                     mn.group(2)))
+                     if mn.group(2) else None)
+            if_not_exists = bool(re.search(r"IF\s+NOT\s+EXISTS", s,
+                                           re.IGNORECASE))
+            try:
+                if props:
+                    try:
+                        catalog.create_namespace(mn.group(1), props)
+                    except TypeError:
+                        raise ValueError(
+                            "this catalog does not support namespace "
+                            "properties (directory namespaces only); "
+                            "use a RestCatalog") from None
+                else:
+                    catalog.create_namespace(mn.group(1))
+            except ValueError:
+                raise
+            except Exception:
+                if not if_not_exists:
+                    raise
+            return True
         mc = _CREATE_COLS_RE.match(s)
         if mc:
             from incubator_iceberg_spark import schema as SCH
@@ -222,6 +253,19 @@ def execute(catalog, spark, sql: str):
         t.append(df)
         return t
     if head == "DROP":
+        mn = re.match(r"^\s*DROP\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+                      r"(IF\s+EXISTS\s+)?([\w.]+)\s*$", s, re.IGNORECASE)
+        if mn:
+            if not hasattr(catalog, "drop_namespace"):
+                raise ValueError(
+                    "this catalog has no namespace surface (implicit "
+                    "namespaces only); use a RestCatalog")
+            dropped = catalog.drop_namespace(mn.group(2))
+            if not dropped and not mn.group(1):
+                from incubator_iceberg_spark.catalog_rest import \
+                    NoSuchNamespaceError
+                raise NoSuchNamespaceError(mn.group(2))
+            return dropped
         mv = _DROP_VIEW_RE.match(s)
         if mv:
             dropped = catalog.drop_view(mv.group(2))
@@ -270,6 +314,19 @@ def execute(catalog, spark, sql: str):
         if mm:
             return _show_create(catalog, spark, mm.group(1).upper(),
                                 mm.group(2))
+        if re.match(r"^\s*SHOW\s+(NAMESPACES|DATABASES|SCHEMAS)\s*$",
+                    s, re.IGNORECASE):
+            if hasattr(catalog, "list_namespaces"):
+                names = catalog.list_namespaces()
+            else:  # implicit namespaces from table/view names
+                names = sorted({n.rsplit(".", 1)[0]
+                                for n in catalog.list_tables("")
+                                if "." in n}
+                               | {n.rsplit(".", 1)[0]
+                                  for n in catalog.list_views("")
+                                  if "." in n})
+            return spark.createDataFrame([(n,) for n in names],
+                                         "namespace string")
         raise ValueError(f"cannot parse SHOW: {sql!r}")
     if head in ("DESCRIBE", "DESC"):
         mm = re.match(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+|VIEW\s+)?"

@@ -127,6 +127,17 @@ class Catalog:
                 out.append(entry)
         return out
 
+    def drop_namespace(self, namespace: str) -> bool:
+        """Drop an EMPTY namespace directory (r10, REST-catalog parity)."""
+        import shutil
+        p = os.path.join(self.warehouse, *namespace.split("."))
+        if not os.path.isdir(p):
+            return False
+        if self.list_tables(namespace):
+            raise ValueError(f"namespace {namespace} is not empty")
+        shutil.rmtree(p)
+        return True
+
     def list_tables(self, namespace: str = "") -> list:
         root = os.path.join(self.warehouse, *namespace.split(".")) if namespace else self.warehouse
         out = []

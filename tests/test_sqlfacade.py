@@ -556,3 +556,48 @@ def test_show_create_table_round_trips(warehouse, orders, spark):
     # the round-tripped table is writable and readable
     b.append(orders.limit(7))
     assert b.to_df().count() == 7
+
+
+def test_namespace_ddl_through_facade(tmp_path, spark):
+    """r10: CREATE/DROP NAMESPACE + SHOW NAMESPACES route to catalogs
+    with a namespace surface (REST); implicit-namespace catalogs serve
+    SHOW NAMESPACES from table/view names and reject namespace DDL."""
+    from incubator_iceberg_spark.catalog_rest import (RestCatalog,
+                                                      RestCatalogServer)
+    srv = RestCatalogServer().start()
+    try:
+        cat = RestCatalog(srv.url, str(tmp_path / "wh"), spark)
+        SQL.execute(cat, spark,
+                    "CREATE NAMESPACE sales WITH PROPERTIES "
+                    "('owner' = 'etl')")
+        SQL.execute(cat, spark, "CREATE NAMESPACE IF NOT EXISTS sales")
+        with pytest.raises(Exception):
+            SQL.execute(cat, spark, "CREATE NAMESPACE sales")
+        cat.create_table("db.t", "k long")
+        got = sorted(r["namespace"] for r in SQL.execute(
+            cat, spark, "SHOW NAMESPACES").collect())
+        assert got == ["db", "sales"]
+        assert cat.load_namespace_properties("sales") == {"owner": "etl"}
+        assert SQL.execute(cat, spark, "DROP NAMESPACE sales") is True
+        assert SQL.execute(cat, spark,
+                           "DROP NAMESPACE IF EXISTS sales") is False
+    finally:
+        srv.stop()
+
+
+def test_show_namespaces_on_fs_catalog(warehouse, spark):
+    warehouse.create_table("db.n1", "k long")
+    warehouse.create_table("db2.n2", "k long")
+    got = sorted(r["namespace"] for r in SQL.execute(
+        warehouse, spark, "SHOW NAMESPACES").collect())
+    assert got == ["db", "db2"]
+    # FS namespaces are directories: create/drop work, properties don't
+    SQL.execute(warehouse, spark, "CREATE NAMESPACE extra")
+    assert "extra" in [r["namespace"] for r in SQL.execute(
+        warehouse, spark, "SHOW NAMESPACES").collect()]
+    assert SQL.execute(warehouse, spark, "DROP NAMESPACE extra") is True
+    with pytest.raises(ValueError, match="not empty"):
+        SQL.execute(warehouse, spark, "DROP NAMESPACE db")
+    with pytest.raises(ValueError, match="namespace properties"):
+        SQL.execute(warehouse, spark,
+                    "CREATE NAMESPACE nope WITH PROPERTIES ('a' = 'b')")
