@@ -106,6 +106,17 @@ class _State:
                 lines = raw.decode("utf-8", errors="replace").splitlines(
                     keepends=True)
                 for i, line in enumerate(lines):
+                    if not line.endswith("\n"):
+                        # FINAL line without its trailing newline: the
+                        # ack (fsync) covers line+'\n' in one write, so
+                        # a newline-less tail is UNACKED even when it
+                        # parses as complete JSON — drop it.  Applying
+                        # it and reopening in append mode would write
+                        # the next op onto the same line, merging two
+                        # ops into one unparseable line (a later replay
+                        # would then wedge mid-journal or drop an ACKED
+                        # op; r10 advice finding #1).
+                        break
                     stripped = line.strip()
                     if not stripped:
                         good_bytes += len(line.encode("utf-8",

@@ -33,10 +33,17 @@ FROM_COL = "effective_from"
 TO_COL = "effective_to"
 CURRENT_COL = "is_current"
 
-_DUP_KEY_MSG = ("SCD2 batch has multiple rows for one key; "
-                "apply batches in ts order instead")
-_NULL_KEY_MSG = ("SCD2 batch has NULL business key(s); SCD2 keys "
-                 "must be non-null")
+# Unique sentinels embedded in the raise_error messages so the except
+# block below can re-classify the in-job guard failures without
+# substring-matching prose (Py4J/connect can truncate or wrap exception
+# text, and an unrelated failure whose message embedded the prose would
+# be misreported as a guard trip — r10 advice #3).
+_DUP_KEY_SENTINEL = "SCD2_GUARD:dup-key"
+_NULL_KEY_SENTINEL = "SCD2_GUARD:null-key"
+_DUP_KEY_MSG = (f"[{_DUP_KEY_SENTINEL}] SCD2 batch has multiple rows "
+                "for one key; apply batches in ts order instead")
+_NULL_KEY_MSG = (f"[{_NULL_KEY_SENTINEL}] SCD2 batch has NULL business "
+                 "key(s); SCD2 keys must be non-null")
 
 
 def scd2_apply(table, changes_df, key_cols: Sequence[str],
@@ -165,9 +172,12 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
         )
     except Exception as e:
         # the fused guard raises inside the Spark job; surface the same
-        # ValueError the eager probes raised (API contract + test pins)
-        if _DUP_KEY_MSG in str(e):
+        # ValueError the eager probes raised (API contract + test pins).
+        # Match on the unique sentinel tokens, not the prose — wrapped
+        # or truncated exception text keeps the short token, and no
+        # unrelated failure plausibly embeds it.
+        if _DUP_KEY_SENTINEL in str(e):
             raise ValueError(_DUP_KEY_MSG) from None
-        if _NULL_KEY_MSG in str(e):
+        if _NULL_KEY_SENTINEL in str(e):
             raise ValueError(_NULL_KEY_MSG) from None
         raise

@@ -200,6 +200,12 @@ def execute(catalog, spark, sql: str):
                      if mn.group(2) else None)
             if_not_exists = bool(re.search(r"IF\s+NOT\s+EXISTS", s,
                                            re.IGNORECASE))
+            # IF NOT EXISTS must swallow ONLY already-exists — a
+            # blanket `except Exception` here turned transport
+            # failures / auth errors / server 5xx (RestError) into a
+            # silent True "created" (r10 advice #4)
+            from incubator_iceberg_spark.catalog_rest import \
+                NamespaceAlreadyExistsError
             try:
                 if props:
                     try:
@@ -211,9 +217,7 @@ def execute(catalog, spark, sql: str):
                             "use a RestCatalog") from None
                 else:
                     catalog.create_namespace(mn.group(1))
-            except ValueError:
-                raise
-            except Exception:
+            except NamespaceAlreadyExistsError:
                 if not if_not_exists:
                     raise
             return True

@@ -135,6 +135,11 @@ class Catalog:
             return False
         if self.list_tables(namespace):
             raise ValueError(f"namespace {namespace} is not empty")
+        if self.list_views(namespace):
+            # list_tables excludes .view-metadata.json — without this a
+            # views-only namespace would pass the emptiness check and
+            # rmtree would silently delete the views (r10 advice #2)
+            raise ValueError(f"namespace {namespace} is not empty")
         shutil.rmtree(p)
         return True
 

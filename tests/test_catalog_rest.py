@@ -477,6 +477,41 @@ def test_rest_rename_replay_idempotent_after_recreate(tmp_path, spark):
         srv2.stop()
 
 
+def test_rest_journal_newline_less_final_line_is_unacked(tmp_path, spark):
+    """r11 advice #1: a crash can leave the final journal line as
+    COMPLETE JSON without its trailing newline.  The ack (fsync) covers
+    line+'\\n' in one write, so that tail is unacked — replay must drop
+    and TRUNCATE it, or the next mutation is appended onto the same
+    line, merging two ops (a later replay then wedges mid-journal or
+    drops an acked op)."""
+    import json as _json
+    state = str(tmp_path / "cat.json")
+    srv = RestCatalogServer(state_path=state).start()
+    cat = RestCatalog(srv.url, str(tmp_path / "wh"), spark)
+    cat.create_table("db.a", "k long")
+    srv._httpd.shutdown()
+    srv._httpd.server_close()  # crash: no compaction
+    jp = state + ".journal"
+    with open(jp, "a") as f:  # complete JSON, NO trailing newline
+        f.write(_json.dumps({"op": "set", "name": "db.unacked",
+                             "row": {"location": "/wh/db/unacked",
+                                     "version": 1}}))
+    srv2 = RestCatalogServer(state_path=state).start()
+    cat2 = RestCatalog(srv2.url, str(tmp_path / "wh"), spark)
+    # the newline-less op never acked: it must NOT be visible
+    assert cat2.list_tables("") == ["db.a"]
+    cat2.create_table("db.b", "k long")  # acked mutation post-replay
+    srv2._httpd.shutdown()
+    srv2._httpd.server_close()  # crash #2, again no compaction
+    # replay #2 must neither wedge on a merged line nor lose db.b
+    srv3 = RestCatalogServer(state_path=state).start()
+    try:
+        cat3 = RestCatalog(srv3.url, str(tmp_path / "wh"), spark)
+        assert cat3.list_tables("") == ["db.a", "db.b"]
+    finally:
+        srv3.stop()
+
+
 def test_rest_namespace_endpoints(tmp_path, spark):
     """r10: the spec's namespace surface — create/list/load properties/
     update properties/drop; implicit namespaces (derived from table

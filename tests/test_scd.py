@@ -153,3 +153,30 @@ def test_scd2_null_op_is_upsert_not_dropped(warehouse, spark):
     assert got[(1, 0)]["effective_to"] == 100 and not got[(1, 0)]["is_current"]
     assert (9, 100) in got and got[(9, 100)]["is_current"]
     assert t.to_df().filter("k = 2 AND is_current").count() == 0
+
+
+def test_scd2_guard_classification_uses_sentinel_not_prose(warehouse,
+                                                           spark):
+    """r11 advice #3: the except block re-classifies in-job guard trips
+    by a unique sentinel token, not prose substring — wrapped/truncated
+    exception text keeps the token, and unrelated failures whose message
+    merely embeds the prose are NOT misreported as guard trips."""
+    assert scd._DUP_KEY_SENTINEL in scd._DUP_KEY_MSG
+    assert scd._NULL_KEY_SENTINEL in scd._NULL_KEY_MSG
+    assert scd._DUP_KEY_SENTINEL != scd._NULL_KEY_SENTINEL
+    # sentinel-bearing errors still surface as the pinned ValueError
+    t = _dim(warehouse, spark)
+    with pytest.raises(ValueError, match="multiple rows"):
+        scd.scd2_apply(t, _changes(spark, [(1, "A", 1), (1, "B", 2)], 100),
+                       ["k"], ["seg", "score"], "ts")
+    # an unrelated failure embedding only the PROSE must pass through
+    # unconverted (it lacks the sentinel)
+    import re as _re
+    prose = _re.sub(r"^\[[^\]]*\] ", "", scd._DUP_KEY_MSG)
+    assert scd._DUP_KEY_SENTINEL not in prose
+
+    class Boom(RuntimeError):
+        pass
+
+    err = Boom(f"stage failed while logging: {prose}")
+    assert scd._DUP_KEY_SENTINEL not in str(err)

@@ -601,3 +601,34 @@ def test_show_namespaces_on_fs_catalog(warehouse, spark):
     with pytest.raises(ValueError, match="namespace properties"):
         SQL.execute(warehouse, spark,
                     "CREATE NAMESPACE nope WITH PROPERTIES ('a' = 'b')")
+
+
+def test_create_namespace_if_not_exists_only_swallows_exists(tmp_path,
+                                                             spark):
+    """r11 advice #4: IF NOT EXISTS must swallow ONLY already-exists.
+    Transport failures / server 5xx (RestError) used to be absorbed by
+    a blanket except, returning True as if the namespace were created."""
+    from incubator_iceberg_spark.catalog_rest import (
+        NamespaceAlreadyExistsError, RestError)
+
+    class FlakyCatalog:
+        def __init__(self, exc):
+            self.exc = exc
+
+        def create_namespace(self, name, properties=None):
+            raise self.exc
+
+    # server/transport errors propagate even under IF NOT EXISTS
+    with pytest.raises(RestError):
+        SQL.execute(FlakyCatalog(RestError(503, "backend down")), spark,
+                    "CREATE NAMESPACE IF NOT EXISTS ns1")
+    with pytest.raises(ConnectionError):
+        SQL.execute(FlakyCatalog(ConnectionError("refused")), spark,
+                    "CREATE NAMESPACE IF NOT EXISTS ns1")
+    # already-exists is swallowed under IF NOT EXISTS, raised without
+    ok = SQL.execute(FlakyCatalog(NamespaceAlreadyExistsError("ns1")),
+                     spark, "CREATE NAMESPACE IF NOT EXISTS ns1")
+    assert ok is True
+    with pytest.raises(NamespaceAlreadyExistsError):
+        SQL.execute(FlakyCatalog(NamespaceAlreadyExistsError("ns1")),
+                    spark, "CREATE NAMESPACE ns1")

@@ -435,3 +435,23 @@ def test_concurrent_replace_with_readers(warehouse, spark, orders_table):
     v = warehouse.load_view("db.vrw").refresh()
     assert tuple(v.to_df(warehouse, spark).first()) == valid[5]
     assert [x.version_id for x in v.versions()] == [1, 2, 3, 4, 5, 6]
+
+
+def test_drop_namespace_refuses_views_only_namespace(warehouse, spark,
+                                                     orders_table):
+    """r11 advice #2: list_tables excludes views, so DROP NAMESPACE on a
+    namespace holding ONLY views used to pass the emptiness check and
+    rmtree the views — data loss through a DDL surface.  It must raise
+    the same not-empty error; after dropping the view the namespace
+    drops cleanly."""
+    warehouse.create_view("vns.only_view",
+                          "SELECT o_orderkey FROM db.vo", spark=spark)
+    assert warehouse.list_tables("vns") == []
+    assert warehouse.list_views("vns") == ["vns.only_view"]
+    with pytest.raises(ValueError, match="not empty"):
+        warehouse.drop_namespace("vns")
+    # the view survived the refused drop
+    assert warehouse.list_views("vns") == ["vns.only_view"]
+    assert warehouse.drop_view("vns.only_view") is True
+    assert warehouse.drop_namespace("vns") is True
+    assert "vns" not in warehouse.list_namespaces()
