@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "sql_describe",
     # round-10: REST journal crash-replay + compaction durability
     "rest_catalog_replay",
+    # round-11: REST namespace endpoints + facade namespace DDL
+    "sql_namespaces",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,
@@ -190,6 +192,19 @@ BENCH_QUERIES = [
 # q1/q6/filter_pushdown "regressed" 1.6-2.1x with no code change.
 WARMUP_QUERIES = ["q1_pricing_summary", "q6_forecast_revenue",
                   "filter_pushdown_scan", "q3_shipping_priority"]
+
+# A/A canary (r10 verdict #2): three fixed SHORT benches re-timed at
+# suite start AND end.  Their end/start drift ratio separates machine
+# floor from code regression in one read — a quiet machine holds the
+# geomean near 1.0, ambient load shows up as uniform drift without any
+# code change.  Kept short so the canary costs ~5 s total.
+CANARY_QUERIES = ["time_travel", "q6_forecast_revenue", "dedup_exact"]
+
+# Ambient-load threshold (absolute loadavg, not a %-of-cores): the r10
+# artifact ran at loadavg_start 3.35 on 32 CPUs — well under the old
+# 25%-of-cores flag — yet every short row read uniformly 1.1-1.4x high.
+# On this box anything above ~1.5 measurably inflates sub-second rows.
+AMBIENT_LOADAVG = 1.5
 
 
 def main() -> int:
@@ -202,12 +217,12 @@ def main() -> int:
     # judge burned an A/B session attributing exactly that) — record the
     # ambient state so attribution is one read
     load_start = os.getloadavg()
-    # load guard: above ~25% of cores busy, wait (bounded) for the
-    # ambient load to drain rather than benching into it — r2/r6/r8 all
+    # load guard: above the ambient threshold, wait (bounded) for the
+    # load to drain rather than benching into it — r2/r6/r8 all
     # recorded uniform short-query inflation from exactly this
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
     waited = 0.0
-    while (load_start[0] > 0.25 * (os.cpu_count() or 1)
+    while (load_start[0] > AMBIENT_LOADAVG
            and waited < wait_budget):
         time.sleep(15)
         waited += 15
@@ -231,6 +246,9 @@ def main() -> int:
     # otherwise the FIRST timed pandas-path bench (minhash, DV decode)
     # absorbs ~1-2 s of one-time worker start cost
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
+
+    canary_start = {n: _median_time(qs[n], spark, sf_dir)
+                    for n in CANARY_QUERIES}
 
     timings: dict[str, float] = {}
     # B4 partitioned append: write sf lineitem partitioned by month(l_shipdate).
@@ -258,19 +276,36 @@ def main() -> int:
         sys.stderr.write(f"bench {name}: {timings[name]}s ({n} rows, "
                          f"median of 3)\n")
 
+    canary_end = {n: _median_time(qs[n], spark, sf_dir)
+                  for n in CANARY_QUERIES}
+    canary_ratio = {n: round(canary_end[n] / canary_start[n], 3)
+                    for n in CANARY_QUERIES if canary_start[n] > 0}
+    prod = 1.0
+    for r in canary_ratio.values():
+        prod *= r
+    canary_drift = round(prod ** (1.0 / max(1, len(canary_ratio))), 3)
+
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(sf_dir)
+    load_end = os.getloadavg()
     machine = {
         "cpus": os.cpu_count(),
         "loadavg_start": [round(x, 2) for x in load_start],
-        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_end": [round(x, 2) for x in load_end],
         "tmp_disk_free_gb": round(disk.free / 1e9, 1),
-        # ambient-load flag: >25% of cores already busy at start has
-        # twice produced uniform 1.3-2x inflation on sub-second queries
-        # (r2, r6, r8) — stamp it so a noisy round can't masquerade as a
-        # code regression
-        "ambient_load": load_start[0] > 0.25 * (os.cpu_count() or 1),
+        # ambient-load flag: ABSOLUTE loadavg threshold (the r10 run
+        # started at loadavg 3.35 — under the old 25%-of-cores flag —
+        # and every short row read 1.1-1.4x high); flagged when EITHER
+        # endpoint was loaded so a mid-suite arrival can't hide
+        "ambient_load": (load_start[0] > AMBIENT_LOADAVG
+                         or load_end[0] > AMBIENT_LOADAVG),
         "load_wait_sec": waited,
+        # A/A canary: end/start geomean over CANARY_QUERIES.  ~1.0 =
+        # stable machine (trust the per-query numbers); >>1 = the
+        # machine slowed DURING the suite (late rows inflated, not
+        # regressed); <<1 = suite started into contention (early rows
+        # inflated).
+        "canary_drift": canary_drift,
     }
     payload = json.dumps({
         "metric": "engine bench suite (B1-B10 + extensions) wall seconds",
@@ -280,6 +315,10 @@ def main() -> int:
         "sf": sf,
         "setup_sec": setup_sec,
         "machine": machine,
+        "canary": {"start": {k: round(v, 3) for k, v in
+                             canary_start.items()},
+                   "end": {k: round(v, 3) for k, v in canary_end.items()},
+                   "ratio": canary_ratio},
     })
     # the driver keeps only the LAST 2000 chars of stdout; the full
     # payload (~2.4k and growing) cannot fit, so the FINAL stdout line is
@@ -320,6 +359,15 @@ BASELINE_SHARED = frozenset([
     "q6_forecast_revenue", "sessionize_events", "streaming_consume",
     "text_analyze", "time_travel",
 ])
+
+
+def _median_time(fn, spark, sf_dir, reps: int = 3) -> float:
+    runs = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        runs.append(time.time() - t0)
+    return sorted(runs)[reps // 2]
 
 
 def _bench_partitioned_append(spark, sf_dir, E):

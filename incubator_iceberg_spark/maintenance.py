@@ -49,17 +49,31 @@ def _live_file_set(md, snapshot) -> set:
     return out
 
 
-def _reachable_paths(md, snapshots) -> tuple[set, set]:
-    """(data file paths, metadata file paths) reachable from snapshots."""
+def _reachable_paths(md, snapshots, manifest_cache: Optional[dict] = None
+                     ) -> tuple[set, set]:
+    """(data file paths, metadata file paths) reachable from snapshots.
+
+    ``manifest_cache`` memoizes manifest → file-path-set: a manifest is
+    referenced by EVERY snapshot's manifest list from the commit that
+    added it until a merge/rewrite retires it, so a long-lived table
+    references each manifest from O(#snapshots) lists.  Without the
+    memo a 10k-commit expire re-reads each manifest thousands of times
+    — at object-store latency that is the whole expire wall.  Callers
+    computing a before/after diff pass ONE cache across both walks."""
     data, meta = set(), set()
+    cache = manifest_cache if manifest_cache is not None else {}
     for s in snapshots:
         if not os.path.exists(s.manifest_list):
             continue
         meta.add(s.manifest_list)
         for row in MF.read_manifest_list_arrow(s.manifest_list).to_pylist():
-            meta.add(row["manifest_path"])
-            for e in MF.read_manifest_arrow(row["manifest_path"]).to_pylist():
-                data.add(e["file_path"])
+            path = row["manifest_path"]
+            meta.add(path)
+            if path not in cache:
+                cache[path] = frozenset(
+                    e["file_path"]
+                    for e in MF.read_manifest_arrow(path).to_pylist())
+            data.update(cache[path])
     return data, meta
 
 
@@ -121,8 +135,10 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     if not expired and not dropped_refs:
         return {"expired_snapshots": 0, "deleted_data_files": 0, "deleted_metadata_files": 0}
 
-    before_data, before_meta = _reachable_paths(md, md.snapshots)
-    after_data, after_meta = _reachable_paths(md, kept)
+    manifest_cache: dict = {}  # shared across both walks (see _reachable_paths)
+    before_data, before_meta = _reachable_paths(md, md.snapshots,
+                                                manifest_cache)
+    after_data, after_meta = _reachable_paths(md, kept, manifest_cache)
     dead_data = before_data - after_data  # exceptAll over file sets (J5)
     dead_meta = before_meta - after_meta
 

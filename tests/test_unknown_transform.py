@@ -105,3 +105,71 @@ def test_unknown_transform_metadata_tables_readable(warehouse, orders,
                "position_deletes", "refs", "history"):
         assert t2.metadata_table(mt).count() >= 0, mt
     assert t2.metadata_table("partitions").count() == 4  # 4 buckets
+
+
+def test_unknown_transform_mor_deletes_stay_applied(warehouse, orders,
+                                                    spark):
+    """r11 stretch: delete entries on an unknown-spec table must stay
+    EXEMPT from partition pruning — a filtered MoR scan that plans all
+    data files (no projection through the unknown transform) must also
+    keep every delete file in scope, or deleted rows resurrect.
+
+    Reference shape: DeleteFileIndex never prunes delete manifests
+    through a transform it cannot project (UnknownTransform.project
+    returns null ⇒ scan-everything)."""
+    t = warehouse.create_table(
+        "db.unk_mor", Schema.from_spark(orders.schema),
+        partition_by=[("o_orderkey", "bucket[4]")],
+        properties={"write.delete.mode": "merge-on-read"})
+    t.append(orders)
+    ks = [int(k) for k in
+          orders.approxQuantile("o_orderkey", [0.4, 0.6], 0.0)]
+    k_del, k_keep = ks
+    res = t.delete_where(f"o_orderkey = {k_del}", mode="merge-on-read")
+    assert res.get("delete_files_written", 0) >= 1
+    expected_total = orders.count() - \
+        orders.filter(f"o_orderkey = {k_del}").count()
+
+    _stamp_unknown(t, "bucket[4]", "future_op[16]")
+    t2 = warehouse.load_table("db.unk_mor")
+    assert type(t2.metadata.spec().fields[0].transform).__name__ == \
+        "UnknownTransform"
+    # full scan applies the delete debt
+    assert t2.to_df().count() == expected_total
+    # the deleted key reads empty THROUGH a filtered scan (the delete
+    # file must be in scope even though data pruning is off)
+    assert TableScan(t2, spark,
+                     row_filter=f"o_orderkey = {k_del}").to_df().count() == 0
+    # an undeleted mid-range key is intact
+    assert TableScan(t2, spark,
+                     row_filter=f"o_orderkey = {k_keep}").to_df().count() \
+        == orders.filter(f"o_orderkey = {k_keep}").count()
+    # arrow path (local scan, no engine) agrees
+    assert t2.to_arrow().num_rows == expected_total
+
+
+def test_unknown_transform_partitions_meta_after_evolution(warehouse,
+                                                           orders, spark):
+    """r11 stretch: `partitions` grouping on an unknown-transform field
+    across spec evolution (TestMetadataTablesWithPartitionEvolution
+    shape): rows for BOTH the unknown-spec buckets and the evolved
+    known-spec buckets appear, and record counts reconcile."""
+    t = warehouse.create_table(
+        "db.unk_pm", Schema.from_spark(orders.schema),
+        partition_by=[("o_orderkey", "bucket[4]")])
+    t.append(orders)
+    _stamp_unknown(t, "bucket[4]", "future_op[16]")
+    t2 = warehouse.load_table("db.unk_pm")
+    EV.update_partition_spec(t2, [("o_custkey", "bucket[2]")])
+    t3 = warehouse.load_table("db.unk_pm")
+    extra = orders.limit(40)
+    t3.append(extra)
+
+    pm = t3.metadata_table("partitions").collect()
+    # 4 unknown-spec buckets + up to 2 evolved buckets, no crash
+    assert len(pm) >= 5
+    assert sum(r["record_count"] for r in pm) == orders.count() + 40
+    assert sum(r["file_count"] for r in pm) >= 5
+    # files metadata serves both specs' partition tuples verbatim
+    files = t3.metadata_table("files")
+    assert files.count() == sum(r["file_count"] for r in pm)
