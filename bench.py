@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "rest_catalog_replay",
     # round-11: REST namespace endpoints + facade namespace DDL
     "sql_namespaces",
+    # round-11: write-spec + identifier SQL-extension DDL + key-less upsert
+    "sql_write_spec",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,

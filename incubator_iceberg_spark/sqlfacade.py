@@ -401,10 +401,46 @@ def _alter(catalog, spark, s: str):
         parts.append((*new, mm.group(3)) if mm.group(3) else new)
         return t.update_spec(parts)
     if up.startswith("WRITE ORDERED BY"):
+        # ORDERED BY = globally ordered: range distribution + sort
+        # (SetWriteDistributionAndOrdering — ordered-without-distribution
+        # implies range in the reference's Spark extensions)
         cols = rest[len("WRITE ORDERED BY"):].strip().strip("()")
+        t.update_properties({"write.distribution-mode": "range"})
         return t.replace_sort_order([c.strip() for c in cols.split(",")])
+    if up.startswith("WRITE LOCALLY ORDERED BY"):
+        # task-local sort only — no exchange at write time
+        cols = rest[len("WRITE LOCALLY ORDERED BY"):].strip().strip("()")
+        t.update_properties({"write.distribution-mode": "none"})
+        return t.replace_sort_order([c.strip() for c in cols.split(",")])
+    if up.startswith("WRITE DISTRIBUTED BY PARTITION"):
+        # hash-cluster on the partition tuple; optional trailing
+        # LOCALLY ORDERED BY <cols> composes a task-local sort
+        tail = rest[len("WRITE DISTRIBUTED BY PARTITION"):].strip()
+        t.update_properties({"write.distribution-mode": "hash"})
+        if tail.upper().startswith("LOCALLY ORDERED BY"):
+            cols = tail[len("LOCALLY ORDERED BY"):].strip().strip("()")
+            return t.replace_sort_order(
+                [c.strip() for c in cols.split(",")])
+        if tail:
+            raise ValueError(
+                f"cannot parse WRITE DISTRIBUTED BY PARTITION tail: {tail!r}")
+        return t
     if up.startswith("WRITE UNORDERED"):
+        t.update_properties({"write.distribution-mode": "none"})
         return t.replace_sort_order([])
+    if up.startswith("SET IDENTIFIER FIELDS"):
+        cols = rest[len("SET IDENTIFIER FIELDS"):].strip().strip("()")
+        return t.set_identifier_fields([c.strip() for c in cols.split(",")])
+    if up.startswith("DROP IDENTIFIER FIELDS"):
+        cols = rest[len("DROP IDENTIFIER FIELDS"):].strip().strip("()")
+        return t.drop_identifier_fields([c.strip() for c in cols.split(",")])
+    if up.startswith("UNSET TBLPROPERTIES"):
+        body = rest[len("UNSET TBLPROPERTIES"):].strip()
+        if body.upper().startswith("IF EXISTS"):
+            body = body[len("IF EXISTS"):].strip()
+        body = body.strip("()")
+        keys = [k.strip().strip("'\"") for k in _split_top(body, ",")]
+        return t.update_properties({k: None for k in keys})
     if up.startswith("SET TBLPROPERTIES"):
         body = rest[len("SET TBLPROPERTIES"):].strip().strip("()")
         updates = {}

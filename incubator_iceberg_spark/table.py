@@ -777,6 +777,61 @@ class Table:
         self.metadata = MD.run_with_retries(self.ops, apply)
         return self
 
+    def set_identifier_fields(self, names) -> "Table":
+        """C13 / IcebergSqlExtensions.g4:74 `ALTER TABLE ... SET
+        IDENTIFIER FIELDS` (UpdateSchema.setIdentifierFields): commit a
+        new schema version with the same fields and the given columns
+        as identifier-field-ids.  Float/double identifiers are rejected
+        (NaN equality makes them unusable as row identity) and the
+        columns must be existing top-level fields."""
+        names = [names] if isinstance(names, str) else list(names)
+
+        def apply(base):
+            import dataclasses
+            from incubator_iceberg_spark import schema as S
+            sch = base.schema()
+            ids = []
+            for n in names:
+                f = sch.find_field(n)
+                if f is None:
+                    raise ValueError(
+                        f"no such column for identifier field: {n}")
+                if isinstance(f.type, (S.FloatType, S.DoubleType)):
+                    raise ValueError(
+                        f"identifier field cannot be float/double: {n}")
+                ids.append(f.field_id)
+            from incubator_iceberg_spark.partitioning import PartitionSpec
+            new = dataclasses.replace(base)
+            new_schema_id = max(s.schema_id for s in base.schemas) + 1
+            ns = S.Schema(list(sch.fields), schema_id=new_schema_id,
+                          identifier_field_ids=tuple(ids))
+            new.schemas = list(base.schemas) + [ns]
+            new.current_schema_id = new_schema_id
+            new.specs = [PartitionSpec(ns, sp.fields, sp.spec_id)
+                         for sp in base.specs]
+            new.last_updated_ms = MD.now_ms()
+            return new
+
+        self.metadata = MD.run_with_retries(self.ops, apply)
+        return self
+
+    def drop_identifier_fields(self, names) -> "Table":
+        """IcebergSqlExtensions.g4:75 `ALTER TABLE ... DROP IDENTIFIER
+        FIELDS`: remove the named columns from the identifier set
+        (no-op names raise — the reference's setIdentifierFields guard)."""
+        names = [names] if isinstance(names, str) else list(names)
+        sch = self.metadata.schema()
+        current = set(sch.identifier_field_ids or ())
+        drop = set()
+        for n in names:
+            f = sch.find_field(n)
+            if f is None or f.field_id not in current:
+                raise ValueError(f"{n} is not an identifier field")
+            drop.add(f.field_id)
+        keep = [sch.field_path(i) for i in sch.identifier_field_ids
+                if i not in drop]
+        return self.set_identifier_fields(keep)
+
     # -- metadata tables (S13) ---------------------------------------------
     def count_rows(self, filter=None, spark=None) -> dict:
         """Aggregate-pushdown COUNT: serve ``count(*) WHERE p`` from

@@ -632,3 +632,97 @@ def test_create_namespace_if_not_exists_only_swallows_exists(tmp_path,
     with pytest.raises(NamespaceAlreadyExistsError):
         SQL.execute(FlakyCatalog(NamespaceAlreadyExistsError("ns1")),
                     spark, "CREATE NAMESPACE ns1")
+
+
+def test_set_and_drop_identifier_fields_ddl(warehouse, orders, spark):
+    """IcebergSqlExtensions.g4:74-75 SET/DROP IDENTIFIER FIELDS: the
+    identifier set changes via DDL on an EXISTING table (a new schema
+    version, fields unchanged), upsert immediately keys on it, and
+    float/double identifiers reject."""
+    t = warehouse.create_table("db.idf", Schema.from_spark(orders.schema))
+    assert not t.schema().identifier_field_ids
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.idf SET IDENTIFIER FIELDS o_orderkey")
+    t = warehouse.load_table("db.idf")
+    sch = t.schema()
+    assert [sch.field_path(i) for i in sch.identifier_field_ids] == \
+        ["o_orderkey"]
+    # upsert keys on the new identifier set with no explicit `on`
+    t.append(orders.limit(10))
+    upd = t.to_df().limit(3).withColumn("o_orderpriority", F.lit("UPDATED"))
+    t.upsert(upd)
+    assert t.to_df().count() == 10
+    assert t.to_df().filter("o_orderpriority = 'UPDATED'").count() == 3
+
+    # widen, then drop one
+    SQL.execute(
+        warehouse, spark,
+        "ALTER TABLE db.idf SET IDENTIFIER FIELDS (o_orderkey, o_custkey)")
+    sch = warehouse.load_table("db.idf").schema()
+    assert len(sch.identifier_field_ids) == 2
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.idf DROP IDENTIFIER FIELDS o_custkey")
+    sch = warehouse.load_table("db.idf").schema()
+    assert [sch.field_path(i) for i in sch.identifier_field_ids] == \
+        ["o_orderkey"]
+    # guards
+    with pytest.raises(ValueError, match="float|double"):
+        SQL.execute(warehouse, spark,
+                    "ALTER TABLE db.idf SET IDENTIFIER FIELDS o_totalprice")
+    with pytest.raises(ValueError, match="not an identifier"):
+        SQL.execute(warehouse, spark,
+                    "ALTER TABLE db.idf DROP IDENTIFIER FIELDS o_orderpriority")
+    with pytest.raises(ValueError, match="no such column"):
+        SQL.execute(warehouse, spark,
+                    "ALTER TABLE db.idf SET IDENTIFIER FIELDS nope")
+
+
+def test_write_distribution_and_ordering_ddl(warehouse, orders, spark):
+    """g4:83-88 write-spec DDL maps onto O1's distribution modes +
+    sort orders: ORDERED BY -> range+sort, LOCALLY ORDERED BY ->
+    none+sort, DISTRIBUTED BY PARTITION [LOCALLY ORDERED BY] -> hash,
+    UNORDERED -> none + empty order."""
+    warehouse.create_table("db.wrd", Schema.from_spark(orders.schema),
+                           partition_by=["month(o_orderdate)"])
+
+    def snap():
+        t = warehouse.load_table("db.wrd")
+        so = t.metadata.sort_order()
+        sch = t.schema()
+        return (t.metadata.properties.get("write.distribution-mode"),
+                [(sch.field_path(f.source_id), f.direction)
+                 for f in so.fields] if so else [])
+
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.wrd WRITE ORDERED BY o_orderdate")
+    assert snap() == ("range", [("o_orderdate", "asc")])
+    SQL.execute(
+        warehouse, spark,
+        "ALTER TABLE db.wrd WRITE LOCALLY ORDERED BY o_totalprice DESC")
+    assert snap() == ("none", [("o_totalprice", "desc")])
+    SQL.execute(
+        warehouse, spark,
+        "ALTER TABLE db.wrd WRITE DISTRIBUTED BY PARTITION "
+        "LOCALLY ORDERED BY o_custkey")
+    assert snap() == ("hash", [("o_custkey", "asc")])
+    SQL.execute(warehouse, spark, "ALTER TABLE db.wrd WRITE UNORDERED")
+    assert snap() == ("none", [])
+    # writes run under each mode (hash again, then append)
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.wrd WRITE DISTRIBUTED BY PARTITION")
+    t = warehouse.load_table("db.wrd")
+    t.append(orders.limit(20))
+    assert t.to_df().count() == 20
+
+
+def test_unset_tblproperties_ddl(warehouse, spark):
+    warehouse.create_table("db.up", Schema.from_spark(
+        spark.range(1).schema), properties={"a.b": "1", "c.d": "2"})
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.up UNSET TBLPROPERTIES ('a.b')")
+    t = warehouse.load_table("db.up")
+    assert "a.b" not in t.metadata.properties
+    assert t.metadata.properties.get("c.d") == "2"
+    # IF EXISTS tolerates absent keys
+    SQL.execute(warehouse, spark,
+                "ALTER TABLE db.up UNSET TBLPROPERTIES IF EXISTS ('zz')")
