@@ -400,34 +400,37 @@ def _alter(catalog, spark, s: str):
         new = _parse_part_term(mm.group(2))
         parts.append((*new, mm.group(3)) if mm.group(3) else new)
         return t.update_spec(parts)
-    if up.startswith("WRITE ORDERED BY"):
-        # ORDERED BY = globally ordered: range distribution + sort
-        # (SetWriteDistributionAndOrdering — ordered-without-distribution
-        # implies range in the reference's Spark extensions)
-        cols = rest[len("WRITE ORDERED BY"):].strip().strip("()")
-        t.update_properties({"write.distribution-mode": "range"})
-        return t.replace_sort_order([c.strip() for c in cols.split(",")])
-    if up.startswith("WRITE LOCALLY ORDERED BY"):
-        # task-local sort only — no exchange at write time
-        cols = rest[len("WRITE LOCALLY ORDERED BY"):].strip().strip("()")
-        t.update_properties({"write.distribution-mode": "none"})
-        return t.replace_sort_order([c.strip() for c in cols.split(",")])
-    if up.startswith("WRITE DISTRIBUTED BY PARTITION"):
-        # hash-cluster on the partition tuple; optional trailing
-        # LOCALLY ORDERED BY <cols> composes a task-local sort
-        tail = rest[len("WRITE DISTRIBUTED BY PARTITION"):].strip()
-        t.update_properties({"write.distribution-mode": "hash"})
-        if tail.upper().startswith("LOCALLY ORDERED BY"):
-            cols = tail[len("LOCALLY ORDERED BY"):].strip().strip("()")
-            return t.replace_sort_order(
-                [c.strip() for c in cols.split(",")])
-        if tail:
-            raise ValueError(
-                f"cannot parse WRITE DISTRIBUTED BY PARTITION tail: {tail!r}")
-        return t
-    if up.startswith("WRITE UNORDERED"):
-        t.update_properties({"write.distribution-mode": "none"})
-        return t.replace_sort_order([])
+    if up.startswith("WRITE "):
+        # the writeSpec statements (g4:83-88) each REPLACE the whole
+        # write spec, and land as ONE atomic commit (set_write_spec
+        # validates sort columns inside the retry closure — a bad
+        # column leaves the table untouched):
+        #   ORDERED BY c...            -> range + sort (ordered without
+        #                                 a distribution implies range)
+        #   LOCALLY ORDERED BY c...    -> none + task-local sort
+        #   DISTRIBUTED BY PARTITION
+        #     [LOCALLY ORDERED BY c..] -> hash + (sort | unsorted)
+        #   UNORDERED                  -> none + unsorted
+        def cols_of(tail):
+            return [c.strip() for c in tail.strip().strip("()").split(",")]
+        if up.startswith("WRITE ORDERED BY"):
+            return t.set_write_spec(
+                "range", cols_of(rest[len("WRITE ORDERED BY"):]))
+        if up.startswith("WRITE LOCALLY ORDERED BY"):
+            return t.set_write_spec(
+                "none", cols_of(rest[len("WRITE LOCALLY ORDERED BY"):]))
+        if up.startswith("WRITE DISTRIBUTED BY PARTITION"):
+            tail = rest[len("WRITE DISTRIBUTED BY PARTITION"):].strip()
+            if tail.upper().startswith("LOCALLY ORDERED BY"):
+                return t.set_write_spec(
+                    "hash", cols_of(tail[len("LOCALLY ORDERED BY"):]))
+            if tail:
+                raise ValueError("cannot parse WRITE DISTRIBUTED BY "
+                                 f"PARTITION tail: {tail!r}")
+            return t.set_write_spec("hash", [])
+        if up.startswith("WRITE UNORDERED"):
+            return t.set_write_spec("none", [])
+        raise ValueError(f"cannot parse WRITE spec: {rest!r}")
     if up.startswith("SET IDENTIFIER FIELDS"):
         cols = rest[len("SET IDENTIFIER FIELDS"):].strip().strip("()")
         return t.set_identifier_fields([c.strip() for c in cols.split(",")])
@@ -436,10 +439,17 @@ def _alter(catalog, spark, s: str):
         return t.drop_identifier_fields([c.strip() for c in cols.split(",")])
     if up.startswith("UNSET TBLPROPERTIES"):
         body = rest[len("UNSET TBLPROPERTIES"):].strip()
-        if body.upper().startswith("IF EXISTS"):
+        if_exists = body.upper().startswith("IF EXISTS")
+        if if_exists:
             body = body[len("IF EXISTS"):].strip()
         body = body.strip("()")
         keys = [k.strip().strip("'\"") for k in _split_top(body, ",")]
+        if not if_exists:
+            missing = [k for k in keys if k not in t.metadata.properties]
+            if missing:
+                raise ValueError(
+                    f"table property does not exist: {missing} "
+                    f"(use UNSET TBLPROPERTIES IF EXISTS to ignore)")
         return t.update_properties({k: None for k in keys})
     if up.startswith("SET TBLPROPERTIES"):
         body = rest[len("SET TBLPROPERTIES"):].strip().strip("()")

@@ -13,6 +13,7 @@ tables.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from typing import Iterable, Optional, Union
 
@@ -208,16 +209,29 @@ def _as_schema(schema) -> Schema:
 
 
 def _as_sort_order(schema: Schema, sort_by, order_id: int = 1) -> MD.SortOrder:
+    """Parse sort terms: ``col [ASC|DESC] [NULLS FIRST|NULLS LAST]``
+    (the full orderField shape of IcebergSqlExtensions.g4:91-97; bare
+    ``col`` = asc nulls-first, matching the reference's defaults)."""
     fields = []
     for item in ([sort_by] if isinstance(sort_by, str) else list(sort_by)):
-        direction = "asc"
+        direction, null_order = "asc", None
         name = item
-        if isinstance(item, str) and item.lower().endswith(" desc"):
-            name, direction = item[:-5].strip(), "desc"
+        if isinstance(item, str):
+            m = re.match(
+                r"^\s*(.*?)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?"
+                r"\s*$", item, re.IGNORECASE)
+            name = m.group(1).strip()
+            if m.group(2):
+                direction = m.group(2).lower()
+            if m.group(3):
+                null_order = f"nulls-{m.group(3).lower()}"
         f = schema.find_field(name)
         if f is None:
             raise ValueError(f"sort column not found: {name}")
-        fields.append(MD.SortField(f.field_id, direction))
+        if null_order is None:
+            # reference default: asc -> nulls-first, desc -> nulls-last
+            null_order = "nulls-first" if direction == "asc" else "nulls-last"
+        fields.append(MD.SortField(f.field_id, direction, null_order))
     return MD.SortOrder(order_id, tuple(fields))
 
 
@@ -777,6 +791,39 @@ class Table:
         self.metadata = MD.run_with_retries(self.ops, apply)
         return self
 
+    def set_write_spec(self, distribution_mode: Optional[str] = None,
+                       sort_by=None) -> "Table":
+        """ONE atomic commit for the `ALTER TABLE ... WRITE ...`
+        statements (SetWriteDistributionAndOrdering): the distribution
+        mode property and the sort order land in the same metadata
+        swap, and sort-column validation happens INSIDE the retry
+        closure — a bad column name leaves the table untouched.
+        ``sort_by=[]`` installs the unsorted order; ``sort_by=None``
+        keeps the current order."""
+        if distribution_mode not in (None, "none", "hash", "range"):
+            raise ValueError(
+                f"invalid write.distribution-mode: {distribution_mode}")
+
+        def apply(base):
+            import dataclasses
+            md = dataclasses.replace(base)
+            if sort_by is not None:
+                order = _as_sort_order(
+                    base.schema(), sort_by,
+                    order_id=max((o.order_id for o in base.sort_orders),
+                                 default=0) + 1)
+                md.sort_orders = list(base.sort_orders) + [order]
+                md.default_sort_order_id = order.order_id
+            if distribution_mode is not None:
+                props = dict(base.properties)
+                props[MD.WRITE_DISTRIBUTION_MODE] = distribution_mode
+                md.properties = props
+            md.last_updated_ms = MD.now_ms()
+            return md
+
+        self.metadata = MD.run_with_retries(self.ops, apply)
+        return self
+
     def set_identifier_fields(self, names) -> "Table":
         """C13 / IcebergSqlExtensions.g4:74 `ALTER TABLE ... SET
         IDENTIFIER FIELDS` (UpdateSchema.setIdentifierFields): commit a
@@ -790,12 +837,16 @@ class Table:
             import dataclasses
             from incubator_iceberg_spark import schema as S
             sch = base.schema()
+            top = {f.field_id for f in sch.fields}
             ids = []
             for n in names:
                 f = sch.find_field(n)
                 if f is None:
                     raise ValueError(
                         f"no such column for identifier field: {n}")
+                if f.field_id not in top:
+                    raise ValueError(
+                        f"identifier field must be a top-level column: {n}")
                 if isinstance(f.type, (S.FloatType, S.DoubleType)):
                     raise ValueError(
                         f"identifier field cannot be float/double: {n}")
@@ -818,19 +869,39 @@ class Table:
     def drop_identifier_fields(self, names) -> "Table":
         """IcebergSqlExtensions.g4:75 `ALTER TABLE ... DROP IDENTIFIER
         FIELDS`: remove the named columns from the identifier set
-        (no-op names raise — the reference's setIdentifierFields guard)."""
+        (no-op names raise — the reference's setIdentifierFields
+        guard).  The kept set is computed INSIDE the retry closure
+        against fresh metadata, so a concurrent SET IDENTIFIER FIELDS
+        is never clobbered by a stale read."""
         names = [names] if isinstance(names, str) else list(names)
-        sch = self.metadata.schema()
-        current = set(sch.identifier_field_ids or ())
-        drop = set()
-        for n in names:
-            f = sch.find_field(n)
-            if f is None or f.field_id not in current:
-                raise ValueError(f"{n} is not an identifier field")
-            drop.add(f.field_id)
-        keep = [sch.field_path(i) for i in sch.identifier_field_ids
-                if i not in drop]
-        return self.set_identifier_fields(keep)
+
+        def apply(base):
+            import dataclasses
+            from incubator_iceberg_spark import schema as S
+            from incubator_iceberg_spark.partitioning import PartitionSpec
+            sch = base.schema()
+            current = set(sch.identifier_field_ids or ())
+            drop = set()
+            for n in names:
+                f = sch.find_field(n)
+                if f is None or f.field_id not in current:
+                    raise ValueError(f"{n} is not an identifier field")
+                drop.add(f.field_id)
+            keep = tuple(i for i in sch.identifier_field_ids
+                         if i not in drop)
+            new = dataclasses.replace(base)
+            new_schema_id = max(s.schema_id for s in base.schemas) + 1
+            ns = S.Schema(list(sch.fields), schema_id=new_schema_id,
+                          identifier_field_ids=keep)
+            new.schemas = list(base.schemas) + [ns]
+            new.current_schema_id = new_schema_id
+            new.specs = [PartitionSpec(ns, sp.fields, sp.spec_id)
+                         for sp in base.specs]
+            new.last_updated_ms = MD.now_ms()
+            return new
+
+        self.metadata = MD.run_with_retries(self.ops, apply)
+        return self
 
     # -- metadata tables (S13) ---------------------------------------------
     def count_rows(self, filter=None, spark=None) -> dict:

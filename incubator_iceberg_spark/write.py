@@ -83,7 +83,11 @@ def _distribute(df, spec: PartitionSpec, sort_order, mode: str, part_cols,
             path = spec.schema.field_path(sf.source_id)
             if path:
                 c = F.col(path)
-                c = c.desc() if sf.direction == "desc" else c.asc()
+                last = getattr(sf, "null_order", None) == "nulls-last"
+                if sf.direction == "desc":
+                    c = c.desc_nulls_last() if last else c.desc_nulls_first()
+                else:
+                    c = c.asc_nulls_last() if last else c.asc_nulls_first()
                 sort_cols.append(c)
     nargs = [num_partitions] if num_partitions else []
     if mode == "hash" and names:
