@@ -426,7 +426,7 @@ def rewrite_manifests(table, spark=None) -> dict:
             for lo in range(0, len(entries), chunk_entries):
                 new_rows.append(MF.write_manifest(
                     md_dir, entries[lo:lo + chunk_entries], base.schema(),
-                    spec, snapshot_id, seq))
+                    spec, snapshot_id, seq, properties=base.properties))
         specs_by_id = {s.spec_id: s for s in base.specs}
         mlist = MF.write_manifest_list(md_dir, snapshot_id, new_rows, specs_by_id)
         snap2 = MD.Snapshot(

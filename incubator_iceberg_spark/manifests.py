@@ -70,6 +70,49 @@ def metrics_mode_for(properties, col_name: str):
     raise ValueError(f"bad metrics mode {raw!r} for column {col_name}")
 
 
+#: write.metadata.metrics.max-inferred-column-defaults (TableProperties
+#: parity): the default metrics mode is INFERRED for at most this many
+#: stats columns; later columns collect no metrics unless explicitly
+#: configured.  Without the cap the stats plane grows O(#columns ×
+#: #files): at 100 TB a 1000-column table spends more manifest bytes on
+#: bounds nobody filters by than on the file listing itself, and every
+#: plan-time manifest read decodes all of it.
+MAX_INFERRED_COLUMN_DEFAULTS = 100
+
+
+def metrics_modes(properties, stats_cols) -> dict:
+    """Effective per-column metrics modes for a manifest write, with the
+    wide-schema cap: an explicit ``write.metadata.metrics.column.<col>``
+    always applies; the (explicit or built-in) default mode applies only
+    to the first N stats columns in schema order, N =
+    ``write.metadata.metrics.max-inferred-column-defaults`` (100).
+    Columns past the cap get ("none", None) — no counts, no bounds."""
+    props = properties or {}
+    raw_cap = props.get("write.metadata.metrics.max-inferred-column-defaults")
+    cap = MAX_INFERRED_COLUMN_DEFAULTS if raw_cap is None else int(raw_cap)
+    out = {}
+    for i, f in enumerate(stats_cols):
+        if i >= cap and \
+                f"write.metadata.metrics.column.{f.name}" not in props:
+            out[f.name] = ("none", None)
+        else:
+            out[f.name] = metrics_mode_for(props, f.name)
+    return out
+
+
+def _bounds_columns(stats_cols, modes: Optional[dict]) -> list:
+    """Stats columns that carry lower/upper bounds in the manifest's
+    bounds structs.  ``modes=None`` (read side) keeps every stats column
+    — the superset layout old and new manifests both align to via
+    concat_entries_tables; on the write side none/counts columns are
+    dropped from the struct entirely, so a capped wide table's manifest
+    stores (and plan-time decodes) only the bounded prefix."""
+    if modes is None:
+        return list(stats_cols)
+    return [f for f in stats_cols
+            if modes[f.name][0] in ("truncate", "full")]
+
+
 def arrow_type(t: S.Type) -> pa.DataType:
     if isinstance(t, S.BooleanType):
         return pa.bool_()
@@ -165,7 +208,8 @@ def _norm_ts(v, t: S.Type):
     return v
 
 
-def entry_arrow_schema(table_schema: S.Schema, spec: PartitionSpec) -> pa.schema:
+def entry_arrow_schema(table_schema: S.Schema, spec: PartitionSpec,
+                       properties: Optional[dict] = None) -> pa.schema:
     fields = [
         pa.field("status", pa.int32()),
         pa.field("snapshot_id", pa.int64()),
@@ -199,8 +243,15 @@ def entry_arrow_schema(table_schema: S.Schema, spec: PartitionSpec) -> pa.schema
         pa.field("ref_upper_bound", pa.string()),
     ]
     stats_cols = _stats_columns(table_schema)
-    if stats_cols:
-        bounds_struct = pa.struct([pa.field(f.name, arrow_type(f.type)) for f in stats_cols])
+    # properties=None (read side / legacy callers) keeps the full
+    # superset layout; a write with properties drops none/counts columns
+    # from the bounds structs (metrics modes P17 + the wide-schema cap)
+    bounds_cols = _bounds_columns(
+        stats_cols,
+        metrics_modes(properties, stats_cols) if properties is not None
+        else None)
+    if bounds_cols:
+        bounds_struct = pa.struct([pa.field(f.name, arrow_type(f.type)) for f in bounds_cols])
         fields.append(pa.field("lower_bounds", bounds_struct))
         fields.append(pa.field("upper_bounds", bounds_struct))
     if spec.is_partitioned:
@@ -216,11 +267,14 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
     """Write one manifest Parquet; returns its manifest-list row (with
     per-manifest partition summaries, A5 in SURVEY.md §2.5).  Per-column
     metrics modes (P17) apply here: none drops counts+bounds, counts
-    drops bounds, truncate(N)/full control bound truncation."""
+    drops bounds, truncate(N)/full control bound truncation; the
+    max-inferred-column-defaults cap turns every stats column past the
+    cap (schema order) to none unless explicitly configured."""
     path = os.path.join(metadata_dir, f"manifest-{uuid.uuid4().hex}.parquet")
-    schema = entry_arrow_schema(table_schema, spec)
+    schema = entry_arrow_schema(table_schema, spec, properties=properties)
     stats_cols = _stats_columns(table_schema)
-    modes = {f.name: metrics_mode_for(properties, f.name) for f in stats_cols}
+    modes = metrics_modes(properties, stats_cols)
+    bounds_cols = _bounds_columns(stats_cols, modes)
 
     def col(name, getter):
         return [getter(e) for e in entries]
@@ -258,18 +312,16 @@ def write_manifest(metadata_dir: str, entries: list, table_schema: S.Schema,
         names.append(f"ref_{which}_bound")
         arrays.append(pa.array([ref_bound(e, which) for e in entries],
                                type=pa.string()))
-    if stats_cols:
+    if bounds_cols:
         for bname, trunc in (("lower_bounds", truncate_lower), ("upper_bounds", truncate_upper)):
             names.append(bname)
             structs = []
             for e in entries:
                 b = e.get(bname) or {}
                 row = {}
-                for f in stats_cols:
+                for f in bounds_cols:
                     kind, length = modes[f.name]
-                    if kind in ("none", "counts"):
-                        row[f.name] = None
-                    elif kind == "full":
+                    if kind == "full":
                         row[f.name] = _norm_ts(b.get(f.name), f.type)
                     else:
                         row[f.name] = _norm_ts(

@@ -120,7 +120,8 @@ def add_files(table, source_dir, spark=None,
     alias_map = NM.alias_to_canonical(nm, schema) if nm is not None else None
     stats = W.collect_file_stats(spark, files, schema,
                                  file_format=file_format,
-                                 alias_map=alias_map)
+                                 alias_map=alias_map,
+                                 properties=table.metadata.properties)
     entries = []
     for st in stats:
         e = {
@@ -168,7 +169,8 @@ def _add_files_from_hive_paths(table, source_dir, spark,
     part_by_file = {p: _hive_path_partition(p, spec, schema)
                     for p in files}
     stats = W.collect_file_stats(spark, files, schema,
-                                 file_format=file_format)
+                                 file_format=file_format,
+                                 properties=table.metadata.properties)
     entries = []
     for st in stats:
         pv = part_by_file[st["file_path"]]

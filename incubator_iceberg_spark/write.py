@@ -201,7 +201,8 @@ def stage_write(spark, table_location: str, df, schema: S.Schema, spec: Partitio
             writer.parquet(staging)
         files = _list_data_files(staging, "." + file_format)
         stats = collect_file_stats(spark, files, schema,
-                                   file_format=file_format)
+                                   file_format=file_format,
+                                   properties=properties)
     if nan_counts and file_format == "parquet":
         _attach_nan_counts(spark, staging, schema, stats)
     if file_format == "orc" and spark is not None:
@@ -345,10 +346,18 @@ def _list_parquet_files(root: str) -> list:
 
 def collect_file_stats(spark, files: list, schema: S.Schema,
                        file_format: str = "parquet",
-                       alias_map: Optional[dict] = None) -> list:
+                       alias_map: Optional[dict] = None,
+                       properties: Optional[dict] = None) -> list:
     """``alias_map`` ({physical name → canonical schema name}, from
     mapping.alias_to_canonical) re-keys foreign footer stats for
-    name-mapped imports; None = physical names already match."""
+    name-mapped imports; None = physical names already match.
+    ``properties`` (table properties) applies metrics modes at
+    COLLECTION time: none-mode columns (incl. everything past the
+    max-inferred-column-defaults cap) are skipped entirely, so a wide
+    write's footer harvest touches O(capped) columns per row group, not
+    O(all).  write_manifest re-applies the same modes at persist time,
+    so passing None here only costs wasted collection, never wrong
+    manifests."""
     if not files:
         return []
     if file_format == "orc":
@@ -374,6 +383,8 @@ def collect_file_stats(spark, files: list, schema: S.Schema,
             "value_counts": None, "null_counts": None, "nan_counts": None,
             "lower_bounds": {}, "upper_bounds": {},
         } for p in files]
+    modes = (MF.metrics_modes(properties, MF._stats_columns(schema))
+             if properties is not None else None)
     if len(files) <= DRIVER_STATS_MAX_FILES or spark is None:
         if len(files) > 8:
             # footer reads are I/O-bound and release the GIL in pyarrow:
@@ -381,24 +392,31 @@ def collect_file_stats(spark, files: list, schema: S.Schema,
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
                 return list(ex.map(
-                    lambda p: footer_stats(p, schema, alias_map=alias_map),
+                    lambda p: footer_stats(p, schema, alias_map=alias_map,
+                                           modes=modes),
                     files))
-        return [footer_stats(p, schema, alias_map=alias_map) for p in files]
+        return [footer_stats(p, schema, alias_map=alias_map, modes=modes)
+                for p in files]
     # distributed path: ship paths, read footers on executors, return JSON
     import pandas as pd
 
     schema_json = json.dumps(schema.to_json())
     alias_json = json.dumps(alias_map) if alias_map is not None else None
+    props_json = json.dumps(properties) if properties is not None else None
 
     def read_footers(batches):
         from incubator_iceberg_spark import write as W
+        from incubator_iceberg_spark import manifests as MF2
         from incubator_iceberg_spark.schema import Schema as Sch
         sch = Sch.from_json(json.loads(schema_json))
         amap = json.loads(alias_json) if alias_json is not None else None
+        props = json.loads(props_json) if props_json is not None else None
+        mds = (MF2.metrics_modes(props, MF2._stats_columns(sch))
+               if props is not None else None)
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                st = W.footer_stats(p, sch, alias_map=amap)
+                st = W.footer_stats(p, sch, alias_map=amap, modes=mds)
                 rows.append(json.dumps(st, default=W._stats_json_default))
             yield pd.DataFrame({"stats": rows})
 
@@ -409,10 +427,15 @@ def collect_file_stats(spark, files: list, schema: S.Schema,
 
 
 def footer_stats(path: str, schema: S.Schema,
-                 alias_map: Optional[dict] = None) -> dict:
+                 alias_map: Optional[dict] = None,
+                 modes: Optional[dict] = None) -> dict:
     """Stats for one file from its Parquet footer (no data read).
     ``alias_map`` re-keys physical column names to canonical schema
-    names (name-mapped foreign imports, mapping.alias_to_canonical)."""
+    names (name-mapped foreign imports, mapping.alias_to_canonical).
+    ``modes`` ({col: (kind, len)} from manifests.metrics_modes) skips
+    none-mode columns at harvest time and bounds for counts-mode
+    columns — on a capped wide schema the per-row-group loop touches
+    only the collecting prefix."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -428,6 +451,9 @@ def footer_stats(path: str, schema: S.Schema,
     # dotted leaf paths (struct-nested included) — same set the manifest
     # bounds struct is keyed by, so footer stats flow into pruning
     top = {f.name: f for f in MF._stats_columns(schema)}
+    if modes is not None:
+        top = {n: f for n, f in top.items()
+               if modes.get(n, ("truncate", None))[0] != "none"}
     lower: dict = {}
     upper: dict = {}
     nulls: dict = {}
@@ -443,6 +469,9 @@ def footer_stats(path: str, schema: S.Schema,
                 continue
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+            if modes is not None and \
+                    modes.get(name, ("truncate", None))[0] == "counts":
+                continue
             if st.has_min_max:
                 try:
                     mn, mx = st.min, st.max
