@@ -38,7 +38,10 @@ FILES = 16
 def _wide_df(spark, ncols, nrows):
     cols = ["id"] + [f"(id * 7 + {i}) % 1000003 AS c{i:03d}"
                      for i in range(1, ncols)]
-    return spark.range(nrows).selectExpr(*cols).repartition(FILES)
+    # range partitioning on id → disjoint per-file id ranges, so the
+    # collecting-column pruning assertion is meaningful
+    return spark.range(nrows).selectExpr(*cols) \
+        .repartitionByRange(FILES, "id")
 
 
 def _manifest_bytes(t):
@@ -73,6 +76,14 @@ def run(out_json: str | None = None) -> list:
             t.append(df)
             append_s = time.time() - t0
             mbytes = _manifest_bytes(t)
+            # isolate the per-file stats harvest (whole-append wall is
+            # dominated by Spark's parquet write and too noisy to read)
+            from incubator_iceberg_spark import write as W
+            files = [p for p, _sid in t.new_scan().plan_files()]
+            t0 = time.time()
+            W.collect_file_stats(None, files, t.metadata.schema(),
+                                 properties=t.metadata.properties)
+            harvest_s = time.time() - t0
             t0 = time.time()
             nfiles = len(t.new_scan().plan_files())
             plan_s = time.time() - t0
@@ -81,6 +92,7 @@ def run(out_json: str | None = None) -> list:
             pruned = len(t.new_scan().filter("id < 1000").plan_files())
             row = {"ncols": ncols, "mode": label,
                    "append_s": round(append_s, 2),
+                   "stats_harvest_s": round(harvest_s, 3),
                    "manifest_bytes": mbytes,
                    "plan_s": round(plan_s, 3),
                    "files": nfiles, "pruned_files": pruned,
