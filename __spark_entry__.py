@@ -2018,6 +2018,54 @@ def q_bloom_point_lookup(spark, sf_dir):
                  F.sum(F.col("o_custkey")).alias("custkey")))
 
 
+def q_metrics_cap_scan(spark, sf_dir):
+    """Wide-schema metrics cap end-to-end (r11:
+    write.metadata.metrics.max-inferred-column-defaults, public
+    TableProperties semantics; MetricsModes.java lineage).  A
+    14-stats-column table capped at 4 inferred defaults plus one
+    explicit per-column escape hatch: manifest bounds structs must hold
+    EXACTLY the 4-column prefix + the explicit column (nothing else is
+    stored or plan-time decoded); a selective filter on a capped column
+    plans ALL files (no stats → never a false prune) yet returns exact
+    rows; the collecting lead column still prunes.  The hashed output
+    is a grouped aggregate over capped + collecting + explicit columns,
+    so any stats-driven misprune breaks the hash."""
+    from pyspark.sql import functions as F
+    from incubator_iceberg_spark.schema import Schema
+    cat = _scratch_catalog(spark)
+    orders = _load(spark, sf_dir, "orders")
+    derived = [f"(o_orderkey * 7 + {i}) % 1009 AS c{i:02d}"
+               for i in range(1, 14)]
+    wide = orders.selectExpr("o_orderkey", *derived) \
+        .repartitionByRange(8, "o_orderkey")
+    t = cat.create_table(
+        "s.wide_cap", Schema.from_spark(wide.schema),
+        properties={
+            "write.metadata.metrics.max-inferred-column-defaults": "4",
+            "write.metadata.metrics.column.c09": "full"})
+    t.append(wide)
+    ents = [e for e in t.new_scan().plan_entries_local()
+            if (e.get("content") or 0) == 0]
+    assert ents
+    want = {"o_orderkey", "c01", "c02", "c03", "c09"}
+    for e in ents:
+        got = {k for k, v in (e.get("lower_bounds") or {}).items()
+               if v is not None}
+        assert got == want, f"bounds membership {got} != cap+explicit {want}"
+    total = len(t.new_scan().plan_files())
+    assert len(t.new_scan().filter("c05 < 60").plan_files()) == total, \
+        "capped column must not prune (no stats)"
+    assert len(t.new_scan().filter("o_orderkey < 100").plan_files()) < total, \
+        "collecting lead column must still prune"
+    return (t.to_df(filter="c05 < 60")
+            .selectExpr("o_orderkey % 10 AS grp", "c01", "c09", "c13")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("c09").alias("sum_c09"),
+                 F.min("c01").alias("min_c01"),
+                 F.max("c13").alias("max_c13")))
+
+
 def q_metrics_modes(spark, sf_dir):
     """P17 metrics modes surfaced end-to-end: truncate(4) stores 4-char
     lower-bound prefixes, counts drops bounds entirely, full keeps exact
@@ -4702,16 +4750,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # delete_maintenance, pos_delete_scan, ... through changelog_net —
     # all 49 kept inside the window; the second new row's slot came
     # from displacing topk_window (pure Spark window delegation,
-    # r10-driver-green) to position 51].  Rows 51+: topk_window, then
-    # the remaining r7/r8-verified rows in verification order
+    # r10-driver-green) to position 51].  Rows 51+: metrics_cap_scan
+    # (NEW mid-r11 — the wide-schema metrics cap row, added AFTER the
+    # 50-row prefix was committed to the r10 rotation contract, so it
+    # sits at 51 and is verified locally this round), then topk_window,
+    # then the remaining r7/r8-verified rows in verification order
     # (cdc_replication next), then the r9-driver-green block, then the
     # 50 rows of the r10 prefix at the very back (they are the most
     # recently driver-verified).  With this window green, every
     # registry row is driver-verified within r8-r11.  The r12 window
-    # MUST head with the rows-51+ head in order: topk_window,
-    # cdc_replication, hive_import, add_files_import, source_overlap,
-    # metadata_count_col, gap_fill_rollup, robust_stats,
-    # copurchase_lift, skyline_orders, ... (take the next ~49 in
+    # MUST head with the rows-51+ head in order: metrics_cap_scan,
+    # topk_window, cdc_replication, hive_import, add_files_import,
+    # source_overlap, metadata_count_col, gap_fill_rollup, robust_stats,
+    # copurchase_lift, skyline_orders, ... (take the next ~48 in
     # rows-51+ order).  All rows re-verified locally via
     # tools/check_correctness.py this round.
     return {
@@ -4765,6 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert_mor": q_streaming_upsert_mor,
         "dv_steady_state": q_dv_steady_state,
         "changelog_net": q_changelog_net,
+        "metrics_cap_scan": q_metrics_cap_scan,
         "topk_window": q_topk_window,
         "cdc_replication": q_cdc_replication,
         "hive_import": q_hive_import,
@@ -6342,6 +6394,23 @@ ORDER BY c_mktsegment
             SELECT count(*) AS n_rows, min(o_custkey) AS min_ck,
                    max(o_custkey) AS max_ck, 0 AS overlapping_files
             FROM orders WHERE o_custkey < 500
+        """,
+        "metrics_cap_scan": """
+            WITH wide AS (
+                SELECT o_orderkey,
+                       (o_orderkey * 7 + 1) % 1009 AS c01,
+                       (o_orderkey * 7 + 5) % 1009 AS c05,
+                       (o_orderkey * 7 + 9) % 1009 AS c09,
+                       (o_orderkey * 7 + 13) % 1009 AS c13
+                FROM orders)
+            SELECT o_orderkey % 10 AS grp,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c09) AS BIGINT) AS sum_c09,
+                   CAST(min(c01) AS BIGINT) AS min_c01,
+                   CAST(max(c13) AS BIGINT) AS max_c13
+            FROM wide
+            WHERE c05 < 60
+            GROUP BY 1
         """,
         "metrics_modes": """
             SELECT substr(min(c_name), 1, 4) AS name_low_prefix,

@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "sql_namespaces",
     # round-11: write-spec + identifier SQL-extension DDL + key-less upsert
     "sql_write_spec",
+    # round-11: wide-schema metrics cap (bounds membership + no-false-prune)
+    "metrics_cap_scan",
 ]
 
 # Warm-up set run untimed before any timed query: covers the scan/agg,
