@@ -128,3 +128,32 @@ def _schema_for(n):
     from pyspark.sql.types import StructType, StructField, LongType
     return StructType(
         [StructField(f"a{i + 1}", LongType()) for i in range(n)])
+
+
+def test_ddl_added_column_lands_past_cap(spark, warehouse):
+    # columns appended by schema evolution take positions at the END of
+    # the schema walk — on a capped table they collect no stats unless
+    # explicitly configured, and enabling them per-column works without
+    # touching older manifests
+    df = _wide_df(spark, 6, nrows=50)
+    t = warehouse.create_table(
+        "db.widevolve", Schema.from_spark(df.schema),
+        properties={CAP_PROP: "6"})  # exactly the initial width
+    t.append(df)
+    t = t.update_schema().add_column("extra", "long").commit()
+    df2 = df.withColumn("extra", F.col("id") * 3)
+    t.append(df2)
+    # newest manifest: extra is past the cap → absent from bounds
+    newest = _current_manifest_tables(t)
+    assert all("extra" not in _bounds_fields(m) for m in newest)
+    # explicit per-column property turns it on for SUBSEQUENT writes
+    t = t.update_properties(
+        {"write.metadata.metrics.column.extra": "full"})
+    t.append(df2)
+    fields_by_manifest = [set(_bounds_fields(m))
+                          for m in _current_manifest_tables(t)]
+    assert any("extra" in fs for fs in fields_by_manifest)
+    # mixed membership across manifests still scans exactly
+    assert t.to_df(filter="extra > 60").count() == \
+        df2.filter("extra > 60").count() * 2
+    assert t.to_df().count() == 150
