@@ -605,8 +605,28 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
 
     src = source_df.withColumn("__s_exists", F.lit(True))
     tgt = tdf.withColumn("__t_exists", F.lit(True))
-    joined = tgt.alias("t").join(src.alias("s"), cond_expr(on), "full_outer")
-    t_exists = F.coalesce(F.col("t.__t_exists"), F.lit(False))
+    join_cond = cond_expr(on)
+    # Join-strategy split (guide §3.1/§2.4): a FULL OUTER join can never
+    # broadcast, so the main pass used to shuffle + sort the FULL-WIDTH
+    # touched-file rows even when the source is a tiny CDC batch
+    # (SortMergeJoin FullOuter, plans/r11/*_before.txt).  Source-only
+    # rows are only needed for WHEN NOT MATCHED inserts, and target-only
+    # rows only for BY SOURCE — so when there are no BY SOURCE clauses
+    # the same result decomposes into
+    #   (a) tgt LEFT OUTER src  — target rows preserved; with a small
+    #       source this plans as a BroadcastHashJoin and the target is
+    #       never shuffled at all;
+    #   (b) src LEFT ANTI tgt   — the insert rows; the target side is
+    #       column-pruned to the join keys by Catalyst, so the second
+    #       pass over the touched files reads keys, not payloads.
+    # With a big source both branches degrade to the same SMJ the full
+    # outer produced (the anti side shuffles only key columns), so the
+    # split never moves MORE bytes than the old plan.
+    split = not by_source
+    joined = tgt.alias("t").join(src.alias("s"), join_cond,
+                                 "left_outer" if split else "full_outer")
+    t_exists = (F.lit(True) if split
+                else F.coalesce(F.col("t.__t_exists"), F.lit(False)))
     s_exists = F.coalesce(F.col("s.__s_exists"), F.lit(False))
 
     # ---- J2 cardinality guard, fused into the main pass ------------------
@@ -700,6 +720,43 @@ def merge_into(table, source_df, on, when_matched=None, when_not_matched=None,
         from incubator_iceberg_spark import schema as S
         out_cols.append(col.cast(S._to_spark_type(f.type)).alias(f.name))
     result = joined.select(*out_cols)
+
+    if split and when_not_matched:
+        # insert branch of the split plan: source rows with no target
+        # match.  Probing against the touched-file rows is equivalent to
+        # the old full-outer's source-only rows — the pass-1 semi-join
+        # guarantees every file containing a matching key is in
+        # ``touched``, so a source row unmatched there is unmatched
+        # everywhere.  NOTE: insert expressions may reference only
+        # ``s.`` columns (the full-outer form evaluated ``t.`` as NULL;
+        # here the target side is absent entirely — same constraint the
+        # SQL surface imposes on INSERT VALUES).
+        from incubator_iceberg_spark import schema as S
+        anti = src.alias("s").join(tgt.alias("t"), join_cond, "left_anti")
+        ins_action = None
+        for j, nm in enumerate(when_not_matched):
+            c = (F.coalesce(F.expr(nm.condition), F.lit(False))
+                 if nm.condition else F.lit(True))
+            step = F.lit(1000 + j)
+            ins_action = (F.when(c, step) if ins_action is None
+                          else ins_action.when(c, step))
+        ins_action = ins_action.otherwise(F.lit(DROP))
+        anti = (anti.withColumn("__action", ins_action)
+                .filter(F.col("__action") != DROP))
+        ins_cols = []
+        for f in schema.fields:
+            col = None
+            for j, nm in enumerate(when_not_matched):
+                if nm.insert is None:
+                    sc = src_cols.get(f.name.lower())
+                    val = F.col(f"s.{sc}") if sc else F.lit(None)
+                else:
+                    val = (_value_expr(nm.insert[f.name])
+                           if f.name in nm.insert else F.lit(None))
+                w = F.col("__action") == 1000 + j
+                col = F.when(w, val) if col is None else col.when(w, val)
+            ins_cols.append(col.cast(S._to_spark_type(f.type)).alias(f.name))
+        result = result.unionByName(anti.select(*ins_cols))
 
     try:
         staged = W.stage_write(spark, md.location, result, schema, md.spec(),
