@@ -28,6 +28,14 @@ def get_spark(app_name: str = "incubator_iceberg_spark", master: str | None = No
         # let the Python Data Source surface receive Catalyst filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd level 1 for the write path (parquet-mr default is 3):
+        # measured -15-19% write wall for +16% file size on TPC-H shapes.
+        # Ingest/CDC writes are latency-bound and short-lived (compaction
+        # rewrites them anyway); cold data headed for long retention can
+        # re-encode at a higher level via SPARK_GRAFT_ZSTD_LEVEL or the
+        # write.parquet.compression-level table property
+        .config("spark.hadoop.parquet.compression.codec.zstd.level",
+                os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"))
         # read TIMESTAMP(NANOS) parquet (events table) as long; io.load_table
         # converts to TimestampType at micros precision
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -123,6 +123,9 @@ def parquet_writer_options(properties: Optional[dict]) -> dict:
     - ``write.parquet.page-size-bytes`` → ``parquet.page.size``
     - ``write.parquet.dict-size-bytes`` → ``parquet.dictionary.page.size``
     - ``write.parquet.compression-codec`` → ``compression``
+    - ``write.parquet.compression-level`` →
+      ``parquet.compression.codec.zstd.level`` (per-table override of
+      the session default; see session.get_spark)
     """
     opts = {}
     if not properties:
@@ -141,6 +144,7 @@ def parquet_writer_options(properties: Optional[dict]) -> dict:
         "write.parquet.page-size-bytes": "parquet.page.size",
         "write.parquet.dict-size-bytes": "parquet.dictionary.page.size",
         "write.parquet.compression-codec": "compression",
+        "write.parquet.compression-level": "parquet.compression.codec.zstd.level",
     }
     for k, v in properties.items():
         for pfx, opt in _PREFIXES.items():
