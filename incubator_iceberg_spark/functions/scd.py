@@ -130,6 +130,16 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
         (F.col("__del") & ~is_new) | (~F.col("__del") & (is_new | differs))
     ).select(*key_cols, *attr_cols, "__ts", "__del",
              is_new.alias("__is_new"))
+    # merge_into consumes the staged source three times (pass-1 probe +
+    # the split main pass's outer and anti branches); without a cache
+    # each consumption re-runs the classification join, i.e. re-reads
+    # the dimension's CURRENT slice — 3 extra target reads per batch.
+    # Persist ACTING (small: only the batch's acting rows), not STAGED:
+    # caching staged was measured 1.3x slower in r10 because it blocks
+    # the probe's semi-join column pruning against the full plan; a
+    # cached acting is already tiny so pruning is moot, and the
+    # classification join (the expensive part) runs exactly once.
+    acting = acting.persist()
 
     # staged source: closers carry the real merge key; inserts carry NULL
     mk = [f"__mk_{k}" for k in key_cols]
@@ -181,3 +191,5 @@ def scd2_apply(table, changes_df, key_cols: Sequence[str],
         if _NULL_KEY_SENTINEL in str(e):
             raise ValueError(_NULL_KEY_MSG) from None
         raise
+    finally:
+        acting.unpersist()
