@@ -58,6 +58,64 @@ def range_layout(df, n_out: int, *cols):
     return df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
 
 
+# above this many bytes of staged files, the eq-key derivation goes back
+# through a (column-pruned) Spark scan instead of driver-side pyarrow —
+# the driver never materializes more than this many key bytes
+EQ_KEYS_DRIVER_MAX_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_EQKEY_DRIVER_MAX", str(128 * 1024 * 1024)))
+
+
+def eq_keys_from_staged(spark, table_location: str, staged_entries: list,
+                        del_schema: S.Schema) -> list:
+    """Equality-delete key file derived from the epoch's own STAGED data
+    files instead of a second pass over the batch DataFrame.
+
+    When an upsert-MoR epoch has no op_col, the staged rows' keys ARE the
+    batch's keys (the batch is key-deduped before staging), so re-running
+    the batch lineage — a dedicated Spark job per epoch, plus the persist
+    that feeds it — is pure fixed cost.  Small epochs (the streaming
+    steady state) read the key columns straight out of the staged parquet
+    with pyarrow on the driver: zero extra Spark jobs per epoch.  Epochs
+    past EQ_KEYS_DRIVER_MAX_BYTES fall back to ONE column-pruned Spark
+    scan of the staged files — still never the upstream batch.
+    Column order follows ``del_schema`` == equality_ids order (the eq
+    readers resolve by position)."""
+    cols = [f.name for f in del_schema.fields]
+    paths = [e["file_path"] for e in staged_entries]
+    total = sum(e.get("file_size_bytes") or 0 for e in staged_entries)
+    n_keys = sum(e.get("record_count") or 0 for e in staged_entries)
+    if total <= EQ_KEYS_DRIVER_MAX_BYTES and n_keys <= 2_000_000:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        tabs = [pq.read_table(p, columns=cols) for p in paths]
+        tbl = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+        # sorted keys → tight per-file bounds for scope_deletes_for_file
+        tbl = tbl.sort_by([(c, "ascending") for c in cols])
+        staging = os.path.join(table_location, "data",
+                               "deletes-" + uuid.uuid4().hex)
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, "part-00000.parquet")
+        pq.write_table(tbl, path, compression="zstd")
+        st = W.footer_stats(path, del_schema)
+        if not st["record_count"]:
+            os.remove(path)
+            return []
+        return [{
+            "file_path": st["file_path"],
+            "file_format": "parquet",
+            "record_count": st["record_count"],
+            "file_size_bytes": st["file_size_bytes"],
+            "value_counts": st["value_counts"],
+            "null_counts": st["null_counts"],
+            "lower_bounds": st["lower_bounds"],
+            "upper_bounds": st["upper_bounds"],
+        }]
+    df = spark.read.parquet(*paths).select(*cols)
+    n_out = max(1, -(-n_keys // 2_000_000))
+    return _write_delete_parquet(spark, table_location,
+                                 range_layout(df, n_out, *cols), del_schema)
+
+
 def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema,
                           path_partitions: Optional[dict] = None) -> list:
     """Write delete rows as parquet under data/; return raw entry dicts.

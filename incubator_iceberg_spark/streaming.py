@@ -609,7 +609,18 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
                     .filter(F.col("__rn") == 1).drop("__rn", order_col))
     else:
         batch_df = batch_df.dropDuplicates(list(on))
-    batch_df = batch_df.persist()
+    # Without op_col the staged rows' keys ARE the batch's keys, so the
+    # eq-delete file is derived from the staged files themselves
+    # (deletes.eq_keys_from_staged) and the batch has exactly ONE
+    # consumer — no persist, no second job per epoch.  With op_col the
+    # delete rows' keys exist only in the batch, so it stays cached for
+    # the key pass.  (Avro-format tables keep the batch path too: the
+    # staged files aren't parquet.)
+    from incubator_iceberg_spark import write as W
+    single_consumer = (op_col is None
+                       and W.table_format(md) == "parquet")
+    if not single_consumer:
+        batch_df = batch_df.persist()
     try:
         if op_col is not None:
             is_del = F.lower(F.col(op_col)).isin("d", "delete")
@@ -629,25 +640,35 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
         has_prior = snap is not None and (tot is None or int(tot) > 0)
         if has_prior:
             del_schema = S.Schema(key_fields)
-            key_df = batch_df.select(*on)
-            # one sorted key file per ~2M keys: every affected read opens
-            # each eq-delete file, so consolidate (vs data-partitioned
-            # output) and sort for tight per-file key bounds — eq-bounds
-            # pruning (scope_deletes_for_file) then skips clean files.
-            # The key count is ESTIMATED from the already-staged entries
-            # (the batch is key-deduped, so staged data rows == upsert
-            # keys) instead of a dedicated count() job per epoch; op_col
-            # delete keys are uncounted — they only skew the file-size
-            # heuristic; an all-deletes batch falls back to one count.
-            n_keys = sum(e.get("record_count") or 0 for e in entries)
-            if op_col is not None and n_keys == 0:
-                n_keys = key_df.count()
-            n_out = max(1, -(-n_keys // 2_000_000))
-            # the common small-epoch path (n_out == 1) skips the range
-            # partitioner's sampling pass and shuffle — 2 jobs per epoch
-            key_df = DEL.range_layout(key_df, n_out, *on)
-            eq_entries = DEL._write_delete_parquet(
-                spark, md.location, key_df, del_schema)
+            if single_consumer and entries:
+                # keys come from the staged files (driver-side pyarrow
+                # when small): zero additional Spark jobs per epoch
+                eq_entries = DEL.eq_keys_from_staged(
+                    spark, md.location, entries, del_schema)
+            elif single_consumer:
+                eq_entries = []  # empty batch stages nothing → no keys
+            else:
+                key_df = batch_df.select(*on)
+                # one sorted key file per ~2M keys: every affected read
+                # opens each eq-delete file, so consolidate (vs data-
+                # partitioned output) and sort for tight per-file key
+                # bounds — eq-bounds pruning (scope_deletes_for_file)
+                # then skips clean files.  The key count is ESTIMATED
+                # from the already-staged entries (the batch is key-
+                # deduped, so staged data rows == upsert keys) instead
+                # of a dedicated count() job per epoch; op_col delete
+                # keys are uncounted — they only skew the file-size
+                # heuristic; an all-deletes batch falls back to one
+                # count.
+                n_keys = sum(e.get("record_count") or 0 for e in entries)
+                if n_keys == 0:
+                    n_keys = key_df.count()
+                n_out = max(1, -(-n_keys // 2_000_000))
+                # the common small-epoch path (n_out == 1) skips the
+                # range partitioner's sampling pass and shuffle
+                key_df = DEL.range_layout(key_df, n_out, *on)
+                eq_entries = DEL._write_delete_parquet(
+                    spark, md.location, key_df, del_schema)
             fp = DEL.eq_schema_fingerprint(del_schema)
             for e in eq_entries:
                 e["content"] = MF.EQUALITY_DELETES
@@ -665,7 +686,8 @@ def upsert_mor_exactly_once(table, batch_df, epoch_id: int, on=None,
         _maybe_auto_maintain(table, epoch_id, spark)
         return True
     finally:
-        batch_df.unpersist()
+        if not single_consumer:
+            batch_df.unpersist()
 
 
 def foreach_batch_mor_upserter(table, on=None, op_col: Optional[str] = None,
