@@ -129,22 +129,33 @@ def dv_rows_from_pos(pos_df):
 
 def write_dv_files(spark, table_location: str, pos_df,
                    path_partitions: Optional[dict] = None,
-                   files_per_output: int = 500_000) -> list:
+                   files_per_output: int = 500_000,
+                   n_rows_bound: Optional[int] = None) -> list:
     """Write (file_path, pos) tuples as DV parquet under data/; returns
     raw entry dicts (caller stamps content).  Mirrors
     deletes._write_delete_parquet's partition scoping: scoped writes keep
     one DV file per partition so plan-time partition pruning applies;
     unscoped writes range-partition DV rows by referenced path so each
-    output covers a disjoint path slice with tight ref bounds."""
+    output covers a disjoint path slice with tight ref bounds.
+
+    ``n_rows_bound``: a sound upper bound on the DV row count (== the
+    number of referenced data files — every MoR caller knows its touched
+    file count driver-side).  With it the unscoped layout is sized from
+    the bound and the groupBy+encode runs exactly ONCE inside the write
+    job — no persist, no dedicated count job; an over-estimate only
+    splits the output into more (possibly empty, then dropped) files.
+    Without it a count + persist sizes the layout exactly."""
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     from incubator_iceberg_spark import deletes as DEL
 
-    # persisted: the unscoped branch needs a count BEFORE the write to
-    # size the range partitioning — without caching, the groupBy+encode
-    # would run twice
-    dv_df = dv_rows_from_pos(pos_df).persist()
+    dv_df = dv_rows_from_pos(pos_df)
+    if n_rows_bound is None:
+        # the unscoped branch needs a count BEFORE the write to size the
+        # range partitioning — without caching, the groupBy+encode would
+        # run twice
+        dv_df = dv_df.persist()
     staging = os.path.join(table_location, "data", "dv-" + uuid.uuid4().hex)
     groups = {}
     if path_partitions:
@@ -167,15 +178,20 @@ def write_dv_files(spark, table_location: str, pos_df,
     if path_partitions is None:
         # DV rows are one-per-data-file: files_per_output rows/file keeps
         # outputs ~tens of MB even at 10^6 touched files
-        cnt = dv_df.count()
+        if n_rows_bound is not None:
+            cnt = n_rows_bound
+        else:
+            cnt = dv_df.count()
         if cnt == 0:
-            dv_df.unpersist()
+            if n_rows_bound is None:
+                dv_df.unpersist()
             return []
         n_out = max(1, -(-cnt // files_per_output))
         from incubator_iceberg_spark.deletes import range_layout
         (range_layout(dv_df, n_out, "file_path")
          .write.mode("errorifexists").parquet(staging))
-    dv_df.unpersist()
+    if n_rows_bound is None:
+        dv_df.unpersist()
     files = sorted(
         os.path.join(dp, f)
         for dp, _dn, fn in os.walk(staging)

@@ -217,16 +217,20 @@ def add_position_delete_vectors(table, pos_df, spark=None):
     return table
 
 
-def write_position_deletes(spark, md, pos_df, path_partitions=None) -> list:
+def write_position_deletes(spark, md, pos_df, path_partitions=None,
+                           n_files_hint: Optional[int] = None) -> list:
     """Write pos tuples in the table's configured delete layout
     (``write.delete.format``: 'dv' → deletion vectors, default exploded
     pos parquet); returns content-stamped entries.  The MoR DELETE /
     UPDATE write paths route through here so one table property flips a
-    table to DV maintenance."""
+    table to DV maintenance.  ``n_files_hint`` = the caller's touched
+    data-file count: a sound bound on the DV row count that lets the DV
+    writer size its layout without a count job + persist."""
     if md.properties.get("write.delete.format") == "dv":
         from incubator_iceberg_spark import delete_vectors as DV
         entries = DV.write_dv_files(spark, md.location, pos_df,
-                                    path_partitions=path_partitions)
+                                    path_partitions=path_partitions,
+                                    n_rows_bound=n_files_hint)
     else:
         entries = _write_delete_parquet(spark, md.location, pos_df,
                                         POS_DELETE_SCHEMA,

@@ -607,8 +607,10 @@ def rewrite_position_deletes(table, spark=None, fmt: Optional[str] = None) -> di
         from incubator_iceberg_spark.row_ops import _partition_scope
         scope = _partition_scope(data, table.metadata)
         if fmt == "dv":
+            # DV rows ≤ live data files referenced, bounded by len(data)
             added = DV.write_dv_files(spark, md.location, kept,
-                                      path_partitions=scope)
+                                      path_partitions=scope,
+                                      n_rows_bound=len(data))
         elif scope:
             # partition-scoped consolidation: the rewrite preserves the
             # per-partition delete-file layout the MoR writes produce
@@ -748,7 +750,9 @@ def convert_equality_deletes(table, spark=None) -> dict:
             added = DV.write_dv_files(
                 spark, md.location, matches,
                 path_partitions=scope if (n_tuples or 0) >= 1_000_000
-                else None)
+                else None,
+                # DV rows ≤ the dirty files the tuples reference
+                n_rows_bound=len(dirty))
         elif scope and (n_tuples or 0) >= 1_000_000:
             out = matches.sortWithinPartitions("file_path", "pos")
             added = DEL._write_delete_parquet(

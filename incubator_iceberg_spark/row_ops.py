@@ -349,7 +349,8 @@ def delete_where_mor(table, expr: X.Expression, spark=None) -> dict:
         # honors write.delete.format=dv (deletion vectors)
         new_entries = DEL.write_position_deletes(
             spark, md, pos,
-            path_partitions=_partition_scope([r.entry for r in mor], md))
+            path_partitions=_partition_scope([r.entry for r in mor], md),
+            n_files_hint=len(mor))
         marked_rows = sum(e["record_count"] for e in new_entries)
 
     deleted_paths = {r["file_path"] for r in full_drop}
@@ -407,7 +408,8 @@ def update_mor(table, assignments: dict, condition: X.Expression,
                           F.col("_pos").alias("pos"))
            .sortWithinPartitions("file_path", "pos"))
     pos_entries = DEL.write_position_deletes(
-        spark, md, pos, path_partitions=_partition_scope(data, md))
+        spark, md, pos, path_partitions=_partition_scope(data, md),
+        n_files_hint=len(data))
     if not pos_entries:
         # stats admitted files but no row matched: nothing to commit
         matched.unpersist()
