@@ -10,7 +10,12 @@ For each non-`replace` snapshot in the ancestry range (from, to]:
   inserts = added EXCEPT ALL removed      (multiset difference)
   deletes = removed EXCEPT ALL added
 
-The EXCEPT ALL pair cancels rows that were merely rewritten (copy-on-write
+Both directions are computed in ONE aggregation (union the sides with
++1/-1 deltas, sum per distinct row value; the sign is the direction, the
+absolute value the multiplicity — the same shape Catalyst's
+RewriteExceptAll plans per direction, fused so each side is scanned once).
+
+The multiset-difference pair cancels rows that were merely rewritten (copy-on-write
 carries untouched rows into new files), so UPDATE shows as delete+insert
 of only the changed rows.  `replace` (compaction) snapshots are skipped —
 they don't change table contents.  The shuffle is bounded by the touched
@@ -35,8 +40,8 @@ both sides WITH each side's live delete files applied — merge-on-read
 DELETE shows its rows as 'delete', MoR UPDATE as delete+insert, exactly
 like their copy-on-write counterparts.
 
-Limitation (documented): map-typed columns can't go through EXCEPT ALL
-(Spark restriction).
+Limitation (documented): map-typed columns can't be diffed — Spark
+forbids them both in EXCEPT ALL and as grouping keys.
 
 Output columns: table columns (current schema) + `_change_type`
 ('insert' | 'delete') + `_change_snapshot_id` + `_change_ordinal`
@@ -496,9 +501,27 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
                                 schema).select(*cols)
         removed_df = read_entries(spark, md, before_entries, dels_before,
                                   schema).select(*cols)
-        ins = added_df.exceptAll(removed_df).withColumn("_change_type", F.lit("insert"))
-        dels = removed_df.exceptAll(added_df).withColumn("_change_type", F.lit("delete"))
-        step = (ins.unionByName(dels)
+        # inserts = added EXCEPT ALL removed, deletes = removed EXCEPT ALL
+        # added — fused into ONE aggregation: union the sides with +1/-1
+        # deltas, sum per distinct row value, sign decides the direction
+        # and |sum| the multiplicity.  Catalyst's RewriteExceptAll plans
+        # exactly this shape per direction; writing the pair as two
+        # exceptAll calls planned two independent union+aggregate+generate
+        # pipelines that each re-scanned BOTH sides (no exchange reuse),
+        # so the fusion halves the per-commit exchanges and reads each
+        # side once instead of twice
+        both = (added_df.withColumn("_delta", F.lit(1))
+                .unionByName(removed_df.withColumn("_delta", F.lit(-1))))
+        net = (both.groupBy(*cols).agg(F.sum("_delta").alias("_d"))
+               .filter(F.col("_d") != 0))
+        step = (net.select(
+                    *cols,
+                    F.when(F.col("_d") > 0, F.lit("insert"))
+                    .otherwise(F.lit("delete")).alias("_change_type"),
+                    F.abs(F.col("_d")).alias("_n"))
+                .withColumn("_dup",
+                            F.explode(F.sequence(F.lit(1), F.col("_n"))))
+                .drop("_n", "_dup")
                 .withColumn("_change_snapshot_id", F.lit(snap.snapshot_id))
                 .withColumn("_change_ordinal", F.lit(ordinal)))
         out = out.unionByName(step)

@@ -17,7 +17,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+argv = sys.argv[1:]
+skip = {argv.index(f) + 1 for f in ("--sf", "--tag", "--dir") if f in argv}
+args = [a for i, a in enumerate(argv)
+        if not a.startswith("--") and i not in skip]
 sf = "/root/testdata/sf0.1"
 tag = "before"
 out_dir = "plans/r11"
