@@ -595,41 +595,42 @@ def rewrite_position_deletes(table, spark=None, fmt: Optional[str] = None) -> di
         part = DV.read_dv_pos_df(spark, dvs)
         tuples = part if tuples is None else tuples.unionByName(part)
         total += sum(e.get("record_count") or 0 for e in dvs)
-    # persisted: counted for the layout decision, then re-read by the
-    # write — without caching the delete-file scan + join runs twice
     kept = (tuples.join(F.broadcast(live_df), "file_path")
             .filter(F.col("___del_seq") >= F.col("___data_seq"))
-            .select("file_path", "pos").distinct().persist())
-    n_kept = kept.count()
+            .select("file_path", "pos").distinct())
     old_paths = {e["file_path"] for e in pos}
-    added = []
-    if n_kept:
-        from incubator_iceberg_spark.row_ops import _partition_scope
-        scope = _partition_scope(data, table.metadata)
-        if fmt == "dv":
-            # DV rows ≤ live data files referenced, bounded by len(data)
-            added = DV.write_dv_files(spark, md.location, kept,
-                                      path_partitions=scope,
-                                      n_rows_bound=len(data))
-        elif scope:
-            # partition-scoped consolidation: the rewrite preserves the
-            # per-partition delete-file layout the MoR writes produce
-            out = kept.sortWithinPartitions("file_path", "pos")
-            added = DEL._write_delete_parquet(
-                spark, table.metadata.location, out, DEL.POS_DELETE_SCHEMA,
-                path_partitions=scope)
-        else:
-            # global fallback: range-partition by referenced path — each
-            # consolidated file covers a DISJOINT path slice, so its
-            # persisted ref bounds prune tightly and a 100 TB debt
-            # rewrite parallelizes (~5M tuples ≈ 50 MB per output file)
-            n_out = max(1, -(-n_kept // 5_000_000))
-            out = DEL.range_layout(kept, n_out, "file_path", "pos")
-            added = DEL._write_delete_parquet(
-                spark, table.metadata.location, out, DEL.POS_DELETE_SCHEMA)
-        for e in added:
-            e["content"] = MF.POSITION_DELETES
-    kept.unpersist()
+    from incubator_iceberg_spark.row_ops import _partition_scope
+    scope = _partition_scope(data, table.metadata)
+    if fmt == "dv":
+        # DV rows ≤ live data files referenced, bounded by len(data)
+        added = DV.write_dv_files(spark, md.location, kept,
+                                  path_partitions=scope,
+                                  n_rows_bound=len(data))
+    elif scope:
+        # partition-scoped consolidation: the rewrite preserves the
+        # per-partition delete-file layout the MoR writes produce
+        out = kept.sortWithinPartitions("file_path", "pos")
+        added = DEL._write_delete_parquet(
+            spark, table.metadata.location, out, DEL.POS_DELETE_SCHEMA,
+            path_partitions=scope)
+    else:
+        # global fallback: range-partition by referenced path — each
+        # consolidated file covers a DISJOINT path slice, so its
+        # persisted ref bounds prune tightly and a 100 TB debt
+        # rewrite parallelizes (~5M tuples ≈ 50 MB per output file).
+        # Sized from the driver-side input-tuple total (a sound upper
+        # bound on kept: kept ⊆ input tuples), so the join+distinct
+        # runs exactly once inside the write job — no count job, no
+        # persist; empty over-split parts are dropped by the writer.
+        n_out = max(1, -(-total // 5_000_000))
+        out = DEL.range_layout(kept, n_out, "file_path", "pos")
+        added = DEL._write_delete_parquet(
+            spark, table.metadata.location, out, DEL.POS_DELETE_SCHEMA)
+    for e in added:
+        e["content"] = MF.POSITION_DELETES
+    # recovered from the written entries' footer stats (DV record_count
+    # is deleted-position cardinality — same multiset)
+    n_kept = sum(e.get("record_count") or 0 for e in added)
     table.metadata = SN2.overwrite_files(table.ops, added, old_paths,
                                          operation="replace")
     return {"rewritten_delete_files": len(pos), "added_delete_files": len(added),
