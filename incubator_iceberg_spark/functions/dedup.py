@@ -475,23 +475,27 @@ def fuzzy_decontaminate(corpus_df, eval_df, text_col: str = "text",
     rows_per_band = num_hashes // bands
 
     def sig_of(df, idc, txc, out_id, wide):
+        """Minhash array per doc — explode + map-side-combined min
+        aggregate (the codegen-friendly shape; see minhash_lsh_pairs).
+        Returns ONLY (id, __sig): the band probe needs nothing else, and
+        the verify recomputes shingles for just the candidate docs —
+        carrying the shingle arrays here forced a join-back plus two
+        persisted caches sized by the whole corpus."""
         base = df.select(F.col(idc).alias(out_id),
                          TX.char_ngrams(txc, shingle_size).alias("__sh"))
         if wide:
-            # CPU-bound signature hashing must not be gated on input file
-            # count, and base feeds two consumers (explode + join-back) —
-            # persist or the substring explosion runs twice
+            # CPU-bound signature hashing must not be gated on input
+            # file count
             par = df.sparkSession.sparkContext.defaultParallelism
-            base = base.repartition(par).persist()
+            base = base.repartition(par)
         ex = base.select(out_id, F.explode_outer("__sh").alias("__s"))
         mins = ex.groupBy(out_id).agg(
             *[F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__h{i}")
               for i in range(num_hashes)])
-        sig = base.join(mins, out_id).select(
-            out_id, "__sh",
+        return mins.select(
+            out_id,
             F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
             .alias("__sig"))
-        return sig, (base if wide else None)
 
     def banded_of(sig, out_id):
         bb = sig.select(
@@ -509,25 +513,31 @@ def fuzzy_decontaminate(corpus_df, eval_df, text_col: str = "text",
         return bb.select(out_id, F.col("bb.band").alias("band"),
                          F.col("bb.bucket").alias("bucket"))
 
-    corpus_sig, corpus_base = sig_of(corpus_df, id_col, text_col, "__cid",
-                                     wide=True)
-    corpus_sig = corpus_sig.persist()
-    corpus_sig.count()  # eager: banded probe + verify both read it
-    corpus_base.unpersist()
-    eval_sig, _ = sig_of(eval_df, eval_id_col, eval_text_col, "__eid",
-                         wide=False)
+    corpus_sig = sig_of(corpus_df, id_col, text_col, "__cid", wide=True)
+    eval_sig = sig_of(eval_df, eval_id_col, eval_text_col, "__eid",
+                      wide=False)
 
+    # ONE pass over the corpus: scan → shingle → minhash aggregate →
+    # band explode → broadcast probe against the eval bands.  No persist:
+    # the band probe is the signature's only consumer.
     cand = (banded_of(corpus_sig, "__cid")
             .join(F.broadcast(banded_of(eval_sig, "__eid")),
                   ["band", "bucket"])
             .select("__cid", "__eid").distinct())
-    verified = (corpus_sig.select("__cid", F.col("__sh").alias("sh_c"))
+    # exact verify re-derives shingles AFTER the broadcast candidate
+    # join, so the substring explosion runs only for candidate docs —
+    # O(collisions), not O(corpus)
+    verified = (corpus_df.select(F.col(id_col).alias("__cid"),
+                                 F.col(text_col).alias("__ct"))
                 .join(F.broadcast(cand), "__cid")
-                .join(F.broadcast(eval_sig.select(
-                    "__eid", F.col("__sh").alias("sh_e"))), "__eid")
+                .join(F.broadcast(eval_df.select(
+                    F.col(eval_id_col).alias("__eid"),
+                    TX.char_ngrams(eval_text_col, shingle_size)
+                    .alias("sh_e"))), "__eid")
+                .withColumn("sh_c", TX.char_ngrams("__ct", shingle_size))
                 .withColumn("jaccard", _jaccard(F.col("sh_c"), F.col("sh_e")))
                 .filter(F.col("jaccard") >= jaccard_threshold)
                 .select(F.col("__cid").alias(id_col),
                         F.col("__eid").alias(eval_id_col),
                         F.round("jaccard", 6).alias("jaccard")))
-    return _materialize_and_release(verified, [corpus_sig])
+    return _materialize_and_release(verified, [])
