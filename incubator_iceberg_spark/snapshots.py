@@ -136,8 +136,15 @@ def _write_added_manifests(md_dir: str, base: TableMetadata, entries: list,
             schema = base.schema_by_id(sid)
     for e in entries:
         e.setdefault("status", M.ADDED)
-        e.setdefault("snapshot_id", snapshot_id)
-        e.setdefault("sequence_number", seq)
+        # stamp (never setdefault) the commit identity: the retry loop
+        # re-applies the same entry dicts under a FRESH snapshot id and
+        # sequence number, and a stale stamp left by a failed attempt makes
+        # the entry invisible to everything keyed on
+        # entry.snapshot_id == snapshot.snapshot_id — validateNoNewDeleteFiles
+        # went blind to a retried MoR delete's files and let a concurrent
+        # compaction resurrect the deleted rows (concurrent stress gate)
+        e["snapshot_id"] = snapshot_id
+        e["sequence_number"] = seq
         e.setdefault("content", M.DATA)
         e.setdefault("file_format", "parquet")
         e.setdefault("spec_id", spec.spec_id)

@@ -398,3 +398,57 @@ def test_stale_op_aborts_when_base_rolled_back_past(warehouse, spark):
 
     with pytest.raises(ValidationException, match="ancestry|history"):
         t_stale.delete_where("grp = 3")
+
+
+def test_retried_commit_restamps_entry_snapshot_identity(warehouse, spark):
+    """A commit that loses the version race re-applies under a FRESH
+    snapshot id and sequence number.  The manifest entries must carry the
+    COMMITTED identity, not the failed attempt's — a stale stamp makes the
+    entries invisible to validateNoNewDeleteFiles (entry.snapshot_id no
+    longer matches any live snapshot), so a concurrent compaction would
+    rebase past the retried MoR delete and resurrect its rows (signature
+    caught by the randomized concurrent stress gate)."""
+    from incubator_iceberg_spark import manifests as MF
+    from incubator_iceberg_spark import snapshots as SN
+
+    t = _make_table(warehouse, spark, "db.retry_stamp")
+    stale_compactor = _reload(warehouse, "db.retry_stamp")
+    other = _reload(warehouse, "db.retry_stamp")
+    extra = spark.createDataFrame(
+        [(10_000 + i, 99, "x") for i in range(4)],
+        "id long, grp long, payload string")
+
+    real_commit = t.ops.commit
+    fired = {"n": 0}
+
+    def racing_commit(base_version, updated):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            other.append(extra)  # wins the version race -> forces a retry
+        return real_commit(base_version, updated)
+
+    t.ops.commit = racing_commit
+    try:
+        res = t.delete_where("grp = 3", mode="merge-on-read")
+    finally:
+        t.ops.commit = real_commit
+    assert fired["n"] == 1
+    assert res["delete_files_written"] > 0
+
+    snap = t.metadata.current_snapshot()
+    added = list(SN._added_entries_of(snap))
+    del_entries = [e for e in added
+                   if (e.get("content") or MF.DATA) != MF.DATA]
+    # before the fix the retried commit's entries kept the failed
+    # attempt's snapshot id and _added_entries_of yielded nothing
+    assert del_entries, "retried commit's delete entries lost their snapshot id"
+    for e in added:
+        assert e["snapshot_id"] == snap.snapshot_id
+        assert e["sequence_number"] == snap.sequence_number
+
+    # end-to-end: a compaction planned BEFORE the retried delete must
+    # still see the delete files and abort instead of resurrecting rows
+    with pytest.raises(ValidationException, match="delete file"):
+        stale_compactor.rewrite_data_files(min_input_files=2)
+    assert _reload(warehouse, "db.retry_stamp").to_df() \
+        .filter("grp = 3").count() == 0
