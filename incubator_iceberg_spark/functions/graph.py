@@ -14,8 +14,9 @@ Scale shape (100 TB):
   ONCE and persisted; each power iteration then shuffles only the
   O(nodes) rank table into that cached adjacency, plus one
   map-side-combined groupBy for the inflow sums.  Lineage is truncated
-  per iteration (localCheckpoint) so plans stay O(1) deep regardless of
-  iteration count.
+  every ``checkpoint_every`` iterations (localCheckpoint) so plans stay
+  bounded regardless of iteration count without paying a
+  materialization job per iteration.
 - ``triangle_count`` — edges are oriented from the (degree, id)-smaller
   endpoint to the larger one, the classic orientation that bounds every
   join fan-out by O(sqrt(m)) instead of the max raw degree; the count is
@@ -31,7 +32,8 @@ RANK_UNIT = 1_000_000  # rank 1.0 in micro-units
 
 
 def pagerank(edges, src: str = "src", dst: str = "dst",
-             iters: int = 3, damping_pct: int = 85):
+             iters: int = 3, damping_pct: int = 85,
+             checkpoint_every: int = 4):
     """Exact-integer PageRank over a directed edge list.
 
     Contract (what the SQL oracle replays bit-for-bit):
@@ -66,7 +68,7 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
              .distinct().persist())
     base = (100 - damping_pct) * RANK_UNIT
     ranks = nodes.withColumn("r", F.lit(RANK_UNIT).cast("long"))
-    for _ in range(int(iters)):
+    for i in range(int(iters)):
         contrib = (adj.join(ranks, adj["__src"] == ranks["node"])
                    .select(F.col("__dst").alias("node"),
                            F.expr("r div __d").alias("__c")))
@@ -78,8 +80,16 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
                            * F.coalesce(F.col("__s"), F.lit(0).cast("long")))
                           .cast("long"))
                          .alias("__t"))
-                 .select("node", F.expr("__t div 100").alias("r"))
-                 .localCheckpoint())  # truncate lineage per iteration
+                 .select("node", F.expr("__t div 100").alias("r")))
+        # truncate lineage on a cadence, not per iteration: each eager
+        # localCheckpoint is a full materialization JOB of the rank
+        # table, and chaining a few iterations into one job removes
+        # those round-trips while keeping the plan depth bounded at
+        # checkpoint_every joins.  The LAST iteration always checkpoints
+        # so the returned ranks don't recompute after adj/nodes
+        # unpersist below.
+        if (i + 1) % max(1, int(checkpoint_every)) == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
     out = ranks.select("node", F.col("r").alias("rank_micro"))
     adj.unpersist()
     nodes.unpersist()
