@@ -926,7 +926,10 @@ def bpe_train(df, n_merges: int = 20, text_col: str = "text",
         words = words.withColumn(
             "seq", F.expr(
                 f"replace(seq, '⟨{l}⟩⟨{r}⟩', '⟨{l}{r}⟩')"))
-        if rank % checkpoint_every == 0:
+        # never checkpoint the LAST round: the loop ends and words is
+        # discarded — that materialization is a pure wasted Spark job
+        # (the bench's n_merges=16 with cadence 8 paid it every call)
+        if rank % checkpoint_every == 0 and rank < int(n_merges):
             words = words.localCheckpoint()
     spark = df.sparkSession
     return spark.createDataFrame(
