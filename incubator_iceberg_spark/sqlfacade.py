@@ -928,14 +928,34 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
     return s
 
 
+# (session id, table location) -> (schema fingerprint, DataFrame handle).
+# The Python-data-source DataFrame is a LAZY handle: its reader re-loads
+# table metadata at every execution (sources.IcebergBatchReader.partitions),
+# so a cached handle always reads the CURRENT snapshot — only the COLUMN
+# SET is pinned at load() time, hence the schema fingerprint in the key.
+# Building the handle costs ~0.2 s of py4j round trips (data-source
+# registration + DataFrameReader.load), which the facade used to pay per
+# referenced table per statement.  The temp view is still re-registered
+# per statement, so name-clobber semantics are unchanged.
+_DSV2_DF_CACHE: dict = {}
+
+
 def _view_df(t, spark):
+    key = (id(spark), t.location)
+    fp = str(t.metadata.schema())
+    hit = _DSV2_DF_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     try:
         from incubator_iceberg_spark import sources
         sources.register(spark)
-        return (spark.read.format(sources.FORMAT_NAME)
-                .option("path", t.location).load())
+        df = (spark.read.format(sources.FORMAT_NAME)
+              .option("path", t.location).load())
+        _DSV2_DF_CACHE[key] = (fp, df)
+        return df
     except Exception:
         pass  # registration hiccup → correct-but-unpruned path
+    # the eager fallback pins data at plan time: never cache it
     return t.to_df(spark)
 
 
