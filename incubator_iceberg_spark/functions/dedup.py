@@ -99,30 +99,31 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     # repartition first: signature hashing is CPU-bound and must not be
     # gated on the input file count
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = (df.repartition(par)
-            .select(F.col(id_col).alias("__id"),
-                    TX.char_ngrams(text_col, shingle_size).alias("__sh")))
-    # two consumers read base (the explode below and the signature
-    # join-back) — without a cache the substring explosion runs twice
-    base = base.persist()
     # signature via explode + groupBy(min(xxhash64(i, shingle))): higher-order
     # array lambdas run interpreted row-by-row, but hash+min aggregates stay
     # inside whole-stage codegen with map-side partial aggregation — same
     # values (xxhash64(lit(i), s) == xxhash64(seq_elem_i, s)), ~10× faster,
-    # and the shuffle is pre-aggregated so it scales with docs, not shingles
-    ex = base.select("__id", F.explode_outer("__sh").alias("__s"))
-    mins = ex.groupBy("__id").agg(
+    # and the shuffle is pre-aggregated so it scales with docs, not shingles.
+    # Signatures come straight off the aggregate — no join-back onto the
+    # shingled base and no O(corpus) shingle cache: the band probe needs
+    # only (id, sig), and the exact verify re-derives shingles for the
+    # CANDIDATE docs after the pair joins (same shape as
+    # fuzzy_decontaminate).  repartition first: signature hashing is
+    # CPU-bound and must not be gated on the input file count.
+    ex = (df.repartition(par)
+          .select(F.col(id_col).alias("__id"),
+                  F.explode_outer(TX.char_ngrams(text_col, shingle_size))
+                  .alias("__s")))
+    sig = (ex.groupBy("__id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__h{i}")
           for i in range(num_hashes)])
-    sig = (base.join(mins, "__id")
-           .select("__id", "__sh",
-                   F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
-                   .alias("__sig")))
-    # eager materialization: four downstream join branches read this cache;
-    # a lazy persist would let them all recompute the signatures in parallel
+        .select("__id",
+                F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
+                .alias("__sig")))
+    # three downstream branches (bands + both verify sides) read this —
+    # O(docs × num_hashes) longs, tiny next to the old shingle cache; the
+    # hot-bucket count below materializes it before the branches fan out
     sig = sig.persist()
-    sig.count()
-    base.unpersist()
     banded = sig.select(
         "__id",
         F.explode(F.transform(
@@ -167,13 +168,26 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
                                       lambda a, b: a == b),
                            lambda x: x)).cast("double") / F.lit(num_hashes))
-    verified = (cand
-                .join(sig.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"),
-                                 F.col("__sig").alias("sig_a")), "id_a")
-                .join(sig.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"),
-                                 F.col("__sig").alias("sig_b")), "id_b")
-                .withColumn("__est", est)
-                .filter(F.col("__est") >= jaccard_threshold * 0.5)
+    survivors = (cand
+                 .join(sig.select(F.col("__id").alias("id_a"),
+                                  F.col("__sig").alias("sig_a")), "id_a")
+                 .join(sig.select(F.col("__id").alias("id_b"),
+                                  F.col("__sig").alias("sig_b")), "id_b")
+                 .withColumn("__est", est)
+                 .filter(F.col("__est") >= jaccard_threshold * 0.5)
+                 .select("id_a", "id_b"))
+    # exact verify re-derives shingles AFTER the pair joins attach the
+    # candidate docs' texts, so the substring explosion runs only for the
+    # est-surviving pairs — O(candidates), not O(corpus)
+    texts = df.select(F.col(id_col).alias("__id"),
+                      F.col(text_col).alias("__t"))
+    verified = (survivors
+                .join(texts.select(F.col("__id").alias("id_a"),
+                                   F.col("__t").alias("__ta")), "id_a")
+                .join(texts.select(F.col("__id").alias("id_b"),
+                                   F.col("__t").alias("__tb")), "id_b")
+                .withColumn("sh_a", TX.char_ngrams("__ta", shingle_size))
+                .withColumn("sh_b", TX.char_ngrams("__tb", shingle_size))
                 .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
                 .filter(F.col("jaccard") >= jaccard_threshold)
                 .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
