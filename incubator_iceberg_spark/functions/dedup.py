@@ -276,19 +276,20 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         prop = (edges.join(labels, edges["a"] == labels["node"])
                 .groupBy(F.col("b").alias("node"))
                 .agg(F.min("label").alias("nlabel")))
-        new_labels = (labels.alias("l")
-                      .join(prop.alias("p"), "node", "left")
-                      .select("node",
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nlabel"),
-                                                 F.col("label")))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
+        # carry the OLD label through the checkpointed projection so
+        # convergence detection is a scan of the checkpoint, not another
+        # join-with-previous-labels job per round
+        staged = (labels.alias("l")
+                  .join(prop.alias("p"), "node", "left")
+                  .select("node", F.col("label").alias("__old"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nlabel"),
+                                             F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        changed = (staged.filter(F.col("__old") != F.col("label"))
                    .limit(1).count())
-        labels = new_labels
+        labels = staged.select("node", "label")
         if changed == 0:
             break
     else:
