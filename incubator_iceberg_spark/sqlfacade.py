@@ -27,6 +27,7 @@ the reference reaches through DSv2.
 from __future__ import annotations
 
 import re
+import weakref
 from typing import Optional
 
 from incubator_iceberg_spark.row_ops import (WhenMatched, WhenNotMatched,
@@ -868,7 +869,23 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
     for name in names:
         df = None
         try:
-            df = _view_df(catalog.load_table(name, spark=spark), spark)
+            t = catalog.load_table(name, spark=spark)
+            # A table referenced MORE THAN ONCE in one statement (self
+            # join, filtered UNION ALL unfiltered, ...) must NOT go
+            # through the Python Data Source: every branch of the plan
+            # shares the one PythonDataSourceV2 instance behind the temp
+            # view, and Spark caches the planned read (readInfo) on it
+            # keyed on nothing — a branch that pushes filters bakes them
+            # into the shared partition list and a filterless branch
+            # silently reuses it (a filtered+unfiltered UNION ALL
+            # returned the filtered count for BOTH sides).  The eager
+            # engine scan plans per-branch-safe parquet relations; data
+            # pins at plan time, which within a single statement is
+            # exactly snapshot isolation.
+            if len(re.findall(rf"\b{re.escape(name)}\b", s)) > 1:
+                df = t.to_df(spark)
+            else:
+                df = _view_df(t, spark)
         except Exception:
             # engine VIEW: expand its stored SQL recursively through the
             # facade (views.py — scans under the view keep pruning).
@@ -928,34 +945,44 @@ def _register_and_rewrite(catalog, spark, s: str) -> str:
     return s
 
 
-# (session id, table location) -> (schema fingerprint, DataFrame handle).
-# The Python-data-source DataFrame is a LAZY handle: its reader re-loads
-# table metadata at every execution (sources.IcebergBatchReader.partitions),
-# so a cached handle always reads the CURRENT snapshot — only the COLUMN
-# SET is pinned at load() time, hence the schema fingerprint in the key.
-# Building the handle costs ~0.2 s of py4j round trips (data-source
-# registration + DataFrameReader.load), which the facade used to pay per
-# referenced table per statement.  The temp view is still re-registered
-# per statement, so name-clobber semantics are unchanged.
-_DSV2_DF_CACHE: dict = {}
+# Data-source registration is session-global and stateless — pay its
+# py4j round trip once per session, not per referenced table.  Weak so
+# a recycled id() of a stopped session can never alias a new one.
+_DS_REGISTERED: weakref.WeakSet = weakref.WeakSet()
 
 
 def _view_df(t, spark):
-    key = (id(spark), t.location)
-    fp = str(t.metadata.schema())
-    hit = _DSV2_DF_CACHE.get(key)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
+    # A FRESH load() per statement is load-bearing for CORRECTNESS, not
+    # style: Spark's PythonDataSourceV2 caches the planned read
+    # (readInfo — pickled read function + partition list) on the
+    # provider instance, keyed on nothing.  pushFilters overwrites it;
+    # a filterless query never calls pushFilters, so executing one
+    # against a shared handle silently reuses whatever filter the LAST
+    # filtered plan baked into the partition list (wrong results — a
+    # cached-handle build returned a 100000-cutoff COUNT for an
+    # unfiltered view read).  The per-statement cost is recovered by
+    # passing the schema explicitly: DataFrameReader.load() then skips
+    # the schema-inference Python-worker round trip (~280 ms → ~40 ms
+    # per call measured warm).
     try:
         from incubator_iceberg_spark import sources
-        sources.register(spark)
-        df = (spark.read.format(sources.FORMAT_NAME)
-              .option("path", t.location).load())
-        _DSV2_DF_CACHE[key] = (fp, df)
-        return df
+        # The reader resolves table state from the LOCATION at every
+        # execution; probe it driver-side and take the schema from the
+        # same source (parity with the worker-side inference the
+        # explicit schema skips).  Pointer-store catalogs (NessieLite
+        # branches) whose locations don't carry the standard file
+        # layout fail here and keep the eager path, as they did when
+        # schema inference failed inside load().
+        loc_md = sources._load_metadata(t.location)
+        if spark not in _DS_REGISTERED:
+            sources.register(spark)
+            _DS_REGISTERED.add(spark)
+        return (spark.read.format(sources.FORMAT_NAME)
+                .schema(loc_md.schema().to_spark())
+                .option("path", t.location).load())
     except Exception:
-        pass  # registration hiccup → correct-but-unpruned path
-    # the eager fallback pins data at plan time: never cache it
+        pass  # unloadable location / registration hiccup → eager path
+    # the eager fallback pins data at plan time
     return t.to_df(spark)
 
 

@@ -726,3 +726,66 @@ def test_unset_tblproperties_ddl(warehouse, spark):
     # IF EXISTS tolerates absent keys
     SQL.execute(warehouse, spark,
                 "ALTER TABLE db.up UNSET TBLPROPERTIES IF EXISTS ('zz')")
+
+
+def test_filtered_statement_does_not_poison_later_scans(warehouse, spark,
+                                                        sf_dir):
+    """Regression: Spark's PythonDataSourceV2 caches the planned read
+    (readInfo) on the provider instance with NO cache key — pushFilters
+    overwrites it, and a filterless query never calls pushFilters.  A
+    shared/cached DataFrame handle therefore replays the LAST filtered
+    plan's partition list under an unfiltered query (a 100000-cutoff
+    COUNT answered an unfiltered view read).  Each facade statement must
+    get a fresh load(), so interleaved filtered/unfiltered statements
+    stay independent.  The literal column defeats the metadata
+    COUNT(*) rewrite, forcing a real scan."""
+    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select("o_orderkey", "o_totalprice"))
+    warehouse.create_table(
+        "db.poison", Schema.from_spark(src.schema)).append(src)
+    total = src.count()
+    cutoff = 100000
+    expect_f = src.filter(F.col("o_totalprice") > cutoff).count()
+
+    n0 = SQL.execute(warehouse, spark,
+                     "SELECT COUNT(*) AS n, 0 AS v FROM db.poison"
+                     ).first().n
+    nf = SQL.execute(warehouse, spark,
+                     f"SELECT COUNT(*) AS n, 1 AS v FROM db.poison "
+                     f"WHERE o_totalprice > {cutoff}").first().n
+    n1 = SQL.execute(warehouse, spark,
+                     "SELECT COUNT(*) AS n, 0 AS v FROM db.poison"
+                     ).first().n
+    assert (n0, nf, n1) == (total, expect_f, total)
+
+
+def test_multi_reference_statement_branches_independent(warehouse, spark,
+                                                        sf_dir):
+    """Regression (pre-existing): branches of ONE statement referencing
+    the same table share the temp view's single PythonDataSourceV2, whose
+    keyless readInfo cache lets a filtered branch's partition list answer
+    the unfiltered branch (filtered+unfiltered UNION ALL returned the
+    filtered count for BOTH sides).  Multi-referenced tables must resolve
+    through branch-safe scans."""
+    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select("o_orderkey", "o_totalprice"))
+    warehouse.create_table(
+        "db.twice", Schema.from_spark(src.schema)).append(src)
+    total = src.count()
+    expect_f = src.filter(F.col("o_totalprice") > 100000).count()
+
+    rows = SQL.execute(warehouse, spark, """
+        SELECT 'f' AS k, COUNT(*) AS n FROM db.twice
+        WHERE o_totalprice > 100000
+        UNION ALL
+        SELECT 'a' AS k, COUNT(*) AS n FROM db.twice
+    """).collect()
+    got = {r.k: r.n for r in rows}
+    assert got == {"f": expect_f, "a": total}
+
+    n_join = SQL.execute(warehouse, spark, """
+        SELECT COUNT(*) AS n
+        FROM db.twice a JOIN db.twice b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_totalprice > 100000
+    """).first().n
+    assert n_join == expect_f
