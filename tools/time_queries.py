@@ -10,10 +10,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-names = [a for a in sys.argv[1:] if not a.startswith("--")]
 sf = "/root/testdata/sf0.1"
 if "--sf" in sys.argv:
     sf = sys.argv[sys.argv.index("--sf") + 1]
+# option VALUES are not query names (qs['/tmp/...'] KeyError otherwise)
+names = [a for a in sys.argv[1:] if not a.startswith("--") and a != sf]
 
 load = os.getloadavg()[0]
 print(f"loadavg {load:.2f}")
