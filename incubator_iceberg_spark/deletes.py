@@ -253,8 +253,19 @@ def add_equality_deletes(table, del_df, equality_cols, spark=None):
             raise ValueError(f"equality column not in schema: {c}")
         fields.append(f)
     del_schema = S.Schema(fields)
-    entries = _write_delete_parquet(spark, table.location,
-                                    del_df.select(*equality_cols), del_schema)
+    # REBALANCE before the write (guide §6: output file sizing): without
+    # it the eq file count equals the upstream split count — a keys DF
+    # derived from a large scan writes one TINY eq file per input split,
+    # and every one of them is a delete entry all subsequent planning
+    # must consider (the sf1 rehearsal hit 2 files where sf0.1 wrote 1).
+    # AQE coalesces the rebalanced partitions to advisory size, so small
+    # key sets (the common CDC shape) always produce exactly one file and
+    # large ones get advisory-sized files instead of split-count fanout.
+    # The shuffle moves only the (narrow) equality columns.  Range layout
+    # (narrow per-file bounds) needs a key count the caller doesn't have;
+    # convert_equality_deletes already range-lays the converted tuples.
+    keys = del_df.select(*equality_cols).hint("rebalance")
+    entries = _write_delete_parquet(spark, table.location, keys, del_schema)
     fp = eq_schema_fingerprint(del_schema)
     for e in entries:
         e["content"] = MF.EQUALITY_DELETES

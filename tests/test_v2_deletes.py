@@ -37,6 +37,25 @@ def test_equality_deletes(warehouse, orders, spark):
     assert t.to_df(filter="o_orderkey % 100 = 0").count() == 0
 
 
+def test_equality_delete_write_coalesces_input_splits(warehouse, orders, spark):
+    """The eq-keys write must not inherit the upstream split count: a
+    keys DF spread over many partitions still lands as ONE advisory-
+    sized eq file (REBALANCE before the write), so planning cost stays
+    bounded by key bytes, not by the source scan's parallelism."""
+    t = _ingest(warehouse, "db.ed_coalesce", orders)
+    victims = (orders.filter("o_orderkey % 100 = 0")
+               .select("o_orderkey").repartition(8))
+    t.add_equality_deletes(victims, ["o_orderkey"])
+    from incubator_iceberg_spark.manifests import EQUALITY_DELETES
+    from incubator_iceberg_spark.scan import TableScan
+    _data, dels = TableScan(t, spark)._plan_split()
+    eq_entries = [e for e in dels
+                  if (e.get("content") or 0) == EQUALITY_DELETES]
+    assert len(eq_entries) == 1
+    # semantics unchanged by the layout
+    assert t.to_df().count() == orders.filter("o_orderkey % 100 != 0").count()
+
+
 def test_equality_delete_sequence_scoping(warehouse, orders, spark):
     """Rows appended AFTER the equality delete are NOT affected."""
     t = _ingest(warehouse, "db.seq", orders.limit(100))
