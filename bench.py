@@ -333,6 +333,16 @@ def main() -> int:
     # a compact JSON that always parses: headline metric + the r1-shared
     # baseline queries the ratio band is computed from, with a pointer to
     # BENCH_SELF.json (committed) for the complete per-query map
+    # non-default cpus/sf runs (driver core-scaling runs, sf1 rehearsals)
+    # get a suffixed artifact so they never clobber the committed
+    # default-run BENCH_SELF.json (the r11 driver's 8-core run overwrote
+    # the quiet sf0.1 artifact in the working tree)
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    default_run = (cpus_env == "32"
+                   and os.path.normpath(sf_dir)
+                   == os.path.normpath("/root/testdata/sf0.1"))
+    self_name = ("BENCH_SELF.json" if default_run
+                 else f"BENCH_SELF_c{cpus_env}_sf{sf}.json")
     baseline_qs = {k: v for k, v in timings.items() if k in BASELINE_SHARED}
     compact = json.dumps({
         "metric": "engine bench suite (B1-B10 + extensions) wall seconds",
@@ -342,11 +352,11 @@ def main() -> int:
         "sf": sf,
         "setup_sec": setup_sec,
         "machine": machine,
-        "queries_full": "BENCH_SELF.json",
+        "queries_full": self_name,
     })
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_SELF.json"), "w") as fh:
+                               self_name), "w") as fh:
             fh.write(payload + "\n")
     except OSError:
         pass
