@@ -486,6 +486,18 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
     mlist_cache: dict = {}
     tab_cache: dict = {}
     cols = [f.name for f in schema.fields]
+    # inserts = added EXCEPT ALL removed, deletes = removed EXCEPT ALL
+    # added — fused into ONE aggregation ACROSS the whole range: every
+    # commit side is tagged with (+1/-1, commit ordinal) and unioned,
+    # then a single sum per (ordinal, row value) replays each commit's
+    # multiset diff (sign = direction, |sum| = multiplicity).  Catalyst's
+    # RewriteExceptAll plans exactly this union+aggregate shape per
+    # direction per commit; fusing first halved the per-commit exchanges
+    # (r11), and grouping by the ordinal now collapses the K per-commit
+    # aggregation pipelines into ONE exchange for the whole range —
+    # commits never mix because the ordinal is in the grouping key.
+    sides = []  # (entries, delete_entries, ordinal, delta)
+    snap_ids: dict[int, int] = {}
     for snap in reversed(chain):  # oldest first
         if snap.operation == "replace":
             continue
@@ -497,35 +509,43 @@ def changelog(table, spark=None, from_snapshot_id: Optional[int] = None,
         now_entries, before_entries, dels_now, dels_before = changes
         # each side applies ITS OWN live delete files, so already-deleted
         # rows never resurrect into the diff
-        added_df = read_entries(spark, md, now_entries, dels_now,
-                                schema).select(*cols)
-        removed_df = read_entries(spark, md, before_entries, dels_before,
-                                  schema).select(*cols)
-        # inserts = added EXCEPT ALL removed, deletes = removed EXCEPT ALL
-        # added — fused into ONE aggregation: union the sides with +1/-1
-        # deltas, sum per distinct row value, sign decides the direction
-        # and |sum| the multiplicity.  Catalyst's RewriteExceptAll plans
-        # exactly this shape per direction; writing the pair as two
-        # exceptAll calls planned two independent union+aggregate+generate
-        # pipelines that each re-scanned BOTH sides (no exchange reuse),
-        # so the fusion halves the per-commit exchanges and reads each
-        # side once instead of twice
-        both = (added_df.withColumn("_delta", F.lit(1))
-                .unionByName(removed_df.withColumn("_delta", F.lit(-1))))
-        net = (both.groupBy(*cols).agg(F.sum("_delta").alias("_d"))
-               .filter(F.col("_d") != 0))
-        step = (net.select(
-                    *cols,
-                    F.when(F.col("_d") > 0, F.lit("insert"))
-                    .otherwise(F.lit("delete")).alias("_change_type"),
-                    F.abs(F.col("_d")).alias("_n"))
-                .withColumn("_dup",
-                            F.explode(F.sequence(F.lit(1), F.col("_n"))))
-                .drop("_n", "_dup")
-                .withColumn("_change_snapshot_id", F.lit(snap.snapshot_id))
-                .withColumn("_change_ordinal", F.lit(ordinal)))
-        out = out.unionByName(step)
+        sides.append((now_entries, dels_now, ordinal, 1))
+        sides.append((before_entries, dels_before, ordinal, -1))
+        snap_ids[ordinal] = snap.snapshot_id
         ordinal += 1
+
+    both = None
+    for entries, side_dels, o, delta in sides:
+        if not entries:
+            continue  # an empty side contributes nothing to the sums
+        side = (read_entries(spark, md, entries, side_dels, schema)
+                .select(*cols,
+                        F.lit(o).cast("int").alias("_change_ordinal"),
+                        F.lit(delta).alias("_delta")))
+        both = side if both is None else both.unionByName(side)
+    if both is None:
+        return _net_changes(out, cols) if net_changes else out
+    # snapshot ids attach AFTER the aggregation via a tiny ordinal→id
+    # literal map (never a join, never a shuffle)
+    id_map = F.create_map(*[x for o, sid in snap_ids.items()
+                            for x in (F.lit(o),
+                                      F.lit(sid).cast("long"))])
+    net = (both.groupBy("_change_ordinal", *cols)
+           .agg(F.sum("_delta").alias("_d"))
+           .filter(F.col("_d") != 0))
+    out = (net.select(
+               *cols,
+               F.when(F.col("_d") > 0, F.lit("insert"))
+               .otherwise(F.lit("delete")).alias("_change_type"),
+               F.abs(F.col("_d")).alias("_n"),
+               F.col("_change_ordinal"))
+           .withColumn("_dup",
+                       F.explode(F.sequence(F.lit(1), F.col("_n"))))
+           .drop("_n", "_dup")
+           .withColumn("_change_snapshot_id",
+                       F.element_at(id_map, F.col("_change_ordinal")))
+           .select(*cols, "_change_type", "_change_snapshot_id",
+                   "_change_ordinal"))
     if net_changes:
         out = _net_changes(out, cols)
     return out
