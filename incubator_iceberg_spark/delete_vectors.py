@@ -170,8 +170,12 @@ def write_dv_files(spark, table_location: str, pos_df,
             path_partitions = None
         else:
             map_df = spark.createDataFrame(pk_rows, "file_path string, __pk int")
+            # numbered width: AQE would coalesce repartition("__pk") to
+            # one task that writes every partition dir serially
+            from incubator_iceberg_spark import write as W
             out = (dv_df.join(F.broadcast(map_df), "file_path", "inner")
-                   .repartition("__pk")
+                   .repartition(W.write_shuffle_width(dv_df, len(groups)),
+                                "__pk")
                    .sortWithinPartitions("__pk", "file_path"))
             (out.write.mode("errorifexists").partitionBy("__pk")
              .parquet(staging))
@@ -196,13 +200,13 @@ def write_dv_files(spark, table_location: str, pos_df,
         os.path.join(dp, f)
         for dp, _dn, fn in os.walk(staging)
         for f in fn if f.endswith(".parquet"))
-    entries = []
-    for p in files:
+
+    def _entry_of(p):
+        import pyarrow.compute as pc
         t = pq.read_table(p, columns=["file_path", "cardinality"])
         if t.num_rows == 0:
             os.remove(p)
-            continue
-        import pyarrow.compute as pc
+            return None
         paths = t.column("file_path")
         entry = {
             "file_path": p,
@@ -219,7 +223,16 @@ def write_dv_files(spark, table_location: str, pos_df,
             (entry["spec_id"], entry["partition"]), = groups.values()
         elif gid is not None and gid in groups:
             entry["spec_id"], entry["partition"] = groups[gid]
-        entries.append(entry)
+        return entry
+
+    if len(files) > 8:
+        # footer/column reads are I/O-bound and release the GIL in
+        # pyarrow — thread them like write.collect_file_stats does
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            entries = [e for e in ex.map(_entry_of, files) if e is not None]
+    else:
+        entries = [e for e in map(_entry_of, files) if e is not None]
     return entries
 
 

@@ -143,8 +143,11 @@ def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema,
             path_partitions = None  # single partition: plain write + stamp
         else:
             map_df = spark.createDataFrame(pk_rows, "file_path string, __pk int")
+            # numbered width: AQE would coalesce repartition("__pk") to
+            # one task that writes every partition dir serially
             df = (df.join(F.broadcast(map_df), "file_path", "inner")
-                  .repartition("__pk")
+                  .repartition(W.write_shuffle_width(df, len(groups)),
+                               "__pk")
                   .sortWithinPartitions("__pk", *df.columns))
             (df.write.mode("errorifexists").partitionBy("__pk")
              .parquet(staging))
@@ -152,7 +155,8 @@ def _write_delete_parquet(spark, table_location: str, df, schema: S.Schema,
         W.align_to_schema(df.drop("__pk"), schema) \
             .write.mode("errorifexists").parquet(staging)
     files = W._list_parquet_files(staging)
-    stats = [W.footer_stats(p, schema) for p in files]
+    # thread-pooled footer reads (>8 files), same as the data-file path
+    stats = W.collect_file_stats(spark, files, schema)
     entries = []
     for st in stats:
         if not st["record_count"]:

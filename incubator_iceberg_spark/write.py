@@ -91,6 +91,21 @@ def _distribute(df, spec: PartitionSpec, sort_order, mode: str, part_cols,
                 sort_cols.append(c)
     nargs = [num_partitions] if num_partitions else []
     if mode == "hash" and names:
+        if not nargs:
+            # An unnumbered repartition(cols) is AQE-coalesced to
+            # advisory size — for the common small-to-medium commit that
+            # is ONE post-shuffle task, which then writes every
+            # partition directory SERIALLY (the dynamic-partition writer
+            # sorts and opens each dir in turn; measured 1.87 s → 0.99 s
+            # on an 83-month append by pinning the width).  Pin the
+            # shuffle width to the session's parallelism instead —
+            # scale-adaptive (executors × cores on a cluster), and the
+            # output layout is unchanged: hashing BY the partition
+            # columns still routes each partition value to exactly one
+            # task, so it's still one file per partition value.
+            # Override via write.distribution.partition-count (threaded
+            # as num_partitions) or SPARK_GRAFT_WRITE_PARTITIONS.
+            nargs = [write_shuffle_width(df)]
         df = df.repartition(*nargs, *[F.col(n) for n in names])
     elif mode == "range" and (names or sort_cols):
         df = df.repartitionByRange(*nargs, *[F.col(n) for n in names],
@@ -98,6 +113,22 @@ def _distribute(df, spec: PartitionSpec, sort_order, mode: str, part_cols,
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     return df
+
+
+def write_shuffle_width(df, n_groups: Optional[int] = None) -> int:
+    """Explicit shuffle width for a pre-write repartition by key.
+    Scale-adaptive: the session's default parallelism (executors × cores
+    on a cluster, the local core count here), capped at the number of
+    distinct keys when the caller knows it, and overridable via
+    SPARK_GRAFT_WRITE_PARTITIONS.  Used instead of an unnumbered
+    repartition(cols) because AQE coalesces the latter to advisory size
+    — for small-to-medium commits that is ONE post-shuffle task, which
+    then writes every partition directory serially."""
+    env = os.environ.get("SPARK_GRAFT_WRITE_PARTITIONS")
+    n = int(env) if env else df.sparkSession.sparkContext.defaultParallelism
+    if n_groups:
+        n = min(n, int(n_groups))
+    return max(1, n)
 
 
 def parquet_writer_options(properties: Optional[dict]) -> dict:
