@@ -711,6 +711,12 @@ def kmeans_micro_full(df, vec_col: str = "embedding",
     dim = vector_dim(df, vec_col)
     base = (df.select(F.col(id_col).alias("__id"),
                       _micro_vec(vec_col).alias("__vm")))
+    # (id, micro-vector) is consumed by EVERY driver round trip (init
+    # collect + one aggregate per iteration + the final assignment):
+    # persist it so the source scan + quantization run once, not
+    # iters+2 times.  The returned assignment localCheckpoints before
+    # the unpersist so it never recomputes against the cold source.
+    base = base.persist()
 
     init = base.orderBy("__id").limit(int(k)).collect()
     if len(init) < k:
@@ -749,8 +755,11 @@ def kmeans_micro_full(df, vec_col: str = "embedding",
                 for d in range(1, dim + 1)]
         centroids = new_cents
     # final assignment against the last UPDATED centroids
-    out = base.withColumn("cluster", assign_col(centroids))
-    return out.select(F.col("__id").alias(id_col), "cluster"), centroids
+    out = (base.withColumn("cluster", assign_col(centroids))
+           .select(F.col("__id").alias(id_col), "cluster")
+           .localCheckpoint())
+    base.unpersist()
+    return out, centroids
 
 
 _KM_ASSIGN_SQL = """
