@@ -801,8 +801,17 @@ def _project_to_current(df, file_schema: S.Schema, current: S.Schema, extra=None
     added columns become NULL, type promotions cast (int→long etc.)."""
     from pyspark.sql import functions as F
 
-    if file_schema.schema_id == current.schema_id and not extra:
-        return df
+    if file_schema.schema_id == current.schema_id:
+        if not extra:
+            return df
+        # same schema: the field-ID projection is the identity — only
+        # the lineage columns need attaching ('*' keeps names, order and
+        # types; rebuilding every column cost ~4 py4j calls per field).
+        # Guarded on the physical columns matching the schema exactly:
+        # the avro reader's frame carries _file/_pos PHYSICALLY, so '*'
+        # would duplicate what ``extra`` re-selects.
+        if df.columns == [f.name for f in current.fields]:
+            return df.select("*", *extra)
     cols = []
     for f in current.fields:
         old = file_schema.find_field(f.field_id)

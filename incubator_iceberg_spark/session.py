@@ -39,6 +39,14 @@ def get_spark(app_name: str = "incubator_iceberg_spark", master: str | None = No
         # read TIMESTAMP(NANOS) parquet (events table) as long; io.load_table
         # converts to TimestampType at micros precision
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # every engine scan passes an explicit file list; above this many
+        # paths Spark launches a DISTRIBUTED listing job just to stat
+        # them (default 32).  An 83-file scan paid ~0.3 s of job launch
+        # per reader — driver-side listing handles hundreds of paths in
+        # milliseconds on any reasonable metadata store.  Scans larger
+        # than this still distribute, which is what the threshold is for.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

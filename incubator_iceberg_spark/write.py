@@ -51,6 +51,33 @@ def align_to_schema(df, schema: S.Schema):
     from pyspark.sql import functions as F
 
     have = {c.lower(): c for c in df.columns}
+    # fast path: ONE selectExpr py4j round trip instead of ~4 JVM calls
+    # per column (col+cast+alias each cross the gateway; measured
+    # ~0.1 s per call on a 16-column schema, paid by every stage_write).
+    # Falls back to the Column API when a type's DDL rendering contains
+    # characters that could mis-parse (nested field names are not
+    # quoted by simpleString) — identical Cast semantics either way.
+    exprs = []
+    for f in schema.fields:
+        src = have.get(f.name.lower())
+        ddl = S._to_spark_type(f.type).simpleString()
+        if exprs is not None and not any(ch in ddl for ch in " `'\";=\\"):
+            tgt = f.name.replace("`", "``")
+            if src is None:
+                if f.required:
+                    raise ValueError(
+                        f"required column {f.name} missing from input")
+                exprs.append(f"CAST(NULL AS {ddl}) AS `{tgt}`")
+            else:
+                exprs.append(
+                    f"CAST(`{src.replace('`', '``')}` AS {ddl}) AS `{tgt}`")
+        else:
+            exprs = None
+    if exprs is not None:
+        try:
+            return df.selectExpr(*exprs)
+        except Exception:
+            pass  # unparseable rendering → Column-API fallback below
     cols = []
     for f in schema.fields:
         src = have.get(f.name.lower())
