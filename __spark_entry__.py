@@ -4738,9 +4738,25 @@ def q_bucket_join_agg(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING (round 11): the driver's correctness gate samples a
+    # ORDERING (round 12): the driver's correctness gate samples a
     # 50-entry prefix of this dict, so ordering = verification recency.
-    # Round 11 prefix = [TWO NEW r11 rows: sql_namespaces (REST
+    # Round 12 prefix = exactly the rows-51+ head block the r11 comment
+    # contractually routed here (metrics_cap_scan, topk_window,
+    # cdc_replication, hive_import, add_files_import, ... through
+    # merge_file_filter — the old rows 51-100, kept in order, no row
+    # added or removed; this is an optimization round).  The old r11
+    # prefix moved to the very back (most recently driver-verified);
+    # everything in between keeps its relative order.  With this window
+    # green, every registry row is driver-verified within r9-r12.  The
+    # r13 window MUST head with the next rows-51+ head in order:
+    # auto_maintain, escaped_path_mor, not_rewrite_pruning,
+    # residual_scan, streaming_auto_maintain, find_files,
+    # rest_catalog_scan, ann_bruteforce, ... (take the next ~50 in
+    # rows-51+ order).  All rows re-verified locally via
+    # tools/check_correctness.py this round.
+    #
+    # ORDERING history (round 11): the Round 11 prefix was [TWO NEW r11
+    # rows: sql_namespaces (REST
     # namespace endpoints + facade CREATE/SHOW/DROP NAMESPACE DDL — the
     # r10 verdict's #6) and sql_write_spec (write-spec + identifier
     # SQL-extension DDL: WRITE DISTRIBUTED/ORDERED, SET/DROP IDENTIFIER
@@ -4766,56 +4782,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-51+ order).  All rows re-verified locally via
     # tools/check_correctness.py this round.
     return {
-        "sql_namespaces": q_sql_namespaces,
-        "sql_write_spec": q_sql_write_spec,
-        "changelog_updates": q_changelog_updates,
-        "matview_refresh": q_matview_refresh,
-        "incremental_read": q_incremental,
-        "delete_mor": q_delete_mor,
-        "update_mor": q_update_mor,
-        "delete_maintenance": q_delete_maintenance,
-        "pos_delete_scan": q_pos_delete_scan,
-        "sql_inspection": q_sql_inspection,
-        "schema_evolution": q_schema_evolution,
-        "overwrite_dynamic": q_overwrite_dynamic,
-        "overwrite_filter": q_overwrite_filter,
-        "branch_read": q_branch_read,
-        "wap_publish": q_wap_publish,
-        "snapshots_meta": q_snapshots_meta,
-        "events_props_json": q_events_props_json,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "ann_append_probe": q_ann_append_probe,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "mixture_sample": q_mixture_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "avro_scan": q_avro_scan,
-        "merge_by_source": q_merge_by_source,
-        "sql_facade_join": q_sql_facade_join,
-        "sql_ctas": q_sql_ctas,
-        "zorder_scan": q_zorder_scan,
-        "metadata_agg": q_metadata_agg,
-        "orc_scan": q_orc_scan,
-        "call_procedure": q_call_procedure,
-        "streaming_cdc_apply": q_streaming_cdc_apply,
-        "streaming_sink_replay": q_streaming_sink_replay,
-        "streaming_rate_limited": q_streaming_rate_limited,
-        "streaming_consume": q_streaming_consume,
-        "dv_delete_scan": q_dv_delete_scan,
-        "scd2_dimension": q_scd2_dimension,
-        "all_files_meta": q_all_files_meta,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "merge_schema_append": q_merge_schema_append,
-        "grouping_sets_agg": q_grouping_sets,
-        "refs_history_meta": q_refs_history_meta,
-        "merge_cardinality_guard": q_merge_cardinality_guard,
-        "manifest_pruning": q_manifest_pruning,
-        "eq_delete_scan": q_eq_delete_scan,
-        "convert_eq_deletes": q_convert_eq_deletes,
-        "streaming_upsert_mor": q_streaming_upsert_mor,
-        "dv_steady_state": q_dv_steady_state,
-        "changelog_net": q_changelog_net,
         "metrics_cap_scan": q_metrics_cap_scan,
         "topk_window": q_topk_window,
         "cdc_replication": q_cdc_replication,
@@ -4961,6 +4927,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "spec_evolution": q_spec_evolution,
         "changelog_scan": q_changelog_scan,
+        "sql_namespaces": q_sql_namespaces,
+        "sql_write_spec": q_sql_write_spec,
+        "changelog_updates": q_changelog_updates,
+        "matview_refresh": q_matview_refresh,
+        "incremental_read": q_incremental,
+        "delete_mor": q_delete_mor,
+        "update_mor": q_update_mor,
+        "delete_maintenance": q_delete_maintenance,
+        "pos_delete_scan": q_pos_delete_scan,
+        "sql_inspection": q_sql_inspection,
+        "schema_evolution": q_schema_evolution,
+        "overwrite_dynamic": q_overwrite_dynamic,
+        "overwrite_filter": q_overwrite_filter,
+        "branch_read": q_branch_read,
+        "wap_publish": q_wap_publish,
+        "snapshots_meta": q_snapshots_meta,
+        "events_props_json": q_events_props_json,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "ann_append_probe": q_ann_append_probe,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "avro_scan": q_avro_scan,
+        "merge_by_source": q_merge_by_source,
+        "sql_facade_join": q_sql_facade_join,
+        "sql_ctas": q_sql_ctas,
+        "zorder_scan": q_zorder_scan,
+        "metadata_agg": q_metadata_agg,
+        "orc_scan": q_orc_scan,
+        "call_procedure": q_call_procedure,
+        "streaming_cdc_apply": q_streaming_cdc_apply,
+        "streaming_sink_replay": q_streaming_sink_replay,
+        "streaming_rate_limited": q_streaming_rate_limited,
+        "streaming_consume": q_streaming_consume,
+        "dv_delete_scan": q_dv_delete_scan,
+        "scd2_dimension": q_scd2_dimension,
+        "all_files_meta": q_all_files_meta,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "merge_schema_append": q_merge_schema_append,
+        "grouping_sets_agg": q_grouping_sets,
+        "refs_history_meta": q_refs_history_meta,
+        "merge_cardinality_guard": q_merge_cardinality_guard,
+        "manifest_pruning": q_manifest_pruning,
+        "eq_delete_scan": q_eq_delete_scan,
+        "convert_eq_deletes": q_convert_eq_deletes,
+        "streaming_upsert_mor": q_streaming_upsert_mor,
+        "dv_steady_state": q_dv_steady_state,
+        "changelog_net": q_changelog_net,
     }
 
 
