@@ -190,18 +190,8 @@ def triangle_count(edges, src: str = "src", dst: str = "dst"):
     w1 = orient.select(F.col("u").alias("x"), F.col("v").alias("y"))
     w2 = orient.select(F.col("u").alias("y"), F.col("v").alias("z"))
     w3 = orient.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    # aggregate wedge multiplicity per (x, z) BEFORE the closing-edge
-    # join: orient is a distinct edge set, so closing multiplies each
-    # wedge by exactly 1 and the triangle total is the sum of wedge
-    # counts over closed pairs.  The partial (map-side) aggregation
-    # shrinks the second join's shuffle from #wedges rows to #distinct
-    # endpoint pairs — on co-purchase-shaped graphs many wedges share
-    # endpoints, and the old form shipped every one of them.
-    wedges = (w1.join(w2, "y").groupBy("x", "z")
-              .agg(F.count(F.lit(1)).alias("__w")))
-    n = (wedges.join(w3, ["x", "z"])
-         .agg(F.coalesce(F.sum("__w"), F.lit(0).cast("long"))
-              .alias("n_triangles")))
+    n = (w1.join(w2, "y").join(w3, ["x", "z"])
+         .agg(F.count(F.lit(1)).alias("n_triangles")))
     out = n.localCheckpoint()
     orient.unpersist()
     return out
